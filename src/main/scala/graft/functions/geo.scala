@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Geospatial column expressions.
+  *
+  * Re-expresses the reference's two haversine implementations
+  * (backend/hybrid_search.py:13-33 — km, R=6371, asin form;
+  * backend/tools/dataset_search.py:14-29 — miles, R=3959, atan2 form) as
+  * pure Catalyst column expressions: codegen'd, no UDF, fully pushdown- and
+  * whole-stage-codegen-friendly. Both constants are kept because the
+  * reference uses both and oracle parity requires each form exactly.
+  */
+object geo {
+
+  private val EarthRadiusKm    = 6371.0
+  private val EarthRadiusMiles = 3959.0
+
+  /** Great-circle distance in km (asin form, R=6371). */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dlat = radians(lat2 - lat1)
+    val dlon = radians(lon2 - lon1)
+    val a = pow(sin(dlat / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dlon / 2), 2)
+    lit(EarthRadiusKm) * lit(2.0) * asin(sqrt(a))
+  }
+
+  /** Great-circle distance in miles (atan2 form, R=3959). */
+  def haversineMiles(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dlat = radians(lat2 - lat1)
+    val dlon = radians(lon2 - lon1)
+    val a = pow(sin(dlat / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dlon / 2), 2)
+    lit(EarthRadiusMiles) * lit(2.0) * atan2(sqrt(a), sqrt(lit(1.0) - a))
+  }
+
+  /** km → miles (backend/hybrid_search.py:122). */
+  def kmToMiles(km: Column): Column = km * 0.621371
+
+  /** Bounding-box pre-filter for a radius search: a cheap sargable predicate
+    * (plain comparisons on lat/lon) that Parquet row-group stats and
+    * partition pruning can use, evaluated BEFORE the trig. At 100 TB this is
+    * the difference between scanning every row-group and skipping most:
+    * haversine(…) <= r itself can never be pushed to the scan, but
+    * lat BETWEEN a AND b can. One degree of latitude ≈ 110.574 km; longitude
+    * shrinks by cos(lat). Slightly over-covers (then the exact haversine
+    * predicate refines), never under-covers for radii << Earth radius.
+    */
+  def inBoundingBoxKm(lat: Column, lon: Column, centerLat: Double, centerLon: Double,
+                      radiusKm: Double): Column = {
+    val dLat = radiusKm / 110.574
+    val dLon = radiusKm / (111.320 * math.max(math.cos(math.toRadians(centerLat)), 0.01))
+    lat.between(centerLat - dLat, centerLat + dLat) &&
+      lon.between(centerLon - dLon, centerLon + dLon)
+  }
+
+  /** Deterministic synthetic coordinates derived from an integer key —
+    * the driver testdata has no geo columns, so geo operators are exercised
+    * on coordinates that both Spark and the DuckDB oracle derive from the
+    * same exact integer arithmetic (SURVEY.md §7.5).
+    * lat ∈ [32.0, 33.0), lon ∈ [-117.5, -115.5).
+    */
+  def synthLat(key: Column): Column = lit(32.0) + (key % 200) * 0.005
+  def synthLon(key: Column): Column = lit(-117.5) + ((key * 37) % 400) * 0.005
+
+  /** Same derivation as SQL text, for oracle queries. */
+  def synthLatSql(key: String): String = s"(32.0 + ($key % 200) * 0.005)"
+  def synthLonSql(key: String): String = s"(-117.5 + (($key * 37) % 400) * 0.005)"
+
+  /** Haversine-km as SQL text (DuckDB + Spark SQL compatible), for oracles. */
+  def haversineKmSql(lat1: String, lon1: String, lat2: String, lon2: String): String =
+    s"(6371.0 * 2.0 * asin(sqrt(pow(sin(radians($lat2 - $lat1) / 2), 2) + " +
+      s"cos(radians($lat1)) * cos(radians($lat2)) * pow(sin(radians($lon2 - $lon1) / 2), 2))))"
+}

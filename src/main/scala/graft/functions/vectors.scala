@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector (embedding) column expressions.
+  *
+  * The reference stores 768-dim pgvector embeddings and computes cosine
+  * similarity in Python (backend/embeddings.py:112-135) / numpy
+  * (backend/hybrid_search.py:150-161). Here similarity is a pure Catalyst
+  * higher-order-function expression over `array<float>` columns — no UDF, no
+  * serialization boundary, distributed for free. Arrays are cast to
+  * `array<double>` first so accumulation order and precision match the
+  * DuckDB oracle's `list_dot_product(a::DOUBLE[], b::DOUBLE[])` exactly.
+  */
+object vectors {
+
+  /** Σ aᵢ·bᵢ, sequential left-to-right accumulation in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** ‖a‖₂ */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0.0 when either norm is 0 (backend/embeddings.py:130-131). */
+  def cosineSim(a: Column, b: Column): Column = {
+    val na = l2Norm(a)
+    val nb = l2Norm(b)
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
+  }
+
+  /** Cosine distance, pgvector `<=>` form (backend/embeddings.py:170). */
+  def cosineDist(a: Column, b: Column): Column = lit(1.0) - cosineSim(a, b)
+
+  /** SQL-text twin of [[cosineSim]] for DuckDB oracles (same double math). */
+  def cosineSimSql(a: String, b: String): String =
+    s"(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
+      s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
+      s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))))"
+
+  /** Deterministic stand-in embedder (reference embeds via a Vertex AI RPC —
+    * backend/embeddings.py:47-73 — which a zero-egress engine cannot call).
+    * Hashing-trick term-frequency: each whitespace token hashes (crc32) into
+    * one of `dim` buckets, counts are L2-normalized. Pure column expressions,
+    * distributed, codegen'd; deterministic across runs and engines.
+    */
+  def embedStub(text: Column, dim: Int = 64): Column = {
+    val tokens = split(lower(text), "\\s+")
+    val counts = transform(
+      sequence(lit(0), lit(dim - 1)),
+      i => size(filter(tokens, t => (crc32(t.cast("binary")) % dim).cast("int") === i)).cast("double"))
+    val norm = sqrt(aggregate(counts, lit(0.0), (acc, x) => acc + x * x))
+    transform(counts, x => when(norm === 0.0, lit(0.0)).otherwise(x / norm))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.geo
+
+/** Geospatial search operators (reference: backend/hybrid_search.py:61-102,
+  * :200-253; backend/main.py:466-475).
+  *
+  * The reference's radius search is a PostGIS `ST_DWithin` + `ST_Distance`
+  * query; its nearest-transit lookup is an N+1 loop issuing one radius query
+  * per result row. Both are re-expressed as single declarative plans:
+  *  - radius search = sargable bounding-box prune (pushed to the Parquet
+  *    scan) + exact haversine refine + distributed top-k
+  *    (`TakeOrderedAndProject`, no global sort);
+  *  - nearest-k-per-row = one range join + per-key window, replacing the
+  *    N+1 loop with a plan that scales to any number of left rows.
+  */
+object GeoSearch {
+
+  /** All rows within `radiusKm` of (centerLat, centerLon), with a
+    * `distance_km` column, nearest first, at most `limit` rows.
+    * The bounding-box prefilter is what makes this scan-prunable at scale;
+    * the haversine refine keeps it exact.
+    */
+  def radiusSearch(df: DataFrame, latCol: Column, lonCol: Column,
+                   centerLat: Double, centerLon: Double,
+                   radiusKm: Double, limit: Int): DataFrame =
+    df.filter(geo.inBoundingBoxKm(latCol, lonCol, centerLat, centerLon, radiusKm))
+      .withColumn("distance_km",
+        geo.haversineKm(latCol, lonCol, lit(centerLat), lit(centerLon)))
+      .filter(col("distance_km") <= radiusKm)
+      .orderBy(col("distance_km"))
+      .limit(limit)
+
+  /** For every left row, the `k` nearest right rows within `maxKm`
+    * (reference: per-service top-3 transit stops within 1 km,
+    * backend/main.py:466-475). One range join + window instead of N queries.
+    * `leftKey` must be unique per left row. The join condition carries the
+    * bounding-box predicate so Catalyst can plan a pruned join rather than a
+    * full cartesian product.
+    */
+  def nearestK(left: DataFrame, right: DataFrame,
+               leftKey: String, leftLat: String, leftLon: String,
+               rightLat: String, rightLon: String,
+               k: Int, maxKm: Double): DataFrame = {
+    val dLat = maxKm / 110.574
+    // conservative lon window at the widest (most poleward) latitude in play
+    val dLon = maxKm / 111.320 * 4.0
+    val joined = left.join(right,
+      right(rightLat).between(left(leftLat) - dLat, left(leftLat) + dLat) &&
+        right(rightLon).between(left(leftLon) - dLon, left(leftLon) + dLon))
+      .withColumn("distance_km",
+        geo.haversineKm(left(leftLat), left(leftLon), right(rightLat), right(rightLon)))
+      .filter(col("distance_km") <= maxKm)
+    val w = Window.partitionBy(left(leftKey)).orderBy(col("distance_km"))
+    joined.withColumn("rank_nearest", row_number().over(w))
+      .filter(col("rank_nearest") <= k)
+  }
+}

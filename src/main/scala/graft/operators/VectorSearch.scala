@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.vectors
+
+/** Vector similarity search (reference: backend/embeddings.py:138-193 —
+  * pgvector `<=>` cosine KNN with threshold; backend/hybrid_search.py:129-197
+  * — semantic re-rank fused with distance score).
+  *
+  * Exact brute-force scan: at test scale this is both exact and fast; the
+  * plan is a single narrow projection + `TakeOrderedAndProject` (distributed
+  * top-k, no global sort, no shuffle of the corpus). The 100 TB path is
+  * [[graft.operators.AnnIndex]] (LSH bucketing) — same API, approximate.
+  */
+object VectorSearch {
+
+  /** Top-k most-similar rows to `queryVec`, keeping rows with
+    * cosine ≥ `threshold` (reference defaults: threshold 0.7, k 5 —
+    * backend/main.py:362-363).
+    */
+  def knn(corpus: DataFrame, embCol: String, queryVec: Seq[Float],
+          k: Int, threshold: Double): DataFrame = {
+    val q = typedLit(queryVec)
+    corpus.filter(col(embCol).isNotNull)
+      .withColumn("similarity", vectors.cosineSim(col(embCol), q))
+      .filter(col("similarity") >= threshold)
+      .orderBy(desc("similarity"))
+      .limit(k)
+  }
+
+  /** KNN where the query vector comes from a 1-row DataFrame (column
+    * `queryCol`), broadcast to the corpus — the common "query by example"
+    * shape in the testdata oracles.
+    */
+  def knnByExample(corpus: DataFrame, embCol: String,
+                   query: DataFrame, queryCol: String,
+                   k: Int, threshold: Double): DataFrame =
+    corpus.filter(col(embCol).isNotNull)
+      .crossJoin(broadcast(query))
+      .withColumn("similarity", vectors.cosineSim(col(embCol), col(queryCol)))
+      .filter(col("similarity") >= threshold)
+      .orderBy(desc("similarity"))
+      .limit(k)
+
+  /** Semantic re-rank over geo candidates (reference
+    * backend/hybrid_search.py:137-197): similarity + normalized distance
+    * score (1 - d/max_d, X13) fused via `w*sim + (1-w)*distScore` (X14).
+    * Operates on the small candidate set (≤ limit×3 rows), so the
+    * single-partition max-window is bounded by the over-fetch policy, not by
+    * data size.
+    */
+  def hybridRerank(candidates: DataFrame, embCol: String, queryCol: String,
+                   distanceCol: String, weight: Double, limit: Int): DataFrame = {
+    val all = Window.partitionBy()
+    candidates
+      .withColumn("similarity",
+        when(col(embCol).isNull, lit(0.0))
+          .otherwise(vectors.cosineSim(col(embCol), col(queryCol))))
+      .withColumn("max_d", max(col(distanceCol)).over(all))
+      .withColumn("distance_score",
+        when(col("max_d") > 0, lit(1.0) - col(distanceCol) / col("max_d"))
+          .otherwise(lit(1.0)))
+      .withColumn("combined_score",
+        col("similarity") * weight + col("distance_score") * (1.0 - weight))
+      .drop("max_d")
+      .orderBy(desc("combined_score"))
+      .limit(limit)
+  }
+}
