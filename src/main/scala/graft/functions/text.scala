@@ -1,0 +1,149 @@
+package graft.functions
+
+/** Text-analysis expression fragments, rendered per [[Dialect]].
+  *
+  * These power the training-data-pipeline operators (dedup, language-ID,
+  * quality scoring, token counting, fingerprinting) over the `documents`
+  * table. The reference's text handling is limited to lowercase-concat
+  * searchable text (backend/convert_housing_to_json.py:49) and substring
+  * search (backend/search_housing.py:43); the operators here are the
+  * large-corpus generalizations a 100 TB ingest pipeline needs.
+  *
+  * All hashing is integer arithmetic mod P = 1e9+7 (fits BIGINT with room:
+  * max acc*131 + 1e9 < 2^63), so Spark and DuckDB agree exactly.
+  */
+object text {
+
+  val P = "1000000007"
+
+  /** whitespace tokens of lower(text), empties dropped */
+  def tokens(d: Dialect, col: String): String =
+    d.filterArr(d.splitWs(s"lower($col)"), "t", "t <> ''")
+
+  /** polynomial char hash of one token: fold(chars, 0, acc*31 + ascii) mod P.
+    * Chars are mapped to BIGINT codepoints BEFORE the fold — DuckDB's
+    * list_prepend refuses to mix a BIGINT init into a VARCHAR[] list. */
+  def tokenHash(d: Dialect, tok: String): String =
+    d.fold(
+      d.transform(d.splitChars(tok), "c", "CAST(ascii(c) AS BIGINT)"),
+      "CAST(0 AS BIGINT)", "acc", "x", s"(acc * 31 + x) % $P")
+
+  /** per-token hashes of a text column */
+  def tokenHashes(d: Dialect, col: String): String =
+    d.transform(tokens(d, col), "t", tokenHash(d, "t"))
+
+  /** rolling document fingerprint: fold token-hashes with acc*131 + h mod P */
+  def fingerprint(d: Dialect, col: String): String =
+    d.fold(tokenHashes(d, col), "CAST(0 AS BIGINT)", "acc", "h",
+      s"(acc * 131 + h) % $P")
+
+  /** word n-gram shingles as strings ("a b c" for n=3). Docs shorter than n
+    * tokens yield one partial shingle (slice clamps identically in both
+    * engines); the lower bound 1 keeps the sequence ascending — Spark's
+    * sequence(1, 0) would DESCEND while DuckDB's generate_series(1, 0) is
+    * empty, so the bound must never go below 1. */
+  def shingles(d: Dialect, col: String, n: Int): String = {
+    val toks = tokens(d, col)
+    d.transform(
+      d.seq("1", s"greatest(${d.size(toks)} - ${n - 1}, 1)"),
+      "i", d.arrayJoin(d.slice(toks, "i", n.toString), " "))
+  }
+
+  /** distinct polynomial hashes of the word n-gram shingles (n=1 → tokens).
+    * Shingle-level hashing is what makes MinHash/SimHash discriminative on
+    * short-vocabulary corpora: unigram token SETS of any two long docs over
+    * a small vocabulary are nearly identical, n-gram sequences are not. */
+  def shingleHashes(d: Dialect, col: String, n: Int): String =
+    d.arrayDistinct(
+      if (n == 1) tokenHashes(d, col)
+      else d.transform(shingles(d, col, n), "s", tokenHash(d, "s")))
+
+  /** MinHash signature (k values) over distinct n-gram shingle hashes.
+    * h_i(x) = ((2i+3)*x + 5i+7) mod P; sig[i] = min over shingles.
+    * ((2k+3)*P fits BIGINT for k ≤ 16.)  Empty docs → P (sentinel). */
+  def minhashSig(d: Dialect, col: String, k: Int, n: Int): String = {
+    val hs = shingleHashes(d, col, n)
+    d.transform(d.seq("0", (k - 1).toString), "i",
+      s"coalesce(${d.arrayMin(d.transform(hs, "t", s"((2*i + 3) * t + 5*i + 7) % $P"))}, $P)")
+  }
+
+  /** SimHash with `bits` ≤ 60 bits over distinct n-gram shingle hashes:
+    * bit j set when Σ_shingles (2*(bit_j(mix(h))) - 1) > 0. Hashes are < P
+    * ≈ 2^30, so one multiplicative mix only yields 30 usable bits — bits
+    * 0-29 come from mix1(h) = (h*2654435761) mod P and bits 30-59 from
+    * mix2(h) = (h*2246822519) mod P (both products < 2^63). */
+  def simhash(d: Dialect, col: String, bits: Int, n: Int): String = {
+    require(bits <= 60, "only 2x30 mixed bits available")
+    val hs = shingleHashes(d, col, n)
+    // per-bit balance: fold over shingles of ±1 for bit j
+    val bitSum = (j: String) =>
+      d.fold(d.transform(hs, "t",
+          s"CASE WHEN $j < 30 THEN (t * 2654435761) % $P ELSE (t * 2246822519) % $P END"),
+        "CAST(0 AS BIGINT)", "acc", "m",
+        s"acc + 2 * (${d.intDiv("m", s"CAST(pow(2, $j % 30) AS BIGINT)")} % 2) - 1")
+    d.fold(
+      d.transform(d.seq("0", (bits - 1).toString), "j",
+        s"CASE WHEN ${bitSum("j")} > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END"),
+      "CAST(0 AS BIGINT)", "acc", "b", "acc + b")
+  }
+
+  /** token count (whitespace) */
+  def nTokens(d: Dialect, col: String): String = d.size(tokens(d, col))
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * non-alnum-non-space chars each count as one token */
+  def nTokensBpe(d: Dialect, col: String): String =
+    d.regexpCount(s"lower($col)", "[a-z]+|[0-9]+|[^a-z0-9\\s ]")
+
+  /** distinct-token ratio — near-0 means degenerate/repetitive text */
+  def uniqRatio(d: Dialect, col: String): String = {
+    val toks = tokens(d, col)
+    s"CAST(${d.size(d.arrayDistinct(toks))} AS DOUBLE) / ${d.size(toks)}"
+  }
+
+  /** fraction of tokens in a marker list (stopword ratio / language score) */
+  def markerRatio(d: Dialect, col: String, markers: Seq[String]): String = {
+    val toks = tokens(d, col)
+    val inList = markers.map(m => s"t = '$m'").mkString(" OR ")
+    s"CAST(${d.size(d.filterArr(toks, "t", s"($inList)"))} AS DOUBLE) / ${d.size(toks)}"
+  }
+
+  /** average token length in chars */
+  def avgTokenLen(d: Dialect, col: String): String = {
+    val toks = tokens(d, col)
+    s"CAST(${d.fold(d.transform(toks, "t", "CAST(length(t) AS BIGINT)"), "CAST(0 AS BIGINT)", "acc", "x", "acc + x")} AS DOUBLE) / ${d.size(toks)}"
+  }
+
+  /** Engine-stable fixed-point rounding: floor(x*10^k + 0.5) as BIGINT.
+    * `round()` on DOUBLE disagrees between engines at exact .5 decimal
+    * boundaries (Spark rounds the shortest decimal repr via BigDecimal,
+    * DuckDB rounds the binary value — 189/40 = "4.725" → 4.73 vs 4.72).
+    * floor over identical doubles is identical everywhere. Use this for any
+    * ratio-of-integers output. */
+  def fixedPoint(expr: String, k: Int): String =
+    s"CAST(floor(($expr) * ${math.pow(10, k).toLong}.0 + 0.5) AS BIGINT)"
+
+  /** Language-ID marker sets: for each language, tokens whose presence votes
+    * for it. The test corpus is synthetic (same vocabulary in every doc), so
+    * these are demonstration markers; on a real corpus they'd be per-language
+    * stopword lists. Deterministic argmax with alphabetical tie-break. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("window", "group", "hash"),
+    "en" -> Seq("the", "a", "fast"),
+    "es" -> Seq("data", "table", "row"),
+    "fr" -> Seq("query", "join", "merge"),
+    "zh" -> Seq("scan", "sort", "order"))
+
+  /** predicted language = argmax over marker ratios (ties → first
+    * alphabetically, which is the Seq order above) */
+  def langPredict(d: Dialect, col: String): String = {
+    val scored = langMarkers.map { case (lang, ms) => (lang, markerRatio(d, col, ms)) }
+    // strictly-greater chain implements first-wins argmax
+    val best = scored.map { case (lang, s) =>
+      val conds = scored.takeWhile(_._1 != lang).map { case (_, s2) => s"$s > $s2" } ++
+        scored.dropWhile(_._1 != lang).drop(1).map { case (_, s2) => s"$s >= $s2" }
+      s"WHEN ${conds.mkString(" AND ")} THEN '$lang'"
+    }
+    s"CASE ${best.mkString(" ")} ELSE 'und' END"
+  }
+}

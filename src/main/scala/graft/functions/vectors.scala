@@ -43,16 +43,22 @@ object vectors {
 
   /** Deterministic stand-in embedder (reference embeds via a Vertex AI RPC —
     * backend/embeddings.py:47-73 — which a zero-egress engine cannot call).
-    * Hashing-trick term-frequency: each whitespace token hashes (crc32) into
-    * one of `dim` buckets, counts are L2-normalized. Pure column expressions,
-    * distributed, codegen'd; deterministic across runs and engines.
+    * Hashing-trick term-frequency: each whitespace token hashes (polynomial
+    * char hash, [[graft.functions.text.tokenHash]]) into one of `dim`
+    * buckets; bucket counts are L2-normalized. Same expression renders for
+    * DuckDB, so embed→similarity pipelines are oracle-checkable end-to-end.
     */
-  def embedStub(text: Column, dim: Int = 64): Column = {
-    val tokens = split(lower(text), "\\s+")
-    val counts = transform(
-      sequence(lit(0), lit(dim - 1)),
-      i => size(filter(tokens, t => (crc32(t.cast("binary")) % dim).cast("int") === i)).cast("double"))
-    val norm = sqrt(aggregate(counts, lit(0.0), (acc, x) => acc + x * x))
-    transform(counts, x => when(norm === 0.0, lit(0.0)).otherwise(x / norm))
+  def embedStubSql(d: Dialect, col: String, dim: Int): String = {
+    val hs = text.tokenHashes(d, col)
+    val counts = d.transform(d.seq("0", (dim - 1).toString), "i",
+      s"CAST(${d.size(d.filterArr(hs, "h", s"h % $dim = i"))} AS DOUBLE)")
+    // no CTE available inside an expression: norm recomputed per element is
+    // fine at dim<=32 demo scale; real pipelines materialize the counts col
+    val norm = s"sqrt(${d.fold(counts, "CAST(0.0 AS DOUBLE)", "acc", "x", "acc + x * x")})"
+    d.transform(counts, "x", s"CASE WHEN $norm = 0.0 THEN 0.0 ELSE x / $norm END")
   }
+
+  /** Column form of [[embedStubSql]] over a named text column. */
+  def embedStub(textColName: String, dim: Int = 16): Column =
+    org.apache.spark.sql.functions.expr(embedStubSql(SparkDialect, textColName, dim))
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.vectors
+
+/** Approximate nearest-neighbor search over an embedding column.
+  *
+  * The reference's vector index is pgvector HNSW
+  * (backend/migrate_pgvector.py:64-77) — a single-node graph index with no
+  * Spark analog. The scale path here is random-hyperplane LSH: each vector
+  * gets a `planes`-bit bucket id (sign of dot with `planes` deterministic
+  * pseudo-random hyperplanes); search touches only the query's bucket, so
+  * a 100 TB corpus partitions by bucket and a top-k probes one partition
+  * group instead of scanning everything. Brute-force exact search stays in
+  * [[VectorSearch.knn]] for oracle parity and small corpora.
+  *
+  * Hyperplane coefficients are deterministic integers
+  * `((i*131 + j*37) % 7) - 3` (i = plane, j = dimension): identical in any
+  * engine, no RNG, no seed drift between driver and executors.
+  */
+object AnnIndex {
+
+  /** SQL for the coefficient of plane i, dimension j (both engines). */
+  def coefSql(i: String, j: String): String = s"((($i) * 131 + ($j) * 37) % 7 - 3)"
+
+  /** `planes`-bit LSH bucket id for an `array<float>` embedding column.
+    * Pure fold expressions — codegen'd, sequential double accumulation so
+    * any engine computing the same fold agrees on every sign. */
+  def bucketExpr(embCol: String, dim: Int, planes: Int): Column = {
+    val dot = (i: String) =>
+      s"aggregate(transform(sequence(0, ${dim - 1}), j -> " +
+        s"${coefSql(i, "j")} * CAST(element_at(CAST($embCol AS ARRAY<DOUBLE>), j + 1) AS DOUBLE)), " +
+        s"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    expr(
+      s"aggregate(transform(sequence(0, ${planes - 1}), i -> " +
+        s"CASE WHEN ${dot("i")} > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE CAST(0 AS BIGINT) END), " +
+        s"CAST(0 AS BIGINT), (acc, b) -> acc + b)")
+  }
+
+  /** DuckDB rendering of [[bucketExpr]] for oracle SQL. */
+  def bucketSqlDuck(embCol: String, dim: Int, planes: Int): String = {
+    val dot = (i: String) =>
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(generate_series(0, ${dim - 1}), j -> " +
+        s"${coefSql(i, "j")} * (CAST($embCol AS DOUBLE[]))[j + 1])), (acc, x) -> acc + x)"
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(generate_series(0, ${planes - 1}), i -> " +
+      s"CASE WHEN ${dot("i")} > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE CAST(0 AS BIGINT) END)), " +
+      s"(acc, b) -> acc + b)"
+  }
+
+  /** Corpus with an LSH `bucket` column appended — persist this (partitioned
+    * by bucket) as the "index build". */
+  def withBucket(df: DataFrame, embCol: String, dim: Int, planes: Int): DataFrame =
+    df.withColumn("bucket", bucketExpr(embCol, dim, planes))
+
+  /** ANN top-k: restrict to the query's bucket, then exact cosine re-rank.
+    * `query` is a 1-row frame with the query embedding in `queryCol`. */
+  def annTopK(corpus: DataFrame, embCol: String, dim: Int, planes: Int,
+              query: DataFrame, queryCol: String, k: Int,
+              tieBreak: Seq[String] = Nil): DataFrame = {
+    val q = withBucket(query.select(col(queryCol)), queryCol, dim, planes)
+      .withColumnRenamed("bucket", "q_bucket")
+    withBucket(corpus, embCol, dim, planes)
+      .join(broadcast(q), col("bucket") === col("q_bucket"))
+      .withColumn("similarity", vectors.cosineSim(col(embCol), col(queryCol)))
+      .orderBy(desc("similarity") +: tieBreak.map(col): _*)
+      .limit(k)
+  }
+}

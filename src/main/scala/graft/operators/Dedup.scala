@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{text, SparkDialect => S}
+
+/** Corpus deduplication operators — the training-data-pipeline family.
+  *
+  * The reference's only dedup is exact-by-id (backend/chatbot.py:315); a
+  * 100 TB document corpus needs the full ladder: exact → n-gram Jaccard →
+  * MinHash LSH → SimHash → embedding cosine. Every operator here is a pure
+  * declarative plan: per-row signature computation is a codegen'd projection
+  * (no UDFs — all expressions come from [[graft.functions.text]]), and the
+  * quadratic pair search is always bounded by a blocking key (the LSH band /
+  * bit-chunk / caller-supplied block), so the shuffle is hash-partitioned by
+  * block and no executor ever materializes the full cross product.
+  *
+  * Scale notes (1000-executor / 100 TB):
+  *  - exact: one hash aggregate, fully map-side combinable.
+  *  - Jaccard: only sane with a blocking column; prefer [[minhashLshPairs]].
+  *  - MinHash LSH: the canonical near-dup path — shuffle is `bands × docs`
+  *    rows keyed by (band_idx, band_hash); skewed mega-buckets (boilerplate
+  *    docs) should be salted or capped upstream.
+  *  - SimHash: 16-bit chunks give a pigeonhole-exact prefilter for
+  *    hamming ≤ 3 at 4 chunk-joins.
+  *  - embedding: exact within blocks; for open-domain use [[AnnIndex]].
+  */
+object Dedup {
+
+  /** Exact dedup by text content: one survivor (min key) per distinct text,
+    * with the duplicate count. Single hash-aggregate, no join. */
+  def exact(df: DataFrame, keyCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(keyCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .drop(textCol)
+
+  private def pairJoin(sigs: DataFrame, joinCols: Seq[String]): DataFrame = {
+    val a = sigs.toDF(sigs.columns.map("a_" + _): _*)
+    val b = sigs.toDF(sigs.columns.map("b_" + _): _*)
+    val cond = joinCols.map(c => col("a_" + c) === col("b_" + c)).reduce(_ && _) &&
+      col("a_id") < col("b_id")
+    a.join(b, cond)
+  }
+
+  /** Near-duplicate pairs by word n-gram Jaccard similarity ≥ `threshold`,
+    * compared only within equal `blockCol` (blocking bounds the quadratic). */
+  def ngramJaccardPairs(df: DataFrame, keyCol: String, textCol: String,
+                        blockCol: String, n: Int, threshold: Double): DataFrame = {
+    val sigs = df.select(
+      col(keyCol).as("id"),
+      col(blockCol).as("block"),
+      expr(S.arrayDistinct(text.shingles(S, textCol, n))).as("sh"))
+    pairJoin(sigs, Seq("block"))
+      .withColumn("jaccard",
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** Candidate near-duplicate pairs by MinHash LSH: k-value signatures cut
+    * into `bands` bands; pairs sharing ≥1 band are candidates. Returns
+    * (a_id, b_id, n_bands) — callers verify candidates with exact Jaccard
+    * if needed. k must be divisible by bands. */
+  def minhashLshPairs(df: DataFrame, keyCol: String, textCol: String,
+                      k: Int, bands: Int, shingleN: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val r = k / bands
+    val sig = df.select(
+      col(keyCol).as("id"),
+      expr(text.minhashSig(S, textCol, k, shingleN)).as("sig"))
+    val banded = sig.select(
+      col("id"),
+      explode(expr(
+        s"transform(sequence(0, ${bands - 1}), j -> " +
+          s"struct(j AS band_idx, array_join(slice(sig, j*$r + 1, $r), '_') AS band_key))"))
+        .as("band"))
+      .select(col("id"), col("band.band_idx"), col("band.band_key"))
+    pairJoin(banded, Seq("band_idx", "band_key"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** Near-duplicate pairs by SimHash hamming distance ≤ `maxHamming` over
+    * `bits`-bit fingerprints. Pigeonhole prefilter: fingerprints are cut
+    * into `chunks` equal chunks; hamming ≤ chunks-1 implies ≥1 equal chunk,
+    * so the join on (chunk_idx, chunk_value) is exact, never lossy. */
+  def simhashPairs(df: DataFrame, keyCol: String, textCol: String,
+                   bits: Int, chunks: Int, maxHamming: Int, shingleN: Int): DataFrame = {
+    require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
+    require(bits % chunks == 0)
+    val w = bits / chunks
+    val sh = df.select(col(keyCol).as("id"),
+      expr(text.simhash(S, textCol, bits, shingleN)).as("sh"))
+    val chunked = sh.select(col("id"), col("sh"),
+      explode(expr(
+        s"transform(sequence(0, ${chunks - 1}), j -> " +
+          s"struct(j AS chunk_idx, (sh div CAST(pow(2, j*$w) AS BIGINT)) % ${1 << w} AS chunk_val))"))
+        .as("c"))
+      .select(col("id"), col("sh"), col("c.chunk_idx"), col("c.chunk_val"))
+    pairJoin(chunked, Seq("chunk_idx", "chunk_val"))
+      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh")).distinct()
+      .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  /** Near-duplicate pairs by embedding cosine ≥ `threshold`, compared within
+    * equal `blockCol` (e.g. an LSH bucket from [[AnnIndex.bucket]]). */
+  def embeddingPairs(df: DataFrame, keyCol: String, embCol: String,
+                     blockCol: String, threshold: Double): DataFrame = {
+    val sigs = df.select(col(keyCol).as("id"), col(blockCol).as("block"),
+      col(embCol).as("emb"))
+    pairJoin(sigs, Seq("block"))
+      .withColumn("cosine", graft.functions.vectors.cosineSim(col("a_emb"), col("b_emb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cosine"), 4).as("cosine"))
+  }
+}

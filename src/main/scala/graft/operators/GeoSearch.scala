@@ -27,12 +27,13 @@ object GeoSearch {
     */
   def radiusSearch(df: DataFrame, latCol: Column, lonCol: Column,
                    centerLat: Double, centerLon: Double,
-                   radiusKm: Double, limit: Int): DataFrame =
+                   radiusKm: Double, limit: Int,
+                   tieBreak: Seq[String] = Nil): DataFrame =
     df.filter(geo.inBoundingBoxKm(latCol, lonCol, centerLat, centerLon, radiusKm))
       .withColumn("distance_km",
         geo.haversineKm(latCol, lonCol, lit(centerLat), lit(centerLon)))
       .filter(col("distance_km") <= radiusKm)
-      .orderBy(col("distance_km"))
+      .orderBy(col("distance_km") +: tieBreak.map(col): _*)
       .limit(limit)
 
   /** For every left row, the `k` nearest right rows within `maxKm`
@@ -44,7 +45,7 @@ object GeoSearch {
     */
   def nearestK(left: DataFrame, right: DataFrame,
                leftKey: String, leftLat: String, leftLon: String,
-               rightLat: String, rightLon: String,
+               rightKey: String, rightLat: String, rightLon: String,
                k: Int, maxKm: Double): DataFrame = {
     val dLat = maxKm / 110.574
     // conservative lon window at the widest (most poleward) latitude in play
@@ -55,7 +56,10 @@ object GeoSearch {
       .withColumn("distance_km",
         geo.haversineKm(left(leftLat), left(leftLon), right(rightLat), right(rightLon)))
       .filter(col("distance_km") <= maxKm)
-    val w = Window.partitionBy(left(leftKey)).orderBy(col("distance_km"))
+    // rightKey breaks distance ties — equidistant rows would otherwise make
+    // row_number() nondeterministic across runs/engines
+    val w = Window.partitionBy(left(leftKey))
+      .orderBy(col("distance_km"), right(rightKey))
     joined.withColumn("rank_nearest", row_number().over(w))
       .filter(col("rank_nearest") <= k)
   }

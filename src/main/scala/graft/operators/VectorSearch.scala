@@ -53,7 +53,8 @@ object VectorSearch {
     * data size.
     */
   def hybridRerank(candidates: DataFrame, embCol: String, queryCol: String,
-                   distanceCol: String, weight: Double, limit: Int): DataFrame = {
+                   distanceCol: String, weight: Double, limit: Int,
+                   tieBreak: Seq[String] = Nil): DataFrame = {
     val all = Window.partitionBy()
     candidates
       .withColumn("similarity",
@@ -66,7 +67,7 @@ object VectorSearch {
       .withColumn("combined_score",
         col("similarity") * weight + col("distance_score") * (1.0 - weight))
       .drop("max_d")
-      .orderBy(desc("combined_score"))
+      .orderBy(desc("combined_score") +: tieBreak.map(col): _*)
       .limit(limit)
   }
 }

@@ -1,0 +1,383 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables._
+import graft.functions.{geo, hours, text, vectors, DuckDialect => D, SparkDialect => S}
+import graft.operators.{AnnIndex, GeoSearch, VectorSearch}
+
+/** The remaining reference-operator families as oracle-backed queries:
+  * nearest-k geo join (J3/W2), full hybrid search (G1-G5), regex extraction
+  * (X6), JSON field extraction (X7), hours parsing (X8), reminder-schedule
+  * generation (T4/D4), adherence aggregates (A2/A3), sessionization and
+  * daily windows (T1-T3 batch twins), abnormality rules (X16), dashboard
+  * fan-out (entry point 3), ANN top-k and the deterministic embedder (G6/G7).
+  */
+object AnalyticsQueries {
+
+  private val synthLatC = geo.synthLatSql("c_custkey")
+  private val synthLonC = geo.synthLonSql("c_custkey")
+  private val synthLatS = geo.synthLatSql("(s_suppkey * 13)")
+  private val synthLonS = geo.synthLonSql("(s_suppkey * 13)")
+  private val synthLatV = geo.synthLatSql("vec_id")
+  private val synthLonV = geo.synthLonSql("vec_id")
+
+  val all: Seq[Q] = Seq(
+
+    Q("q_nearest_k",
+      "J3/W2: per-customer 3 nearest suppliers within 50 km — one range join " +
+        "+ window, replacing the reference's N+1 radius-query loop " +
+        "(main.py:466-475); supplier key breaks distance ties deterministically",
+      Some(s"""SELECT c_custkey, s_suppkey, ${text.fixedPoint("distance_km", 2)} AS dist_x100,
+              |       rank_nearest
+              |FROM (
+              |  SELECT c_custkey, s_suppkey, distance_km,
+              |    row_number() OVER (PARTITION BY c_custkey
+              |                       ORDER BY distance_km, s_suppkey) AS rank_nearest
+              |  FROM (
+              |    SELECT c.c_custkey, s.s_suppkey,
+              |      ${geo.haversineKmSql(s"c.lat", "c.lon", "s.lat", "s.lon")} AS distance_km
+              |    FROM (SELECT c_custkey, $synthLatC AS lat, $synthLonC AS lon
+              |          FROM customer WHERE c_custkey <= 50) c
+              |    JOIN (SELECT s_suppkey, $synthLatS AS lat, $synthLonS AS lon
+              |          FROM supplier) s ON true)
+              |  WHERE distance_km <= 50.0)
+              |WHERE rank_nearest <= 3
+              |ORDER BY c_custkey, rank_nearest""".stripMargin),
+      bench = true) { (s, dir) =>
+      val left = customer(s, dir).filter(col("c_custkey") <= 50)
+        .select(col("c_custkey"),
+          geo.synthLat(col("c_custkey")).as("lat"),
+          geo.synthLon(col("c_custkey")).as("lon"))
+      val right = supplier(s, dir)
+        .select(col("s_suppkey"),
+          geo.synthLat(col("s_suppkey") * 13).as("lat"),
+          geo.synthLon(col("s_suppkey") * 13).as("lon"))
+      GeoSearch.nearestK(left, right, "c_custkey", "lat", "lon",
+          "s_suppkey", "lat", "lon", k = 3, maxKm = 50.0)
+        .select(col("c_custkey"), col("s_suppkey"),
+          expr(text.fixedPoint("distance_km", 2)).as("dist_x100"),
+          col("rank_nearest").cast("long").as("rank_nearest"))
+        .orderBy("c_custkey", "rank_nearest")
+    },
+
+    Q("q_hybrid_search",
+      "G1→G4 end-to-end hybrid search: bbox+radius prune (50 km), x3 " +
+        "over-fetch by distance, cosine re-rank vs query vec 0, distance " +
+        "score 1 - d/max_d, combined 0.5*sim + 0.5*dist, top-10 " +
+        "(hybrid_search.py:36-197)",
+      Some(s"""WITH pts AS (
+              |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+              |         $synthLatV AS lat, $synthLonV AS lon
+              |  FROM embeddings),
+              |q AS (SELECT emb AS qe FROM pts WHERE vec_id = 0),
+              |cand AS (
+              |  SELECT vec_id, label, emb,
+              |    ${geo.haversineKmSql("lat", "lon", "32.5", "-116.5")} AS distance_km
+              |  FROM pts
+              |  WHERE ${geo.haversineKmSql("lat", "lon", "32.5", "-116.5")} <= 50.0
+              |  ORDER BY distance_km, vec_id LIMIT 30),
+              |scored AS (
+              |  SELECT vec_id, label, distance_km,
+              |    ${vectors.cosineSimSql("emb", "q.qe")} AS similarity,
+              |    max(distance_km) OVER () AS max_d
+              |  FROM cand CROSS JOIN q)
+              |SELECT vec_id, label,
+              |  ${text.fixedPoint("distance_km", 2)} AS dist_x100,
+              |  ${text.fixedPoint("similarity", 4)} AS sim_x10k,
+              |  ${text.fixedPoint(
+                   "similarity * 0.5 + (CASE WHEN max_d > 0 THEN 1.0 - distance_km / max_d ELSE 1.0 END) * 0.5",
+                   4)} AS combined_x10k
+              |FROM scored
+              |ORDER BY similarity * 0.5 + (CASE WHEN max_d > 0 THEN 1.0 - distance_km / max_d ELSE 1.0 END) * 0.5 DESC,
+              |         vec_id
+              |LIMIT 10""".stripMargin),
+      bench = true) { (s, dir) =>
+      val pts = embeddings(s, dir).select(
+        col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"),
+        geo.synthLat(col("vec_id")).as("lat"),
+        geo.synthLon(col("vec_id")).as("lon"))
+      val q = pts.filter(col("vec_id") === 0).select(col("emb").as("qe"))
+      val cand = GeoSearch.radiusSearch(pts, col("lat"), col("lon"),
+          32.5, -116.5, 50.0, limit = 30, tieBreak = Seq("vec_id"))
+        .crossJoin(broadcast(q))
+      VectorSearch.hybridRerank(cand, "emb", "qe", "distance_km",
+          weight = 0.5, limit = 10, tieBreak = Seq("vec_id"))
+        .select(col("vec_id"), col("label"),
+          expr(text.fixedPoint("distance_km", 2)).as("dist_x100"),
+          expr(text.fixedPoint("similarity", 4)).as("sim_x10k"),
+          expr(text.fixedPoint("combined_score", 4)).as("combined_x10k"))
+    },
+
+    Q("q_ann_topk",
+      "ANN top-5 via random-hyperplane LSH (6 planes): probe only the query's " +
+        "bucket, exact cosine re-rank inside it — the 100 TB path where " +
+        "brute-force KNN (q_knn) stops scaling",
+      Some(s"""WITH corpus AS (
+              |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+              |    ${AnnIndex.bucketSqlDuck("CAST(embedding AS DOUBLE[])", 64, 6)} AS bucket
+              |  FROM embeddings),
+              |q AS (SELECT emb AS qe, bucket AS q_bucket FROM corpus WHERE vec_id = 0)
+              |SELECT vec_id, label, ${text.fixedPoint("similarity", 4)} AS sim_x10k FROM (
+              |  SELECT c.vec_id, c.label,
+              |    ${vectors.cosineSimSql("c.emb", "q.qe")} AS similarity
+              |  FROM corpus c JOIN q ON c.bucket = q.q_bucket
+              |  WHERE c.vec_id <> 0)
+              |ORDER BY similarity DESC, vec_id
+              |LIMIT 5""".stripMargin)) { (s, dir) =>
+      val corpus = embeddings(s, dir).select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+      val q = corpus.filter(col("vec_id") === 0).select(col("emb").as("qe"))
+      AnnIndex.annTopK(corpus.filter(col("vec_id") =!= 0), "emb", 64, 6,
+          q, "qe", k = 5, tieBreak = Seq("vec_id"))
+        .select(col("vec_id"), col("label"),
+          expr(text.fixedPoint("similarity", 4)).as("sim_x10k"))
+    },
+
+    Q("q_embed_stub",
+      "G7 deterministic embedder: hashing-TF embed of each doc, cosine vs " +
+        "doc 0's embedding — the offline stand-in for the reference's " +
+        "Vertex AI embedding RPC (embeddings.py:47-73)",
+      Some(s"""WITH emb AS (
+              |  SELECT doc_id, ${vectors.embedStubSql(D, "text", 16)} AS e
+              |  FROM documents WHERE doc_id < 100),
+              |q AS (SELECT e AS qe FROM emb WHERE doc_id = 0)
+              |SELECT doc_id, ${text.fixedPoint(vectors.cosineSimSql("e", "qe"), 4)} AS sim_x10k
+              |FROM emb CROSS JOIN q
+              |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val emb = documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"), expr(vectors.embedStubSql(S, "text", 16)).as("e"))
+      val q = emb.filter(col("doc_id") === 0).select(col("e").as("qe"))
+      emb.crossJoin(broadcast(q))
+        .withColumn("sim", vectors.cosineSim(col("e"), col("qe")))
+        .select(col("doc_id"), expr(text.fixedPoint("sim", 4)).as("sim_x10k"))
+        .orderBy("doc_id")
+    },
+
+    Q("q_regex_extract",
+      "X6: regex coordinate extraction 'Latitude X, Longitude Y' → doubles " +
+        "(main.py:490-509); messages synthesized from synthetic coords, " +
+        "extraction round-trips exactly",
+      Some(s"""SELECT c_custkey,
+              |  CAST(regexp_extract(msg, 'Latitude ([-+]?[0-9.]+), Longitude ([-+]?[0-9.]+)', 1) AS DOUBLE) AS lat,
+              |  CAST(regexp_extract(msg, 'Latitude ([-+]?[0-9.]+), Longitude ([-+]?[0-9.]+)', 2) AS DOUBLE) AS lon
+              |FROM (
+              |  SELECT c_custkey,
+              |    'I am at Latitude ' || ${D.castString(synthLatC)} ||
+              |      ', Longitude ' || ${D.castString(synthLonC)} || ' right now' AS msg
+              |  FROM customer WHERE c_custkey <= 300)
+              |ORDER BY c_custkey""".stripMargin)) { (s, dir) =>
+      customer(s, dir).filter(col("c_custkey") <= 300)
+        .select(col("c_custkey"),
+          concat(lit("I am at Latitude "),
+            geo.synthLat(col("c_custkey")).cast("string"),
+            lit(", Longitude "),
+            geo.synthLon(col("c_custkey")).cast("string"),
+            lit(" right now")).as("msg"))
+        .select(col("c_custkey"),
+          regexp_extract(col("msg"),
+            "Latitude ([-+]?[0-9.]+), Longitude ([-+]?[0-9.]+)", 1)
+            .cast("double").as("lat"),
+          regexp_extract(col("msg"),
+            "Latitude ([-+]?[0-9.]+), Longitude ([-+]?[0-9.]+)", 2)
+            .cast("double").as("lon"))
+        .orderBy("c_custkey")
+    },
+
+    Q("q_json_extract",
+      "X7: JSON field extraction from the events props blob + grouped agg " +
+        "(chatbot.py:149-158 marker parse shape)",
+      Some(s"""SELECT k_mod, count(*) AS n,
+              |  ${text.fixedPoint("avg(value)", 2)} AS avg_val_x100
+              |FROM (SELECT CAST(${D.jsonGet("props", "$.k")} AS BIGINT) % 10 AS k_mod, value
+              |      FROM events)
+              |GROUP BY k_mod
+              |ORDER BY k_mod""".stripMargin)) { (s, dir) =>
+      events(s, dir)
+        .select((expr(S.jsonGet("props", "$.k")).cast("long") % 10).as("k_mod"),
+          col("value"))
+        .groupBy("k_mod")
+        .agg(count(lit(1)).as("n"),
+          expr(text.fixedPoint("avg(value)", 2)).as("avg_val_x100"))
+        .orderBy("k_mod")
+    },
+
+    Q("q_hours_parse",
+      "X8: hours-string parser '24/7'/'Closed'/'9:00 AM - 5:00 PM' → " +
+        "{is_24h, is_closed, open/close minutes} (check_hours_availability.py:50-86)",
+      Some {
+        val h = "hours_str"
+        s"""SELECT p_partkey, $h AS hours_str,
+           |  ${hours.is24h(D, h)} AS is_24h,
+           |  ${hours.isClosed(D, h)} AS is_closed,
+           |  coalesce(${hours.rangeMinutes(D, h, 1)}, -1) AS open_min,
+           |  coalesce(${hours.rangeMinutes(D, h, 2)}, -1) AS close_min
+           |FROM (
+           |  SELECT p_partkey, CASE CAST(p_partkey % 4 AS INT)
+           |    WHEN 0 THEN '24/7' WHEN 1 THEN 'Closed'
+           |    WHEN 2 THEN '9:00 AM - 5:00 PM' ELSE '10:30 AM - 6:30 PM' END AS hours_str
+           |  FROM part WHERE p_partkey <= 400)
+           |ORDER BY p_partkey""".stripMargin
+      }) { (s, dir) =>
+      val h = "hours_str"
+      part(s, dir).filter(col("p_partkey") <= 400)
+        .withColumn(h, expr(
+          """CASE CAST(p_partkey % 4 AS INT)
+            |  WHEN 0 THEN '24/7' WHEN 1 THEN 'Closed'
+            |  WHEN 2 THEN '9:00 AM - 5:00 PM' ELSE '10:30 AM - 6:30 PM' END""".stripMargin))
+        .select(col("p_partkey"), col(h),
+          expr(hours.is24h(S, h)).as("is_24h"),
+          expr(hours.isClosed(S, h)).as("is_closed"),
+          expr(s"coalesce(${hours.rangeMinutes(S, h, 1)}, -1)").as("open_min"),
+          expr(s"coalesce(${hours.rangeMinutes(S, h, 2)}, -1)").as("close_min"))
+        .orderBy("p_partkey")
+    },
+
+    Q("q_reminder_explode",
+      "T4/D4: reminder-schedule generation — 7 days x per-med reminder times " +
+        "cross product via explode (health_api.py:478-497, the reference's one " +
+        "generator-shaped operator)",
+      Some(s"""SELECT p_partkey, ${D.addHours("day", "h")} AS scheduled
+              |FROM (
+              |  SELECT p_partkey, day, unnest(hrs) AS h
+              |  FROM (
+              |    SELECT p_partkey, hrs,
+              |      unnest(generate_series(TIMESTAMP '2024-01-01',
+              |                             TIMESTAMP '2024-01-07', INTERVAL 1 DAY)) AS day
+              |    FROM (SELECT p_partkey,
+              |            ${D.slice("[8, 13, 20]", "1", "1 + CAST(p_partkey % 3 AS INT)")} AS hrs
+              |          FROM part WHERE p_partkey <= 20)))
+              |ORDER BY p_partkey, scheduled""".stripMargin)) { (s, dir) =>
+      part(s, dir).filter(col("p_partkey") <= 20)
+        .select(col("p_partkey"),
+          expr(S.slice("array(8, 13, 20)", "1", "1 + CAST(p_partkey % 3 AS INT)")).as("hrs"))
+        .withColumn("day", explode(expr(
+          "sequence(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-07', INTERVAL 1 DAY)")))
+        .withColumn("h", explode(col("hrs")))
+        .select(col("p_partkey"), expr(S.addHours("day", "h")).as("scheduled"))
+        .orderBy("p_partkey", "scheduled")
+    },
+
+    Q("q_adherence",
+      "A2/A3: per-user conditional counts + adherence percentage " +
+        "(health_api.py:517-555): purchases/total*100, one pass, no N+1",
+      Some(s"""SELECT user_id, count(*) AS n_events,
+              |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+              |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+              |  ${text.fixedPoint(
+                   "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) * 100.0 / count(*)",
+                   1)} AS adherence_x10
+              |FROM events
+              |WHERE user_id < 100
+              |GROUP BY user_id
+              |ORDER BY user_id""".stripMargin),
+      bench = true) { (s, dir) =>
+      events(s, dir).filter(col("user_id") < 100)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0)).cast("long").as("n_purchase"),
+          sum(when(col("event_type") === "error", 1).otherwise(0)).cast("long").as("n_error"),
+          expr(text.fixedPoint(
+            "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) * 100.0 / count(*)",
+            1)).as("adherence_x10"))
+        .orderBy("user_id")
+    },
+
+    Q("q_sessionize",
+      "T1/T2 batch twin: 30-min-gap sessionization via lag + running sum " +
+        "window, then per-user session stats (the chat-loop keyed state, " +
+        "main.py:512-610, as a batch plan)",
+      Some(s"""SELECT user_id, count(*) AS n_events,
+              |  CAST(max(session_id) AS BIGINT) AS n_sessions
+              |FROM (
+              |  SELECT user_id, ts,
+              |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              |  FROM (
+              |    SELECT user_id, ts, event_id,
+              |      CASE WHEN ${D.epochSeconds("ts")} -
+              |        ${D.epochSeconds("lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)")}
+              |        > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              |      THEN 1 ELSE 0 END AS is_new
+              |    FROM events WHERE user_id < 200))
+              |GROUP BY user_id
+              |ORDER BY user_id""".stripMargin),
+      bench = true) { (s, dir) =>
+      val byTs = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val run = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir).filter(col("user_id") < 200)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byTs))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("is_new")).over(run))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          max(col("session_id")).cast("long").as("n_sessions"))
+        .orderBy("user_id")
+    },
+
+    Q("q_daily_window",
+      "T3: tumbling daily window aggregation over the event stream " +
+        "(batch twin of the Structured Streaming pipeline in graft.streaming)",
+      Some(s"""SELECT ${D.dayTrunc("ts")} AS day, event_type, count(*) AS n,
+              |  ${text.fixedPoint("avg(value)", 2)} AS avg_val_x100
+              |FROM events
+              |GROUP BY 1, 2
+              |ORDER BY day, event_type""".stripMargin),
+      bench = true) { (s, dir) =>
+      events(s, dir)
+        .groupBy(expr(S.dayTrunc("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr(text.fixedPoint("avg(value)", 2)).as("avg_val_x100"))
+        .orderBy("day", "event_type")
+    },
+
+    Q("q_vital_rules",
+      "X16: per-type threshold rule dispatch → abnormality flag + grouped " +
+        "counts (health_api.py:500-514 when-chain)",
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CASE
+             |    WHEN event_type = 'click' AND value > 80 THEN 1
+             |    WHEN event_type = 'view' AND value > 90 THEN 1
+             |    WHEN event_type = 'purchase' AND value < 10 THEN 1
+             |    WHEN event_type = 'error' AND value > 50 THEN 1
+             |    WHEN event_type = 'signup' AND (value < 20 OR value > 80) THEN 1
+             |    ELSE 0 END) AS BIGINT) AS n_abnormal
+             |FROM events
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)) { (s, dir) =>
+      events(s, dir)
+        .withColumn("abnormal",
+          when(col("event_type") === "click" && col("value") > 80, 1)
+            .when(col("event_type") === "view" && col("value") > 90, 1)
+            .when(col("event_type") === "purchase" && col("value") < 10, 1)
+            .when(col("event_type") === "error" && col("value") > 50, 1)
+            .when(col("event_type") === "signup" && (col("value") < 20 || col("value") > 80), 1)
+            .otherwise(0))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("abnormal")).cast("long").as("n_abnormal"))
+        .orderBy("event_type")
+    },
+
+    Q("q_dashboard_counts",
+      "Entry point 3 (health_api.py:421-471): the 7-query dashboard fan-out " +
+        "collapsed into one row of independent scalar aggregates",
+      Some("""SELECT
+             |  (SELECT count(*) FROM orders WHERE o_orderstatus = 'O') AS n_open_orders,
+             |  (SELECT count(*) FROM events WHERE event_type = 'error') AS n_errors,
+             |  (SELECT count(*) FROM customer WHERE c_mktsegment = 'BUILDING') AS n_building
+             |""".stripMargin)) { (s, dir) =>
+      val a = orders(s, dir).filter(col("o_orderstatus") === "O")
+        .agg(count(lit(1)).as("n_open_orders"))
+      val b = events(s, dir).filter(col("event_type") === "error")
+        .agg(count(lit(1)).as("n_errors"))
+      val c = customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .agg(count(lit(1)).as("n_building"))
+      a.crossJoin(b).crossJoin(c)
+    }
+  )
+}

@@ -283,13 +283,16 @@ object Catalog {
     }
   )
 
-  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+  /** full catalog: core relational/geo/vector + text/dedup + analytics families */
+  lazy val everything: Seq[Q] = all ++ TextQueries.all ++ AnalyticsQueries.all
+
+  lazy val byName: Map[String, Q] = everything.map(q => q.name -> q).toMap
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    all.map(q => q.name -> q.fn).toMap
+    everything.map(q => q.name -> q.fn).toMap
 
   def oracleSql: Map[String, String] =
-    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    everything.flatMap(q => q.oracle.map(q.name -> _)).toMap
 
   /** Flagship: the reference's headline hybrid geo+semantic search
     * (entry point 1, SURVEY.md §3) end-to-end on sf0.001. */

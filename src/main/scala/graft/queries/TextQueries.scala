@@ -1,0 +1,237 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables._
+import graft.functions.{text, DuckDialect => D, SparkDialect => S}
+import graft.operators.Dedup
+
+/** Training-data-pipeline queries over the `documents` corpus: the dedup
+  * ladder (exact / n-gram Jaccard / MinHash LSH / SimHash / embedding
+  * cosine), language-ID, quality scoring, token counting and fingerprinting.
+  *
+  * The testdata corpus has no duplicates (500 unique synthetic texts), so
+  * the dedup queries first build a deterministic duplicated corpus in-query:
+  * every doc unioned with a copy (exact dup) or a copy with two appended
+  * out-of-vocabulary tokens / a rescaled embedding (near dup), ids offset by
+  * 10000. Both engines construct the corpus with identical SQL semantics, so
+  * the oracle exercises the full operator path, not a special case.
+  */
+object TextQueries {
+
+  /** near-dup text corpus: (doc_id, text, lang) ∪ (doc_id+10000, text+' xq', lang) */
+  private def nearDupCorpus(df: DataFrame): DataFrame = {
+    val base = df.select(col("doc_id"), col("text"), col("lang"))
+    base.unionByName(base.select(
+      (col("doc_id") + 10000).as("doc_id"),
+      concat(col("text"), lit(" xq")).as("text"),
+      col("lang")))
+  }
+
+  private val nearDupCorpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text, lang FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text || ' xq', lang FROM documents)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    Q("q_dedup_exact",
+      "Exact dedup by content hash-groupBy (chatbot.py:315 generalized): one " +
+        "survivor per distinct text + duplicate count; map-side combinable at 100 TB",
+      Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+             |FROM (SELECT doc_id, text FROM documents
+             |      UNION ALL
+             |      SELECT doc_id + 10000, text FROM documents)
+             |GROUP BY text
+             |ORDER BY keep_id""".stripMargin),
+      bench = true) { (s, dir) =>
+      val d = documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      Dedup.exact(corpus, "doc_id", "text").orderBy("keep_id")
+    },
+
+    Q("q_dedup_ngram_jaccard",
+      "Near-dup pairs by word 3-gram Jaccard >= 0.6, prefix-blocked " +
+        "(16-char text prefix): blocks stay O(1)-sized at any corpus scale, " +
+        "so the quadratic never materializes; MinHash LSH is the open-domain path",
+      Some(s"""WITH $nearDupCorpusSql,
+              |sh AS (SELECT doc_id, substr(text, 1, 16) AS blk,
+              |         ${D.arrayDistinct(text.shingles(D, "text", 3))} AS sh
+              |       FROM corpus)
+              |SELECT a_id, b_id, ${text.fixedPoint("jaccard", 4)} AS jaccard_x10k FROM (
+              |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+              |  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+              |WHERE jaccard >= 0.6
+              |ORDER BY a_id, b_id""".stripMargin),
+      bench = true) { (s, dir) =>
+      Dedup.ngramJaccardPairs(
+          nearDupCorpus(documents(s, dir))
+            .withColumn("blk", substring(col("text"), 1, 16)),
+          "doc_id", "text", "blk", n = 3, threshold = 0.6)
+        .select(col("a_id"), col("b_id"),
+          expr(text.fixedPoint("jaccard", 4)).as("jaccard_x10k"))
+        .orderBy("a_id", "b_id")
+    },
+
+    Q("q_dedup_minhash",
+      "MinHash LSH candidate pairs: 16-value signatures over 3-gram shingle " +
+        "hashes, 4 bands x 4 rows; pairs sharing >= 1 band. THE near-dup shuffle " +
+        "pattern at 100 TB: corpus shuffles keyed by (band_idx, band_hash) only",
+      Some(s"""WITH $nearDupCorpusSql,
+              |sig AS (SELECT doc_id, ${text.minhashSig(D, "text", 16, 3)} AS sig
+              |        FROM corpus),
+              |bands AS (SELECT doc_id, j,
+              |            ${D.arrayJoin(D.slice("sig", "4*j + 1", "4"), "_")} AS band_key
+              |          FROM sig, (SELECT unnest(generate_series(0, 3)) AS j))
+              |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_bands
+              |FROM bands a JOIN bands b
+              |  ON a.j = b.j AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+              |GROUP BY 1, 2
+              |ORDER BY a_id, b_id""".stripMargin),
+      bench = true) { (s, dir) =>
+      Dedup.minhashLshPairs(nearDupCorpus(documents(s, dir)),
+          "doc_id", "text", k = 16, bands = 4, shingleN = 3)
+        .orderBy("a_id", "b_id")
+    },
+
+    Q("q_dedup_simhash",
+      "SimHash near-dup pairs: 60-bit fingerprints over 3-gram shingle hashes, " +
+        "hamming <= 3 via exact pigeonhole chunk-join (4 chunks of 15 bits — " +
+        "32k-value chunks keep buckets tiny at any corpus size; 4-bit chunks " +
+        "would collapse into mega-buckets and a quadratic join)",
+      Some(s"""WITH $nearDupCorpusSql,
+              |sigs AS (SELECT doc_id, ${text.simhash(D, "text", 60, 3)} AS sh
+              |         FROM corpus),
+              |ch AS (SELECT doc_id, sh, j,
+              |         ${D.intDiv("sh", "CAST(pow(2, j*15) AS BIGINT)")} % 32768 AS cv
+              |       FROM sigs, (SELECT unnest(generate_series(0, 3)) AS j)),
+              |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+              |                a.sh AS a_sh, b.sh AS b_sh
+              |         FROM ch a JOIN ch b
+              |           ON a.j = b.j AND a.cv = b.cv AND a.doc_id < b.doc_id)
+              |SELECT a_id, b_id,
+              |  CAST(bit_count(xor(a_sh, b_sh)) AS BIGINT) AS hamming
+              |FROM cand
+              |WHERE bit_count(xor(a_sh, b_sh)) <= 3
+              |ORDER BY a_id, b_id""".stripMargin)) { (s, dir) =>
+      Dedup.simhashPairs(nearDupCorpus(documents(s, dir)),
+          "doc_id", "text", bits = 60, chunks = 4, maxHamming = 3, shingleN = 3)
+        .orderBy("a_id", "b_id")
+    },
+
+    Q("q_dedup_embed",
+      "Embedding-cosine near-dup pairs (>= 0.99) blocked by random-hyperplane " +
+        "LSH bucket (AnnIndex, 8 planes): buckets stay small at any corpus " +
+        "size, and positive rescaling preserves the bucket, so the x2-rescaled " +
+        "dup copies (cosine-invariant, sim = 1.0 exactly) are always found",
+      Some(s"""WITH corpus AS (
+              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+              |  UNION ALL
+              |  SELECT vec_id + 10000,
+              |         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
+              |  FROM embeddings),
+              |bucketed AS (SELECT vec_id, emb,
+              |  ${graft.operators.AnnIndex.bucketSqlDuck("emb", 64, 8)} AS bucket
+              |  FROM corpus)
+              |SELECT a_id, b_id, round(cosine, 4) AS cosine FROM (
+              |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+              |    ${graft.functions.vectors.cosineSimSql("a.emb", "b.emb")} AS cosine
+              |  FROM bucketed a JOIN bucketed b
+              |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+              |WHERE cosine >= 0.99
+              |ORDER BY a_id, b_id""".stripMargin)) { (s, dir) =>
+      val e = embeddings(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      val corpus = e.unionByName(e.select(
+        (col("vec_id") + 10000).as("vec_id"),
+        transform(col("emb"), x => x * 2.0).as("emb")))
+        .withColumn("bucket", graft.operators.AnnIndex.bucketExpr("emb", 64, 8))
+      Dedup.embeddingPairs(corpus, "vec_id", "emb", "bucket", threshold = 0.99)
+        .orderBy("a_id", "b_id")
+    },
+
+    Q("q_lang_id",
+      "Language-ID by marker-token voting with deterministic argmax " +
+        "(n-gram heuristic family; marker sets are demo stand-ins on synthetic text)",
+      Some(s"""SELECT doc_id, lang, ${text.langPredict(D, "text")} AS pred_lang
+              |FROM documents
+              |WHERE doc_id < 200
+              |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      documents(s, dir)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("lang"),
+          expr(text.langPredict(S, "text")).as("pred_lang"))
+        .orderBy("doc_id")
+    },
+
+    Q("q_text_quality",
+      "Per-doc quality scoring: token count, distinct ratio, stopword ratio, " +
+        "avg token length, composite score (training-data filter shape). " +
+        "Ratios ship as fixed-point BIGINT (floor trick) — round() on " +
+        "integer-ratio doubles is not engine-stable",
+      Some {
+        def quality(d: graft.functions.Dialect) =
+          s"${text.uniqRatio(d, "text")} * 0.5" +
+            s" + least(CAST(${text.nTokens(d, "text")} AS DOUBLE) / 100.0, 1.0) * 0.3" +
+            s" + (1.0 - ${text.markerRatio(d, "text", Seq("the", "a"))}) * 0.2"
+        s"""SELECT doc_id,
+           |  CAST(${text.nTokens(D, "text")} AS BIGINT) AS n_tokens,
+           |  ${text.fixedPoint(text.uniqRatio(D, "text"), 4)} AS uniq_ratio_x10k,
+           |  ${text.fixedPoint(text.markerRatio(D, "text", Seq("the", "a")), 4)} AS stop_ratio_x10k,
+           |  ${text.fixedPoint(text.avgTokenLen(D, "text"), 2)} AS avg_tok_len_x100,
+           |  ${text.fixedPoint(quality(D), 4)} AS quality_x10k
+           |FROM documents
+           |ORDER BY doc_id""".stripMargin
+      },
+      bench = true) { (s, dir) =>
+      def quality =
+        s"${text.uniqRatio(S, "text")} * 0.5" +
+          s" + least(CAST(${text.nTokens(S, "text")} AS DOUBLE) / 100.0, 1.0) * 0.3" +
+          s" + (1.0 - ${text.markerRatio(S, "text", Seq("the", "a"))}) * 0.2"
+      documents(s, dir).select(
+        col("doc_id"),
+        expr(text.nTokens(S, "text")).cast("long").as("n_tokens"),
+        expr(text.fixedPoint(text.uniqRatio(S, "text"), 4)).as("uniq_ratio_x10k"),
+        expr(text.fixedPoint(text.markerRatio(S, "text", Seq("the", "a")), 4)).as("stop_ratio_x10k"),
+        expr(text.fixedPoint(text.avgTokenLen(S, "text"), 2)).as("avg_tok_len_x100"),
+        expr(text.fixedPoint(quality, 4)).as("quality_x10k"))
+        .orderBy("doc_id")
+    },
+
+    Q("q_token_count",
+      "Token counting per source: whitespace tokens + BPE-ish regex tokens " +
+        "(letter runs / digit runs / other), aggregated",
+      Some(s"""SELECT lang, source,
+              |  CAST(sum(${text.nTokens(D, "text")}) AS BIGINT) AS ws_tokens,
+              |  CAST(sum(${text.nTokensBpe(D, "text")}) AS BIGINT) AS bpe_tokens,
+              |  ${text.fixedPoint(s"avg(${text.nTokens(D, "text")})", 2)} AS avg_ws_tokens_x100
+              |FROM documents
+              |GROUP BY lang, source
+              |ORDER BY lang, source""".stripMargin)) { (s, dir) =>
+      documents(s, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          sum(expr(text.nTokens(S, "text"))).cast("long").as("ws_tokens"),
+          sum(expr(text.nTokensBpe(S, "text"))).cast("long").as("bpe_tokens"),
+          expr(text.fixedPoint(s"avg(${text.nTokens(S, "text")})", 2)).as("avg_ws_tokens_x100"))
+        .orderBy("lang", "source")
+    },
+
+    Q("q_fingerprint",
+      "Document fingerprinting: rolling polynomial hash over token hashes " +
+        "(order-sensitive, unlike the MinHash set signature)",
+      Some(s"""SELECT doc_id, ${text.fingerprint(D, "text")} AS fp
+              |FROM documents
+              |WHERE doc_id < 100
+              |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      documents(s, dir)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), expr(text.fingerprint(S, "text")).as("fp"))
+        .orderBy("doc_id")
+    }
+  )
+}

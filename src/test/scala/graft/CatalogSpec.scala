@@ -22,7 +22,7 @@ class CatalogSpec extends AnyFunSuite {
   import TestSpark._
 
   test("every catalog query runs and returns rows on sf0.001") {
-    graft.queries.Catalog.all.foreach { q =>
+    graft.queries.Catalog.everything.foreach { q =>
       val n = q.fn(spark, sf).count()
       assert(n > 0, s"${q.name} returned no rows")
     }
