@@ -58,27 +58,36 @@ object text {
       if (n == 1) tokenHashes(d, col)
       else d.transform(shingles(d, col, n), "s", tokenHash(d, "s")))
 
-  /** MinHash signature (k values) over distinct n-gram shingle hashes.
+  /** MinHash signature (k values) over a PRECOMPUTED hash-array column.
     * h_i(x) = ((2i+3)*x + 5i+7) mod P; sig[i] = min over shingles.
-    * ((2k+3)*P fits BIGINT for k ≤ 16.)  Empty docs → P (sentinel). */
-  def minhashSig(d: Dialect, col: String, k: Int, n: Int): String = {
-    val hs = shingleHashes(d, col, n)
+    * ((2k+3)*P fits BIGINT for k ≤ 16.)  Empty docs → P (sentinel).
+    *
+    * Takes a column holding [[shingleHashes]] output rather than the text:
+    * inlining the shingle-hash expression here would re-tokenize and re-hash
+    * the whole document once per signature value (k×), which benchmarked
+    * ~10× slower at sf0.1 — stage the hashes in a projection first. */
+  def minhashFromHashes(d: Dialect, hsCol: String, k: Int): String =
     d.transform(d.seq("0", (k - 1).toString), "i",
-      s"coalesce(${d.arrayMin(d.transform(hs, "t", s"((2*i + 3) * t + 5*i + 7) % $P"))}, $P)")
-  }
+      s"coalesce(${d.arrayMin(d.transform(hsCol, "t", s"((2*i + 3) * t + 5*i + 7) % $P"))}, $P)")
 
-  /** SimHash with `bits` ≤ 60 bits over distinct n-gram shingle hashes:
-    * bit j set when Σ_shingles (2*(bit_j(mix(h))) - 1) > 0. Hashes are < P
-    * ≈ 2^30, so one multiplicative mix only yields 30 usable bits — bits
-    * 0-29 come from mix1(h) = (h*2654435761) mod P and bits 30-59 from
-    * mix2(h) = (h*2246822519) mod P (both products < 2^63). */
-  def simhash(d: Dialect, col: String, bits: Int, n: Int): String = {
+  /** Knuth-style multiplicative mix of a hash array column: (h*mult) mod P.
+    * Stage once per row; [[simhashFromMixed]] folds over it per bit. */
+  def mixedHashes(d: Dialect, hsCol: String, mult: Long): String =
+    d.transform(hsCol, "t", s"(t * $mult) % $P")
+
+  val Mix1 = 2654435761L
+  val Mix2 = 2246822519L
+
+  /** SimHash with `bits` ≤ 60 bits from two PRECOMPUTED mixed-hash array
+    * columns ([[mixedHashes]] with [[Mix1]]/[[Mix2]]): bit j is set when
+    * Σ_shingles (2*bit_{j%30}(m) - 1) > 0, reading m from m1 for j < 30 and
+    * m2 otherwise (hashes are < P ≈ 2^30, so each mix yields 30 usable
+    * bits). Folding over staged arrays keeps the cost at bits×|shingles|
+    * per row instead of bits×|document| re-hashing. */
+  def simhashFromMixed(d: Dialect, m1Col: String, m2Col: String, bits: Int): String = {
     require(bits <= 60, "only 2x30 mixed bits available")
-    val hs = shingleHashes(d, col, n)
-    // per-bit balance: fold over shingles of ±1 for bit j
     val bitSum = (j: String) =>
-      d.fold(d.transform(hs, "t",
-          s"CASE WHEN $j < 30 THEN (t * 2654435761) % $P ELSE (t * 2246822519) % $P END"),
+      d.fold(s"CASE WHEN $j < 30 THEN $m1Col ELSE $m2Col END",
         "CAST(0 AS BIGINT)", "acc", "m",
         s"acc + 2 * (${d.intDiv("m", s"CAST(pow(2, $j % 30) AS BIGINT)")} % 2) - 1")
     d.fold(

@@ -15,22 +15,36 @@ import org.apache.spark.sql.functions._
   */
 object vectors {
 
-  /** Σ aᵢ·bᵢ, sequential left-to-right accumulation in double. */
+  /** Σ aᵢ·bᵢ, sequential left-to-right accumulation in double — the same
+    * order DuckDB's list_dot_product and a zip_with/aggregate fold use, so
+    * all three produce bit-identical doubles. Compiled loop, not a Catalyst
+    * HOF: interpreted lambda evaluation made brute-force similarity scans
+    * ~10x slower at bench scale. */
+  private def dotKernel(a: Seq[Double], b: Seq[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  private val dotUdf = udf((a: Seq[Double], b: Seq[Double]) => dotKernel(a, b))
+
+  private val cosineUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+    val na = math.sqrt(dotKernel(a, a))
+    val nb = math.sqrt(dotKernel(b, b))
+    if (na == 0.0 || nb == 0.0) 0.0 else dotKernel(a, b) / (na * nb)
+  }
+
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
-      lit(0.0),
-      (acc, x) => acc + x)
+    dotUdf(a.cast("array<double>"), b.cast("array<double>"))
 
   /** ‖a‖₂ */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity; 0.0 when either norm is 0 (backend/embeddings.py:130-131). */
-  def cosineSim(a: Column, b: Column): Column = {
-    val na = l2Norm(a)
-    val nb = l2Norm(b)
-    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
-  }
+  def cosineSim(a: Column, b: Column): Column =
+    cosineUdf(a.cast("array<double>"), b.cast("array<double>"))
 
   /** Cosine distance, pgvector `<=>` form (backend/embeddings.py:170). */
   def cosineDist(a: Column, b: Column): Column = lit(1.0) - cosineSim(a, b)

@@ -25,19 +25,29 @@ object AnnIndex {
   /** SQL for the coefficient of plane i, dimension j (both engines). */
   def coefSql(i: String, j: String): String = s"((($i) * 131 + ($j) * 37) % 7 - 3)"
 
-  /** `planes`-bit LSH bucket id for an `array<float>` embedding column.
-    * Pure fold expressions — codegen'd, sequential double accumulation so
-    * any engine computing the same fold agrees on every sign. */
-  def bucketExpr(embCol: String, dim: Int, planes: Int): Column = {
-    val dot = (i: String) =>
-      s"aggregate(transform(sequence(0, ${dim - 1}), j -> " +
-        s"${coefSql(i, "j")} * CAST(element_at(CAST($embCol AS ARRAY<DOUBLE>), j + 1) AS DOUBLE)), " +
-        s"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-    expr(
-      s"aggregate(transform(sequence(0, ${planes - 1}), i -> " +
-        s"CASE WHEN ${dot("i")} > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE CAST(0 AS BIGINT) END), " +
-        s"CAST(0 AS BIGINT), (acc, b) -> acc + b)")
+  /** `planes`-bit LSH bucket id for an embedding column. Compiled kernel
+    * (interpreted HOF lambdas cost ~planes × dim evals per row; see
+    * [[graft.functions.TextSig]] for the rationale). The j-loop accumulates
+    * doubles left-to-right — the same order as the DuckDB rendering below,
+    * so every sign, and therefore every bucket id, matches exactly. */
+  private val bucketUdf = udf { (emb: Seq[Double], dim: Int, planes: Int) =>
+    var bucket = 0L
+    var i = 0
+    while (i < planes) {
+      var acc = 0.0
+      var j = 0
+      while (j < dim) {
+        acc += ((i * 131 + j * 37) % 7 - 3) * emb(j)
+        j += 1
+      }
+      if (acc > 0) bucket |= 1L << i
+      i += 1
+    }
+    bucket
   }
+
+  def bucketExpr(embCol: String, dim: Int, planes: Int): Column =
+    bucketUdf(col(embCol).cast("array<double>"), lit(dim), lit(planes))
 
   /** DuckDB rendering of [[bucketExpr]] for oracle SQL. */
   def bucketSqlDuck(embCol: String, dim: Int, planes: Int): String = {

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{text, SparkDialect => S}
+import graft.functions.{text, TextSig, SparkDialect => S}
 
 /** Corpus deduplication operators — the training-data-pipeline family.
   *
@@ -44,13 +44,16 @@ object Dedup {
   }
 
   /** Near-duplicate pairs by word n-gram Jaccard similarity ≥ `threshold`,
-    * compared only within equal `blockCol` (blocking bounds the quadratic). */
+    * compared only within equal `blockCol` (blocking bounds the quadratic).
+    * Shingles are compared as BIGINT hashes, not strings — set ops over int
+    * arrays are several times cheaper per pair and mod-1e9+7 collisions are
+    * negligible next to the threshold. */
   def ngramJaccardPairs(df: DataFrame, keyCol: String, textCol: String,
                         blockCol: String, n: Int, threshold: Double): DataFrame = {
     val sigs = df.select(
       col(keyCol).as("id"),
       col(blockCol).as("block"),
-      expr(S.arrayDistinct(text.shingles(S, textCol, n))).as("sh"))
+      TextSig.shingleHashesUdf(col(textCol), lit(n)).as("sh"))
     pairJoin(sigs, Seq("block"))
       .withColumn("jaccard",
         size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
@@ -67,9 +70,11 @@ object Dedup {
                       k: Int, bands: Int, shingleN: Int): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val r = k / bands
-    val sig = df.select(
-      col(keyCol).as("id"),
-      expr(text.minhashSig(S, textCol, k, shingleN)).as("sig"))
+    // compiled one-pass kernel: Catalyst HOF lambdas re-evaluate the
+    // shingle hashing per signature value (CollapseProject re-inlines any
+    // staged projection), which benchmarked 100x slower — see TextSig
+    val sig = df.select(col(keyCol).as("id"),
+      TextSig.minhashSigUdf(col(textCol), lit(shingleN), lit(k)).as("sig"))
     val banded = sig.select(
       col("id"),
       explode(expr(
@@ -91,8 +96,10 @@ object Dedup {
     require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
     require(bits % chunks == 0)
     val w = bits / chunks
+    require(bits == 60, "compiled kernel is fixed at 60 bits (TextSig.simhash60)")
+    // compiled one-pass kernel — see TextSig for why not HOF expressions
     val sh = df.select(col(keyCol).as("id"),
-      expr(text.simhash(S, textCol, bits, shingleN)).as("sh"))
+      TextSig.simhash60Udf(col(textCol), lit(shingleN)).as("sh"))
     val chunked = sh.select(col("id"), col("sh"),
       explode(expr(
         s"transform(sequence(0, ${chunks - 1}), j -> " +
@@ -107,13 +114,19 @@ object Dedup {
   }
 
   /** Near-duplicate pairs by embedding cosine ≥ `threshold`, compared within
-    * equal `blockCol` (e.g. an LSH bucket from [[AnnIndex.bucket]]). */
+    * equal `blockCol` (e.g. an LSH bucket from [[AnnIndex.withBucket]]).
+    * L2 norms are staged per row, so each pair costs one dot product instead
+    * of three. */
   def embeddingPairs(df: DataFrame, keyCol: String, embCol: String,
                      blockCol: String, threshold: Double): DataFrame = {
+    import graft.functions.vectors
     val sigs = df.select(col(keyCol).as("id"), col(blockCol).as("block"),
-      col(embCol).as("emb"))
+      col(embCol).as("emb"),
+      vectors.l2Norm(col(embCol)).as("nrm"))
     pairJoin(sigs, Seq("block"))
-      .withColumn("cosine", graft.functions.vectors.cosineSim(col("a_emb"), col("b_emb")))
+      .withColumn("cosine",
+        when(col("a_nrm") === 0.0 || col("b_nrm") === 0.0, lit(0.0))
+          .otherwise(vectors.dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))))
       .filter(col("cosine") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cosine"), 4).as("cosine"))
   }

@@ -58,7 +58,7 @@ object TextQueries {
         "so the quadratic never materializes; MinHash LSH is the open-domain path",
       Some(s"""WITH $nearDupCorpusSql,
               |sh AS (SELECT doc_id, substr(text, 1, 16) AS blk,
-              |         ${D.arrayDistinct(text.shingles(D, "text", 3))} AS sh
+              |         ${text.shingleHashes(D, "text", 3)} AS sh
               |       FROM corpus)
               |SELECT a_id, b_id, ${text.fixedPoint("jaccard", 4)} AS jaccard_x10k FROM (
               |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -82,8 +82,10 @@ object TextQueries {
         "hashes, 4 bands x 4 rows; pairs sharing >= 1 band. THE near-dup shuffle " +
         "pattern at 100 TB: corpus shuffles keyed by (band_idx, band_hash) only",
       Some(s"""WITH $nearDupCorpusSql,
-              |sig AS (SELECT doc_id, ${text.minhashSig(D, "text", 16, 3)} AS sig
-              |        FROM corpus),
+              |hs AS (SELECT doc_id, ${text.shingleHashes(D, "text", 3)} AS hs
+              |       FROM corpus),
+              |sig AS (SELECT doc_id, ${text.minhashFromHashes(D, "hs", 16)} AS sig
+              |        FROM hs),
               |bands AS (SELECT doc_id, j,
               |            ${D.arrayJoin(D.slice("sig", "4*j + 1", "4"), "_")} AS band_key
               |          FROM sig, (SELECT unnest(generate_series(0, 3)) AS j))
@@ -104,8 +106,13 @@ object TextQueries {
         "32k-value chunks keep buckets tiny at any corpus size; 4-bit chunks " +
         "would collapse into mega-buckets and a quadratic join)",
       Some(s"""WITH $nearDupCorpusSql,
-              |sigs AS (SELECT doc_id, ${text.simhash(D, "text", 60, 3)} AS sh
-              |         FROM corpus),
+              |hs AS (SELECT doc_id, ${text.shingleHashes(D, "text", 3)} AS hs
+              |       FROM corpus),
+              |mx AS (SELECT doc_id, ${text.mixedHashes(D, "hs", text.Mix1)} AS m1,
+              |              ${text.mixedHashes(D, "hs", text.Mix2)} AS m2
+              |       FROM hs),
+              |sigs AS (SELECT doc_id, ${text.simhashFromMixed(D, "m1", "m2", 60)} AS sh
+              |         FROM mx),
               |ch AS (SELECT doc_id, sh, j,
               |         ${D.intDiv("sh", "CAST(pow(2, j*15) AS BIGINT)")} % 32768 AS cv
               |       FROM sigs, (SELECT unnest(generate_series(0, 3)) AS j)),
@@ -135,11 +142,13 @@ object TextQueries {
               |         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
               |  FROM embeddings),
               |bucketed AS (SELECT vec_id, emb,
-              |  ${graft.operators.AnnIndex.bucketSqlDuck("emb", 64, 8)} AS bucket
+              |  ${graft.operators.AnnIndex.bucketSqlDuck("emb", 64, 8)} AS bucket,
+              |  sqrt(list_dot_product(emb, emb)) AS nrm
               |  FROM corpus)
               |SELECT a_id, b_id, round(cosine, 4) AS cosine FROM (
               |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-              |    ${graft.functions.vectors.cosineSimSql("a.emb", "b.emb")} AS cosine
+              |    CASE WHEN a.nrm = 0.0 OR b.nrm = 0.0 THEN 0.0
+              |         ELSE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) END AS cosine
               |  FROM bucketed a JOIN bucketed b
               |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
               |WHERE cosine >= 0.99
