@@ -1,0 +1,118 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming pipelines for the event/message stream.
+  *
+  * The reference's chat loop (backend/main.py:512-610) is a per-message
+  * WebSocket pipeline with keyed mutable conversation state (last known
+  * lat/lon, history); its analytics re-evaluate time-window aggregates at
+  * query time (backend/health_api.py:431-434, :519-528). The streaming
+  * equivalents here:
+  *
+  *  - [[dailyCounts]]: tumbling 1-day windows with a 1-hour watermark over
+  *    event time. The reference is late-data-oblivious (it reads at
+  *    processing time), so the watermark policy is ours — documented
+  *    deviation, chosen short because the synthetic stream is dense.
+  *  - [[sessionize]]: 30-min-gap sessions via flatMapGroupsWithState keyed
+  *    by user — the keyed-state shape of the chat loop (T1/T2). Emits a
+  *    session row when the gap timeout fires, exactly like `end
+  *    conversation` triggers the batch report (main.py:312-336).
+  *  - [[parseLocations]]: the X6 regex location extraction as a streaming
+  *    projection (main.py:490-509).
+  *
+  * Scale notes: state is hash-partitioned by key (user/conversation), so a
+  * 1000-executor cluster holds state shards independently; the watermark
+  * bounds state growth; windowed aggregates pre-aggregate per partition
+  * before the shuffle.
+  */
+object EventsStream {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionState(start: Timestamp, last: Timestamp, nEvents: Long)
+
+  case class Session(user_id: Long, session_start: Timestamp,
+                     session_end: Timestamp, n_events: Long)
+
+  /** T3: tumbling daily counts per event type with event-time watermark. */
+  def dailyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
+      .select(col("window.start").as("day"), col("event_type"), col("n"), col("avg_value"))
+
+  /** Pure per-group update: fold a batch of events into the open-session
+    * state, emitting sessions closed by an event-time gap > gapMs.
+    * Extracted from the stream so the gap logic is unit-testable without a
+    * streaming harness. */
+  private[graft] def updateGroup(userId: Long, events: Seq[Event],
+                                 prior: Option[SessionState], gapMs: Long)
+      : (Seq[Session], Option[SessionState]) = {
+    val evs = events.sortBy(_.ts.getTime)
+    val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+    var cur = prior
+    evs.foreach { e =>
+      cur match {
+        case Some(s) if e.ts.getTime - s.last.getTime > gapMs =>
+          closed += Session(userId, s.start, s.last, s.nEvents)
+          cur = Some(SessionState(e.ts, e.ts, 1))
+        case Some(s) =>
+          cur = Some(SessionState(s.start, e.ts, s.nEvents + 1))
+        case None =>
+          cur = Some(SessionState(e.ts, e.ts, 1))
+      }
+    }
+    (closed.toSeq, cur)
+  }
+
+  /** T1/T2: gap-based sessionization with keyed state. A session closes
+    * when a later event for the same user arrives more than `gapMinutes`
+    * past the previous one; with `useTimeout` a processing-time timeout
+    * additionally flushes idle sessions (the stream's stand-in for "end
+    * conversation"). Note: registered timeouts make the no-trigger
+    * micro-batch loop re-fire continuously — production queries should pair
+    * `useTimeout = true` with an explicit processing-time trigger. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int,
+                 useTimeout: Boolean = false): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    val timeoutConf =
+      if (useTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](OutputMode.Append, timeoutConf) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (batch.isEmpty && useTimeout && state.hasTimedOut) {
+            // gap elapsed: close and emit the session
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, s.start, s.last, s.nEvents))
+          } else {
+            val (closed, cur) = updateGroup(userId, batch.toSeq, state.getOption, gapMs)
+            cur.foreach { s =>
+              state.update(s)
+              if (useTimeout) state.setTimeoutDuration(gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  /** T1/X6: streaming location extraction from message text. Non-matching
+    * messages yield NULL coords (regexp_extract returns '' there, and under
+    * ANSI mode — Spark 4's default — a bare cast would throw). */
+  def parseLocations(messages: DataFrame, textCol: String): DataFrame = {
+    val pat = "(?i)Latitude\\s+([-+]?\\d+\\.?\\d*),\\s*Longitude\\s+([-+]?\\d+\\.?\\d*)"
+    def grp(i: Int) =
+      nullif(regexp_extract(col(textCol), pat, i), lit("")).cast("double")
+    messages.withColumn("lat", grp(1)).withColumn("lon", grp(2))
+  }
+}

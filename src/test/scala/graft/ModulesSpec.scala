@@ -1,0 +1,186 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{text, TextSig, SparkDialect => S}
+import graft.operators.Multimodal
+import graft.sources.{CsvClean, JsonSource}
+import graft.streaming.EventsStream
+
+/** Specs for the ingest, streaming, multimodal and kernel-parity surfaces
+  * that have no DuckDB oracle (the oracle gate covers the catalog). */
+class ModulesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  val refCsv =
+    "/root/reference/backend/datasets/Behavioral_Health_Services_San_Diego_County_1657686067853346365.csv"
+  val refJson = "/root/reference/backend/datasets/healthcare_resources.json"
+
+  test("TextSig kernels match the Catalyst SQL fragments exactly") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sf).limit(12)
+      .select(col("doc_id"), col("text"))
+    val viaExpr = docs.select(col("doc_id"),
+      expr(text.shingleHashes(S, "text", 3)).as("hs_e"),
+      expr(text.minhashFromHashes(S, text.shingleHashes(S, "text", 3), 16)).as("mh_e"))
+    val viaUdf = docs.select(col("doc_id"),
+      TextSig.shingleHashesUdf(col("text"), lit(3)).as("hs_u"),
+      TextSig.minhashSigUdf(col("text"), lit(3), lit(16)).as("mh_u"))
+    val j = viaExpr.join(viaUdf, "doc_id").collect()
+    assert(j.nonEmpty)
+    j.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Long]]("hs_e").toSet ==
+        r.getAs[scala.collection.Seq[Long]]("hs_u").toSet,
+        s"shingle hash sets differ for doc ${r.getLong(0)}")
+      assert(r.getAs[scala.collection.Seq[Long]]("mh_e").toSeq ==
+        r.getAs[scala.collection.Seq[Long]]("mh_u").toSeq,
+        s"minhash signatures differ for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("simhash kernel matches the staged SQL fragments") {
+    val docs = graft.core.Tables.documents(spark, sf).limit(8)
+      .select(col("doc_id"), col("text"))
+    val viaExpr = docs
+      .select(col("doc_id"), expr(text.shingleHashes(S, "text", 3)).as("hs"))
+      .select(col("doc_id"),
+        expr(text.mixedHashes(S, "hs", text.Mix1)).as("m1"),
+        expr(text.mixedHashes(S, "hs", text.Mix2)).as("m2"))
+      .select(col("doc_id"), expr(text.simhashFromMixed(S, "m1", "m2", 60)).as("sh_e"))
+    val viaUdf = docs.select(col("doc_id"),
+      TextSig.simhash60Udf(col("text"), lit(3)).as("sh_u"))
+    viaExpr.join(viaUdf, "doc_id").collect().foreach { r =>
+      assert(r.getAs[Long]("sh_e") == r.getAs[Long]("sh_u"),
+        s"simhash differs for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("CSV ingest: BOM headers normalized, coords cast, embedding text built") {
+    val df = CsvClean.healthServices(spark, refCsv)
+    assert(df.columns.contains("lat") && df.columns.contains("lon"))
+    assert(!df.columns.exists(_.contains("﻿")))
+    // 1038 records: the CSV has 6109 physical lines but multiline quoted
+    // Services cells collapse to 1038 records — pandas with utf-8-sig
+    // agrees exactly (BASELINE.md's "6109 rows" counts lines, not records)
+    val n = df.count()
+    assert(n == 1038, s"expected 1038 services (pandas parity), got $n")
+    val r = df.select("lat", "lon", "embedding_text").head()
+    assert(r.getDouble(0) > 30 && r.getDouble(0) < 35)
+    assert(r.getString(2).nonEmpty)
+  }
+
+  test("JSON source: array-of-records scan + summary aggregate") {
+    val df = JsonSource.readJson(spark, refJson)
+    assert(df.count() == 50)
+    assert(df.schema.fieldNames.contains("coordinates"))
+    val lat = df.select(col("coordinates.latitude")).head().getDouble(0)
+    assert(lat > 30 && lat < 35)
+  }
+
+  test("nested housing sink round-trips through JSON") {
+    import spark.implicits._
+    val flat = Seq(
+      (1L, "San Diego", "Residential", "Vacant", 10L, 1.5),
+      (2L, "Chula Vista", "Commercial", "Developed", 0L, 2.0))
+      .toDF("id", "jurisdiction", "zoning_type", "vacancy_status", "units", "shape_area")
+    val nested = JsonSource.nestHousing(flat)
+    val out = "/root/repo/target/tmp/housing_json"
+    JsonSource.writeNestedJson(nested, out)
+    val back = JsonSource.readJson(spark, out)
+    assert(back.count() == 2)
+    assert(back.select("zoning.jurisdiction").collect().map(_.getString(0)).toSet ==
+      Set("San Diego", "Chula Vista"))
+    val s = JsonSource.summaryStats(flat, "units", "jurisdiction", "vacancy_status").head()
+    assert(s.getAs[Long]("total_units") == 10L && s.getAs[Long]("n_vacant") == 1L)
+  }
+
+  test("streaming daily counts with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF.toDF("ts", "event_type", "value")
+    val q = EventsStream.dailyCounts(df)
+      .writeStream.format("memory").queryName("daily").outputMode("complete").start()
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 11:00:00"), "click", 3.0),
+      (Timestamp.valueOf("2024-01-02 09:00:00"), "view", 2.0))
+    q.processAllAvailable()
+    val rows = spark.table("daily").collect()
+    q.stop()
+    assert(rows.length == 2)
+    val click = rows.find(_.getString(1) == "click").get
+    assert(click.getLong(2) == 2 && click.getDouble(3) == 2.0)
+  }
+
+  test("sessionization gap logic (pure state update)") {
+    def ev(id: Long, t: String) =
+      EventsStream.Event(id, Timestamp.valueOf(t), 1, "click", 1.0)
+    val gapMs = 30L * 60 * 1000
+    // burst, 2h gap, second burst: first session closes, second stays open
+    val (closed, open) = EventsStream.updateGroup(1L,
+      Seq(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:10:00"),
+        ev(3, "2024-01-01 12:00:00"), ev(4, "2024-01-01 12:05:00")),
+      prior = None, gapMs = gapMs)
+    assert(closed.length == 1 && closed.head.n_events == 2)
+    assert(closed.head.session_end == Timestamp.valueOf("2024-01-01 10:10:00"))
+    assert(open.get.nEvents == 2 && open.get.start == Timestamp.valueOf("2024-01-01 12:00:00"))
+    // continuation within the gap extends the prior state
+    val (closed2, open2) = EventsStream.updateGroup(1L,
+      Seq(ev(5, "2024-01-01 12:20:00")), prior = open, gapMs = gapMs)
+    assert(closed2.isEmpty && open2.get.nEvents == 3)
+  }
+
+  test("streaming sessionization emits gap-closed sessions (single batch)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventsStream.Event]
+    val q = EventsStream.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    // both bursts in one batch: the in-batch gap closes the first session
+    mem.addData(
+      EventsStream.Event(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "click", 1.0),
+      EventsStream.Event(2, Timestamp.valueOf("2024-01-01 10:10:00"), 1, "click", 1.0),
+      EventsStream.Event(3, Timestamp.valueOf("2024-01-01 12:00:00"), 1, "view", 1.0))
+    q.processAllAvailable()
+    val sessions = spark.table("sessions").as[EventsStream.Session].collect()
+    q.stop()
+    assert(sessions.length == 1, s"expected 1 closed session, got ${sessions.toSeq}")
+    assert(sessions.head.n_events == 2)
+    assert(sessions.head.session_end == Timestamp.valueOf("2024-01-01 10:10:00"))
+  }
+
+  test("streaming location extraction (X6)") {
+    import spark.implicits._
+    val msgs = Seq("I am at Latitude 32.71, Longitude -117.16 now", "no coords here")
+      .toDF("text")
+    val out = EventsStream.parseLocations(msgs, "text").collect()
+    assert(out(0).getAs[Double]("lat") == 32.71 && out(0).getAs[Double]("lon") == -117.16)
+    assert(out(1).isNullAt(out(1).fieldIndex("lat")))
+  }
+
+  test("multimodal: deterministic fake features + frame sampling") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, "image", Array[Byte](1, 2, 3, 4), (640, 480, null.asInstanceOf[java.lang.Long], "image/png")),
+      (2L, "video", Array[Byte](9, 9), (1920, 1080, java.lang.Long.valueOf(2500L), "video/mp4")))
+      .toDF("media_id", "kind", "content", "meta")
+      .withColumn("meta", col("meta").cast(
+        "struct<width:int,height:int,duration_ms:bigint,mime:string>"))
+    val feats = Multimodal.extractFeatures(media, dim = 8)
+    val f = feats.orderBy("media_id").collect()
+    assert(f.length == 2 && f(0).getAs[scala.collection.Seq[Float]]("feature").length == 8)
+    // determinism: same bytes → same features
+    val again = Multimodal.extractFeatures(media, dim = 8).orderBy("media_id").collect()
+    assert(f(0).getAs[scala.collection.Seq[Float]]("feature").toSeq ==
+      again(0).getAs[scala.collection.Seq[Float]]("feature").toSeq)
+    val frames = Multimodal.sampleFrames(media, everyMs = 1000)
+    assert(frames.count() == 3) // 0, 1000, 2000 for the 2500ms video
+  }
+}
