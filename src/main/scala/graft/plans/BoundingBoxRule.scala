@@ -1,0 +1,78 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Injects a sargable bounding-box predicate from a radius predicate.
+  *
+  * `haversine_km(lat, lon, CLat, CLon) <= R` can never reach a Parquet
+  * scan — it is trigonometry over two columns. But it IMPLIES
+  * `lat BETWEEN CLat±dLat AND lon BETWEEN CLon±dLon` for
+  * dLat = R/110.574, dLon = R/(111.320*cos(CLat)) (standard
+  * km-per-degree; dLon uses the center latitude, padded 10%, and
+  * over-covers for any radius far below Earth's circumference). Those
+  * comparisons ARE sargable: Catalyst pushes them into the scan, Parquet
+  * row-group min/max stats skip most of a geo-partitioned 100 TB table,
+  * and the exact haversine predicate still refines the survivors — results
+  * are unchanged, only the scan shrinks.
+  *
+  * This is the engine's substitute for the reference's PostGIS GIST index
+  * (backend/import_datasets.py:89-92): an index lookup becomes predicate
+  * derivation + storage-level pruning. The rule only fires when the
+  * radius predicate compares [[HaversineKm]] over two attribute coords and
+  * two FOLDABLE center/radius operands, and it tags nothing — it is purely
+  * additive, so it composes with every other optimizer rule.
+  */
+object BoundingBoxRule extends Rule[LogicalPlan] {
+
+  private val KmPerDegLat = 110.574
+  private val KmPerDegLon = 111.320
+
+  private def boxPredicates(lat: Expression, lon: Expression,
+                            cLat: Double, cLon: Double, r: Double): Expression = {
+    val dLat = r / KmPerDegLat
+    // pad 10% so center-latitude cosine under-estimation can't clip rows
+    val dLon = r / (KmPerDegLon * math.max(math.cos(math.toRadians(cLat)), 0.01)) * 1.1
+    And(
+      And(GreaterThanOrEqual(lat, Literal(cLat - dLat)),
+        LessThanOrEqual(lat, Literal(cLat + dLat))),
+      And(GreaterThanOrEqual(lon, Literal(cLon - dLon)),
+        LessThanOrEqual(lon, Literal(cLon + dLon))))
+  }
+
+  private def asDouble(e: Expression): Option[Double] =
+    if (e.foldable) e.eval() match {
+      case d: java.lang.Double => Some(d)
+      case f: java.lang.Float => Some(f.toDouble)
+      case i: java.lang.Integer => Some(i.toDouble)
+      case l: java.lang.Long => Some(l.toDouble)
+      case d: java.math.BigDecimal => Some(d.doubleValue)
+      case _ => None
+    } else None
+
+  /** marker to avoid re-deriving the box on every optimizer fixpoint pass */
+  private def alreadyBoxed(cond: Expression, lat: Expression): Boolean =
+    cond.exists {
+      case GreaterThanOrEqual(l, _: Literal) if l.semanticEquals(lat) => true
+      case _ => false
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      val extra = cond.collect {
+        case cmp @ LessThanOrEqual(
+              HaversineKm(lat: Attribute, lon: Attribute, cLatE, cLonE), rE)
+            if !alreadyBoxed(cond, lat) =>
+          for (cLat <- asDouble(cLatE); cLon <- asDouble(cLonE); r <- asDouble(rE))
+            yield boxPredicates(lat, lon, cLat, cLon, r)
+        case cmp @ LessThan(
+              HaversineKm(lat: Attribute, lon: Attribute, cLatE, cLonE), rE)
+            if !alreadyBoxed(cond, lat) =>
+          for (cLat <- asDouble(cLatE); cLon <- asDouble(cLonE); r <- asDouble(rE))
+            yield boxPredicates(lat, lon, cLat, cLon, r)
+      }.flatten
+      if (extra.isEmpty) f
+      else Filter(extra.foldLeft(cond)(And(_, _)), child)
+  }
+}

@@ -1,0 +1,32 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extensions: the engine's custom Catalyst surface.
+  *
+  * Install with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`. Registers:
+  *
+  *  - `haversine_km(lat1, lon1, lat2, lon2)` — native codegen expression
+  *    ([[HaversineKm]]);
+  *  - [[BoundingBoxRule]] — rewrites `haversine_km(...) <= r` filters into
+  *    themselves AND a sargable lat/lon bounding box, which is what lets a
+  *    Parquet scan prune row groups at 100 TB (SURVEY.md §4's GIST-index
+  *    substitute).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("haversine_km"),
+      new ExpressionInfo(classOf[HaversineKm].getName, "haversine_km"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4, "haversine_km(lat1, lon1, lat2, lon2)")
+        HaversineKm(children(0), children(1), children(2), children(3))
+      }))
+    ext.injectOptimizerRule(_ => BoundingBoxRule)
+  }
+}

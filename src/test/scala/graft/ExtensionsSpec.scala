@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.geo
+
+/** Specs for the custom Catalyst surface (graft.plans): the native
+  * haversine expression and the bounding-box injection rule. TestSpark's
+  * session installs GraftExtensions, so these run against the same session
+  * the whole catalog runs on. */
+class ExtensionsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("haversine_km function registered and matches the composed column version") {
+    val df = graft.core.Tables.customer(spark, sf).limit(200)
+      .select(col("c_custkey"),
+        geo.synthLat(col("c_custkey")).as("lat"),
+        geo.synthLon(col("c_custkey")).as("lon"))
+    val both = df.select(
+      expr("haversine_km(CAST(lat AS DOUBLE), CAST(lon AS DOUBLE), 32.5D, -116.5D)").as("native"),
+      geo.haversineKm(col("lat"), col("lon"), lit(32.5), lit(-116.5)).as("composed"))
+    both.collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9,
+        s"native=${r.getDouble(0)} composed=${r.getDouble(1)}")
+    }
+  }
+
+  // lat/lon as real parquet columns — the rule matches Attribute coords,
+  // the shape that matters at scale (derived-column coords collapse into
+  // the filter expression and stay un-boxed; dedicated geo tables don't)
+  lazy val geoPath: String = {
+    val path = "/root/repo/target/tmp/geo_parquet"
+    graft.core.Tables.customer(spark, sf)
+      .select(col("c_custkey"),
+        geo.synthLat(col("c_custkey")).cast("double").as("lat"),
+        geo.synthLon(col("c_custkey")).cast("double").as("lon"))
+      .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  test("BoundingBoxRule injects sargable lat/lon range predicates") {
+    val df = spark.read.parquet(geoPath)
+    val q = df.filter(expr("haversine_km(lat, lon, 32.5D, -116.5D) <= 20.0D"))
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("haversine_km"), "radius predicate kept")
+    assert(optimized.contains("lat#") && optimized.contains(">="),
+      s"expected injected lat lower bound in:\n$optimized")
+    // results identical to the un-assisted plan (box only over-covers)
+    val expected = df
+      .filter(geo.haversineKm(col("lat"), col("lon"), lit(32.5), lit(-116.5)) <= 20.0)
+      .count()
+    assert(q.count() == expected)
+  }
+
+  test("bounding box reaches the parquet scan as a pushed filter") {
+    val q = spark.read.parquet(geoPath)
+      .filter(expr("haversine_km(lat, lon, 32.5D, -116.5D) <= 20.0D"))
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters") &&
+      (physical.contains("GreaterThanOrEqual(lat") || physical.contains("gteq(lat")),
+      s"expected lat bound pushed to scan in:\n${physical.take(2500)}")
+  }
+}
