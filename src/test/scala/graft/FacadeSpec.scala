@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.Facade
+import graft.functions.vectors
+import graft.sources.CsvClean
+
+/** SURVEY.md §7.2's minimum end-to-end slice: entry point 1 on the
+  * reference's own CSVs — services within 50 km of downtown San Diego,
+  * top-10 by distance, each with its 3 nearest stops within 1 km — plus
+  * the semantic re-rank variant with the deterministic embedder. */
+class FacadeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  val servicesCsv =
+    "/root/reference/backend/datasets/Behavioral_Health_Services_San_Diego_County_1657686067853346365.csv"
+  val stopsCsv =
+    "/root/reference/backend/datasets/Public_Transit_Stops%2C_San_Diego_County.csv"
+
+  lazy val services = CsvClean.healthServices(spark, servicesCsv)
+    .withColumn("id", monotonically_increasing_id())
+    .withColumn("embedding", vectors.embedStub("embedding_text", 16))
+    .cache()
+
+  lazy val stops = CsvClean.normalizeHeaders(CsvClean.readCsv(spark, stopsCsv))
+    .select(col("stop_id"),
+      col("stop_lat").cast("double").as("lat"),
+      col("stop_lon").cast("double").as("lon"))
+    .filter(col("lat").isNotNull && col("lon").isNotNull)
+    .cache()
+
+  test("distance-only search: top-10 within 50km, ordered by distance") {
+    val res = Facade.searchHealthServices(services, 32.7157, -117.1611).collect()
+    assert(res.length == 10)
+    val d = res.map(_.getAs[Double]("distance_km"))
+    assert(d.forall(_ <= 50.0) && d.sameElements(d.sorted))
+  }
+
+  test("hybrid search: semantic re-rank changes ordering, keeps radius") {
+    val q = services.limit(1)
+      .select(vectors.embedStub("embedding_text", 16).as("qe"))
+    val res = Facade.searchHealthServices(services, 32.7157, -117.1611,
+      query = Some(q)).collect()
+    assert(res.length == 10)
+    val scores = res.map(_.getAs[Double]("combined_score"))
+    assert(scores.sameElements(scores.sorted.reverse))
+    assert(res.forall(_.getAs[Double]("distance_km") <= 50.0))
+    assert(res.forall { r =>
+      val s = r.getAs[Double]("similarity"); s >= -1.0001 && s <= 1.0001
+    })
+  }
+
+  test("nearest transit join: <=3 stops within 1km per result, one plan") {
+    val top = Facade.searchHealthServices(services, 32.7157, -117.1611)
+    val withStops = Facade.withNearestTransit(top, stops).collect()
+    assert(withStops.nonEmpty)
+    val perService = withStops.groupBy(_.getAs[Long]("id")).view.mapValues(_.length)
+    assert(perService.values.forall(_ <= 3))
+    assert(withStops.forall(_.getAs[Double]("distance_km") <= 1.0))
+    assert(withStops.forall(_.getAs[Int]("rank_nearest") <= 3))
+  }
+
+  test("dashboard fan-out: one row of scalar aggregates") {
+    import spark.implicits._
+    val doses = Seq(("taken"), ("taken"), ("missed"), ("scheduled"))
+      .toDF("status")
+    val symptoms = Seq(1, 2, 3).toDF("x")
+    val plans = Seq("active", "active", "completed").toDF("status")
+    val row = Facade.dashboard(doses, symptoms, plans).head()
+    assert(row.getAs[Long]("n_doses") == 4)
+    assert(row.getAs[Double]("adherence_pct") == 50.0)
+    assert(row.getAs[Long]("n_recent_symptoms") == 3)
+    assert(row.getAs[Long]("n_active_plans") == 2)
+  }
+}
