@@ -323,14 +323,19 @@ object AnalyticsQueries {
     Q("q_daily_window",
       "T3: tumbling daily window aggregation over the event stream " +
         "(batch twin of the Structured Streaming pipeline in graft.streaming)",
-      Some(s"""SELECT ${D.dayTrunc("ts")} AS day, event_type, count(*) AS n,
+      // day ships as a 'yyyy-MM-dd' STRING: DATE/TIMESTAMP outputs reach the
+      // comparer through different type bridges (DuckDB DATE → pandas
+      // Timestamp, Spark date32 → datetime.date) and hash apart
+      Some(s"""SELECT strftime(CAST(${D.dayTrunc("ts")} AS DATE), '%Y-%m-%d') AS day,
+              |  event_type, count(*) AS n,
               |  ${text.fixedPoint("avg(value)", 2)} AS avg_val_x100
               |FROM events
               |GROUP BY 1, 2
               |ORDER BY day, event_type""".stripMargin),
       bench = true) { (s, dir) =>
       events(s, dir)
-        .groupBy(expr(S.dayTrunc("ts")).as("day"), col("event_type"))
+        .groupBy(date_format(expr(S.dayTrunc("ts")), "yyyy-MM-dd").as("day"),
+          col("event_type"))
         .agg(count(lit(1)).as("n"),
           expr(text.fixedPoint("avg(value)", 2)).as("avg_val_x100"))
         .orderBy("day", "event_type")
@@ -361,6 +366,18 @@ object AnalyticsQueries {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum(col("abnormal")).cast("long").as("n_abnormal"))
         .orderBy("event_type")
+    },
+
+    Q("q_approx_distinct",
+      "A5/A9 scale variant: approx_count_distinct (HLL++) next to the exact " +
+        "count — at 100 TB the exact distinct is a full shuffle, the sketch " +
+        "is map-side mergeable. No oracle: sketch estimates are " +
+        "engine-specific, so the driver records the weaker rows-only check",
+      oracle = None) { (s, dir) =>
+      lineitem(s, dir).agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"))
     },
 
     Q("q_dashboard_counts",

@@ -230,6 +230,52 @@ object TextQueries {
         .orderBy("lang", "source")
     },
 
+    Q("q_dedup_lsh_verified",
+      "The full two-stage near-dup pattern: MinHash LSH band-join proposes " +
+        "candidate pairs, exact 3-gram Jaccard verifies them (>= 0.6) — at " +
+        "100 TB the quadratic only ever runs on LSH candidates",
+      Some(s"""WITH $nearDupCorpusSql,
+              |hs AS (SELECT doc_id, ${text.shingleHashes(D, "text", 3)} AS hs
+              |       FROM corpus),
+              |sig AS (SELECT doc_id, hs, ${text.minhashFromHashes(D, "hs", 16)} AS sig
+              |        FROM hs),
+              |bands AS (SELECT doc_id, hs, j,
+              |            ${D.arrayJoin(D.slice("sig", "4*j + 1", "4"), "_")} AS band_key
+              |          FROM sig, (SELECT unnest(generate_series(0, 3)) AS j)),
+              |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+              |                a.hs AS a_hs, b.hs AS b_hs
+              |         FROM bands a JOIN bands b
+              |           ON a.j = b.j AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+              |SELECT a_id, b_id, ${text.fixedPoint("jaccard", 4)} AS jaccard_x10k FROM (
+              |  SELECT a_id, b_id,
+              |    CAST(len(list_intersect(a_hs, b_hs)) AS DOUBLE)
+              |      / len(list_distinct(list_concat(a_hs, b_hs))) AS jaccard
+              |  FROM cand)
+              |WHERE jaccard >= 0.6
+              |ORDER BY a_id, b_id""".stripMargin)) { (s, dir) =>
+      val corpus = nearDupCorpus(documents(s, dir))
+      val sigs = corpus.select(col("doc_id"),
+        graft.functions.TextSig.shingleHashesUdf(col("text"), lit(3)).as("hs"),
+        graft.functions.TextSig.minhashSigUdf(col("text"), lit(3), lit(16)).as("sig"))
+      val bands = sigs.select(col("doc_id"), col("hs"),
+        explode(expr("transform(sequence(0, 3), j -> " +
+          "struct(j AS band_idx, array_join(slice(sig, j*4 + 1, 4), '_') AS band_key))"))
+          .as("b"))
+        .select(col("doc_id"), col("hs"), col("b.band_idx"), col("b.band_key"))
+      val a = bands.toDF("a_id", "a_hs", "a_j", "a_key")
+      val b = bands.toDF("b_id", "b_hs", "b_j", "b_key")
+      a.join(b, col("a_j") === col("b_j") && col("a_key") === col("b_key") &&
+          col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), col("a_hs"), col("b_hs")).distinct()
+        .withColumn("jaccard",
+          size(array_intersect(col("a_hs"), col("b_hs"))).cast("double") /
+            size(array_union(col("a_hs"), col("b_hs"))))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("a_id"), col("b_id"),
+          expr(text.fixedPoint("jaccard", 4)).as("jaccard_x10k"))
+        .orderBy("a_id", "b_id")
+    },
+
     Q("q_fingerprint",
       "Document fingerprinting: rolling polynomial hash over token hashes " +
         "(order-sensitive, unlike the MinHash set signature)",
