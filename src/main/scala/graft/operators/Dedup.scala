@@ -113,6 +113,14 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
+  /** Apply a pair table to the corpus: drop the higher-keyed member of
+    * every (a_id < b_id) near-dup pair via one anti-join. Single-pass
+    * survivor policy (keep-lowest-key), not a transitive closure — chained
+    * near-dups (a~b~c with a!~c) keep a and drop b, c, matching the greedy
+    * first-seen-wins dedup of streaming ingest pipelines. */
+  def dropNearDuplicates(df: DataFrame, keyCol: String, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("b_id")), col(keyCol) === col("b_id"), "left_anti")
+
   /** Near-duplicate pairs by embedding cosine ≥ `threshold`, compared within
     * equal `blockCol` (e.g. an LSH bucket from [[AnnIndex.withBucket]]).
     * L2 norms are staged per row, so each pair costs one dot product instead

@@ -204,6 +204,30 @@ object AnalyticsQueries {
         .orderBy("k_mod")
     },
 
+    Q("q_marker_extract",
+      "X7: RESOURCE_DATA marker pipeline (chatbot.py:149-158) — regex-extract " +
+        "the embedded JSON payload, parse a field, strip the marker from the " +
+        "text; markers synthesized around events.props",
+      Some(s"""SELECT event_id,
+              |  CAST(${D.jsonGet("regexp_extract(msg, '<!-- RESOURCE_DATA:(.*) -->', 1)", "$.k")}
+              |    AS BIGINT) AS k,
+              |  length(regexp_replace(msg, '<!-- RESOURCE_DATA:.* -->', '')) AS clean_len
+              |FROM (SELECT event_id,
+              |        'Results ready <!-- RESOURCE_DATA:' || props || ' --> end' AS msg
+              |      FROM events WHERE event_id < 500)
+              |ORDER BY event_id""".stripMargin)) { (s, dir) =>
+      events(s, dir).filter(col("event_id") < 500)
+        .select(col("event_id"),
+          concat(lit("Results ready <!-- RESOURCE_DATA:"), col("props"),
+            lit(" --> end")).as("msg"))
+        .select(col("event_id"),
+          expr(S.jsonGet("regexp_extract(msg, '<!-- RESOURCE_DATA:(.*) -->', 1)", "$.k"))
+            .cast("long").as("k"),
+          length(regexp_replace(col("msg"), "<!-- RESOURCE_DATA:.* -->", ""))
+            .cast("long").as("clean_len"))
+        .orderBy("event_id")
+    },
+
     Q("q_hours_parse",
       "X8: hours-string parser '24/7'/'Closed'/'9:00 AM - 5:00 PM' → " +
         "{is_24h, is_closed, open/close minutes} (check_hours_availability.py:50-86)",

@@ -276,6 +276,32 @@ object TextQueries {
         .orderBy("a_id", "b_id")
     },
 
+    Q("q_dedup_apply",
+      "Dedup applied: corpus minus the higher-keyed member of every MinHash " +
+        "LSH pair (keep-lowest-key survivor policy) — one anti-join, the " +
+        "step that actually shrinks a training corpus",
+      Some(s"""WITH $nearDupCorpusSql,
+              |hs AS (SELECT doc_id, ${text.shingleHashes(D, "text", 3)} AS hs
+              |       FROM corpus),
+              |sig AS (SELECT doc_id, ${text.minhashFromHashes(D, "hs", 16)} AS sig
+              |        FROM hs),
+              |bands AS (SELECT doc_id, j,
+              |            ${D.arrayJoin(D.slice("sig", "4*j + 1", "4"), "_")} AS band_key
+              |          FROM sig, (SELECT unnest(generate_series(0, 3)) AS j)),
+              |losers AS (SELECT DISTINCT b.doc_id AS b_id
+              |           FROM bands a JOIN bands b
+              |             ON a.j = b.j AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+              |SELECT doc_id, lang FROM corpus
+              |WHERE doc_id NOT IN (SELECT b_id FROM losers)
+              |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val corpus = nearDupCorpus(documents(s, dir))
+      val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+        k = 16, bands = 4, shingleN = 3)
+      Dedup.dropNearDuplicates(corpus, "doc_id", pairs)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
     Q("q_fingerprint",
       "Document fingerprinting: rolling polynomial hash over token hashes " +
         "(order-sensitive, unlike the MinHash set signature)",
