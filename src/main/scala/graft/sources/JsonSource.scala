@@ -58,4 +58,24 @@ object JsonSource {
     * deviation documented). */
   def writeNestedJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** S7 flat variant + X12: the transit-stops CSV → the reference's
+    * transit_stops.json record shape (convert_csv_to_json.py:81-99:
+    * {id, name, agency, coordinates{...}, wheelchair_accessible, stop_code}),
+    * with the '1'-flag boolean decode and the S8 coordinate row-skip. */
+  def transitStops(spark: SparkSession, csvPath: String): DataFrame = {
+    val raw = CsvClean.normalizeHeaders(CsvClean.readCsv(spark, csvPath))
+    CsvClean.dropMissingCoords(
+        raw.withColumn("stop_lat", col("stop_lat").cast("double"))
+          .withColumn("stop_lon", col("stop_lon").cast("double")),
+        "stop_lat", "stop_lon")
+      .select(
+        col("stop_UID").as("id"),
+        col("stop_name").as("name"),
+        col("stop_agency").as("agency"),
+        struct(col("stop_lat").as("latitude"), col("stop_lon").as("longitude"))
+          .as("coordinates"),
+        (col("wheelchair_boarding") === "1").as("wheelchair_accessible"),
+        col("stop_code"))
+  }
 }

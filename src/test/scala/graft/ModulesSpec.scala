@@ -100,6 +100,21 @@ class ModulesSpec extends AnyFunSuite {
     assert(s.getAs[Long]("total_units") == 10L && s.getAs[Long]("n_vacant") == 1L)
   }
 
+  test("transit stops CSV -> reference JSON record shape (S7 flat + X12)") {
+    val stops = JsonSource.transitStops(spark,
+      "/root/reference/backend/datasets/Public_Transit_Stops%2C_San_Diego_County.csv")
+    val n = stops.count()
+    assert(n > 6000 && n <= 6221, s"got $n stops") // 6220 data rows per FIXTURES A2
+    val r = stops.head()
+    assert(stops.schema.fieldNames.toSet ==
+      Set("id", "name", "agency", "coordinates", "wheelchair_accessible", "stop_code"))
+    val lat = r.getStruct(r.fieldIndex("coordinates")).getDouble(0)
+    assert(lat > 32 && lat < 34)
+    // X12: flag decode yields both values somewhere in the corpus
+    assert(stops.filter(col("wheelchair_accessible")).count() > 0)
+    assert(stops.filter(!col("wheelchair_accessible")).count() > 0)
+  }
+
   test("streaming daily counts with watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
