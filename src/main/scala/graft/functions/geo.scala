@@ -43,16 +43,30 @@ object geo {
     * partition pruning can use, evaluated BEFORE the trig. At 100 TB this is
     * the difference between scanning every row-group and skipping most:
     * haversine(…) <= r itself can never be pushed to the scan, but
-    * lat BETWEEN a AND b can. One degree of latitude ≈ 110.574 km; longitude
-    * shrinks by cos(lat). Slightly over-covers (then the exact haversine
-    * predicate refines), never under-covers for radii << Earth radius.
+    * lat BETWEEN a AND b can. One degree of latitude ≈ 110.574 km.
+    *
+    * The longitude window uses the cosine at the WORST latitude inside the
+    * band (|center|+dLat), not at the center: a point at the radius's
+    * poleward edge needs a wider window than the center latitude suggests,
+    * and using the center cosine under-covers by ~0.5% at r=50 km — enough
+    * to silently drop an in-radius row at bearing ≈ 89°. Must only ever
+    * over-cover (the exact haversine predicate refines); the over-coverage
+    * property is asserted in PropertiesSpec.
     */
   def inBoundingBoxKm(lat: Column, lon: Column, centerLat: Double, centerLon: Double,
                       radiusKm: Double): Column = {
     val dLat = radiusKm / 110.574
-    val dLon = radiusKm / (111.320 * math.max(math.cos(math.toRadians(centerLat)), 0.01))
+    val worstLat = math.min(math.abs(centerLat) + dLat, 89.0)
+    val dLon = radiusKm / (111.320 * math.max(math.cos(math.toRadians(worstLat)), 0.01))
     lat.between(centerLat - dLat, centerLat + dLat) &&
       lon.between(centerLon - dLon, centerLon + dLon)
+  }
+
+  /** bbox deltas as plain numbers (shared with tests / the optimizer rule) */
+  def bboxDeltas(centerLat: Double, radiusKm: Double): (Double, Double) = {
+    val dLat = radiusKm / 110.574
+    val worstLat = math.min(math.abs(centerLat) + dLat, 89.0)
+    (dLat, radiusKm / (111.320 * math.max(math.cos(math.toRadians(worstLat)), 0.01)))
   }
 
   /** Deterministic synthetic coordinates derived from an integer key —

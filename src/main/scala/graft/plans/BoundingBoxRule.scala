@@ -26,14 +26,11 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object BoundingBoxRule extends Rule[LogicalPlan] {
 
-  private val KmPerDegLat = 110.574
-  private val KmPerDegLon = 111.320
-
   private def boxPredicates(lat: Expression, lon: Expression,
                             cLat: Double, cLon: Double, r: Double): Expression = {
-    val dLat = r / KmPerDegLat
-    // pad 10% so center-latitude cosine under-estimation can't clip rows
-    val dLon = r / (KmPerDegLon * math.max(math.cos(math.toRadians(cLat)), 0.01)) * 1.1
+    // worst-latitude-in-band deltas (shared with geo.inBoundingBoxKm) — a
+    // center-latitude cosine would under-cover near the poleward edge
+    val (dLat, dLon) = graft.functions.geo.bboxDeltas(cLat, r)
     And(
       And(GreaterThanOrEqual(lat, Literal(cLat - dLat)),
         LessThanOrEqual(lat, Literal(cLat + dLat))),

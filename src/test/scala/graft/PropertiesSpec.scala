@@ -63,6 +63,35 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("bounding box strictly over-covers the haversine radius") {
+    // any point within radiusKm of the center must fall inside the box —
+    // under-coverage silently drops in-radius rows at the scan. Sample
+    // points ON the radius circle at all bearings, where clipping happens.
+    forAllSamples(300) {
+      val cLat = rnd.nextDouble() * 130 - 65 // |center| <= 65 deg
+      val cLon = rnd.nextDouble() * 340 - 170
+      val r = 1.0 + rnd.nextDouble() * 499.0 // 1..500 km
+      val (dLat, dLon) = graft.functions.geo.bboxDeltas(cLat, r)
+      val bearing = rnd.nextDouble() * 2 * math.Pi
+      // destination point via spherical law (R as in haversine kernel)
+      val ang = r / 6371.0
+      val la1 = math.toRadians(cLat)
+      val la2 = math.asin(math.sin(la1) * math.cos(ang) +
+        math.cos(la1) * math.sin(ang) * math.cos(bearing))
+      val lo2 = math.toRadians(cLon) + math.atan2(
+        math.sin(bearing) * math.sin(ang) * math.cos(la1),
+        math.cos(ang) - math.sin(la1) * math.sin(la2))
+      val (pLat, pLon) = (math.toDegrees(la2), math.toDegrees(lo2))
+      val d = HaversineKm.compute(cLat, cLon, pLat, pLon)
+      if (d <= r) { // guard numeric noise on the circle
+        assert(pLat >= cLat - dLat - 1e-9 && pLat <= cLat + dLat + 1e-9,
+          s"lat clipped: center=($cLat,$cLon) r=$r point=($pLat,$pLon)")
+        assert(pLon >= cLon - dLon - 1e-9 && pLon <= cLon + dLon + 1e-9,
+          s"lon clipped: center=($cLat,$cLon) r=$r point=($pLat,$pLon) dLon=$dLon")
+      }
+    }
+  }
+
   test("shingle hashes: distinct, and |shingles| <= max(|tokens|-2, 1)") {
     forAllSamples(100) {
       val t = sampleText()
