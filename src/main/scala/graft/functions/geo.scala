@@ -36,7 +36,8 @@ object geo {
   }
 
   /** km → miles (backend/hybrid_search.py:122). */
-  def kmToMiles(km: Column): Column = km * 0.621371
+  val kmToMilesFactor = 0.621371
+  def kmToMiles(km: Column): Column = km * kmToMilesFactor
 
   /** Bounding-box pre-filter for a radius search: a cheap sargable predicate
     * (plain comparisons on lat/lon) that Parquet row-group stats and

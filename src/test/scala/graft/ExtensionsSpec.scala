@@ -39,6 +39,21 @@ class ExtensionsSpec extends AnyFunSuite {
     path
   }
 
+  test("X2 miles variant agrees with km * 0.621371 within formula tolerance") {
+    // two formulas from the reference (asin/R=6371 km vs atan2/R=3959 mi)
+    // are mathematically the same up to the radius constants
+    val df = spark.range(1, 50).toDF("k")
+      .select(geo.synthLat(col("k")).as("lat"), geo.synthLon(col("k")).as("lon"))
+      .select(
+        geo.haversineKm(col("lat"), col("lon"), lit(32.7), lit(-117.1)).as("km"),
+        geo.haversineMiles(col("lat"), col("lon"), lit(32.7), lit(-117.1)).as("mi"))
+    df.collect().foreach { r =>
+      val (km, mi) = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(geo.kmToMilesFactor * km - mi) <= 0.001 * math.max(mi, 1e-9),
+        s"km=$km mi=$mi")
+    }
+  }
+
   test("BoundingBoxRule injects sargable lat/lon range predicates") {
     val df = spark.read.parquet(geoPath)
     val q = df.filter(expr("haversine_km(lat, lon, 32.5D, -116.5D) <= 20.0D"))
