@@ -48,10 +48,17 @@ object Facade {
     * range join instead of N radius queries). */
   def withNearestTransit(results: DataFrame, stops: DataFrame,
                          idCol: String = "id", stopIdCol: String = "stop_id",
-                         k: Int = 3, maxKm: Double = 1.0): DataFrame =
+                         k: Int = 3, maxKm: Double = 1.0): DataFrame = {
+    // preserve the service→user distance the search produced: nearestK
+    // writes its own distance_km (service→stop) and would overwrite it
+    val left =
+      if (results.columns.contains("distance_km"))
+        results.withColumnRenamed("distance_km", "service_distance_km")
+      else results
     GeoSearch.nearestK(
-      results, stops.withColumnRenamed("lat", "stop_lat").withColumnRenamed("lon", "stop_lon"),
+      left, stops.withColumnRenamed("lat", "stop_lat").withColumnRenamed("lon", "stop_lon"),
       idCol, "lat", "lon", stopIdCol, "stop_lat", "stop_lon", k, maxKm)
+  }
 
   /** Entry point 2's terminal report — end-of-conversation batch aggregate
     * over one conversation's messages (backend/main.py:312-336). */

@@ -50,9 +50,13 @@ object Health {
         sum(when(doses("status") === "taken", 1).otherwise(0)).as("taken"),
         sum(when(doses("status") === "missed", 1).otherwise(0)).as("missed"))
       .head()
-    val n = row.getAs[Long]("n")
-    val taken = row.getAs[Long]("taken")
-    AdherenceStats(n, taken, row.getAs[Long]("missed"),
+    // sum() over zero rows is NULL — a user with no active-med doses gets
+    // 0% adherence (health_api.py behavior), not an unboxing NPE
+    def long(name: String): Long =
+      if (row.isNullAt(row.fieldIndex(name))) 0L else row.getAs[Long](name)
+    val n = long("n")
+    val taken = long("taken")
+    AdherenceStats(n, taken, long("missed"),
       if (n > 0) math.round(taken * 1000.0 / n) / 10.0 else 0.0)
   }
 

@@ -56,11 +56,12 @@ object geo {
     */
   def inBoundingBoxKm(lat: Column, lon: Column, centerLat: Double, centerLon: Double,
                       radiusKm: Double): Column = {
-    val dLat = radiusKm / 110.574
-    val worstLat = math.min(math.abs(centerLat) + dLat, 89.0)
-    val dLon = radiusKm / (111.320 * math.max(math.cos(math.toRadians(worstLat)), 0.01))
-    lat.between(centerLat - dLat, centerLat + dLat) &&
-      lon.between(centerLon - dLon, centerLon + dLon)
+    val (dLat, dLon) = bboxDeltas(centerLat, radiusKm)
+    val latBox = lat.between(centerLat - dLat, centerLat + dLat)
+    // a lon window crossing the antimeridian can't be one BETWEEN — keep
+    // only the lat prune there rather than silently under-cover
+    if (centerLon - dLon < -180.0 || centerLon + dLon > 180.0) latBox
+    else latBox && lon.between(centerLon - dLon, centerLon + dLon)
   }
 
   /** bbox deltas as plain numbers (shared with tests / the optimizer rule) */

@@ -10,17 +10,25 @@ object hours {
   def is24h(d: Dialect, col: String): String =
     s"(${d.strIndex(col, "24")} > 0)"
 
+  /** substring check, like the reference's `'closed' in s or 'n/a' in s`
+    * (check_hours_availability.py:55-57) — NOT exact equality, so
+    * "Closed Sundays" and "N/A" classify correctly */
   def isClosed(d: Dialect, col: String): String =
-    s"(lower($col) = 'closed')"
+    s"(${d.strIndex(s"lower($col)", "closed")} > 0 OR ${d.strIndex(s"lower($col)", "n/a")} > 0)"
 
   /** minutes-since-midnight of side `idx` (1 = open, 2 = close) of a
-    * "H:MM AM - H:MM PM" range; NULL for 24/7 or closed strings */
+    * "H:MM AM - H:MM PM" range; NULL for 24/7, closed, or any string not
+    * matching the range shape — the reference returns None for unparseable
+    * hours, and under Spark 4's default ANSI mode an unguarded
+    * CAST('varies' AS BIGINT) would abort the whole job on one bad row. */
   def rangeMinutes(d: Dialect, col: String, idx: Int): String = {
     val part = d.elementAt(d.split(col, " - "), idx.toString)
     val hh = s"CAST(${d.elementAt(d.split(part, ":"), "1")} AS BIGINT)"
     val mm = s"CAST(substr(${d.elementAt(d.split(part, ":"), "2")}, 1, 2) AS BIGINT)"
     val isPm = s"(${d.strIndex(s"upper($part)", "PM")} > 0)"
+    val shaped = d.regexMatch(part, "^[0-9]{1,2}:[0-9]{2} *(AM|PM)")
     s"CASE WHEN ${is24h(d, col)} OR ${isClosed(d, col)} THEN NULL " +
+      s"WHEN NOT $shaped THEN NULL " +
       s"ELSE ((($hh) % 12) + CASE WHEN $isPm THEN 12 ELSE 0 END) * 60 + ($mm) END"
   }
 }

@@ -104,23 +104,33 @@ object text {
   def nTokensBpe(d: Dialect, col: String): String =
     d.regexpCount(s"lower($col)", "[a-z]+|[0-9]+|[^a-z0-9\\s ]")
 
+  /** guard all integer-ratio metrics: empty/whitespace-only docs would give
+    * 0/0 = NaN, and fixedPoint's CAST(floor(NaN...)) throws under Spark 4's
+    * default ANSI mode — one blank doc must not abort a corpus scan */
+  private def safeRatio(d: Dialect, numer: String, toks: String): String =
+    s"CASE WHEN ${d.size(toks)} = 0 THEN 0.0 " +
+      s"ELSE CAST($numer AS DOUBLE) / ${d.size(toks)} END"
+
   /** distinct-token ratio — near-0 means degenerate/repetitive text */
   def uniqRatio(d: Dialect, col: String): String = {
     val toks = tokens(d, col)
-    s"CAST(${d.size(d.arrayDistinct(toks))} AS DOUBLE) / ${d.size(toks)}"
+    safeRatio(d, d.size(d.arrayDistinct(toks)), toks)
   }
 
   /** fraction of tokens in a marker list (stopword ratio / language score) */
   def markerRatio(d: Dialect, col: String, markers: Seq[String]): String = {
     val toks = tokens(d, col)
     val inList = markers.map(m => s"t = '$m'").mkString(" OR ")
-    s"CAST(${d.size(d.filterArr(toks, "t", s"($inList)"))} AS DOUBLE) / ${d.size(toks)}"
+    safeRatio(d, d.size(d.filterArr(toks, "t", s"($inList)")), toks)
   }
 
   /** average token length in chars */
   def avgTokenLen(d: Dialect, col: String): String = {
     val toks = tokens(d, col)
-    s"CAST(${d.fold(d.transform(toks, "t", "CAST(length(t) AS BIGINT)"), "CAST(0 AS BIGINT)", "acc", "x", "acc + x")} AS DOUBLE) / ${d.size(toks)}"
+    safeRatio(d,
+      d.fold(d.transform(toks, "t", "CAST(length(t) AS BIGINT)"),
+        "CAST(0 AS BIGINT)", "acc", "x", "acc + x"),
+      toks)
   }
 
   /** Engine-stable fixed-point rounding: floor(x*10^k + 0.5) as BIGINT.

@@ -28,12 +28,21 @@ object vectors {
     acc
   }
 
-  private val dotUdf = udf((a: Seq[Double], b: Seq[Double]) => dotKernel(a, b))
+  // java.lang.Double returns: NULL embeddings (the reference's columns are
+  // nullable) must yield NULL, not a task-aborting NPE inside the kernel
+  private val dotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+    if (a == null || b == null) null
+    else java.lang.Double.valueOf(dotKernel(a, b))
+  }
 
   private val cosineUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
-    val na = math.sqrt(dotKernel(a, a))
-    val nb = math.sqrt(dotKernel(b, b))
-    if (na == 0.0 || nb == 0.0) 0.0 else dotKernel(a, b) / (na * nb)
+    if (a == null || b == null) null
+    else {
+      val na = math.sqrt(dotKernel(a, a))
+      val nb = math.sqrt(dotKernel(b, b))
+      java.lang.Double.valueOf(
+        if (na == 0.0 || nb == 0.0) 0.0 else dotKernel(a, b) / (na * nb))
+    }
   }
 
   def dot(a: Column, b: Column): Column =

@@ -55,6 +55,8 @@ sealed abstract class Dialect {
   def jsonGet(js: String, path: String): String
   /** 1-based index of literal `sub` in `s`, 0 when absent */
   def strIndex(s: String, sub: String): String
+  /** true when the regex matches anywhere in `s` */
+  def regexMatch(s: String, pattern: String): String
   def regexpCount(s: String, pattern: String): String
   /** cast array<float> to array<double> */
   def castDoubleArray(a: String): String
@@ -88,6 +90,8 @@ object SparkDialect extends Dialect {
   def addHours(ts: String, n: String) = s"($ts + make_interval(0, 0, 0, 0, $n, 0, 0))"
   def jsonGet(js: String, path: String) = s"get_json_object($js, '$path')"
   def strIndex(s: String, sub: String) = s"instr($s, '$sub')"
+  def regexMatch(s: String, pattern: String) =
+    s"($s RLIKE '${pattern.replace("\\", "\\\\")}')"
   // Spark SQL string literals process backslash escapes; regexes are passed
   // in canonical (single-backslash) form and doubled here.
   def regexpCount(s: String, pattern: String) =
@@ -126,6 +130,7 @@ object DuckDialect extends Dialect {
   def addHours(ts: String, n: String) = s"($ts + to_hours(CAST($n AS BIGINT)))"
   def jsonGet(js: String, path: String) = s"json_extract_string($js, '$path')"
   def strIndex(s: String, sub: String) = s"strpos($s, '$sub')"
+  def regexMatch(s: String, pattern: String) = s"regexp_matches($s, '$pattern')"
   def regexpCount(s: String, pattern: String) = s"len(regexp_extract_all($s, '$pattern'))"
   def castDoubleArray(a: String) = s"CAST($a AS DOUBLE[])"
 }

@@ -31,19 +31,22 @@ object AnnIndex {
     * doubles left-to-right — the same order as the DuckDB rendering below,
     * so every sign, and therefore every bucket id, matches exactly. */
   private val bucketUdf = udf { (emb: Seq[Double], dim: Int, planes: Int) =>
-    var bucket = 0L
-    var i = 0
-    while (i < planes) {
-      var acc = 0.0
-      var j = 0
-      while (j < dim) {
-        acc += ((i * 131 + j * 37) % 7 - 3) * emb(j)
-        j += 1
+    if (emb == null) null // NULL embeddings never join a bucket
+    else {
+      var bucket = 0L
+      var i = 0
+      while (i < planes) {
+        var acc = 0.0
+        var j = 0
+        while (j < dim) {
+          acc += ((i * 131 + j * 37) % 7 - 3) * emb(j)
+          j += 1
+        }
+        if (acc > 0) bucket |= 1L << i
+        i += 1
       }
-      if (acc > 0) bucket |= 1L << i
-      i += 1
+      java.lang.Long.valueOf(bucket)
     }
-    bucket
   }
 
   def bucketExpr(embCol: String, dim: Int, planes: Int): Column =

@@ -48,8 +48,11 @@ object GeoSearch {
                rightKey: String, rightLat: String, rightLon: String,
                k: Int, maxKm: Double): DataFrame = {
     val dLat = maxKm / 110.574
-    // conservative lon window at the widest (most poleward) latitude in play
-    val dLon = maxKm / 111.320 * 4.0
+    // per-row lon window sized at the worst latitude within each left row's
+    // band — a fixed constant would under-cover near the poles and silently
+    // rank a farther neighbor as nearest
+    val dLon = lit(maxKm) / (lit(111.320) *
+      greatest(cos(radians(abs(left(leftLat)) + lit(dLat))), lit(0.01)))
     val joined = left.join(right,
       right(rightLat).between(left(leftLat) - dLat, left(leftLat) + dLat) &&
         right(rightLon).between(left(leftLon) - dLon, left(leftLon) + dLon))

@@ -31,9 +31,12 @@ object BoundingBoxRule extends Rule[LogicalPlan] {
     // worst-latitude-in-band deltas (shared with geo.inBoundingBoxKm) — a
     // center-latitude cosine would under-cover near the poleward edge
     val (dLat, dLon) = graft.functions.geo.bboxDeltas(cLat, r)
-    And(
-      And(GreaterThanOrEqual(lat, Literal(cLat - dLat)),
-        LessThanOrEqual(lat, Literal(cLat + dLat))),
+    val latBox = And(GreaterThanOrEqual(lat, Literal(cLat - dLat)),
+      LessThanOrEqual(lat, Literal(cLat + dLat)))
+    // a lon window crossing the antimeridian can't be one BETWEEN — fall
+    // back to lat-only pruning there rather than under-cover
+    if (cLon - dLon < -180.0 || cLon + dLon > 180.0) latBox
+    else And(latBox,
       And(GreaterThanOrEqual(lon, Literal(cLon - dLon)),
         LessThanOrEqual(lon, Literal(cLon + dLon))))
   }
@@ -55,15 +58,23 @@ object BoundingBoxRule extends Rule[LogicalPlan] {
       case _ => false
     }
 
+  /** top-level conjuncts only — a radius predicate under OR/NOT does NOT
+    * imply the box for the whole filter (haversine<=r OR vip would wrongly
+    * drop out-of-box vip rows if boxed) */
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
-      val extra = cond.collect {
-        case cmp @ LessThanOrEqual(
+      val extra = splitConjuncts(cond).collect {
+        case LessThanOrEqual(
               HaversineKm(lat: Attribute, lon: Attribute, cLatE, cLonE), rE)
             if !alreadyBoxed(cond, lat) =>
           for (cLat <- asDouble(cLatE); cLon <- asDouble(cLonE); r <- asDouble(rE))
             yield boxPredicates(lat, lon, cLat, cLon, r)
-        case cmp @ LessThan(
+        case LessThan(
               HaversineKm(lat: Attribute, lon: Attribute, cLatE, cLonE), rE)
             if !alreadyBoxed(cond, lat) =>
           for (cLat <- asDouble(cLatE); cLon <- asDouble(cLonE); r <- asDouble(rE))

@@ -83,7 +83,7 @@ object Catalog {
       Some("""SELECT o_orderpriority,
              |  count(*) AS n,
              |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-             |  round(avg(l_extendedprice), 2) AS avg_price,
+             |  CAST(floor(avg(l_extendedprice) * 100.0 + 0.5) AS BIGINT) AS avg_price_x100,
              |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |WHERE o_orderstatus = 'F'
@@ -101,7 +101,9 @@ object Catalog {
         .agg(
           count(lit(1)).as("n"),
           sum(col("l_quantity")).cast("long").as("sum_qty"),
-          round(avg(col("l_extendedprice")), 2).as("avg_price"),
+          // fixed-point, not round(): avg of 2-decimal prices is an
+          // integer ratio — the engine-unstable case (see text.fixedPoint)
+          floor(avg(col("l_extendedprice")) * 100.0 + 0.5).cast("long").as("avg_price_x100"),
           sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
             .cast("long")).as("revenue_cents"))
         .orderBy("o_orderpriority")
@@ -157,7 +159,8 @@ object Catalog {
     Q("q_event_trend",
       "A1: grouped trend over a time window: count/avg/max per type (health_api.py:216-236)",
       Some("""SELECT event_type, count(*) AS n,
-             |  round(avg(value), 1) AS avg_value, max(value) AS max_value
+             |  CAST(floor(avg(value) * 10.0 + 0.5) AS BIGINT) AS avg_value_x10,
+             |  max(value) AS max_value
              |FROM events
              |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
              |  AND ts <  TIMESTAMP '2024-01-20 00:00:00'
@@ -168,7 +171,7 @@ object Catalog {
           col("ts") < expr("TIMESTAMP '2024-01-20 00:00:00'"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
-          round(avg(col("value")), 1).as("avg_value"),
+          floor(avg(col("value")) * 10.0 + 0.5).cast("long").as("avg_value_x10"),
           max(col("value")).as("max_value"))
         .orderBy("event_type")
     },
@@ -179,7 +182,7 @@ object Catalog {
       Some("""SELECT count(*) AS n,
              |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
              |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
-             |  round(avg(l_quantity), 2) AS avg_qty,
+             |  CAST(floor(avg(l_quantity) * 100.0 + 0.5) AS BIGINT) AS avg_qty_x100,
              |  count(DISTINCT l_partkey) AS n_parts,
              |  array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags
              |FROM lineitem""".stripMargin)) { (s, dir) =>
@@ -188,7 +191,7 @@ object Catalog {
         sum(col("l_quantity")).cast("long").as("sum_qty"),
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"),
-        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        floor(avg(col("l_quantity")) * 100.0 + 0.5).cast("long").as("avg_qty_x100"),
         countDistinct(col("l_partkey")).as("n_parts"),
         array_join(array_sort(collect_set(col("l_returnflag"))), ",").as("flags"))
     },
