@@ -40,7 +40,7 @@ object Facade {
             lat, lon, maxDistanceKm, limit * 3, tieBreak = Seq(idCol))
           .crossJoin(broadcast(q))
         VectorSearch.hybridRerank(cand, embCol, "qe", "distance_km",
-          semanticWeight, limit, tieBreak = Seq(idCol))
+          maxDistanceKm, semanticWeight, limit, tieBreak = Seq(idCol))
     }
 
   /** Entry point 1, step 2 — nearest transit per result

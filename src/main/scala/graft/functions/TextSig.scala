@@ -102,9 +102,37 @@ object TextSig {
     sh
   }
 
+  /** hashing-TF embedding, mirrors [[vectors.embedStubSql]] bit-for-bit:
+    * per-token hashes (NOT distinct) bucketed mod `dim`, integer bucket
+    * counts L2-normalized. The sum of squares accumulates in bucket order
+    * 0..dim-1 exactly like the SQL fold, so the doubles are identical.
+    * The SQL form recomputes the norm per element and the token hashes per
+    * bucket (no CTEs inside an expression) — O(dim²·|doc|) interpreted,
+    * ~180 ms/row at sf0.1 doc sizes; this is the same math in one pass. */
+  def embed(s: String, dim: Int): Array[Double] = {
+    val counts = new Array[Double](dim)
+    val toks = tokens(s)
+    var i = 0
+    while (i < toks.length) {
+      counts((tokenHash(toks(i)) % dim).toInt) += 1.0
+      i += 1
+    }
+    var acc = 0.0
+    var j = 0
+    while (j < dim) { acc += counts(j) * counts(j); j += 1 }
+    val norm = math.sqrt(acc)
+    if (norm != 0.0) {
+      var k = 0
+      while (k < dim) { counts(k) /= norm; k += 1 }
+    }
+    counts
+  }
+
   // registered column functions (deterministic)
   val shingleHashesUdf: UserDefinedFunction =
     udf((s: String, n: Int) => shingleHashes(s, n))
+  val embedUdf: UserDefinedFunction =
+    udf((s: String, dim: Int) => if (s == null) null else embed(s, dim))
   val minhashSigUdf: UserDefinedFunction =
     udf((s: String, n: Int, k: Int) => minhashSig(s, n, k))
   val simhash60Udf: UserDefinedFunction =

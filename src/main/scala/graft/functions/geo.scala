@@ -56,19 +56,29 @@ object geo {
     */
   def inBoundingBoxKm(lat: Column, lon: Column, centerLat: Double, centerLon: Double,
                       radiusKm: Double): Column = {
-    val (dLat, dLon) = bboxDeltas(centerLat, radiusKm)
+    val (dLat, dLonOpt) = bboxDeltas(centerLat, radiusKm)
     val latBox = lat.between(centerLat - dLat, centerLat + dLat)
-    // a lon window crossing the antimeridian can't be one BETWEEN — keep
-    // only the lat prune there rather than silently under-cover
-    if (centerLon - dLon < -180.0 || centerLon + dLon > 180.0) latBox
-    else latBox && lon.between(centerLon - dLon, centerLon + dLon)
+    dLonOpt match {
+      // near a pole every longitude can be in range — lat-only prune
+      case None => latBox
+      // a lon window crossing the antimeridian can't be one BETWEEN — keep
+      // only the lat prune there rather than silently under-cover
+      case Some(dLon) if centerLon - dLon < -180.0 || centerLon + dLon > 180.0 => latBox
+      case Some(dLon) => latBox && lon.between(centerLon - dLon, centerLon + dLon)
+    }
   }
 
-  /** bbox deltas as plain numbers (shared with tests / the optimizer rule) */
-  def bboxDeltas(centerLat: Double, radiusKm: Double): (Double, Double) = {
+  /** bbox deltas as plain numbers (shared with tests / the optimizer rule).
+    * The lon delta is None when the lat band reaches within 1° of a pole
+    * (|center|+dLat ≥ 89): there a fixed lon window computed at any clamped
+    * latitude would UNDER-cover (points near the pole span all longitudes),
+    * so callers must fall back to the lat-only prune — the box predicate's
+    * contract is strictly over-cover-only (the exact haversine refines). */
+  def bboxDeltas(centerLat: Double, radiusKm: Double): (Double, Option[Double]) = {
     val dLat = radiusKm / 110.574
-    val worstLat = math.min(math.abs(centerLat) + dLat, 89.0)
-    (dLat, radiusKm / (111.320 * math.max(math.cos(math.toRadians(worstLat)), 0.01)))
+    val worstLat = math.abs(centerLat) + dLat
+    if (worstLat >= 89.0) (dLat, None)
+    else (dLat, Some(radiusKm / (111.320 * math.cos(math.toRadians(worstLat)))))
   }
 
   /** Deterministic synthetic coordinates derived from an integer key —

@@ -7,8 +7,12 @@ package graft.functions
   */
 object hours {
 
+  /** Matches check_hours_availability.py:66 exactly: `'24' in s or
+    * 'always' in s` over the lowercased string. Note the inherited
+    * reference bug: the bare '24' SUBSTRING check means "10:24 AM - 6:00 PM"
+    * classifies as 24/7 — kept deliberately, parity beats plausibility. */
   def is24h(d: Dialect, col: String): String =
-    s"(${d.strIndex(col, "24")} > 0)"
+    s"(${d.strIndex(col, "24")} > 0 OR ${d.strIndex(s"lower($col)", "always")} > 0)"
 
   /** substring check, like the reference's `'closed' in s or 'n/a' in s`
     * (check_hours_availability.py:55-57) — NOT exact equality, so

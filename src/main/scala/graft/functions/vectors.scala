@@ -81,7 +81,11 @@ object vectors {
     d.transform(counts, "x", s"CASE WHEN $norm = 0.0 THEN 0.0 ELSE x / $norm END")
   }
 
-  /** Column form of [[embedStubSql]] over a named text column. */
+  /** Column form of [[embedStubSql]] over a named text column — the
+    * compiled [[TextSig.embed]] kernel, same doubles as the SQL fragment
+    * (asserted in ModulesSpec): the interpreted-HOF rendering re-tokenizes
+    * the document O(dim²) times per row and benchmarked ~180 ms/row. */
   def embedStub(textColName: String, dim: Int = 16): Column =
-    org.apache.spark.sql.functions.expr(embedStubSql(SparkDialect, textColName, dim))
+    TextSig.embedUdf(org.apache.spark.sql.functions.col(textColName),
+      org.apache.spark.sql.functions.lit(dim))
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.vectors
@@ -47,27 +46,30 @@ object VectorSearch {
 
   /** Semantic re-rank over geo candidates (reference
     * backend/hybrid_search.py:137-197): similarity + normalized distance
-    * score (1 - d/max_d, X13) fused via `w*sim + (1-w)*distScore` (X14).
-    * Operates on the small candidate set (≤ limit×3 rows), so the
-    * single-partition max-window is bounded by the over-fetch policy, not by
-    * data size.
+    * score fused via `w*sim + (1-w)*distScore` (X14).
+    *
+    * `maxDistance` is the search RADIUS parameter, not the max observed
+    * candidate distance: the reference computes
+    * `distance_score = 1 - d/max_dist if max_dist > 0 else 1.0` with
+    * `max_dist = max_distance_km` (hybrid_search.py:164-167). Normalizing by
+    * the observed max instead would reorder results whenever candidates
+    * cluster well inside the radius — and would need a global max-window
+    * (single-partition at scale); the fixed denominator is both faithful and
+    * embarrassingly parallel.
     */
   def hybridRerank(candidates: DataFrame, embCol: String, queryCol: String,
-                   distanceCol: String, weight: Double, limit: Int,
-                   tieBreak: Seq[String] = Nil): DataFrame = {
-    val all = Window.partitionBy()
+                   distanceCol: String, maxDistance: Double,
+                   weight: Double, limit: Int,
+                   tieBreak: Seq[String] = Nil): DataFrame =
     candidates
       .withColumn("similarity",
         when(col(embCol).isNull, lit(0.0))
           .otherwise(vectors.cosineSim(col(embCol), col(queryCol))))
-      .withColumn("max_d", max(col(distanceCol)).over(all))
       .withColumn("distance_score",
-        when(col("max_d") > 0, lit(1.0) - col(distanceCol) / col("max_d"))
-          .otherwise(lit(1.0)))
+        if (maxDistance > 0) lit(1.0) - col(distanceCol) / maxDistance
+        else lit(1.0))
       .withColumn("combined_score",
         col("similarity") * weight + col("distance_score") * (1.0 - weight))
-      .drop("max_d")
       .orderBy(desc("combined_score") +: tieBreak.map(col): _*)
       .limit(limit)
-  }
 }

@@ -30,15 +30,19 @@ object BoundingBoxRule extends Rule[LogicalPlan] {
                             cLat: Double, cLon: Double, r: Double): Expression = {
     // worst-latitude-in-band deltas (shared with geo.inBoundingBoxKm) — a
     // center-latitude cosine would under-cover near the poleward edge
-    val (dLat, dLon) = graft.functions.geo.bboxDeltas(cLat, r)
+    val (dLat, dLonOpt) = graft.functions.geo.bboxDeltas(cLat, r)
     val latBox = And(GreaterThanOrEqual(lat, Literal(cLat - dLat)),
       LessThanOrEqual(lat, Literal(cLat + dLat)))
-    // a lon window crossing the antimeridian can't be one BETWEEN — fall
-    // back to lat-only pruning there rather than under-cover
-    if (cLon - dLon < -180.0 || cLon + dLon > 180.0) latBox
-    else And(latBox,
-      And(GreaterThanOrEqual(lon, Literal(cLon - dLon)),
-        LessThanOrEqual(lon, Literal(cLon + dLon))))
+    dLonOpt match {
+      // band touches a pole (all longitudes reachable) — lat-only prune
+      case None => latBox
+      // a lon window crossing the antimeridian can't be one BETWEEN — fall
+      // back to lat-only pruning there rather than under-cover
+      case Some(dLon) if cLon - dLon < -180.0 || cLon + dLon > 180.0 => latBox
+      case Some(dLon) => And(latBox,
+        And(GreaterThanOrEqual(lon, Literal(cLon - dLon)),
+          LessThanOrEqual(lon, Literal(cLon + dLon))))
+    }
   }
 
   private def asDouble(e: Expression): Option[Double] =

@@ -65,8 +65,9 @@ object AnalyticsQueries {
     Q("q_hybrid_search",
       "G1→G4 end-to-end hybrid search: bbox+radius prune (50 km), x3 " +
         "over-fetch by distance, cosine re-rank vs query vec 0, distance " +
-        "score 1 - d/max_d, combined 0.5*sim + 0.5*dist, top-10 " +
-        "(hybrid_search.py:36-197)",
+        "score 1 - d/radius (hybrid_search.py:164-167 normalizes by the " +
+        "max_distance_km PARAMETER, not the observed max), combined " +
+        "0.5*sim + 0.5*dist, top-10 (hybrid_search.py:36-197)",
       Some(s"""WITH pts AS (
               |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
               |         $synthLatV AS lat, $synthLonV AS lon
@@ -80,17 +81,15 @@ object AnalyticsQueries {
               |  ORDER BY distance_km, vec_id LIMIT 30),
               |scored AS (
               |  SELECT vec_id, label, distance_km,
-              |    ${vectors.cosineSimSql("emb", "q.qe")} AS similarity,
-              |    max(distance_km) OVER () AS max_d
+              |    ${vectors.cosineSimSql("emb", "q.qe")} AS similarity
               |  FROM cand CROSS JOIN q)
               |SELECT vec_id, label,
               |  ${text.fixedPoint("distance_km", 2)} AS dist_x100,
               |  ${text.fixedPoint("similarity", 4)} AS sim_x10k,
               |  ${text.fixedPoint(
-                   "similarity * 0.5 + (CASE WHEN max_d > 0 THEN 1.0 - distance_km / max_d ELSE 1.0 END) * 0.5",
-                   4)} AS combined_x10k
+                   "similarity * 0.5 + (1.0 - distance_km / 50.0) * 0.5", 4)} AS combined_x10k
               |FROM scored
-              |ORDER BY similarity * 0.5 + (CASE WHEN max_d > 0 THEN 1.0 - distance_km / max_d ELSE 1.0 END) * 0.5 DESC,
+              |ORDER BY similarity * 0.5 + (1.0 - distance_km / 50.0) * 0.5 DESC,
               |         vec_id
               |LIMIT 10""".stripMargin),
       bench = true) { (s, dir) =>
@@ -104,7 +103,7 @@ object AnalyticsQueries {
           32.5, -116.5, 50.0, limit = 30, tieBreak = Seq("vec_id"))
         .crossJoin(broadcast(q))
       VectorSearch.hybridRerank(cand, "emb", "qe", "distance_km",
-          weight = 0.5, limit = 10, tieBreak = Seq("vec_id"))
+          maxDistance = 50.0, weight = 0.5, limit = 10, tieBreak = Seq("vec_id"))
         .select(col("vec_id"), col("label"),
           expr(text.fixedPoint("distance_km", 2)).as("dist_x100"),
           expr(text.fixedPoint("similarity", 4)).as("sim_x10k"),
@@ -148,7 +147,7 @@ object AnalyticsQueries {
               |FROM emb CROSS JOIN q
               |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
       val emb = documents(s, dir).filter(col("doc_id") < 100)
-        .select(col("doc_id"), expr(vectors.embedStubSql(S, "text", 16)).as("e"))
+        .select(col("doc_id"), vectors.embedStub("text", 16).as("e"))
       val q = emb.filter(col("doc_id") === 0).select(col("e").as("qe"))
       emb.crossJoin(broadcast(q))
         .withColumn("sim", vectors.cosineSim(col("e"), col("qe")))
@@ -229,8 +228,10 @@ object AnalyticsQueries {
     },
 
     Q("q_hours_parse",
-      "X8: hours-string parser '24/7'/'Closed'/'9:00 AM - 5:00 PM' → " +
-        "{is_24h, is_closed, open/close minutes} (check_hours_availability.py:50-86)",
+      "X8: hours-string parser '24/7'/'Closed'/'Always open'/'9:00 AM - " +
+        "5:00 PM' → {is_24h, is_closed, open/close minutes} " +
+        "(check_hours_availability.py:50-86); the '10:24 AM' case pins the " +
+        "reference's own '24'-substring false positive, kept for parity",
       Some {
         val h = "hours_str"
         s"""SELECT p_partkey, $h AS hours_str,
@@ -239,18 +240,20 @@ object AnalyticsQueries {
            |  coalesce(${hours.rangeMinutes(D, h, 1)}, -1) AS open_min,
            |  coalesce(${hours.rangeMinutes(D, h, 2)}, -1) AS close_min
            |FROM (
-           |  SELECT p_partkey, CASE CAST(p_partkey % 4 AS INT)
+           |  SELECT p_partkey, CASE CAST(p_partkey % 6 AS INT)
            |    WHEN 0 THEN '24/7' WHEN 1 THEN 'Closed'
-           |    WHEN 2 THEN '9:00 AM - 5:00 PM' ELSE '10:30 AM - 6:30 PM' END AS hours_str
+           |    WHEN 2 THEN '9:00 AM - 5:00 PM' WHEN 3 THEN 'Always open'
+           |    WHEN 4 THEN '10:24 AM - 6:00 PM' ELSE '10:30 AM - 6:30 PM' END AS hours_str
            |  FROM part WHERE p_partkey <= 400)
            |ORDER BY p_partkey""".stripMargin
       }) { (s, dir) =>
       val h = "hours_str"
       part(s, dir).filter(col("p_partkey") <= 400)
         .withColumn(h, expr(
-          """CASE CAST(p_partkey % 4 AS INT)
+          """CASE CAST(p_partkey % 6 AS INT)
             |  WHEN 0 THEN '24/7' WHEN 1 THEN 'Closed'
-            |  WHEN 2 THEN '9:00 AM - 5:00 PM' ELSE '10:30 AM - 6:30 PM' END""".stripMargin))
+            |  WHEN 2 THEN '9:00 AM - 5:00 PM' WHEN 3 THEN 'Always open'
+            |  WHEN 4 THEN '10:24 AM - 6:00 PM' ELSE '10:30 AM - 6:30 PM' END""".stripMargin))
         .select(col("p_partkey"), col(h),
           expr(hours.is24h(S, h)).as("is_24h"),
           expr(hours.isClosed(S, h)).as("is_closed"),

@@ -309,7 +309,7 @@ object Catalog {
       .radiusSearch(e, col("lat"), col("lon"), 32.5, -116.5, 50.0, 30)
       .crossJoin(broadcast(q))
     VectorSearch.hybridRerank(candidates, "embedding", "qe",
-        "distance_km", weight = 0.5, limit = 10)
+        "distance_km", maxDistance = 50.0, weight = 0.5, limit = 10)
       .select("vec_id", "label", "distance_km", "similarity", "combined_score")
   }
 }

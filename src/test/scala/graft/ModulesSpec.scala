@@ -44,6 +44,23 @@ class ModulesSpec extends AnyFunSuite {
     }
   }
 
+  test("embed kernel matches the embedStubSql fragment bit-for-bit") {
+    val docs = graft.core.Tables.documents(spark, sf).limit(12)
+      .select(col("doc_id"), col("text"))
+    val j = docs
+      .select(col("doc_id"),
+        expr(graft.functions.vectors.embedStubSql(S, "text", 16)).as("e_sql"),
+        TextSig.embedUdf(col("text"), lit(16)).as("e_k"))
+      .collect()
+    assert(j.nonEmpty)
+    j.foreach { r =>
+      val a = r.getAs[scala.collection.Seq[Double]]("e_sql")
+      val b = r.getAs[scala.collection.Seq[Double]]("e_k")
+      assert(a.length == 16 && a.toSeq == b.toSeq,
+        s"embeddings differ for doc ${r.getLong(0)}: $a vs $b")
+    }
+  }
+
   test("simhash kernel matches the staged SQL fragments") {
     val docs = graft.core.Tables.documents(spark, sf).limit(8)
       .select(col("doc_id"), col("text"))

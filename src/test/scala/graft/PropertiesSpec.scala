@@ -67,11 +67,17 @@ class PropertiesSpec extends AnyFunSuite {
     // any point within radiusKm of the center must fall inside the box —
     // under-coverage silently drops in-radius rows at the scan. Sample
     // points ON the radius circle at all bearings, where clipping happens.
-    forAllSamples(300) {
-      val cLat = rnd.nextDouble() * 130 - 65 // |center| <= 65 deg
+    forAllSamples(600) {
+      // half the samples roam the full globe, half concentrate near the
+      // poles where the lon window degenerates (|center|+dLat >= 89 -> the
+      // predicate must drop to lat-only; ADVICE r01 caught that the old
+      // clamped-cosine window silently under-covered there)
+      val cLat =
+        if (rnd.nextBoolean()) rnd.nextDouble() * 180 - 90
+        else (rnd.nextDouble() * 6 + 84) * (if (rnd.nextBoolean()) 1 else -1)
       val cLon = rnd.nextDouble() * 340 - 170
       val r = 1.0 + rnd.nextDouble() * 499.0 // 1..500 km
-      val (dLat, dLon) = graft.functions.geo.bboxDeltas(cLat, r)
+      val (dLat, dLonOpt) = graft.functions.geo.bboxDeltas(cLat, r)
       val bearing = rnd.nextDouble() * 2 * math.Pi
       // destination point via spherical law (R as in haversine kernel)
       val ang = r / 6371.0
@@ -86,8 +92,16 @@ class PropertiesSpec extends AnyFunSuite {
       if (d <= r) { // guard numeric noise on the circle
         assert(pLat >= cLat - dLat - 1e-9 && pLat <= cLat + dLat + 1e-9,
           s"lat clipped: center=($cLat,$cLon) r=$r point=($pLat,$pLon)")
-        assert(pLon >= cLon - dLon - 1e-9 && pLon <= cLon + dLon + 1e-9,
-          s"lon clipped: center=($cLat,$cLon) r=$r point=($pLat,$pLon) dLon=$dLon")
+        dLonOpt match {
+          case None =>
+            // lon prune disabled — must only happen when the band truly
+            // reaches within 1 deg of a pole
+            assert(math.abs(cLat) + dLat >= 89.0,
+              s"lon window dropped away from the poles: center=$cLat r=$r")
+          case Some(dLon) =>
+            assert(pLon >= cLon - dLon - 1e-9 && pLon <= cLon + dLon + 1e-9,
+              s"lon clipped: center=($cLat,$cLon) r=$r point=($pLat,$pLon) dLon=$dLon")
+        }
       }
     }
   }

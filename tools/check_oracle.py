@@ -7,6 +7,7 @@ sorted by name, rows sorted, exact value equality.
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
 import json
+import math
 import sys
 
 import duckdb
@@ -37,11 +38,21 @@ def main(sf_dir, out_dir):
                 raise AssertionError(f"columns differ: {list(g.columns)} vs {list(w.columns)}")
             if len(g) != len(w):
                 raise AssertionError(f"row count differs: {len(g)} vs {len(w)}")
-            # exact compare, column by column for a useful error message
+            # exact compare, column by column for a useful error message.
+            # NaN == NaN here: a float NULL can bridge as NaN on one side
+            # and None on the other engine's path, and NaN != NaN would
+            # false-fail a value-identical result
+            def same(a, b):
+                if a is None and b is None:
+                    return True
+                if isinstance(a, float) and isinstance(b, float) \
+                        and math.isnan(a) and math.isnan(b):
+                    return True
+                return a == b
             for c in g.columns:
                 gv, wv = g[c].tolist(), w[c].tolist()
                 for i, (a, b) in enumerate(zip(gv, wv)):
-                    if a != b and not (a is None and b is None):
+                    if not same(a, b):
                         raise AssertionError(
                             f"col {c} row {i}: spark={a!r} duckdb={b!r}")
             # raw (unsorted) order match too — queries promise ORDER BY parity
