@@ -121,6 +121,53 @@ object Dedup {
   def dropNearDuplicates(df: DataFrame, keyCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("b_id")), col(keyCol) === col("b_id"), "left_anti")
 
+  /** Transitive dedup clusters from a near-dup pair table: connected
+    * components by iterative min-label propagation. Every id gets the
+    * smallest id reachable through the pair graph as `cluster`, plus the
+    * member count. The fixpoint (true connected components) is unique, so
+    * results are engine- and iteration-order-independent — the DuckDB
+    * oracle computes the same components via WITH RECURSIVE closure.
+    *
+    * Scale: each round is one shuffle join keyed by id (pair tables are
+    * orders of magnitude smaller than the corpus); rounds needed = graph
+    * diameter, and near-dup components are shallow (chains of boilerplate
+    * variants), so this converges in a handful of rounds where a full
+    * transitive closure would explode quadratically. Convergence is
+    * detected by the strictly-decreasing label sum — one scalar agg per
+    * round, no data to the driver. (GraphFrames' large-star/small-star is
+    * the published generalization; plain min-propagation keeps it
+    * dependency-free.)
+    */
+  def clusters(ids: DataFrame, idCol: String, pairs: DataFrame,
+               maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .cache()
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster"))
+    var prevSum = Long.MaxValue
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst")).agg(min(col("cluster")).as("nb_cluster"))
+      val next = labels.join(nbMin, labels("id") === nbMin("dst"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nb_cluster"), col("cluster"))).as("cluster"))
+        .cache()
+      // min-labels only ever decrease: an unchanged sum IS the fixpoint
+      // (count-of-changed generalizes better when id sums could overflow)
+      val s = next.agg(sum(col("cluster"))).head().getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      labels.unpersist() // no-op on the uncached round-0 frame
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    val sizes = labels.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "cluster").select(col("id"), col("cluster"), col("n_members"))
+  }
+
   /** Near-duplicate pairs by embedding cosine ≥ `threshold`, compared within
     * equal `blockCol` (e.g. an LSH bucket from [[AnnIndex.withBucket]]).
     * L2 norms are staged per row, so each pair costs one dot product instead

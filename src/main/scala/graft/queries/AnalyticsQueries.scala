@@ -399,12 +399,93 @@ object AnalyticsQueries {
       "A5/A9 scale variant: approx_count_distinct (HLL++) next to the exact " +
         "count — at 100 TB the exact distinct is a full shuffle, the sketch " +
         "is map-side mergeable. No oracle: sketch estimates are " +
-        "engine-specific, so the driver records the weaker rows-only check",
+        "engine-specific, so the driver records the weaker rows-only check. " +
+        "Exact and approx run as SEPARATE aggregates cross-joined at 1 row: " +
+        "combining them makes Catalyst's distinct-rewrite group by the " +
+        "distinct key while dragging both HLL buffers along PER KEY (at " +
+        "rsd=0.01 that is 2 x 1627 longs x n_distinct shuffled — ~0.5 GB at " +
+        "sf0.1, unbounded at 100 TB); split, the sketches merge once per " +
+        "partition and the exact distinct stays a narrow two-phase count",
       oracle = None) { (s, dir) =>
-      lineitem(s, dir).agg(
-        countDistinct(col("l_partkey")).as("exact_parts"),
+      val li = lineitem(s, dir)
+      val exact = li.agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      val approx = li.agg(
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
         approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"))
+      exact.crossJoin(approx)
+    },
+
+    Q("q_revenue_by_nation",
+      "A1/J1 at star-schema scale (TPC-H Q5 shape): lineitem ⋈ orders ⋈ " +
+        "customer ⋈ supplier ⋈ nation ⋈ region with local-supplier " +
+        "condition and a year window. The plan the 100 TB story rides on: " +
+        "region/nation/supplier broadcast (no shuffle for dims), the one " +
+        "big fact shuffle keyed by orderkey, cents-exact revenue sum",
+      Some("""SELECT n_name, count(*) AS n_items,
+             |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+             |FROM lineitem
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation   ON c_nationkey = n_nationkey
+             |JOIN region   ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND c_nationkey = s_nationkey
+             |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY n_name
+             |ORDER BY revenue_cents DESC, n_name""".stripMargin),
+      bench = true) { (s, dir) =>
+      val o = orders(s, dir).filter(
+        col("o_orderdate") >= expr("TIMESTAMP '1997-01-01 00:00:00'") &&
+          col("o_orderdate") < expr("TIMESTAMP '1998-01-01 00:00:00'"))
+      lineitem(s, dir)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supplier(s, dir)), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, dir)), col("n_regionkey") === col("r_regionkey") &&
+          col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_items"),
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long")).as("revenue_cents"))
+        .orderBy(desc("revenue_cents"), col("n_name"))
+    },
+
+    Q("q_quantiles",
+      "Exact quantiles per group: p25/p50/p75 of l_quantity by returnflag. " +
+        "Dyadic fractions over integer-valued doubles make linear " +
+        "interpolation bit-exact in both engines; non-dyadic fractions or " +
+        "fractional values would need the fixed-point trick. The 100 TB " +
+        "variant is q_approx_quantiles (mergeable sketch, no global sort)",
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS p25,
+             |  quantile_cont(CAST(l_quantity AS DOUBLE), 0.50) AS p50,
+             |  quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS p75
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)) { (s, dir) =>
+      lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(CAST(l_quantity AS DOUBLE), 0.25)").as("p25"),
+          expr("percentile(CAST(l_quantity AS DOUBLE), 0.50)").as("p50"),
+          expr("percentile(CAST(l_quantity AS DOUBLE), 0.75)").as("p75"))
+        .orderBy("l_returnflag")
+    },
+
+    Q("q_approx_quantiles",
+      "Quantiles at 100 TB: approx_percentile (KLL-style mergeable sketch, " +
+        "map-side combinable, no global sort) next to the exact percentile " +
+        "for error visibility. No oracle: sketch estimates are " +
+        "engine-specific (weaker rows-only check, like q_approx_distinct)",
+      oracle = None) { (s, dir) =>
+      lineitem(s, dir).agg(
+        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx_p50"),
+        expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("approx_p99"))
     },
 
     Q("q_dashboard_counts",

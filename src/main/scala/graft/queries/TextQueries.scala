@@ -302,6 +302,43 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    Q("q_dedup_clusters",
+      "Transitive dedup clusters: connected components over the MinHash LSH " +
+        "pair graph via iterative min-label propagation (Dedup.clusters) — " +
+        "pairs say WHO matches, clusters say what to keep; the unique " +
+        "fixpoint lets a WITH RECURSIVE closure oracle-check a distributed " +
+        "iterative algorithm",
+      Some(s"""WITH RECURSIVE $nearDupCorpusSql,
+              |hs AS (SELECT doc_id, ${text.shingleHashes(D, "text", 3)} AS hs
+              |       FROM corpus),
+              |sig AS (SELECT doc_id, ${text.minhashFromHashes(D, "hs", 16)} AS sig
+              |        FROM hs),
+              |bands AS (SELECT doc_id, j,
+              |            ${D.arrayJoin(D.slice("sig", "4*j + 1", "4"), "_")} AS band_key
+              |          FROM sig, (SELECT unnest(generate_series(0, 3)) AS j)),
+              |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              |          FROM bands a JOIN bands b
+              |            ON a.j = b.j AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+              |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+              |          UNION SELECT b_id, a_id FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT doc_id, doc_id FROM corpus
+              |  UNION
+              |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+              |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+              |SELECT c.id, c.cluster, s.n_members
+              |FROM comp c
+              |JOIN (SELECT cluster, count(*) AS n_members
+              |      FROM comp GROUP BY cluster) s USING (cluster)
+              |ORDER BY id""".stripMargin)) { (s, dir) =>
+      val corpus = nearDupCorpus(documents(s, dir))
+      val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+        k = 16, bands = 4, shingleN = 3)
+      Dedup.clusters(corpus, "doc_id", pairs)
+        .select(col("id"), col("cluster"), col("n_members"))
+        .orderBy("id")
+    },
+
     Q("q_fingerprint",
       "Document fingerprinting: rolling polynomial hash over token hashes " +
         "(order-sensitive, unlike the MinHash set signature)",
