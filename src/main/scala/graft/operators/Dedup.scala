@@ -140,8 +140,12 @@ object Dedup {
     */
   def clusters(ids: DataFrame, idCol: String, pairs: DataFrame,
                maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // cache the pair table, not just the edge union: both union branches
+    // read it, and uncached it would run its (possibly expensive, e.g.
+    // MinHash LSH) plan twice per materialization
+    val p = pairs.select(col("a_id"), col("b_id")).cache()
+    val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(p.select(col("b_id").as("src"), col("a_id").as("dst")))
       .cache()
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster"))
     var prevSum = Long.MaxValue
@@ -164,6 +168,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    p.unpersist()
     val sizes = labels.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
     labels.join(sizes, "cluster").select(col("id"), col("cluster"), col("n_members"))
   }

@@ -50,12 +50,19 @@ object GeoSearch {
     val dLat = maxKm / 110.574
     // per-row lon window sized at the worst latitude within each left row's
     // band — a fixed constant would under-cover near the poles and silently
-    // rank a farther neighbor as nearest
-    val dLon = lit(maxKm) / (lit(111.320) *
-      greatest(cos(radians(abs(left(leftLat)) + lit(dLat))), lit(0.01)))
+    // rank a farther neighbor as nearest; within 1 degree of a pole no lon
+    // window is sound at all (all longitudes reachable), so the predicate
+    // drops to lat-only there, same contract as geo.bboxDeltas
+    val worstLat = abs(left(leftLat)) + lit(dLat)
+    val dLon = lit(maxKm) / (lit(111.320) * cos(radians(worstLat)))
+    // a window crossing the antimeridian can't be one BETWEEN either —
+    // lat-only prune for those rows rather than silently under-cover
+    val crossesAm =
+      (left(leftLon) - dLon < -180.0) || (left(leftLon) + dLon > 180.0)
     val joined = left.join(right,
       right(rightLat).between(left(leftLat) - dLat, left(leftLat) + dLat) &&
-        right(rightLon).between(left(leftLon) - dLon, left(leftLon) + dLon))
+        (worstLat >= 89.0 || crossesAm ||
+          right(rightLon).between(left(leftLon) - dLon, left(leftLon) + dLon)))
       .withColumn("distance_km",
         geo.haversineKm(left(leftLat), left(leftLon), right(rightLat), right(rightLon)))
       .filter(col("distance_km") <= maxKm)

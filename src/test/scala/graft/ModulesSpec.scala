@@ -78,6 +78,36 @@ class ModulesSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup clusters: multi-hop chains collapse transitively") {
+    // the oracle corpus only produces diameter-1 components (doc, doc+10000)
+    // — this pins convergence over longer chains and singleton handling
+    import spark.implicits._
+    val ids = (1L to 10L).toDF("id")
+    // chain 1-2-3-4-5 (needs 4 propagation hops) + pair 7-8; 6,9,10 isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (7L, 8L))
+      .toDF("a_id", "b_id")
+    val got = graft.operators.Dedup.clusters(ids, "id", pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    (1L to 5L).foreach(i => assert(got(i) == (1L, 5L), s"id $i: ${got(i)}"))
+    Seq(7L, 8L).foreach(i => assert(got(i) == (7L, 2L), s"id $i: ${got(i)}"))
+    Seq(6L, 9L, 10L).foreach(i => assert(got(i) == (i, 1L), s"id $i: ${got(i)}"))
+  }
+
+  test("nearestK keeps neighbors across the pole and the antimeridian") {
+    import spark.implicits._
+    // 11.1 km apart over the pole; the lon windows are disjoint, so any
+    // lon BETWEEN predicate would wrongly drop the pair. Same story for
+    // two points straddling the antimeridian at mid latitude.
+    val left = Seq((1L, 89.95, 0.0), (2L, 10.0, 179.99)).toDF("lid", "lat", "lon")
+    val right = Seq((10L, 89.95, 180.0), (20L, 10.0, -179.99))
+      .toDF("rid", "stop_lat", "stop_lon")
+    val got = graft.operators.GeoSearch.nearestK(
+        left, right, "lid", "lat", "lon", "rid", "stop_lat", "stop_lon",
+        k = 1, maxKm = 20.0)
+      .select("lid", "rid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 10L, 2L -> 20L), s"got $got")
+  }
+
   test("CSV ingest: BOM headers normalized, coords cast, embedding text built") {
     val df = CsvClean.healthServices(spark, refCsv)
     assert(df.columns.contains("lat") && df.columns.contains("lon"))
