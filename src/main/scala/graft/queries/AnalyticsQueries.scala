@@ -488,6 +488,30 @@ object AnalyticsQueries {
         expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("approx_p99"))
     },
 
+    Q("q_salted_join",
+      "Skew-mitigated join: events ⋈ customer with the events shuffle key " +
+        "salted 8 ways (deterministic pmod(hash(event_id), 8) salt, customer " +
+        "side replicated x8) then grouped by segment — results are exactly " +
+        "the unsalted join's, which is what the plain-SQL oracle checks; at " +
+        "100 TB this is how one hot user stops holding an executor hostage",
+      Some(s"""SELECT c_mktsegment, count(*) AS n,
+              |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_val_x100
+              |FROM events JOIN customer ON user_id = c_custkey
+              |GROUP BY c_mktsegment
+              |ORDER BY c_mktsegment""".stripMargin),
+      bench = true) { (s, dir) =>
+      graft.operators.Skew.saltedJoin(
+          events(s, dir), "user_id", "event_id",
+          customer(s, dir).select("c_custkey", "c_mktsegment"), "c_custkey", n = 8)
+        .groupBy("c_mktsegment")
+        // cents trick, not a fixed-point of sum(double): per-row rounding
+        // then integer sum is independent of accumulation order, which the
+        // salted shuffle deliberately changes
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).cast("long").as("sum_val_x100"))
+        .orderBy("c_mktsegment")
+    },
+
     Q("q_dashboard_counts",
       "Entry point 3 (health_api.py:421-471): the 7-query dashboard fan-out " +
         "collapsed into one row of independent scalar aggregates",

@@ -108,6 +108,35 @@ class ModulesSpec extends AnyFunSuite {
     assert(got == Map(1L -> 10L, 2L -> 20L), s"got $got")
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    // the 100 TB co-location story: pre-bucketing both sides of a repeated
+    // join key removes the per-query Exchange entirely — the planner must
+    // produce a SortMergeJoin with zero Exchange operators
+    import spark.implicits._
+    val warehouse = java.nio.file.Files.createTempDirectory("graft_buck").toString
+    try {
+      val facts = (1L to 1000L).map(i => (i % 50, i, i * 2.0)).toDF("k", "id", "v")
+      val dims = (0L until 50L).map(i => (i, s"name_$i")).toDF("k", "name")
+      facts.write.format("parquet").bucketBy(8, "k").sortBy("k")
+        .option("path", s"$warehouse/facts").mode("overwrite").saveAsTable("buck_facts")
+      dims.write.format("parquet").bucketBy(8, "k").sortBy("k")
+        .option("path", s"$warehouse/dims").mode("overwrite").saveAsTable("buck_dims")
+      // merge hint: at test size the planner would broadcast the dim side
+      // (also shuffle-free, but then bucketing proves nothing) — the point
+      // is the sort-merge join runs WITHOUT a hashpartitioning exchange
+      val joined = spark.table("buck_facts").hint("merge")
+        .join(spark.table("buck_dims"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == 1000)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS buck_facts")
+      spark.sql("DROP TABLE IF EXISTS buck_dims")
+    }
+  }
+
   test("CSV ingest: BOM headers normalized, coords cast, embedding text built") {
     val df = CsvClean.healthServices(spark, refCsv)
     assert(df.columns.contains("lat") && df.columns.contains("lon"))
