@@ -82,4 +82,66 @@ object AnnIndex {
       .orderBy(desc("similarity") +: tieBreak.map(col): _*)
       .limit(k)
   }
+
+  // --- IVF (inverted-file) variant -----------------------------------------
+  //
+  // The centroid-routed alternative to the sign-LSH buckets above, the other
+  // standard ANN layout (FAISS's IVF-Flat): k-means centroids partition the
+  // corpus into `nLists` inverted lists; a query probes only the `nProbe`
+  // nearest lists and exact-reranks inside them. Versus LSH: data-adaptive
+  // (centroids follow the corpus distribution, so list sizes stay balanced
+  // where fixed hyperplanes can carve empty/mega buckets), at the cost of a
+  // training pass. At 100 TB: fit on a sample, persist the corpus
+  // partitioned by `list_id`, and a probe reads nProbe/nLists of the data.
+  // No oracle — k-means is engine-specific — so the spec pins the exact
+  // contract instead: probing ALL lists must equal brute force exactly.
+
+  /** Fit the routing centroids. At scale, fit on `corpus.sample(...)` —
+    * centroid quality degrades gracefully with sampling, recall does not
+    * depend on seeing every row at training time. */
+  def ivfFit(corpus: DataFrame, embCol: String, nLists: Int,
+             seed: Long = 42L): org.apache.spark.ml.clustering.KMeansModel =
+    new org.apache.spark.ml.clustering.KMeans()
+      .setK(nLists).setSeed(seed).setMaxIter(10).setFeaturesCol("__features")
+      .fit(corpus.select(org.apache.spark.ml.functions.array_to_vector(
+        col(embCol).cast("array<double>")).as("__features")))
+
+  /** Corpus with its inverted-list assignment — persist partitioned by
+    * `list_id` as the index build. */
+  def ivfAssign(model: org.apache.spark.ml.clustering.KMeansModel,
+                df: DataFrame, embCol: String): DataFrame =
+    model.transform(df.withColumn("__features",
+        org.apache.spark.ml.functions.array_to_vector(col(embCol).cast("array<double>"))))
+      .withColumnRenamed(model.getPredictionCol, "list_id")
+      .drop("__features")
+
+  /** IVF top-k: route the query to its `nProbe` nearest centroids, scan only
+    * those lists, exact cosine re-rank. `nProbe = nLists` degenerates to
+    * exact brute force (asserted in ModulesSpec). */
+  def ivfTopK(model: org.apache.spark.ml.clustering.KMeansModel,
+              corpus: DataFrame, embCol: String,
+              query: DataFrame, queryCol: String,
+              k: Int, nProbe: Int, tieBreak: Seq[String] = Nil): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq.toDF("list_id", "centroid")
+    // squared euclidean via the staged-dot identity; centroid count is tiny,
+    // so the routing is a broadcast cross join + TakeOrderedAndProject
+    val probes = query.select(col(queryCol).cast("array<double>").as("__q"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist2",
+        vectors.dot(col("__q"), col("__q"))
+          - lit(2.0) * vectors.dot(col("__q"), col("centroid"))
+          + vectors.dot(col("centroid"), col("centroid")))
+      .orderBy(col("dist2"), col("list_id"))
+      .limit(nProbe)
+      .select(col("list_id"))
+    ivfAssign(model, corpus, embCol)
+      .join(broadcast(probes), "list_id")
+      .crossJoin(broadcast(query.select(col(queryCol))))
+      .withColumn("similarity", vectors.cosineSim(col(embCol), col(queryCol)))
+      .orderBy(desc("similarity") +: tieBreak.map(col): _*)
+      .limit(k)
+  }
 }

@@ -106,6 +106,24 @@ object EventsStream {
       }
   }
 
+  /** Streaming ingest dedup (training-data-pipeline extension): drop exact
+    * near-in-time duplicates by content fingerprint, with the watermark
+    * bounding the dedup state — the streaming half of [[graft.operators
+    * .Dedup.exact]]. `dropDuplicatesWithinWatermark` keeps one row per
+    * fingerprint seen inside the watermark horizon and AGES THE STATE OUT
+    * (plain dropDuplicates on a stream grows state forever — at 100 TB/day
+    * of ingest that is an OOM with extra steps). The fingerprint is the
+    * rolling token hash ([[graft.functions.text.fingerprint]]), so
+    * whitespace-insensitive exact dupes collapse; swap in a MinHash band
+    * key for streaming NEAR-dup suppression with the same state shape. */
+  def dedupStream(events: DataFrame, textCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    events
+      .withColumn("fp", expr(
+        graft.functions.text.fingerprint(graft.functions.SparkDialect, textCol)))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** T1/X6: streaming location extraction from message text. Non-matching
     * messages yield NULL coords (regexp_extract returns '' there, and under
     * ANSI mode — Spark 4's default — a bare cast would throw). */

@@ -108,6 +108,29 @@ class ModulesSpec extends AnyFunSuite {
     assert(got == Map(1L -> 10L, 2L -> 20L), s"got $got")
   }
 
+  test("IVF ANN: probing all lists equals brute force; partial probe recalls") {
+    import graft.operators.AnnIndex
+    val corpus = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val query = corpus.filter(col("vec_id") === 0).select(col("emb").as("qe"))
+    val rest = corpus.filter(col("vec_id") =!= 0)
+    val model = AnnIndex.ivfFit(rest, "emb", nLists = 8)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").collect().map(_.getLong(0)).toSeq
+    val brute = ids(graft.operators.VectorSearch.knnByExample(
+      rest, "emb", query, "qe", k = 10, threshold = -2.0))
+    // exactness contract: nProbe = nLists is brute force (set-compare —
+    // knnByExample has no tiebreak, so exact-tie orderings may differ)
+    val full = ids(AnnIndex.ivfTopK(model, rest, "emb", query, "qe",
+      k = 10, nProbe = 8, tieBreak = Seq("vec_id")))
+    assert(full.toSet == brute.toSet, s"full probe diverged: $full vs $brute")
+    // partial probe: approximate, but must overlap the true top-10
+    val partial = ids(AnnIndex.ivfTopK(model, rest, "emb", query, "qe",
+      k = 10, nProbe = 2, tieBreak = Seq("vec_id")))
+    val recall = partial.toSet.intersect(brute.toSet).size
+    assert(recall >= 3, s"nProbe=2 recall too low: $recall of 10 ($partial)")
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     // the 100 TB co-location story: pre-bucketing both sides of a repeated
     // join key removes the per-query Exchange entirely — the planner must
@@ -208,6 +231,30 @@ class ModulesSpec extends AnyFunSuite {
     assert(rows.length == 2)
     val click = rows.find(_.getString(1) == "click").get
     assert(click.getLong(2) == 2 && click.getDouble(3) == 2.0)
+  }
+
+  test("streaming dedup within watermark drops repeated content") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF.toDF("ts", "event_id", "text")
+    val q = EventsStream.dedupStream(df, "text")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "the same doc"),
+      (Timestamp.valueOf("2024-01-01 10:05:00"), 2L, "the  same   doc"), // ws-insensitive dup
+      (Timestamp.valueOf("2024-01-01 10:10:00"), 3L, "a different doc"))
+    q.processAllAvailable()
+    // append mode emits deduped rows only after the watermark passes —
+    // advance event time far enough to flush, then read
+    mem.addData((Timestamp.valueOf("2024-01-01 13:00:00"), 4L, "flush marker"))
+    q.processAllAvailable()
+    val ids = spark.table("dedup_stream").select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(ids.contains(1L) && ids.contains(3L), s"survivors missing: $ids")
+    assert(!ids.contains(2L), s"duplicate 2 survived: $ids")
   }
 
   test("sessionization gap logic (pure state update)") {
