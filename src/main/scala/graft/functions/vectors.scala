@@ -20,7 +20,7 @@ object vectors {
     * all three produce bit-identical doubles. Compiled loop, not a Catalyst
     * HOF: interpreted lambda evaluation made brute-force similarity scans
     * ~10x slower at bench scale. */
-  private def dotKernel(a: Seq[Double], b: Seq[Double]): Double = {
+  private def dotKernel(a: Array[Double], b: Array[Double]): Double = {
     var acc = 0.0
     var i = 0
     val n = math.min(a.length, b.length)
@@ -28,14 +28,18 @@ object vectors {
     acc
   }
 
-  // java.lang.Double returns: NULL embeddings (the reference's columns are
-  // nullable) must yield NULL, not a task-aborting NPE inside the kernel
-  private val dotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+  // Array[Double] (not Seq) parameters: Spark deserializes array<double>
+  // into a primitive double[] in one toDoubleArray copy, where a Seq
+  // parameter pays a per-element converter — ~13 µs vs ~0.5 µs per call on
+  // 64-dim vectors, the difference between 2 s and 0.1 s on a 150k-pair
+  // dedup join. java.lang.Double returns: NULL embeddings (the reference's
+  // columns are nullable) must yield NULL, not a task-aborting NPE.
+  private val dotUdf = udf { (a: Array[Double], b: Array[Double]) =>
     if (a == null || b == null) null
     else java.lang.Double.valueOf(dotKernel(a, b))
   }
 
-  private val cosineUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+  private val cosineUdf = udf { (a: Array[Double], b: Array[Double]) =>
     if (a == null || b == null) null
     else {
       val na = math.sqrt(dotKernel(a, a))

@@ -30,7 +30,7 @@ object AnnIndex {
     * [[graft.functions.TextSig]] for the rationale). The j-loop accumulates
     * doubles left-to-right — the same order as the DuckDB rendering below,
     * so every sign, and therefore every bucket id, matches exactly. */
-  private val bucketUdf = udf { (emb: Seq[Double], dim: Int, planes: Int) =>
+  private val bucketUdf = udf { (emb: Array[Double], dim: Int, planes: Int) =>
     if (emb == null) null // NULL embeddings never join a bucket
     else {
       var bucket = 0L

