@@ -36,8 +36,13 @@ object Dedup {
       .drop(textCol)
 
   private def pairJoin(sigs: DataFrame, joinCols: Seq[String]): DataFrame = {
-    val a = sigs.toDF(sigs.columns.map("a_" + _): _*)
-    val b = sigs.toDF(sigs.columns.map("b_" + _): _*)
+    // shuffle_hash, never broadcast: both sides of this self-join are the
+    // whole corpus, and the signature projections feeding it are UDF-heavy —
+    // a broadcast build would evaluate one full side single-threaded on the
+    // driver (measured 4x the query), and at 100 TB the corpus can't be
+    // broadcast at all. Hash beats merge: the block key needs no sort.
+    val a = sigs.toDF(sigs.columns.map("a_" + _): _*).hint("shuffle_hash")
+    val b = sigs.toDF(sigs.columns.map("b_" + _): _*).hint("shuffle_hash")
     val cond = joinCols.map(c => col("a_" + c) === col("b_" + c)).reduce(_ && _) &&
       col("a_id") < col("b_id")
     a.join(b, cond)

@@ -262,8 +262,11 @@ object TextQueries {
           "struct(j AS band_idx, array_join(slice(sig, j*4 + 1, 4), '_') AS band_key))"))
           .as("b"))
         .select(col("doc_id"), col("hs"), col("b.band_idx"), col("b.band_key"))
-      val a = bands.toDF("a_id", "a_hs", "a_j", "a_key")
-      val b = bands.toDF("b_id", "b_hs", "b_j", "b_key")
+      // shuffle_hash like Dedup.pairJoin: broadcast would build the whole
+      // UDF-heavy side single-threaded, and a corpus self-join side can
+      // never be broadcast at scale anyway
+      val a = bands.toDF("a_id", "a_hs", "a_j", "a_key").hint("shuffle_hash")
+      val b = bands.toDF("b_id", "b_hs", "b_j", "b_key").hint("shuffle_hash")
       a.join(b, col("a_j") === col("b_j") && col("a_key") === col("b_key") &&
           col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"), col("a_hs"), col("b_hs")).distinct()
