@@ -133,6 +133,16 @@ object text {
       toks)
   }
 
+  /** Multiplicative key mix for deterministic sampling / splits / epoch
+    * shuffles: ((key + seed) * 2654435761) mod P. Integer arithmetic only,
+    * so the same row lands in the same sample/split/shuffle position in any
+    * engine, on any cluster, on any run — which is what makes a sample
+    * reproducible and a train/test split leak-proof at 100 TB, where
+    * rand()-based sampling cannot be replayed. (keys ≤ ~1e9 stay well under
+    * BIGINT overflow: 1e9 * 2654435761 ≈ 2.7e18 < 2^63.) */
+  def mix(keyExpr: String, seed: Long = 0L): String =
+    s"(((($keyExpr) + $seed) * ${Mix1}) % $P)"
+
   /** Engine-stable fixed-point rounding: floor(x*10^k + 0.5) as BIGINT.
     * `round()` on DOUBLE disagrees between engines at exact .5 decimal
     * boundaries (Spark rounds the shortest decimal repr via BigDecimal,

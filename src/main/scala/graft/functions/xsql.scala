@@ -58,6 +58,9 @@ sealed abstract class Dialect {
   /** true when the regex matches anywhere in `s` */
   def regexMatch(s: String, pattern: String): String
   def regexpCount(s: String, pattern: String): String
+  /** replace ALL regex matches (DuckDB needs the 'g' flag — its default
+    * replaces only the first match, Spark's replaces all) */
+  def regexReplaceAll(s: String, pattern: String, repl: String): String
   /** cast array<float> to array<double> */
   def castDoubleArray(a: String): String
 }
@@ -96,6 +99,8 @@ object SparkDialect extends Dialect {
   // in canonical (single-backslash) form and doubled here.
   def regexpCount(s: String, pattern: String) =
     s"regexp_count($s, '${pattern.replace("\\", "\\\\")}')"
+  def regexReplaceAll(s: String, pattern: String, repl: String) =
+    s"regexp_replace($s, '${pattern.replace("\\", "\\\\")}', '$repl')"
   def castDoubleArray(a: String) = s"CAST($a AS ARRAY<DOUBLE>)"
 }
 
@@ -132,5 +137,7 @@ object DuckDialect extends Dialect {
   def strIndex(s: String, sub: String) = s"strpos($s, '$sub')"
   def regexMatch(s: String, pattern: String) = s"regexp_matches($s, '$pattern')"
   def regexpCount(s: String, pattern: String) = s"len(regexp_extract_all($s, '$pattern'))"
+  def regexReplaceAll(s: String, pattern: String, repl: String) =
+    s"regexp_replace($s, '$pattern', '$repl', 'g')"
   def castDoubleArray(a: String) = s"CAST($a AS DOUBLE[])"
 }

@@ -286,8 +286,10 @@ object Catalog {
     }
   )
 
-  /** full catalog: core relational/geo/vector + text/dedup + analytics families */
-  lazy val everything: Seq[Q] = all ++ TextQueries.all ++ AnalyticsQueries.all
+  /** full catalog: core relational/geo/vector + text/dedup + analytics +
+    * training-data-curation families */
+  lazy val everything: Seq[Q] =
+    all ++ TextQueries.all ++ AnalyticsQueries.all ++ PipelineQueries.all
 
   lazy val byName: Map[String, Q] = everything.map(q => q.name -> q).toMap
 

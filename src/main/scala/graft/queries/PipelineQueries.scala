@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables._
+import graft.functions.{text, DuckDialect => D, SparkDialect => S}
+
+/** The training-data-curation stage of a 100 TB pipeline, as oracle-backed
+  * operators: deterministic sampling, train/val/test splitting, per-source
+  * caps, sequence packing, PII scrubbing, benchmark decontamination,
+  * quality-filter yield accounting, and epoch shuffling.
+  *
+  * The reference has none of these (its corpus is 17k housing rows searched
+  * in memory — backend/search_housing.py); they are the operations that turn
+  * a raw crawl into a training set, and every one is built on the engine's
+  * existing primitives (hash mix, shingle hashes, window functions, regex)
+  * so the whole family stays declarative, partition-parallel and
+  * oracle-checkable. Determinism is load-bearing throughout: sampling and
+  * splits use the multiplicative key mix ([[text.mix]]), never rand() —
+  * a split that can't be replayed is a train/test leak waiting to happen.
+  */
+object PipelineQueries {
+
+  private val mixDoc = text.mix("doc_id")
+
+  val all: Seq[Q] = Seq(
+
+    Q("q_hash_sample",
+      "Deterministic 5% corpus sample: multiplicative key mix mod 100 < 5. " +
+        "Unlike TABLESAMPLE/rand(), the predicate is a pure projection-level " +
+        "expression — reproducible across engines and runs, sargable, and " +
+        "at 100 TB it samples without a shuffle or a seed-coordination step",
+      Some(s"""SELECT doc_id, lang, source FROM documents
+              |WHERE ($mixDoc) % 100 < 5
+              |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      documents(s, dir)
+        .filter(expr(s"($mixDoc) % 100 < 5"))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
+    Q("q_train_test_split",
+      "Deterministic 80/10/10 train/val/test split by key mix — the split " +
+        "is a pure function of the key, so it never leaks across reruns, " +
+        "engines or cluster sizes; yield accounted per source x split",
+      Some(s"""SELECT source, split, count(*) AS n,
+              |  CAST(sum(${text.nTokens(D, "text")}) AS BIGINT) AS sum_tokens
+              |FROM (
+              |  SELECT source, text, CASE
+              |    WHEN ($mixDoc) % 10 < 8 THEN 'train'
+              |    WHEN ($mixDoc) % 10 = 8 THEN 'val'
+              |    ELSE 'test' END AS split
+              |  FROM documents)
+              |GROUP BY source, split
+              |ORDER BY source, split""".stripMargin),
+      bench = true) { (s, dir) =>
+      documents(s, dir)
+        .withColumn("split", expr(
+          s"""CASE WHEN ($mixDoc) % 10 < 8 THEN 'train'
+             |     WHEN ($mixDoc) % 10 = 8 THEN 'val'
+             |     ELSE 'test' END""".stripMargin))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n"),
+          sum(expr(text.nTokens(S, "text"))).cast("long").as("sum_tokens"))
+        .orderBy("source", "split")
+    },
+
+    Q("q_source_cap",
+      "Per-source document cap (keep 10 lowest-keyed docs per source): the " +
+        "anti-boilerplate / source-balance step — one window per source " +
+        "partition, no global coordination, any source's overflow is " +
+        "dropped executor-locally at 100 TB",
+      Some("""SELECT doc_id, source FROM (
+             |  SELECT doc_id, source,
+             |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 10
+             |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      documents(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+
+    Q("q_token_pack",
+      "Sequence packing: within each source shard, docs pack greedily into " +
+        "512-token training bins by running token count (bin = exclusive " +
+        "cumulative sum div budget). Packing per source partition — not " +
+        "globally — is what keeps the window parallel at 100 TB; a global " +
+        "pack would be a single-partition sort. Emits per-bin doc count and " +
+        "token fill",
+      Some(s"""SELECT source, bin, count(*) AS n_docs,
+              |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+              |FROM (
+              |  SELECT source, n_tok,
+              |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS bin
+              |  FROM (SELECT source, doc_id,
+              |          CAST(${text.nTokens(D, "text")} AS BIGINT) AS n_tok
+              |        FROM documents))
+              |GROUP BY source, bin
+              |ORDER BY source, bin""".stripMargin),
+      bench = true) { (s, dir) =>
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          expr(text.nTokens(S, "text")).cast("long").as("n_tok"))
+        .withColumn("bin",
+          (coalesce(sum(col("n_tok")).over(w), lit(0L)) / lit(512)).cast("long"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("sum_tokens"))
+        .orderBy("source", "bin")
+    },
+
+    Q("q_pii_scrub",
+      "PII scrubbing: regex-redact emails and phone numbers (synthesized " +
+        "deterministically around the corpus text, since the synthetic docs " +
+        "carry none), count redactions — the pre-training compliance pass, " +
+        "a pure codegen'd projection at any scale",
+      Some {
+        val email = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+        val phone = "[+]1-555-[0-9]{4}"
+        s"""SELECT doc_id,
+           |  CAST(${D.regexpCount("msg", email)} AS BIGINT) AS n_emails,
+           |  CAST(${D.regexpCount("msg", phone)} AS BIGINT) AS n_phones,
+           |  length(${D.regexReplaceAll(D.regexReplaceAll("msg", email, "<EMAIL>"), phone, "<PHONE>")}) AS clean_len
+           |FROM (
+           |  SELECT doc_id,
+           |    'reach u' || CAST(doc_id AS VARCHAR) || '@mail.example.com or +1-555-'
+           |      || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' re: ' || text AS msg
+           |  FROM documents WHERE doc_id < 300)
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val email = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+      val phone = "[+]1-555-[0-9]{4}"
+      documents(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          concat(lit("reach u"), col("doc_id").cast("string"),
+            lit("@mail.example.com or +1-555-"),
+            (lit(1000) + col("doc_id") % 9000).cast("string"),
+            lit(" re: "), col("text")).as("msg"))
+        .select(col("doc_id"),
+          expr(S.regexpCount("msg", email)).cast("long").as("n_emails"),
+          expr(S.regexpCount("msg", phone)).cast("long").as("n_phones"),
+          length(expr(S.regexReplaceAll(
+            S.regexReplaceAll("msg", email, "<EMAIL>"), phone, "<PHONE>")))
+            .cast("long").as("clean_len"))
+        .orderBy("doc_id")
+    },
+
+    Q("q_contamination",
+      "Benchmark decontamination: flag training docs sharing any 5-gram " +
+        "shingle hash with the held-out set (doc_id % 97 = 0). The join is " +
+        "keyed by shingle hash — at 100 TB the held-out side is tiny and " +
+        "broadcast, so decontamination is one map-side semi-join over the " +
+        "exploded corpus, no quadratic text compare",
+      Some(s"""WITH sh AS (
+              |  SELECT doc_id, unnest(${text.shingleHashes(D, "text", 5)}) AS h
+              |  FROM documents),
+              |test_sh AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0)
+              |SELECT DISTINCT doc_id FROM sh
+              |WHERE doc_id % 97 <> 0 AND h IN (SELECT h FROM test_sh)
+              |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val sh = documents(s, dir)
+        .select(col("doc_id"),
+          explode(graft.functions.TextSig.shingleHashesUdf(col("text"), lit(5))).as("h"))
+      val testSh = sh.filter(col("doc_id") % 97 === 0).select("h").distinct()
+      sh.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(testSh), Seq("h"), "left_semi")
+        .select("doc_id").distinct()
+        .orderBy("doc_id")
+    },
+
+    Q("q_quality_filter",
+      "Quality-filter application with yield accounting: keep docs passing " +
+        "the composite gate (20..5000 tokens, uniq_ratio >= 0.5, stopword " +
+        "ratio <= 0.6), report kept/dropped and kept-token yield per source " +
+        "— the numbers a curation run is judged by. One pass, no shuffle " +
+        "beyond the final per-source rollup",
+      Some {
+        val nt = text.nTokens(D, "text")
+        val uq = text.uniqRatio(D, "text")
+        val sr = text.markerRatio(D, "text", Seq("the", "a"))
+        s"""SELECT source,
+           |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+           |  CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+           |FROM (
+           |  SELECT source, n_tok,
+           |    (n_tok BETWEEN 20 AND 5000 AND uq >= 0.5 AND sr <= 0.6) AS keep
+           |  FROM (SELECT source, CAST($nt AS BIGINT) AS n_tok,
+           |          $uq AS uq, $sr AS sr
+           |        FROM documents))
+           |GROUP BY source
+           |ORDER BY source""".stripMargin
+      },
+      bench = true) { (s, dir) =>
+      val nt = text.nTokens(S, "text")
+      val uq = text.uniqRatio(S, "text")
+      val sr = text.markerRatio(S, "text", Seq("the", "a"))
+      documents(s, dir)
+        .select(col("source"),
+          expr(nt).cast("long").as("n_tok"),
+          expr(uq).as("uq"), expr(sr).as("sr"))
+        .withColumn("keep",
+          col("n_tok").between(20, 5000) && col("uq") >= 0.5 && col("sr") <= 0.6)
+        .groupBy("source")
+        .agg(sum(when(col("keep"), 1).otherwise(0)).cast("long").as("n_kept"),
+          sum(when(col("keep"), 0).otherwise(1)).cast("long").as("n_dropped"),
+          sum(when(col("keep"), col("n_tok")).otherwise(0L)).cast("long").as("kept_tokens"))
+        .orderBy("source")
+    },
+
+    Q("q_epoch_shuffle",
+      "Epoch shuffling: a deterministic global permutation by seeded key " +
+        "mix — every epoch reorders with a different seed, every run of the " +
+        "same epoch agrees. Top-20 head shipped as the check; the full sort " +
+        "is a TakeOrderedAndProject here, a range-partitioned sort at scale",
+      Some(s"""SELECT doc_id, shuffle_key FROM (
+              |  SELECT doc_id, ${text.mix("doc_id", 7)} AS shuffle_key
+              |  FROM documents)
+              |ORDER BY shuffle_key, doc_id
+              |LIMIT 20""".stripMargin)) { (s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"), expr(text.mix("doc_id", 7)).as("shuffle_key"))
+        .orderBy("shuffle_key", "doc_id")
+        .limit(20)
+    }
+  )
+}
