@@ -512,6 +512,45 @@ object AnalyticsQueries {
         .orderBy("c_mktsegment")
     },
 
+    Q("q_asof_join",
+      "As-of join (operators/AsOfJoin): each purchase event matched to the " +
+        "user's most recent click at-or-before it. Spark has no asof " +
+        "operator; the union+tagged-window implementation is one shuffle + " +
+        "one partitioned window (no per-row history scan), and the oracle " +
+        "is DuckDB's NATIVE ASOF LEFT JOIN — two independent algorithms, " +
+        "same rows. Right side pre-aggregated to one row per (user, ts) " +
+        "per the operator's uniqueness contract",
+      Some(s"""WITH purchases AS (
+              |  SELECT event_id, user_id, ts FROM events
+              |  WHERE event_type = 'purchase' AND user_id < 200),
+              |clicks AS (
+              |  SELECT user_id, ts, max(value) AS click_value FROM events
+              |  WHERE event_type = 'click' GROUP BY user_id, ts)
+              |SELECT p.event_id,
+              |  coalesce(${D.epochSeconds("p.ts")} - ${D.epochSeconds("c.ts")}, -1) AS lag_s,
+              |  coalesce(${text.fixedPoint("c.click_value", 2)}, -1) AS click_value_x100
+              |FROM purchases p ASOF LEFT JOIN clicks c
+              |  ON p.user_id = c.user_id AND p.ts >= c.ts
+              |ORDER BY p.event_id""".stripMargin),
+      bench = true) { (s, dir) =>
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase" && col("user_id") < 200)
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts")
+        .agg(max(col("value")).as("click_value"))
+        .select(col("user_id"), col("ts"), col("ts").as("click_ts"), col("click_value"))
+      graft.operators.AsOfJoin
+        .asOfLatest(purchases, clicks, "user_id", "ts", "ts",
+          payloadCols = Seq("click_ts", "click_value"))
+        .select(col("event_id"),
+          coalesce(unix_timestamp(col("ts")) - unix_timestamp(col("asof.click_ts")),
+            lit(-1L)).as("lag_s"),
+          coalesce(expr(text.fixedPoint("asof.click_value", 2)), lit(-1L))
+            .as("click_value_x100"))
+        .orderBy("event_id")
+    },
+
     Q("q_dashboard_counts",
       "Entry point 3 (health_api.py:421-471): the 7-query dashboard fan-out " +
         "collapsed into one row of independent scalar aggregates",

@@ -93,6 +93,25 @@ class ModulesSpec extends AnyFunSuite {
     Seq(6L, 9L, 10L).foreach(i => assert(got(i) == (i, 1L), s"id $i: ${got(i)}"))
   }
 
+  test("as-of join: latest at-or-before match, equal-ts tie matches, no-match is NULL") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val left = Seq((1L, 1L, ts(10)), (2L, 1L, ts(30)), (3L, 2L, ts(5)), (4L, 3L, ts(20)))
+      .toDF("event_id", "k", "ts")
+    val right = Seq((1L, ts(10), 100.0), (1L, ts(20), 200.0), (2L, ts(7), 300.0))
+      .toDF("k", "ts", "v")
+      .select(col("k"), col("ts"), col("ts").as("rts"), col("v"))
+    val got = graft.operators.AsOfJoin
+      .asOfLatest(left, right, "k", "ts", "ts", Seq("rts", "v"))
+      .select(col("event_id"), col("asof.v"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L) == Some(100.0)) // equal ts matches (>= semantics)
+    assert(got(2L) == Some(200.0)) // latest of two priors
+    assert(got(3L) == None)        // right row is later -> no match
+    assert(got(4L) == None)        // key with no right rows at all
+  }
+
   test("nearestK keeps neighbors across the pole and the antimeridian") {
     import spark.implicits._
     // 11.1 km apart over the pole; the lon windows are disjoint, so any
