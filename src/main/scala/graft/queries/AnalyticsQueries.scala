@@ -488,6 +488,54 @@ object AnalyticsQueries {
         expr("approx_percentile(l_quantity, 0.5, 10000)").as("qty_p50"))
     },
 
+    Q("q_rollup",
+      "Hierarchical totals via ROLLUP(returnflag, linestatus): detail rows, " +
+        "per-flag subtotals and the grand total in ONE pass (Spark expands " +
+        "grouping sets before the exchange, so partial aggregation still " +
+        "applies — no second scan for the totals); cents-exact revenue",
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             |  coalesce(l_linestatus, 'ALL') AS linestatus,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+             |FROM lineitem
+             |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY returnflag, linestatus""".stripMargin)) { (s, dir) =>
+      lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long")).as("revenue_cents"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("revenue_cents"))
+        .orderBy("returnflag", "linestatus")
+    },
+
+    Q("q_pivot",
+      "Pivot: per-user event-type counts as columns (Spark's pivot operator " +
+        "with an EXPLICIT value list — an unlisted-values pivot needs a " +
+        "distinct-collect pre-pass to the driver, which is a hidden extra " +
+        "job at scale; the oracle states the same table as conditional " +
+        "aggregation, the form pivot compiles to)",
+      Some("""SELECT user_id,
+             |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+             |FROM events
+             |WHERE user_id < 50
+             |GROUP BY user_id
+             |ORDER BY user_id""".stripMargin)) { (s, dir) =>
+      events(s, dir).filter(col("user_id") < 50)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "purchase", "view"))
+        .count()
+        .select(col("user_id"),
+          coalesce(col("click"), lit(0L)).as("click"),
+          coalesce(col("purchase"), lit(0L)).as("purchase"),
+          coalesce(col("view"), lit(0L)).as("view"))
+        .orderBy("user_id")
+    },
+
     Q("q_salted_join",
       "Skew-mitigated join: events ⋈ customer with the events shuffle key " +
         "salted 8 ways (deterministic pmod(hash(event_id), 8) salt, customer " +
