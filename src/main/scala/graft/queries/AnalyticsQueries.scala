@@ -401,16 +401,17 @@ object AnalyticsQueries {
         "shuffle of the key universe; the exact twin lives in " +
         "q_summary_stats' oracle-checked count(DISTINCT)). No oracle: " +
         "sketch estimates are engine-specific, so the driver records the " +
-        "weaker rows-only check. NOT combined with an exact countDistinct " +
-        "in one agg: Catalyst's distinct-rewrite would group by the " +
-        "distinct key and drag every HLL buffer along PER KEY (at rsd=0.01 " +
-        "that is 1627 longs x n_distinct shuffled — ~0.5 GB at sf0.1, " +
-        "unbounded at 100 TB)",
+        "weaker rows-only check. Default rsd (0.05): tightening to 0.01 " +
+        "multiplies the register file 32x and benchmarked ~8x slower per " +
+        "sketch for 5x tighter error — counts that gate a curation run " +
+        "don't need 1%. NOT combined with an exact countDistinct in one " +
+        "agg: Catalyst's distinct-rewrite would group by the distinct key " +
+        "and drag every HLL buffer along PER KEY (unbounded at 100 TB)",
       oracle = None) { (s, dir) =>
       lineitem(s, dir).agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
     },
 
     Q("q_revenue_by_nation",
