@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   *
   * The reference stores 768-dim pgvector embeddings and computes cosine
   * similarity in Python (backend/embeddings.py:112-135) / numpy
-  * (backend/hybrid_search.py:150-161). Here similarity is a pure Catalyst
-  * higher-order-function expression over `array<float>` columns — no UDF, no
-  * serialization boundary, distributed for free. Arrays are cast to
-  * `array<double>` first so accumulation order and precision match the
-  * DuckDB oracle's `list_dot_product(a::DOUBLE[], b::DOUBLE[])` exactly.
+  * (backend/hybrid_search.py:150-161). Here similarity is a native codegen
+  * Catalyst expression ([[graft.plans.CosineSim]]) when GraftExtensions is
+  * installed, a compiled Scala UDF otherwise — never an interpreted HOF
+  * lambda (benchmarked ~10x slower). Arrays are cast to `array<double>`
+  * first so accumulation order and precision match the DuckDB oracle's
+  * `list_dot_product(a::DOUBLE[], b::DOUBLE[])` exactly; the native,
+  * UDF and DuckDB paths produce bit-identical doubles (oracle-gated).
   */
 object vectors {
 
@@ -34,6 +36,9 @@ object vectors {
   // 64-dim vectors, the difference between 2 s and 0.1 s on a 150k-pair
   // dedup join. java.lang.Double returns: NULL embeddings (the reference's
   // columns are nullable) must yield NULL, not a task-aborting NPE.
+  // Kept as the extension-free fallback; [[dot]]/[[cosineSim]] route
+  // through the native codegen expressions when GraftExtensions is
+  // installed (ArrayData in place, no copy, no codegen fence).
   private val dotUdf = udf { (a: Array[Double], b: Array[Double]) =>
     if (a == null || b == null) null
     else java.lang.Double.valueOf(dotKernel(a, b))
@@ -49,15 +54,25 @@ object vectors {
     }
   }
 
+  /** true when the active session has [[graft.plans.GraftExtensions]]'
+    * function registrations (Bench/Verify/tests all install them). */
+  private def extensionsActive: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(_.catalog.functionExists("cosine_sim"))
+
   def dot(a: Column, b: Column): Column =
-    dotUdf(a.cast("array<double>"), b.cast("array<double>"))
+    if (extensionsActive)
+      call_function("dot_product", a.cast("array<double>"), b.cast("array<double>"))
+    else dotUdf(a.cast("array<double>"), b.cast("array<double>"))
 
   /** ‖a‖₂ */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity; 0.0 when either norm is 0 (backend/embeddings.py:130-131). */
   def cosineSim(a: Column, b: Column): Column =
-    cosineUdf(a.cast("array<double>"), b.cast("array<double>"))
+    if (extensionsActive)
+      call_function("cosine_sim", a.cast("array<double>"), b.cast("array<double>"))
+    else cosineUdf(a.cast("array<double>"), b.cast("array<double>"))
 
   /** Cosine distance, pgvector `<=>` form (backend/embeddings.py:170). */
   def cosineDist(a: Column, b: Column): Column = lit(1.0) - cosineSim(a, b)

@@ -13,6 +13,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   *  - `haversine_km(lat1, lon1, lat2, lon2)` — native codegen expression
   *    ([[HaversineKm]]);
+  *  - `cosine_sim(a, b)` / `dot_product(a, b)` — native codegen vector
+  *    kernels over `array<double>` ([[CosineSim]], [[DotProduct]]) —
+  *    [[graft.functions.vectors]] routes through these;
   *  - [[BoundingBoxRule]] — rewrites `haversine_km(...) <= r` filters into
   *    themselves AND a sargable lat/lon bounding box, which is what lets a
   *    Parquet scan prune row groups at 100 TB (SURVEY.md §4's GIST-index
@@ -26,6 +29,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 4, "haversine_km(lat1, lon1, lat2, lon2)")
         HaversineKm(children(0), children(1), children(2), children(3))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "cosine_sim(a, b)")
+        CosineSim(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "dot_product(a, b)")
+        DotProduct(children(0), children(1))
       }))
     ext.injectOptimizerRule(_ => BoundingBoxRule)
   }
