@@ -56,4 +56,76 @@ class PlanGuardSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, s"cartesian plans: ${offenders.mkString(", ")}")
   }
+
+  test("filter queries push their predicates into the parquet scan") {
+    // a scan that reads every row group and filters afterwards is the
+    // difference between touching 100 TB and touching the matching slice —
+    // PushedFilters in the scan node is the observable proof
+    for (name <- Seq("q_filter_eq_range", "q_filter_in_range", "q_hash_sample")) {
+      val scans = plans(name).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, s"$name: no parquet scan found")
+      assert(scans.exists(_.metadata.get("PushedFilters").exists(_ != "[]")),
+        s"$name: no pushed filters in any scan:\n" +
+          scans.map(_.metadata.get("PushedFilters")).mkString("\n"))
+    }
+  }
+
+  test("star-schema join broadcasts every dimension side") {
+    // q_revenue_by_nation is the 100 TB flagship: the fact table must be
+    // the ONLY shuffled input — dims ride broadcast exchanges
+    val bhj = plans("q_revenue_by_nation").collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.size >= 4,
+      s"expected >=4 broadcast joins (customer/supplier/nation/region), got ${bhj.size}")
+  }
+
+  test("radius search over STORED coords pushes the bounding box to the scan") {
+    // the GIST-index substitute (SURVEY §4): over real lat/lon columns the
+    // sargable bbox must reach the parquet scan so row-group min/max stats
+    // can skip — q_geo_radius can't show this (its coords are derived), so
+    // prove it on a written table
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_geo").toString
+    TestSpark.spark.range(0, 1000)
+      .select(col("id"),
+        (lit(30.0) + col("id") % 100 * 0.1).as("lat"),
+        (lit(-120.0) + col("id") % 77 * 0.1).as("lon"))
+      .write.mode("overwrite").parquet(dir)
+    val df = graft.operators.GeoSearch.radiusSearch(
+      TestSpark.spark.read.parquet(dir), col("lat"), col("lon"),
+      32.5, -116.5, 20.0, limit = 50)
+    df.collect()
+    val scans = walk(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val pushed = scans.flatMap(_.metadata.get("PushedFilters"))
+    assert(pushed.exists(p => p.contains("GreaterThanOrEqual(lat") &&
+      p.contains("LessThanOrEqual(lon")), s"bbox not pushed: $pushed")
+  }
+
+  test("partitioned parquet layout prunes partitions at the scan") {
+    // S10's other half: the 'index build' at 100 TB is a partitioned
+    // layout; a filter on the partition column must plan a pruned scan
+    // (partition pruning), not read-everything-then-filter
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    graft.core.Tables.documents(spark, sf)
+      .write.mode("overwrite").partitionBy("source").parquet(dir)
+    val df = spark.read.parquet(dir).filter(col("source") === "src1")
+    df.collect()
+    val scans = walk(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val s = scans.head
+    assert(s.partitionFilters.nonEmpty, "no partition filters planned")
+    // selectedPartitions is lazy/private-ish across versions; the metadata
+    // partition count proves pruning happened (1 of 20 sources selected)
+    val n = s.relation.location.listFiles(s.partitionFilters, s.dataFilters)
+      .map(_.files.size).sum
+    assert(n >= 1 && n < 20, s"expected a pruned file set, scanned $n files")
+  }
 }
