@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -53,22 +53,21 @@ object Multimodal {
   }
 
   /** Batch feature extraction: content bytes → `dim`-float feature vector.
-    * mapPartitions (not a per-row UDF) so a real decoder can amortize codec
-    * init per partition — the same batch shape Pandas UDFs give PySpark. */
+    * Typed Dataset mapPartitions (not a per-row UDF, not an RDD drop-down):
+    * a real decoder amortizes codec init per partition — the same batch
+    * shape Pandas UDFs give PySpark — while rows stay Tungsten-encoded
+    * end-to-end and the plan stays a single DeserializeToObject →
+    * MapPartitions → SerializeFromObject pipeline Catalyst can place. */
   def extractFeatures(media: DataFrame, dim: Int): DataFrame = {
     val spark = media.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("kind", StringType),
-      StructField("feature", ArrayType(FloatType), nullable = false)))
-    val rdd = media.select("media_id", "kind", "content").rdd.mapPartitions { rows =>
-      // per-partition init happens here (codec handles, model weights, ...)
-      rows.map { r =>
-        val feats = fakeDecode(r.getAs[Array[Byte]]("content"), dim)
-        Row(r.getLong(0), r.getString(1), feats.toSeq)
+    import spark.implicits._
+    media.select("media_id", "kind", "content")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition init happens here (codec handles, model weights, ...)
+        rows.map { case (id, kind, content) => (id, kind, fakeDecode(content, dim)) }
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+      .toDF("media_id", "kind", "feature")
   }
 
   /** Video frame sampling: one row per sampled frame timestamp — a pure
