@@ -215,6 +215,54 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    Q("q_vocab_topk",
+      "Vocabulary construction (tokenizer seeding): token -> corpus " +
+        "frequency + document frequency, top-50 by count. One explode + " +
+        "one hash aggregate — map-side combining collapses each partition " +
+        "to its local vocabulary before the shuffle, so the exchange " +
+        "carries vocab-sized (not corpus-sized) data at 100 TB",
+      Some(s"""SELECT tok, count(*) AS tf,
+              |  count(DISTINCT doc_id) AS df
+              |FROM (SELECT doc_id, unnest(${text.tokens(D, "text")}) AS tok
+              |      FROM documents)
+              |GROUP BY tok
+              |ORDER BY tf DESC, tok
+              |LIMIT 50""".stripMargin),
+      bench = true) { (s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"), explode(expr(text.tokens(S, "text"))).as("tok"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(desc("tf"), col("tok"))
+        .limit(50)
+    },
+
+    Q("q_mix_weighted",
+      "Weighted source mixing: per-source keep-rates (even sources 90%, " +
+        "odd 30%) applied via the deterministic key mix — how a training " +
+        "mixture up/down-weights domains; reported as kept counts + token " +
+        "yield per source. Same replayability argument as q_hash_sample: " +
+        "the mixture is a pure function of (key, rate table)",
+      Some(s"""SELECT source, count(*) AS n_kept,
+              |  CAST(sum(${text.nTokens(D, "text")}) AS BIGINT) AS kept_tokens
+              |FROM (
+              |  SELECT source, text FROM documents
+              |  WHERE ($mixDoc) % 100 <
+              |    CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+              |         THEN 90 ELSE 30 END)
+              |GROUP BY source
+              |ORDER BY source""".stripMargin)) { (s, dir) =>
+      documents(s, dir)
+        .filter(expr(
+          s"""($mixDoc) % 100 <
+             |CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+             |     THEN 90 ELSE 30 END""".stripMargin))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(expr(text.nTokens(S, "text"))).cast("long").as("kept_tokens"))
+        .orderBy("source")
+    },
+
     Q("q_epoch_shuffle",
       "Epoch shuffling: a deterministic global permutation by seeded key " +
         "mix — every epoch reorders with a different seed, every run of the " +
