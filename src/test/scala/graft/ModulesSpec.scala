@@ -112,6 +112,31 @@ class ModulesSpec extends AnyFunSuite {
     assert(got(4L) == None)        // key with no right rows at all
   }
 
+  test("as-of join matches a brute-force reference on random data") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(7)
+    def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+    val leftRows = (1L to 300L).map(id =>
+      (id, rnd.nextInt(12).toLong, ts(rnd.nextInt(500))))
+    // right unique per (key, ts) by construction
+    val rightRows = Seq.fill(400)((rnd.nextInt(12).toLong, ts(rnd.nextInt(500))))
+      .distinct.zipWithIndex.map { case ((k, t), i) => (k, t, i.toDouble) }
+    val left = leftRows.toDF("event_id", "k", "ts")
+    val right = rightRows.toDF("k", "ts", "v")
+      .select(col("k"), col("ts"), col("v"))
+    val got = graft.operators.AsOfJoin
+      .asOfLatest(left, right, "k", "ts", "ts", Seq("v"))
+      .select(col("event_id"), col("asof.v"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got.size == leftRows.size) // left-join row preservation
+    leftRows.foreach { case (id, k, t) =>
+      val want = rightRows.filter(r => r._1 == k && !r._2.after(t))
+        .sortBy(_._2.getTime).lastOption.map(_._3)
+      assert(got(id) == want, s"event $id key $k ts $t: got ${got(id)}, want $want")
+    }
+  }
+
   test("nearestK keeps neighbors across the pole and the antimeridian") {
     import spark.implicits._
     // 11.1 km apart over the pole; the lon windows are disjoint, so any
