@@ -53,7 +53,9 @@ object Bench {
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) =>
-      s"\"" + k + "\":\"" + m.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200) + "\""
+      // strip EVERY control char (0x00-0x1f) plus quote/backslash - any
+      // embedded raw would make the one-line JSON unparseable downstream
+      s"\"" + k + "\":\"" + m.replaceAll("[\\x00-\\x1f\"\\\\]", " ").take(200) + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${results.count(_._3.isDefined)},"sf":"$sfDir"}""")

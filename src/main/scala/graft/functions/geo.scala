@@ -68,6 +68,12 @@ object geo {
     }
   }
 
+  /** shared box-policy constants — ONE source of truth for the scalar
+    * ([[bboxDeltas]]) and column ([[bboxJoinCondition]]) forms */
+  val KmPerDegreeLat = 110.574
+  val KmPerDegreeLonAtEquator = 111.320
+  val PoleCutoffDeg = 89.0
+
   /** bbox deltas as plain numbers (shared with tests / the optimizer rule).
     * The lon delta is None when the lat band reaches within 1° of a pole
     * (|center|+dLat ≥ 89): there a fixed lon window computed at any clamped
@@ -75,10 +81,32 @@ object geo {
     * so callers must fall back to the lat-only prune — the box predicate's
     * contract is strictly over-cover-only (the exact haversine refines). */
   def bboxDeltas(centerLat: Double, radiusKm: Double): (Double, Option[Double]) = {
-    val dLat = radiusKm / 110.574
+    val dLat = radiusKm / KmPerDegreeLat
     val worstLat = math.abs(centerLat) + dLat
-    if (worstLat >= 89.0) (dLat, None)
-    else (dLat, Some(radiusKm / (111.320 * math.cos(math.toRadians(worstLat)))))
+    if (worstLat >= PoleCutoffDeg) (dLat, None)
+    else (dLat, Some(radiusKm / (KmPerDegreeLonAtEquator * math.cos(math.toRadians(worstLat)))))
+  }
+
+  /** Column-level bounding-box JOIN condition for a per-row radius (the
+    * range-join prune of [[graft.operators.GeoSearch.nearestK]]): right
+    * rows outside the box around (leftLat, leftLon) can be skipped before
+    * the haversine refine. Same policy, same constants as [[bboxDeltas]] —
+    * the per-row lon window is sized at the WORST latitude inside each
+    * row's band, drops to lat-only within 1° of a pole (all longitudes
+    * reachable) and across the antimeridian (one BETWEEN can't wrap).
+    * Over-cover-only, like every box predicate here: the exact haversine
+    * refines survivors, so results never change, only the pair count.
+    */
+  def bboxJoinCondition(leftLat: Column, leftLon: Column,
+                        rightLat: Column, rightLon: Column,
+                        maxKm: Double): Column = {
+    val dLat = maxKm / KmPerDegreeLat
+    val worstLat = abs(leftLat) + lit(dLat)
+    val dLon = lit(maxKm) / (lit(KmPerDegreeLonAtEquator) * cos(radians(worstLat)))
+    val crossesAm = (leftLon - dLon < -180.0) || (leftLon + dLon > 180.0)
+    rightLat.between(leftLat - dLat, leftLat + dLat) &&
+      (worstLat >= PoleCutoffDeg || crossesAm ||
+        rightLon.between(leftLon - dLon, leftLon + dLon))
   }
 
   /** Deterministic synthetic coordinates derived from an integer key —

@@ -117,7 +117,13 @@ object AnnIndex {
 
   /** IVF top-k: route the query to its `nProbe` nearest centroids, scan only
     * those lists, exact cosine re-rank. `nProbe = nLists` degenerates to
-    * exact brute force (asserted in ModulesSpec). */
+    * exact brute force (asserted in ModulesSpec).
+    *
+    * `query` must be a 1-row frame, like [[annTopK]]'s: the routing
+    * orderBy+limit and the final top-k are global, so a multi-row query
+    * batch would silently merge every query's probes and results into one
+    * ranking — batch search is per-query invocation (or a groupBy(query)
+    * variant, deliberately not built until needed). */
   def ivfTopK(model: org.apache.spark.ml.clustering.KMeansModel,
               corpus: DataFrame, embCol: String,
               query: DataFrame, queryCol: String,

@@ -32,7 +32,11 @@ object AsOfJoin {
   def asOfLatest(left: DataFrame, right: DataFrame,
                  key: String, leftTs: String, rightTs: String,
                  payloadCols: Seq[String]): DataFrame = {
-    val r = right.select(
+    // a NULL right timestamp must never match (DuckDB's `l.ts >= r.ts` is
+    // NULL there): unfiltered it would sort NULLS FIRST, ahead of every
+    // real row, and its payload would be carried into any left row with no
+    // earlier true match
+    val r = right.filter(col(rightTs).isNotNull).select(
       col(key), col(rightTs).as("__ts"), lit(0).as("__side"),
       struct(payloadCols.map(col): _*).as("__payload"))
     val l = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))

@@ -162,7 +162,10 @@ object Dedup {
       .withColumn("cluster", col("id"))
     var prevSum = Long.MaxValue
     var iter = 0
-    var converged = false
+    // an empty pair table means every id is a singleton: sum() over zero
+    // rows is NULL (reading it as Long would NPE), and there is nothing to
+    // propagate — skip the loop, the singleton union below covers everyone
+    var converged = labels.isEmpty
     while (!converged && iter < maxIter) {
       val nbMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("cluster")).as("nb_cluster"))
@@ -186,6 +189,13 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // the unique-fixpoint contract (and the WITH RECURSIVE oracle) is void
+    // if the loop ran out of budget mid-propagation — fail loudly rather
+    // than return intermediate labels as if they were components
+    if (!converged)
+      throw new IllegalStateException(
+        s"Dedup.clusters did not reach the label fixpoint in $maxIter " +
+          "iterations (component diameter exceeds maxIter) — raise maxIter")
     edges.unpersist()
     p.unpersist()
     val sizes = labels.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))

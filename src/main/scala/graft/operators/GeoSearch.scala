@@ -47,22 +47,12 @@ object GeoSearch {
                leftKey: String, leftLat: String, leftLon: String,
                rightKey: String, rightLat: String, rightLon: String,
                k: Int, maxKm: Double): DataFrame = {
-    val dLat = maxKm / 110.574
-    // per-row lon window sized at the worst latitude within each left row's
-    // band — a fixed constant would under-cover near the poles and silently
-    // rank a farther neighbor as nearest; within 1 degree of a pole no lon
-    // window is sound at all (all longitudes reachable), so the predicate
-    // drops to lat-only there, same contract as geo.bboxDeltas
-    val worstLat = abs(left(leftLat)) + lit(dLat)
-    val dLon = lit(maxKm) / (lit(111.320) * cos(radians(worstLat)))
-    // a window crossing the antimeridian can't be one BETWEEN either —
-    // lat-only prune for those rows rather than silently under-cover
-    val crossesAm =
-      (left(leftLon) - dLon < -180.0) || (left(leftLon) + dLon > 180.0)
+    // per-row bbox prune with the pole/antimeridian policy shared with the
+    // scalar form and the optimizer rule (geo.bboxJoinCondition — one
+    // source of truth for the constants and the 89° cutoff)
     val joined = left.join(right,
-      right(rightLat).between(left(leftLat) - dLat, left(leftLat) + dLat) &&
-        (worstLat >= 89.0 || crossesAm ||
-          right(rightLon).between(left(leftLon) - dLon, left(leftLon) + dLon)))
+      geo.bboxJoinCondition(left(leftLat), left(leftLon),
+        right(rightLat), right(rightLon), maxKm))
       .withColumn("distance_km",
         geo.haversineKm(left(leftLat), left(leftLon), right(rightLat), right(rightLon)))
       .filter(col("distance_km") <= maxKm)

@@ -29,8 +29,9 @@ object PipelineQueries {
     Q("q_hash_sample",
       "Deterministic 5% corpus sample: multiplicative key mix mod 100 < 5. " +
         "Unlike TABLESAMPLE/rand(), the predicate is a pure projection-level " +
-        "expression — reproducible across engines and runs, sargable, and " +
-        "at 100 TB it samples without a shuffle or a seed-coordination step",
+        "expression — reproducible across engines and runs, evaluated " +
+        "during the scan (arithmetic can't prune row groups, but nothing " +
+        "shuffles and no seed coordination exists to get wrong at 100 TB)",
       Some(s"""SELECT doc_id, lang, source FROM documents
               |WHERE ($mixDoc) % 100 < 5
               |ORDER BY doc_id""".stripMargin)) { (s, dir) =>

@@ -117,12 +117,13 @@ object EventsStream {
     * whitespace-insensitive exact dupes collapse; swap in a MinHash band
     * key for streaming NEAR-dup suppression with the same state shape. */
   def dedupStream(events: DataFrame, textCol: String,
-                  watermark: String = "1 hour"): DataFrame =
+                  watermark: String = "1 hour", tsCol: String = "ts"): DataFrame =
     events
-      .withColumn("fp", expr(
+      .withColumn("__fp", expr(
         graft.functions.text.fingerprint(graft.functions.SparkDialect, textCol)))
-      .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("fp")
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
 
   /** T1/X6: streaming location extraction from message text. Non-matching
     * messages yield NULL coords (regexp_extract returns '' there, and under

@@ -112,6 +112,28 @@ class ModulesSpec extends AnyFunSuite {
     assert(got(4L) == None)        // key with no right rows at all
   }
 
+  test("dedup clusters: empty pair table -> all singletons (no NPE)") {
+    import spark.implicits._
+    val ids = (1L to 5L).toDF("id")
+    val pairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    val got = graft.operators.Dedup.clusters(ids, "id", pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    (1L to 5L).foreach(i => assert(got(i) == (i, 1L)))
+  }
+
+  test("as-of join: NULL right timestamps never match (DuckDB >= semantics)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t = Timestamp.valueOf("2024-01-01 10:00:00")
+    val left = Seq((1L, 1L, t)).toDF("event_id", "k", "ts")
+    val right = Seq((1L, null.asInstanceOf[Timestamp], 9.0))
+      .toDF("k", "ts", "v")
+    val got = graft.operators.AsOfJoin
+      .asOfLatest(left, right, "k", "ts", "ts", Seq("v"))
+      .select(col("asof.v")).collect()
+    assert(got.length == 1 && got(0).isNullAt(0))
+  }
+
   test("as-of join matches a brute-force reference on random data") {
     import spark.implicits._
     import java.sql.Timestamp

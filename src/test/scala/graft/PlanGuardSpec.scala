@@ -59,15 +59,20 @@ class PlanGuardSpec extends AnyFunSuite {
 
   test("filter queries push their predicates into the parquet scan") {
     // a scan that reads every row group and filters afterwards is the
-    // difference between touching 100 TB and touching the matching slice —
-    // PushedFilters in the scan node is the observable proof
-    for (name <- Seq("q_filter_eq_range", "q_filter_in_range", "q_hash_sample")) {
+    // difference between touching 100 TB and touching the matching slice.
+    // Assert a SPECIFIC pushed predicate per query, not merely a non-empty
+    // list — the inferred IsNotNull on any filtered column makes
+    // PushedFilters != [] vacuously (q_hash_sample's arithmetic predicate,
+    // for example, can never push; only its IsNotNull does)
+    for ((name, want) <- Seq(
+        "q_filter_eq_range" -> "EqualTo(l_returnflag,A)",
+        "q_filter_in_range" -> "In(c_mktsegment")) {
       val scans = plans(name).collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
       }
       assert(scans.nonEmpty, s"$name: no parquet scan found")
-      assert(scans.exists(_.metadata.get("PushedFilters").exists(_ != "[]")),
-        s"$name: no pushed filters in any scan:\n" +
+      assert(scans.exists(_.metadata.get("PushedFilters").exists(_.contains(want))),
+        s"$name: '$want' not pushed:\n" +
           scans.map(_.metadata.get("PushedFilters")).mkString("\n"))
     }
   }
