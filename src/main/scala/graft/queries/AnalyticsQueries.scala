@@ -561,6 +561,55 @@ object AnalyticsQueries {
         .orderBy("c_mktsegment")
     },
 
+    Q("q_last_location",
+      "T1 batch twin: last-known-location carry-forward — every 7th event " +
+        "carries 'Latitude X, Longitude Y' text, regex-parsed (X6) and " +
+        "carried forward per user with last(_, ignoreNulls) over the " +
+        "(ts, event_id) window (main.py:549-552's mutable conversation " +
+        "state as one declarative window; the streaming twin is " +
+        "EventsStream.withLastKnownLocation, same fold as keyed state)",
+      Some {
+        val latE = geo.synthLatSql("(user_id + event_id)")
+        val lonE = geo.synthLonSql("(user_id + event_id)")
+        val win = "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        s"""SELECT event_id,
+           |  coalesce(${text.fixedPoint(s"last_value(lat IGNORE NULLS) $win", 4)}, -1) AS last_lat_x10k,
+           |  coalesce(${text.fixedPoint(s"last_value(lon IGNORE NULLS) $win", 4)}, -1) AS last_lon_x10k
+           |FROM (
+           |  SELECT event_id, user_id, ts,
+           |    CAST(nullif(regexp_extract(msg, 'Latitude ([-+]?[0-9.]+), Longitude ([-+]?[0-9.]+)', 1), '') AS DOUBLE) AS lat,
+           |    CAST(nullif(regexp_extract(msg, 'Latitude ([-+]?[0-9.]+), Longitude ([-+]?[0-9.]+)', 2), '') AS DOUBLE) AS lon
+           |  FROM (
+           |    SELECT event_id, user_id, ts,
+           |      CASE WHEN event_id % 7 = 0
+           |           THEN 'at Latitude ' || CAST($latE AS VARCHAR) ||
+           |                ', Longitude ' || CAST($lonE AS VARCHAR)
+           |           ELSE 'no location in this message' END AS msg
+           |    FROM events WHERE user_id < 50))
+           |ORDER BY event_id""".stripMargin
+      }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.{Window => W}
+      val msgs = events(s, dir).filter(col("user_id") < 50)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("event_id") % 7 === 0,
+            concat(lit("at Latitude "),
+              geo.synthLat(col("user_id") + col("event_id")).cast("string"),
+              lit(", Longitude "),
+              geo.synthLon(col("user_id") + col("event_id")).cast("string")))
+            .otherwise(lit("no location in this message")).as("msg"))
+      val parsed = graft.streaming.EventsStream.parseLocations(msgs, "msg")
+      val w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      parsed
+        .withColumn("last_lat", last(col("lat"), ignoreNulls = true).over(w))
+        .withColumn("last_lon", last(col("lon"), ignoreNulls = true).over(w))
+        .select(col("event_id"),
+          coalesce(expr(text.fixedPoint("last_lat", 4)), lit(-1L)).as("last_lat_x10k"),
+          coalesce(expr(text.fixedPoint("last_lon", 4)), lit(-1L)).as("last_lon_x10k"))
+        .orderBy("event_id")
+    },
+
     Q("q_asof_join",
       "As-of join (operators/AsOfJoin): each purchase event matched to the " +
         "user's most recent click at-or-before it. Spark has no asof " +

@@ -134,4 +134,45 @@ object EventsStream {
       nullif(regexp_extract(col(textCol), pat, i), lit("")).cast("double")
     messages.withColumn("lat", grp(1)).withColumn("lon", grp(2))
   }
+
+  case class ParsedMsg(event_id: Long, user_id: Long, ts: Timestamp,
+                       lat: Option[Double], lon: Option[Double])
+  case class Located(event_id: Long, user_id: Long, ts: Timestamp,
+                     eff_lat: Option[Double], eff_lon: Option[Double])
+
+  /** Pure per-group fold for [[withLastKnownLocation]]: each message gets
+    * the last known (lat, lon) for its user — its own if it carries one,
+    * else the carried state (the reference mutates conversation lat/lon
+    * exactly this way, backend/main.py:549-552). */
+  private[graft] def locGroup(msgs: Seq[ParsedMsg],
+                              prior: Option[(Double, Double)])
+      : (Seq[Located], Option[(Double, Double)]) = {
+    var cur = prior
+    val out = msgs.sortBy(m => (m.ts.getTime, m.event_id)).map { m =>
+      (m.lat, m.lon) match {
+        case (Some(la), Some(lo)) => cur = Some((la, lo))
+        case _ =>
+      }
+      Located(m.event_id, m.user_id, m.ts, cur.map(_._1), cur.map(_._2))
+    }
+    (out, cur)
+  }
+
+  /** T1 keyed enrichment: every message annotated with the user's last
+    * known location (their own coordinates if the message carries any, the
+    * carried state otherwise). The stateful half of the chat pipeline; the
+    * oracle-checked batch twin is q_last_location (a `last(_, ignoreNulls)`
+    * window — same semantics, declarative plan). State is one (lat, lon)
+    * pair per user: bounded, hash-partitioned, executor-local. */
+  def withLastKnownLocation(msgs: Dataset[ParsedMsg]): Dataset[Located] = {
+    import msgs.sparkSession.implicits._
+    msgs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Double, Double), Located](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, batch: Iterator[ParsedMsg], state: GroupState[(Double, Double)]) =>
+          val (out, cur) = locGroup(batch.toSeq, state.getOption)
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
 }

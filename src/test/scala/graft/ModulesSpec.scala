@@ -360,6 +360,32 @@ class ModulesSpec extends AnyFunSuite {
     assert(sessions.head.session_end == Timestamp.valueOf("2024-01-01 10:10:00"))
   }
 
+  test("streaming last-known-location state carries across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventsStream.ParsedMsg
+    val mem = MemoryStream[ParsedMsg]
+    val q = graft.streaming.EventsStream.withLastKnownLocation(mem.toDS())
+      .writeStream.format("memory").queryName("loc_stream")
+      .outputMode("append").start()
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // batch 1: user 1 reports a location then goes quiet; user 2 never does
+    mem.addData(
+      ParsedMsg(1, 1, ts(0), Some(32.7), Some(-117.1)),
+      ParsedMsg(2, 1, ts(1), None, None),
+      ParsedMsg(3, 2, ts(2), None, None))
+    q.processAllAvailable()
+    // batch 2: state must carry user 1's coords into the new batch
+    mem.addData(ParsedMsg(4, 1, ts(9), None, None))
+    q.processAllAvailable()
+    val got = spark.table("loc_stream")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    q.stop()
+    assert(got(1L) == Some(32.7) && got(2L) == Some(32.7))
+    assert(got(3L) == None)        // user 2 has no known location
+    assert(got(4L) == Some(32.7))  // carried across the batch boundary
+  }
+
   test("streaming location extraction (X6)") {
     import spark.implicits._
     val msgs = Seq("I am at Latitude 32.71, Longitude -117.16 now", "no coords here")
