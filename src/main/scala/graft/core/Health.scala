@@ -27,6 +27,34 @@ object Health {
   case class AdherenceStats(nTotal: Long, nTaken: Long, nMissed: Long,
                             adherencePct: Double)
 
+  /** D5 as a genuine typed Aggregator (SURVEY §7.3 stretch (c)): the
+    * adherence computation as a mergeable (total, taken, missed) buffer —
+    * map-side combinable like any built-in agg, usable per-group via
+    * `ds.groupByKey(...).agg(AdherenceAgg.toColumn)`. Same numbers as the
+    * struct-of-aggregates form in [[adherence]] (asserted in HealthSpec);
+    * the Aggregator earns its keep when the result type is reused across
+    * groupings or composed with other typed columns. */
+  object AdherenceAgg
+      extends org.apache.spark.sql.expressions.Aggregator[Dose, (Long, Long, Long), AdherenceStats] {
+    override def zero: (Long, Long, Long) = (0L, 0L, 0L)
+    override def reduce(b: (Long, Long, Long), d: Dose): (Long, Long, Long) =
+      (b._1 + 1,
+        b._2 + (if (d.status == "taken") 1L else 0L),
+        b._3 + (if (d.status == "missed") 1L else 0L))
+    override def merge(a: (Long, Long, Long), b: (Long, Long, Long)): (Long, Long, Long) =
+      (a._1 + b._1, a._2 + b._2, a._3 + b._3)
+    override def finish(b: (Long, Long, Long)): AdherenceStats =
+      AdherenceStats(b._1, b._2, b._3,
+        if (b._1 > 0) math.round(b._2 * 1000.0 / b._1) / 10.0 else 0.0)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[(Long, Long, Long)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong)
+    override def outputEncoder: org.apache.spark.sql.Encoder[AdherenceStats] =
+      org.apache.spark.sql.Encoders.product[AdherenceStats]
+  }
+
   /** A1: per-symptom trend over a window — count, avg severity (1 decimal,
     * health_api.py:216-236), max severity. */
   def symptomTrends(symptoms: Dataset[SymptomLog],

@@ -69,6 +69,21 @@ class HealthSpec extends AnyFunSuite {
     assert(s == AdherenceStats(5, 3, 1, 60.0))
   }
 
+  test("D5 typed Aggregator computes the same stats as the struct-of-aggregates") {
+    import spark.implicits._
+    // whole-dataset aggregation (all 6 doses, incl. the inactive med's)
+    val all = doses.select(Health.AdherenceAgg.toColumn).head()
+    assert(all.nTotal == doses.count())
+    assert(all == AdherenceStats(all.nTotal, all.nTaken, all.nMissed,
+      math.round(all.nTaken * 1000.0 / all.nTotal) / 10.0))
+    // per-group: one stats row per medication, mergeable buffers
+    val perMed = doses.groupByKey(_.medicationId)
+      .agg(Health.AdherenceAgg.toColumn.name("stats"))
+      .collect().toMap
+    assert(perMed(1L) == AdherenceStats(3, 2, 1, 66.7))
+    assert(perMed.values.map(_.nTotal).sum == doses.count())
+  }
+
   test("W1 latest vital per type in one pass") {
     val rows = Health.latestVitals(vitals, userId = 7).collect()
     assert(rows.length == 2)
