@@ -83,6 +83,33 @@ object AnnIndex {
       .limit(k)
   }
 
+  /** ANN KNN JOIN: for EVERY query row, the k most-cosine-similar corpus
+    * rows sharing its LSH bucket — the batch-search operator ([[annTopK]]
+    * serves one query; this serves a whole query table in one plan). The
+    * geo analog is [[GeoSearch.nearestK]]: same shape, bucket equality
+    * standing in for the bounding box, a per-query window standing in for
+    * the per-left-row rank. Shuffles are keyed by bucket (corpus never
+    * pairs beyond its bucket) then by query id (the window) — both
+    * partition-parallel at any corpus size. Approximate exactly like
+    * [[annTopK]]: a true neighbor hashed to another bucket is missed;
+    * raise recall with fewer planes or multi-probe. */
+  def annJoin(queries: DataFrame, qIdCol: String, qEmbCol: String,
+              corpus: DataFrame, cIdCol: String, cEmbCol: String,
+              dim: Int, planes: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(qIdCol).as("query_id"), col(qEmbCol).as("__qe"),
+      bucketExpr(qEmbCol, dim, planes).as("__qb"))
+    val c = corpus.select(col(cIdCol).as("neighbor_id"), col(cEmbCol).as("__ce"),
+      bucketExpr(cEmbCol, dim, planes).as("__cb"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("similarity"), col("neighbor_id"))
+    q.join(c, col("__qb") === col("__cb"))
+      .withColumn("similarity", vectors.cosineSim(col("__ce"), col("__qe")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("similarity"), col("rank"))
+  }
+
   // --- IVF (inverted-file) variant -----------------------------------------
   //
   // The centroid-routed alternative to the sign-LSH buckets above, the other

@@ -135,6 +135,38 @@ object AnalyticsQueries {
           expr(text.fixedPoint("similarity", 4)).as("sim_x10k"))
     },
 
+    Q("q_knn_join",
+      "ANN KNN JOIN (AnnIndex.annJoin): top-3 bucket-mates per query for 20 " +
+        "query vectors in ONE plan — the batch form of q_ann_topk, and the " +
+        "similarity-join shape embedding pipelines run corpus-vs-corpus. " +
+        "Shuffle keyed by LSH bucket then by query id; no per-query jobs",
+      Some(s"""WITH all_v AS (
+              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+              |    ${AnnIndex.bucketSqlDuck("CAST(embedding AS DOUBLE[])", 64, 4)} AS bucket
+              |  FROM embeddings),
+              |q AS (SELECT vec_id AS query_id, emb AS qe, bucket FROM all_v WHERE vec_id < 20),
+              |c AS (SELECT vec_id AS neighbor_id, emb AS ce, bucket FROM all_v WHERE vec_id >= 20)
+              |SELECT query_id, neighbor_id, ${text.fixedPoint("similarity", 4)} AS sim_x10k, rank
+              |FROM (
+              |  SELECT query_id, neighbor_id,
+              |    ${vectors.cosineSimSql("ce", "qe")} AS similarity,
+              |    row_number() OVER (PARTITION BY query_id
+              |      ORDER BY ${vectors.cosineSimSql("ce", "qe")} DESC, neighbor_id) AS rank
+              |  FROM q JOIN c USING (bucket))
+              |WHERE rank <= 3
+              |ORDER BY query_id, rank""".stripMargin)) { (s, dir) =>
+      val all = embeddings(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      AnnIndex.annJoin(
+          all.filter(col("vec_id") < 20), "vec_id", "emb",
+          all.filter(col("vec_id") >= 20), "vec_id", "emb",
+          dim = 64, planes = 4, k = 3)
+        .select(col("query_id"), col("neighbor_id"),
+          expr(text.fixedPoint("similarity", 4)).as("sim_x10k"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    },
+
     Q("q_embed_stub",
       "G7 deterministic embedder: hashing-TF embed of each doc, cosine vs " +
         "doc 0's embedding — the offline stand-in for the reference's " +
