@@ -44,8 +44,7 @@ object AnalyticsQueries {
               |          FROM supplier) s ON true)
               |  WHERE distance_km <= 50.0)
               |WHERE rank_nearest <= 3
-              |ORDER BY c_custkey, rank_nearest""".stripMargin),
-      bench = true) { (s, dir) =>
+              |ORDER BY c_custkey, rank_nearest""".stripMargin)) { (s, dir) =>
       val left = customer(s, dir).filter(col("c_custkey") <= 50)
         .select(col("c_custkey"),
           geo.synthLat(col("c_custkey")).as("lat"),
@@ -91,8 +90,7 @@ object AnalyticsQueries {
               |FROM scored
               |ORDER BY similarity * 0.5 + (1.0 - distance_km / 50.0) * 0.5 DESC,
               |         vec_id
-              |LIMIT 10""".stripMargin),
-      bench = true) { (s, dir) =>
+              |LIMIT 10""".stripMargin)) { (s, dir) =>
       val pts = embeddings(s, dir).select(
         col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("emb"),
@@ -331,8 +329,7 @@ object AnalyticsQueries {
               |FROM events
               |WHERE user_id < 100
               |GROUP BY user_id
-              |ORDER BY user_id""".stripMargin),
-      bench = true) { (s, dir) =>
+              |ORDER BY user_id""".stripMargin)) { (s, dir) =>
       events(s, dir).filter(col("user_id") < 100)
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"),
@@ -362,8 +359,7 @@ object AnalyticsQueries {
               |      THEN 1 ELSE 0 END AS is_new
               |    FROM events WHERE user_id < 200))
               |GROUP BY user_id
-              |ORDER BY user_id""".stripMargin),
-      bench = true) { (s, dir) =>
+              |ORDER BY user_id""".stripMargin)) { (s, dir) =>
       val byTs = Window.partitionBy("user_id").orderBy("ts", "event_id")
       val run = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       events(s, dir).filter(col("user_id") < 200)
@@ -390,8 +386,7 @@ object AnalyticsQueries {
               |  ${text.fixedPoint("avg(value)", 2)} AS avg_val_x100
               |FROM events
               |GROUP BY 1, 2
-              |ORDER BY day, event_type""".stripMargin),
-      bench = true) { (s, dir) =>
+              |ORDER BY day, event_type""".stripMargin)) { (s, dir) =>
       events(s, dir)
         .groupBy(date_format(expr(S.dayTrunc("ts")), "yyyy-MM-dd").as("day"),
           col("event_type"))
@@ -465,8 +460,7 @@ object AnalyticsQueries {
              |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
              |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
              |GROUP BY n_name
-             |ORDER BY revenue_cents DESC, n_name""".stripMargin),
-      bench = true) { (s, dir) =>
+             |ORDER BY revenue_cents DESC, n_name""".stripMargin)) { (s, dir) =>
       val o = orders(s, dir).filter(
         col("o_orderdate") >= expr("TIMESTAMP '1997-01-01 00:00:00'") &&
           col("o_orderdate") < expr("TIMESTAMP '1998-01-01 00:00:00'"))
@@ -579,8 +573,7 @@ object AnalyticsQueries {
               |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_val_x100
               |FROM events JOIN customer ON user_id = c_custkey
               |GROUP BY c_mktsegment
-              |ORDER BY c_mktsegment""".stripMargin),
-      bench = true) { (s, dir) =>
+              |ORDER BY c_mktsegment""".stripMargin)) { (s, dir) =>
       graft.operators.Skew.saltedJoin(
           events(s, dir), "user_id", "event_id",
           customer(s, dir).select("c_custkey", "c_mktsegment"), "c_custkey", n = 8)
@@ -661,8 +654,7 @@ object AnalyticsQueries {
               |  coalesce(${text.fixedPoint("c.click_value", 2)}, -1) AS click_value_x100
               |FROM purchases p ASOF LEFT JOIN clicks c
               |  ON p.user_id = c.user_id AND p.ts >= c.ts
-              |ORDER BY p.event_id""".stripMargin),
-      bench = true) { (s, dir) =>
+              |ORDER BY p.event_id""".stripMargin)) { (s, dir) =>
       val ev = events(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase" && col("user_id") < 200)
         .select("event_id", "user_id", "ts")

@@ -23,8 +23,7 @@ import graft.operators.{GeoSearch, VectorSearch}
 final case class Q(
     name: String,
     doc: String,
-    oracle: Option[String],
-    bench: Boolean = false)(
+    oracle: Option[String])(
     val fn: (SparkSession, String) => DataFrame)
 
 object Catalog {
@@ -42,8 +41,7 @@ object Catalog {
              |WHERE l_returnflag = 'A'
              |  AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
              |  AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
-      bench = true) { (s, dir) =>
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)) { (s, dir) =>
       lineitem(s, dir)
         .filter(col("l_returnflag") === "A" &&
           col("l_shipdate") >= expr("TIMESTAMP '1998-01-01 00:00:00'") &&
@@ -90,8 +88,7 @@ object Catalog {
              |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
              |  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
              |GROUP BY o_orderpriority
-             |ORDER BY o_orderpriority""".stripMargin),
-      bench = true) { (s, dir) =>
+             |ORDER BY o_orderpriority""".stripMargin)) { (s, dir) =>
       val o = orders(s, dir).filter(col("o_orderstatus") === "F" &&
         col("o_orderdate") >= expr("TIMESTAMP '1997-01-01 00:00:00'") &&
         col("o_orderdate") < expr("TIMESTAMP '1999-01-01 00:00:00'"))
@@ -145,8 +142,7 @@ object Catalog {
              |                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
              |  FROM orders)
              |WHERE rn = 1
-             |ORDER BY o_custkey""".stripMargin),
-      bench = true) { (s, dir) =>
+             |ORDER BY o_custkey""".stripMargin)) { (s, dir) =>
       val w = Window.partitionBy("o_custkey")
         .orderBy(desc("o_orderdate"), desc("o_orderkey"))
       orders(s, dir)
@@ -204,8 +200,7 @@ object Catalog {
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY c_custkey, c_name
              |ORDER BY revenue_cents DESC, c_custkey
-             |LIMIT 10""".stripMargin),
-      bench = true) { (s, dir) =>
+             |LIMIT 10""".stripMargin)) { (s, dir) =>
       orders(s, dir)
         .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
         .groupBy("c_custkey", "c_name")

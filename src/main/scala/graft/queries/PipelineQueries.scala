@@ -54,8 +54,7 @@ object PipelineQueries {
               |    ELSE 'test' END AS split
               |  FROM documents)
               |GROUP BY source, split
-              |ORDER BY source, split""".stripMargin),
-      bench = true) { (s, dir) =>
+              |ORDER BY source, split""".stripMargin)) { (s, dir) =>
       documents(s, dir)
         .withColumn("split", expr(
           s"""CASE WHEN ($mixDoc) % 10 < 8 THEN 'train'
@@ -103,8 +102,7 @@ object PipelineQueries {
               |          CAST(${text.nTokens(D, "text")} AS BIGINT) AS n_tok
               |        FROM documents))
               |GROUP BY source, bin
-              |ORDER BY source, bin""".stripMargin),
-      bench = true) { (s, dir) =>
+              |ORDER BY source, bin""".stripMargin)) { (s, dir) =>
       val w = Window.partitionBy("source").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
       documents(s, dir)
@@ -198,8 +196,7 @@ object PipelineQueries {
            |        FROM documents))
            |GROUP BY source
            |ORDER BY source""".stripMargin
-      },
-      bench = true) { (s, dir) =>
+      }) { (s, dir) =>
       val nt = text.nTokens(S, "text")
       val uq = text.uniqRatio(S, "text")
       val sr = text.markerRatio(S, "text", Seq("the", "a"))
@@ -228,8 +225,7 @@ object PipelineQueries {
               |      FROM documents)
               |GROUP BY tok
               |ORDER BY tf DESC, tok
-              |LIMIT 50""".stripMargin),
-      bench = true) { (s, dir) =>
+              |LIMIT 50""".stripMargin)) { (s, dir) =>
       documents(s, dir)
         .select(col("doc_id"), explode(expr(text.tokens(S, "text"))).as("tok"))
         .groupBy("tok")

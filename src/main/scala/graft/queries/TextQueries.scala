@@ -45,8 +45,7 @@ object TextQueries {
              |      UNION ALL
              |      SELECT doc_id + 10000, text FROM documents)
              |GROUP BY text
-             |ORDER BY keep_id""".stripMargin),
-      bench = true) { (s, dir) =>
+             |ORDER BY keep_id""".stripMargin)) { (s, dir) =>
       val d = documents(s, dir).select(col("doc_id"), col("text"))
       val corpus = d.unionByName(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
       Dedup.exact(corpus, "doc_id", "text").orderBy("keep_id")
@@ -66,8 +65,7 @@ object TextQueries {
               |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
               |  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id)
               |WHERE jaccard >= 0.6
-              |ORDER BY a_id, b_id""".stripMargin),
-      bench = true) { (s, dir) =>
+              |ORDER BY a_id, b_id""".stripMargin)) { (s, dir) =>
       Dedup.ngramJaccardPairs(
           nearDupCorpus(documents(s, dir))
             .withColumn("blk", substring(col("text"), 1, 16)),
@@ -93,8 +91,7 @@ object TextQueries {
               |FROM bands a JOIN bands b
               |  ON a.j = b.j AND a.band_key = b.band_key AND a.doc_id < b.doc_id
               |GROUP BY 1, 2
-              |ORDER BY a_id, b_id""".stripMargin),
-      bench = true) { (s, dir) =>
+              |ORDER BY a_id, b_id""".stripMargin)) { (s, dir) =>
       Dedup.minhashLshPairs(nearDupCorpus(documents(s, dir)),
           "doc_id", "text", k = 16, bands = 4, shingleN = 3)
         .orderBy("a_id", "b_id")
@@ -195,8 +192,7 @@ object TextQueries {
            |  ${text.fixedPoint(quality(D), 4)} AS quality_x10k
            |FROM documents
            |ORDER BY doc_id""".stripMargin
-      },
-      bench = true) { (s, dir) =>
+      }) { (s, dir) =>
       def quality =
         s"${text.uniqRatio(S, "text")} * 0.5" +
           s" + least(CAST(${text.nTokens(S, "text")} AS DOUBLE) / 100.0, 1.0) * 0.3" +
