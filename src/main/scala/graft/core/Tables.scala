@@ -25,6 +25,14 @@ object Tables {
     * nanos (legacy long mode) and truncate to a micros timestamp — exactly
     * what DuckDB does when it reads the same file, so oracle comparisons
     * stay bit-identical.
+    *
+    * KNOWN SIDE EFFECT: `nanosAsLong` is a session conf, not a per-read
+    * option (verified: `spark.read.option("nanosAsLong", ...)` is ignored
+    * and the read still fails), so this loader flips it session-wide for
+    * any later nanos-parquet read. The project's session builders
+    * (Bench/Verify/tests) set it at build time so behavior never depends
+    * on whether events() ran first; the set here is a safety net for
+    * external sessions.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -128,13 +128,18 @@ object TextSig {
     counts
   }
 
-  // registered column functions (deterministic)
+  // registered column functions (deterministic). Every kernel null-guards:
+  // the reference's text columns are nullable, and an unguarded String
+  // parameter reaches the lambda as null — one NULL row must yield NULL,
+  // not abort the whole corpus scan with an NPE (the SQL-fragment twins
+  // are null-safe for free, so the guards also keep the mirrors aligned)
   val shingleHashesUdf: UserDefinedFunction =
-    udf((s: String, n: Int) => shingleHashes(s, n))
+    udf((s: String, n: Int) => if (s == null) null else shingleHashes(s, n))
   val embedUdf: UserDefinedFunction =
     udf((s: String, dim: Int) => if (s == null) null else embed(s, dim))
   val minhashSigUdf: UserDefinedFunction =
-    udf((s: String, n: Int, k: Int) => minhashSig(s, n, k))
+    udf((s: String, n: Int, k: Int) => if (s == null) null else minhashSig(s, n, k))
   val simhash60Udf: UserDefinedFunction =
-    udf((s: String, n: Int) => simhash60(s, n))
+    udf((s: String, n: Int) => if (s == null) null
+      else java.lang.Long.valueOf(simhash60(s, n)))
 }

@@ -23,16 +23,22 @@ object hours {
   /** minutes-since-midnight of side `idx` (1 = open, 2 = close) of a
     * "H:MM AM - H:MM PM" range; NULL for 24/7, closed, or any string not
     * matching the range shape — the reference returns None for unparseable
-    * hours, and under Spark 4's default ANSI mode an unguarded
-    * CAST('varies' AS BIGINT) would abort the whole job on one bad row. */
+    * hours, and under Spark 4's default ANSI mode one bad row must not
+    * abort the whole scan. The shape check runs against the FULL string
+    * BEFORE any split/element_at: guarding only the parsed part is not
+    * enough, because for a string with no ' - ' separator (e.g. 'varies')
+    * ANSI `element_at(arr, 2)` on the 1-element split already throws while
+    * evaluating the guard itself (DuckDB's arr[2] is NULL there — the
+    * whole-string guard keeps both engines on the NULL path). */
   def rangeMinutes(d: Dialect, col: String, idx: Int): String = {
+    val sideShape = "[0-9]{1,2}:[0-9]{2} *(AM|PM)"
+    val fullShape = s"^$sideShape - $sideShape"
     val part = d.elementAt(d.split(col, " - "), idx.toString)
     val hh = s"CAST(${d.elementAt(d.split(part, ":"), "1")} AS BIGINT)"
     val mm = s"CAST(substr(${d.elementAt(d.split(part, ":"), "2")}, 1, 2) AS BIGINT)"
     val isPm = s"(${d.strIndex(s"upper($part)", "PM")} > 0)"
-    val shaped = d.regexMatch(part, "^[0-9]{1,2}:[0-9]{2} *(AM|PM)")
     s"CASE WHEN ${is24h(d, col)} OR ${isClosed(d, col)} THEN NULL " +
-      s"WHEN NOT $shaped THEN NULL " +
+      s"WHEN NOT ${d.regexMatch(col, fullShape)} THEN NULL " +
       s"ELSE ((($hh) % 12) + CASE WHEN $isPm THEN 12 ELSE 0 END) * 60 + ($mm) END"
   }
 }

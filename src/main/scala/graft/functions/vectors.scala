@@ -77,11 +77,16 @@ object vectors {
   /** Cosine distance, pgvector `<=>` form (backend/embeddings.py:170). */
   def cosineDist(a: Column, b: Column): Column = lit(1.0) - cosineSim(a, b)
 
-  /** SQL-text twin of [[cosineSim]] for DuckDB oracles (same double math). */
-  def cosineSimSql(a: String, b: String): String =
-    s"(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
-      s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * " +
-      s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))))"
+  /** SQL-text twin of [[cosineSim]] for DuckDB oracles (same double math,
+    * INCLUDING the zero-norm guard — without it a zero vector, e.g. the
+    * hashing-TF embedding of a blank doc, is 0/0 = NaN on the oracle side
+    * while the kernel returns 0.0, and fixedPoint over NaN errors). */
+  def cosineSimSql(a: String, b: String): String = {
+    val na = s"sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[]))"
+    val nb = s"sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))"
+    s"(CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0 " +
+      s"ELSE list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / ($na * $nb) END)"
+  }
 
   /** Deterministic stand-in embedder (reference embeds via a Vertex AI RPC —
     * backend/embeddings.py:47-73 — which a zero-egress engine cannot call).

@@ -70,14 +70,30 @@ object AnnIndex {
     df.withColumn("bucket", bucketExpr(embCol, dim, planes))
 
   /** ANN top-k: restrict to the query's bucket, then exact cosine re-rank.
-    * `query` is a 1-row frame with the query embedding in `queryCol`. */
+    * `query` is a 1-row frame with the query embedding in `queryCol`.
+    * Buckets the raw corpus inline — convenient for one-off searches, but
+    * every call re-evaluates the bucket UDF over the whole corpus; a
+    * serving path should build the index once ([[withBucket]] + persist
+    * partitioned by bucket) and search via [[annTopKIndexed]]. */
   def annTopK(corpus: DataFrame, embCol: String, dim: Int, planes: Int,
               query: DataFrame, queryCol: String, k: Int,
-              tieBreak: Seq[String] = Nil): DataFrame = {
+              tieBreak: Seq[String] = Nil): DataFrame =
+    annTopKIndexed(withBucket(corpus, embCol, dim, planes), embCol, "bucket",
+      dim, planes, query, queryCol, k, tieBreak)
+
+  /** [[annTopK]] over a PRE-BUCKETED corpus (the persisted index build):
+    * only the query embedding is hashed at search time, and when the
+    * corpus is stored partitioned by `bucketCol` the bucket-equality join
+    * becomes a partition-pruned read — this is the entry point where
+    * "search touches only the query's bucket" actually holds. */
+  def annTopKIndexed(indexed: DataFrame, embCol: String, bucketCol: String,
+                     dim: Int, planes: Int,
+                     query: DataFrame, queryCol: String, k: Int,
+                     tieBreak: Seq[String] = Nil): DataFrame = {
     val q = withBucket(query.select(col(queryCol)), queryCol, dim, planes)
       .withColumnRenamed("bucket", "q_bucket")
-    withBucket(corpus, embCol, dim, planes)
-      .join(broadcast(q), col("bucket") === col("q_bucket"))
+    indexed
+      .join(broadcast(q), col(bucketCol) === col("q_bucket"))
       .withColumn("similarity", vectors.cosineSim(col(embCol), col(queryCol)))
       .orderBy(desc("similarity") +: tieBreak.map(col): _*)
       .limit(k)
@@ -154,8 +170,20 @@ object AnnIndex {
   def ivfTopK(model: org.apache.spark.ml.clustering.KMeansModel,
               corpus: DataFrame, embCol: String,
               query: DataFrame, queryCol: String,
-              k: Int, nProbe: Int, tieBreak: Seq[String] = Nil): DataFrame = {
-    val spark = corpus.sparkSession
+              k: Int, nProbe: Int, tieBreak: Seq[String] = Nil): DataFrame =
+    ivfTopKAssigned(model, ivfAssign(model, corpus, embCol), embCol,
+      query, queryCol, k, nProbe, tieBreak)
+
+  /** [[ivfTopK]] over a PRE-ASSIGNED corpus (the persisted index build —
+    * [[ivfAssign]] output stored partitioned by `list_id`): only the query
+    * routes through the centroids at search time, and the list join prunes
+    * partitions instead of re-running assignment over the whole corpus. */
+  def ivfTopKAssigned(model: org.apache.spark.ml.clustering.KMeansModel,
+                      assigned: DataFrame, embCol: String,
+                      query: DataFrame, queryCol: String,
+                      k: Int, nProbe: Int,
+                      tieBreak: Seq[String] = Nil): DataFrame = {
+    val spark = assigned.sparkSession
     import spark.implicits._
     val cents = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq.toDF("list_id", "centroid")
@@ -170,7 +198,7 @@ object AnnIndex {
       .orderBy(col("dist2"), col("list_id"))
       .limit(nProbe)
       .select(col("list_id"))
-    ivfAssign(model, corpus, embCol)
+    assigned
       .join(broadcast(probes), "list_id")
       .crossJoin(broadcast(query.select(col(queryCol))))
       .withColumn("similarity", vectors.cosineSim(col(embCol), col(queryCol)))

@@ -32,11 +32,12 @@ object AsOfJoin {
   def asOfLatest(left: DataFrame, right: DataFrame,
                  key: String, leftTs: String, rightTs: String,
                  payloadCols: Seq[String]): DataFrame = {
-    // a NULL right timestamp must never match (DuckDB's `l.ts >= r.ts` is
-    // NULL there): unfiltered it would sort NULLS FIRST, ahead of every
-    // real row, and its payload would be carried into any left row with no
-    // earlier true match
-    val r = right.filter(col(rightTs).isNotNull).select(
+    // a NULL right timestamp or key must never match (SQL `l.ts >= r.ts`
+    // and `l.k = r.k` are NULL there): an unfiltered NULL ts would sort
+    // NULLS FIRST, ahead of every real row, and window partitionBy groups
+    // NULL keys TOGETHER (unlike an equi-join) — either way a payload
+    // would be carried into left rows the oracle says have no match
+    val r = right.filter(col(rightTs).isNotNull && col(key).isNotNull).select(
       col(key), col(rightTs).as("__ts"), lit(0).as("__side"),
       struct(payloadCols.map(col): _*).as("__payload"))
     val l = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))

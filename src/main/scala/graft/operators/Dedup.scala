@@ -67,30 +67,60 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
-  /** Candidate near-duplicate pairs by MinHash LSH: k-value signatures cut
-    * into `bands` bands; pairs sharing ≥1 band are candidates. Returns
-    * (a_id, b_id, n_bands) — callers verify candidates with exact Jaccard
-    * if needed. k must be divisible by bands. */
-  def minhashLshPairs(df: DataFrame, keyCol: String, textCol: String,
-                      k: Int, bands: Int, shingleN: Int): DataFrame = {
+  /** One row per (id, band): the LSH banding stage shared by
+    * [[minhashLshPairs]] and [[minhashLshVerifiedPairs]] — the band-key
+    * expression lives exactly once. `carryHashes` additionally threads the
+    * shingle-hash array through (needed only when candidates get exact
+    * Jaccard verification downstream; plain candidate mining skips the
+    * array to keep the band shuffle narrow). */
+  private def minhashBanded(df: DataFrame, keyCol: String, textCol: String,
+                            k: Int, bands: Int, shingleN: Int,
+                            carryHashes: Boolean): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val r = k / bands
     // compiled one-pass kernel: Catalyst HOF lambdas re-evaluate the
     // shingle hashing per signature value (CollapseProject re-inlines any
     // staged projection), which benchmarked 100x slower — see TextSig
-    val sig = df.select(col(keyCol).as("id"),
-      TextSig.minhashSigUdf(col(textCol), lit(shingleN), lit(k)).as("sig"))
-    val banded = sig.select(
-      col("id"),
-      explode(expr(
+    val carried = if (carryHashes)
+      Seq(TextSig.shingleHashesUdf(col(textCol), lit(shingleN)).as("hs")) else Nil
+    val sig = df.select(
+      (col(keyCol).as("id") +: carried :+
+        TextSig.minhashSigUdf(col(textCol), lit(shingleN), lit(k)).as("sig")): _*)
+    val keep = col("id") +: (if (carryHashes) Seq(col("hs")) else Nil)
+    sig.select((keep :+ explode(expr(
         s"transform(sequence(0, ${bands - 1}), j -> " +
           s"struct(j AS band_idx, array_join(slice(sig, j*$r + 1, $r), '_') AS band_key))"))
-        .as("band"))
-      .select(col("id"), col("band.band_idx"), col("band.band_key"))
-    pairJoin(banded, Seq("band_idx", "band_key"))
+        .as("band")): _*)
+      .select((keep :+ col("band.band_idx") :+ col("band.band_key")): _*)
+  }
+
+  /** Candidate near-duplicate pairs by MinHash LSH: k-value signatures cut
+    * into `bands` bands; pairs sharing ≥1 band are candidates. Returns
+    * (a_id, b_id, n_bands) — callers verify candidates with exact Jaccard
+    * if needed. k must be divisible by bands. */
+  def minhashLshPairs(df: DataFrame, keyCol: String, textCol: String,
+                      k: Int, bands: Int, shingleN: Int): DataFrame =
+    pairJoin(minhashBanded(df, keyCol, textCol, k, bands, shingleN,
+        carryHashes = false), Seq("band_idx", "band_key"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_bands"))
-  }
+
+  /** The full two-stage near-dup pattern in one operator: MinHash LSH
+    * proposes candidate pairs, exact n-gram-shingle Jaccard verifies them
+    * (≥ `threshold`). At 100 TB the exact set compare only ever runs on
+    * LSH candidates — the quadratic never touches the corpus. Returns
+    * (a_id, b_id, jaccard). */
+  def minhashLshVerifiedPairs(df: DataFrame, keyCol: String, textCol: String,
+                              k: Int, bands: Int, shingleN: Int,
+                              threshold: Double): DataFrame =
+    pairJoin(minhashBanded(df, keyCol, textCol, k, bands, shingleN,
+        carryHashes = true), Seq("band_idx", "band_key"))
+      .select(col("a_id"), col("b_id"), col("a_hs"), col("b_hs")).distinct()
+      .withColumn("jaccard",
+        size(array_intersect(col("a_hs"), col("b_hs"))).cast("double") /
+          size(array_union(col("a_hs"), col("b_hs"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
 
   /** Near-duplicate pairs by SimHash hamming distance ≤ `maxHamming` over
     * `bits`-bit fingerprints. Pigeonhole prefilter: fingerprints are cut
@@ -107,8 +137,10 @@ object Dedup {
       TextSig.simhash60Udf(col(textCol), lit(shingleN)).as("sh"))
     val chunked = sh.select(col("id"), col("sh"),
       explode(expr(
+        // 1L << w, not 1 << w: an Int shift wraps at 32 (chunks=1 -> w=60
+        // -> 1<<60 is silently 2^28, collapsing the prefilter's key space)
         s"transform(sequence(0, ${chunks - 1}), j -> " +
-          s"struct(j AS chunk_idx, (sh div CAST(pow(2, j*$w) AS BIGINT)) % ${1 << w} AS chunk_val))"))
+          s"struct(j AS chunk_idx, (sh div CAST(pow(2, j*$w) AS BIGINT)) % ${1L << w}L AS chunk_val))"))
         .as("c"))
       .select(col("id"), col("sh"), col("c.chunk_idx"), col("c.chunk_val"))
     pairJoin(chunked, Seq("chunk_idx", "chunk_val"))

@@ -9,9 +9,9 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * `haversine_km(lat, lon, CLat, CLon) <= R` can never reach a Parquet
   * scan — it is trigonometry over two columns. But it IMPLIES
   * `lat BETWEEN CLat±dLat AND lon BETWEEN CLon±dLon` for
-  * dLat = R/110.574, dLon = R/(111.320*cos(CLat)) (standard
-  * km-per-degree; dLon uses the center latitude, padded 10%, and
-  * over-covers for any radius far below Earth's circumference). Those
+  * dLat = R/110.574 and dLon sized at the WORST latitude inside the band
+  * (|CLat|+dLat — see [[graft.functions.geo.bboxDeltas]]; a center-latitude
+  * cosine would under-cover near the band's poleward edge). Those
   * comparisons ARE sargable: Catalyst pushes them into the scan, Parquet
   * row-group min/max stats skip most of a geo-partitioned 100 TB table,
   * and the exact haversine predicate still refines the survivors — results
@@ -55,12 +55,23 @@ object BoundingBoxRule extends Rule[LogicalPlan] {
       case _ => None
     } else None
 
-  /** marker to avoid re-deriving the box on every optimizer fixpoint pass */
-  private def alreadyBoxed(cond: Expression, lat: Expression): Boolean =
+  /** Fixpoint marker: the box was already injected iff the EXACT lower
+    * lat bound this rule would derive is present. Matching any
+    * `lat >= literal` (the old check) silently disabled the rule whenever
+    * the user had an unrelated lat bound of their own — losing the lon
+    * window and the scan prune with no trace. Matching the derived
+    * literal can only skip when that precise bound exists, in which case
+    * skipping is correct. */
+  private def alreadyBoxed(cond: Expression, lat: Expression,
+                           cLat: Double, r: Double): Boolean = {
+    val (dLat, _) = graft.functions.geo.bboxDeltas(cLat, r)
+    val wantLower = Literal(cLat - dLat)
     cond.exists {
-      case GreaterThanOrEqual(l, _: Literal) if l.semanticEquals(lat) => true
+      case GreaterThanOrEqual(l, lit: Literal)
+          if l.semanticEquals(lat) && lit.semanticEquals(wantLower) => true
       case _ => false
     }
+  }
 
   /** top-level conjuncts only — a radius predicate under OR/NOT does NOT
     * imply the box for the whole filter (haversine<=r OR vip would wrongly
@@ -74,14 +85,14 @@ object BoundingBoxRule extends Rule[LogicalPlan] {
     case f @ Filter(cond, child) =>
       val extra = splitConjuncts(cond).collect {
         case LessThanOrEqual(
-              HaversineKm(lat: Attribute, lon: Attribute, cLatE, cLonE), rE)
-            if !alreadyBoxed(cond, lat) =>
-          for (cLat <- asDouble(cLatE); cLon <- asDouble(cLonE); r <- asDouble(rE))
+              HaversineKm(lat: Attribute, lon: Attribute, cLatE, cLonE), rE) =>
+          for (cLat <- asDouble(cLatE); cLon <- asDouble(cLonE); r <- asDouble(rE)
+               if !alreadyBoxed(cond, lat, cLat, r))
             yield boxPredicates(lat, lon, cLat, cLon, r)
         case LessThan(
-              HaversineKm(lat: Attribute, lon: Attribute, cLatE, cLonE), rE)
-            if !alreadyBoxed(cond, lat) =>
-          for (cLat <- asDouble(cLatE); cLon <- asDouble(cLonE); r <- asDouble(rE))
+              HaversineKm(lat: Attribute, lon: Attribute, cLatE, cLonE), rE) =>
+          for (cLat <- asDouble(cLatE); cLon <- asDouble(cLonE); r <- asDouble(rE)
+               if !alreadyBoxed(cond, lat, cLat, r))
             yield boxPredicates(lat, lon, cLat, cLon, r)
       }.flatten
       if (extra.isEmpty) f

@@ -261,7 +261,9 @@ object AnalyticsQueries {
       "X8: hours-string parser '24/7'/'Closed'/'Always open'/'9:00 AM - " +
         "5:00 PM' → {is_24h, is_closed, open/close minutes} " +
         "(check_hours_availability.py:50-86); the '10:24 AM' case pins the " +
-        "reference's own '24'-substring false positive, kept for parity",
+        "reference's own '24'-substring false positive, kept for parity, " +
+        "and the 'varies' case pins the ANSI-safe unparseable path (one " +
+        "bad row must NULL, not abort the scan)",
       Some {
         val h = "hours_str"
         s"""SELECT p_partkey, $h AS hours_str,
@@ -270,20 +272,22 @@ object AnalyticsQueries {
            |  coalesce(${hours.rangeMinutes(D, h, 1)}, -1) AS open_min,
            |  coalesce(${hours.rangeMinutes(D, h, 2)}, -1) AS close_min
            |FROM (
-           |  SELECT p_partkey, CASE CAST(p_partkey % 6 AS INT)
+           |  SELECT p_partkey, CASE CAST(p_partkey % 7 AS INT)
            |    WHEN 0 THEN '24/7' WHEN 1 THEN 'Closed'
            |    WHEN 2 THEN '9:00 AM - 5:00 PM' WHEN 3 THEN 'Always open'
-           |    WHEN 4 THEN '10:24 AM - 6:00 PM' ELSE '10:30 AM - 6:30 PM' END AS hours_str
+           |    WHEN 4 THEN '10:24 AM - 6:00 PM' WHEN 5 THEN 'varies'
+           |    ELSE '10:30 AM - 6:30 PM' END AS hours_str
            |  FROM part WHERE p_partkey <= 400)
            |ORDER BY p_partkey""".stripMargin
       }) { (s, dir) =>
       val h = "hours_str"
       part(s, dir).filter(col("p_partkey") <= 400)
         .withColumn(h, expr(
-          """CASE CAST(p_partkey % 6 AS INT)
+          """CASE CAST(p_partkey % 7 AS INT)
             |  WHEN 0 THEN '24/7' WHEN 1 THEN 'Closed'
             |  WHEN 2 THEN '9:00 AM - 5:00 PM' WHEN 3 THEN 'Always open'
-            |  WHEN 4 THEN '10:24 AM - 6:00 PM' ELSE '10:30 AM - 6:30 PM' END""".stripMargin))
+            |  WHEN 4 THEN '10:24 AM - 6:00 PM' WHEN 5 THEN 'varies'
+            |  ELSE '10:30 AM - 6:30 PM' END""".stripMargin))
         .select(col("p_partkey"), col(h),
           expr(hours.is24h(S, h)).as("is_24h"),
           expr(hours.isClosed(S, h)).as("is_closed"),

@@ -249,27 +249,8 @@ object TextQueries {
               |  FROM cand)
               |WHERE jaccard >= 0.6
               |ORDER BY a_id, b_id""".stripMargin)) { (s, dir) =>
-      val corpus = nearDupCorpus(documents(s, dir))
-      val sigs = corpus.select(col("doc_id"),
-        graft.functions.TextSig.shingleHashesUdf(col("text"), lit(3)).as("hs"),
-        graft.functions.TextSig.minhashSigUdf(col("text"), lit(3), lit(16)).as("sig"))
-      val bands = sigs.select(col("doc_id"), col("hs"),
-        explode(expr("transform(sequence(0, 3), j -> " +
-          "struct(j AS band_idx, array_join(slice(sig, j*4 + 1, 4), '_') AS band_key))"))
-          .as("b"))
-        .select(col("doc_id"), col("hs"), col("b.band_idx"), col("b.band_key"))
-      // shuffle_hash like Dedup.pairJoin: broadcast would build the whole
-      // UDF-heavy side single-threaded, and a corpus self-join side can
-      // never be broadcast at scale anyway
-      val a = bands.toDF("a_id", "a_hs", "a_j", "a_key").hint("shuffle_hash")
-      val b = bands.toDF("b_id", "b_hs", "b_j", "b_key").hint("shuffle_hash")
-      a.join(b, col("a_j") === col("b_j") && col("a_key") === col("b_key") &&
-          col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"), col("a_hs"), col("b_hs")).distinct()
-        .withColumn("jaccard",
-          size(array_intersect(col("a_hs"), col("b_hs"))).cast("double") /
-            size(array_union(col("a_hs"), col("b_hs"))))
-        .filter(col("jaccard") >= 0.6)
+      Dedup.minhashLshVerifiedPairs(nearDupCorpus(documents(s, dir)),
+          "doc_id", "text", k = 16, bands = 4, shingleN = 3, threshold = 0.6)
         .select(col("a_id"), col("b_id"),
           expr(text.fixedPoint("jaccard", 4)).as("jaccard_x10k"))
         .orderBy("a_id", "b_id")

@@ -64,7 +64,12 @@ object EventsStream {
           closed += Session(userId, s.start, s.last, s.nEvents)
           cur = Some(SessionState(e.ts, e.ts, 1))
         case Some(s) =>
-          cur = Some(SessionState(s.start, e.ts, s.nEvents + 1))
+          // max, not e.ts: a cross-batch late event (no watermark bounds
+          // this op) must not move `last` BACKWARDS — that would let a
+          // following event measure its gap from the stale earlier time
+          // and emit a session with end < start
+          val last = if (e.ts.after(s.last)) e.ts else s.last
+          cur = Some(SessionState(s.start, last, s.nEvents + 1))
         case None =>
           cur = Some(SessionState(e.ts, e.ts, 1))
       }
