@@ -111,6 +111,33 @@ class PlanGuardSpec extends AnyFunSuite {
       p.contains("LessThanOrEqual(lon")), s"bbox not pushed: $pushed")
   }
 
+  test("ANN index persisted by bucket serves a search from pruned partitions") {
+    // the HNSW substitute end-to-end: build (bucket + write partitioned by
+    // bucket), then search via annTopKIndexed — the bucket-equality join
+    // against the 1-row query must plan partition filters that prune the
+    // persisted layout, not rescan and re-hash the corpus
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann").toString
+    val corpus = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    graft.operators.AnnIndex.withBucket(corpus, "emb", 64, 4)
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    val indexed = spark.read.parquet(dir)
+    val q = corpus.filter(col("vec_id") === 0).select(col("emb").as("qe"))
+    val df = graft.operators.AnnIndex.annTopKIndexed(
+      indexed, "emb", "bucket", 64, 4, q, "qe", k = 3, tieBreak = Seq("vec_id"))
+    assert(df.count() > 0)
+    val scans = walk(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("graft_ann")) => f
+    }
+    assert(scans.nonEmpty, "no scan over the persisted index found")
+    // dynamic partition pruning on the broadcast bucket join, or at minimum
+    // a partition-filter column: the layout must be prunable
+    assert(scans.exists(_.partitionFilters.nonEmpty),
+      s"no partition filters on the index scan: ${scans.map(_.partitionFilters)}")
+  }
+
   test("partitioned parquet layout prunes partitions at the scan") {
     // S10's other half: the 'index build' at 100 TB is a partitioned
     // layout; a filter on the partition column must plan a pruned scan
