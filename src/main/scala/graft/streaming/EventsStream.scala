@@ -130,6 +130,29 @@ object EventsStream {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Stream-stream inner join within an event-time window: each right-side
+    * event joins the left-side events of the same key that happened at
+    * most `windowMinutes` before it (the impression→click attribution
+    * shape). BOTH sides carry watermarks and the join condition carries
+    * the time RANGE — that pair is what lets Spark age out buffered rows;
+    * a stream-stream join without them grows both state stores forever,
+    * the streaming analog of the unpartitioned window. Output columns:
+    * left prefixed `l_`, right prefixed `r_`. */
+  def joinWithinWindow(left: DataFrame, right: DataFrame,
+                       key: String, leftTs: String, rightTs: String,
+                       windowMinutes: Int,
+                       watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+      .toDF(left.columns.map("l_" + _): _*)
+    val r = right.withWatermark(rightTs, watermark)
+      .toDF(right.columns.map("r_" + _): _*)
+    l.join(r,
+      col("l_" + key) === col("r_" + key) &&
+        col("r_" + rightTs) >= col("l_" + leftTs) &&
+        col("r_" + rightTs) <=
+          col("l_" + leftTs) + expr(s"INTERVAL $windowMinutes MINUTES"))
+  }
+
   /** T1/X6: streaming location extraction from message text. Non-matching
     * messages yield NULL coords (regexp_extract returns '' there, and under
     * ANSI mode — Spark 4's default — a bare cast would throw). */

@@ -360,6 +360,31 @@ class ModulesSpec extends AnyFunSuite {
     assert(sessions.head.session_end == Timestamp.valueOf("2024-01-01 10:10:00"))
   }
 
+  test("stream-stream join attributes clicks to impressions within the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, Long, Long)]
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val joined = graft.streaming.EventsStream.joinWithinWindow(
+      imps.toDF.toDF("ts", "imp_id", "user"),
+      clicks.toDF.toDF("ts", "click_id", "user"),
+      key = "user", leftTs = "ts", rightTs = "ts", windowMinutes = 10)
+    val q = joined.select("l_imp_id", "r_click_id")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    imps.addData((ts(0), 100L, 1L), (ts(0), 200L, 2L))
+    clicks.addData(
+      (ts(5), 500L, 1L),   // within 10 min of imp 100 -> attributed
+      (ts(45), 501L, 1L),  // 45 min later -> outside window
+      (ts(3), 502L, 3L))   // no impression for user 3
+    q.processAllAvailable()
+    val got = spark.table("attrib").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(got == Set((100L, 500L)), s"got $got")
+  }
+
   test("streaming last-known-location state carries across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
