@@ -36,6 +36,48 @@ object GeoSearch {
       .orderBy(col("distance_km") +: tieBreak.map(col): _*)
       .limit(limit)
 
+  /** All point PAIRS within `maxKm` of each other — the LARGE×LARGE
+    * spatial join ([[nearestK]]'s bbox-per-row prune works when one side
+    * is small; a corpus-vs-itself distance join needs blocking, exactly
+    * like LSH bands bound the text-dedup quadratic). Grid blocking: each
+    * point hashes to a square cell of side ≥ maxKm; one side replicates to
+    * its 3×3 neighborhood, the other stays in its home cell, so every
+    * qualifying pair meets in exactly one cell (the home cell of the
+    * second point) — no post-join dedup, no pair counted twice (a_id <
+    * b_id). The shuffle is keyed by cell: pair search never leaves a
+    * cell's neighborhood, and skew equals physical point density (salt a
+    * mega-cell upstream like any hot key).
+    *
+    * `maxAbsLat` bounds the data's latitude range and sizes the cell so a
+    * longitude degree is never wider than a cell anywhere in the data
+    * (cells sized at the equator would under-block near the poles);
+    * callers with global data should partition into latitude bands. Keys
+    * must be non-null and unique. Returns (a_id, b_id, distance_km).
+    */
+  def gridPairs(df: DataFrame, keyCol: String, latCol: String, lonCol: String,
+                maxKm: Double, maxAbsLat: Double): DataFrame = {
+    require(maxAbsLat < 89.0, "grid blocking needs a bounded latitude range")
+    val cellDeg = math.max(
+      maxKm / geo.KmPerDegreeLat,
+      maxKm / (geo.KmPerDegreeLonAtEquator * math.cos(math.toRadians(maxAbsLat))))
+    val pts = df.select(col(keyCol).as("id"), col(latCol).as("lat"), col(lonCol).as("lon"),
+      floor(col(latCol) / cellDeg).cast("long").as("cla"),
+      floor(col(lonCol) / cellDeg).cast("long").as("clo"))
+    val a = pts.toDF("a_id", "a_lat", "a_lon", "a_cla", "a_clo")
+      .withColumn("d", explode(expr(
+        "transform(sequence(0, 8), i -> struct(i div 3 - 1 AS dy, i % 3 - 1 AS dx))")))
+      .select(col("a_id"), col("a_lat"), col("a_lon"),
+        (col("a_cla") + col("d.dy")).as("cla"), (col("a_clo") + col("d.dx")).as("clo"))
+      .hint("shuffle_hash")
+    val b = pts.toDF("b_id", "b_lat", "b_lon", "cla", "clo").hint("shuffle_hash")
+    a.join(b, Seq("cla", "clo"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("distance_km",
+        geo.haversineKm(col("a_lat"), col("a_lon"), col("b_lat"), col("b_lon")))
+      .filter(col("distance_km") <= maxKm)
+      .select(col("a_id"), col("b_id"), col("distance_km"))
+  }
+
   /** For every left row, the `k` nearest right rows within `maxKm`
     * (reference: per-service top-3 transit stops within 1 km,
     * backend/main.py:466-475). One range join + window instead of N queries.

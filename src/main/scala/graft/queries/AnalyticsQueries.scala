@@ -61,6 +61,35 @@ object AnalyticsQueries {
         .orderBy("c_custkey", "rank_nearest")
     },
 
+    Q("q_geo_pairs",
+      "Large x large spatial pair join (GeoSearch.gridPairs): all supplier " +
+        "pairs within 15 km via grid blocking — one side replicated to its " +
+        "3x3 cell neighborhood, the other home-only, so every qualifying " +
+        "pair meets in exactly one cell and the quadratic never leaves a " +
+        "cell neighborhood (the geo analog of the LSH band join). Oracle " +
+        "states the same pairs as a direct distance theta-join — fine at " +
+        "oracle scale, the very plan this operator exists to avoid at 100 TB",
+      Some {
+        val latA = geo.synthLatSql("(a.s_suppkey * 13)")
+        val lonA = geo.synthLonSql("(a.s_suppkey * 13)")
+        val latB = geo.synthLatSql("(b.s_suppkey * 13)")
+        val lonB = geo.synthLonSql("(b.s_suppkey * 13)")
+        s"""SELECT a.s_suppkey AS a_id, b.s_suppkey AS b_id,
+           |  ${text.fixedPoint(geo.haversineKmSql(latA, lonA, latB, lonB), 2)} AS dist_x100
+           |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+           |WHERE ${geo.haversineKmSql(latA, lonA, latB, lonB)} <= 15.0
+           |ORDER BY a_id, b_id""".stripMargin
+      }) { (s, dir) =>
+      val pts = supplier(s, dir).select(col("s_suppkey"),
+        geo.synthLat(col("s_suppkey") * 13).as("lat"),
+        geo.synthLon(col("s_suppkey") * 13).as("lon"))
+      graft.operators.GeoSearch
+        .gridPairs(pts, "s_suppkey", "lat", "lon", maxKm = 15.0, maxAbsLat = 34.0)
+        .select(col("a_id"), col("b_id"),
+          expr(text.fixedPoint("distance_km", 2)).as("dist_x100"))
+        .orderBy("a_id", "b_id")
+    },
+
     Q("q_hybrid_search",
       "G1→G4 end-to-end hybrid search: bbox+radius prune (50 km), x3 " +
         "over-fetch by distance, cosine re-rank vs query vec 0, distance " +

@@ -159,6 +159,24 @@ class ModulesSpec extends AnyFunSuite {
     }
   }
 
+  test("gridPairs finds exactly the brute-force pair set on random points") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // lat band up to the declared maxAbsLat, lon spanning sign changes
+    val pts = (1L to 120L).map(id =>
+      (id, rnd.nextDouble() * 70 - 35, rnd.nextDouble() * 20 - 10))
+    val df = pts.toDF("id", "lat", "lon")
+    val got = graft.operators.GeoSearch
+      .gridPairs(df, "id", "lat", "lon", maxKm = 200.0, maxAbsLat = 35.0)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      a <- pts; b <- pts if a._1 < b._1
+      if graft.plans.HaversineKm.compute(a._2, a._3, b._2, b._3) <= 200.0
+    } yield (a._1, b._1)).toSet
+    assert(got == want,
+      s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
   test("nearestK keeps neighbors across the pole and the antimeridian") {
     import spark.implicits._
     // 11.1 km apart over the pole; the lon windows are disjoint, so any
