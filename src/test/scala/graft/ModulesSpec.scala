@@ -438,6 +438,34 @@ class ModulesSpec extends AnyFunSuite {
     assert(out(1).isNullAt(out(1).fieldIndex("lat")))
   }
 
+  test("compaction shrinks the file count and preserves every row") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_frag").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/out"
+    spark.range(0, 10000).toDF("id").repartition(64)
+      .write.mode("overwrite").parquet(src)
+    def files(d: String) = new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files(src) == 64)
+    graft.sources.Maintenance.compactTo(spark, src, dst, targetFileBytes = 1L << 26)
+    assert(files(dst) < 8, s"still fragmented: ${files(dst)} files")
+    assert(spark.read.parquet(dst).count() == 10000)
+    assert(spark.read.parquet(dst).agg(sum(col("id"))).head().getLong(0)
+      == 10000L * 9999 / 2)
+  }
+
+  test("schema evolution: merged read surfaces the added column, old rows NULL") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a")).toDF("id", "v").write.mode("append").parquet(dir)
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score").write.mode("append").parquet(dir)
+    val merged = graft.sources.Maintenance.readMerged(spark, dir)
+    assert(merged.columns.toSet == Set("id", "v", "score"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score"))) // pre-migration row
+    assert(rows(1).getDouble(rows(1).fieldIndex("score")) == 9.5)
+  }
+
   test("multimodal: deterministic fake features + frame sampling") {
     import spark.implicits._
     val media = Seq(
