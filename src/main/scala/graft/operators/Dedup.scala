@@ -41,8 +41,8 @@ object Dedup {
     // a broadcast build would evaluate one full side single-threaded on the
     // driver (measured 4x the query), and at 100 TB the corpus can't be
     // broadcast at all. Hash beats merge: the block key needs no sort.
-    val a = sigs.toDF(sigs.columns.map("a_" + _): _*).hint("shuffle_hash")
-    val b = sigs.toDF(sigs.columns.map("b_" + _): _*).hint("shuffle_hash")
+    val a = sigs.toDF(sigs.columns.toIndexedSeq.map("a_" + _): _*).hint("shuffle_hash")
+    val b = sigs.toDF(sigs.columns.toIndexedSeq.map("b_" + _): _*).hint("shuffle_hash")
     val cond = joinCols.map(c => col("a_" + c) === col("b_" + c)).reduce(_ && _) &&
       col("a_id") < col("b_id")
     a.join(b, cond)

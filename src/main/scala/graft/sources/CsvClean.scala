@@ -26,7 +26,7 @@ object CsvClean {
   /** S2: strip whitespace + UTF-8 BOM remnants from header names
     * (import_datasets.py:32). */
   def normalizeHeaders(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(_.strip.replace("﻿", "")): _*)
+    df.toDF(df.columns.toIndexedSeq.map(_.strip.replace("﻿", "")): _*)
 
   /** S3: cast a column to a type with a null-guard; strings truncate to 255
     * chars exactly like the reference's `str(...)[:255]`

@@ -143,9 +143,9 @@ object EventsStream {
                        windowMinutes: Int,
                        watermark: String = "1 hour"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark)
-      .toDF(left.columns.map("l_" + _): _*)
+      .toDF(left.columns.toIndexedSeq.map("l_" + _): _*)
     val r = right.withWatermark(rightTs, watermark)
-      .toDF(right.columns.map("r_" + _): _*)
+      .toDF(right.columns.toIndexedSeq.map("r_" + _): _*)
     l.join(r,
       col("l_" + key) === col("r_" + key) &&
         col("r_" + rightTs) >= col("l_" + leftTs) &&
