@@ -63,7 +63,7 @@ object AnalyticsQueries {
 
     Q("q_geo_pairs",
       "Large x large spatial pair join (GeoSearch.gridPairs): all supplier " +
-        "pairs within 15 km via grid blocking — one side replicated to its " +
+        "pairs within 60 km via grid blocking — one side replicated to its " +
         "3x3 cell neighborhood, the other home-only, so every qualifying " +
         "pair meets in exactly one cell and the quadratic never leaves a " +
         "cell neighborhood (the geo analog of the LSH band join). Oracle " +
@@ -77,14 +77,14 @@ object AnalyticsQueries {
         s"""SELECT a.s_suppkey AS a_id, b.s_suppkey AS b_id,
            |  ${text.fixedPoint(geo.haversineKmSql(latA, lonA, latB, lonB), 2)} AS dist_x100
            |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
-           |WHERE ${geo.haversineKmSql(latA, lonA, latB, lonB)} <= 15.0
+           |WHERE ${geo.haversineKmSql(latA, lonA, latB, lonB)} <= 60.0
            |ORDER BY a_id, b_id""".stripMargin
       }) { (s, dir) =>
       val pts = supplier(s, dir).select(col("s_suppkey"),
         geo.synthLat(col("s_suppkey") * 13).as("lat"),
         geo.synthLon(col("s_suppkey") * 13).as("lon"))
       graft.operators.GeoSearch
-        .gridPairs(pts, "s_suppkey", "lat", "lon", maxKm = 15.0, maxAbsLat = 34.0)
+        .gridPairs(pts, "s_suppkey", "lat", "lon", maxKm = 60.0, maxAbsLat = 34.0)
         .select(col("a_id"), col("b_id"),
           expr(text.fixedPoint("distance_km", 2)).as("dist_x100"))
         .orderBy("a_id", "b_id")
@@ -568,6 +568,27 @@ object AnalyticsQueries {
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
           col("n"), col("revenue_cents"))
+        .orderBy("returnflag", "linestatus")
+    },
+
+    Q("q_cube",
+      "CUBE(returnflag, linestatus): all four grouping levels (detail, " +
+        "each single-dimension margin, grand total) in one pass — the " +
+        "margin rows a dashboard wants without re-scanning per level; " +
+        "same grouping-set expansion before the exchange as q_rollup",
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             |  coalesce(l_linestatus, 'ALL') AS linestatus,
+             |  count(*) AS n,
+             |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+             |FROM lineitem
+             |GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY returnflag, linestatus""".stripMargin)) { (s, dir) =>
+      lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty"))
         .orderBy("returnflag", "linestatus")
     },
 
