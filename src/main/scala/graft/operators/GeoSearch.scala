@@ -57,13 +57,39 @@ object GeoSearch {
   def gridPairs(df: DataFrame, keyCol: String, latCol: String, lonCol: String,
                 maxKm: Double, maxAbsLat: Double): DataFrame = {
     require(maxAbsLat < 89.0, "grid blocking needs a bounded latitude range")
-    val cellDeg = math.max(
-      maxKm / geo.KmPerDegreeLat,
-      maxKm / (geo.KmPerDegreeLonAtEquator * math.cos(math.toRadians(maxAbsLat))))
+    val r = graft.plans.HaversineKm.EarthRadiusKm
+    // cell side from the SAME spherical model that qualifies pairs — the
+    // flat km-per-degree constants under-size the cell by ~0.1% and a
+    // near-maxKm east-west pair just across a cell boundary would land two
+    // cells apart and silently vanish. Exact bounds: a meridian arc of
+    // maxKm spans toDegrees(maxKm/R) of latitude; at |lat| ≤ maxAbsLat a
+    // haversine distance ≤ maxKm spans at most
+    // 2·asin(sin(maxKm/2R)/cos(maxAbsLat)) of longitude (maximized with
+    // both endpoints at ±maxAbsLat). A hair of float margin on top.
+    val lonBound = 2.0 * math.toDegrees(math.asin(
+      math.min(1.0, math.sin(maxKm / (2.0 * r)) / math.cos(math.toRadians(maxAbsLat)))))
+    val cellDeg = math.max(math.toDegrees(maxKm / r), lonBound) * (1.0 + 1e-9)
+    require(cellDeg < 30.0,
+      "maxKm/maxAbsLat give cells >= 30 deg — the antimeridian wrap's " +
+        "replica-disjointness argument needs small cells; band the data instead")
     val pts = df.select(col(keyCol).as("id"), col(latCol).as("lat"), col(lonCol).as("lon"),
       floor(col(latCol) / cellDeg).cast("long").as("cla"),
       floor(col(lonCol) / cellDeg).cast("long").as("clo"))
-    val a = pts.toDF("a_id", "a_lat", "a_lon", "a_cla", "a_clo")
+    // antimeridian: lon +179.9 and -179.9 are km apart but cells apart —
+    // the replicated side adds a ±360°-shifted copy for points within
+    // 2 cells of the seam, whose neighbor cells cover the other side's
+    // home cells. A pair still meets exactly once: the home side never
+    // shifts, and a shifted replica's cell range is ~360/cellDeg cells
+    // away from the unshifted one's (disjoint for cellDeg < 30), so only
+    // one replica can land on any given home cell.
+    val near = abs(col(lonCol)) > 180.0 - 2.0 * cellDeg
+    val shifted = df.filter(near)
+      .select(col(keyCol).as("id"), col(latCol).as("lat"), col(lonCol).as("lon"),
+        floor(col(latCol) / cellDeg).cast("long").as("cla"),
+        floor((col(lonCol) + when(col(lonCol) > 0, -360.0).otherwise(360.0)) / cellDeg)
+          .cast("long").as("clo"))
+    val a = pts.unionByName(shifted)
+      .toDF("a_id", "a_lat", "a_lon", "a_cla", "a_clo")
       .withColumn("d", explode(expr(
         "transform(sequence(0, 8), i -> struct(i div 3 - 1 AS dy, i % 3 - 1 AS dx))")))
       .select(col("a_id"), col("a_lat"), col("a_lon"),

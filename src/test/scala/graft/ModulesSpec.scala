@@ -162,9 +162,17 @@ class ModulesSpec extends AnyFunSuite {
   test("gridPairs finds exactly the brute-force pair set on random points") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
-    // lat band up to the declared maxAbsLat, lon spanning sign changes
-    val pts = (1L to 120L).map(id =>
-      (id, rnd.nextDouble() * 70 - 35, rnd.nextDouble() * 20 - 10))
+    // lat band up to the declared maxAbsLat; a third of the points hug the
+    // antimeridian (either side) so seam pairs are exercised, the rest
+    // span an ordinary lon range including sign changes
+    val pts = (1L to 150L).map { id =>
+      val lon =
+        if (id % 3 == 0) {
+          val d = 178.0 + rnd.nextDouble() * 2 // within 2 deg of the seam
+          if (rnd.nextBoolean()) d else -d
+        } else rnd.nextDouble() * 20 - 10
+      (id, rnd.nextDouble() * 70 - 35, lon)
+    }
     val df = pts.toDF("id", "lat", "lon")
     val got = graft.operators.GeoSearch
       .gridPairs(df, "id", "lat", "lon", maxKm = 200.0, maxAbsLat = 35.0)

@@ -132,10 +132,14 @@ class PlanGuardSpec extends AnyFunSuite {
           if f.relation.location.rootPaths.exists(_.toString.contains("graft_ann")) => f
     }
     assert(scans.nonEmpty, "no scan over the persisted index found")
-    // dynamic partition pruning on the broadcast bucket join, or at minimum
-    // a partition-filter column: the layout must be prunable
-    assert(scans.exists(_.partitionFilters.nonEmpty),
-      s"no partition filters on the index scan: ${scans.map(_.partitionFilters)}")
+    // specifically DYNAMIC partition pruning from the broadcast bucket
+    // join — any equi-join on a partition column gets an inferred
+    // isnotnull(bucket) into partitionFilters, so merely "non-empty"
+    // would stay green even with DPP disabled and all buckets scanned
+    val dpp = scans.exists(_.partitionFilters.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression])))
+    assert(dpp, "no DynamicPruningExpression on the index scan: " +
+      scans.map(_.partitionFilters).mkString("; "))
   }
 
   test("partitioned parquet layout prunes partitions at the scan") {
