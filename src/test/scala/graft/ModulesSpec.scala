@@ -112,6 +112,23 @@ class ModulesSpec extends AnyFunSuite {
     assert(got(4L) == None)        // key with no right rows at all
   }
 
+  test("dedup operators tolerate NULL text rows (skip, don't abort)") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup
+      .minhashLshPairs(corpus, "doc_id", "text", k = 16, bands = 4, shingleN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L))) // null doc matches nothing, job survives
+    val sim = graft.operators.Dedup
+      .simhashPairs(corpus, "doc_id", "text", 60, 4, 3, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sim.toSeq == Seq((1L, 2L)))
+  }
+
   test("dedup clusters: empty pair table -> all singletons (no NPE)") {
     import spark.implicits._
     val ids = (1L to 5L).toDF("id")
