@@ -106,6 +106,24 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("vector kernels: cosine bounded and argument-symmetric, zero norm -> 0") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.plans.VectorKernels
+    forAllSamples(200) {
+      val n = 1 + rnd.nextInt(64)
+      val a = new GenericArrayData(Array.fill(n)(rnd.nextDouble() * 2 - 1))
+      val b = new GenericArrayData(Array.fill(n)(rnd.nextDouble() * 2 - 1))
+      val c = VectorKernels.cosine(a, b)
+      assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12)
+      // per-term products commute and fold in the same order — bit equality
+      assert(c == VectorKernels.cosine(b, a))
+      assert(VectorKernels.dot(a, b) == VectorKernels.dot(b, a))
+    }
+    val z = new GenericArrayData(Array.fill(8)(0.0))
+    val v = new GenericArrayData(Array.fill(8)(1.0))
+    assert(VectorKernels.cosine(z, v) == 0.0) // embeddings.py:130-131 contract
+  }
+
   test("shingle hashes: distinct, and |shingles| <= max(|tokens|-2, 1)") {
     forAllSamples(100) {
       val t = sampleText()
