@@ -727,6 +727,39 @@ object AnalyticsQueries {
         .orderBy("event_id")
     },
 
+    Q("q_interval_join",
+      "Interval-containment join (IntervalJoin.containsJoin): per-user " +
+        "campaign windows x the events inside them, blocked by 1-day time " +
+        "buckets — intervals replicate to the buckets they span, events " +
+        "stay in one home bucket, every qualifying pair meets exactly once " +
+        "(the temporal gridPairs). Oracle states the same result as a " +
+        "direct BETWEEN theta-join — the per-key cross product this " +
+        "operator exists to avoid at scale",
+      Some(s"""WITH iv AS (
+              |  SELECT c_custkey AS user_id,
+              |    TIMESTAMP '2024-01-01 00:00:00' + CAST(c_custkey % 20 AS BIGINT) * INTERVAL 1 DAY AS start_ts,
+              |    TIMESTAMP '2024-01-01 00:00:00' + CAST(c_custkey % 20 + c_custkey % 3 + 1 AS BIGINT) * INTERVAL 1 DAY AS end_ts
+              |  FROM customer WHERE c_custkey < 50)
+              |SELECT iv.user_id, count(*) AS n_events,
+              |  CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_val_x100
+              |FROM iv JOIN events e
+              |  ON e.user_id = iv.user_id
+              | AND e.ts >= iv.start_ts AND e.ts < iv.end_ts
+              |GROUP BY iv.user_id
+              |ORDER BY iv.user_id""".stripMargin)) { (s, dir) =>
+      val iv = customer(s, dir).filter(col("c_custkey") < 50)
+        .select(col("c_custkey").as("user_id"),
+          expr("TIMESTAMP '2024-01-01 00:00:00' + make_interval(0,0,0, CAST(c_custkey % 20 AS INT), 0,0,0)").as("start_ts"),
+          expr("TIMESTAMP '2024-01-01 00:00:00' + make_interval(0,0,0, CAST(c_custkey % 20 + c_custkey % 3 + 1 AS INT), 0,0,0)").as("end_ts"))
+      graft.operators.IntervalJoin
+        .containsJoin(iv, events(s, dir), "user_id", "start_ts", "end_ts",
+          "ts", bucketMinutes = 24 * 60)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("e_value") * 100).cast("long")).cast("long").as("sum_val_x100"))
+        .orderBy("user_id")
+    },
+
     Q("q_dashboard_counts",
       "Entry point 3 (health_api.py:421-471): the 7-query dashboard fan-out " +
         "collapsed into one row of independent scalar aggregates",

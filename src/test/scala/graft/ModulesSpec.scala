@@ -151,6 +151,28 @@ class ModulesSpec extends AnyFunSuite {
     assert(got.length == 1 && got(0).isNullAt(0))
   }
 
+  test("interval join: exclusive end, multi-bucket spans, exactly-once pairs") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val iv = Seq(
+      (1L, ts("2024-01-01 00:30:00"), ts("2024-01-03 00:00:00")), // spans 3 day-buckets
+      (2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")))
+      .toDF("user_id", "start_ts", "end_ts")
+    val ev = Seq(
+      (10L, 1L, ts("2024-01-02 23:59:59")), // inside, far bucket
+      (11L, 1L, ts("2024-01-03 00:00:00")), // exactly at end -> excluded
+      (12L, 1L, ts("2024-01-01 00:30:00")), // exactly at start -> included
+      (13L, 2L, ts("2024-01-01 10:30:00")), // inside the short interval
+      (14L, 2L, ts("2024-01-02 10:30:00"))) // right key, outside
+      .toDF("event_id", "user_id", "ts")
+    val got = graft.operators.IntervalJoin
+      .containsJoin(iv, ev, "user_id", "start_ts", "end_ts", "ts",
+        bucketMinutes = 24 * 60)
+      .select("e_event_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(10L, 12L, 13L))
+  }
+
   test("as-of join matches a brute-force reference on random data") {
     import spark.implicits._
     import java.sql.Timestamp
