@@ -428,6 +428,27 @@ object AnalyticsQueries {
         .orderBy("day", "event_type")
     },
 
+    Q("q_sliding_window",
+      "Sliding-window aggregation: 2-day windows sliding 1 day (each event " +
+        "lands in two windows) — the trend-smoothing sibling of " +
+        "q_daily_window's tumbling windows; Spark's window() generator " +
+        "checked against an explicit two-window unnest in the oracle",
+      Some(s"""SELECT strftime(ws, '%Y-%m-%d') AS win_start, event_type, count(*) AS n
+              |FROM (
+              |  SELECT event_type,
+              |    unnest([date_trunc('day', ts),
+              |            date_trunc('day', ts) - INTERVAL 1 DAY]) AS ws
+              |  FROM events)
+              |GROUP BY ws, event_type
+              |ORDER BY win_start, event_type""".stripMargin)) { (s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "2 days", "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("win_start"),
+          col("event_type"), col("n"))
+        .orderBy("win_start", "event_type")
+    },
+
     Q("q_vital_rules",
       "X16: per-type threshold rule dispatch → abnormality flag + grouped " +
         "counts (health_api.py:500-514 when-chain)",
