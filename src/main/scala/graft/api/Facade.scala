@@ -60,6 +60,21 @@ object Facade {
       idCol, "lat", "lon", stopIdCol, "stop_lat", "stop_lon", k, maxKm)
   }
 
+  /** POST /conversations/{id}/search-messages (backend/main.py:360-423 →
+    * backend/embeddings.py:138-193): cosine KNN over one conversation's
+    * message embeddings with the reference defaults (threshold 0.7,
+    * top-5). The pgvector `<=>` + HNSW index becomes a brute-force scan
+    * of the conversation's slice — exact, and the slice is one
+    * conversation, not the corpus; corpus-wide search is
+    * [[graft.operators.AnnIndex]]. */
+  def searchMessages(messages: DataFrame, conversationId: Long,
+                     queryVec: Seq[Float],
+                     threshold: Double = 0.7, k: Int = 5,
+                     embCol: String = "embedding"): DataFrame =
+    VectorSearch.knn(
+      messages.filter(col("conversation_id") === conversationId),
+      embCol, queryVec, k, threshold)
+
   /** Entry point 2's terminal report — end-of-conversation batch aggregate
     * over one conversation's messages (backend/main.py:312-336). */
   def conversationReport(messages: DataFrame, conversationId: Long): DataFrame =

@@ -62,6 +62,20 @@ class FacadeSpec extends AnyFunSuite {
     assert(withStops.forall(_.getAs[Int]("rank_nearest") <= 3))
   }
 
+  test("message KNN: conversation-scoped, thresholded, top-k, sim-ordered") {
+    import spark.implicits._
+    val q = Seq(1.0f, 0.0f, 0.0f)
+    val msgs = Seq(
+      (1L, 100L, Seq(1.0f, 0.0f, 0.0f)),   // sim 1.0
+      (2L, 100L, Seq(0.9f, 0.1f, 0.0f)),   // high sim
+      (3L, 100L, Seq(0.0f, 1.0f, 0.0f)),   // sim 0 -> below threshold
+      (4L, 200L, Seq(1.0f, 0.0f, 0.0f)))   // other conversation
+      .toDF("message_id", "conversation_id", "embedding")
+    val got = Facade.searchMessages(msgs, 100L, q)
+      .select("message_id").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(1L, 2L)) // scoped, thresholded, ordered by sim desc
+  }
+
   test("dashboard fan-out: one row of scalar aggregates") {
     import spark.implicits._
     val doses = Seq(("taken"), ("taken"), ("missed"), ("scheduled"))
