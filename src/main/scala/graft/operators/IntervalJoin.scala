@@ -28,7 +28,12 @@ object IntervalJoin {
                    key: String, startCol: String, endCol: String,
                    tsCol: String, bucketMinutes: Int): DataFrame = {
     val bucketSec = bucketMinutes * 60L
+    // drop malformed intervals (end <= start) BEFORE the explode: they can
+    // never contain an event (the refine below is unsatisfiable), but
+    // Spark's sequence() DESCENDS when its bounds invert, so one bad row
+    // would fan out |start-end|/bucket junk replicas instead of zero
     val iv = intervals
+      .filter(col(endCol) > col(startCol))
       .withColumn("__b", explode(expr(
         // end is exclusive, so an interval ending exactly on a bucket
         // boundary does not replicate into that bucket
