@@ -27,7 +27,10 @@ object IntervalJoin {
   def containsJoin(intervals: DataFrame, events: DataFrame,
                    key: String, startCol: String, endCol: String,
                    tsCol: String, bucketMinutes: Int): DataFrame = {
-    val bucketSec = bucketMinutes * 60L
+    // micros, not unix_timestamp: second-truncation would compute a
+    // fractional-second end's last bucket one short and silently drop
+    // events in that bucket (events.ts IS micros-precision here)
+    val bucketUs = bucketMinutes * 60L * 1000000L
     // drop malformed intervals (end <= start) BEFORE the explode: they can
     // never contain an event (the refine below is unsatisfiable), but
     // Spark's sequence() DESCENDS when its bounds invert, so one bad row
@@ -37,11 +40,11 @@ object IntervalJoin {
       .withColumn("__b", explode(expr(
         // end is exclusive, so an interval ending exactly on a bucket
         // boundary does not replicate into that bucket
-        s"sequence(unix_timestamp($startCol) div $bucketSec, " +
-          s"(unix_timestamp($endCol) - 1) div $bucketSec)")))
+        s"sequence(unix_micros($startCol) div $bucketUs, " +
+          s"(unix_micros($endCol) - 1) div $bucketUs)")))
       .hint("shuffle_hash")
     val ev = events.toDF(events.columns.map("e_" + _).toIndexedSeq: _*)
-      .withColumn("__b", expr(s"unix_timestamp(e_$tsCol) div $bucketSec"))
+      .withColumn("__b", expr(s"unix_micros(e_$tsCol) div $bucketUs"))
       .hint("shuffle_hash")
     iv.join(ev, iv("__b") === ev("__b") && iv(key) === ev(s"e_$key"))
       .filter(col(s"e_$tsCol") >= col(startCol) && col(s"e_$tsCol") < col(endCol))

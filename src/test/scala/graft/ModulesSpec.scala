@@ -156,7 +156,7 @@ class ModulesSpec extends AnyFunSuite {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
     val iv = Seq(
-      (1L, ts("2024-01-01 00:30:00"), ts("2024-01-03 00:00:00")), // spans 3 day-buckets
+      (1L, ts("2024-01-01 00:30:00"), ts("2024-01-03 00:00:00")), // exclusive end: replicates to 2 day-buckets (Jan-1, Jan-2)
       (2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")))
       .toDF("user_id", "start_ts", "end_ts")
     val ev = Seq(
