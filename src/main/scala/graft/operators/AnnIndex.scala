@@ -109,12 +109,28 @@ object AnnIndex {
     * partition-parallel at any corpus size. Approximate exactly like
     * [[annTopK]]: a true neighbor hashed to another bucket is missed;
     * raise recall with fewer planes or multi-probe. */
+  /** `probeBits` is the multi-probe radius: 0 probes only the query's own
+    * bucket (cheapest, weakest recall — measured ~0.17 top-3 recall on the
+    * near-random test embeddings at 4 planes), 1 additionally probes every
+    * bucket one sign-flip away (planes+1 buckets; recall floor asserted in
+    * ModulesSpec). The standard LSH trade: each extra bit multiplies probed
+    * buckets, touching C(planes, ≤probeBits) of the 2^planes partitions —
+    * still partition-pruned reads of a persisted index, never a full scan.
+    * Queries replicate (the small side); a (query, neighbor) pair meets at
+    * most once since probed buckets are distinct per query. */
   def annJoin(queries: DataFrame, qIdCol: String, qEmbCol: String,
               corpus: DataFrame, cIdCol: String, cEmbCol: String,
-              dim: Int, planes: Int, k: Int): DataFrame = {
+              dim: Int, planes: Int, k: Int, probeBits: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = queries.select(col(qIdCol).as("query_id"), col(qEmbCol).as("__qe"),
-      bucketExpr(qEmbCol, dim, planes).as("__qb"))
+    require(probeBits >= 0 && probeBits <= 1, "probeBits 0 or 1 supported")
+    val q0 = queries.select(col(qIdCol).as("query_id"), col(qEmbCol).as("__qe"),
+      bucketExpr(qEmbCol, dim, planes).as("__qb0"))
+    val q =
+      if (probeBits == 0) q0.withColumn("__qb", col("__qb0")).drop("__qb0")
+      else q0.withColumn("__qb", explode(expr(
+          s"array_union(array(__qb0), transform(sequence(0, ${planes - 1}), " +
+            s"i -> __qb0 ^ CAST(pow(2, i) AS BIGINT)))")))
+        .drop("__qb0")
     val c = corpus.select(col(cIdCol).as("neighbor_id"), col(cEmbCol).as("__ce"),
       bucketExpr(cEmbCol, dim, planes).as("__cb"))
     val w = Window.partitionBy("query_id")

@@ -239,6 +239,45 @@ class ModulesSpec extends AnyFunSuite {
     assert(got == Map(1L -> 10L, 2L -> 20L), s"got $got")
   }
 
+  test("ANN KNN join recalls most brute-force neighbors at 4 planes") {
+    // correctness of WHAT the bucket join returns is oracle-gated
+    // (q_knn_join); this pins the QUALITY floor — a bucketing regression
+    // (bad coefficients, over-aggressive planes) would tank recall while
+    // still hash-matching its own oracle
+    import org.apache.spark.sql.expressions.Window
+    val all = graft.core.Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val queries = all.filter(col("vec_id") < 20)
+    val corpus = all.filter(col("vec_id") >= 20)
+    def recallAt(probeBits: Int): Double = {
+      val approx = graft.operators.AnnIndex
+        .annJoin(queries, "vec_id", "emb", corpus, "vec_id", "emb",
+          dim = 64, planes = 4, k = 3, probeBits = probeBits)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val w = Window.partitionBy("query_id")
+        .orderBy(desc("similarity"), col("neighbor_id"))
+      val exact = queries.select(col("vec_id").as("query_id"), col("emb").as("qe"))
+        .crossJoin(corpus.select(col("vec_id").as("neighbor_id"), col("emb")))
+        .withColumn("similarity", graft.functions.vectors.cosineSim(col("emb"), col("qe")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (approx & exact).size.toDouble / exact.size
+    }
+    val single = recallAt(0)
+    val probed = recallAt(1)
+    // the synthetic embeddings are near-random, the hardest case for LSH
+    // (little sign-pattern correlation to exploit): single-probe measures
+    // ~0.17, 1-bit multi-probe ~0.38 here. The invariant worth pinning is
+    // the LEVER — multi-probe strictly lifts recall — plus a floor with
+    // margin under the measured value to catch bucketing regressions
+    // (broken coefficients collapse recall toward k/|corpus| ≈ 0.02)
+    assert(probed > single, f"multi-probe ($probed%.2f) not above single ($single%.2f)")
+    assert(probed >= 0.3, f"1-bit multi-probe recall $probed%.2f below floor")
+  }
+
   test("IVF ANN: probing all lists equals brute force; partial probe recalls") {
     import graft.operators.AnnIndex
     val corpus = graft.core.Tables.embeddings(spark, sf)
