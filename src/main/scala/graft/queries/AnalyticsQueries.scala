@@ -23,6 +23,21 @@ object AnalyticsQueries {
   private val synthLatV = geo.synthLatSql("vec_id")
   private val synthLonV = geo.synthLonSql("vec_id")
 
+  /** q_corr_stats final math, rendered from EXACT integer moments with the
+    * byte-identical expression in both engines (CAST/sqrt/floor parse the
+    * same in Spark SQL and DuckDB): n*Sxy - Sx*Sy over the sqrt'd variance
+    * terms. Each CAST(int AS DOUBLE) is correctly rounded from the same
+    * exact integer on both sides, and double arithmetic with identical
+    * operation order is IEEE-deterministic. */
+  private val CorrNum =
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+  private val VarX =
+    "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+  private val VarY =
+    "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+  private val CorrExpr = s"$CorrNum / (sqrt($VarX) * sqrt($VarY))"
+  private val SlopeExpr = s"$CorrNum / $VarX"
+
   val all: Seq[Q] = Seq(
 
     Q("q_nearest_k",
@@ -449,6 +464,42 @@ object AnalyticsQueries {
         .orderBy("win_start", "event_type")
     },
 
+    Q("q_gap_fill",
+      "Time-series gap fill: daily counts of rare events (value > 200) per " +
+        "type, with MISSING (day, type) combinations restored as explicit " +
+        "zeros over the observed day span — the resample/reindex step every " +
+        "monitoring dashboard needs before plotting or anomaly-scoring a " +
+        "sparse series. One scan builds the tiny daily aggregate " +
+        "(localCheckpoint — bounded by days x types, never by raw rows); " +
+        "the day spine and type list derive from it without re-reading " +
+        "events, and the fill join is broadcast",
+      Some(s"""WITH f AS (
+              |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type
+              |  FROM events WHERE value > 200.0),
+              |daily AS (SELECT day, event_type, count(*) AS n FROM f GROUP BY 1, 2),
+              |span AS (SELECT CAST(unnest(generate_series(min(day), max(day),
+              |                 INTERVAL 1 DAY)) AS DATE) AS day FROM daily),
+              |types AS (SELECT DISTINCT event_type AS etype FROM daily)
+              |SELECT strftime(s.day, '%Y-%m-%d') AS day, t.etype AS event_type,
+              |       CAST(COALESCE(d.n, 0) AS BIGINT) AS n
+              |FROM span s CROSS JOIN types t
+              |LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.etype
+              |ORDER BY day, event_type""".stripMargin)) { (s, dir) =>
+      val daily = events(s, dir)
+        .filter(col("value") > 200.0)
+        .groupBy(to_date(expr(S.dayTrunc("ts"))).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // one events scan; spine + types + join reuse it
+      val span = daily.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val types = daily.select("event_type").distinct()
+      span.crossJoin(types)
+        .join(broadcast(daily), Seq("day", "event_type"), "left")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("day", "event_type")
+    },
+
     Q("q_vital_rules",
       "X16: per-type threshold rule dispatch → abnormality flag + grouped " +
         "counts (health_api.py:500-514 when-chain)",
@@ -567,6 +618,44 @@ object AnalyticsQueries {
         expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)")
           .as("price_p50_p95_p99"),
         expr("approx_percentile(l_quantity, 0.5, 10000)").as("qty_p50"))
+    },
+
+    Q("q_corr_stats",
+      "Exact-integer correlation + regression slope of (quantity, price) " +
+        "per returnflag: the five raw moments accumulate as DECIMAL/HUGEINT " +
+        "(sum of squared cents passes 2^63 already at sf0.1 — a naive " +
+        "BIGINT sum silently wraps), then the corr/slope doubles are " +
+        "computed from the EXACT integer moments with the identical " +
+        "expression in both engines, so no accumulation-order noise can " +
+        "flip a digit. Map-side combinable one-pass moments — the " +
+        "shuffle carries 6 numbers per group, never the rows",
+      Some(s"""WITH s AS (
+              |  SELECT l_returnflag, count(*) AS n,
+              |    sum(CAST(l_quantity AS BIGINT)) AS sx,
+              |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+              |    sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+              |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+              |        * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy,
+              |    sum(CAST(l_quantity AS BIGINT)
+              |        * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy
+              |  FROM lineitem GROUP BY 1)
+              |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+              |  ${text.fixedPoint(CorrExpr, 6)} AS corr_x1m,
+              |  ${text.fixedPoint(SlopeExpr, 6)} AS slope_x1m
+              |FROM s ORDER BY l_returnflag""".stripMargin)) { (s, dir) =>
+      val x = col("l_quantity").cast("decimal(18,0)")
+      val y = round(col("l_extendedprice") * 100).cast("decimal(18,0)")
+      lineitem(s, dir)
+        .select(col("l_returnflag"), x.as("x"), y.as("y"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          expr(text.fixedPoint(CorrExpr, 6)).as("corr_x1m"),
+          expr(text.fixedPoint(SlopeExpr, 6)).as("slope_x1m"))
+        .orderBy("l_returnflag")
     },
 
     Q("q_rollup",
