@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Table-maintenance operators — the jobs that keep a 100 TB parquet lake
   * queryable. The reference's maintenance is imperative SQL migrations
@@ -26,6 +27,52 @@ object Maintenance {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val n = ((bytes + targetFileBytes - 1) / targetFileBytes).toLong.max(1L)
     df.repartition(n.toInt).write.mode(SaveMode.Overwrite).parquet(dstDir)
+    n
+  }
+
+  /** Morton (Z-order) key over two coordinates: quantize each to `bits`
+    * bits of its global range, then interleave the bits, so records close
+    * in BOTH dimensions are close in ONE sort order. A single-column sort
+    * (lat, lon) clusters only the leading column — a bounding-box query
+    * then still reads every file for the trailing one. 16 bits ≈ 600 m of
+    * latitude per cell: finer than any row-group at sane file sizes. */
+  def zOrderKey(lat: Column, lon: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val cells = (1L << bits) - 1
+    def quant(c: Column, lo: Double, hi: Double): Column =
+      least(lit(cells), greatest(lit(0L),
+        floor((c - lo) / (hi - lo) * cells).cast("long")))
+    val qLat = quant(lat, -90.0, 90.0)
+    val qLon = quant(lon, -180.0, 180.0)
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(qLat, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(qLon, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+  }
+
+  /** Z-order clustering rewrite: range-partition `srcDir` by the Morton key
+    * of (`latCol`, `lonCol`) and sort within partitions, so each output
+    * file — and each row group inside it — covers a tight lat AND lon
+    * rectangle. Parquet min/max stats then prune a bounding-box query down
+    * to the few files that actually intersect it; on row-order or
+    * single-column layouts every file straddles the full range of the
+    * other dimension and nothing prunes. This is the batch-lake analog of
+    * the reference's GIST index (import_datasets.py:89-92): the pruning
+    * lives in the LAYOUT, not in a secondary structure that 1000 executors
+    * would have to consult. Same new-directory contract as [[compactTo]].
+    */
+  def zorderTo(spark: SparkSession, srcDir: String, dstDir: String,
+               latCol: String, lonCol: String, bits: Int = 16,
+               targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    require(srcDir != dstDir, "clustering rewrites to a NEW directory (atomic swap)")
+    val df = spark.read.parquet(srcDir)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = ((bytes + targetFileBytes - 1) / targetFileBytes).toLong.max(1L)
+    val zkey = zOrderKey(col(latCol), col(lonCol), bits)
+    df.repartitionByRange(n.toInt, zkey)
+      .sortWithinPartitions(zkey)
+      .write.mode(SaveMode.Overwrite).parquet(dstDir)
     n
   }
 

@@ -540,6 +540,32 @@ class ModulesSpec extends AnyFunSuite {
       == 10000L * 9999 / 2)
   }
 
+  test("z-order clustering: bbox query concentrates into few files; row-order scatters") {
+    val base = java.nio.file.Files.createTempDirectory("graft_z").toString
+    val src = base + "/src"; val dst = base + "/z"
+    // deterministic scatter over a 10x10 degree box (no rand(): reruns must
+    // see the same layout)
+    spark.range(0, 40000).select(
+        col("id"),
+        (col("id") * 2654435761L % 1000000L / 1000000.0 * 10.0 + 30.0).as("lat"),
+        (col("id") * 48271L % 1000000L / 1000000.0 * 10.0 - 120.0).as("lon"))
+      .repartition(16).write.mode("overwrite").parquet(src)
+    val nFiles = graft.sources.Maintenance.zorderTo(
+      spark, src, dst, "lat", "lon", bits = 16, targetFileBytes = 1L << 16)
+    assert(nFiles >= 8, s"want a multi-file layout to prove pruning, got $nFiles")
+    assert(spark.read.parquet(dst).count() == 40000)
+    // files contributing >=1 row to a 0.5x0.5 degree bbox (1/400 of the
+    // area): the z-layout packs the box into a handful of files, the
+    // row-order layout has matches in every one of its 16 files
+    def touched(d: String): Long = spark.read.parquet(d)
+      .filter(col("lat").between(33.0, 33.5) && col("lon").between(-117.5, -117.0))
+      .select(input_file_name()).distinct().count()
+    val (scattered, clustered) = (touched(src), touched(dst))
+    assert(scattered >= 12, s"row-order layout unexpectedly clustered: $scattered")
+    assert(clustered * 3 <= scattered,
+      s"z-order pruning too weak: $clustered of $nFiles files vs $scattered of 16")
+  }
+
   test("schema evolution: merged read surfaces the added column, old rows NULL") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
