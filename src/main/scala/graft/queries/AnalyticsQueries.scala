@@ -658,6 +658,38 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
     },
 
+    Q("q_group_topk",
+      "Per-group top-3 orders by price via the mergeable bounded-buffer " +
+        "Aggregator (operators/TopK): the shuffle carries at most k rows " +
+        "per group per map partition, where the window-rank formulation " +
+        "(the oracle here, and q_latest_per_group/q_source_cap's shape) " +
+        "sorts entire groups after the exchange — one hot group at 100 TB " +
+        "is millions of buffered rows on one task for a 3-row answer. " +
+        "Ties break by orderkey, so both formulations agree exactly",
+      Some("""SELECT o_orderpriority, rank, o_orderkey, price_cents FROM (
+             |  SELECT o_orderpriority, o_orderkey,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             |    row_number() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY round(o_totalprice * 100) DESC, o_orderkey) AS rank
+             |  FROM orders)
+             |WHERE rank <= 3
+             |ORDER BY o_orderpriority, rank""".stripMargin)) { (s, dir) =>
+      val tk = graft.operators.TopK.topK(3)
+      orders(s, dir)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          // cents as exact integer-valued doubles: Scored.score compares
+          // them exactly (< 2^53), and the cast back to long is lossless
+          round(col("o_totalprice") * 100).as("score"))
+        .groupBy("o_orderpriority")
+        .agg(tk(col("o_orderkey"), col("score")).as("tk"))
+        .select(col("o_orderpriority"), posexplode(col("tk")))
+        .select(col("o_orderpriority"),
+          (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("o_orderkey"),
+          col("col.score").cast("long").as("price_cents"))
+        .orderBy("o_orderpriority", "rank")
+    },
+
     Q("q_rollup",
       "Hierarchical totals via ROLLUP(returnflag, linestatus): detail rows, " +
         "per-flag subtotals and the grand total in ONE pass (Spark expands " +

@@ -540,6 +540,23 @@ class ModulesSpec extends AnyFunSuite {
       == 10000L * 9999 / 2)
   }
 
+  test("bounded-buffer top-k agg matches the window formulation, ties broken by id") {
+    import org.apache.spark.sql.expressions.Window
+    // score = id % 13 forces heavy ties; repartition(8) forces real merges
+    val df = spark.range(0, 5000).select(
+      (col("id") % 7).as("g"), col("id"),
+      (col("id") % 13).cast("double").as("score")).repartition(8)
+    val tk = graft.operators.TopK.topK(4)
+    val got = df.groupBy("g").agg(tk(col("id"), col("score")).as("tk"))
+      .select(col("g"), posexplode(col("tk")))
+      .select(col("g"), (col("pos") + 1).as("rank"),
+        col("col.id").as("id"), col("col.score").as("score"))
+    val w = Window.partitionBy("g").orderBy(desc("score"), asc("id"))
+    val want = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 4).select("g", "rank", "id", "score")
+    assert(got.count() == 28 && got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
   test("z-order clustering: bbox query concentrates into few files; row-order scatters") {
     val base = java.nio.file.Files.createTempDirectory("graft_z").toString
     val src = base + "/src"; val dst = base + "/z"
