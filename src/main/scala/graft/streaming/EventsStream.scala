@@ -203,4 +203,23 @@ object EventsStream {
           out.iterator
       }
   }
+
+  /** T3 trending leaderboard: per tumbling window, the k users with the
+    * highest single event value — the mergeable bounded-buffer aggregate
+    * ([[graft.operators.TopK]]) running INSIDE a streaming aggregation.
+    * The streaming state per window is the k-bounded buffer itself, not
+    * the window's rows: late batches fold into it exactly like map-side
+    * partials do in the batch plan (the property PropertiesSpec pins).
+    * A window-rank formulation would need the full window buffered —
+    * unbounded per-window state the watermark can't save.
+    */
+  def topUsersPerWindow(events: DataFrame, k: Int,
+                        windowLen: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), windowLen))
+      .agg(graft.operators.TopK.topK(k)(col("user_id"), col("value")).as("tk"))
+      .select(col("window.start").as("win_start"), posexplode(col("tk")))
+      .select(col("win_start"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("user_id"), col("col.score").as("value"))
 }

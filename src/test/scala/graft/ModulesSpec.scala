@@ -403,6 +403,28 @@ class ModulesSpec extends AnyFunSuite {
     assert(click.getLong(2) == 2 && click.getDouble(3) == 2.0)
   }
 
+  test("streaming per-window top-k leaderboard merges state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val df = mem.toDF.toDF("ts", "user_id", "value")
+    val q = EventsStream.topUsersPerWindow(df, k = 2)
+      .writeStream.format("memory").queryName("trending").outputMode("complete").start()
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 5.0),
+      (Timestamp.valueOf("2024-01-01 11:00:00"), 2L, 9.0),
+      (Timestamp.valueOf("2024-01-01 12:00:00"), 3L, 1.0))
+    q.processAllAvailable()
+    // second batch: user 4 displaces user 1 from the top-2 — the k-bounded
+    // buffer persisted as streaming state must fold the new batch in
+    mem.addData((Timestamp.valueOf("2024-01-01 13:00:00"), 4L, 7.0))
+    q.processAllAvailable()
+    val rows = spark.table("trending").orderBy("rank").collect()
+    q.stop()
+    assert(rows.map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      == Seq((1L, 2L, 9.0), (2L, 4L, 7.0)))
+  }
+
   test("streaming dedup within watermark drops repeated content") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -132,4 +132,27 @@ class PropertiesSpec extends AnyFunSuite {
       assert(hs.length <= math.max(TextSig.tokens(t).length - 2, 1))
     }
   }
+
+  test("TopK aggregator: any merge order of any partitioning equals full sort") {
+    import graft.operators.TopK
+    import TopK.Scored
+    forAllSamples(100) {
+      val k = 1 + rnd.nextInt(6)
+      val agg = new TopK.TopKAgg(k)
+      // duplicate scores force the (score DESC, id ASC) tiebreak; duplicate
+      // ids don't occur in real input but must not break the invariant
+      val data = Vector.fill(rnd.nextInt(60))(
+        Scored(rnd.nextInt(20).toLong, rnd.nextInt(9).toDouble))
+      val want = data.sortBy(s => (-s.score, s.id)).take(k)
+      // single-buffer reduce path
+      assert(agg.finish(data.foldLeft(agg.zero)(agg.reduce)) == want)
+      // arbitrary partitioning + pairwise merge path (what AQE / map-side
+      // combine actually execute)
+      val parts = if (data.isEmpty) Vector(data)
+        else data.grouped(1 + rnd.nextInt(data.length)).toVector
+      val merged = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged) == want)
+    }
+  }
 }
