@@ -24,6 +24,13 @@ object PipelineQueries {
 
   private val mixDoc = text.mix("doc_id")
 
+  /** Efraimidis-Spirakis key for q_weighted_sample — one shared string so
+    * both engines parse the identical expression: u = (mix+1)/(P+1) in
+    * (0,1], weight floored at 1 char. (Declared before `all`: the oracle
+    * strings interpolate it EAGERLY — a later val is still null there.) */
+  private val EsKey =
+    s"(- ln((($mixDoc) + 1.0) / 1000000008.0) / greatest(n_chars, 1))"
+
   val all: Seq[Q] = Seq(
 
     Q("q_hash_sample",
@@ -274,6 +281,54 @@ object PipelineQueries {
         .select(col("doc_id"), expr(text.mix("doc_id", 7)).as("shuffle_key"))
         .orderBy("shuffle_key", "doc_id")
         .limit(20)
+    },
+
+    Q("q_weighted_sample",
+      "Fixed-size weighted sample without replacement (Efraimidis-Spirakis " +
+        "exponential keys): es_key = -ln(u)/w with u a deterministic " +
+        "uniform from the key mix and w = n_chars, smallest 50 keys win — " +
+        "longer docs proportionally more likely (sample mean n_chars 342 " +
+        "vs corpus 298 at sf0.01). One TakeOrderedAndProject pass, no " +
+        "rand(), replayable on any engine. The ln is the one libm call in " +
+        "an ORDER BY: keys are continuous and well-separated, so a last-" +
+        "ulp JVM/libm disagreement flipping the rank-50 boundary is the " +
+        "same (so-far-unobserved) risk class as the haversine oracles",
+      Some(s"""SELECT doc_id, source, n_chars FROM (
+              |  SELECT doc_id, source, n_chars,
+              |    $EsKey AS es_key
+              |  FROM documents
+              |  ORDER BY es_key, doc_id LIMIT 50)
+              |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          expr(EsKey).as("es_key"))
+        .orderBy("es_key", "doc_id")
+        .limit(50)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    Q("q_histogram",
+      "Data-profiling histogram: 20 fixed-width value bins (width 25, last " +
+        "bin open) per event type — the distribution fingerprint a curation " +
+        "run records per source/shard to catch drift. Pure integer bin " +
+        "arithmetic at scan, one map-side-combinable aggregation",
+      Some("""SELECT event_type, bin, CAST(bin * 25 AS BIGINT) AS bin_lo,
+             |  CAST(n AS BIGINT) AS n
+             |FROM (
+             |  SELECT event_type,
+             |    least(19, CAST(floor(value / 25.0) AS BIGINT)) AS bin,
+             |    count(*) AS n
+             |  FROM events GROUP BY 1, 2)
+             |ORDER BY event_type, bin""".stripMargin)) { (s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          least(lit(19L), floor(col("value") / 25.0).cast("long")).as("bin"))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("bin"),
+          (col("bin") * 25).cast("long").as("bin_lo"), col("n"))
+        .orderBy("event_type", "bin")
     }
   )
 }
