@@ -284,7 +284,8 @@ object Catalog {
   /** full catalog: core relational/geo/vector + text/dedup + analytics +
     * training-data-curation families */
   lazy val everything: Seq[Q] =
-    all ++ TextQueries.all ++ AnalyticsQueries.all ++ PipelineQueries.all
+    all ++ TextQueries.all ++ AnalyticsQueries.all ++ PipelineQueries.all ++
+      WarehouseQueries.all
 
   lazy val byName: Map[String, Q] = everything.map(q => q.name -> q).toMap
 

@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables._
+import graft.functions.{text, DuckDialect => D, SparkDialect => S}
+import graft.operators.{BloomPrune, Scd2, Sketches}
+
+/** Warehouse/product-analytics extensions beyond the reference's operator
+  * set: ordered event funnels, cohort retention, inter-event gap stats
+  * (lag/lead — the one window family the reference never uses, SURVEY
+  * §2.5), bloom-pruned semi-joins (runtime-filter shape), SCD-2 validity
+  * intervals over append-only change logs, and a count-min frequency
+  * sketch. Each is the batch form of a pipeline every large-scale event
+  * platform runs daily; all but the sketch are DuckDB-oracle-checked.
+  */
+object WarehouseQueries {
+
+  val all: Seq[Q] = Seq(
+
+    Q("q_funnel",
+      "Ordered 3-stage funnel over the event stream: first view, then first " +
+        "click AFTER that view, then first purchase AFTER that click, per " +
+        "user; output = users surviving each stage. Ordering makes this a " +
+        "real funnel (a user who purchased before ever viewing does not " +
+        "count) — the per-user min-timestamp tables are tiny next to the " +
+        "event log, so each stage is one shuffle-light join back onto events",
+      Some("""WITH v AS (
+             |  SELECT user_id, min(ts) AS vt FROM events
+             |  WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (
+             |  SELECT e.user_id, min(e.ts) AS ct
+             |  FROM events e JOIN v ON e.user_id = v.user_id
+             |  WHERE e.event_type = 'click' AND e.ts > v.vt
+             |  GROUP BY e.user_id),
+             |p AS (
+             |  SELECT e.user_id, min(e.ts) AS pt
+             |  FROM events e JOIN c ON e.user_id = c.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts > c.ct
+             |  GROUP BY e.user_id)
+             |SELECT stage, n_users FROM (
+             |  SELECT 'stage1_view' AS stage, count(*) AS n_users FROM v
+             |  UNION ALL SELECT 'stage2_click', count(*) FROM c
+             |  UNION ALL SELECT 'stage3_purchase', count(*) FROM p)
+             |ORDER BY stage""".stripMargin)) { (s, dir) =>
+      val ev = events(s, dir)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("vt"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("vt"))
+        .groupBy("user_id").agg(min("ts").as("ct"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("ct"))
+        .groupBy("user_id").agg(min("ts").as("pt"))
+      v.select(lit("stage1_view").as("stage"), count(lit(1)).as("n_users"))
+        .unionAll(c.select(lit("stage2_click"), count(lit(1))))
+        .unionAll(p.select(lit("stage3_purchase"), count(lit(1))))
+        .orderBy("stage")
+    },
+
+    Q("q_retention",
+      "Cohort retention: users grouped by first-active day, counted again " +
+        "at day offsets 0/1/7/14 — the engagement matrix behind every " +
+        "growth dashboard. Two aggregations over one scan shape: distinct " +
+        "(user, day) activity joined to per-user cohort day",
+      Some("""WITH first AS (
+             |  SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS cohort
+             |  FROM events GROUP BY user_id),
+             |activity AS (
+             |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+             |  FROM events)
+             |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+             |  CAST(date_diff('day', f.cohort, a.day) AS BIGINT) AS day_offset,
+             |  count(*) AS n_users
+             |FROM activity a JOIN first f ON a.user_id = f.user_id
+             |WHERE date_diff('day', f.cohort, a.day) IN (0, 1, 7, 14)
+             |GROUP BY 1, 2
+             |ORDER BY cohort_day, day_offset""".stripMargin)) { (s, dir) =>
+      val ev = events(s, dir)
+      val first = ev.groupBy("user_id")
+        .agg(min(expr(S.dayTrunc("ts"))).cast("date").as("cohort"))
+      val activity = ev
+        .select(col("user_id"), expr(S.dayTrunc("ts")).cast("date").as("day"))
+        .distinct()
+      activity.join(first, "user_id")
+        .withColumn("day_offset", datediff(col("day"), col("cohort")).cast("long"))
+        .filter(col("day_offset").isin(0L, 1L, 7L, 14L))
+        .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    },
+
+    Q("q_inter_event",
+      "Inter-event gap stats per user via lag(): count / max / avg seconds " +
+        "between consecutive events — the lag/lead window family (the " +
+        "reference never uses frame navigation; SURVEY §2.5). One shuffle " +
+        "on user_id, one partitioned window, gaps never leave their partition",
+      Some(s"""SELECT user_id, count(*) AS n_gaps,
+              |  CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+              |  ${text.fixedPoint("avg(gap_s)", 2)} AS avg_gap_s_x100
+              |FROM (
+              |  SELECT user_id,
+              |    ${D.epochSeconds("ts")} - ${D.epochSeconds(
+                     "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)")} AS gap_s
+              |  FROM events WHERE user_id < 100)
+              |WHERE gap_s IS NOT NULL
+              |GROUP BY user_id
+              |ORDER BY user_id""".stripMargin)) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, dir).filter(col("user_id") < 100)
+        .withColumn("gap_s",
+          unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+        .filter(col("gap_s").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          max(col("gap_s")).cast("long").as("max_gap_s"),
+          expr(text.fixedPoint("avg(gap_s)", 2)).as("avg_gap_s_x100"))
+        .orderBy("user_id")
+    },
+
+    Q("q_bloom_join",
+      "Bloom-pruned semi-join (operators/BloomPrune): the MACHINERY customer " +
+        "keys compact into a broadcast Bloom filter that prunes the orders " +
+        "scan BEFORE the shuffle; the exact semi-join then removes the " +
+        "~fpp false positives, so the result is exactly the plain semi-join " +
+        "the oracle runs. The explicit form of Spark's runtime bloom filter " +
+        "— at 100 TB the prune cuts the fact shuffle to the match rate",
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE o_custkey IN (SELECT c_custkey FROM customer
+             |                    WHERE c_mktsegment = 'MACHINERY')
+             |ORDER BY o_orderkey""".stripMargin)) { (s, dir) =>
+      val build = customer(s, dir).filter(col("c_mktsegment") === "MACHINERY")
+      BloomPrune.semiJoin(orders(s, dir), "o_custkey", build, "c_custkey",
+          expectedItems = 100000L, fpp = 0.03)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    Q("q_scd2",
+      "SCD-2 history (operators/Scd2): each customer's order log becomes a " +
+        "validity-interval dimension — valid_from = the change, valid_to = " +
+        "the next change (exclusive, NULL while current). The append-only " +
+        "re-model of the reference's in-place mutations (health_api.py:72-100; " +
+        "SURVEY §7.4): one shuffle on the key, one lead() window",
+      Some("""SELECT o_custkey, o_orderkey,
+             |  strftime(CAST(valid_from AS DATE), '%Y-%m-%d') AS valid_from,
+             |  coalesce(strftime(CAST(valid_to AS DATE), '%Y-%m-%d'), '9999-12-31') AS valid_to,
+             |  CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+             |FROM (
+             |  SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+             |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+             |                            ORDER BY o_orderdate, o_orderkey) AS valid_to
+             |  FROM orders WHERE o_custkey < 50)
+             |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin)) { (s, dir) =>
+      Scd2.fromChangeLog(
+          orders(s, dir).filter(col("o_custkey") < 50)
+            .select("o_custkey", "o_orderkey", "o_orderdate"),
+          key = "o_custkey", ts = "o_orderdate", tieBreak = Seq("o_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+          coalesce(date_format(col("valid_to"), "yyyy-MM-dd"), lit("9999-12-31"))
+            .as("valid_to"),
+          col("is_current").cast("long").as("is_current"))
+        .orderBy("o_custkey", "valid_from", "o_orderkey")
+    },
+
+    Q("q_cms_heavy",
+      "Count-min frequency sketch (operators/Sketches): per-supplier " +
+        "frequency estimates for suppliers 1-20 from one mergeable " +
+        "fixed-size sketch over lineitem — the heavy-hitter probe that " +
+        "replaces an exact full-key-universe shuffle at 100 TB. No oracle: " +
+        "like q_approx_distinct, sketch estimates are engine-specific " +
+        "(overcount-only bound est-true <= eps*N asserted in ModulesSpec)",
+      oracle = None) { (s, dir) =>
+      lineitem(s, dir)
+        .agg(Sketches.cms(0.0001, 0.99, seed = 42,
+          queryKeys = (1L to 20L))(col("l_suppkey")).as("ests"))
+        .select(explode(col("ests")).as("ke"))
+        .select(col("ke.key").as("suppkey"), col("ke.est").as("est_n"))
+        .orderBy("suppkey")
+    }
+  )
+}

@@ -635,4 +635,74 @@ class ModulesSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(media, everyMs = 1000)
     assert(frames.count() == 3) // 0, 1000, 2000 for the 2500ms video
   }
+
+  test("bloom-pruned semi-join equals the plain semi-join exactly") {
+    import graft.operators.BloomPrune
+    val orders = graft.core.Tables.table(spark, sf, "orders")
+    val build = graft.core.Tables.table(spark, sf, "customer")
+      .filter(col("c_mktsegment") === "MACHINERY")
+    val viaBloom = BloomPrune.semiJoin(orders, "o_custkey", build, "c_custkey",
+        expectedItems = 1000L, fpp = 0.3) // high fpp: force false positives
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val plain = orders
+      .join(build, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(viaBloom == plain,
+      s"bloom prune changed the result: ${viaBloom.size} vs ${plain.size} rows")
+  }
+
+  test("SCD-2 intervals chain gaplessly; snapshot returns one version per key") {
+    import spark.implicits._
+    import graft.operators.Scd2
+    val log = Seq(
+      (1L, "2024-01-01 00:00:00", 10L), (1L, "2024-02-01 00:00:00", 11L),
+      (1L, "2024-02-01 00:00:00", 12L), // same-ts change: tie-break on id
+      (1L, "2024-03-01 00:00:00", 13L),
+      (2L, "2024-06-01 00:00:00", 20L))
+      .toDF("k", "ts", "log_id")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val hist = Scd2.fromChangeLog(log, "k", "ts", tieBreak = Seq("log_id"))
+      .orderBy("k", "valid_from", "log_id").collect()
+    // each version's valid_to == the next version's valid_from, last is open
+    hist.groupBy(_.getLong(0)).foreach { case (_, versions) =>
+      versions.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Timestamp]("valid_to") == b.getAs[Timestamp]("valid_from"))
+        case _ =>
+      }
+      assert(versions.last.isNullAt(versions.last.fieldIndex("valid_to")))
+      assert(versions.last.getAs[Boolean]("is_current"))
+      assert(versions.init.forall(!_.getAs[Boolean]("is_current")))
+    }
+    // snapshot inside the same-ts pair's interval sees only the tie-winner's
+    // successor chain: exactly one version per covered key
+    val snap = Scd2.snapshotAt(
+        Scd2.fromChangeLog(log, "k", "ts", tieBreak = Seq("log_id")),
+        lit("2024-02-15 00:00:00").cast("timestamp"))
+      .collect()
+    assert(snap.length == 1 && snap.head.getAs[Long]("log_id") == 12L)
+  }
+
+  test("count-min sketch: overcount-only, within eps*N, merges across partitions") {
+    import graft.operators.Sketches
+    val li = graft.core.Tables.table(spark, sf, "lineitem")
+      .repartition(8) // force real partial-buffer merges
+    val n = li.count()
+    val eps = 0.001
+    val est = li.agg(Sketches.cms(eps, 0.99, seed = 7,
+        queryKeys = (1L to 10L))(col("l_suppkey")).as("e"))
+      .select(explode(col("e")).as("ke"))
+      .select(col("ke.key"), col("ke.est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = li.filter(col("l_suppkey").between(1, 10))
+      .groupBy("l_suppkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 10L).foreach { k =>
+      val t = exact.getOrElse(k, 0L)
+      val e = est(k)
+      assert(e >= t, s"CMS undercounted key $k: $e < $t")
+      assert(e - t <= (eps * n).ceil.toLong,
+        s"CMS error for key $k beyond eps*N: est $e, true $t, n $n")
+    }
+  }
 }
