@@ -166,6 +166,77 @@ object WarehouseQueries {
         .orderBy("o_custkey", "valid_from", "o_orderkey")
     },
 
+    Q("q_range_frame",
+      "RANGE-frame window: trailing-7-day event count and spend per user at " +
+        "every event — a range frame over epoch seconds (peers included by " +
+        "VALUE, not row position, so same-second events agree between " +
+        "engines). The frame family q_sessionize's ROWS windows don't " +
+        "cover; cents trick keeps the frame sum exact",
+      Some(s"""SELECT event_id, user_id,
+              |  count(*) OVER w AS n_7d,
+              |  CAST(sum(cents) OVER w AS BIGINT) AS spend_7d_cents
+              |FROM (
+              |  SELECT event_id, user_id, ${D.epochSeconds("ts")} AS epoch_s,
+              |    CAST(round(value * 100) AS BIGINT) AS cents
+              |  FROM events WHERE user_id < 20)
+              |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+              |             RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)
+              |ORDER BY event_id""".stripMargin)) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("epoch_s")
+        .rangeBetween(-518400L, 0L)
+      events(s, dir).filter(col("user_id") < 20)
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("epoch_s"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_7d"),
+          sum(col("cents")).over(w).as("spend_7d_cents"))
+        .orderBy("event_id")
+    },
+
+    Q("q_ntile",
+      "ntile quartiles within each market segment by account balance " +
+        "(unique (balance, key) order -> deterministic buckets), rolled up " +
+        "to per-segment-quartile stats — partitioned, so no global-window " +
+        "single-partition collapse",
+      Some("""SELECT c_mktsegment, CAST(quartile AS BIGINT) AS quartile,
+             |  count(*) AS n, min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+             |FROM (
+             |  SELECT c_mktsegment, c_acctbal,
+             |    ntile(4) OVER (PARTITION BY c_mktsegment
+             |                   ORDER BY c_acctbal, c_custkey) AS quartile
+             |  FROM customer)
+             |GROUP BY c_mktsegment, quartile
+             |ORDER BY c_mktsegment, quartile""".stripMargin)) { (s, dir) =>
+      val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+      customer(s, dir)
+        .select(col("c_mktsegment"), col("c_acctbal"),
+          ntile(4).over(w).as("quartile"))
+        .groupBy(col("c_mktsegment"), col("quartile").cast("long").as("quartile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("c_acctbal")).as("min_bal"),
+          max(col("c_acctbal")).as("max_bal"))
+        .orderBy("c_mktsegment", "quartile")
+    },
+
+    Q("q_string_agg",
+      "Ordered string aggregation: per-nation comma-joined sorted supplier " +
+        "list — collect_list is order-nondeterministic after a shuffle, so " +
+        "the sort happens in the array domain (array_sort) before joining; " +
+        "DuckDB's string_agg(... ORDER BY) is the same contract",
+      Some("""SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |GROUP BY n_name
+             |ORDER BY n_name""".stripMargin)) { (s, dir) =>
+      supplier(s, dir)
+        .join(broadcast(nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(array_join(array_sort(collect_list(col("s_name"))), ",")
+          .as("suppliers"))
+        .orderBy("n_name")
+    },
+
     Q("q_cms_heavy",
       "Count-min frequency sketch (operators/Sketches): per-supplier " +
         "frequency estimates for suppliers 1-20 from one mergeable " +

@@ -76,6 +76,29 @@ object Maintenance {
     n
   }
 
+  /** Hive-style partitioned layout (the lake's coarse index): one
+    * directory per distinct value of `partitionCols`, so any query with an
+    * equality/IN predicate on those columns never LISTS — let alone reads —
+    * the other partitions. Complements [[zorderTo]]: partitioning prunes at
+    * directory granularity on low-cardinality columns (ingest date, source,
+    * event type), Z-order/min-max prunes at row-group granularity within a
+    * partition. Partition columns must be low-cardinality: a per-user
+    * partitioning of a 100 TB log creates millions of directories and kills
+    * the listing it was meant to save.
+    */
+  def writePartitioned(df: DataFrame, dstDir: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.partitionBy(partitionCols: _*).mode(SaveMode.Overwrite).parquet(dstDir)
+
+  /** ORC rewrite of a parquet directory — same columnar/stat-pruning story
+    * as parquet through Spark's built-in ORC source; kept as the second
+    * format so format choice stays a one-line swap, not an engine property.
+    */
+  def toOrc(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
+    require(srcDir != dstDir, "format rewrite goes to a NEW directory")
+    spark.read.parquet(srcDir).write.mode(SaveMode.Overwrite).orc(dstDir)
+  }
+
   /** Schema evolution on read (the lake's `ALTER TABLE ADD COLUMN`):
     * merge the schemas of files written before and after a column was
     * added — old rows surface NULL for the new column, no rewrite. Spark
