@@ -237,6 +237,58 @@ object WarehouseQueries {
         .orderBy("n_name")
     },
 
+    Q("q_set_ops",
+      "INTERSECT / EXCEPT (the set-op family the reference never uses — " +
+        "U1/U2 cover union only): customers ordering in both 1997 and 1998 " +
+        "vs 1997-only, tagged and unioned. Spark plans both as hash " +
+        "semi/anti joins over distinct keys — one keyed shuffle each side, " +
+        "no row-pair blowup",
+      Some("""WITH y97 AS (SELECT DISTINCT o_custkey FROM orders
+             |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'),
+             |y98 AS (SELECT DISTINCT o_custkey FROM orders
+             |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+             |    AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00')
+             |SELECT tag, o_custkey FROM (
+             |  SELECT 'both_years' AS tag, o_custkey
+             |  FROM (SELECT o_custkey FROM y97 INTERSECT SELECT o_custkey FROM y98)
+             |  UNION ALL
+             |  SELECT 'only_1997', o_custkey
+             |  FROM (SELECT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y98))
+             |ORDER BY tag, o_custkey""".stripMargin)) { (s, dir) =>
+      def year(y: Int) = orders(s, dir)
+        .filter(col("o_orderdate") >= expr(s"TIMESTAMP '$y-01-01 00:00:00'") &&
+          col("o_orderdate") < expr(s"TIMESTAMP '${y + 1}-01-01 00:00:00'"))
+        .select("o_custkey").distinct()
+      val y97 = year(1997); val y98 = year(1998)
+      y97.intersect(y98).select(lit("both_years").as("tag"), col("o_custkey"))
+        .unionAll(y97.except(y98).select(lit("only_1997").as("tag"), col("o_custkey")))
+        .orderBy("tag", "o_custkey")
+    },
+
+    Q("q_grouping_sets",
+      "GROUPING SETS ((returnflag), (linestatus)): two independent subtotal " +
+        "groupings in ONE pass over the fact — the general form behind " +
+        "q_rollup/q_cube; absent dimensions surface as NULL and ship as " +
+        "'ALL' (neither column is nullable in the data, so the marker is " +
+        "unambiguous)",
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             |  coalesce(l_linestatus, 'ALL') AS ls,
+             |  count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+             |ORDER BY rf, ls""".stripMargin)) { (s, dir) =>
+      lineitem(s, dir)
+        .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls")
+    },
+
     Q("q_cms_heavy",
       "Count-min frequency sketch (operators/Sketches): per-supplier " +
         "frequency estimates for suppliers 1-20 from one mergeable " +

@@ -636,6 +636,61 @@ class ModulesSpec extends AnyFunSuite {
     assert(frames.count() == 3) // 0, 1000, 2000 for the 2500ms video
   }
 
+  test("variant type: parse-once binary JSON agrees with per-path extraction") {
+    // the scale story for the events.props blob: get_json_object re-parses
+    // the string per path per row; parse_json parses ONCE into Spark 4's
+    // binary Variant, every later path is a binary probe. Semantics must
+    // agree with the string path exactly (q_json_extract's oracle contract)
+    val ev = graft.core.Tables.events(spark, sf).limit(500)
+      .select(col("event_id"), col("props"))
+    val both = ev.select(col("event_id"),
+        expr(S.jsonGet("props", "$.k")).cast("long").as("k_str"),
+        expr("try_variant_get(parse_json(props), '$.k', 'bigint')").as("k_var"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.get(1) == r.get(2),
+        s"variant/string extraction disagree for event ${r.getLong(0)}: " +
+          s"${r.get(1)} vs ${r.get(2)}")
+    }
+  }
+
+  test("AQE splits a skewed join partition at runtime") {
+    import spark.implicits._
+    val restore = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // thresholds scaled down so the test-size hot key counts as skewed;
+      // broadcast off so the join actually shuffles (a broadcast join has
+      // no skew to split)
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val hot = (1L to 60000L).map(i => (0L, i)) // one mega-key
+      val tail = (1L to 1000L).map(i => (i % 50 + 1, i))
+      // no explicit repartition: OptimizeSkewedJoin only splits
+      // ENSURE_REQUIREMENTS exchanges (a user-forced REPARTITION_BY_NUM
+      // pins the partitioning and exempts itself from skew handling)
+      val fact = (hot ++ tail).toDF("k", "v")
+      val dim = (0L to 50L).map(i => (i, s"d_$i")).toDF("k", "name")
+      val joined = fact.join(dim, "k")
+      // collect() on THIS dataset: AQE finalizes (and marks skew on) the
+      // executed plan of this QueryExecution; count() would run a separate one
+      assert(joined.collect().length == 61000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$plan")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("partitioned write: equality predicate prunes to one directory") {
     import graft.sources.Maintenance
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/events"
