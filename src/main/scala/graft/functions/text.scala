@@ -58,6 +58,14 @@ object text {
       if (n == 1) tokenHashes(d, col)
       else d.transform(shingles(d, col, n), "s", tokenHash(d, "s")))
 
+  /** NON-distinct hashes of the word n-gram shingles — duplicates
+    * preserved. [[shingleHashes]]' distinct SET is what MinHash/SimHash
+    * want; repetition statistics (q_repetition's Gopher-style quality
+    * rules) need the multiplicity that distinct erases. */
+  def gramHashes(d: Dialect, col: String, n: Int): String =
+    if (n == 1) tokenHashes(d, col)
+    else d.transform(shingles(d, col, n), "s", tokenHash(d, "s"))
+
   /** MinHash signature (k values) over a PRECOMPUTED hash-array column.
     * h_i(x) = ((2i+3)*x + 5i+7) mod P; sig[i] = min over shingles.
     * ((2k+3)*P fits BIGINT for k ≤ 16.)  Empty docs → P (sentinel).

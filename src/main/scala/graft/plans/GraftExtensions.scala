@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 /** Session extensions: the engine's custom Catalyst surface.
   *
@@ -22,27 +23,38 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    substitute).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  // SQL-literal ergonomics: `haversine_km(32.7, -117.1, ...)` arrives as
+  // DECIMAL literals and `cosine_sim(embedding, ...)` as ARRAY<FLOAT> —
+  // the strict expressions would reject both. Builders coerce with an
+  // explicit Cast (unconditional: children may still be unresolved here,
+  // so their dataType cannot be inspected); SimplifyCasts removes the
+  // no-op ones, and a genuinely un-castable argument still fails analysis.
+  private def dbl(e: Expression): Expression = Cast(e, DoubleType)
+  private def dblArr(e: Expression): Expression = Cast(e, ArrayType(DoubleType))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("haversine_km"),
       new ExpressionInfo(classOf[HaversineKm].getName, "haversine_km"),
       (children: Seq[Expression]) => {
         require(children.length == 4, "haversine_km(lat1, lon1, lat2, lon2)")
-        HaversineKm(children(0), children(1), children(2), children(3))
+        HaversineKm(dbl(children(0)), dbl(children(1)),
+          dbl(children(2)), dbl(children(3)))
       }))
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (children: Seq[Expression]) => {
         require(children.length == 2, "cosine_sim(a, b)")
-        CosineSim(children(0), children(1))
+        CosineSim(dblArr(children(0)), dblArr(children(1)))
       }))
     ext.injectFunction((
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) => {
         require(children.length == 2, "dot_product(a, b)")
-        DotProduct(children(0), children(1))
+        DotProduct(dblArr(children(0)), dblArr(children(1)))
       }))
     ext.injectOptimizerRule(_ => BoundingBoxRule)
   }

@@ -330,6 +330,47 @@ object TextQueries {
         .filter(col("doc_id") < 100)
         .select(col("doc_id"), expr(text.fingerprint(S, "text")).as("fp"))
         .orderBy("doc_id")
+    },
+
+    Q("q_repetition",
+      "Gopher-style repetition quality rules: per-doc top-2-gram fraction " +
+        "(most frequent bigram's share) and duplicate-2-gram fraction " +
+        "(share of bigram occurrences appearing more than once). Relational " +
+        "formulation — explode + two grouped aggregations — instead of an " +
+        "in-array O(n²) count: scales as ordinary keyed aggregation and " +
+        "keeps all counting in exact integers (the ratio ships fixed-point)",
+      Some {
+        val grams = text.gramHashes(D, "text", 2)
+        s"""WITH grams AS (
+           |  SELECT doc_id, unnest($grams) AS g
+           |  FROM documents WHERE doc_id < 200),
+           |counts AS (
+           |  SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+           |stats AS (
+           |  SELECT doc_id, max(c) AS maxc,
+           |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupc,
+           |    sum(c) AS tot
+           |  FROM counts GROUP BY doc_id)
+           |SELECT doc_id,
+           |  ${text.fixedPoint("CAST(maxc AS DOUBLE) / CAST(tot AS DOUBLE)", 4)} AS top_gram_x10k,
+           |  ${text.fixedPoint("CAST(dupc AS DOUBLE) / CAST(tot AS DOUBLE)", 4)} AS dup_gram_x10k
+           |FROM stats
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val grams = documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          explode(expr(text.gramHashes(S, "text", 2))).as("g"))
+      grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max(col("c")).as("maxc"),
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dupc"),
+          sum(col("c")).as("tot"))
+        .select(col("doc_id"),
+          expr(text.fixedPoint("CAST(maxc AS DOUBLE) / CAST(tot AS DOUBLE)", 4))
+            .as("top_gram_x10k"),
+          expr(text.fixedPoint("CAST(dupc AS DOUBLE) / CAST(tot AS DOUBLE)", 4))
+            .as("dup_gram_x10k"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** Structured Streaming pipelines for the event/message stream.
   *
@@ -222,4 +222,27 @@ object EventsStream {
       .select(col("window.start").as("win_start"), posexplode(col("tk")))
       .select(col("win_start"), (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as("user_id"), col("col.score").as("value"))
+
+  /** Streaming ingest into the lake's partitioned layout: append each
+    * micro-batch into a day=... Hive-partitioned parquet directory — the
+    * bridge from the chat-loop stream (T1) to every batch operator here,
+    * which then reads the same directory with directory-level pruning
+    * ([[graft.sources.Maintenance.writePartitioned]]'s layout). The native
+    * file sink keeps exactly-once via its commit log (a foreachBatch
+    * append would be at-least-once); the day column is derived, so late
+    * data lands in its OWN day's partition, never corrupting closed ones.
+    * Streams write many small files per trigger by design —
+    * [[graft.sources.Maintenance.compactTo]] is the companion job.
+    */
+  def sinkPartitioned(events: DataFrame, dir: String,
+                      checkpointDir: String): StreamingQuery =
+    events
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .writeStream
+      .format("parquet")
+      .option("path", dir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("day")
+      .outputMode(OutputMode.Append)
+      .start()
 }

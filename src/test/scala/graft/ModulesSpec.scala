@@ -636,6 +636,46 @@ class ModulesSpec extends AnyFunSuite {
     assert(frames.count() == 3) // 0, 1000, 2000 for the 2500ms video
   }
 
+  test("Graft.registerAll: SQL over temp views matches the DataFrame path") {
+    graft.core.Graft.registerAll(spark, sf)
+    val viaSql = spark.sql(
+      "SELECT count(*) FROM lineitem WHERE l_returnflag = 'A'").head().getLong(0)
+    val viaDf = graft.core.Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === "A").count()
+    assert(viaSql == viaDf && viaSql > 0)
+    // events view must come through the nanos-safe loader
+    assert(spark.sql("SELECT min(ts) FROM events").head().getTimestamp(0) != null)
+    // the extensions' native functions are SQL-callable on the same session
+    assert(spark.sql(
+      "SELECT haversine_km(32.0, -117.0, 32.0, -117.0)").head().getDouble(0) == 0.0)
+  }
+
+  test("streaming sink lands micro-batches in the day-partitioned lake layout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val q = EventsStream.sinkPartitioned(
+      mem.toDF.toDF("ts", "user_id", "value"), s"$base/tbl", s"$base/ckpt")
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 1.0),
+      (Timestamp.valueOf("2024-01-02 09:00:00"), 2L, 2.0))
+    q.processAllAvailable()
+    // late arrival for day 1 in a later batch: lands in day 1's partition
+    mem.addData((Timestamp.valueOf("2024-01-01 23:00:00"), 3L, 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.parquet(s"$base/tbl")
+    assert(back.count() == 3)
+    assert(back.filter(col("day") === "2024-01-01").count() == 2)
+    // the layout on disk IS the contract: one Hive directory per day
+    val dirs = new java.io.File(s"$base/tbl").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filterNot(_ == "_spark_metadata") // the sink's exactly-once commit log
+      .toSet
+    assert(dirs == Set("day=2024-01-01", "day=2024-01-02"), s"got $dirs")
+  }
+
   test("variant type: parse-once binary JSON agrees with per-path extraction") {
     // the scale story for the events.props blob: get_json_object re-parses
     // the string per path per row; parse_json parses ONCE into Spark 4's
