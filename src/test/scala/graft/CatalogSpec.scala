@@ -39,6 +39,38 @@ class CatalogSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("analytics invariants: funnel monotone, retention bounded, SCD-2 well-formed") {
+    import graft.queries.Catalog.byName
+    // an ordered funnel can only lose users stage over stage
+    val stages = byName("q_funnel").fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stages("stage1_view") >= stages("stage2_click"))
+    assert(stages("stage2_click") >= stages("stage3_purchase"))
+    // no retention offset can exceed its cohort's day-0 count
+    val ret = byName("q_retention").fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    ret.foreach { case ((cohort, off), n) =>
+      if (off > 0) assert(n <= ret((cohort, 0L)),
+        s"cohort $cohort offset $off count $n exceeds day-0 ${ret((cohort, 0L))}")
+    }
+    // SCD-2: per key exactly one open (current) version, and the closed
+    // intervals chain gaplessly in order
+    val hist = byName("q_scd2").fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(3), r.getLong(4)))
+      .groupBy(_._1)
+    hist.foreach { case (k, versions) =>
+      assert(versions.count(_._4 == 1L) == 1, s"key $k: != 1 current version")
+      val sorted = versions.sortBy(v => (v._2, v._3))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          if (a._3 != "9999-12-31")
+            assert(a._3 <= b._2, s"key $k: interval gap/overlap $a -> $b")
+        case _ =>
+      }
+      assert(sorted.last._3 == "9999-12-31")
+    }
+  }
+
   test("knn returns at most 5 rows, sorted by similarity desc") {
     val rows = graft.queries.Catalog.byName("q_knn").fn(spark, sf)
       .collect().map(_.getDouble(2))

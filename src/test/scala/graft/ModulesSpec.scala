@@ -674,6 +674,17 @@ class ModulesSpec extends AnyFunSuite {
       .filterNot(_ == "_spark_metadata") // the sink's exactly-once commit log
       .toSet
     assert(dirs == Set("day=2024-01-01", "day=2024-01-02"), s"got $dirs")
+    // exactly-once across restart: a NEW query over the same source and
+    // SAME checkpoint+path resumes from the offset+commit logs — committed
+    // rows must not duplicate, post-restart data must land exactly once
+    mem.addData((Timestamp.valueOf("2024-01-02 12:00:00"), 4L, 4.0))
+    val q2 = EventsStream.sinkPartitioned(
+      mem.toDF.toDF("ts", "user_id", "value"), s"$base/tbl", s"$base/ckpt")
+    q2.processAllAvailable()
+    q2.stop()
+    val after = spark.read.parquet(s"$base/tbl")
+    assert(after.count() == 4, s"restart duplicated or lost rows: ${after.count()}")
+    assert(after.select("user_id").distinct().count() == 4)
   }
 
   test("variant type: parse-once binary JSON agrees with per-path extraction") {
