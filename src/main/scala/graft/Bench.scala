@@ -39,6 +39,16 @@ object Bench {
         .select(graft.functions.vectors.cosineSim(col("embedding"), col("embedding")),
           graft.operators.AnnIndex.bucketExpr("embedding", 64, 8))
         .write.mode("overwrite").format("noop").save()
+      // join + window + agg exec/codegen paths: without this the first
+      // catalog query (q_adherence, alphabetically) pays ~1 s of one-time
+      // planner/exec-class initialization that belongs to the session
+      val n = graft.core.Tables.table(spark, sfDir, "nation")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("n_regionkey").orderBy("n_nationkey")
+      n.join(n.select(col("n_nationkey").as("k2")), col("n_nationkey") === col("k2"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy("n_regionkey").agg(count(lit(1)), sum(col("rn")))
+        .write.mode("overwrite").format("noop").save()
     } catch { case _: Throwable => }
     // dev-only: SPARK_GRAFT_ONLY=q_a,q_b times just those queries (the
     // driver never sets it, so the published line always covers the full

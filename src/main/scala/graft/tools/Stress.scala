@@ -1,0 +1,99 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Scale-stress harness: replays the heaviest operator families on a
+  * corpus M× the bench scale, built by unioning key-offset copies of the
+  * driver testdata (derived from the same inputs — nothing synthesized
+  * from scratch). The point is slope, not absolute seconds: per-family
+  * wall-clock should grow ~linearly in M while the bench catalog at small
+  * SFs is overhead-bound (SCALE.md "Measured scaling"). The dedup corpus
+  * deliberately keeps the copies' text identical — M copies of every doc
+  * IS the dedup workload, and it makes the candidate-pair count grow M²
+  * per doc, which is exactly the blowup the LSH banding must absorb.
+  *
+  * Run: `SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_STRESS_M=10
+  *       sbt "runMain graft.tools.Stress"` — prints one JSON line.
+  */
+object Stress {
+
+  private def time[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** M key-offset copies of `df`: `keys` columns are shifted by
+    * i * stride per copy so referential joins stay valid within a copy
+    * and never collide across copies. */
+  private def scaled(df: DataFrame, m: Int, stride: Long,
+                     keys: Seq[String]): DataFrame =
+    (0 until m).map { i =>
+      keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + i * stride))
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val m = sys.env.getOrElse("SPARK_GRAFT_STRESS_M", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark: SparkSession = graft.core.Graft.session(s"local[$cpus]",
+      shufflePartitions = cpus.toInt, appName = "graft-stress")
+
+    val stride = 100000000L
+    val li = scaled(Tables.lineitem(spark, sfDir), m, stride, Seq("l_orderkey"))
+    val ord = scaled(Tables.orders(spark, sfDir), m, stride, Seq("o_orderkey"))
+    val docs = scaled(Tables.documents(spark, sfDir), m, stride, Seq("doc_id"))
+
+    val results = scala.collection.mutable.LinkedHashMap[String, (Long, Double)]()
+
+    // star join + grouped agg: one fact shuffle, dims broadcast
+    val (starRows, starS) = time {
+      li.join(broadcast(Tables.supplier(spark, sfDir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(spark, sfDir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+        .count()
+    }
+    results += "star_join_agg" -> (m * 600000L, starS)
+
+    // fact-to-fact join + per-key window (latest lineitem per order)
+    val (wRows, wS) = time {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_orderkey").orderBy(desc("l_linenumber"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .count()
+    }
+    results += "join_window_latest" -> (m * 600000L, wS)
+
+    // exact dedup over the M-way duplicated corpus
+    val (exRows, exS) = time {
+      graft.operators.Dedup.exact(docs, "doc_id", "text").count()
+    }
+    results += "dedup_exact" -> (m * 5000L, exS)
+
+    // MinHash LSH near-dup pairs: M copies of each doc → the pair table
+    // grows ~M² per doc; banding must keep it a keyed join, not a cross
+    val (pairRows, pairS) = time {
+      graft.operators.Dedup
+        .minhashLshPairs(docs, "doc_id", "text", k = 16, bands = 4, shingleN = 3)
+        .count()
+    }
+    results += "dedup_minhash_pairs" -> (m * 5000L, pairS)
+
+    val qs = results.map { case (k, (rows, s)) =>
+      s""""$k":{"rows":$rows,"sec":${f"$s%.2f"}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"stress","m":$m,"workloads":$qs,"sf":"$sfDir"}""")
+    // pair count sanity: every doc appears in >= its copy-pair count only
+    // when banding recalls them; report the measured pair rows for the log
+    spark.stop()
+  }
+}
