@@ -237,6 +237,45 @@ object WarehouseQueries {
         .orderBy("n_name")
     },
 
+    Q("q_promo_share",
+      "TPC-H Q14 shape over the one dim the catalog had not joined yet: " +
+        "per-brand promo revenue share in a ship-date window — fact⋈part " +
+        "broadcast join, conditional cents sums, fixed-point ratio of two " +
+        "exact integers",
+      Some(s"""SELECT p_brand, count(*) AS n,
+              |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS BIGINT) AS promo_cents,
+              |  CAST(sum(cents) AS BIGINT) AS total_cents,
+              |  ${text.fixedPoint(
+                   "100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS DOUBLE)" +
+                     " / CAST(sum(cents) AS DOUBLE)", 2)} AS promo_pct_x100
+              |FROM (
+              |  SELECT l_partkey,
+              |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents
+              |  FROM lineitem
+              |  WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+              |    AND l_shipdate <  TIMESTAMP '1997-12-01 00:00:00')
+              |JOIN part ON l_partkey = p_partkey
+              |GROUP BY p_brand
+              |ORDER BY p_brand""".stripMargin)) { (s, dir) =>
+      val li = lineitem(s, dir)
+        .filter(col("l_shipdate") >= expr("TIMESTAMP '1997-09-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP '1997-12-01 00:00:00'"))
+        .select(col("l_partkey"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long").as("cents"))
+      val promoCents = sum(when(col("p_type") === "PROMO", col("cents"))
+        .otherwise(0L))
+      li.join(broadcast(part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          promoCents.as("promo_cents"),
+          sum(col("cents")).as("total_cents"),
+          expr(text.fixedPoint(
+            "100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS DOUBLE)" +
+              " / CAST(sum(cents) AS DOUBLE)", 2)).as("promo_pct_x100"))
+        .orderBy("p_brand")
+    },
+
     Q("q_set_ops",
       "INTERSECT / EXCEPT (the set-op family the reference never uses — " +
         "U1/U2 cover union only): customers ordering in both 1997 and 1998 " +

@@ -687,6 +687,74 @@ class ModulesSpec extends AnyFunSuite {
     assert(after.select("user_id").distinct().count() == 4)
   }
 
+  test("nested schema pruning: selecting one struct field narrows the scan") {
+    // at 100 TB, reading zoning.* to answer a zoning.zone_type query is the
+    // difference between one column chunk and the whole nested blob —
+    // Spark's nested schema pruning must reach the parquet ReadSchema
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_nest").toString
+    val flat = (1L to 100L).map(i =>
+      (i, s"city_${i % 7}", s"zone_${i % 3}", "Vacant", i * 2, i * 1.5))
+      .toDF("id", "jurisdiction", "zoning_type", "vacancy_status", "units", "shape_area")
+    JsonSource.nestHousing(flat).write.parquet(s"$base/housing")
+    val rd = spark.read.parquet(s"$base/housing")
+      .select(col("zoning.zoning_type"))
+    val scan = rd.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .getOrElse(fail("no FileSourceScanExec"))
+    val readSchema = scan.requiredSchema.catalogString
+    assert(readSchema.contains("zoning_type"), readSchema)
+    assert(!readSchema.contains("searchable_text") && !readSchema.contains("area") &&
+      !readSchema.contains("jurisdiction"),
+      s"nested pruning failed, scan reads: $readSchema")
+    assert(rd.count() > 0)
+  }
+
+  test("dynamic partition pruning: dim filter prunes the partitioned fact at runtime") {
+    import spark.implicits._
+    // the 100 TB pattern behind every date-dim join: the fact is
+    // day-partitioned, the predicate lives on the DIMENSION — static
+    // pruning sees nothing, DPP injects the dim's surviving keys as a
+    // runtime partition filter on the fact scan
+    val base = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val ev = graft.core.Tables.events(spark, sf)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    graft.sources.Maintenance.writePartitioned(ev, s"$base/fact", Seq("day"))
+    val nDays = new java.io.File(s"$base/fact").listFiles()
+      .count(_.getName.startsWith("day="))
+    assert(nDays > 3, s"need several partitions, got $nDays")
+    val dim = ev.select("day").distinct()
+      .withColumn("tag",
+        when(col("day") === "2024-01-03", "hot").otherwise("cold"))
+    dim.write.parquet(s"$base/dim")
+    val restore = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // broadcast on: DPP's cheapest form reuses the broadcasted dim keys
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      // the dim predicate must be literal-comparison-shaped on a NON-join
+      // column: DPP's isLikelySelective() rejects bare boolean attributes
+      // (and `b === true` boolean-simplifies back to one), while a filter
+      // on the join key itself would prune statically, proving nothing
+      // about DPP
+      val joined = spark.read.parquet(s"$base/fact")
+        .join(spark.read.parquet(s"$base/dim").filter(col("tag") === "hot"), "day")
+      val expected = ev.filter(col("day") === "2024-01-03").count()
+      assert(joined.collect().length == expected)
+      val scan = graft.tools.PlanAudit.walk(joined.queryExecution.executedPlan)
+        .collectFirst {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.output.exists(_.name == "ts") => s
+        }.getOrElse(fail("no fact FileSourceScanExec"))
+      assert(scan.partitionFilters.exists(_.toString.contains("dynamicpruning")),
+        s"no DPP filter on the fact scan: ${scan.partitionFilters}")
+      assert(scan.metrics("numPartitions").value == 1,
+        s"DPP read ${scan.metrics("numPartitions").value} partitions of $nDays")
+    } finally restore match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("variant type: parse-once binary JSON agrees with per-path extraction") {
     // the scale story for the events.props blob: get_json_object re-parses
     // the string per path per row; parse_json parses ONCE into Spark 4's
