@@ -31,7 +31,12 @@ object hours {
     * evaluating the guard itself (DuckDB's arr[2] is NULL there — the
     * whole-string guard keeps both engines on the NULL path). */
   def rangeMinutes(d: Dialect, col: String, idx: Int): String = {
-    val sideShape = "[0-9]{1,2}:[0-9]{2} *(AM|PM)"
+    // (?i): the reference lowercases the whole string before splitting
+    // (check_hours_availability.py:63), so "9:00 am - 5:00 pm" parses
+    // there — an uppercase-only shape guard would NULL what the reference
+    // accepts (caught by tools/ref_parity.py). Inline-flag syntax works in
+    // both Java regex (Spark RLIKE) and RE2 (DuckDB regexp_matches).
+    val sideShape = "[0-9]{1,2}:[0-9]{2} *(?i:AM|PM)"
     val fullShape = s"^$sideShape - $sideShape"
     val part = d.elementAt(d.split(col, " - "), idx.toString)
     val hh = s"CAST(${d.elementAt(d.split(part, ":"), "1")} AS BIGINT)"
