@@ -126,4 +126,14 @@ object geo {
   def haversineKmSql(lat1: String, lon1: String, lat2: String, lon2: String): String =
     s"(6371.0 * 2.0 * asin(sqrt(pow(sin(radians($lat2 - $lat1) / 2), 2) + " +
       s"cos(radians($lat1)) * cos(radians($lat2)) * pow(sin(radians($lon2 - $lon1) / 2), 2))))"
+
+  /** Miles/atan2 form as SQL text (X2, dataset_search.py:14-29 — R=3959,
+    * atan2(sqrt(a), sqrt(1-a))), kept exactly like its [[haversineMiles]]
+    * Column twin; `tools/ref_parity.py` checks it against the reference's
+    * own Python. */
+  def haversineMilesSql(lat1: String, lon1: String, lat2: String, lon2: String): String = {
+    val a = s"(pow(sin(radians($lat2 - $lat1) / 2), 2) + " +
+      s"cos(radians($lat1)) * cos(radians($lat2)) * pow(sin(radians($lon2 - $lon1) / 2), 2))"
+    s"(3959.0 * 2.0 * atan2(sqrt($a), sqrt(1.0 - $a)))"
+  }
 }

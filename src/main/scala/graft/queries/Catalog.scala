@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.{geo, vectors}
+import graft.functions.{geo, text, vectors}
 import graft.operators.{GeoSearch, VectorSearch}
 
 /** One catalog entry: a Spark pipeline and its DuckDB oracle twin,
@@ -239,6 +239,34 @@ object Catalog {
         .withColumn("d", geo.haversineKm(col("lat"), col("lon"), lit(32.5), lit(-116.5)))
         .filter(col("d") <= 20.0)
         .select(col("c_custkey"), round(col("d"), 2).as("dist_km"))
+        .orderBy("c_custkey")
+    },
+
+    Q("q_geo_radius_miles",
+      "X2/X3: the reference's SECOND haversine — miles, R=3959, atan2 form " +
+        "(dataset_search.py:14-29) — kept as its own exact formula because " +
+        "oracle parity forbids collapsing it into km * 0.621371 " +
+        "(SURVEY §7.4 decision 4); same bbox-prune + refine shape as " +
+        "q_geo_radius",
+      Some {
+        val havMi = geo.haversineMilesSql(
+          geo.synthLatSql("c_custkey"), geo.synthLonSql("c_custkey"),
+          "32.5", "-116.5")
+        s"""SELECT c_custkey, ${text.fixedPoint("d", 3)} AS dist_mi_x1000 FROM (
+           |  SELECT c_custkey, $havMi AS d FROM customer)
+           |WHERE d <= 15.0
+           |ORDER BY c_custkey""".stripMargin
+      }) { (s, dir) =>
+      val withCoords = customer(s, dir)
+        .withColumn("lat", geo.synthLat(col("c_custkey")))
+        .withColumn("lon", geo.synthLon(col("c_custkey")))
+      withCoords
+        // 15 mi ≈ 24.14 km; the km-derived bbox still over-covers (exact
+        // refine below), keeping the one bbox policy for both formulas
+        .filter(geo.inBoundingBoxKm(col("lat"), col("lon"), 32.5, -116.5, 15.0 / geo.kmToMilesFactor))
+        .withColumn("d", geo.haversineMiles(col("lat"), col("lon"), lit(32.5), lit(-116.5)))
+        .filter(col("d") <= 15.0)
+        .select(col("c_custkey"), expr(text.fixedPoint("d", 3)).as("dist_mi_x1000"))
         .orderBy("c_custkey")
     },
 

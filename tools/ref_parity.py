@@ -85,6 +85,26 @@ def haversine_km_sql(lat1, lon1, lat2, lon2):
             f"pow(sin(radians({lon2} - {lon1}) / 2), 2))))")
 
 
+def haversine_miles_sql(lat1, lon1, lat2, lon2):
+    # graft.functions.geo.haversineMilesSql (byte-compatible text)
+    a = (f"(pow(sin(radians({lat2} - {lat1}) / 2), 2) + "
+         f"cos(radians({lat1})) * cos(radians({lat2})) * "
+         f"pow(sin(radians({lon2} - {lon1}) / 2), 2))")
+    return f"(3959.0 * 2.0 * atan2(sqrt({a}), sqrt(1.0 - {a})))"
+
+
+# graft.streaming.EventsStream.parseLocations pattern (X6), verbatim
+LOC_PATTERN = r"(?i)Latitude\s+([-+]?\d+\.?\d*),\s*Longitude\s+([-+]?\d+\.?\d*)"
+
+
+def cosine_sql(a, b):
+    # graft.functions.vectors.cosineSimSql (byte-compatible text)
+    na = f"sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+    nb = f"sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))"
+    return (f"(CASE WHEN {na} = 0.0 OR {nb} = 0.0 THEN 0.0 "
+            f"ELSE list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / ({na} * {nb}) END)")
+
+
 def ref_minutes(s):
     """reference open/close string ('9:00 am') -> minutes, mirroring the
     engine's hh%12 + pm*12 arithmetic; None if not a time string."""
@@ -158,6 +178,69 @@ def main():
             failures += 1
         n += 1
     print(f"  haversine: {n} random pairs checked")
+
+    # -- 3. haversine miles (atan2 form) parity --------------------------
+    calc_mi = extract_function(f"{REF}/tools/dataset_search.py",
+                               "calculate_distance")
+    n = 0
+    for _ in range(300):
+        la1, lo1 = rnd.uniform(-89, 89), rnd.uniform(-179, 179)
+        la2, lo2 = rnd.uniform(-89, 89), rnd.uniform(-179, 179)
+        ref_d = calc_mi(la1, lo1, la2, lo2)
+        args = [f"CAST({v!r} AS DOUBLE)" for v in (la1, lo1, la2, lo2)]
+        (sql_d,) = con.execute(
+            f"SELECT {haversine_miles_sql(*args)}").fetchone()
+        if not math.isclose(ref_d, sql_d, rel_tol=1e-12, abs_tol=1e-9):
+            print(f"  FAIL miles ({la1},{lo1})-({la2},{lo2}): {ref_d} vs {sql_d}")
+            failures += 1
+        n += 1
+    print(f"  haversine miles: {n} random pairs checked")
+
+    # -- 4. location-regex parity (X6) -----------------------------------
+    parse_loc = extract_function(f"{REF}/main.py", "parse_location_from_message")
+    import re as _re
+    parse_loc.__globals__["re"] = _re
+    loc_battery = [
+        "My current location is: Latitude 34.052235, Longitude -118.243683",
+        "latitude 32.7, longitude -117.16",          # lowercase
+        "LATITUDE   +32,   LONGITUDE   -117",        # ints, +sign, wide spaces
+        "Latitude 32.,Longitude -117.",              # trailing dots, no space
+        "I am near the harbor",                      # no match
+        "Latitude abc, Longitude def",               # garbage
+        "Longitude -117, Latitude 32",               # wrong order
+    ]
+    for s in loc_battery:
+        ref = parse_loc(s)
+        lit = s.replace("'", "''")
+        lat_s, lon_s = con.execute(
+            f"SELECT nullif(regexp_extract('{lit}', '{LOC_PATTERN}', 1), ''), "
+            f"nullif(regexp_extract('{lit}', '{LOC_PATTERN}', 2), '')").fetchone()
+        eng = (None if lat_s is None else
+               {"latitude": float(lat_s), "longitude": float(lon_s)})
+        if ref != eng:
+            print(f"  FAIL location {s!r}: ref={ref} engine={eng}")
+            failures += 1
+    print(f"  location regex: {len(loc_battery)} messages checked")
+
+    # -- 5. cosine similarity parity (X4) --------------------------------
+    cos_ref = extract_function(f"{REF}/embeddings.py", "cosine_similarity")
+    n = 0
+    for _ in range(100):
+        dim = rnd.choice([4, 16, 64])
+        v1 = [rnd.uniform(-1, 1) for _ in range(dim)]
+        v2 = [rnd.uniform(-1, 1) for _ in range(dim)]
+        if rnd.random() < 0.05:
+            v2 = [0.0] * dim  # zero-norm guard path
+        ref_c = cos_ref(v1, v2)
+        (sql_c,) = con.execute(
+            f"SELECT {cosine_sql(str(v1), str(v2))}").fetchone()
+        # numpy dot is pairwise/BLAS-ordered, the SQL fold is sequential:
+        # identical values, float tolerance (not bit) is the right contract
+        if not math.isclose(ref_c, sql_c, rel_tol=1e-10, abs_tol=1e-12):
+            print(f"  FAIL cosine dim={dim}: {ref_c} vs {sql_c}")
+            failures += 1
+        n += 1
+    print(f"  cosine: {n} random vector pairs checked")
 
     print(f"{'PASS' if failures == 0 else 'FAIL'}: {failures} parity failures")
     return 1 if failures else 0
