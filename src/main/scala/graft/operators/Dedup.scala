@@ -105,6 +105,45 @@ object Dedup {
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_bands"))
 
+  /** The persistable LSH band index of a corpus — one (id, band_idx,
+    * band_key) row per doc per band, i.e. exactly what [[minhashLshPairs]]
+    * self-joins. At 100 TB this frame is written to parquet partitioned by
+    * band_idx once, and every later increment joins against it instead of
+    * re-signaturing the corpus ([[minhashIncrementalPairs]]). */
+  def minhashBandIndex(df: DataFrame, keyCol: String, textCol: String,
+                       k: Int, bands: Int, shingleN: Int): DataFrame =
+    minhashBanded(df, keyCol, textCol, k, bands, shingleN, carryHashes = false)
+
+  /** Incremental near-dup mining: candidate pairs INVOLVING a new batch —
+    * new×corpus and new×new, never corpus×corpus — against a prebuilt
+    * [[minhashBandIndex]]. This is what makes continuous ingest dedup
+    * affordable: per-batch cost is |batch| × bucket-mates, independent of
+    * corpus size, where a full [[minhashLshPairs]] re-run grows with the
+    * corpus square. Pair ids are normalized (a_id < b_id) so new×new pairs
+    * found from both orientations and corpus-id-smaller pairs all land
+    * once, with the same n_bands a full run would report.
+    */
+  def minhashIncrementalPairs(newDocs: DataFrame, corpusIndex: DataFrame,
+                              keyCol: String, textCol: String,
+                              k: Int, bands: Int, shingleN: Int): DataFrame = {
+    val nb = minhashBanded(newDocs, keyCol, textCol, k, bands, shingleN,
+      carryHashes = false)
+    val a = nb.select(col("id").as("a_id"), col("band_idx"), col("band_key"))
+      .hint("shuffle_hash")
+    val b = corpusIndex.unionByName(nb)
+      .select(col("id").as("b_id"), col("band_idx"), col("band_key"))
+      .hint("shuffle_hash")
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("a_id") =!= col("b_id"))
+      // normalize orientation; a new×new pair arrives from both sides and
+      // (band_idx is unique per doc) collapses on the distinct
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"), col("band_idx"))
+      .distinct()
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
   /** The full two-stage near-dup pattern in one operator: MinHash LSH
     * proposes candidate pairs, exact n-gram-shingle Jaccard verifies them
     * (≥ `threshold`). At 100 TB the exact set compare only ever runs on

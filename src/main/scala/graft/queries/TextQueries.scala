@@ -332,6 +332,38 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    Q("q_dedup_incremental",
+      "Incremental near-dup mining (Dedup.minhashIncrementalPairs): the " +
+        "offset copies arrive as a NEW batch and pair against the base " +
+        "corpus's prebuilt band index — new×corpus and new×new pairs only, " +
+        "never corpus×corpus, so per-batch cost is independent of corpus " +
+        "size. Oracle = the full-corpus pair run restricted to pairs " +
+        "touching the new batch: the incremental path must find EXACTLY " +
+        "what a from-scratch run would",
+      Some(s"""WITH $nearDupCorpusSql,
+              |hs AS (SELECT doc_id, ${text.shingleHashes(D, "text", 3)} AS hs
+              |       FROM corpus),
+              |sig AS (SELECT doc_id, ${text.minhashFromHashes(D, "hs", 16)} AS sig
+              |        FROM hs),
+              |bands AS (SELECT doc_id, j,
+              |            ${D.arrayJoin(D.slice("sig", "4*j + 1", "4"), "_")} AS band_key
+              |          FROM sig, (SELECT unnest(generate_series(0, 3)) AS j))
+              |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_bands
+              |FROM bands a JOIN bands b
+              |  ON a.j = b.j AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+              |WHERE a.doc_id >= 10000 OR b.doc_id >= 10000
+              |GROUP BY 1, 2
+              |ORDER BY a_id, b_id""".stripMargin)) { (s, dir) =>
+      val base = documents(s, dir).select(col("doc_id"), col("text"))
+      val newBatch = base.select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" xq")).as("text"))
+      val index = Dedup.minhashBandIndex(base, "doc_id", "text",
+        k = 16, bands = 4, shingleN = 3)
+      Dedup.minhashIncrementalPairs(newBatch, index, "doc_id", "text",
+          k = 16, bands = 4, shingleN = 3)
+        .orderBy("a_id", "b_id")
+    },
+
     Q("q_repetition",
       "Gopher-style repetition quality rules: per-doc top-2-gram fraction " +
         "(most frequent bigram's share) and duplicate-2-gram fraction " +

@@ -112,6 +112,26 @@ class ModulesSpec extends AnyFunSuite {
     assert(got(4L) == None)        // key with no right rows at all
   }
 
+  test("incremental minhash: empty index degenerates to a plain batch run; disjoint batch finds nothing") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = graft.core.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val emptyIndex = Dedup.minhashBandIndex(docs.limit(0), "doc_id", "text", 16, 4, 3)
+    val viaIncr = Dedup.minhashIncrementalPairs(docs, emptyIndex,
+        "doc_id", "text", 16, 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaFull = Dedup.minhashLshPairs(docs, "doc_id", "text", 16, 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaIncr == viaFull)
+    // a batch with out-of-vocabulary content shares no band with the corpus
+    val alien = Seq((90001L, "zzq qqz zqz qzz zzz qqq"),
+      (90002L, "completely different alien vocabulary tokens entirely"))
+      .toDF("doc_id", "text")
+    val index = Dedup.minhashBandIndex(docs, "doc_id", "text", 16, 4, 3)
+    assert(Dedup.minhashIncrementalPairs(alien, index,
+      "doc_id", "text", 16, 4, 3).isEmpty)
+  }
+
   test("dedup operators tolerate NULL text rows (skip, don't abort)") {
     import spark.implicits._
     val corpus = Seq(
