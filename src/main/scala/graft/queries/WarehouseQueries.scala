@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables._
-import graft.functions.{text, DuckDialect => D, SparkDialect => S}
+import graft.functions.{geo, text, vectors, DuckDialect => D, SparkDialect => S}
 import graft.operators.{BloomPrune, Scd2, Sketches}
 
 /** Warehouse/product-analytics extensions beyond the reference's operator
@@ -235,6 +235,77 @@ object WarehouseQueries {
         .agg(array_join(array_sort(collect_list(col("s_name"))), ",")
           .as("suppliers"))
         .orderBy("n_name")
+    },
+
+    Q("q_entrypoint1",
+      "The reference's headline endpoint END-TO-END as one hash-checked " +
+        "plan, driven through api.Facade itself: radius prune + x3 " +
+        "over-fetch + cosine re-rank to top-10 (hybrid_search.py:36-197), " +
+        "then <=3 nearest transit stops per result in ONE range join " +
+        "(main.py:466-475's N+1 loop). Services = embeddings w/ synthetic " +
+        "coords, stops = suppliers; services with no stop in range drop " +
+        "(inner nearest-k, mirrored in the oracle)",
+      Some {
+        val lat = geo.synthLatSql("vec_id"); val lon = geo.synthLonSql("vec_id")
+        val sLat = geo.synthLatSql("(s_suppkey * 13)")
+        val sLon = geo.synthLonSql("(s_suppkey * 13)")
+        val havSvc = geo.haversineKmSql(lat, lon, "32.5", "-116.5")
+        val havStop = geo.haversineKmSql("t.lat", "t.lon", "s.lat", "s.lon")
+        s"""WITH pts AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+           |         $lat AS lat, $lon AS lon
+           |  FROM embeddings),
+           |q AS (SELECT emb AS qe FROM pts WHERE vec_id = 0),
+           |cand AS (
+           |  SELECT vec_id, emb, lat, lon, $havSvc AS distance_km
+           |  FROM pts WHERE $havSvc <= 50.0
+           |  ORDER BY distance_km, vec_id LIMIT 30),
+           |top AS (
+           |  SELECT vec_id, lat, lon, distance_km,
+           |    ${vectors.cosineSimSql("emb", "q.qe")} * 0.5 +
+           |      (1.0 - distance_km / 50.0) * 0.5 AS combined
+           |  FROM cand CROSS JOIN q
+           |  ORDER BY combined DESC, vec_id LIMIT 10),
+           |stops AS (SELECT s_suppkey, $sLat AS lat, $sLon AS lon FROM supplier),
+           |ranked AS (
+           |  SELECT vec_id, combined, service_d, s_suppkey, d_stop,
+           |    row_number() OVER (PARTITION BY vec_id
+           |                       ORDER BY d_stop, s_suppkey) AS rk
+           |  FROM (
+           |    SELECT t.vec_id, t.combined, t.distance_km AS service_d,
+           |           s.s_suppkey, $havStop AS d_stop
+           |    FROM top t JOIN stops s ON true)
+           |  WHERE d_stop <= 50.0)
+           |SELECT vec_id, ${text.fixedPoint("combined", 4)} AS combined_x10k,
+           |  ${text.fixedPoint("service_d", 2)} AS service_dist_x100,
+           |  s_suppkey AS stop_id, CAST(rk AS BIGINT) AS transit_rank,
+           |  ${text.fixedPoint("d_stop", 2)} AS stop_dist_x100
+           |FROM ranked WHERE rk <= 3
+           |ORDER BY vec_id, transit_rank""".stripMargin
+      }) { (s, dir) =>
+      val services = embeddings(s, dir).select(
+        col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("emb"),
+        geo.synthLat(col("vec_id")).as("lat"),
+        geo.synthLon(col("vec_id")).as("lon"))
+      val q = services.filter(col("id") === 0).select(col("emb").as("qe"))
+      val results = graft.api.Facade.searchHealthServices(
+        services, 32.5, -116.5, query = Some(q),
+        maxDistanceKm = 50.0, limit = 10, semanticWeight = 0.5,
+        idCol = "id", embCol = "emb")
+      val stops = supplier(s, dir).select(
+        col("s_suppkey").as("stop_id"),
+        geo.synthLat(col("s_suppkey") * 13).as("lat"),
+        geo.synthLon(col("s_suppkey") * 13).as("lon"))
+      graft.api.Facade.withNearestTransit(results, stops,
+          idCol = "id", stopIdCol = "stop_id", k = 3, maxKm = 50.0)
+        .select(col("id").as("vec_id"),
+          expr(text.fixedPoint("combined_score", 4)).as("combined_x10k"),
+          expr(text.fixedPoint("service_distance_km", 2)).as("service_dist_x100"),
+          col("stop_id"),
+          col("rank_nearest").cast("long").as("transit_rank"),
+          expr(text.fixedPoint("distance_km", 2)).as("stop_dist_x100"))
+        .orderBy("vec_id", "transit_rank")
     },
 
     Q("q_promo_share",
