@@ -142,6 +142,35 @@ class PlanGuardSpec extends AnyFunSuite {
       scans.map(_.partitionFilters).mkString("; "))
   }
 
+  test("round-2 queries keep their scale-critical plan shapes") {
+    // q_promo_share: part is a dimension — it must ride a broadcast, the
+    // lineitem side must be the only shuffled input
+    val promoBhj = plans("q_promo_share").collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(promoBhj.nonEmpty, "q_promo_share: part dim not broadcast")
+
+    // q_bloom_join: the bloom prune must exist as a Filter on the probe
+    // side (that is the whole point — rows drop BEFORE the join's
+    // exchange), and the join must be a semi join, not an inner+distinct
+    val bloomPlans = plans("q_bloom_join")
+    assert(bloomPlans.exists {
+      case f: org.apache.spark.sql.execution.FilterExec =>
+        f.condition.toString.contains("UDF")
+      case _ => false
+    }, "q_bloom_join: bloom mightContain filter not planned on the probe")
+    assert(bloomPlans.exists(_.toString.contains("LeftSemi")),
+      "q_bloom_join: no semi join planned")
+
+    // q_funnel / q_group_topk: both must stay AGGREGATION-shaped — a
+    // window formulation would shuffle whole event/group histories where
+    // the aggregate ships per-user minima / k-bounded buffers
+    for (name <- Seq("q_funnel", "q_group_topk")) {
+      assert(!plans(name).exists(_.isInstanceOf[WindowExec]),
+        s"$name: planned a window — the aggregate formulation regressed")
+    }
+  }
+
   test("partitioned parquet layout prunes partitions at the scan") {
     // S10's other half: the 'index build' at 100 TB is a partitioned
     // layout; a filter on the partition column must plan a pruned scan
