@@ -204,6 +204,50 @@ object EventsStream {
       }
   }
 
+  /** Entry point 2 END-TO-END (the WebSocket chat loop, main.py:512-610,
+    * minus the two external RPCs): per message — regex-parse coordinates
+    * (X6), carry last-known location as keyed state (main.py:549-552),
+    * attach the deterministic stand-in embedding (G7; the reference's
+    * Vertex call is the documented offline deviation). Input needs
+    * (event_id, user_id, ts, <textCol>); output adds eff_lat/eff_lon and
+    * a 16-dim embedding per message, streaming or batch. Composes the
+    * three tested pieces in their reference order so the WHOLE loop runs
+    * as one continuous query — persistence is [[sinkPartitioned]].
+    */
+  case class ChatMsg(event_id: Long, user_id: Long, ts: Timestamp,
+                     text: String, lat: Option[Double], lon: Option[Double])
+  case class ChatOut(event_id: Long, user_id: Long, ts: Timestamp,
+                     text: String, eff_lat: Option[Double], eff_lon: Option[Double])
+
+  def chatPipeline(messages: DataFrame, textCol: String,
+                   embedDim: Int = 16): DataFrame = {
+    import messages.sparkSession.implicits._
+    val parsed = parseLocations(messages, textCol)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col(textCol).as("text"), col("lat"), col("lon"))
+      .as[ChatMsg]
+    // the text rides THROUGH the state function (a re-join after a
+    // stateful operator would be a second stateful op with its own
+    // watermark constraints); the location fold itself is the one shared
+    // locGroup, so batch twin, streaming state and this pipeline cannot
+    // drift apart
+    val located = parsed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Double, Double), ChatOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, batch: Iterator[ChatMsg], state: GroupState[(Double, Double)]) =>
+          val msgs = batch.toSeq
+          val (out, cur) = locGroup(
+            msgs.map(m => ParsedMsg(m.event_id, m.user_id, m.ts, m.lat, m.lon)),
+            state.getOption)
+          cur.foreach(state.update)
+          val textById = msgs.map(m => m.event_id -> m.text).toMap
+          out.map(o => ChatOut(o.event_id, o.user_id, o.ts,
+            textById(o.event_id), o.eff_lat, o.eff_lon)).iterator
+      }
+    located.toDF.withColumn("embedding",
+      graft.functions.TextSig.embedUdf(col("text"), lit(embedDim)))
+  }
+
   /** T3 trending leaderboard: per tumbling window, the k users with the
     * highest single event value — the mergeable bounded-buffer aggregate
     * ([[graft.operators.TopK]]) running INSIDE a streaming aggregation.

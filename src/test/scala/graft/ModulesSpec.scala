@@ -670,6 +670,42 @@ class ModulesSpec extends AnyFunSuite {
       "SELECT haversine_km(32.0, -117.0, 32.0, -117.0)").head().getDouble(0) == 0.0)
   }
 
+  test("chat pipeline end-to-end: parse -> keyed location state -> embed, across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Timestamp, String)]
+    val q = EventsStream.chatPipeline(
+        mem.toDF.toDF("event_id", "user_id", "ts", "msg"), "msg", embedDim = 8)
+      .writeStream.format("memory").queryName("chat").outputMode("append").start()
+    mem.addData(
+      (1L, 7L, Timestamp.valueOf("2024-01-01 10:00:00"),
+        "I am at Latitude 32.7, Longitude -117.1"),
+      (2L, 7L, Timestamp.valueOf("2024-01-01 10:01:00"), "where can I sleep tonight"),
+      (3L, 8L, Timestamp.valueOf("2024-01-01 10:02:00"), "hello"))
+    q.processAllAvailable()
+    // batch 2: user 7's state must carry; a new location overrides
+    mem.addData(
+      (4L, 7L, Timestamp.valueOf("2024-01-01 11:00:00"), "any food banks nearby"),
+      (5L, 8L, Timestamp.valueOf("2024-01-01 11:01:00"),
+        "at latitude 33.0, longitude -117.3 now"))
+    q.processAllAvailable()
+    val rows = spark.table("chat").orderBy("event_id").collect()
+    q.stop()
+    assert(rows.length == 5)
+    def eff(i: Int) = (Option(rows(i).getAs[java.lang.Double]("eff_lat")),
+      Option(rows(i).getAs[java.lang.Double]("eff_lon")))
+    assert(eff(0) == (Some(32.7), Some(-117.1)))   // own coords
+    assert(eff(1) == (Some(32.7), Some(-117.1)))   // carried within batch
+    assert(eff(2) == (None, None))                 // user 8: no state yet
+    assert(eff(3) == (Some(32.7), Some(-117.1)))   // carried ACROSS batches
+    assert(eff(4) == (Some(33.0), Some(-117.3)))   // lowercase parse + update
+    // every message got a deterministic embedding of the requested dim
+    rows.foreach { r =>
+      val e = r.getAs[scala.collection.Seq[Double]]("embedding")
+      assert(e.length == 8 && e.exists(_ != 0.0))
+    }
+  }
+
   test("streaming sink lands micro-batches in the day-partitioned lake layout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
