@@ -399,6 +399,65 @@ object WarehouseQueries {
         .orderBy("rf", "ls")
     },
 
+    Q("q_session_window",
+      "Native session windows: groupBy(session_window(ts, '30 minutes')) — " +
+        "the DECLARATIVE form of q_sessionize's lag+running-sum (and the " +
+        "streaming flatMapGroupsWithState state machine): Catalyst plans " +
+        "the gap-merge itself, one shuffle on the user key. Oracle = the " +
+        "explicit lag formulation aggregated to the same (user, session " +
+        "start, count) rows — two independent session constructions must " +
+        "agree exactly",
+      Some(s"""SELECT user_id,
+              |  strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+              |  n_events
+              |FROM (
+              |  SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+              |  FROM (
+              |    SELECT user_id, ts,
+              |      sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              |    FROM (
+              |      SELECT user_id, ts, event_id,
+              |        CASE WHEN ${D.epochSeconds("ts")} -
+              |          ${D.epochSeconds("lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)")}
+              |          > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              |        THEN 1 ELSE 0 END AS is_new
+              |      FROM events WHERE user_id < 60))
+              |  GROUP BY user_id, sid)
+              |ORDER BY user_id, session_start""".stripMargin)) { (s, dir) =>
+      events(s, dir).filter(col("user_id") < 60)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+
+    Q("q_unpivot",
+      "UNPIVOT (melt): the wide per-priority aggregate turned back into " +
+        "(priority, measure, value) rows — the inverse of q_pivot, " +
+        "Dataset.unpivot ⇄ DuckDB UNPIVOT. Wide-to-long is a projection " +
+        "(no shuffle beyond the feeding aggregate); value columns cast to " +
+        "one type up front, as unpivot requires",
+      Some("""SELECT o_orderpriority, measure, CAST(value AS BIGINT) AS value
+             |FROM (
+             |  SELECT o_orderpriority,
+             |    count(*) AS n_orders,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+             |  FROM orders GROUP BY o_orderpriority)
+             |UNPIVOT (value FOR measure IN (n_orders, total_cents))
+             |ORDER BY o_orderpriority, measure""".stripMargin)) { (s, dir) =>
+      orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+        .unpivot(Array(col("o_orderpriority")),
+          Array(col("n_orders"), col("total_cents")), "measure", "value")
+        .orderBy("o_orderpriority", "measure")
+    },
+
     Q("q_cms_heavy",
       "Count-min frequency sketch (operators/Sketches): per-supplier " +
         "frequency estimates for suppliers 1-20 from one mergeable " +
