@@ -295,4 +295,28 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cosine"), 4).as("cosine"))
   }
+
+  /** Incremental connected components: fold a NEW batch of pairs (e.g.
+    * from [[minhashIncrementalPairs]]) into an EXISTING labeling without
+    * re-propagating over the old pair graph. Each old cluster collapses to
+    * a star — one (member, label) edge per member — which preserves its
+    * connectivity exactly; propagation then runs over stars + new pairs, a
+    * graph whose size is |old labels| + |new pairs|, independent of how
+    * many old PAIRS built those labels. Because [[clusters]]' fixpoint
+    * labels every component with its MIN member id, the star center is
+    * itself a member, and the incremental fixpoint equals the from-scratch
+    * run over (old ∪ new) pairs — asserted in ModulesSpec.
+    *
+    * `ids` must cover every id that should appear in the output (old
+    * members + the new batch's vertices); like [[clusters]], ids in no
+    * pair come back as singletons.
+    */
+  def clustersIncremental(ids: DataFrame, idCol: String,
+                          oldLabels: DataFrame,
+                          newPairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val stars = oldLabels.filter(col("id") =!= col("cluster"))
+      .select(col("id").as("a_id"), col("cluster").as("b_id"))
+    clusters(ids, idCol,
+      stars.unionByName(newPairs.select(col("a_id"), col("b_id"))), maxIter)
+  }
 }

@@ -132,6 +132,28 @@ class ModulesSpec extends AnyFunSuite {
       "doc_id", "text", 16, 4, 3).isEmpty)
   }
 
+  test("incremental clustering equals the from-scratch run over old+new pairs") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // old graph: {1,2,3} chained, {4,5} paired, 6 singleton
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a_id", "b_id")
+    val oldIds = (1L to 6L).toDF("id")
+    val oldLabels = Dedup.clusters(oldIds, "id", oldPairs).select("id", "cluster")
+    // new batch: 7 joins {4,5}; 8-9 form a new cluster; (3,4) BRIDGES the
+    // two old clusters — the hard case a naive "attach to one cluster"
+    // incremental scheme gets wrong
+    val newPairs = Seq((5L, 7L), (8L, 9L), (3L, 4L)).toDF("a_id", "b_id")
+    val allIds = (1L to 9L).toDF("id")
+    val incr = Dedup.clustersIncremental(allIds, "id", oldLabels, newPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val scratch = Dedup.clusters(allIds, "id", oldPairs.unionByName(newPairs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(incr == scratch)
+    // the bridge collapsed everything reachable into min-id cluster 1
+    assert(incr.filter(_._2 == 1L).map(_._1) == Set(1L, 2L, 3L, 4L, 5L, 7L))
+    assert(incr.contains((6L, 6L, 1L)) && incr.contains((8L, 8L, 2L)))
+  }
+
   test("dedup operators tolerate NULL text rows (skip, don't abort)") {
     import spark.implicits._
     val corpus = Seq(
