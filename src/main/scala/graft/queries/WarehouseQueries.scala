@@ -407,6 +407,12 @@ object WarehouseQueries {
         "explicit lag formulation aggregated to the same (user, session " +
         "start, count) rows — two independent session constructions must " +
         "agree exactly",
+      // boundary semantics matter: session_window's intervals are
+      // half-open, so a gap of EXACTLY the 30-min threshold starts a new
+      // session (>=), where q_sessionize's own lag twin uses > on
+      // floor-to-second diffs on BOTH engines. This oracle therefore
+      // compares full-precision epochs with >= — a floored strict > would
+      // only agree while no gap lands exactly on 1800 s
       Some(s"""SELECT user_id,
               |  strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
               |  n_events
@@ -418,9 +424,9 @@ object WarehouseQueries {
               |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
               |    FROM (
               |      SELECT user_id, ts, event_id,
-              |        CASE WHEN ${D.epochSeconds("ts")} -
-              |          ${D.epochSeconds("lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)")}
-              |          > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              |        CASE WHEN epoch(ts) -
+              |          epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+              |          >= 1800.0 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               |        THEN 1 ELSE 0 END AS is_new
               |      FROM events WHERE user_id < 60))
               |  GROUP BY user_id, sid)
