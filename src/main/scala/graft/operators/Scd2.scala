@@ -29,6 +29,11 @@ object Scd2 {
                     tieBreak: Seq[String]): DataFrame = {
     val w = Window.partitionBy(key).orderBy((ts +: tieBreak).map(col): _*)
     log
+      // a change without a timestamp is not a change — unfiltered it would
+      // sort first and donate a NULL valid_from AND make the real first
+      // version's interval start ambiguous (same dirty-input stance as
+      // IntervalJoin's malformed-interval guard: skip, don't corrupt)
+      .filter(col(ts).isNotNull)
       .withColumn("valid_from", col(ts))
       .withColumn("valid_to", lead(col(ts), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
