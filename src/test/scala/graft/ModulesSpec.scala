@@ -132,6 +132,47 @@ class ModulesSpec extends AnyFunSuite {
       "doc_id", "text", 16, 4, 3).isEmpty)
   }
 
+  test("int8 quantization: bounded dot error, high two-stage recall, 4x smaller") {
+    import graft.operators.Quantize
+    val corpus = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    // per-element quantization error <= scale/2, so
+    // |approx_dot - dot| <= (scale_a/2)*||b||_1-ish bound; check empirically
+    // against the exact kernel on every pair with vec 0
+    val q = corpus.filter(col("vec_id") === 0).select(col("emb").as("qe"))
+    // codes land as BINARY (Spark's Array[Byte] mapping — 1 B/dim on disk);
+    // cross-check the approximate dot in plain JVM arithmetic
+    val qRow = Quantize.withCodes(q.select(col("qe").as("emb")), "emb").head()
+    val (qCodes, qScale) = (qRow.getAs[Array[Byte]]("q_codes"),
+      qRow.getAs[Double]("q_scale"))
+    val rows = Quantize.withCodes(corpus, "emb").crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        graft.functions.vectors.dot(col("emb"), col("qe")).as("exact"),
+        col("q_codes"), col("q_scale"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val codes = r.getAs[Array[Byte]]("q_codes")
+      val approx = codes.zip(qCodes).map { case (a, b) => a.toLong * b.toLong }.sum *
+        r.getAs[Double]("q_scale") * qScale
+      val err = math.abs(r.getDouble(1) - approx)
+      assert(err <= 0.05, s"vec ${r.getLong(0)}: dot error $err")
+    }
+    // two-stage recall@5 vs brute force (x4 over-fetch)
+    val exact = graft.operators.VectorSearch
+      .knnByExample(corpus, "emb", q, "qe", k = 5, threshold = -1.0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val viaQ = Quantize.topK(corpus, "emb", q, k = 5, overFetch = 4,
+        tieBreak = Seq("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (exact & viaQ).size.toDouble / exact.size
+    assert(recall >= 0.8, s"two-stage recall $recall < 0.8 (exact=$exact viaQ=$viaQ)")
+    // the compact store is ~4x smaller than float32 (1 byte per dimension)
+    val one = Quantize.withCodes(corpus.limit(1), "emb")
+      .select(length(col("q_codes")), size(col("emb"))).head()
+    assert(one.getInt(0) == one.getInt(1))
+  }
+
   test("incremental clustering equals the from-scratch run over old+new pairs") {
     import spark.implicits._
     import graft.operators.Dedup
