@@ -471,7 +471,7 @@ class ModulesSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
-    val df = mem.toDF.toDF("ts", "event_type", "value")
+    val df = mem.toDF().toDF("ts", "event_type", "value")
     val q = EventsStream.dailyCounts(df)
       .writeStream.format("memory").queryName("daily").outputMode("complete").start()
     mem.addData(
@@ -490,7 +490,7 @@ class ModulesSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, Double)]
-    val df = mem.toDF.toDF("ts", "user_id", "value")
+    val df = mem.toDF().toDF("ts", "user_id", "value")
     val q = EventsStream.topUsersPerWindow(df, k = 2)
       .writeStream.format("memory").queryName("trending").outputMode("complete").start()
     mem.addData(
@@ -512,7 +512,7 @@ class ModulesSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
-    val df = mem.toDF.toDF("ts", "event_id", "text")
+    val df = mem.toDF().toDF("ts", "event_id", "text")
     val q = EventsStream.dedupStream(df, "text")
       .writeStream.format("memory").queryName("dedup_stream")
       .outputMode("append").start()
@@ -575,8 +575,8 @@ class ModulesSpec extends AnyFunSuite {
     val imps = MemoryStream[(Timestamp, Long, Long)]
     val clicks = MemoryStream[(Timestamp, Long, Long)]
     val joined = graft.streaming.EventsStream.joinWithinWindow(
-      imps.toDF.toDF("ts", "imp_id", "user"),
-      clicks.toDF.toDF("ts", "click_id", "user"),
+      imps.toDF().toDF("ts", "imp_id", "user"),
+      clicks.toDF().toDF("ts", "click_id", "user"),
       key = "user", leftTs = "ts", rightTs = "ts", windowMinutes = 10)
     val q = joined.select("l_imp_id", "r_click_id")
       .writeStream.format("memory").queryName("attrib")
@@ -738,7 +738,7 @@ class ModulesSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Timestamp, String)]
     val q = EventsStream.chatPipeline(
-        mem.toDF.toDF("event_id", "user_id", "ts", "msg"), "msg", embedDim = 8)
+        mem.toDF().toDF("event_id", "user_id", "ts", "msg"), "msg", embedDim = 8)
       .writeStream.format("memory").queryName("chat").outputMode("append").start()
     mem.addData(
       (1L, 7L, Timestamp.valueOf("2024-01-01 10:00:00"),
@@ -775,7 +775,7 @@ class ModulesSpec extends AnyFunSuite {
     val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val mem = MemoryStream[(Timestamp, Long, Double)]
     val q = EventsStream.sinkPartitioned(
-      mem.toDF.toDF("ts", "user_id", "value"), s"$base/tbl", s"$base/ckpt")
+      mem.toDF().toDF("ts", "user_id", "value"), s"$base/tbl", s"$base/ckpt")
     mem.addData(
       (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 1.0),
       (Timestamp.valueOf("2024-01-02 09:00:00"), 2L, 2.0))
@@ -798,7 +798,7 @@ class ModulesSpec extends AnyFunSuite {
     // rows must not duplicate, post-restart data must land exactly once
     mem.addData((Timestamp.valueOf("2024-01-02 12:00:00"), 4L, 4.0))
     val q2 = EventsStream.sinkPartitioned(
-      mem.toDF.toDF("ts", "user_id", "value"), s"$base/tbl", s"$base/ckpt")
+      mem.toDF().toDF("ts", "user_id", "value"), s"$base/tbl", s"$base/ckpt")
     q2.processAllAvailable()
     q2.stop()
     val after = spark.read.parquet(s"$base/tbl")
@@ -1014,6 +1014,27 @@ class ModulesSpec extends AnyFunSuite {
         lit("2024-02-15 00:00:00").cast("timestamp"))
       .collect()
     assert(snap.length == 1 && snap.head.getAs[Long]("log_id") == 12L)
+  }
+
+  test("HLL and percentile sketches stay within their configured error of the exact twins") {
+    // the two oracle-less catalog queries are only trustworthy if the
+    // sketches actually track their oracle-checked exact twins — pin that
+    val li = graft.core.Tables.table(spark, sf, "lineitem")
+    val r = li.agg(
+      approx_count_distinct(col("l_partkey")).as("apk"),
+      countDistinct(col("l_partkey")).as("epk"),
+      approx_count_distinct(col("l_suppkey")).as("ask"),
+      countDistinct(col("l_suppkey")).as("esk"),
+      expr("approx_percentile(l_quantity, 0.5)").as("aq"),
+      expr("percentile(l_quantity, 0.5)").as("eq")).head()
+    // default rsd = 5%; allow 3 sigma
+    for ((a, e) <- Seq((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))) {
+      assert(math.abs(a - e).toDouble / e <= 0.15, s"HLL est $a vs exact $e")
+    }
+    // quantity is integral 1..50: the median sketch must land within one
+    // neighboring value of the exact median
+    assert(math.abs(r.getDouble(4) - r.getDouble(5)) <= 1.0,
+      s"approx median ${r.getDouble(4)} vs exact ${r.getDouble(5)}")
   }
 
   test("count-min sketch: overcount-only, within eps*N, merges across partitions") {
