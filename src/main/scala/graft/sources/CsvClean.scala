@@ -64,4 +64,22 @@ object CsvClean {
     * (convert_csv_to_json.py:30-32). */
   def splitLines(c: String): org.apache.spark.sql.Column =
     filter(transform(split(col(c), "\n"), s => trim(s)), s => s =!= "")
+
+  /** Ingest data-quality report: one pass, one row — total rows plus the
+    * count violating each named rule (a rule is a Column predicate that is
+    * TRUE when the row is BAD). The reference prints row counts after
+    * import and nothing else (import_datasets.py:95,168,221); at 100 TB an
+    * ingest without per-rule violation counts is an ingest nobody can
+    * debug. Conditional aggregation — map-side combinable, no shuffle of
+    * the data itself, so the report is (nearly) free next to the write it
+    * accompanies.
+    */
+  def qualityReport(df: DataFrame,
+                    rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +:
+      rules.map { case (name, bad) =>
+        sum(when(bad, 1L).otherwise(0L)).as(s"n_$name")
+      }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
 }

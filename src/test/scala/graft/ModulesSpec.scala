@@ -427,6 +427,23 @@ class ModulesSpec extends AnyFunSuite {
     assert(r.getString(2).nonEmpty)
   }
 
+  test("ingest quality report counts per-rule violations in one pass") {
+    val raw = CsvClean.normalizeHeaders(CsvClean.readCsv(spark, refCsv))
+    val report = CsvClean.qualityReport(raw, Seq(
+      "missing_coords" -> (col("LAT").isNull || col("LONG").isNull ||
+        col("LAT").cast("double").isNull || col("LONG").cast("double").isNull),
+      "no_program" -> (col("Program").isNull || trim(col("Program")) === ""),
+      "no_services" -> col("Services").isNull)).head()
+    val total = report.getAs[Long]("n_rows")
+    assert(total == raw.count())
+    // the kept-rows count the pipeline produces must equal total minus the
+    // report's missing-coords violations (the S8 drop rule)
+    val kept = CsvClean.dropMissingCoords(
+      CsvClean.castTruncate(raw, Map("LONG" -> "double", "LAT" -> "double")),
+      "LAT", "LONG").count()
+    assert(kept == total - report.getAs[Long]("n_missing_coords"))
+  }
+
   test("JSON source: array-of-records scan + summary aggregate") {
     val df = JsonSource.readJson(spark, refJson)
     assert(df.count() == 50)
