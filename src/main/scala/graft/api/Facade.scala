@@ -60,6 +60,49 @@ object Facade {
       idCol, "lat", "lon", stopIdCol, "stop_lat", "stop_lon", k, maxKm)
   }
 
+  /** D2/F10/U1/X2/O4 — `search_web`'s local path
+    * (backend/tools/dataset_search.py:32-101): keyword lists route the
+    * query to dataset(s) — no keyword hit searches ALL — selected frames
+    * union (schemas may differ per dataset), each row gets
+    * `distance_miles` (X2 miles haversine, rounded 2) when caller coords
+    * and row coords exist, missing-coordinate rows sort LAST (the
+    * reference's `float('inf')` default), top `maxResults`. Keyword lists
+    * are verbatim from dataset_search.py:51-58. */
+  val datasetRoutes: Seq[(String, Seq[String])] = Seq(
+    "healthcare_resources" -> Seq("health", "medical", "clinic", "doctor",
+      "hospital", "mental"),
+    "shelters" -> Seq("shelter", "housing", "sleep", "bed", "emergency shelter"),
+    "food_banks" -> Seq("food", "meal", "hungry", "eat", "pantry", "kitchen"))
+
+  def routeDatasets(query: String): Seq[String] = {
+    val q = query.toLowerCase
+    val hits = datasetRoutes.collect {
+      case (name, kws) if kws.exists(q.contains) => name
+    }
+    if (hits.isEmpty) datasetRoutes.map(_._1) else hits
+  }
+
+  /** `datasets` maps route name → frame with `lat`/`lon` double columns
+    * (NULL when a resource has no coordinates). `tieBreak` orders
+    * equal-distance rows deterministically (the reference relies on file
+    * order, which a distributed union does not have). */
+  def searchLocalDatasets(datasets: Map[String, DataFrame], query: String,
+                          lat: Option[Double] = None, lon: Option[Double] = None,
+                          maxResults: Int = 5,
+                          tieBreak: Seq[String] = Nil): DataFrame = {
+    val selected = routeDatasets(query).flatMap(datasets.get)
+    require(selected.nonEmpty, "no routed dataset present in the map")
+    val unioned = selected.reduce(_.unionByName(_, allowMissingColumns = true))
+    (lat, lon) match {
+      case (Some(la), Some(lo)) =>
+        unioned.withColumn("distance_miles",
+            round(geo.haversineMiles(col("lat"), col("lon"), lit(la), lit(lo)), 2))
+          .orderBy(asc_nulls_last("distance_miles") +: tieBreak.map(col): _*)
+          .limit(maxResults)
+      case _ => unioned.limit(maxResults)
+    }
+  }
+
   /** POST /conversations/{id}/search-messages (backend/main.py:360-423 →
     * backend/embeddings.py:138-193): cosine KNN over one conversation's
     * message embeddings with the reference defaults (threshold 0.7,

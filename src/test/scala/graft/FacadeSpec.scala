@@ -88,4 +88,29 @@ class FacadeSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_recent_symptoms") == 3)
     assert(row.getAs[Long]("n_active_plans") == 2)
   }
+
+  test("dataset routing + union + miles sort mirrors dataset_search.py") {
+    import spark.implicits._
+    // reference keyword routing (dataset_search.py:51-62)
+    assert(Facade.routeDatasets("mental health support") == Seq("healthcare_resources"))
+    assert(Facade.routeDatasets("where can I SLEEP") == Seq("shelters"))
+    assert(Facade.routeDatasets("food and shelter") == Seq("shelters", "food_banks"))
+    assert(Facade.routeDatasets("help me please").length == 3) // no hit -> all
+    val hc = Seq((1L, "clinic A", Some(32.71), Some(-117.16)),
+      (2L, "clinic B", Some(32.90), Some(-117.10)),
+      (3L, "clinic no-coords", None, None))
+      .toDF("id", "name", "lat", "lon")
+    val sh = Seq((10L, "shelter X", Some(32.72), Some(-117.15)))
+      .toDF("id", "name", "lat", "lon")
+    val got = Facade.searchLocalDatasets(
+      Map("healthcare_resources" -> hc, "shelters" -> sh, "food_banks" -> sh.limit(0)),
+      "help me please", Some(32.7157), Some(-117.1611),
+      maxResults = 4, tieBreak = Seq("id"))
+      .select("id", "distance_miles").collect()
+    // all three datasets searched, sorted by miles, missing coords LAST
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 10L, 2L, 3L))
+    assert(got.last.isNullAt(1))
+    val d = got.head.getDouble(1)
+    assert(d > 0.0 && d < 1.0, s"clinic A should be well under a mile, got $d")
+  }
 }
