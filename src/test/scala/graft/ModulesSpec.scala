@@ -427,6 +427,22 @@ class ModulesSpec extends AnyFunSuite {
     assert(r.getString(2).nonEmpty)
   }
 
+  test("multiline Services cells split into trimmed non-empty arrays (X11)") {
+    // the real thing convert_csv_to_json.py:30-32 handles: Services cells
+    // in the county CSV contain embedded newlines
+    val df = CsvClean.normalizeHeaders(CsvClean.readCsv(spark, refCsv))
+      .select(col("Services"), CsvClean.splitLines("Services").as("arr"))
+      .filter(col("Services").contains("\n"))
+    val rows = df.collect()
+    assert(rows.nonEmpty, "expected multiline Services cells in the county CSV")
+    rows.foreach { r =>
+      val arr = r.getAs[scala.collection.Seq[String]]("arr")
+      assert(arr.nonEmpty && arr.forall(s => s.trim == s && s.nonEmpty),
+        s"bad split: $arr")
+      assert(arr.length > 1, s"newline cell should split into >1 entries: $arr")
+    }
+  }
+
   test("ingest quality report counts per-rule violations in one pass") {
     val raw = CsvClean.normalizeHeaders(CsvClean.readCsv(spark, refCsv))
     val report = CsvClean.qualityReport(raw, Seq(
