@@ -464,6 +464,35 @@ object WarehouseQueries {
         .orderBy("o_orderpriority", "measure")
     },
 
+    Q("q_skew_stats",
+      "Join-key skew diagnostics: the distribution of per-key group sizes " +
+        "(rows per o_custkey) — min/median/p99/max and the max/median " +
+        "ratio. This is the measurement that DECIDES between a plain " +
+        "shuffle join, AQE skew-split and explicit salting " +
+        "(operators/Skew); running it is one keyed count plus one tiny " +
+        "aggregate over the counts (|keys| rows, not |rows|). Counts are " +
+        "integer-valued doubles, so interpolated percentiles stay " +
+        "engine-exact at dyadic-safe points; the x100 ratio ships " +
+        "fixed-point",
+      Some(s"""SELECT count(*) AS n_keys,
+              |  CAST(min(n) AS BIGINT) AS min_sz,
+              |  ${text.fixedPoint("quantile_cont(CAST(n AS DOUBLE), 0.50)", 1)} AS p50_sz_x10,
+              |  ${text.fixedPoint("quantile_cont(CAST(n AS DOUBLE), 0.75)", 1)} AS p75_sz_x10,
+              |  CAST(max(n) AS BIGINT) AS max_sz,
+              |  ${text.fixedPoint(
+                   "CAST(max(n) AS DOUBLE) / quantile_cont(CAST(n AS DOUBLE), 0.50)", 2)} AS skew_x100
+              |FROM (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey)""".stripMargin)) { (s, dir) =>
+      orders(s, dir)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_keys"),
+          min(col("n")).cast("long").as("min_sz"),
+          expr(text.fixedPoint("percentile(CAST(n AS DOUBLE), 0.50)", 1)).as("p50_sz_x10"),
+          expr(text.fixedPoint("percentile(CAST(n AS DOUBLE), 0.75)", 1)).as("p75_sz_x10"),
+          max(col("n")).cast("long").as("max_sz"),
+          expr(text.fixedPoint(
+            "CAST(max(n) AS DOUBLE) / percentile(CAST(n AS DOUBLE), 0.50)", 2)).as("skew_x100"))
+    },
+
     Q("q_cms_heavy",
       "Count-min frequency sketch (operators/Sketches): per-supplier " +
         "frequency estimates for suppliers 1-20 from one mergeable " +
