@@ -10,6 +10,11 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// explicit, not just the default: several specs temporarily mutate shared
+// session confs (AQE skew thresholds, broadcast threshold, DPP) with
+// try/finally restore — correct sequentially, racy if suites ever ran on
+// parallel threads in the forked JVM
+Test / testForkedParallel := false
 run / fork := true
 // raw stdout for forked runs — Bench's one-line JSON must not be wrapped in
 // sbt's "[info] " log decoration (it broke the driver's r01 parse)
