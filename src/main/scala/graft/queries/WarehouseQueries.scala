@@ -493,6 +493,44 @@ object WarehouseQueries {
             "CAST(max(n) AS DOUBLE) / percentile(CAST(n AS DOUBLE), 0.50)", 2)).as("skew_x100"))
     },
 
+    Q("q_outliers",
+      "Anomaly counts per event type: values beyond 3 population sigmas. " +
+        "The z-test runs ENTIRELY in exact integers — |v-mean| > 3·std " +
+        "⟺ (n·v - sx)² > 9·(n·sxx - sx²) after multiplying through by n² " +
+        "— so there is no sqrt, no double, and no accumulation-order noise " +
+        "at all; moments ride DECIMAL/HUGEINT (squared-cents sums pass " +
+        "2^63, the q_corr_stats lesson). Two passes over events: tiny " +
+        "moment aggregate broadcast back onto the scan",
+      Some("""WITH c AS (
+             |  SELECT event_type, CAST(round(value * 100) AS HUGEINT) AS v
+             |  FROM events),
+             |m AS (
+             |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+             |    CAST(sum(v) AS HUGEINT) AS sx,
+             |    CAST(sum(v * v) AS HUGEINT) AS sxx
+             |  FROM c GROUP BY event_type)
+             |SELECT c.event_type, CAST(m.n AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN (m.n * c.v - m.sx) * (m.n * c.v - m.sx)
+             |                     > 9 * (m.n * m.sxx - m.sx * m.sx)
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM c JOIN m ON c.event_type = m.event_type
+             |GROUP BY c.event_type, m.n
+             |ORDER BY c.event_type""".stripMargin)) { (s, dir) =>
+      val c = events(s, dir).select(col("event_type"),
+        round(col("value") * 100).cast("decimal(38,0)").as("v"))
+      val m = c.groupBy("event_type")
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("v")).cast("decimal(38,0)").as("sx"),
+          sum(col("v") * col("v")).cast("decimal(38,0)").as("sxx"))
+      val dev = col("n") * col("v") - col("sx")
+      c.join(broadcast(m), "event_type")
+        .groupBy(col("event_type"), col("n"))
+        .agg(sum(when(dev * dev > lit(9) * (col("n") * col("sxx") - col("sx") * col("sx")), 1)
+          .otherwise(0)).cast("long").as("n_outliers"))
+        .select(col("event_type"), col("n").cast("long").as("n"), col("n_outliers"))
+        .orderBy("event_type")
+    },
+
     Q("q_cms_heavy",
       "Count-min frequency sketch (operators/Sketches): per-supplier " +
         "frequency estimates for suppliers 1-20 from one mergeable " +
