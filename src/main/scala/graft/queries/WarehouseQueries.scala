@@ -493,6 +493,31 @@ object WarehouseQueries {
             "CAST(max(n) AS DOUBLE) / percentile(CAST(n AS DOUBLE), 0.50)", 2)).as("skew_x100"))
     },
 
+    Q("q_rank_family",
+      "rank / dense_rank / percent_rank within each market segment by " +
+        "account balance — the tie-aware rank family (q_ntile buckets, " +
+        "q_latest_per_group row_numbers; this completes §2.5): equal " +
+        "balances share a rank and open gaps, and all three are pure " +
+        "functions of the VALUE ordering, so ties cannot make them " +
+        "nondeterministic. percent_rank is an integer ratio — fixed-point",
+      Some(s"""SELECT c_custkey, c_mktsegment,
+              |  CAST(rank() OVER w AS BIGINT) AS rnk,
+              |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+              |  ${text.fixedPoint("percent_rank() OVER w", 4)} AS pct_x10k
+              |FROM customer
+              |WHERE c_custkey <= 500
+              |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+              |ORDER BY c_custkey""".stripMargin)) { (s, dir) =>
+      val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+      customer(s, dir).filter(col("c_custkey") <= 500)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          expr(text.fixedPoint("percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal)", 4))
+            .as("pct_x10k"))
+        .orderBy("c_custkey")
+    },
+
     Q("q_outliers",
       "Anomaly counts per event type: values beyond 3 population sigmas. " +
         "The z-test runs ENTIRELY in exact integers — |v-mean| > 3·std " +
