@@ -493,6 +493,60 @@ object WarehouseQueries {
             "CAST(max(n) AS DOUBLE) / percentile(CAST(n AS DOUBLE), 0.50)", 2)).as("skew_x100"))
     },
 
+    Q("q_running_total",
+      "Cumulative revenue per customer over order time — the running-sum " +
+        "window every ledger/balance pipeline runs (q_sessionize uses the " +
+        "same frame for flags; this is the cents-exact value form). " +
+        "Partitioned frame: a customer's history accumulates inside one " +
+        "partition, cents keep the prefix sums exact under any re-ordering " +
+        "of upstream partials",
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(sum(cents) OVER (PARTITION BY o_custkey
+             |                        ORDER BY o_orderdate, o_orderkey
+             |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |       AS BIGINT) AS running_cents
+             |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+             |        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |      FROM orders WHERE o_custkey < 100)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders(s, dir).filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("cents")).over(w).cast("long").as("running_cents"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    Q("q_date_features",
+      "Calendar feature extraction: year/quarter/month/day-name per order " +
+        "date, aggregated to order counts — the date-function family " +
+        "beyond day-truncation. Day-of-week ships as the NAME: the two " +
+        "engines number weekdays differently (DuckDB dow 0=Sunday, Spark " +
+        "dayofweek 1=Sunday) and the name sidesteps the off-by-one " +
+        "entirely",
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+             |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+             |  CAST(month(o_orderdate) AS BIGINT) AS m,
+             |  dayname(o_orderdate) AS dow,
+             |  count(*) AS n
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+             |  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+             |GROUP BY 1, 2, 3, 4
+             |ORDER BY y, q, m, dow""".stripMargin)) { (s, dir) =>
+      orders(s, dir)
+        .filter(col("o_orderdate") >= expr("TIMESTAMP '1998-01-01 00:00:00'") &&
+          col("o_orderdate") < expr("TIMESTAMP '1999-01-01 00:00:00'"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          date_format(col("o_orderdate"), "EEEE").as("dow"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("y", "q", "m", "dow")
+    },
+
     Q("q_rank_family",
       "rank / dense_rank / percent_rank within each market segment by " +
         "account balance — the tie-aware rank family (q_ntile buckets, " +
