@@ -26,7 +26,7 @@ object Quantize {
 
   /** code array + scale for one vector; zero vector → all-zero codes,
     * scale 0 (dequantizes to the zero vector, cosine guard handles it). */
-  private[operators] def encode(emb: Array[Double]): (Array[Byte], Double) = {
+  private[graft] def encode(emb: Array[Double]): (Array[Byte], Double) = {
     var maxAbs = 0.0
     var j = 0
     while (j < emb.length) {

@@ -106,6 +106,26 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantizer: codes in range, per-element error <= scale/2, deterministic") {
+    import graft.operators.Quantize
+    forAllSamples(200) {
+      val v = Array.fill(1 + rnd.nextInt(64))(rnd.nextDouble() * 2 - 1)
+      val (codes, scale) = Quantize.encode(v)
+      assert(codes.length == v.length)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      // reconstruction error of round-to-nearest is half a quantization step
+      v.zip(codes).foreach { case (x, c) =>
+        assert(math.abs(x - c * scale) <= scale / 2 + 1e-12,
+          s"err ${math.abs(x - c * scale)} > ${scale / 2}")
+      }
+      val (again, s2) = Quantize.encode(v)
+      assert(again.toSeq == codes.toSeq && s2 == scale)
+    }
+    // zero vector: all-zero codes, zero scale
+    val (zc, zs) = Quantize.encode(Array(0.0, 0.0))
+    assert(zc.forall(_ == 0) && zs == 0.0)
+  }
+
   test("vector kernels: cosine bounded and argument-symmetric, zero norm -> 0") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import graft.plans.VectorKernels
