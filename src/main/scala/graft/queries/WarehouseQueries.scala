@@ -493,6 +493,38 @@ object WarehouseQueries {
             "CAST(max(n) AS DOUBLE) / percentile(CAST(n AS DOUBLE), 0.50)", 2)).as("skew_x100"))
     },
 
+    Q("q_null_safe_join",
+      "Null-safe equality join: Spark `<=>` ⇄ DuckDB IS NOT DISTINCT FROM " +
+        "— the NULL bucket on each side matches ITSELF instead of matching " +
+        "nothing (a plain equi-join silently drops it). Scale note: <=> " +
+        "hashes all NULL keys to one partition, so a null-heavy key is a " +
+        "skew hazard — exactly what q_skew_stats measures and " +
+        "operators/Skew salts",
+      Some("""WITH a AS (
+             |  SELECT CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id % 5 END AS k,
+             |    count(*) AS n_a
+             |  FROM events WHERE user_id < 75 GROUP BY 1),
+             |b AS (
+             |  SELECT CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id % 5 END AS k,
+             |    count(*) AS n_b
+             |  FROM events WHERE user_id >= 75 GROUP BY 1)
+             |SELECT coalesce(CAST(a.k AS VARCHAR), 'NULL') AS k, n_a, n_b
+             |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+             |ORDER BY k""".stripMargin)) { (s, dir) =>
+      def side(pred: org.apache.spark.sql.Column, out: String) =
+        events(s, dir).filter(pred)
+          .groupBy(when(col("user_id") % 7 === 0, lit(null))
+            .otherwise(col("user_id") % 5).as("k"))
+          .agg(count(lit(1)).as(out))
+      val a = side(col("user_id") < 75, "n_a")
+      val b = side(col("user_id") >= 75, "n_b")
+        .withColumnRenamed("k", "kb")
+      a.join(b, col("k") <=> col("kb"))
+        .select(coalesce(col("k").cast("string"), lit("NULL")).as("k"),
+          col("n_a"), col("n_b"))
+        .orderBy("k")
+    },
+
     Q("q_running_total",
       "Cumulative revenue per customer over order time — the running-sum " +
         "window every ledger/balance pipeline runs (q_sessionize uses the " +
