@@ -503,11 +503,11 @@ object WarehouseQueries {
       Some("""WITH a AS (
              |  SELECT CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id % 5 END AS k,
              |    count(*) AS n_a
-             |  FROM events WHERE user_id < 75 GROUP BY 1),
+             |  FROM events WHERE user_id % 2 = 0 GROUP BY 1),
              |b AS (
              |  SELECT CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id % 5 END AS k,
              |    count(*) AS n_b
-             |  FROM events WHERE user_id >= 75 GROUP BY 1)
+             |  FROM events WHERE user_id % 2 = 1 GROUP BY 1)
              |SELECT coalesce(CAST(a.k AS VARCHAR), 'NULL') AS k, n_a, n_b
              |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
              |ORDER BY k""".stripMargin)) { (s, dir) =>
@@ -516,8 +516,8 @@ object WarehouseQueries {
           .groupBy(when(col("user_id") % 7 === 0, lit(null))
             .otherwise(col("user_id") % 5).as("k"))
           .agg(count(lit(1)).as(out))
-      val a = side(col("user_id") < 75, "n_a")
-      val b = side(col("user_id") >= 75, "n_b")
+      val a = side(col("user_id") % 2 === 0, "n_a")
+      val b = side(col("user_id") % 2 === 1, "n_b")
         .withColumnRenamed("k", "kb")
       a.join(b, col("k") <=> col("kb"))
         .select(coalesce(col("k").cast("string"), lit("NULL")).as("k"),
