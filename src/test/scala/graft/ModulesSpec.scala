@@ -427,6 +427,33 @@ class ModulesSpec extends AnyFunSuite {
     assert(r.getString(2).nonEmpty)
   }
 
+  test("the two haversine formulas agree up to the unit conversion") {
+    // X1 (km, asin) and X2 (miles, atan2) are kept as separate exact
+    // formulas for oracle parity; mathematically they must still be the
+    // same distance in different units (away from antipodes, where the
+    // asin form loses precision first)
+    import spark.implicits._
+    import graft.functions.geo
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(200)((rnd.nextDouble() * 120 - 60, rnd.nextDouble() * 358 - 179,
+        rnd.nextDouble() * 120 - 60, rnd.nextDouble() * 358 - 179))
+      .toDF("la1", "lo1", "la2", "lo2")
+    val rows = pts.select(
+        geo.haversineKm(col("la1"), col("lo1"), col("la2"), col("lo2")).as("km"),
+        geo.haversineMiles(col("la1"), col("lo1"), col("la2"), col("lo2")).as("mi"))
+      .collect()
+    rows.foreach { r =>
+      val (km, mi) = (r.getDouble(0), r.getDouble(1))
+      if (km > 1e-6) {
+        val expected = km * (3959.0 / 6371.0) // the radii ratio, not 0.621371
+        assert(math.abs(mi - expected) / expected < 1e-9,
+          s"km=$km mi=$mi expected=$expected")
+        // and the reference's km->miles constant is consistent to ~0.03%
+        assert(math.abs(mi - km * geo.kmToMilesFactor) / mi < 5e-4)
+      }
+    }
+  }
+
   test("multiline Services cells split into trimmed non-empty arrays (X11)") {
     // the real thing convert_csv_to_json.py:30-32 handles: Services cells
     // in the county CSV contain embedded newlines
