@@ -68,7 +68,11 @@ object Bench {
       // query must not masquerade as a fast one in the published line
       (name, if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0, err)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // 3-decimal times keep the one-line JSON compact: r2's full-precision
+    // doubles grew the line past the driver's tail capture and the round
+    // lost its official bench number ("parsed": null)
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) =>
       // strip EVERY control char (0x00-0x1f) plus quote/backslash - any
@@ -76,7 +80,13 @@ object Bench {
       s"\"" + k + "\":\"" + m.replaceAll("[\\x00-\\x1f\"\\\\]", " ").take(200) + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${results.count(_._3.isDefined)},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${results.count(_._3.isDefined)},"sf":"$sfDir"}"""
+    // belt and braces against output truncation: the line also lands in a
+    // file the driver (or a human) can read even if stdout capture clips
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => }
+    println(line)
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)
   }

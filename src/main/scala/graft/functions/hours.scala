@@ -20,6 +20,37 @@ object hours {
   def isClosed(d: Dialect, col: String): String =
     s"(${d.strIndex(s"lower($col)", "closed")} > 0 OR ${d.strIndex(s"lower($col)", "n/a")} > 0)"
 
+  /** "is it open at `nowMin` minutes-since-midnight?" — the evaluation step
+    * the reference runs on top of the parser
+    * (check_hours_availability.py:140-150): TRUE for a 24/7 facility,
+    * FALSE for a closed one, range containment for a parsed
+    * "H:MM AM - H:MM PM" range, NULL when the string is unparseable (the
+    * reference's is_open=None "verify with resource" path). A close time
+    * numerically before the open time is an overnight range (shelters:
+    * "7:00 PM - 6:00 AM") and wraps midnight — the one semantic the
+    * reference's web-text path never had to decide; documented here as the
+    * only behavior a range can sensibly mean. */
+  def isOpenAt(d: Dialect, col: String, nowMin: String): String = {
+    val o = rangeMinutes(d, col, 1)
+    val c = rangeMinutes(d, col, 2)
+    s"CASE WHEN ${is24h(d, col)} THEN TRUE " +
+      s"WHEN ${isClosed(d, col)} THEN FALSE " +
+      s"WHEN ($o) IS NULL THEN NULL " +
+      s"WHEN ($o) <= ($c) THEN ($nowMin) >= ($o) AND ($nowMin) < ($c) " +
+      s"ELSE ($nowMin) >= ($o) OR ($nowMin) < ($c) END"
+  }
+
+  /** status string of the decision, verbatim from the reference:
+    * "Open 24/7" (line 144), "Currently closed" (line 147), OPEN/CLOSED
+    * from the evaluated range (format_availability_response lines 183-188),
+    * and the line-149 fallback for unparseable hours. */
+  def statusOf(d: Dialect, col: String, nowMin: String): String =
+    s"CASE WHEN ${is24h(d, col)} THEN 'Open 24/7' " +
+      s"WHEN ${isClosed(d, col)} THEN 'Currently closed' " +
+      s"WHEN (${isOpenAt(d, col, nowMin)}) IS NULL " +
+      s"THEN 'Hours information found - verify with resource' " +
+      s"WHEN ${isOpenAt(d, col, nowMin)} THEN 'OPEN' ELSE 'CLOSED' END"
+
   /** minutes-since-midnight of side `idx` (1 = open, 2 = close) of a
     * "H:MM AM - H:MM PM" range; NULL for 24/7, closed, or any string not
     * matching the range shape — the reference returns None for unparseable

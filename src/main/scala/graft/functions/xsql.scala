@@ -63,6 +63,12 @@ sealed abstract class Dialect {
   def regexReplaceAll(s: String, pattern: String, repl: String): String
   /** cast array<float> to array<double> */
   def castDoubleArray(a: String): String
+  /** full English weekday name of a timestamp, e.g. 'Wednesday'
+    * (reference strftime('%A'), check_hours_availability.py:44) */
+  def dayName(ts: String): String
+  /** 12-hour clock string of a timestamp, e.g. '02:30 PM'
+    * (reference strftime('%I:%M %p'), check_hours_availability.py:45) */
+  def time12(ts: String): String
 }
 
 object SparkDialect extends Dialect {
@@ -102,6 +108,8 @@ object SparkDialect extends Dialect {
   def regexReplaceAll(s: String, pattern: String, repl: String) =
     s"regexp_replace($s, '${pattern.replace("\\", "\\\\")}', '$repl')"
   def castDoubleArray(a: String) = s"CAST($a AS ARRAY<DOUBLE>)"
+  def dayName(ts: String) = s"date_format($ts, 'EEEE')"
+  def time12(ts: String) = s"date_format($ts, 'hh:mm a')"
 }
 
 object DuckDialect extends Dialect {
@@ -140,4 +148,6 @@ object DuckDialect extends Dialect {
   def regexReplaceAll(s: String, pattern: String, repl: String) =
     s"regexp_replace($s, '$pattern', '$repl', 'g')"
   def castDoubleArray(a: String) = s"CAST($a AS DOUBLE[])"
+  def dayName(ts: String) = s"strftime($ts, '%A')"
+  def time12(ts: String) = s"strftime($ts, '%I:%M %p')"
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -340,6 +341,77 @@ object AnalyticsQueries {
         .orderBy("p_partkey")
     },
 
+    Q("q_hours_open_now",
+      "X8 evaluation step: \"is it open now?\" — the current-day/time " +
+        "dispatch the reference runs on top of the hours parser " +
+        "(check_hours_availability.py:36-47,140-150; " +
+        "format_availability_response:183-188). A synthesized weekly " +
+        "schedule (7 rows per resource) is joined to the day name of a " +
+        "PARAMETER timestamp (current_timestamp() could never " +
+        "oracle-match), then the surviving day's hours string is evaluated " +
+        "at that timestamp's minutes-since-midnight: TRUE/FALSE/NULL plus " +
+        "the reference's verbatim status strings. The '7:00 PM - 6:00 AM' " +
+        "case pins the overnight-wrap branch, 'varies' pins the " +
+        "is_open=None \"verify with resource\" path. Scale shape: the day " +
+        "filter prunes the schedule 7x before evaluation and everything " +
+        "is one codegen'd projection — no join, no shuffle",
+      Some {
+        val ts = "TIMESTAMP '2024-01-10 14:30:00'" // a Wednesday, 02:30 PM
+        val nowMin = s"(extract(HOUR FROM $ts) * 60 + extract(MINUTE FROM $ts))"
+        val h = "hours_str"
+        s"""WITH sched AS (
+           |  SELECT p_partkey, dow,
+           |    CASE CAST(dow AS INT)
+           |      WHEN 0 THEN 'Sunday' WHEN 1 THEN 'Monday' WHEN 2 THEN 'Tuesday'
+           |      WHEN 3 THEN 'Wednesday' WHEN 4 THEN 'Thursday'
+           |      WHEN 5 THEN 'Friday' ELSE 'Saturday' END AS day_name,
+           |    CASE CAST((p_partkey + dow) % 7 AS INT)
+           |      WHEN 0 THEN '24/7' WHEN 1 THEN 'Closed'
+           |      WHEN 2 THEN '9:00 AM - 5:00 PM' WHEN 3 THEN 'Always open'
+           |      WHEN 4 THEN 'varies' WHEN 5 THEN '7:00 PM - 6:00 AM'
+           |      ELSE '10:30 AM - 6:30 PM' END AS hours_str
+           |  FROM part, (SELECT unnest(generate_series(0, 6)) AS dow)
+           |  WHERE p_partkey <= 200)
+           |SELECT p_partkey,
+           |  ${D.dayName(ts)} AS current_day,
+           |  ${D.time12(ts)} AS current_time,
+           |  hours_str,
+           |  coalesce(CAST(${hours.isOpenAt(D, h, nowMin)} AS INT), -1) AS is_open,
+           |  ${hours.statusOf(D, h, nowMin)} AS status
+           |FROM sched
+           |WHERE day_name = ${D.dayName(ts)}
+           |ORDER BY p_partkey""".stripMargin
+      }) { (s, dir) =>
+      val ts = "TIMESTAMP '2024-01-10 14:30:00'"
+      val nowMin = s"(extract(HOUR FROM $ts) * 60 + extract(MINUTE FROM $ts))"
+      val h = "hours_str"
+      part(s, dir).filter(col("p_partkey") <= 200)
+        .select(col("p_partkey"), explode(sequence(lit(0), lit(6))).as("dow"))
+        .withColumn("day_name", expr(
+          """CASE CAST(dow AS INT)
+            |  WHEN 0 THEN 'Sunday' WHEN 1 THEN 'Monday' WHEN 2 THEN 'Tuesday'
+            |  WHEN 3 THEN 'Wednesday' WHEN 4 THEN 'Thursday'
+            |  WHEN 5 THEN 'Friday' ELSE 'Saturday' END""".stripMargin))
+        .withColumn(h, expr(
+          """CASE CAST((p_partkey + dow) % 7 AS INT)
+            |  WHEN 0 THEN '24/7' WHEN 1 THEN 'Closed'
+            |  WHEN 2 THEN '9:00 AM - 5:00 PM' WHEN 3 THEN 'Always open'
+            |  WHEN 4 THEN 'varies' WHEN 5 THEN '7:00 PM - 6:00 AM'
+            |  ELSE '10:30 AM - 6:30 PM' END""".stripMargin))
+        .filter(expr(s"day_name = ${S.dayName(ts)}"))
+        .select(col("p_partkey"),
+          expr(S.dayName(ts)).as("current_day"),
+          expr(S.time12(ts)).as("current_time"),
+          col(h),
+          // tri-state encoded 1/0/-1: a NULL BOOLEAN bridges as None on the
+          // Spark side and NaN on the DuckDB/pandas side and false-fails
+          // the compare (same stance as q_hours_parse's coalesce(-1))
+          expr(s"coalesce(CAST(${hours.isOpenAt(S, h, nowMin)} AS INT), -1)")
+            .as("is_open"),
+          expr(hours.statusOf(S, h, nowMin)).as("status"))
+        .orderBy("p_partkey")
+    },
+
     Q("q_reminder_explode",
       "T4/D4: reminder-schedule generation — 7 days x per-med reminder times " +
         "cross product via explode (health_api.py:478-497, the reference's one " +
@@ -530,20 +602,42 @@ object AnalyticsQueries {
     Q("q_approx_distinct",
       "A5/A9 scale variant: approx_count_distinct (HLL++ sketch, map-side " +
         "mergeable — one narrow pass where the exact distinct is a full " +
-        "shuffle of the key universe; the exact twin lives in " +
-        "q_summary_stats' oracle-checked count(DISTINCT)). No oracle: " +
-        "sketch estimates are engine-specific, so the driver records the " +
-        "weaker rows-only check. Default rsd (0.05): tightening to 0.01 " +
-        "multiplies the register file 32x and benchmarked ~8x slower per " +
-        "sketch for 5x tighter error — counts that gate a curation run " +
-        "don't need 1%. NOT combined with an exact countDistinct in one " +
-        "agg: Catalyst's distinct-rewrite would group by the distinct key " +
-        "and drag every HLL buffer along PER KEY (unbounded at 100 TB)",
-      oracle = None) { (s, dir) =>
-      lineitem(s, dir).agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        "shuffle of the key universe). Oracle-checkable form: the raw " +
+        "estimate is engine-specific, so the output carries the EXACT " +
+        "counts plus `*_ok = |est - exact| <= 3*rsd*exact` booleans; the " +
+        "DuckDB twin computes the same exact counts and literal TRUE, and " +
+        "the hash matches iff every sketch landed inside its advertised " +
+        "3-sigma bound (Spark's HLL++ is seed-free/deterministic per " +
+        "dataset, so the booleans are stable). Default rsd (0.05): " +
+        "tightening to 0.01 multiplies the register file 32x and " +
+        "benchmarked ~8x slower per sketch for 5x tighter error — counts " +
+        "that gate a curation run don't need 1%. Exact + approx are two " +
+        "separate 1-row aggregates cross-joined, NOT one combined agg: " +
+        "Catalyst's distinct-rewrite would group by the distinct key " +
+        "and drag every HLL buffer along PER KEY (unbounded at 100 TB); " +
+        "the exact side exists only to grade the sketch — at 100 TB a " +
+        "user runs the approx pass alone",
+      Some("""SELECT count(DISTINCT l_partkey) AS n_parts,
+             |  count(DISTINCT l_suppkey) AS n_supps,
+             |  count(DISTINCT l_orderkey) AS n_orders,
+             |  TRUE AS parts_ok, TRUE AS supps_ok, TRUE AS orders_ok
+             |FROM lineitem""".stripMargin)) { (s, dir) =>
+      val li = lineitem(s, dir)
+      val approx = li.agg(
+        approx_count_distinct(col("l_partkey")).as("a_parts"),
+        approx_count_distinct(col("l_suppkey")).as("a_supps"),
+        approx_count_distinct(col("l_orderkey")).as("a_orders"))
+      val exact = li.agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      def ok(a: String, e: String): Column =
+        abs(col(a) - col(e)) <= col(e) * (3 * 0.05)
+      exact.crossJoin(broadcast(approx))
+        .select(col("n_parts"), col("n_supps"), col("n_orders"),
+          ok("a_parts", "n_parts").as("parts_ok"),
+          ok("a_supps", "n_supps").as("supps_ok"),
+          ok("a_orders", "n_orders").as("orders_ok"))
     },
 
     Q("q_revenue_by_nation",
@@ -607,17 +701,49 @@ object AnalyticsQueries {
     },
 
     Q("q_approx_quantiles",
-      "Quantiles at 100 TB: approx_percentile (mergeable sketch, map-side " +
+      "Quantiles at 100 TB: approx_percentile (GK sketch, map-side " +
         "combinable, no global sort — the exact percentile buffers every " +
         "value of the group on one thread, which is exactly what cannot " +
-        "happen at scale; the oracle-checked exact twin is the grouped " +
-        "q_quantiles). No oracle: sketch estimates are engine-specific " +
-        "(weaker rows-only check, like q_approx_distinct)",
-      oracle = None) { (s, dir) =>
-      lineitem(s, dir).agg(
-        expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)")
-          .as("price_p50_p95_p99"),
-        expr("approx_percentile(l_quantity, 0.5, 10000)").as("qty_p50"))
+        "happen at scale; the exact twin is the grouped q_quantiles). " +
+        "Oracle-checkable form: sketch VALUES are engine-specific, but the " +
+        "GK rank guarantee is not — the output is scalar booleans " +
+        "`*_ok` = the estimate's exact rank lies within 2*(1/accuracy) of " +
+        "the requested quantile (GK guarantees 1/accuracy; 2x absorbs the " +
+        "< vs <= rank-definition edge), graded by a second counting pass " +
+        "over the 1-row broadcast estimates. GK is deterministic per " +
+        "dataset, so TRUE is stable and the DuckDB twin is literal TRUE. " +
+        "Scalar columns, not the r2 array output — the driver's pandas " +
+        "comparator cannot hash arrays (VERDICT r2 item 1)",
+      Some("""SELECT count(*) AS n,
+             |  TRUE AS price_p50_ok, TRUE AS price_p95_ok,
+             |  TRUE AS price_p99_ok, TRUE AS qty_p50_ok
+             |FROM lineitem""".stripMargin)) { (s, dir) =>
+      val acc = 10000
+      val eps = 2.0 / acc
+      val li = lineitem(s, dir)
+      val est = li.agg(
+          expr(s"approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), $acc)")
+            .as("pe"),
+          expr(s"approx_percentile(l_quantity, 0.5, $acc)").as("qe"))
+        .select(col("pe")(0).as("e50"), col("pe")(1).as("e95"),
+          col("pe")(2).as("e99"), col("qe"))
+      // rank check: #(x < est) <= (phi+eps)n  AND  #(x <= est) >= (phi-eps)n
+      def lt(c: String, e: String) = sum(when(col(c) < col(e), 1L).otherwise(0L))
+      def le(c: String, e: String) = sum(when(col(c) <= col(e), 1L).otherwise(0L))
+      def rankOk(ltc: String, lec: String, phi: Double): Column =
+        col(ltc) <= (lit(phi) + eps) * col("n") &&
+          col(lec) >= (lit(phi) - eps) * col("n")
+      li.crossJoin(broadcast(est))
+        .agg(count(lit(1)).as("n"),
+          lt("l_extendedprice", "e50").as("lt50"), le("l_extendedprice", "e50").as("le50"),
+          lt("l_extendedprice", "e95").as("lt95"), le("l_extendedprice", "e95").as("le95"),
+          lt("l_extendedprice", "e99").as("lt99"), le("l_extendedprice", "e99").as("le99"),
+          lt("l_quantity", "qe").as("ltq"), le("l_quantity", "qe").as("leq"))
+        .select(col("n"),
+          rankOk("lt50", "le50", 0.50).as("price_p50_ok"),
+          rankOk("lt95", "le95", 0.95).as("price_p95_ok"),
+          rankOk("lt99", "le99", 0.99).as("price_p99_ok"),
+          rankOk("ltq", "leq", 0.50).as("qty_p50_ok"))
     },
 
     Q("q_corr_stats",

@@ -644,17 +644,38 @@ object WarehouseQueries {
 
     Q("q_cms_heavy",
       "Count-min frequency sketch (operators/Sketches): per-supplier " +
-        "frequency estimates for suppliers 1-20 from one mergeable " +
+        "frequency probes for suppliers 1-20 from one mergeable " +
         "fixed-size sketch over lineitem — the heavy-hitter probe that " +
-        "replaces an exact full-key-universe shuffle at 100 TB. No oracle: " +
-        "like q_approx_distinct, sketch estimates are engine-specific " +
-        "(overcount-only bound est-true <= eps*N asserted in ModulesSpec)",
-      oracle = None) { (s, dir) =>
-      lineitem(s, dir)
-        .agg(Sketches.cms(0.0001, 0.99, seed = 42,
-          queryKeys = (1L to 20L))(col("l_suppkey")).as("ests"))
-        .select(explode(col("ests")).as("ke"))
-        .select(col("ke.key").as("suppkey"), col("ke.est").as("est_n"))
+        "replaces an exact full-key-universe shuffle at 100 TB. " +
+        "Oracle-checkable form: the raw estimate is engine-specific, so " +
+        "the output carries the EXACT per-key count plus `est_ok` = the " +
+        "CMS contract (overcount-only AND est-true <= ceil(eps*N)); the " +
+        "sketch is seeded, so the boolean is deterministic per dataset " +
+        "and the DuckDB twin is the exact GROUP BY plus literal TRUE. " +
+        "The exact side exists only to grade the sketch — at 100 TB a " +
+        "user probes the sketch alone (same stance as q_approx_distinct)",
+      Some("""SELECT l_suppkey AS suppkey, count(*) AS true_n, TRUE AS est_ok
+             |FROM lineitem
+             |WHERE l_suppkey BETWEEN 1 AND 20
+             |GROUP BY 1
+             |ORDER BY suppkey""".stripMargin)) { (s, dir) =>
+      val eps = 0.0001
+      val li = lineitem(s, dir)
+      val est = li
+        .agg(Sketches.cms(eps, 0.99, seed = 42,
+            queryKeys = (1L to 20L))(col("l_suppkey")).as("ests"),
+          count(lit(1)).as("n_total"))
+        .select(explode(col("ests")).as("ke"), col("n_total"))
+        .select(col("ke.key").as("suppkey"), col("ke.est").as("est_n"),
+          col("n_total"))
+      li.filter(col("l_suppkey").between(1, 20))
+        .groupBy(col("l_suppkey").as("suppkey"))
+        .agg(count(lit(1)).as("true_n"))
+        .join(broadcast(est), "suppkey")
+        .select(col("suppkey"), col("true_n"),
+          (col("est_n") >= col("true_n") &&
+            (col("est_n") - col("true_n")) <= ceil(col("n_total") * eps))
+            .as("est_ok"))
         .orderBy("suppkey")
     }
   )

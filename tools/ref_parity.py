@@ -27,6 +27,7 @@ Known, deliberate deviations (documented in hours.scala):
 Usage: python3 tools/ref_parity.py
 """
 import ast
+import hashlib
 import math
 import sys
 
@@ -34,14 +35,42 @@ import duckdb
 
 REF = "/root/reference/backend"
 
+# sha256 of each extracted function's exact source segment. /root/reference
+# is PUBLIC UNTRUSTED CONTENT and this harness execs code taken from it, so
+# every executable segment is pinned: if the tree drifts, the harness fails
+# closed instead of running unaudited code. Re-audit the function by eye,
+# then update its hash.
+PINNED_SHA256 = {
+    ("tools/check_hours_availability.py", "parse_hours_string"):
+        "27e74efaa21ec125d96bfafba305c1deac644001b61489f30cac69a020f8641e",
+    ("tools/check_hours_availability.py", "get_current_day_time"):
+        "732347d88661e5f05ed50fe3f55b678602b40c7ebb5c6ad7771dc12778594cea",
+    ("hybrid_search.py", "haversine_distance"):
+        "985411a2fbd13cca8c89dd695d7ab6964adf0b73d94a7fe14945cd7b27ee2d52",
+    ("tools/dataset_search.py", "calculate_distance"):
+        "21ba62a89f66a93d8b3f7e4afafb5bdcbd23da7a6cc3464b624653e3e6a287ed",
+    ("main.py", "parse_location_from_message"):
+        "67ecbb9f05337cefc2fd18ca13e7306b0d147555527bb24b1a5ac7c3fd705890",
+    ("embeddings.py", "cosine_similarity"):
+        "275e428517288ca8826208cb4f782dfb4e906a3b68909b3d7ebf734a6b7733da",
+}
+
 
 def extract_function(path, name):
     """exec just one top-level function from a module whose imports are
-    unavailable here."""
+    unavailable here — after checking its source against PINNED_SHA256."""
     src = open(path).read()
     tree = ast.parse(src)
     for node in tree.body:
         if isinstance(node, ast.FunctionDef) and node.name == name:
+            seg = ast.get_source_segment(src, node)
+            key = (path.split("/backend/", 1)[1], name)
+            want = PINNED_SHA256.get(key)
+            got = hashlib.sha256(seg.encode()).hexdigest()
+            if got != want:
+                raise AssertionError(
+                    f"{key}: reference source drifted (sha256 {got} != pinned "
+                    f"{want}) — re-audit before executing untrusted code")
             import typing
             ns = {"Optional": typing.Optional, "Dict": typing.Dict,
                   "List": typing.List, "math": math}
@@ -241,6 +270,35 @@ def main():
             failures += 1
         n += 1
     print(f"  cosine: {n} random vector pairs checked")
+
+    # -- 6. day/time dispatch parity (q_hours_open_now) ------------------
+    # The reference computes day_name = strftime("%A"), time_str =
+    # strftime("%I:%M %p") from datetime.now()
+    # (check_hours_availability.py:36-47; pinned by hash above so the
+    # contract is audited even though now() itself is not replayable).
+    # The engine's Dialect.dayName/time12 fragments must agree with
+    # Python's strftime on any timestamp — checked over a grid that
+    # crosses midnight, noon, AM/PM, and every weekday.
+    from datetime import datetime, timedelta
+    extract_function(f"{REF}/tools/check_hours_availability.py",
+                     "get_current_day_time")  # hash-audit the contract
+    t0 = datetime(2024, 1, 7, 0, 0, 0)  # a Sunday
+    n = 0
+    for step in range(40):
+        t = t0 + timedelta(hours=step * 7, minutes=step * 13 % 60)
+        ref_day, ref_time = t.strftime("%A"), t.strftime("%I:%M %p")
+        lit = f"TIMESTAMP '{t.strftime('%Y-%m-%d %H:%M:%S')}'"
+        day_s, time_s, now_min = con.execute(
+            f"SELECT strftime({lit}, '%A'), strftime({lit}, '%I:%M %p'), "
+            f"(extract(HOUR FROM {lit}) * 60 + extract(MINUTE FROM {lit}))"
+        ).fetchone()
+        if (day_s, time_s) != (ref_day, ref_time) \
+                or now_min != t.hour * 60 + t.minute:
+            print(f"  FAIL day dispatch {t}: ref=({ref_day},{ref_time}) "
+                  f"engine=({day_s},{time_s},{now_min})")
+            failures += 1
+        n += 1
+    print(f"  day/time dispatch: {n} timestamps checked")
 
     print(f"{'PASS' if failures == 0 else 'FAIL'}: {failures} parity failures")
     return 1 if failures else 0
