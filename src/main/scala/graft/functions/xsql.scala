@@ -63,6 +63,8 @@ sealed abstract class Dialect {
   def regexReplaceAll(s: String, pattern: String, repl: String): String
   /** cast array<float> to array<double> */
   def castDoubleArray(a: String): String
+  /** array literal from pre-escaped single-quoted string items */
+  def arrayLit(items: Seq[String]): String
   /** full English weekday name of a timestamp, e.g. 'Wednesday'
     * (reference strftime('%A'), check_hours_availability.py:44) */
   def dayName(ts: String): String
@@ -108,6 +110,7 @@ object SparkDialect extends Dialect {
   def regexReplaceAll(s: String, pattern: String, repl: String) =
     s"regexp_replace($s, '${pattern.replace("\\", "\\\\")}', '$repl')"
   def castDoubleArray(a: String) = s"CAST($a AS ARRAY<DOUBLE>)"
+  def arrayLit(items: Seq[String]) = items.mkString("array('", "', '", "')")
   def dayName(ts: String) = s"date_format($ts, 'EEEE')"
   def time12(ts: String) = s"date_format($ts, 'hh:mm a')"
 }
@@ -148,6 +151,7 @@ object DuckDialect extends Dialect {
   def regexReplaceAll(s: String, pattern: String, repl: String) =
     s"regexp_replace($s, '$pattern', '$repl', 'g')"
   def castDoubleArray(a: String) = s"CAST($a AS DOUBLE[])"
+  def arrayLit(items: Seq[String]) = items.mkString("['", "', '", "']")
   def dayName(ts: String) = s"strftime($ts, '%A')"
   def time12(ts: String) = s"strftime($ts, '%I:%M %p')"
 }

@@ -21,7 +21,8 @@ import graft.functions.{text, TextSig, SparkDialect => S}
   *  - Jaccard: only sane with a blocking column; prefer [[minhashLshPairs]].
   *  - MinHash LSH: the canonical near-dup path — shuffle is `bands × docs`
   *    rows keyed by (band_idx, band_hash); skewed mega-buckets (boilerplate
-  *    docs) should be salted or capped upstream.
+  *    docs) are dropped by the `maxBucket` cap (see [[pairJoin]]), audited
+  *    via [[minhashBandBucketStats]].
   *  - SimHash: 16-bit chunks give a pigeonhole-exact prefilter for
   *    hamming ≤ 3 at 4 chunk-joins.
   *  - embedding: exact within blocks; for open-domain use [[AnnIndex]].
@@ -35,14 +36,40 @@ object Dedup {
       .agg(min(col(keyCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .drop(textCol)
 
-  private def pairJoin(sigs: DataFrame, joinCols: Seq[String]): DataFrame = {
+  /** Block keys whose bucket holds more than `maxBucket` rows — the
+    * mega-buckets a cap excludes. Map-side-combinable aggregate whose
+    * output is only the OVERSIZED keys, which are by definition few (each
+    * holds > maxBucket of the corpus), so the frame broadcasts. */
+  private def oversizedKeys(sigs: DataFrame, joinCols: Seq[String],
+                            maxBucket: Int): DataFrame =
+    sigs.groupBy(joinCols.map(col): _*)
+      .agg(count(lit(1)).as("__n_docs"))
+      .filter(col("__n_docs") > maxBucket)
+      .drop("__n_docs")
+
+  private def pairJoin(sigs: DataFrame, joinCols: Seq[String],
+                       maxBucket: Int = Int.MaxValue): DataFrame = {
+    // Mega-bucket cap (drop-and-count, not salt-and-split): a block key
+    // shared by > maxBucket docs is boilerplate by construction — its
+    // pairs are O(bucket²) shuffle rows of near-zero information, and ONE
+    // such key (a license header, a template page) can hold 30% of a
+    // 100 TB corpus and sink the band shuffle. Dropping the bucket bounds
+    // every join task at maxBucket² candidate rows and is deterministic;
+    // a salted re-split would keep only a random 1/s of each mega-bucket's
+    // pairs — nondeterministic recall with the same information loss.
+    // Buckets at or under the cap are untouched (asserted in ModulesSpec);
+    // audit what a cap would drop with [[minhashBandBucketStats]].
+    val bounded =
+      if (maxBucket == Int.MaxValue) sigs
+      else sigs.join(broadcast(oversizedKeys(sigs, joinCols, maxBucket)),
+        joinCols, "left_anti")
     // shuffle_hash, never broadcast: both sides of this self-join are the
     // whole corpus, and the signature projections feeding it are UDF-heavy —
     // a broadcast build would evaluate one full side single-threaded on the
     // driver (measured 4x the query), and at 100 TB the corpus can't be
     // broadcast at all. Hash beats merge: the block key needs no sort.
-    val a = sigs.toDF(sigs.columns.toIndexedSeq.map("a_" + _): _*).hint("shuffle_hash")
-    val b = sigs.toDF(sigs.columns.toIndexedSeq.map("b_" + _): _*).hint("shuffle_hash")
+    val a = bounded.toDF(bounded.columns.toIndexedSeq.map("a_" + _): _*).hint("shuffle_hash")
+    val b = bounded.toDF(bounded.columns.toIndexedSeq.map("b_" + _): _*).hint("shuffle_hash")
     val cond = joinCols.map(c => col("a_" + c) === col("b_" + c)).reduce(_ && _) &&
       col("a_id") < col("b_id")
     a.join(b, cond)
@@ -99,11 +126,25 @@ object Dedup {
     * (a_id, b_id, n_bands) — callers verify candidates with exact Jaccard
     * if needed. k must be divisible by bands. */
   def minhashLshPairs(df: DataFrame, keyCol: String, textCol: String,
-                      k: Int, bands: Int, shingleN: Int): DataFrame =
+                      k: Int, bands: Int, shingleN: Int,
+                      maxBucket: Int = Int.MaxValue): DataFrame =
     pairJoin(minhashBanded(df, keyCol, textCol, k, bands, shingleN,
-        carryHashes = false), Seq("band_idx", "band_key"))
+        carryHashes = false), Seq("band_idx", "band_key"), maxBucket)
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_bands"))
+
+  /** Per-bucket occupancy of the LSH band index: (band_idx, band_key,
+    * n_docs), largest first — the skew audit behind `maxBucket`. At 100 TB
+    * this runs over the persisted [[minhashBandIndex]] as one
+    * map-side-combinable aggregate; `.filter(n_docs > cap)` is exactly the
+    * set of buckets (and `sum(n_docs * (n_docs - 1) / 2)` over it the
+    * number of candidate pairs) that a cap of `cap` would drop. */
+  def minhashBandBucketStats(df: DataFrame, keyCol: String, textCol: String,
+                             k: Int, bands: Int, shingleN: Int): DataFrame =
+    minhashBanded(df, keyCol, textCol, k, bands, shingleN, carryHashes = false)
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(desc("n_docs"), col("band_idx"), col("band_key"))
 
   /** The persistable LSH band index of a corpus — one (id, band_idx,
     * band_key) row per doc per band, i.e. exactly what [[minhashLshPairs]]
@@ -125,12 +166,24 @@ object Dedup {
     */
   def minhashIncrementalPairs(newDocs: DataFrame, corpusIndex: DataFrame,
                               keyCol: String, textCol: String,
-                              k: Int, bands: Int, shingleN: Int): DataFrame = {
+                              k: Int, bands: Int, shingleN: Int,
+                              maxBucket: Int = Int.MaxValue): DataFrame = {
     val nb = minhashBanded(newDocs, keyCol, textCol, k, bands, shingleN,
       carryHashes = false)
-    val a = nb.select(col("id").as("a_id"), col("band_idx"), col("band_key"))
+    // the cap population is the FULL post-batch bucket (index ∪ batch):
+    // a bucket pushed over the cap by this batch is dropped from both
+    // sides, matching what a from-scratch capped run over old+new would do
+    val all = corpusIndex.unionByName(nb)
+      .select(col("id"), col("band_idx"), col("band_key"))
+    def bound(df: DataFrame): DataFrame =
+      if (maxBucket == Int.MaxValue) df
+      else df.join(
+        broadcast(oversizedKeys(all, Seq("band_idx", "band_key"), maxBucket)),
+        Seq("band_idx", "band_key"), "left_anti")
+    val a = bound(nb)
+      .select(col("id").as("a_id"), col("band_idx"), col("band_key"))
       .hint("shuffle_hash")
-    val b = corpusIndex.unionByName(nb)
+    val b = bound(all)
       .select(col("id").as("b_id"), col("band_idx"), col("band_key"))
       .hint("shuffle_hash")
     a.join(b, Seq("band_idx", "band_key"))
@@ -151,9 +204,10 @@ object Dedup {
     * (a_id, b_id, jaccard). */
   def minhashLshVerifiedPairs(df: DataFrame, keyCol: String, textCol: String,
                               k: Int, bands: Int, shingleN: Int,
-                              threshold: Double): DataFrame =
+                              threshold: Double,
+                              maxBucket: Int = Int.MaxValue): DataFrame =
     pairJoin(minhashBanded(df, keyCol, textCol, k, bands, shingleN,
-        carryHashes = true), Seq("band_idx", "band_key"))
+        carryHashes = true), Seq("band_idx", "band_key"), maxBucket)
       .select(col("a_id"), col("b_id"), col("a_hs"), col("b_hs")).distinct()
       .withColumn("jaccard",
         size(array_intersect(col("a_hs"), col("b_hs"))).cast("double") /

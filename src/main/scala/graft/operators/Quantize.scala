@@ -64,11 +64,17 @@ object Quantize {
     * dimension) + `q_scale` (double) next to the float column — the
     * compact store; callers may then drop or lazy-load the float column
     * and keep it only for re-ranking. */
-  def withCodes(df: DataFrame, embCol: String): DataFrame =
+  def withCodes(df: DataFrame, embCol: String): DataFrame = {
+    // fail loudly instead of silently overwriting caller data with the
+    // same names (withColumn replaces an existing column)
+    val clash = Seq("q_codes", "q_scale", "__q").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"withCodes would overwrite existing column(s): ${clash.mkString(", ")}")
     df.withColumn("__q", encodeUdf(col(embCol).cast("array<double>")))
       .withColumn("q_codes", col("__q._1"))
       .withColumn("q_scale", col("__q._2"))
       .drop("__q")
+  }
 
   /** Two-stage top-k: approximate dot on int8 codes selects
     * `overFetch × k` candidates (narrow scan of codes+scale only), exact
@@ -91,6 +97,6 @@ object Quantize {
       .withColumn("similarity", vectors.cosineSim(col(embCol), col("qe")))
       .orderBy((desc("similarity") +: tieBreak.map(col)): _*)
       .limit(k)
-      .drop("q_codes", "q_scale", "qq_codes", "qq_scale", "qe")
+      .drop("q_codes", "q_scale", "qq_codes", "qq_scale", "qe", "approx_sim")
   }
 }

@@ -29,7 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   // the strict expressions would reject both. Builders coerce with an
   // explicit Cast (unconditional: children may still be unresolved here,
   // so their dataType cannot be inspected); SimplifyCasts removes the
-  // no-op ones, and a genuinely un-castable argument still fails analysis.
+  // no-op ones. The cost of the ergonomics, stated honestly: a type that
+  // Cast accepts at analysis (STRING, notably) defers its failure to
+  // runtime — an error under ANSI mode (Spark 4's default), a silent NULL
+  // under spark.sql.ansi.enabled=false. Only a type with no cast to
+  // double/array<double> at all (MAP, STRUCT, BINARY) fails analysis.
   private def dbl(e: Expression): Expression = Cast(e, DoubleType)
   private def dblArr(e: Expression): Expression = Cast(e, ArrayType(DoubleType))
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables._
-import graft.functions.{geo, hours, text, vectors, DuckDialect => D, SparkDialect => S}
+import graft.functions.{advice, geo, hours, text, vectors, DuckDialect => D, SparkDialect => S}
 import graft.operators.{AnnIndex, GeoSearch, VectorSearch}
 
 /** The remaining reference-operator families as oracle-backed queries:
@@ -409,6 +409,38 @@ object AnalyticsQueries {
           expr(s"coalesce(CAST(${hours.isOpenAt(S, h, nowMin)} AS INT), -1)")
             .as("is_open"),
           expr(hours.statusOf(S, h, nowMin)).as("status"))
+        .orderBy("p_partkey")
+    },
+
+    Q("q_safe_sleep_advice",
+      "X20: the reference's literal lookup tables — weather-advisory dict " +
+        "and safety-tips list (safe_places_to_sleep.py:180-196,246-262), " +
+        "strings verbatim in functions/advice and rendered as the same " +
+        "CASE/array-literal text for both engines; 'snow' pins the dict's " +
+        ".get(..., default) fallback. tools/ref_parity.py §7 closes the " +
+        "chain to the reference's own functions. Scale shape: constants " +
+        "folded into one codegen'd projection — a broadcast-map join for " +
+        "a 4-entry static dict would be strictly worse",
+      Some {
+        val cond = "CASE CAST(p_partkey % 5 AS INT) WHEN 0 THEN 'rain' " +
+          "WHEN 1 THEN 'heat' WHEN 2 THEN 'cold' WHEN 3 THEN 'clear' " +
+          "ELSE 'snow' END"
+        s"""SELECT p_partkey, condition,
+           |  ${advice.weatherCaseSql("condition")} AS weather_recommendation,
+           |  ${advice.tipSql(D, s"CAST(p_partkey % ${advice.nTips} AS INT) + 1")} AS safety_tip
+           |FROM (SELECT p_partkey, $cond AS condition
+           |      FROM part WHERE p_partkey <= 300)
+           |ORDER BY p_partkey""".stripMargin
+      }) { (s, dir) =>
+      part(s, dir).filter(col("p_partkey") <= 300)
+        .withColumn("condition", expr(
+          """CASE CAST(p_partkey % 5 AS INT) WHEN 0 THEN 'rain'
+            |WHEN 1 THEN 'heat' WHEN 2 THEN 'cold' WHEN 3 THEN 'clear'
+            |ELSE 'snow' END""".stripMargin))
+        .select(col("p_partkey"), col("condition"),
+          expr(advice.weatherCaseSql("condition")).as("weather_recommendation"),
+          expr(advice.tipSql(S, s"CAST(p_partkey % ${advice.nTips} AS INT) + 1"))
+            .as("safety_tip"))
         .orderBy("p_partkey")
     },
 

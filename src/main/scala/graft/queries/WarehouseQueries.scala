@@ -611,7 +611,13 @@ object WarehouseQueries {
         "— so there is no sqrt, no double, and no accumulation-order noise " +
         "at all; moments ride DECIMAL/HUGEINT (squared-cents sums pass " +
         "2^63, the q_corr_stats lesson). Two passes over events: tiny " +
-        "moment aggregate broadcast back onto the scan",
+        "moment aggregate broadcast back onto the scan. Headroom bound: " +
+        "Spark's side runs in decimal(38,0), so (n·v - sx)² must stay " +
+        "under 10^38, i.e. n·v_max < ~10^19 — good for ~10^14 events of " +
+        "cent-values up to 10^5, enough for any per-type group at 100 TB; " +
+        "past that, under non-ANSI mode the overflow NULLs the when() and " +
+        "silently undercounts, so re-scale v (e.g. whole units, not " +
+        "cents) before the moments rather than flipping ANSI per-query",
       Some("""WITH c AS (
              |  SELECT event_type, CAST(round(value * 100) AS HUGEINT) AS v
              |  FROM events),

@@ -46,6 +46,11 @@ object Stress {
     val li = scaled(Tables.lineitem(spark, sfDir), m, stride, Seq("l_orderkey"))
     val ord = scaled(Tables.orders(spark, sfDir), m, stride, Seq("o_orderkey"))
     val docs = scaled(Tables.documents(spark, sfDir), m, stride, Seq("doc_id"))
+    // actual input sizes, not assumed-sf0.1 constants: SPARK_GRAFT_SF_DIR
+    // is configurable, so the reported "rows" must come from the data (two
+    // cheap count-only scans, untimed)
+    val liRows = li.count()
+    val docRows = docs.count()
 
     val results = scala.collection.mutable.LinkedHashMap[String, (Long, Double)]()
 
@@ -60,7 +65,7 @@ object Stress {
           sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
         .count()
     }
-    results += "star_join_agg" -> (m * 600000L, starS)
+    results += "star_join_agg" -> (liRows, starS)
 
     // fact-to-fact join + per-key window (latest lineitem per order)
     val (wRows, wS) = time {
@@ -71,13 +76,13 @@ object Stress {
         .filter(col("rn") === 1)
         .count()
     }
-    results += "join_window_latest" -> (m * 600000L, wS)
+    results += "join_window_latest" -> (liRows, wS)
 
     // exact dedup over the M-way duplicated corpus
     val (exRows, exS) = time {
       graft.operators.Dedup.exact(docs, "doc_id", "text").count()
     }
-    results += "dedup_exact" -> (m * 5000L, exS)
+    results += "dedup_exact" -> (docRows, exS)
 
     // MinHash LSH near-dup pairs: M copies of each doc → the pair table
     // grows ~M² per doc; banding must keep it a keyed join, not a cross
@@ -86,7 +91,7 @@ object Stress {
         .minhashLshPairs(docs, "doc_id", "text", k = 16, bands = 4, shingleN = 3)
         .count()
     }
-    results += "dedup_minhash_pairs" -> (m * 5000L, pairS)
+    results += "dedup_minhash_pairs" -> (docRows, pairS)
 
     val qs = results.map { case (k, (rows, s)) =>
       s""""$k":{"rows":$rows,"sec":${f"$s%.2f"}}"""

@@ -132,6 +132,58 @@ class ModulesSpec extends AnyFunSuite {
       "doc_id", "text", 16, 4, 3).isEmpty)
   }
 
+  test("LSH mega-bucket cap: boilerplate buckets dropped, small buckets' pairs unchanged") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // 30% of the corpus is one boilerplate text -> its identical signatures
+    // put all 30 docs into the SAME bucket of every band (the named 100 TB
+    // skew hazard: one license header sinking the band shuffle)
+    val boiler = (1L to 30L).map(i =>
+      (i, "this exact same boilerplate license header appears on nearly every page of the crawl"))
+    val normals = (31L to 96L).map(i =>
+      (i, s"unique document $i speaks about topic$i alpha$i beta$i gamma$i delta$i"))
+    val nearDup = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog again and again"),
+      (102L, "the quick brown fox jumps over the lazy dog again and again"),
+      (103L, "completely separate pair of twin documents for the cap test"),
+      (104L, "completely separate pair of twin documents for the cap test"))
+    val corpus = (boiler ++ normals ++ nearDup).toDF("doc_id", "text")
+    val cap = 10
+    // the audit sees the mega-buckets: every band has one holding >= 30 docs
+    val stats = Dedup.minhashBandBucketStats(corpus, "doc_id", "text", 16, 4, 3)
+    assert(stats.head().getLong(2) >= 30)
+    assert(stats.filter(col("n_docs") > cap).count() >= 4) // one per band
+    val uncapped = Dedup.minhashLshPairs(corpus, "doc_id", "text", 16, 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val capped = Dedup.minhashLshPairs(corpus, "doc_id", "text", 16, 4, 3,
+        maxBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // every bucket holding a boilerplate doc holds all 30 (identical keys),
+    // so boiler-involving pairs exist ONLY in mega-buckets: the capped run
+    // drops exactly those and keeps small-bucket pairs bit-identical,
+    // n_bands included
+    assert(capped == uncapped.filter { case (a, b, _) => a > 30L && b > 30L })
+    assert(capped.exists { case (a, b, _) => a == 101L && b == 102L })
+    assert(capped.exists { case (a, b, _) => a == 103L && b == 104L })
+    assert(uncapped.exists { case (a, b, _) => b <= 30L }) // cap did real work
+    // verified variant honors the cap with the same survivors
+    val ver = Dedup.minhashLshVerifiedPairs(corpus, "doc_id", "text", 16, 4, 3,
+        threshold = 0.8, maxBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ver == Set((101L, 102L), (103L, 104L)))
+    // incremental run: a new boilerplate copy joins the (over-cap) bucket
+    // and is dropped; the batch's small-bucket pairs still surface
+    val index = Dedup.minhashBandIndex(
+      (boiler ++ normals).toDF("doc_id", "text"), "doc_id", "text", 16, 4, 3)
+    val batch = (nearDup :+ (105L,
+      "this exact same boilerplate license header appears on nearly every page of the crawl"))
+      .toDF("doc_id", "text")
+    val incr = Dedup.minhashIncrementalPairs(batch, index, "doc_id", "text",
+        16, 4, 3, maxBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incr == Set((101L, 102L), (103L, 104L)))
+  }
+
   test("int8 quantization: bounded dot error, high two-stage recall, 4x smaller") {
     import graft.operators.Quantize
     val corpus = graft.core.Tables.embeddings(spark, sf)

@@ -53,6 +53,12 @@ PINNED_SHA256 = {
         "67ecbb9f05337cefc2fd18ca13e7306b0d147555527bb24b1a5ac7c3fd705890",
     ("embeddings.py", "cosine_similarity"):
         "275e428517288ca8826208cb4f782dfb4e906a3b68909b3d7ebf734a6b7733da",
+    ("tools/safe_places_to_sleep.py", "get_weather_recommendations"):
+        "97d58961182546d7eec513851df16b196d7c373cc95b7ff37f57f45e31a8e4a7",
+    ("tools/safe_places_to_sleep.py", "get_safety_tips"):
+        "e4282316edfe630e8eead756b602cc00d20f2c4c95afccd06d9a0389f5a73fa0",
+    ("tools/dataset_search.py", "format_results_for_llm"):
+        "3a0dc291f96c5dfeb51bfcfe1b5126857e5993894ada42df399a5db47eeefdc4",
 }
 
 
@@ -299,6 +305,44 @@ def main():
             failures += 1
         n += 1
     print(f"  day/time dispatch: {n} timestamps checked")
+
+    # -- 7. X20 lookup tables (q_safe_sleep_advice) ----------------------
+    # graft.functions.advice copies the weather dict / tips list verbatim
+    # and renders them as CASE / list-literal SQL; this section mirrors
+    # that rendering (byte-compatible construction: '' quote escaping,
+    # CASE fallback = dict .get default, 1-based element_at) and checks
+    # DuckDB's evaluation against the reference's own functions, so a
+    # string edited in only one place fails either here or in the t2 gate.
+    get_weather = extract_function(
+        f"{REF}/tools/safe_places_to_sleep.py", "get_weather_recommendations")
+    get_tips = extract_function(
+        f"{REF}/tools/safe_places_to_sleep.py", "get_safety_tips")
+    # mirror of advice.weather / weatherDefault / safetyTips
+    mirror_weather = {c: get_weather(c) for c in ("rain", "heat", "cold", "clear")}
+    mirror_default = get_weather("__unknown__")
+    mirror_tips = get_tips()
+
+    def sq(s):
+        return s.replace("'", "''")
+    weather_case = ("CASE " + " ".join(
+        f"WHEN c = '{k}' THEN '{sq(v)}'" for k, v in mirror_weather.items())
+        + f" ELSE '{sq(mirror_default)}' END")
+    tips_lit = "['" + "', '".join(sq(t) for t in mirror_tips) + "']"
+    n = 0
+    for c in ["rain", "heat", "cold", "clear", "snow", "", "RAIN"]:
+        (got,) = con.execute(
+            f"SELECT {weather_case} FROM (SELECT '{sq(c)}' AS c)").fetchone()
+        if got != get_weather(c):
+            print(f"  FAIL weather {c!r}: engine={got!r} ref={get_weather(c)!r}")
+            failures += 1
+        n += 1
+    for i in range(len(mirror_tips)):
+        (got,) = con.execute(f"SELECT ({tips_lit})[{i + 1}]").fetchone()
+        if got != mirror_tips[i]:
+            print(f"  FAIL tip {i}: engine={got!r} ref={mirror_tips[i]!r}")
+            failures += 1
+        n += 1
+    print(f"  weather/tips lookup tables: {n} probes checked")
 
     print(f"{'PASS' if failures == 0 else 'FAIL'}: {failures} parity failures")
     return 1 if failures else 0
