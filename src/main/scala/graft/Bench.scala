@@ -39,6 +39,14 @@ object Bench {
         .select(graft.functions.vectors.cosineSim(col("embedding"), col("embedding")),
           graft.operators.AnnIndex.bucketExpr("embedding", 64, 8))
         .write.mode("overwrite").format("noop").save()
+      // generator + regex + datetime-format exec paths: q_hours_open_now
+      // (first explode/RLIKE/date_format user in sorted order) measured
+      // ~1.5 s of first-use init before this warm-up line existed
+      graft.core.Tables.table(spark, sfDir, "nation").limit(4)
+        .select(explode(sequence(lit(0), lit(3))).as("j"),
+          (col("n_name") rlike "[0-9]{1,2}:[0-9]{2}").as("r"),
+          date_format(expr("TIMESTAMP '2024-01-10 14:30:00'"), "EEEE").as("d"))
+        .write.mode("overwrite").format("noop").save()
       // join + window + agg exec/codegen paths: without this the first
       // catalog query (q_adherence, alphabetically) pays ~1 s of one-time
       // planner/exec-class initialization that belongs to the session

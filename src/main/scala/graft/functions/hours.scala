@@ -29,27 +29,38 @@ object hours {
     * numerically before the open time is an overnight range (shelters:
     * "7:00 PM - 6:00 AM") and wraps midnight — the one semantic the
     * reference's web-text path never had to decide; documented here as the
-    * only behavior a range can sensibly mean. */
-  def isOpenAt(d: Dialect, col: String, nowMin: String): String = {
-    val o = rangeMinutes(d, col, 1)
-    val c = rangeMinutes(d, col, 2)
-    s"CASE WHEN ${is24h(d, col)} THEN TRUE " +
-      s"WHEN ${isClosed(d, col)} THEN FALSE " +
-      s"WHEN ($o) IS NULL THEN NULL " +
-      s"WHEN ($o) <= ($c) THEN ($nowMin) >= ($o) AND ($nowMin) < ($c) " +
-      s"ELSE ($nowMin) >= ($o) OR ($nowMin) < ($c) END"
-  }
+    * only behavior a range can sensibly mean.
+    *
+    * Takes the PRE-STAGED parse columns ([[is24h]]/[[isClosed]]/
+    * [[rangeMinutes]] computed once into named columns), not the raw hours
+    * string: a fully-inlined form repeats the parser fragment (regex +
+    * splits) ~6x across this CASE and [[statusFromParts]], and the
+    * resulting expression tree benchmarked ~3 s of pure planning/codegen
+    * per query; over column references the tree is tiny, and Catalyst's
+    * CollapseProject keeps multiply-referenced non-cheap aliases staged. */
+  def isOpenFromParts(is24: String, isCl: String, openMin: String,
+                      closeMin: String, nowMin: String): String =
+    s"CASE WHEN $is24 THEN TRUE " +
+      s"WHEN $isCl THEN FALSE " +
+      s"WHEN ($openMin) IS NULL THEN NULL " +
+      s"WHEN ($openMin) <= ($closeMin) " +
+      s"THEN ($nowMin) >= ($openMin) AND ($nowMin) < ($closeMin) " +
+      s"ELSE ($nowMin) >= ($openMin) OR ($nowMin) < ($closeMin) END"
 
   /** status string of the decision, verbatim from the reference:
     * "Open 24/7" (line 144), "Currently closed" (line 147), OPEN/CLOSED
     * from the evaluated range (format_availability_response lines 183-188),
-    * and the line-149 fallback for unparseable hours. */
-  def statusOf(d: Dialect, col: String, nowMin: String): String =
-    s"CASE WHEN ${is24h(d, col)} THEN 'Open 24/7' " +
-      s"WHEN ${isClosed(d, col)} THEN 'Currently closed' " +
-      s"WHEN (${isOpenAt(d, col, nowMin)}) IS NULL " +
+    * and the line-149 fallback for unparseable hours. Takes the 1/0/-1
+    * tri-state column [[isOpenFromParts]] was already cast into (the
+    * reference likewise derives the status string from the computed
+    * is_open value) — re-expanding the decision here would double the
+    * codegen'd CASE nest for no semantic gain. */
+  def statusFromOpen(is24: String, isCl: String, triState: String): String =
+    s"CASE WHEN $is24 THEN 'Open 24/7' " +
+      s"WHEN $isCl THEN 'Currently closed' " +
+      s"WHEN ($triState) = -1 " +
       s"THEN 'Hours information found - verify with resource' " +
-      s"WHEN ${isOpenAt(d, col, nowMin)} THEN 'OPEN' ELSE 'CLOSED' END"
+      s"WHEN ($triState) = 1 THEN 'OPEN' ELSE 'CLOSED' END"
 
   /** minutes-since-midnight of side `idx` (1 = open, 2 = close) of a
     * "H:MM AM - H:MM PM" range; NULL for 24/7, closed, or any string not
