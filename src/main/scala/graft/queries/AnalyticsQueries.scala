@@ -371,15 +371,26 @@ object AnalyticsQueries {
            |      WHEN 4 THEN 'varies' WHEN 5 THEN '7:00 PM - 6:00 AM'
            |      ELSE '10:30 AM - 6:30 PM' END AS hours_str
            |  FROM part, (SELECT unnest(generate_series(0, 6)) AS dow)
-           |  WHERE p_partkey <= 200)
+           |  WHERE p_partkey <= 200),
+           |parsed AS (
+           |  SELECT p_partkey, hours_str,
+           |    ${hours.is24h(D, h)} AS is24,
+           |    ${hours.isClosed(D, h)} AS iscl,
+           |    ${hours.rangeMinutes(D, h, 1)} AS open_min,
+           |    ${hours.rangeMinutes(D, h, 2)} AS close_min
+           |  FROM sched
+           |  WHERE day_name = ${D.dayName(ts)}),
+           |decided AS (
+           |  SELECT p_partkey, hours_str, is24, iscl,
+           |    coalesce(CAST(${hours.isOpenFromParts("is24", "iscl", "open_min", "close_min", nowMin)} AS INT), -1) AS is_open
+           |  FROM parsed)
            |SELECT p_partkey,
            |  ${D.dayName(ts)} AS current_day,
            |  ${D.time12(ts)} AS current_time,
            |  hours_str,
-           |  coalesce(CAST(${hours.isOpenAt(D, h, nowMin)} AS INT), -1) AS is_open,
-           |  ${hours.statusOf(D, h, nowMin)} AS status
-           |FROM sched
-           |WHERE day_name = ${D.dayName(ts)}
+           |  is_open,
+           |  ${hours.statusFromOpen("is24", "iscl", "is_open")} AS status
+           |FROM decided
            |ORDER BY p_partkey""".stripMargin
       }) { (s, dir) =>
       val ts = "TIMESTAMP '2024-01-10 14:30:00'"
@@ -399,16 +410,25 @@ object AnalyticsQueries {
             |  WHEN 4 THEN 'varies' WHEN 5 THEN '7:00 PM - 6:00 AM'
             |  ELSE '10:30 AM - 6:30 PM' END""".stripMargin))
         .filter(expr(s"day_name = ${S.dayName(ts)}"))
+        // parser staged ONCE into columns; the decision CASEs below run
+        // over these references — see hours.isOpenFromParts for why the
+        // fully-inlined form costs seconds of codegen
+        .withColumn("is24", expr(hours.is24h(S, h)))
+        .withColumn("iscl", expr(hours.isClosed(S, h)))
+        .withColumn("open_min", expr(hours.rangeMinutes(S, h, 1)))
+        .withColumn("close_min", expr(hours.rangeMinutes(S, h, 2)))
+        // tri-state encoded 1/0/-1: a NULL BOOLEAN bridges as None on the
+        // Spark side and NaN on the DuckDB/pandas side and false-fails
+        // the compare (same stance as q_hours_parse's coalesce(-1))
+        .withColumn("is_open", expr("coalesce(CAST(" +
+          hours.isOpenFromParts("is24", "iscl", "open_min", "close_min", nowMin) +
+          " AS INT), -1)"))
         .select(col("p_partkey"),
           expr(S.dayName(ts)).as("current_day"),
           expr(S.time12(ts)).as("current_time"),
           col(h),
-          // tri-state encoded 1/0/-1: a NULL BOOLEAN bridges as None on the
-          // Spark side and NaN on the DuckDB/pandas side and false-fails
-          // the compare (same stance as q_hours_parse's coalesce(-1))
-          expr(s"coalesce(CAST(${hours.isOpenAt(S, h, nowMin)} AS INT), -1)")
-            .as("is_open"),
-          expr(hours.statusOf(S, h, nowMin)).as("status"))
+          col("is_open"),
+          expr(hours.statusFromOpen("is24", "iscl", "is_open")).as("status"))
         .orderBy("p_partkey")
     },
 

@@ -683,6 +683,55 @@ object WarehouseQueries {
             (col("est_n") - col("true_n")) <= ceil(col("n_total") * eps))
             .as("est_ok"))
         .orderBy("suppkey")
+    },
+
+    Q("q_mg_heavy",
+      "Misra-Gries heavy hitters (operators/Sketches.MgAgg): WHICH keys " +
+        "exceed n/k of a 100 TB column, with a DETERMINISTIC bound — " +
+        "no hashing, no seed, no failure probability (count-min's " +
+        "complement: CMS estimates known probe keys, MG discovers the " +
+        "frequent ones). k=8 counters over a key column engineered with " +
+        "two planted heavy keys (-1/-2 = first/second line of each order, " +
+        "~25%/21% of rows at every SF) above a long partkey tail. The " +
+        "candidate SET is encounter-order-dependent, so the deterministic " +
+        "output is the production probe pattern: exact counts ONLY for " +
+        "the <= k candidates (semi-join, map-side-combinable k-key " +
+        "aggregate — never the full key-universe shuffle), filtered by " +
+        "the true threshold; MG's superset guarantee (every key above " +
+        "n/(k+1) survives the summary) makes that filter exact, and the " +
+        "undercount bound (est <= true, true - est <= n/(k+1)) holds for " +
+        "any merge order, so bound_ok is stably TRUE. Oracle = the exact " +
+        "GROUP BY + HAVING twin + literal TRUE",
+      Some("""WITH c AS (
+             |  SELECT CASE WHEN l_linenumber <= 2 THEN -l_linenumber
+             |              ELSE l_partkey END AS key
+             |  FROM lineitem),
+             |t AS (SELECT count(*) AS n_total FROM c)
+             |SELECT key, count(*) AS true_n, TRUE AS bound_ok
+             |FROM c, t
+             |GROUP BY key, n_total
+             |HAVING count(*) > n_total / 8.0
+             |ORDER BY key""".stripMargin)) { (s, dir) =>
+      val k = 8
+      val keyed = lineitem(s, dir).select(
+        when(col("l_linenumber") <= 2, -col("l_linenumber").cast("long"))
+          .otherwise(col("l_partkey")).as("key"))
+      val summary = keyed
+        .agg(Sketches.misraGries(k)(col("key")).as("cands"),
+          count(col("key")).as("n_total"))
+        .select(explode(col("cands")).as("ke"), col("n_total"))
+        .select(col("ke.key").as("key"), col("ke.est").as("est_n"),
+          col("n_total"))
+      keyed
+        .join(broadcast(summary.select("key")), Seq("key"), "left_semi")
+        .groupBy("key").agg(count(lit(1)).as("true_n"))
+        .join(broadcast(summary), "key")
+        .filter(col("true_n") > col("n_total") / lit(k.toDouble))
+        .select(col("key"), col("true_n"),
+          (col("est_n") <= col("true_n") &&
+            (col("true_n") - col("est_n")).cast("double") <=
+              col("n_total").cast("double") / (k + 1)).as("bound_ok"))
+        .orderBy("key")
     }
   )
 }

@@ -82,4 +82,31 @@ object CsvClean {
       }
     df.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** [[qualityReport]] as ZERO extra passes: attaches the same counters to
+    * the frame via `Dataset.observe`, so they accumulate WHILE the next
+    * action (typically the ingest write) runs and arrive on the returned
+    * [[org.apache.spark.sql.Observation]] afterwards. At 100 TB this is
+    * the difference between one scan and two — the separate-pass report
+    * re-reads the corpus just to count violations; observed metrics ride
+    * the write for free (AccumulatorV2 under the hood, merged on the
+    * driver per task, exactly-once per successful action).
+    *
+    * Usage:
+    * {{{
+    *   val (obs, framed) = CsvClean.observedQuality(clean, rules)
+    *   framed.write.parquet(out)          // the ingest itself
+    *   val m = obs.get                    // Map(n_rows -> ..., n_<rule> -> ...)
+    * }}}
+    */
+  def observedQuality(df: DataFrame,
+                      rules: Seq[(String, org.apache.spark.sql.Column)])
+      : (org.apache.spark.sql.Observation, DataFrame) = {
+    val obs = org.apache.spark.sql.Observation()
+    val aggs = count(lit(1)).as("n_rows") +:
+      rules.map { case (name, bad) =>
+        sum(when(bad, 1L).otherwise(0L)).as(s"n_$name")
+      }
+    (obs, df.observe(obs, aggs.head, aggs.tail: _*))
+  }
 }

@@ -539,6 +539,26 @@ class ModulesSpec extends AnyFunSuite {
     assert(kept == total - report.getAs[Long]("n_missing_coords"))
   }
 
+  test("observed quality metrics ride the main action and match the separate-pass report") {
+    val raw = CsvClean.normalizeHeaders(CsvClean.readCsv(spark, refCsv))
+    val rules = Seq(
+      "missing_coords" -> (col("LAT").isNull || col("LONG").isNull ||
+        col("LAT").cast("double").isNull || col("LONG").cast("double").isNull),
+      "no_program" -> (col("Program").isNull || trim(col("Program")) === ""),
+      "no_services" -> col("Services").isNull)
+    val (obs, framed) = CsvClean.observedQuality(raw, rules)
+    // the "main action" — metrics must accumulate during THIS job, with no
+    // second scan of the source
+    framed.write.mode("overwrite").format("noop").save()
+    val m = obs.get
+    val twoPass = CsvClean.qualityReport(raw, rules).head()
+    assert(m("n_rows") == twoPass.getAs[Long]("n_rows"))
+    rules.foreach { case (name, _) =>
+      assert(m(s"n_$name") == twoPass.getAs[Long](s"n_$name"),
+        s"observed n_$name=${m(s"n_$name")} vs report ${twoPass.getAs[Long](s"n_$name")}")
+    }
+  }
+
   test("JSON source: array-of-records scan + summary aggregate") {
     val df = JsonSource.readJson(spark, refJson)
     assert(df.count() == 50)
@@ -1147,6 +1167,35 @@ class ModulesSpec extends AnyFunSuite {
     // neighboring value of the exact median
     assert(math.abs(r.getDouble(4) - r.getDouble(5)) <= 1.0,
       s"approx median ${r.getDouble(4)} vs exact ${r.getDouble(5)}")
+  }
+
+  test("Misra-Gries: undercount-only within n/(k+1), heavy keys guaranteed present, any merge order") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    // zipf-ish stream: key i gets ~n/i occurrences; repartition(8) forces
+    // real partial-summary merges in arbitrary order
+    val rnd = new scala.util.Random(7)
+    val stream = (1L to 40L).flatMap(i =>
+      Seq.fill((2000 / i).toInt)(i)) ++ Seq.fill(500)(rnd.nextInt(5000).toLong + 100L)
+    val df = rnd.shuffle(stream).toDF("key").repartition(8)
+    val n = stream.size.toLong
+    val k = 6
+    val est = df.agg(Sketches.misraGries(k)(col("key")).as("s"))
+      .select(explode(col("s")).as("ke"))
+      .select(col("ke.key"), col("ke.est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.size <= k, s"more than $k counters survived: ${est.size}")
+    val exact = stream.groupBy(identity).map { case (kk, v) => kk -> v.size.toLong }
+    val bound = n.toDouble / (k + 1)
+    est.foreach { case (kk, e) =>
+      val t = exact(kk)
+      assert(e <= t, s"MG overcounted key $kk: $e > $t")
+      assert(t - e <= bound, s"MG error for $kk beyond n/(k+1): est $e true $t")
+    }
+    // superset property: every key above n/(k+1) must be in the summary
+    exact.filter(_._2 > bound).keys.foreach { kk =>
+      assert(est.contains(kk), s"heavy key $kk (true ${exact(kk)}) missing")
+    }
   }
 
   test("count-min sketch: overcount-only, within eps*N, merges across partitions") {
