@@ -62,19 +62,29 @@ object Bench {
     // driver never sets it, so the published line always covers the full
     // catalog)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // dev-only: SPARK_GRAFT_REPS=5 runs each query 5x and reports the
+    // MEDIAN, separating real plan cost from first-run codegen and machine
+    // noise (the driver never sets it, so the published line stays a
+    // single cold-ish run, comparable across rounds)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink forces full evaluation — count() would let Catalyst prune
-      // the projections and sorts, timing a bare row count instead of the
-      // query's real work
-      val err =
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); None }
-        catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink forces full evaluation — count() would let Catalyst
+        // prune the projections and sorts, timing a bare row count instead
+        // of the query's real work
+        val err =
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); None }
+          catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      val err = times.collectFirst { case (_, Some(m)) => m }
+      val ok = times.collect { case (t, None) => t }.sorted
       // a failed query reports -1, never its (near-zero) wall time — a broken
       // query must not masquerade as a fast one in the published line
-      (name, if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0, err)
+      (name, if (err.isEmpty) ok(ok.length / 2) else -1.0, err)
     }
     // 3-decimal times keep the one-line JSON compact: r2's full-precision
     // doubles grew the line past the driver's tail capture and the round

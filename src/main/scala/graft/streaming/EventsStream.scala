@@ -40,6 +40,28 @@ object EventsStream {
   case class Session(user_id: Long, session_start: Timestamp,
                      session_end: Timestamp, n_events: Long)
 
+  /** T2 via Spark's NATIVE session_window aggregation — the declarative
+    * twin of [[sessionize]]: same gap-close semantics, but session state
+    * (window merging, watermark eviction) is Catalyst's built-in operator
+    * instead of hand-rolled flatMapGroupsWithState, so it gets codegen,
+    * state-store compaction and AQE for free. Prefer this form unless the
+    * per-session logic outgrows "merge windows within gap" (the custom
+    * [[sessionize]] exists for exactly that: reference parity on the
+    * emit-on-timeout shape). In append mode a session row is emitted only
+    * once the watermark passes its close — the batch twin the oracle
+    * checks is q_session_window. */
+  def sessionWindowCounts(events: DataFrame, gapMinutes: Int,
+                          watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** T3: tumbling daily counts per event type with event-time watermark. */
   def dailyCounts(events: DataFrame): DataFrame =
     events

@@ -93,6 +93,20 @@ object Stress {
     }
     results += "dedup_minhash_pairs" -> (docRows, pairS)
 
+    // the same corpus with the mega-bucket cap: every original doc's band
+    // bucket holds its M copies, so a cap below M excludes ALL of them —
+    // per-task candidate work drops from M² per doc to ~zero while the
+    // banding/shuffle cost stays. This is the boilerplate-skew defense
+    // measured: capped wall-clock should stay near-flat in M where the
+    // uncapped pair count above grows ~M² per doc.
+    val (cappedPairs, capS) = time {
+      graft.operators.Dedup
+        .minhashLshPairs(docs, "doc_id", "text", k = 16, bands = 4,
+          shingleN = 3, maxBucket = math.max(2, m / 2))
+        .count()
+    }
+    results += "dedup_minhash_capped" -> (docRows, capS)
+
     val qs = results.map { case (k, (rows, s)) =>
       s""""$k":{"rows":$rows,"sec":${f"$s%.2f"}}"""
     }.mkString("{", ",", "}")

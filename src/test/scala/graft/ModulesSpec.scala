@@ -640,6 +640,33 @@ class ModulesSpec extends AnyFunSuite {
       == Seq((1L, 2L, 9.0), (2L, 4L, 7.0)))
   }
 
+  test("native session_window agg closes the same sessions once the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventsStream.Event]
+    val q = EventsStream.sessionWindowCounts(mem.toDS().toDF(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("native_sessions")
+      .outputMode("append").start()
+    mem.addData(
+      EventsStream.Event(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "click", 1.0),
+      EventsStream.Event(2, Timestamp.valueOf("2024-01-01 10:10:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    // append mode holds the session until the watermark passes its close;
+    // a later event (13:00 - 1h watermark = 12:00 > 10:40 close) flushes it
+    mem.addData(
+      EventsStream.Event(3, Timestamp.valueOf("2024-01-01 13:00:00"), 1, "view", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("native_sessions")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    q.stop()
+    assert(rows.length == 1, s"expected 1 closed session, got ${rows.toSeq}")
+    // native session end = last event + gap (the window's close), where the
+    // custom sessionize reports the last EVENT time — both documented
+    assert(rows.head == ((1L, Timestamp.valueOf("2024-01-01 10:00:00"),
+      Timestamp.valueOf("2024-01-01 10:40:00"), 2L)))
+  }
+
   test("streaming dedup within watermark drops repeated content") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
