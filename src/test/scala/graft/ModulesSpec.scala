@@ -225,6 +225,51 @@ class ModulesSpec extends AnyFunSuite {
     assert(one.getInt(0) == one.getInt(1))
   }
 
+  test("product quantization: byte codes, exact-on-centroids ADC, two-stage recall") {
+    import graft.operators.Quantize
+    val e = graft.core.Tables.embeddings(spark, sf)
+      .filter(col("embedding").isNotNull)
+    val dim = 64; val m = 8; val nC = 32
+    val cbs = Quantize.pqFit(e, "embedding", dim, m, nC)
+    assert(cbs.length == m && cbs.forall(_.length == nC) &&
+      cbs.forall(_.forall(_.length == dim / m)))
+    // codes: m bytes per vector (64x smaller than float32), ids in range,
+    // deterministic across re-encoding
+    val codes1 = Quantize.pqEncode(e, "embedding", cbs)
+      .select("vec_id", "pq_codes").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val codes2 = Quantize.pqEncode(e, "embedding", cbs)
+      .select("vec_id", "pq_codes").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    codes1.foreach { case (id, c) =>
+      assert(c.length == m)
+      assert(c.forall(b => (b & 0xff) < nC))
+      assert(java.util.Arrays.equals(c, codes2(id)))
+    }
+    // ADC is exact when the vector IS its centroid concatenation: the
+    // lookup table contains the full dot, no quantization residue
+    val centroidVec = (0 until m).flatMap(s => cbs(s)(3)).toArray
+    val q = Array.tabulate(dim)(j => math.sin(j + 1.0))
+    val lut = Quantize.adcTable(cbs, q)
+    val adc = (0 until m).map(s => lut(s * nC + 3)).sum
+    val exact = centroidVec.zip(q).map { case (a, b) => a * b }.sum
+    assert(math.abs(adc - exact) < 1e-9)
+    // two-stage recall vs brute force on the real embeddings table
+    import org.apache.spark.sql.functions.{col => c2}
+    val query = e.filter(c2("vec_id") === 0)
+      .select(c2("embedding").cast("array<double>").as("qe"))
+    val corpus = e.filter(c2("vec_id") =!= 0)
+    val got = Quantize.pqTopK(corpus, "embedding", cbs, query, k = 5,
+        overFetch = 8, tieBreak = Seq("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val truth = graft.operators.VectorSearch
+      .knnByExample(corpus, "embedding", query, "qe", 5, threshold = -2.0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    println(s"PQ_RECALL=$recall")
+    assert(recall >= 0.4, s"two-stage PQ recall@5 collapsed: $recall")
+  }
+
   test("incremental clustering equals the from-scratch run over old+new pairs") {
     import spark.implicits._
     import graft.operators.Dedup
