@@ -68,11 +68,22 @@ object Dedup {
     // a broadcast build would evaluate one full side single-threaded on the
     // driver (measured 4x the query), and at 100 TB the corpus can't be
     // broadcast at all. Hash beats merge: the block key needs no sort.
-    val a = bounded.toDF(bounded.columns.toIndexedSeq.map("a_" + _): _*).hint("shuffle_hash")
-    val b = bounded.toDF(bounded.columns.toIndexedSeq.map("b_" + _): _*).hint("shuffle_hash")
-    val cond = joinCols.map(c => col("a_" + c) === col("b_" + c)).reduce(_ && _) &&
-      col("a_id") < col("b_id")
+    //
+    // Self-join via .as() aliases with the a_/b_ renames AFTER the join,
+    // not before: renaming first made the two shuffle subtrees textually
+    // different, so ReuseExchange never fired and the UDF-heavy signature
+    // projection ran TWICE (visible as two full scan+UDF branches in the
+    // executed plan). With identical subtrees the second exchange reads
+    // the first's shuffle files — signatures are computed once per corpus
+    // pass, for free, with no checkpoint/persist memory cost.
+    val cols = bounded.columns.toIndexedSeq
+    val a = bounded.as("a").hint("shuffle_hash")
+    val b = bounded.as("b").hint("shuffle_hash")
+    val cond = joinCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
+      col("a.id") < col("b.id")
     a.join(b, cond)
+      .select(cols.map(c => col(s"a.$c").as("a_" + c)) ++
+        cols.map(c => col(s"b.$c").as("b_" + c)): _*)
   }
 
   /** Near-duplicate pairs by word n-gram Jaccard similarity ≥ `threshold`,
