@@ -107,6 +107,37 @@ object text {
   /** token count (whitespace) */
   def nTokens(d: Dialect, col: String): String = d.size(tokens(d, col))
 
+  /** consecutive NON-overlapping n-token segment strings — the "lines" of
+    * a corpus whose documents carry no newlines. Segment i covers tokens
+    * [(i-1)*n+1 .. i*n]; the last segment may be short; docs shorter than
+    * n tokens yield one segment (the greatest(...,1) keeps the sequence
+    * ascending in both engines, same guard as [[shingles]]). Unlike
+    * [[shingles]] (overlapping, for set signatures), segments PARTITION
+    * the token stream, so removing one removes its text exactly once —
+    * which is what line-level boilerplate removal needs. */
+  def segments(d: Dialect, col: String, n: Int): String = {
+    val toks = tokens(d, col)
+    d.transform(
+      d.seq("1", s"greatest(${d.intDiv(s"(${d.size(toks)} + ${n - 1})", n.toString)}, 1)"),
+      "i", d.arrayJoin(d.slice(toks, s"(i-1)*$n + 1", n.toString), " "))
+  }
+
+  /** overlapping fixed-width char windows (RAG chunking): chunk i starts at
+    * (i-1)*stride+1 and spans `size` chars, so consecutive chunks share
+    * size-stride chars of context; chunks are emitted while their start is
+    * within the text, so the last chunk may be short but no text is ever
+    * skipped (stride ≤ size). */
+  def charChunks(d: Dialect, col: String, size: Int, stride: Int): String = {
+    require(stride <= size, "stride > size would skip text between chunks")
+    d.transform(
+      d.seq("1", s"(${d.intDiv(s"(greatest(length($col), 1) - 1)", stride.toString)} + 1)"),
+      "i", s"substr($col, (i-1)*$stride + 1, $size)")
+  }
+
+  /** occurrences of one literal lowercase token in the token stream */
+  def termFreq(d: Dialect, col: String, term: String): String =
+    d.size(d.filterArr(tokens(d, col), "t", s"t = '$term'"))
+
   /** BPE-ish token count: runs of letters, runs of digits, or single
     * non-alnum-non-space chars each count as one token */
   def nTokensBpe(d: Dialect, col: String): String =

@@ -31,6 +31,19 @@ object PipelineQueries {
   private val EsKey =
     s"(- ln((($mixDoc) + 1.0) / 1000000008.0) / greatest(n_chars, 1))"
 
+  /** BM25 score over staged columns (tf1..tf3, dl, n, avgdl, df1..df3),
+    * k1=1.2 b=0.75, quantized x10k. Pure ANSI arithmetic — the identical
+    * string renders in both engines, summed in fixed term order so float
+    * association cannot differ. Takes the Dialect only for call-site
+    * symmetry with the other shared fragments. */
+  private def Bm25Sql(d: graft.functions.Dialect): String = {
+    def term(tf: String, df: String) =
+      s"ln(1.0 + (n - $df + 0.5)/($df + 0.5)) * " +
+        s"(($tf * 2.2)/($tf + 1.2*(0.25 + 0.75*dl/avgdl)))"
+    text.fixedPoint(
+      s"${term("tf1", "df1")} + ${term("tf2", "df2")} + ${term("tf3", "df3")}", 4)
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("q_hash_sample",
@@ -306,6 +319,171 @@ object PipelineQueries {
         .limit(50)
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
+    },
+
+    Q("q_segment_dedup",
+      "Line-level boilerplate removal (the RefinedWeb/CCNet common-line " +
+        "pass, generalized to 8-token segments since the synthetic docs " +
+        "carry no newlines): a segment appearing in >= 2 distinct docs is " +
+        "boilerplate; each doc reports kept/dropped counts and its cleaned " +
+        "text reassembled in order. Two-phase plan that scales: segment df " +
+        "is one explode + map-side-combinable aggregate, and the resulting " +
+        "boilerplate set (by definition a small fraction of segment space) " +
+        "broadcasts back over the exploded corpus — no corpus self-join, " +
+        "no shuffle of document text beyond the final per-doc regroup",
+      Some {
+        val segs = text.segments(D, "text", 8)
+        s"""WITH seg AS (
+           |  SELECT doc_id, unnest(segs) AS seg,
+           |    generate_subscripts(segs, 1) AS seg_idx
+           |  FROM (SELECT doc_id, $segs AS segs FROM documents)),
+           |boiler AS (
+           |  SELECT seg FROM seg GROUP BY seg HAVING count(DISTINCT doc_id) >= 2)
+           |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+           |  CAST(sum(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           |  coalesce(string_agg(CASE WHEN b.seg IS NULL THEN s.seg END,
+           |    ' ' ORDER BY s.seg_idx), '') AS clean_text
+           |FROM seg s LEFT JOIN boiler b ON s.seg = b.seg
+           |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+      }) { (s, dir) =>
+      val seg = documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(expr(text.segments(S, "text", 8))).as(Seq("pos", "seg")))
+        .select(col("doc_id"), (col("pos") + 1).as("seg_idx"), col("seg"))
+      val boiler = seg.groupBy("seg")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2)
+        .select(col("seg").as("b_seg"))
+      seg.join(broadcast(boiler), col("seg") === col("b_seg"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segments"),
+          sum(when(col("b_seg").isNotNull, 1).otherwise(0)).cast("long").as("n_dropped"),
+          coalesce(array_join(transform(
+            array_sort(collect_list(when(col("b_seg").isNull,
+              struct(col("seg_idx"), col("seg"))))),
+            x => x.getField("seg")), " "), lit("")).as("clean_text"))
+        .orderBy("doc_id")
+    },
+
+    Q("q_bm25",
+      "BM25 keyword search (k1=1.2, b=0.75) for a fixed 3-term query, " +
+        "top-10 docs: per-doc term frequencies and doc length are pure " +
+        "projections (no tokenize-shuffle); the corpus statistics (N, " +
+        "avgdl, per-term df) are ONE 1-row aggregate broadcast back, so " +
+        "the whole ranker is scan + tiny-broadcast + TakeOrdered at any " +
+        "scale. The idf * saturation sum is written term-by-term in fixed " +
+        "order and quantized via fixedPoint, so both engines rank " +
+        "identically; ln shares the q_weighted_sample libm caveat",
+      Some {
+        val q = Bm25Sql(D)
+        s"""WITH pt AS (
+           |  SELECT doc_id, CAST(${text.nTokens(D, "text")} AS BIGINT) AS dl,
+           |    ${text.termFreq(D, "text", "spark")} AS tf1,
+           |    ${text.termFreq(D, "text", "merge")} AS tf2,
+           |    ${text.termFreq(D, "text", "window")} AS tf3
+           |  FROM documents),
+           |corp AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl,
+           |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+           |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+           |    CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+           |  FROM pt)
+           |SELECT doc_id, $q AS score_x10k
+           |FROM pt CROSS JOIN corp
+           |ORDER BY score_x10k DESC, doc_id LIMIT 10""".stripMargin
+      }) { (s, dir) =>
+      val pt = documents(s, dir).select(col("doc_id"),
+        expr(text.nTokens(S, "text")).cast("long").as("dl"),
+        expr(text.termFreq(S, "text", "spark")).as("tf1"),
+        expr(text.termFreq(S, "text", "merge")).as("tf2"),
+        expr(text.termFreq(S, "text", "window")).as("tf3"))
+      val corp = pt.agg(
+        count(lit(1)).as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+        sum(when(col("tf1") > 0, 1).otherwise(0)).cast("long").as("df1"),
+        sum(when(col("tf2") > 0, 1).otherwise(0)).cast("long").as("df2"),
+        sum(when(col("tf3") > 0, 1).otherwise(0)).cast("long").as("df3"))
+      pt.crossJoin(broadcast(corp))
+        .select(col("doc_id"), expr(Bm25Sql(S)).as("score_x10k"))
+        .orderBy(desc("score_x10k"), col("doc_id"))
+        .limit(10)
+    },
+
+    Q("q_chunk_overlap",
+      "RAG/context chunking: overlapping 200-char windows at stride 150 " +
+        "(50 chars of shared context between consecutive chunks), emitted " +
+        "with stable (doc_id, chunk_idx) identity. A pure generator " +
+        "projection — no shuffle, no state; at 100 TB this is exactly the " +
+        "shape that feeds an embedding pass, and chunk identity being a " +
+        "pure function of (doc, position) is what lets a re-run resume " +
+        "instead of re-embedding the corpus",
+      Some {
+        val chunks = text.charChunks(D, "text", 200, 150)
+        s"""SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk,
+           |  CAST(length(chunk) AS BIGINT) AS chunk_len
+           |FROM (
+           |  SELECT doc_id, generate_subscripts(chunks, 1) AS chunk_idx,
+           |    unnest(chunks) AS chunk
+           |  FROM (SELECT doc_id, $chunks AS chunks FROM documents))
+           |ORDER BY doc_id, chunk_idx""".stripMargin
+      }) { (s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(expr(text.charChunks(S, "text", 200, 150))).as(Seq("pos", "chunk")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("chunk_idx"),
+          col("chunk"), length(col("chunk")).cast("long").as("chunk_len"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    Q("q_tfidf_keywords",
+      "Per-document keyword extraction: top-3 tokens by tf-idf (tf x " +
+        "ln(N/df)), reported for the first 50 docs. df is vocab-sized " +
+        "after one map-side-combined aggregate and broadcasts back onto " +
+        "the per-doc term frequencies; the per-doc top-3 is a window over " +
+        "the doc partition — fully parallel, no global sort. Ranking " +
+        "compares the QUANTIZED score (fixedPoint x10k) with token " +
+        "tie-break, so rank order is engine-stable by construction " +
+        "rather than by libm luck",
+      Some {
+        val score = text.fixedPoint(s"tf * ln(CAST(n AS DOUBLE)/df)", 4)
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(${text.tokens(D, "text")}) AS tok
+           |  FROM documents),
+           |tfd AS (
+           |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           |  FROM tok GROUP BY doc_id, tok),
+           |dfd AS (
+           |  SELECT tok, CAST(count(*) AS BIGINT) AS df
+           |  FROM tfd GROUP BY tok),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+           |scored AS (
+           |  SELECT doc_id, tok, $score AS tfidf_x10k,
+           |    row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY $score DESC, tok) AS rnk
+           |  FROM tfd JOIN dfd USING (tok) CROSS JOIN nn)
+           |SELECT doc_id, rnk, tok, tfidf_x10k FROM scored
+           |WHERE rnk <= 3 AND doc_id < 50
+           |ORDER BY doc_id, rnk""".stripMargin
+      }) { (s, dir) =>
+      val tok = documents(s, dir)
+        .select(col("doc_id"), explode(expr(text.tokens(S, "text"))).as("tok"))
+      val tfd = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      // df = rows per token in the ALREADY-distinct (doc, tok) frame — no
+      // second corpus explode, no countDistinct expansion; and with tfd
+      // hash-partitioned by (doc_id, tok) the rollup's partial aggregate
+      // re-reads tfd's exchange instead of re-tokenizing the corpus
+      val dfd = tfd.groupBy("tok").agg(count(lit(1)).as("df"))
+      val nn = documents(s, dir).agg(count(lit(1)).as("n"))
+      val score = text.fixedPoint(s"tf * ln(CAST(n AS DOUBLE)/df)", 4)
+      val w = Window.partitionBy("doc_id")
+        .orderBy(expr(score).desc, col("tok"))
+      tfd.join(broadcast(dfd), Seq("tok")).crossJoin(broadcast(nn))
+        .select(col("doc_id"), col("tok"), expr(score).as("tfidf_x10k"),
+          row_number().over(w).cast("long").as("rnk"))
+        .filter(col("rnk") <= 3 && col("doc_id") < 50)
+        .select("doc_id", "rnk", "tok", "tfidf_x10k")
+        .orderBy("doc_id", "rnk")
     },
 
     Q("q_histogram",

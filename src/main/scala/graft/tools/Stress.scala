@@ -107,6 +107,26 @@ object Stress {
     }
     results += "dedup_minhash_capped" -> (docRows, capS)
 
+    // line-level boilerplate removal over the duplicated corpus: with M
+    // copies of every doc, EVERY segment crosses the df >= 2 bar, so this
+    // measures the worst case — the boilerplate set is the whole distinct
+    // segment space (constant in M) and the broadcast join back drops all
+    // of it. Slope should track the explode + aggregate, ~linear in M.
+    val (segRows, segS) = time {
+      val seg = docs.select(col("doc_id"),
+        posexplode(expr(graft.functions.text.segments(
+          graft.functions.SparkDialect, "text", 8))).as(Seq("pos", "seg")))
+      val boiler = seg.groupBy("seg")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2).select(col("seg").as("b_seg"))
+      seg.join(broadcast(boiler), col("seg") === col("b_seg"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segments"),
+          sum(when(col("b_seg").isNotNull, 1).otherwise(0)).as("n_dropped"))
+        .count()
+    }
+    results += "segment_dedup" -> (docRows, segS)
+
     val qs = results.map { case (k, (rows, s)) =>
       s""""$k":{"rows":$rows,"sec":${f"$s%.2f"}}"""
     }.mkString("{", ",", "}")

@@ -1292,4 +1292,67 @@ class ModulesSpec extends AnyFunSuite {
         s"CMS error for key $k beyond eps*N: est $e, true $t, n $n")
     }
   }
+
+  test("segments partition the token stream; char chunks cover the text with overlap") {
+    // segments: rejoining them with single spaces reproduces the normalized
+    // token stream exactly — nothing duplicated, nothing lost (the property
+    // that makes segment-level boilerplate REMOVAL safe, unlike shingles)
+    val docs = graft.core.Tables.documents(spark, sf).limit(50)
+    val seg = docs.select(col("doc_id"),
+      expr(text.segments(S, "text", 8)).as("segs"),
+      expr(text.tokens(S, "text")).as("toks"))
+      .select(col("doc_id"),
+        array_join(col("segs"), " ").as("joined"),
+        array_join(col("toks"), " ").as("stream"))
+      .collect()
+    assert(seg.nonEmpty)
+    seg.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"doc ${r.getLong(0)}: segment join != token stream"))
+
+    // chunks: chunk i starts at (i-1)*stride+1; stripping each chunk's
+    // overlap prefix (size-stride chars, except chunk 1) and concatenating
+    // reproduces the original text — full coverage, no gaps
+    val size = 200; val stride = 150
+    val ch = docs.select(col("doc_id"), col("text"),
+      expr(text.charChunks(S, "text", size, stride)).as("chunks")).collect()
+    ch.foreach { r =>
+      val full = r.getString(1)
+      val chunks = r.getAs[scala.collection.Seq[String]]("chunks")
+      val rebuilt = chunks.zipWithIndex.map {
+        case (c, 0) => c
+        case (c, _) => c.drop(size - stride)
+      }.mkString
+      assert(rebuilt == full, s"doc ${r.getLong(0)}: chunk rebuild differs")
+      // each chunk spans exactly [start, min(start+size-1, len)] — full
+      // `size` only while the text lasts (the tail chunks truncate)
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        val start = i * stride + 1
+        val want = math.min(size, full.length - start + 1)
+        assert(c.length == want,
+          s"doc ${r.getLong(0)} chunk ${i + 1}: length ${c.length} != $want")
+      }
+    }
+  }
+
+  test("segment-dedup boilerplate set rides a broadcast join") {
+    // the scale contract of q_segment_dedup: the df-filtered boilerplate
+    // set joins back via BroadcastHashJoin — the exploded corpus must
+    // never shuffle against itself
+    // pre-execution plan (like PlanGuardSpec): after execution AQE wraps
+    // subtrees in QueryStageExec leaves whose children are not walkable
+    val df = graft.queries.Catalog.byName("q_segment_dedup").fn(spark, sf)
+    def walk(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val self = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case other => Seq(other)
+      }
+      self ++ p.children.flatMap(walk)
+    }
+    val bhj = walk(df.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty, "boilerplate set not broadcast")
+  }
 }
