@@ -61,6 +61,9 @@ sealed abstract class Dialect {
   /** replace ALL regex matches (DuckDB needs the 'g' flag — its default
     * replaces only the first match, Spark's replaces all) */
   def regexReplaceAll(s: String, pattern: String, repl: String): String
+  /** capture group `group` of the FIRST regex match ('' when no match —
+    * both engines' regexp_extract contract) */
+  def regexExtract(s: String, pattern: String, group: Int): String
   /** cast array<float> to array<double> */
   def castDoubleArray(a: String): String
   /** array literal from pre-escaped single-quoted string items */
@@ -109,6 +112,8 @@ object SparkDialect extends Dialect {
     s"regexp_count($s, '${pattern.replace("\\", "\\\\")}')"
   def regexReplaceAll(s: String, pattern: String, repl: String) =
     s"regexp_replace($s, '${pattern.replace("\\", "\\\\")}', '$repl')"
+  def regexExtract(s: String, pattern: String, group: Int) =
+    s"regexp_extract($s, '${pattern.replace("\\", "\\\\")}', $group)"
   def castDoubleArray(a: String) = s"CAST($a AS ARRAY<DOUBLE>)"
   def arrayLit(items: Seq[String]) = items.mkString("array('", "', '", "')")
   def dayName(ts: String) = s"date_format($ts, 'EEEE')"
@@ -150,6 +155,8 @@ object DuckDialect extends Dialect {
   def regexpCount(s: String, pattern: String) = s"len(regexp_extract_all($s, '$pattern'))"
   def regexReplaceAll(s: String, pattern: String, repl: String) =
     s"regexp_replace($s, '$pattern', '$repl', 'g')"
+  def regexExtract(s: String, pattern: String, group: Int) =
+    s"regexp_extract($s, '$pattern', $group)"
   def castDoubleArray(a: String) = s"CAST($a AS DOUBLE[])"
   def arrayLit(items: Seq[String]) = items.mkString("['", "', '", "']")
   def dayName(ts: String) = s"strftime($ts, '%A')"

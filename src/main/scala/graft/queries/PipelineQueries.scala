@@ -486,6 +486,53 @@ object PipelineQueries {
         .orderBy("doc_id", "rnk")
     },
 
+    Q("q_domain_filter",
+      "Crawl-curation domain filtering: extract the host from each doc's " +
+        "URL (synthesized deterministically around doc_id — the synthetic " +
+        "corpus carries no URLs, same stance as q_pii_scrub's emails), " +
+        "drop domains on a blocklist TABLE via anti-join, report kept " +
+        "docs + token yield per surviving domain. The blocklist is a " +
+        "table, not an IN-list, because real crawl blocklists are " +
+        "millions of registry rows — broadcast anti-join is the shape " +
+        "that survives that; domain extraction is a codegen'd projection",
+      Some {
+        val url = s"'https://host' || ${D.castString("doc_id % 10")} || " +
+          s"'.example.' || (CASE WHEN doc_id % 3 = 0 THEN 'com' " +
+          s"WHEN doc_id % 3 = 1 THEN 'org' ELSE 'net' END) || " +
+          s"'/p/' || ${D.castString("doc_id")}"
+        val dom = D.regexExtract("url", "https://([a-z0-9.]+)/", 1)
+        s"""WITH u AS (
+           |  SELECT doc_id, text, $url AS url FROM documents),
+           |d AS (
+           |  SELECT doc_id, text, $dom AS domain FROM u),
+           |blocked(bad_domain) AS (
+           |  VALUES ('host0.example.com'), ('host4.example.org'),
+           |         ('host8.example.net'))
+           |SELECT domain, count(*) AS n_kept,
+           |  CAST(sum(${text.nTokens(D, "text")}) AS BIGINT) AS kept_tokens
+           |FROM d ANTI JOIN blocked ON domain = bad_domain
+           |GROUP BY domain
+           |ORDER BY domain""".stripMargin
+      }) { (s, dir) =>
+      import s.implicits._
+      val url = s"concat('https://host', ${S.castString("doc_id % 10")}, " +
+        s"'.example.', (CASE WHEN doc_id % 3 = 0 THEN 'com' " +
+        s"WHEN doc_id % 3 = 1 THEN 'org' ELSE 'net' END), " +
+        s"'/p/', ${S.castString("doc_id")})"
+      val blocked = Seq("host0.example.com", "host4.example.org",
+        "host8.example.net").toDF("bad_domain")
+      documents(s, dir)
+        .withColumn("url", expr(url))
+        .withColumn("domain",
+          expr(S.regexExtract("url", "https://([a-z0-9.]+)/", 1)))
+        .join(broadcast(blocked), col("domain") === col("bad_domain"),
+          "left_anti")
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(expr(text.nTokens(S, "text"))).cast("long").as("kept_tokens"))
+        .orderBy("domain")
+    },
+
     Q("q_histogram",
       "Data-profiling histogram: 20 fixed-width value bins (width 25, last " +
         "bin open) per event type — the distribution fingerprint a curation " +
