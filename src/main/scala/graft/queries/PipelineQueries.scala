@@ -486,6 +486,48 @@ object PipelineQueries {
         .orderBy("doc_id", "rnk")
     },
 
+    Q("q_negative_sample",
+      "Contrastive negative sampling: 5 deterministic negatives per query " +
+        "doc (first 20 docs), drawn by the multiplicative key mix mod the " +
+        "corpus size — the pairs that train a contrastive embedder, " +
+        "replayable on any engine/run like every sampler here (a rand() " +
+        "negative set can't be reproduced for a training restart). A " +
+        "collision with the positive remaps to the next id instead of " +
+        "dropping, so the output is exactly 5 rows per query. The tiny " +
+        "query-side explode broadcasts into one join against the corpus " +
+        "— at 100 TB this is a map-side lookup, no corpus shuffle",
+      Some {
+        val m = text.mix("q.doc_id * 5 + q.j", 11)
+        s"""WITH q AS (
+           |  SELECT doc_id, unnest(generate_series(1, 5)) AS j
+           |  FROM documents WHERE doc_id < 20),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+           |neg AS (
+           |  SELECT q.doc_id, q.j,
+           |    CASE WHEN ($m) % n = q.doc_id THEN (($m) % n + 1) % n
+           |         ELSE ($m) % n END AS neg_id
+           |  FROM q CROSS JOIN nn)
+           |SELECT neg.doc_id, neg.j, neg.neg_id, d.source AS neg_source
+           |FROM neg JOIN documents d ON neg.neg_id = d.doc_id
+           |ORDER BY neg.doc_id, neg.j""".stripMargin
+      }) { (s, dir) =>
+      val m = text.mix("doc_id * 5 + j", 11)
+      val nn = documents(s, dir).agg(count(lit(1)).as("n"))
+      val q = documents(s, dir).filter(col("doc_id") < 20)
+        .select(col("doc_id"), explode(expr("sequence(1, 5)")).as("j0"))
+        .select(col("doc_id"), col("j0").cast("long").as("j"))
+        .crossJoin(broadcast(nn))
+        .select(col("doc_id"), col("j"),
+          when(expr(s"($m) % n") === col("doc_id"),
+            (expr(s"($m) % n") + 1) % col("n"))
+            .otherwise(expr(s"($m) % n")).as("neg_id"))
+      documents(s, dir).select(col("doc_id").as("cand_id"), col("source"))
+        .join(broadcast(q), col("cand_id") === col("neg_id"))
+        .select(col("doc_id"), col("j"), col("neg_id"),
+          col("source").as("neg_source"))
+        .orderBy("doc_id", "j")
+    },
+
     Q("q_domain_filter",
       "Crawl-curation domain filtering: extract the host from each doc's " +
         "URL (synthesized deterministically around doc_id — the synthetic " +

@@ -732,6 +732,96 @@ object WarehouseQueries {
             (col("true_n") - col("est_n")).cast("double") <=
               col("n_total").cast("double") / (k + 1)).as("bound_ok"))
         .orderBy("key")
+    },
+
+    Q("q_snapshot_diff",
+      "Snapshot reconciliation: FULL OUTER join of two corpus snapshots " +
+        "(synthesized from customer by key rule — %31 keys absent from " +
+        "old = 'added', %37 absent from new = 'removed', %13 get a cents " +
+        "bump = 'changed'), classified row-by-row and rolled up to " +
+        "status counts + key checksums. The daily sanity diff every " +
+        "warehouse runs between loads: ONE co-partitioned shuffle join " +
+        "on the key — both sides arrive hash-partitioned by c_custkey, " +
+        "and the classification is a codegen'd projection on top. Values " +
+        "compare in exact cents, never doubles",
+      Some("""WITH old_s AS (
+             |  SELECT c_custkey AS k,
+             |    CAST(round(c_acctbal * 100) AS BIGINT) AS v
+             |  FROM customer WHERE c_custkey % 31 <> 0),
+             |new_s AS (
+             |  SELECT c_custkey AS k,
+             |    CAST(round(c_acctbal * 100) AS BIGINT)
+             |      + CASE WHEN c_custkey % 13 = 0 THEN 100 ELSE 0 END AS v
+             |  FROM customer WHERE c_custkey % 37 <> 0)
+             |SELECT status, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(k) AS BIGINT) AS key_sum
+             |FROM (
+             |  SELECT coalesce(o.k, n.k) AS k, CASE
+             |    WHEN o.k IS NULL THEN 'added'
+             |    WHEN n.k IS NULL THEN 'removed'
+             |    WHEN o.v <> n.v THEN 'changed'
+             |    ELSE 'unchanged' END AS status
+             |  FROM old_s o FULL OUTER JOIN new_s n ON o.k = n.k)
+             |GROUP BY status ORDER BY status""".stripMargin)) { (s, dir) =>
+      val cents = round(col("c_acctbal") * 100).cast("long")
+      val oldS = customer(s, dir).filter(col("c_custkey") % 31 =!= 0)
+        .select(col("c_custkey").as("ok"), cents.as("ov"))
+      val newS = customer(s, dir).filter(col("c_custkey") % 37 =!= 0)
+        .select(col("c_custkey").as("nk"),
+          (cents + when(col("c_custkey") % 13 === 0, 100).otherwise(0)).as("nv"))
+      oldS.join(newS, col("ok") === col("nk"), "full_outer")
+        .select(coalesce(col("ok"), col("nk")).as("k"),
+          when(col("ok").isNull, "added")
+            .when(col("nk").isNull, "removed")
+            .when(col("ov") =!= col("nv"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("key_sum"))
+        .orderBy("status")
+    },
+
+    Q("q_cdc_apply",
+      "CDC batch apply (the MERGE INTO shape): a change batch of deletes " +
+        "(%10 keys) and upserts (%7 keys, balance doubled) lands on the " +
+        "customer snapshot as anti-join-then-union — delete keys drop, " +
+        "upsert rows replace, everything else passes through; reported " +
+        "as per-segment counts + exact cents. At 100 TB the change batch " +
+        "is day-sized vs a corpus-sized snapshot: both the delete and " +
+        "replace probes broadcast, so the snapshot is scanned once with " +
+        "no shuffle before the final rollup",
+      Some("""WITH del AS (
+             |  SELECT c_custkey AS k FROM customer WHERE c_custkey % 10 = 0),
+             |ups AS (
+             |  SELECT c_custkey, c_mktsegment,
+             |    CAST(round(c_acctbal * 100) AS BIGINT) * 2 AS cents
+             |  FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 10 <> 0),
+             |keep AS (
+             |  SELECT c_custkey, c_mktsegment,
+             |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+             |  FROM customer
+             |  WHERE c_custkey % 10 <> 0 AND c_custkey % 7 <> 0),
+             |applied AS (
+             |  SELECT * FROM keep UNION ALL SELECT * FROM ups)
+             |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(cents) AS BIGINT) AS cents_sum
+             |FROM applied GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin)) { (s, dir) =>
+      val cents = round(col("c_acctbal") * 100).cast("long")
+      val snap = customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"), cents.as("cents"))
+      // the change batch, as a real CDC feed would deliver it: (key, op,
+      // payload) — derived from the snapshot so the test stays data-driven
+      val del = snap.filter(col("c_custkey") % 10 === 0).select(col("c_custkey"))
+      val ups = snap.filter(col("c_custkey") % 7 === 0 && col("c_custkey") % 10 =!= 0)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          (col("cents") * 2).as("cents"))
+      snap
+        .join(broadcast(del), Seq("c_custkey"), "left_anti")
+        .join(broadcast(ups.select(col("c_custkey"))), Seq("c_custkey"), "left_anti")
+        .unionByName(ups)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).cast("long").as("cents_sum"))
+        .orderBy("c_mktsegment")
     }
   )
 }

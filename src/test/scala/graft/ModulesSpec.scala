@@ -1334,6 +1334,33 @@ class ModulesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_bm25 matches an independent Scala BM25 implementation") {
+    // the oracle gate pins Spark == DuckDB on the same formula; this golden
+    // pins the formula itself — a from-scratch driver-side BM25 over the
+    // same corpus must produce the identical quantized top-10
+    val terms = Seq("spark", "merge", "window")
+    val k1 = 1.2; val b = 0.75
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase
+        .split("\\s+").filter(_.nonEmpty).toSeq).toMap
+    val n = docs.size
+    val avgdl = docs.values.map(_.size).sum.toDouble / n
+    val dfs = terms.map(t => t -> docs.values.count(_.contains(t))).toMap
+    val expected = docs.toSeq.map { case (id, toks) =>
+      val dl = toks.size
+      val score = terms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        val idf = math.log(1.0 + (n - dfs(t) + 0.5) / (dfs(t) + 0.5))
+        idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+      }.sum
+      (id, math.floor(score * 10000.0 + 0.5).toLong)
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    val got = graft.queries.Catalog.byName("q_bm25").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected, s"\ngot:      $got\nexpected: $expected")
+  }
+
   test("segment-dedup boilerplate set rides a broadcast join") {
     // the scale contract of q_segment_dedup: the df-filtered boilerplate
     // set joins back via BroadcastHashJoin — the exploded corpus must
