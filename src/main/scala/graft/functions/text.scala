@@ -124,13 +124,20 @@ object text {
 
   /** overlapping fixed-width char windows (RAG chunking): chunk i starts at
     * (i-1)*stride+1 and spans `size` chars, so consecutive chunks share
-    * size-stride chars of context; chunks are emitted while their start is
-    * within the text, so the last chunk may be short but no text is ever
-    * skipped (stride ≤ size). */
+    * size-stride chars of context. Chunk count is
+    * 1 + max(0, ceil((len-size)/stride)) — a chunk exists only if it ENDS
+    * past the previous chunk's end, so no chunk is ever fully contained in
+    * its predecessor (a start-within-text count emits a pure-duplicate
+    * tail whenever len mod stride ≤ size-stride: every such chunk would be
+    * a wasted embedding and a duplicate retrieval hit downstream). The
+    * ceil numerator can go negative for short texts; Spark's `div`
+    * truncates toward zero where DuckDB's `//` floors, but both land ≤ 0
+    * and the greatest(0, ·) clamp erases the difference. */
   def charChunks(d: Dialect, col: String, size: Int, stride: Int): String = {
     require(stride <= size, "stride > size would skip text between chunks")
+    val extra = d.intDiv(s"(length($col) - $size + $stride - 1)", stride.toString)
     d.transform(
-      d.seq("1", s"(${d.intDiv(s"(greatest(length($col), 1) - 1)", stride.toString)} + 1)"),
+      d.seq("1", s"(1 + greatest($extra, 0))"),
       "i", s"substr($col, (i-1)*$stride + 1, $size)")
   }
 

@@ -373,7 +373,11 @@ object PipelineQueries {
         "the whole ranker is scan + tiny-broadcast + TakeOrdered at any " +
         "scale. The idf * saturation sum is written term-by-term in fixed " +
         "order and quantized via fixedPoint, so both engines rank " +
-        "identically; ln shares the q_weighted_sample libm caveat",
+        "identically; ln shares the q_weighted_sample libm caveat. The " +
+        "Spark side computes (dl, tf1..tf3) in ONE aggregate fold over one " +
+        "tokens array behind an explode barrier (CollapseProject would " +
+        "re-inline a staged projection and tokenize 4x — measured ~30% of " +
+        "the scan; the oracle keeps the 4-count form, integer-identical)",
       Some {
         val q = Bm25Sql(D)
         s"""WITH pt AS (
@@ -393,11 +397,21 @@ object PipelineQueries {
            |FROM pt CROSS JOIN corp
            |ORDER BY score_x10k DESC, doc_id LIMIT 10""".stripMargin
       }) { (s, dir) =>
-      val pt = documents(s, dir).select(col("doc_id"),
-        expr(text.nTokens(S, "text")).cast("long").as("dl"),
-        expr(text.termFreq(S, "text", "spark")).as("tf1"),
-        expr(text.termFreq(S, "text", "merge")).as("tf2"),
-        expr(text.termFreq(S, "text", "window")).as("tf3"))
+      // one tokenize per row: fold all four counters in a single aggregate
+      // over one tokens() array; explode(array(..)) is a Generate barrier
+      // that stops CollapseProject from inlining the fold into each of the
+      // four field extractions (which would re-tokenize 4x — measured)
+      val fold = "aggregate(" + text.tokens(S, "text") + ", " +
+        "named_struct('dl', 0L, 't1', 0L, 't2', 0L, 't3', 0L), (a, t) -> " +
+        "named_struct('dl', a.dl + 1, " +
+        "'t1', a.t1 + CASE WHEN t = 'spark' THEN 1L ELSE 0L END, " +
+        "'t2', a.t2 + CASE WHEN t = 'merge' THEN 1L ELSE 0L END, " +
+        "'t3', a.t3 + CASE WHEN t = 'window' THEN 1L ELSE 0L END))"
+      val pt = documents(s, dir)
+        .select(col("doc_id"), explode(array(expr(fold))).as("c"))
+        .select(col("doc_id"), col("c.dl").as("dl"),
+          col("c.t1").cast("int").as("tf1"), col("c.t2").cast("int").as("tf2"),
+          col("c.t3").cast("int").as("tf3"))
       val corp = pt.agg(
         count(lit(1)).as("n"),
         (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),

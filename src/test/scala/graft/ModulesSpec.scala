@@ -1324,13 +1324,25 @@ class ModulesSpec extends AnyFunSuite {
       }.mkString
       assert(rebuilt == full, s"doc ${r.getLong(0)}: chunk rebuild differs")
       // each chunk spans exactly [start, min(start+size-1, len)] — full
-      // `size` only while the text lasts (the tail chunks truncate)
+      // `size` only while the text lasts (the tail chunk truncates)
       chunks.zipWithIndex.foreach { case (c, i) =>
         val start = i * stride + 1
         val want = math.min(size, full.length - start + 1)
         assert(c.length == want,
           s"doc ${r.getLong(0)} chunk ${i + 1}: length ${c.length} != $want")
       }
+      // no chunk is fully contained in its predecessor: every chunk after
+      // the first must END past the previous chunk's end (the count
+      // formula's whole point — a redundant tail would be a duplicate
+      // embedding downstream)
+      chunks.zipWithIndex.drop(1).foreach { case (c, i) =>
+        val end = i * stride + c.length
+        val prevEnd = (i - 1) * stride + chunks(i - 1).length
+        assert(end > prevEnd,
+          s"doc ${r.getLong(0)} chunk ${i + 1} adds no new text")
+      }
+      // and the chunk set still covers the whole text
+      assert((chunks.length - 1) * stride + chunks.last.length == full.length)
     }
   }
 
@@ -1352,7 +1364,11 @@ class ModulesSpec extends AnyFunSuite {
       val score = terms.map { t =>
         val tf = toks.count(_ == t).toDouble
         val idf = math.log(1.0 + (n - dfs(t) + 0.5) / (dfs(t) + 0.5))
-        idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+        // parenthesized exactly like Bm25Sql: idf * (num/den), NOT
+        // (idf*num)/den — FP multiply/divide are non-associative, and a
+        // 1-ulp disagreement at a floor(x*1e4+0.5) boundary would flip
+        // the quantized score this golden compares
+        idf * ((tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl)))
       }.sum
       (id, math.floor(score * 10000.0 + 0.5).toLong)
     }.sortBy { case (id, s) => (-s, id) }.take(10)
