@@ -66,7 +66,8 @@ object Bench {
     // MEDIAN, separating real plan cost from first-run codegen and machine
     // noise (the driver never sets it, so the published line stays a
     // single cold-ish run, comparable across rounds)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt.max(1)
+    val reps = sys.env.get("SPARK_GRAFT_REPS")
+      .flatMap(_.toIntOption).getOrElse(1).max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>

@@ -41,7 +41,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // the oracle map honors SPARK_GRAFT_ONLY like the dumps: otherwise a
+    // filtered dev run leaves a full-catalog oracle_sql.json and
+    // check_oracle reports FAIL for every query that was never dumped
     val json = SparkEntry.oracleSql
+      .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -115,7 +115,11 @@ object SparkDialect extends Dialect {
   def regexExtract(s: String, pattern: String, group: Int) =
     s"regexp_extract($s, '${pattern.replace("\\", "\\\\")}', $group)"
   def castDoubleArray(a: String) = s"CAST($a AS ARRAY<DOUBLE>)"
-  def arrayLit(items: Seq[String]) = items.mkString("array('", "', '", "')")
+  def arrayLit(items: Seq[String]) =
+    // Nil must render an EMPTY array — mkString's bookends would produce
+    // array(''), a 1-element array holding the empty string
+    if (items.isEmpty) "array()"
+    else items.mkString("array('", "', '", "')")
   def dayName(ts: String) = s"date_format($ts, 'EEEE')"
   def time12(ts: String) = s"date_format($ts, 'hh:mm a')"
 }
@@ -158,7 +162,8 @@ object DuckDialect extends Dialect {
   def regexExtract(s: String, pattern: String, group: Int) =
     s"regexp_extract($s, '$pattern', $group)"
   def castDoubleArray(a: String) = s"CAST($a AS DOUBLE[])"
-  def arrayLit(items: Seq[String]) = items.mkString("['", "', '", "']")
+  def arrayLit(items: Seq[String]) =
+    if (items.isEmpty) "[]" else items.mkString("['", "', '", "']")
   def dayName(ts: String) = s"strftime($ts, '%A')"
   def time12(ts: String) = s"strftime($ts, '%I:%M %p')"
 }

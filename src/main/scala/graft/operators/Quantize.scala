@@ -63,11 +63,16 @@ object Quantize {
   /** Adds `q_codes` (BINARY — Spark's Array[Byte] mapping, one byte per
     * dimension) + `q_scale` (double) next to the float column — the
     * compact store; callers may then drop or lazy-load the float column
-    * and keep it only for re-ranking. */
+    * and keep it only for re-ranking. A frame that ALREADY carries both
+    * code columns (the persisted store this function exists to produce)
+    * passes through untouched, so [[topK]] on a coded corpus reuses the
+    * stored codes instead of recomputing — or refusing. Only a PARTIAL
+    * clash (one of the two, or the `__q` scratch name) fails loudly:
+    * that is caller data this function would silently overwrite. */
   def withCodes(df: DataFrame, embCol: String): DataFrame = {
-    // fail loudly instead of silently overwriting caller data with the
-    // same names (withColumn replaces an existing column)
-    val clash = Seq("q_codes", "q_scale", "__q").filter(df.columns.contains)
+    val have = Seq("q_codes", "q_scale").filter(df.columns.contains)
+    if (have.size == 2) return df
+    val clash = have ++ Seq("__q").filter(df.columns.contains)
     require(clash.isEmpty,
       s"withCodes would overwrite existing column(s): ${clash.mkString(", ")}")
     df.withColumn("__q", encodeUdf(col(embCol).cast("array<double>")))
@@ -83,6 +88,12 @@ object Quantize {
     */
   def topK(corpus: DataFrame, embCol: String, query: DataFrame,
            k: Int, overFetch: Int = 4, tieBreak: Seq[String] = Nil): DataFrame = {
+    // helper/output names the join would clobber or make ambiguous —
+    // internals, not a persistable contract, so loud failure is right
+    val reserved = Seq("qe", "qq_codes", "qq_scale", "approx_sim", "similarity")
+      .filter(corpus.columns.contains)
+    require(reserved.isEmpty,
+      s"topK reserves column name(s): ${reserved.mkString(", ")}")
     val q = withCodes(query.select(col("qe").cast("array<double>").as("qe")), "qe")
       .withColumnRenamed("q_codes", "qq_codes")
       .withColumnRenamed("q_scale", "qq_scale")
@@ -123,8 +134,11 @@ object Quantize {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     require(nCentroids <= 256, "codes are stored as one byte per subspace")
     val w = dim / m
+    // null embeddings crash KMeans.fit; pqEncode null-guards the same rows,
+    // so fitting must skip them too (codebooks fit on the non-null corpus)
+    val clean = corpus.filter(col(embCol).isNotNull)
     (0 until m).toArray.map { s =>
-      val sub = corpus.select(org.apache.spark.ml.functions.array_to_vector(
+      val sub = clean.select(org.apache.spark.ml.functions.array_to_vector(
         slice(col(embCol).cast("array<double>"), s * w + 1, w)).as("__features"))
       new org.apache.spark.ml.clustering.KMeans()
         .setK(nCentroids).setSeed(seed + s).setMaxIter(10)
@@ -162,6 +176,13 @@ object Quantize {
     * corpus's similarity gaps bunch. */
   def pqEncode(df: DataFrame, embCol: String,
                codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    // same reuse-or-fail-loudly contract as [[withCodes]]: a frame already
+    // carrying both persisted code columns passes through; a partial clash
+    // is caller data that would be silently overwritten
+    val have = Seq("pq_codes", "pq_norm").filter(df.columns.contains)
+    if (have.size == 2) return df
+    require(have.isEmpty,
+      s"pqEncode would overwrite existing column(s): ${have.mkString(", ")}")
     val w = codebooks(0)(0).length
     val enc = udf { (emb: Array[Double]) =>
       if (emb == null) null
@@ -202,8 +223,16 @@ object Quantize {
              query: DataFrame, k: Int, overFetch: Int = 4,
              tieBreak: Seq[String] = Nil): DataFrame = {
     val nC = codebooks(0).length
+    val reserved = Seq("qe", "__lut", "__qn", "approx_sim", "similarity")
+      .filter(corpus.columns.contains)
+    require(reserved.isEmpty,
+      s"pqTopK reserves column name(s): ${reserved.mkString(", ")}")
     val coded = pqEncode(corpus, embCol, codebooks)
-    val lutUdf = udf { (q: Array[Double]) => adcTable(codebooks, q) }
+    // null query → null LUT; adc/approx_sim go null and desc ordering
+    // drops them to the tail (mirrors the int8 path's encodeUdf guard)
+    val lutUdf = udf { (q: Array[Double]) =>
+      if (q == null) null else adcTable(codebooks, q)
+    }
     val adcUdf = udf { (codes: Array[Byte], lut: Array[Double]) =>
       if (codes == null || lut == null) null
       else {

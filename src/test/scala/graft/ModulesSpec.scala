@@ -223,6 +223,18 @@ class ModulesSpec extends AnyFunSuite {
     val one = Quantize.withCodes(corpus.limit(1), "emb")
       .select(length(col("q_codes")), size(col("emb"))).head()
     assert(one.getInt(0) == one.getInt(1))
+    // the persisted-store contract: topK over a frame ALREADY carrying
+    // q_codes/q_scale reuses them (no recompute, no refusal) and returns
+    // the identical top-k — the point of persisting the compact store
+    val persisted = Quantize.withCodes(corpus, "emb")
+    val viaPersisted = Quantize.topK(persisted, "emb", q, k = 5,
+        overFetch = 4, tieBreak = Seq("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(viaPersisted == viaQ, "persisted codes changed the result")
+    // while a PARTIAL clash (one of the two names) still fails loudly
+    intercept[IllegalArgumentException] {
+      Quantize.withCodes(corpus.withColumn("q_scale", lit(1.0)), "emb")
+    }
   }
 
   test("product quantization: byte codes, exact-on-centroids ADC, two-stage recall") {
@@ -230,7 +242,11 @@ class ModulesSpec extends AnyFunSuite {
     val e = graft.core.Tables.embeddings(spark, sf)
       .filter(col("embedding").isNotNull)
     val dim = 64; val m = 8; val nC = 32
-    val cbs = Quantize.pqFit(e, "embedding", dim, m, nC)
+    // fitting tolerates null embedding rows (skipped, like pqEncode
+    // null-guards them) — fit on a corpus WITH a null row, use everywhere
+    val withNull = e.unionByName(e.limit(1)
+      .withColumn("embedding", lit(null).cast("array<float>")))
+    val cbs = Quantize.pqFit(withNull, "embedding", dim, m, nC)
     assert(cbs.length == m && cbs.forall(_.length == nC) &&
       cbs.forall(_.forall(_.length == dim / m)))
     // codes: m bytes per vector (64x smaller than float32), ids in range,
