@@ -822,6 +822,37 @@ object WarehouseQueries {
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"), sum(col("cents")).cast("long").as("cents_sum"))
         .orderBy("c_mktsegment")
+    },
+
+    Q("q_fuzzy_join",
+      "Entity-resolution (approximate string) join: probe names with a " +
+        "deterministic last-char typo match back to the part catalog at " +
+        "levenshtein <= 2. The quadratic is bounded the same way as every " +
+        "pair search here — a blocking key (8-char name prefix) turns the " +
+        "all-pairs edit-distance scan into an equi-join, and the O(len^2) " +
+        "levenshtein runs only on bucket-mates. MDM/dedup shape: returns " +
+        "ALL candidates within distance, ranked by key, because entity " +
+        "resolution wants the candidate set, not one winner",
+      Some("""WITH probe AS (
+             |  SELECT p_partkey AS probe_key,
+             |    substr(p_name, 1, length(p_name) - 1) || 'x' AS probe_name
+             |  FROM part WHERE p_partkey % 50 = 0)
+             |SELECT probe_key, p_partkey AS match_key,
+             |  CAST(levenshtein(probe_name, p_name) AS BIGINT) AS dist
+             |FROM probe JOIN part
+             |  ON substr(probe_name, 1, 8) = substr(p_name, 1, 8)
+             |WHERE levenshtein(probe_name, p_name) <= 2
+             |ORDER BY probe_key, match_key""".stripMargin)) { (s, dir) =>
+      val probe = part(s, dir).filter(col("p_partkey") % 50 === 0)
+        .select(col("p_partkey").as("probe_key"),
+          concat(expr("substr(p_name, 1, length(p_name) - 1)"), lit("x"))
+            .as("probe_name"))
+      probe.join(part(s, dir),
+          substring(col("probe_name"), 1, 8) === substring(col("p_name"), 1, 8))
+        .filter(levenshtein(col("probe_name"), col("p_name")) <= 2)
+        .select(col("probe_key"), col("p_partkey").as("match_key"),
+          levenshtein(col("probe_name"), col("p_name")).cast("long").as("dist"))
+        .orderBy("probe_key", "match_key")
     }
   )
 }
