@@ -39,8 +39,14 @@ object Stress {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val m = sys.env.getOrElse("SPARK_GRAFT_STRESS_M", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_SHUFFLE sizes the exchange independently of the thread
+    // count: at M=60 the 32-partition window sort / text hash-aggregate
+    // spills (~1.1M rows per partition), and raising partitions — the knob
+    // a real cluster turns — is what recovers it (measured in SCALE.md)
+    val shuffle = sys.env.get("SPARK_GRAFT_SHUFFLE")
+      .flatMap(_.toIntOption).getOrElse(cpus.toInt)
     val spark: SparkSession = graft.core.Graft.session(s"local[$cpus]",
-      shufflePartitions = cpus.toInt, appName = "graft-stress")
+      shufflePartitions = shuffle, appName = "graft-stress")
 
     val stride = 100000000L
     val li = scaled(Tables.lineitem(spark, sfDir), m, stride, Seq("l_orderkey"))
