@@ -589,6 +589,47 @@ object PipelineQueries {
         .orderBy("domain")
     },
 
+    Q("q_unigram_logprob",
+      "Unigram language-model scoring — the poor-man's perplexity filter " +
+        "(a real LM would be a scored column from an inference pass; the " +
+        "unigram proxy needs only the corpus itself): p(tok) = corpus " +
+        "frequency, each doc reports token count and the summed surprisal " +
+        "-ln p. Curation drops the tails — gibberish scores high, " +
+        "boilerplate scores low. Scale shape: the frequency table is " +
+        "vocab-sized after one map-side-combined aggregate and broadcasts " +
+        "onto the exploded corpus. Determinism: -ln p is quantized to " +
+        "x1e6 integer PER TOKEN before the per-doc sum, so the sum is " +
+        "exact integer arithmetic — a double sum would depend on " +
+        "accumulation order and could not hash-match across engines",
+      Some {
+        val logp = text.fixedPoint("-ln(CAST(c AS DOUBLE) / t)", 6)
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(${text.tokens(D, "text")}) AS tok
+           |  FROM documents),
+           |freq AS (
+           |  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+           |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM freq),
+           |scored AS (
+           |  SELECT tok.doc_id, $logp AS lp
+           |  FROM tok JOIN freq USING (tok) CROSS JOIN tot)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+           |  CAST(sum(lp) AS BIGINT) AS surprisal_x1e6
+           |FROM scored WHERE doc_id < 100
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val logp = text.fixedPoint("-ln(CAST(c AS DOUBLE) / t)", 6)
+      val tok = documents(s, dir)
+        .select(col("doc_id"), explode(expr(text.tokens(S, "text"))).as("tok"))
+      val freq = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+      val tot = freq.agg(sum(col("c")).as("t"))
+      tok.join(broadcast(freq), Seq("tok")).crossJoin(broadcast(tot))
+        .select(col("doc_id"), expr(logp).as("lp"))
+        .filter(col("doc_id") < 100)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum(col("lp")).cast("long").as("surprisal_x1e6"))
+        .orderBy("doc_id")
+    },
+
     Q("q_histogram",
       "Data-profiling histogram: 20 fixed-width value bins (width 25, last " +
         "bin open) per event type — the distribution fingerprint a curation " +
