@@ -66,8 +66,12 @@ object Bench {
     // MEDIAN, separating real plan cost from first-run codegen and machine
     // noise (the driver never sets it, so the published line stays a
     // single cold-ish run, comparable across rounds)
-    val reps = sys.env.get("SPARK_GRAFT_REPS")
-      .flatMap(_.toIntOption).getOrElse(1).max(1)
+    // malformed input must fail loudly, not silently run 1 rep — numbers
+    // recorded as "median of 5" would really be one cold run
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map { s =>
+      s.trim.toIntOption.getOrElse(
+        sys.error(s"SPARK_GRAFT_REPS is not an integer: '$s'"))
+    }.getOrElse(1).max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>

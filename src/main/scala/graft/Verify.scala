@@ -20,6 +20,14 @@ object Verify {
     // dev-only: SPARK_GRAFT_ONLY=q_a,q_b dumps just those queries (the
     // driver never sets it, so the gate always covers the full catalog)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // a typo'd name would otherwise yield zero dumps + an empty oracle map
+    // and check_oracle would print "0 pass, 0 fail" with exit 0 — a silent
+    // green. Unknown names must fail loudly.
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in the catalog: ${unknown.mkString(", ")}")
+    }
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

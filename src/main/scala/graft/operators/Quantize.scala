@@ -52,10 +52,15 @@ object Quantize {
     (a: Array[Byte], sa: java.lang.Double, b: Array[Byte], sb: java.lang.Double) =>
       if (a == null || b == null || sa == null || sb == null) null
       else {
+        // a length mismatch means the persisted codes do not belong to
+        // this embedding column (stale store, wrong column) — truncating
+        // the dot would silently destroy recall; fail loudly instead
+        if (a.length != b.length) throw new IllegalStateException(
+          s"int8 code length mismatch: ${a.length} vs ${b.length} — " +
+            "persisted q_codes do not match the query's embedding dimension")
         var acc = 0L
         var i = 0
-        val n = math.min(a.length, b.length)
-        while (i < n) { acc += a(i).toLong * b(i).toLong; i += 1 }
+        while (i < a.length) { acc += a(i).toLong * b(i).toLong; i += 1 }
         java.lang.Double.valueOf(acc * sa * sb)
       }
   }
@@ -68,7 +73,13 @@ object Quantize {
     * passes through untouched, so [[topK]] on a coded corpus reuses the
     * stored codes instead of recomputing — or refusing. Only a PARTIAL
     * clash (one of the two, or the `__q` scratch name) fails loudly:
-    * that is caller data this function would silently overwrite. */
+    * that is caller data this function would silently overwrite.
+    *
+    * Freshness is the CALLER's contract: persisted codes must have been
+    * built from the same embedding column (re-embedding the corpus means
+    * re-encoding it). A dimension mismatch fails loudly in the search
+    * kernel; same-dimension stale codes are indistinguishable from fresh
+    * ones by construction. */
   def withCodes(df: DataFrame, embCol: String): DataFrame = {
     val have = Seq("q_codes", "q_scale").filter(df.columns.contains)
     if (have.size == 2) return df
@@ -233,12 +244,23 @@ object Quantize {
     val lutUdf = udf { (q: Array[Double]) =>
       if (q == null) null else adcTable(codebooks, q)
     }
+    val m = codebooks.length
     val adcUdf = udf { (codes: Array[Byte], lut: Array[Double]) =>
       if (codes == null || lut == null) null
       else {
+        // persisted pq_codes from DIFFERENT codebooks (other m/nC) would
+        // index outside their LUT rows or silently sum wrong slots —
+        // validate shape per row and fail loudly (cheap: two compares)
+        if (codes.length != m) throw new IllegalStateException(
+          s"pq_codes have ${codes.length} subspaces, codebooks have $m — " +
+            "persisted codes were built with different codebooks")
         var acc = 0.0; var s = 0
         while (s < codes.length) {
-          acc += lut(s * nC + (codes(s) & 0xff)); s += 1
+          val c = codes(s) & 0xff
+          if (c >= nC) throw new IllegalStateException(
+            s"pq code $c out of range for nCentroids=$nC — persisted codes " +
+              "were built with different codebooks")
+          acc += lut(s * nC + c); s += 1
         }
         java.lang.Double.valueOf(acc)
       }

@@ -597,12 +597,15 @@ object PipelineQueries {
         "-ln p. Curation drops the tails — gibberish scores high, " +
         "boilerplate scores low. Scale shape: the frequency table is " +
         "vocab-sized after one map-side-combined aggregate and broadcasts " +
-        "onto the exploded corpus. Determinism: -ln p is quantized to " +
-        "x1e6 integer PER TOKEN before the per-doc sum, so the sum is " +
+        "onto the exploded corpus. Determinism: -ln p is quantized to a " +
+        "x10k integer PER TOKEN before the per-doc sum, so the sum is " +
         "exact integer arithmetic — a double sum would depend on " +
-        "accumulation order and could not hash-match across engines",
+        "accumulation order and could not hash-match across engines. " +
+        "k=4, the house fixedPoint scale: ln is the one transcendental " +
+        "here and a finer scale would amplify last-ulp libm differences " +
+        "toward the floor boundary (the q_weighted_sample caveat class)",
       Some {
-        val logp = text.fixedPoint("-ln(CAST(c AS DOUBLE) / t)", 6)
+        val logp = text.fixedPoint("-ln(CAST(c AS DOUBLE) / t)", 4)
         s"""WITH tok AS (
            |  SELECT doc_id, unnest(${text.tokens(D, "text")}) AS tok
            |  FROM documents),
@@ -613,11 +616,11 @@ object PipelineQueries {
            |  SELECT tok.doc_id, $logp AS lp
            |  FROM tok JOIN freq USING (tok) CROSS JOIN tot)
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
-           |  CAST(sum(lp) AS BIGINT) AS surprisal_x1e6
+           |  CAST(sum(lp) AS BIGINT) AS surprisal_x10k
            |FROM scored WHERE doc_id < 100
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin
       }) { (s, dir) =>
-      val logp = text.fixedPoint("-ln(CAST(c AS DOUBLE) / t)", 6)
+      val logp = text.fixedPoint("-ln(CAST(c AS DOUBLE) / t)", 4)
       val tok = documents(s, dir)
         .select(col("doc_id"), explode(expr(text.tokens(S, "text"))).as("tok"))
       val freq = tok.groupBy("tok").agg(count(lit(1)).as("c"))
@@ -626,7 +629,7 @@ object PipelineQueries {
         .select(col("doc_id"), expr(logp).as("lp"))
         .filter(col("doc_id") < 100)
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tok"), sum(col("lp")).cast("long").as("surprisal_x1e6"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("lp")).cast("long").as("surprisal_x10k"))
         .orderBy("doc_id")
     },
 

@@ -43,8 +43,12 @@ object Stress {
     // count: at M=60 the 32-partition window sort / text hash-aggregate
     // spills (~1.1M rows per partition), and raising partitions — the knob
     // a real cluster turns — is what recovers it (measured in SCALE.md)
-    val shuffle = sys.env.get("SPARK_GRAFT_SHUFFLE")
-      .flatMap(_.toIntOption).getOrElse(cpus.toInt)
+    // loud on malformed input: a silent fallback to 32 partitions would
+    // invalidate exactly the partition-sizing experiment this knob proves
+    val shuffle = sys.env.get("SPARK_GRAFT_SHUFFLE").map { s =>
+      s.trim.toIntOption.getOrElse(
+        sys.error(s"SPARK_GRAFT_SHUFFLE is not an integer: '$s'"))
+    }.getOrElse(cpus.toInt)
     val spark: SparkSession = graft.core.Graft.session(s"local[$cpus]",
       shufflePartitions = shuffle, appName = "graft-stress")
 
