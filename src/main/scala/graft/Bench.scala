@@ -87,6 +87,12 @@ object Bench {
       }
       val err = times.collectFirst { case (_, Some(m)) => m }
       val ok = times.collect { case (t, None) => t }.sorted
+      // a partially-failing query (some reps ok, some not) still reports -1
+      // below, but the flake itself is worth a visible trace for the dev
+      // running with REPS>1 — a query that fails 1/5 reps is a real bug
+      if (err.isDefined && ok.nonEmpty)
+        System.err.println(s"[bench] $name failed ${reps - ok.length}/$reps reps " +
+          s"(successful reps discarded; median would have been ${ok(ok.length / 2)})")
       // a failed query reports -1, never its (near-zero) wall time — a broken
       // query must not masquerade as a fast one in the published line
       (name, if (err.isEmpty) ok(ok.length / 2) else -1.0, err)
@@ -108,8 +114,14 @@ object Bench {
     // file the driver (or a human) can read even if stdout capture clips
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] WARNING: bench_out.json write failed: ${e.getMessage}")
+    }
     println(line)
+    // the driver captures the TAIL of stdout, so the parseable summary must
+    // come LAST: two rounds (r2, r3) lost their official bench number because
+    // the total sat at the front of a long per-query line that got clipped
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_sec":${f3(total)},"n_failed":${results.count(_._3.isDefined)},"n_queries":${results.length},"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)
   }
