@@ -8,13 +8,22 @@ import org.apache.spark.sql.types._
   * with typed metadata, processed by per-partition batch kernels.
   *
   * The reference is text-only; this is the training-data-pipeline extension
-  * for 100 TB multimodal corpora. The Spark-side plumbing — schema,
-  * partition-parallel batch decode, feature schema, frame sampling — is
-  * real and tested. The decode kernels themselves are DETERMINISTIC FAKES
-  * (this container ships no image/audio codecs): they derive pseudo-pixels
-  * and pseudo-features from the byte content, clearly marked below. Swap
-  * `fakeDecode` for a real codec (javacv / a Pandas UDF in PySpark) and
-  * everything downstream keeps its shape.
+  * for 100 TB multimodal corpora. Two tiers of realness here:
+  *
+  *  - REAL decode ([[decodeMeta]]): uncompressed formats parseable in pure
+  *    JVM code — BMP (BITMAPINFOHEADER, 24bpp, bottom-up rows with 4-byte
+  *    stride padding), binary PPM (P6 ASCII header incl. `#` comments), and
+  *    WAV (RIFF chunk walk, PCM 16-bit). width/height/duration_ms plus a
+  *    content checksum over the actual pixel/sample payload are computed
+  *    columns, oracle-checked end-to-end by `q_multimodal_meta`
+  *    (PipelineQueries): the blobs are built by [[mediaForDoc]] as a pure
+  *    function of doc_id, so DuckDB recomputes every parsed value
+  *    closed-form and a writer OR parser bug breaks the hash.
+  *  - DETERMINISTIC FAKE ([[fakeDecode]]): compressed codecs (JPEG/MP3/
+  *    H.264) don't ship in this container, so feature extraction derives
+  *    pseudo-features from the byte content, clearly marked below. Swap
+  *    `fakeDecode` for a real codec (javacv / a Pandas UDF in PySpark) and
+  *    everything downstream keeps its shape.
   *
   * Scale notes: media rows are large — partition by size
   * (`maxPartitionBytes`), never collect, and keep features (small) in a
@@ -23,6 +32,192 @@ import org.apache.spark.sql.types._
   * written to their own files).
   */
 object Multimodal {
+
+  /** Parsed media header + payload checksum. Numeric fields use -1 (never
+    * NULL) for not-applicable slots per the catalog determinism contract. */
+  final case class MediaMeta(kind: String, width: Long, height: Long,
+      duration_ms: Long, content_sum: Long, size_bytes: Long)
+
+  // ---- little-endian byte helpers (shared by encoder and parser) --------
+  private def wrLE(b: Array[Byte], off: Int, v: Long, n: Int): Unit = {
+    var i = 0
+    while (i < n) { b(off + i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+  }
+  private def rdLE(b: Array[Byte], off: Int, n: Int): Long = {
+    var v = 0L; var i = 0
+    while (i < n) { v |= (b(off + i) & 0xffL) << (8 * i); i += 1 }
+    v
+  }
+
+  // ======================================================================
+  // Encoders: real on-disk formats, payload bytes a pure function of a
+  // seed so the oracle can recompute the checksum without reading bytes.
+  // pixel byte i = (seed*3 + i) % 251; sample i = (seed*7 + i) % 4001 - 2000
+  // ======================================================================
+
+  /** 24bpp uncompressed BMP, bottom-up rows padded to 4-byte stride. */
+  def encodeBmp(w: Int, h: Int, seed: Long): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad bmp dims ${w}x$h")
+    val rowBytes = ((3 * w + 3) / 4) * 4
+    val size = 54 + rowBytes * h
+    val b = new Array[Byte](size) // zero-filled => padding bytes are 0
+    b(0) = 'B'; b(1) = 'M'
+    wrLE(b, 2, size, 4); wrLE(b, 10, 54, 4) // file size, pixel data offset
+    wrLE(b, 14, 40, 4) // BITMAPINFOHEADER
+    wrLE(b, 18, w, 4); wrLE(b, 22, h, 4) // positive height = bottom-up
+    wrLE(b, 26, 1, 2); wrLE(b, 28, 24, 2) // planes, bpp
+    wrLE(b, 30, 0, 4); wrLE(b, 34, rowBytes * h, 4) // BI_RGB, image size
+    var idx = 0L; var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < 3 * w) {
+        b(54 + y * rowBytes + x) = ((seed * 3 + idx) % 251).toByte
+        idx += 1; x += 1
+      }
+      y += 1
+    }
+    b
+  }
+
+  /** Binary PPM (P6): ASCII header, then w*h*3 unpadded RGB bytes. */
+  def encodePpm(w: Int, h: Int, seed: Long): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad ppm dims ${w}x$h")
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val b = new Array[Byte](header.length + 3 * w * h)
+    System.arraycopy(header, 0, b, 0, header.length)
+    var i = 0
+    while (i < 3 * w * h) {
+      b(header.length + i) = ((seed * 3 + i) % 251).toByte
+      i += 1
+    }
+    b
+  }
+
+  /** WAV: 44-byte canonical RIFF/fmt/data layout, PCM mono 16-bit. */
+  def encodeWav(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    require(nSamples > 0 && sampleRate > 0, s"bad wav shape $nSamples@$sampleRate")
+    val dataBytes = 2 * nSamples
+    val b = new Array[Byte](44 + dataBytes)
+    b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
+    wrLE(b, 4, 36 + dataBytes, 4)
+    b(8) = 'W'; b(9) = 'A'; b(10) = 'V'; b(11) = 'E'
+    b(12) = 'f'; b(13) = 'm'; b(14) = 't'; b(15) = ' '
+    wrLE(b, 16, 16, 4); wrLE(b, 20, 1, 2); wrLE(b, 22, 1, 2) // PCM, mono
+    wrLE(b, 24, sampleRate, 4); wrLE(b, 28, sampleRate * 2L, 4) // byte rate
+    wrLE(b, 32, 2, 2); wrLE(b, 34, 16, 2) // block align, bits
+    b(36) = 'd'; b(37) = 'a'; b(38) = 't'; b(39) = 'a'
+    wrLE(b, 40, dataBytes, 4)
+    var i = 0
+    while (i < nSamples) {
+      wrLE(b, 44 + 2 * i, ((seed * 7 + i) % 4001 - 2000) & 0xffffL, 2)
+      i += 1
+    }
+    b
+  }
+
+  /** Deterministic media blob for a document: doc_id % 3 picks the format,
+    * dims/duration derive from doc_id — the same arithmetic the
+    * q_multimodal_meta oracle evaluates in SQL. */
+  def mediaForDoc(docId: Long): Array[Byte] = {
+    require(docId >= 0, s"negative doc_id $docId")
+    val w = (1 + docId % 13).toInt; val h = (1 + docId % 7).toInt
+    (docId % 3) match {
+      case 0 => encodeBmp(w, h, docId)
+      case 1 => encodePpm(w, h, docId)
+      case _ => encodeWav((8 * (100 + docId % 100)).toInt, 8000, docId)
+    }
+  }
+
+  // ======================================================================
+  // REAL decoder: format dispatch on magic bytes, strict header parsing.
+  // Malformed input throws — silent zeros would poison a 100 TB metadata
+  // table invisibly, and a decode error must surface as a task failure.
+  // ======================================================================
+
+  /** Parse header metadata + payload checksum from real BMP/PPM/WAV bytes. */
+  def decodeMeta(b: Array[Byte]): MediaMeta = {
+    require(b != null && b.length >= 12, "media blob too short for any magic")
+    if (b(0) == 'B' && b(1) == 'M') decodeBmp(b)
+    else if (b(0) == 'P' && b(1) == '6') decodePpm(b)
+    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+             b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')
+      decodeWav(b)
+    else sys.error(f"unrecognized media magic 0x${b(0)}%02x 0x${b(1)}%02x")
+  }
+
+  private def decodeBmp(b: Array[Byte]): MediaMeta = {
+    val dataOff = rdLE(b, 10, 4).toInt
+    val w = rdLE(b, 18, 4).toInt; val h = rdLE(b, 22, 4).toInt
+    val bpp = rdLE(b, 28, 2).toInt; val compression = rdLE(b, 30, 4)
+    require(w > 0 && h > 0, s"bmp dims ${w}x$h (top-down/empty unsupported)")
+    require(bpp == 24 && compression == 0, s"bmp bpp=$bpp comp=$compression (only uncompressed 24bpp)")
+    val rowBytes = ((3 * w + 3) / 4) * 4 // rows stride-padded to 4 bytes
+    require(b.length >= dataOff + rowBytes * h, "bmp truncated pixel array")
+    var sum = 0L; var y = 0
+    while (y < h) { // checksum skips the padding tail of each row
+      var x = 0
+      while (x < 3 * w) { sum += b(dataOff + y * rowBytes + x) & 0xff; x += 1 }
+      y += 1
+    }
+    MediaMeta("bmp", w, h, -1L, sum, b.length)
+  }
+
+  private def decodePpm(b: Array[Byte]): MediaMeta = {
+    var p = 2
+    // PPM header tokens separated by whitespace; '#' starts a comment to EOL
+    def nextInt(): Int = {
+      while (p < b.length && (b(p) == ' ' || b(p) == '\n' || b(p) == '\r' ||
+             b(p) == '\t' || b(p) == '#')) {
+        if (b(p) == '#') { while (p < b.length && b(p) != '\n') p += 1 }
+        else p += 1
+      }
+      val start = p
+      while (p < b.length && b(p) >= '0' && b(p) <= '9') p += 1
+      require(p > start, s"ppm header: expected integer at byte $start")
+      new String(b, start, p - start, "US-ASCII").toInt
+    }
+    val w = nextInt(); val h = nextInt(); val maxv = nextInt()
+    require(w > 0 && h > 0 && maxv == 255, s"ppm ${w}x$h maxval=$maxv")
+    p += 1 // exactly one whitespace byte between maxval and binary payload
+    require(b.length >= p + 3 * w * h, "ppm truncated pixel payload")
+    var sum = 0L; var i = 0
+    while (i < 3 * w * h) { sum += b(p + i) & 0xff; i += 1 }
+    MediaMeta("ppm", w, h, -1L, sum, b.length)
+  }
+
+  private def decodeWav(b: Array[Byte]): MediaMeta = {
+    // RIFF chunk walk: unknown chunks skipped (odd sizes pad one byte), so
+    // files with LIST/INFO chunks between fmt and data still parse
+    var p = 12; var rate = -1L; var bits = -1L; var channels = -1L
+    var dataOff = -1; var dataLen = -1
+    while (p + 8 <= b.length) {
+      val sz = rdLE(b, p + 4, 4).toInt
+      val id = new String(b, p, 4, "US-ASCII")
+      if (id == "fmt ") {
+        require(rdLE(b, p + 8, 2) == 1, "wav: only PCM (format tag 1)")
+        channels = rdLE(b, p + 10, 2); rate = rdLE(b, p + 12, 4)
+        bits = rdLE(b, p + 22, 2)
+      } else if (id == "data") { dataOff = p + 8; dataLen = sz }
+      p += 8 + sz + (sz & 1)
+    }
+    require(rate > 0 && bits == 16 && channels == 1 && dataOff >= 0,
+      s"wav: rate=$rate bits=$bits ch=$channels dataOff=$dataOff (PCM mono 16-bit only)")
+    require(b.length >= dataOff + dataLen && dataLen % 2 == 0, "wav truncated data chunk")
+    val n = dataLen / 2
+    var sum = 0L; var i = 0
+    while (i < n) { // int16 LE, sign via Byte->Int extension of the high byte
+      sum += (b(dataOff + 2 * i + 1).toInt << 8) | (b(dataOff + 2 * i) & 0xff)
+      i += 1
+    }
+    MediaMeta("wav", -1L, -1L, n * 1000L / rate, sum, b.length)
+  }
+
+  import org.apache.spark.sql.functions.udf
+  /** Kernel UDFs for q_multimodal_meta: per-row pure byte work (format
+    * encode/parse) — imperative loops over binary, the documented UDF
+    * carve-out (no Catalyst expression operates inside a byte array). */
+  val mediaForDocUdf = udf((docId: Long) => mediaForDoc(docId))
+  val metaUdf = udf((b: Array[Byte]) => decodeMeta(b))
 
   /** canonical media table schema */
   val mediaSchema: StructType = StructType(Seq(

@@ -654,6 +654,54 @@ object PipelineQueries {
         .select(col("event_type"), col("bin"),
           (col("bin") * 25).cast("long").as("bin_lo"), col("n"))
         .orderBy("event_type", "bin")
+    },
+
+    Q("q_multimodal_meta",
+      "Multimodal metadata extraction, end-to-end REAL: build genuine " +
+        "BMP/PPM/WAV bytes per document (format picked by doc_id % 3, " +
+        "dims/duration/payload a pure function of doc_id), then parse them " +
+        "back with the pure-JVM decoder — BMP stride-padded pixel walk, " +
+        "PPM ASCII header, RIFF chunk walk — emitting width/height/" +
+        "duration_ms plus a checksum over the actual pixel/sample payload. " +
+        "The oracle recomputes every value closed-form from doc_id, so a " +
+        "bug in EITHER the writer or the parser (stride, chunk offsets, " +
+        "int16 sign, header arithmetic) breaks the hash. Scale shape: one " +
+        "narrow scan + two per-row kernels, no shuffle before the final " +
+        "sort; at 100 TB the decode is exactly this — per-row byte work " +
+        "that never leaves the partition, metadata landing in a narrow " +
+        "table so analytics skip the blob column entirely",
+      Some("""SELECT doc_id AS media_id,
+             |  CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'wav' END AS kind,
+             |  CAST(CASE WHEN doc_id % 3 = 2 THEN -1 ELSE 1 + doc_id % 13 END AS BIGINT) AS width,
+             |  CAST(CASE WHEN doc_id % 3 = 2 THEN -1 ELSE 1 + doc_id % 7 END AS BIGINT) AS height,
+             |  CAST(CASE WHEN doc_id % 3 = 2 THEN 100 + doc_id % 100 ELSE -1 END AS BIGINT) AS duration_ms,
+             |  CAST(CASE WHEN doc_id % 3 = 2 THEN
+             |      list_sum(list_transform(generate_series(0, 8*(100 + doc_id % 100) - 1),
+             |        i -> (doc_id*7 + i) % 4001 - 2000))
+             |    ELSE
+             |      list_sum(list_transform(generate_series(0, (1 + doc_id % 13)*(1 + doc_id % 7)*3 - 1),
+             |        i -> (doc_id*3 + i) % 251))
+             |    END AS BIGINT) AS content_sum,
+             |  CAST(CASE doc_id % 3
+             |    WHEN 0 THEN 54 + (1 + doc_id % 7) * (((3*(1 + doc_id % 13) + 3) // 4) * 4)
+             |    WHEN 1 THEN 9 + length(CAST(1 + doc_id % 13 AS VARCHAR))
+             |      + length(CAST(1 + doc_id % 7 AS VARCHAR))
+             |      + 3*(1 + doc_id % 13)*(1 + doc_id % 7)
+             |    ELSE 44 + 16*(100 + doc_id % 100)
+             |    END AS BIGINT) AS size_bytes
+             |FROM documents WHERE doc_id < 300
+             |ORDER BY media_id""".stripMargin)) { (s, dir) =>
+      import graft.operators.Multimodal
+      documents(s, dir)
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id").as("media_id"),
+          Multimodal.metaUdf(Multimodal.mediaForDocUdf(col("doc_id"))).as("m"))
+        .select(col("media_id"), col("m.kind").as("kind"),
+          col("m.width").as("width"), col("m.height").as("height"),
+          col("m.duration_ms").as("duration_ms"),
+          col("m.content_sum").as("content_sum"),
+          col("m.size_bytes").as("size_bytes"))
+        .orderBy("media_id")
     }
   )
 }

@@ -939,6 +939,57 @@ class ModulesSpec extends AnyFunSuite {
     assert(frames.count() == 3) // 0, 1000, 2000 for the 2500ms video
   }
 
+  test("multimodal decodeMeta: hand-built literal bytes (parser independent of writer)") {
+    // Each array is hand-assembled with features the in-house encoder never
+    // emits — NONZERO bmp row padding, a ppm comment line, an unknown
+    // odd-sized RIFF chunk — so this proves the PARSER, not writer∘parser.
+    // 2x1 24bpp BMP, rowBytes=8: 6 pixel bytes sum 210, padding 99s skipped
+    val bmp = Array[Int](
+      'B', 'M', 62, 0, 0, 0, 0, 0, 0, 0, 54, 0, 0, 0, // file header
+      40, 0, 0, 0, 2, 0, 0, 0, 1, 0, 0, 0, 1, 0, 24, 0, // info: 2x1, 24bpp
+      0, 0, 0, 0, 8, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      10, 20, 30, 40, 50, 60, 99, 99).map(_.toByte)
+    val mb = Multimodal.decodeMeta(bmp)
+    assert(mb == Multimodal.MediaMeta("bmp", 2, 1, -1, 210, 62),
+      s"bmp parse: $mb (padding bytes must be excluded from content_sum)")
+    // P6 with a comment line; 3x2 pixels 1..18 sum 171
+    val ppm = "P6\n# test comment\n3 2\n255\n".getBytes("US-ASCII") ++
+      (1 to 18).map(_.toByte).toArray
+    val mp = Multimodal.decodeMeta(ppm)
+    assert(mp == Multimodal.MediaMeta("ppm", 3, 2, -1, 171, ppm.length), s"ppm parse: $mp")
+    // WAV @1000 Hz with an unknown odd-sized 'junk' chunk (1-byte pad)
+    // between fmt and data; samples -1, 2, -3, 4 => sum 2, duration 4 ms
+    val wav = Array[Int](
+      'R', 'I', 'F', 'F', 56, 0, 0, 0, 'W', 'A', 'V', 'E',
+      'f', 'm', 't', ' ', 16, 0, 0, 0, 1, 0, 1, 0, 0xE8, 3, 0, 0,
+      0xD0, 7, 0, 0, 2, 0, 16, 0,
+      'j', 'u', 'n', 'k', 3, 0, 0, 0, 7, 7, 7, 0,
+      'd', 'a', 't', 'a', 8, 0, 0, 0,
+      0xFF, 0xFF, 2, 0, 0xFD, 0xFF, 4, 0).map(_.toByte)
+    val mw = Multimodal.decodeMeta(wav)
+    assert(mw == Multimodal.MediaMeta("wav", -1, -1, 4, 2, 64),
+      s"wav parse: $mw (int16 sign extension + chunk-walk must both hold)")
+    // roundtrip sweep across all three formats: decode(mediaForDoc(id))
+    // must equal the closed-form arithmetic the DuckDB oracle evaluates
+    for (id <- 0L to 50L) {
+      val m = Multimodal.decodeMeta(Multimodal.mediaForDoc(id))
+      if (id % 3 == 2) {
+        val n = 8 * (100 + id % 100)
+        assert(m.kind == "wav" && m.duration_ms == 100 + id % 100 &&
+          m.content_sum == (0L until n).map(i => (id * 7 + i) % 4001 - 2000).sum,
+          s"doc $id: $m")
+      } else {
+        val (w, h) = (1 + id % 13, 1 + id % 7)
+        assert(m.width == w && m.height == h &&
+          m.content_sum == (0L until w * h * 3).map(i => (id * 3 + i) % 251).sum,
+          s"doc $id: $m")
+      }
+    }
+    // malformed input fails loudly, never returns zeros
+    intercept[RuntimeException](Multimodal.decodeMeta(Array.fill[Byte](16)(1)))
+    intercept[IllegalArgumentException](Multimodal.decodeMeta(Array[Byte](1, 2)))
+  }
+
   test("Graft.registerAll: SQL over temp views matches the DataFrame path") {
     graft.core.Graft.registerAll(spark, sf)
     val viaSql = spark.sql(
