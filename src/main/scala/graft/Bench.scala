@@ -11,15 +11,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .withExtensions(new graft.plans.GraftExtensions)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // session configs (incl. AQE auto-sized exchanges) come from the one
+    // shared builder so Bench times the same session shape users get
+    val spark = graft.core.Graft.session(s"local[$cpus]",
+      shufflePartitions = cpus.toInt, appName = "graft-bench",
+      extraConf = Map("spark.ui.enabled" -> "false"))
     // warm-up: touch every table's parquet footer + reader, the noop
     // committer, and the compiled UDF kernels, so one-time session/codegen/
     // JIT cost lands here instead of inflating whichever query runs first

@@ -7,15 +7,9 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .withExtensions(new graft.plans.GraftExtensions)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.core.Graft.session(s"local[$cpus]",
+      shufflePartitions = cpus.toInt, appName = "graft-verify",
+      extraConf = Map("spark.ui.enabled" -> "false"))
     new java.io.File(outDir).mkdirs()
     // dev-only: SPARK_GRAFT_ONLY=q_a,q_b dumps just those queries (the
     // driver never sets it, so the gate always covers the full catalog)

@@ -20,14 +20,28 @@ object Graft {
     * should track the cluster's core count — the 200 default is wrong in
     * both directions (too many for local, usually too few at 100 TB). */
   def session(master: String = "local[*]", shufflePartitions: Int = 32,
-              appName: String = "graft"): SparkSession = {
-    val s = SparkSession.builder()
+              appName: String = "graft",
+              extraConf: Map[String, String] = Map.empty): SparkSession = {
+    val b = SparkSession.builder()
       .master(master)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // Auto-size exchanges instead of hand-tuning a partition knob: every
+      // shuffle STARTS wide (initialPartitionNum) and AQE coalesces down to
+      // ~64 MB targets at runtime. Small queries end up with few post-
+      // coalesce partitions (no task-overhead tax), while a 60×-scale
+      // stress workload keeps the width it needs — the SCALE.md M=60
+      // join-window/exact-dedup knee was exactly a 32-partition sort spill
+      // that SPARK_GRAFT_SHUFFLE=256 used to paper over by hand.
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        math.max(shufflePartitions, 256).toString)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .withExtensions(new graft.plans.GraftExtensions)
+    val s = extraConf.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

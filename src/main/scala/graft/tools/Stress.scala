@@ -39,11 +39,12 @@ object Stress {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val m = sys.env.getOrElse("SPARK_GRAFT_STRESS_M", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // SPARK_GRAFT_SHUFFLE sizes the exchange independently of the thread
-    // count: at M=60 the 32-partition window sort / text hash-aggregate
-    // spills (~1.1M rows per partition), and raising partitions — the knob
-    // a real cluster turns — is what recovers it (measured in SCALE.md)
-    // loud on malformed input: a silent fallback to 32 partitions would
+    // SPARK_GRAFT_SHUFFLE pins a fixed exchange width for A/B experiments.
+    // The DEFAULT session now auto-sizes instead (Graft.session: AQE with
+    // initialPartitionNum 256 + 64 MB advisory targets), which is what
+    // removed the M=60 window-sort/hash-aggregate knee that a hand-set
+    // SPARK_GRAFT_SHUFFLE=256 used to fix (history in SCALE.md).
+    // Loud on malformed input: a silent fallback to 32 partitions would
     // invalidate exactly the partition-sizing experiment this knob proves
     val shuffle = sys.env.get("SPARK_GRAFT_SHUFFLE").map { s =>
       s.trim.toIntOption.getOrElse(
