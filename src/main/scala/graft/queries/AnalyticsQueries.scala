@@ -210,6 +210,61 @@ object AnalyticsQueries {
         .orderBy("query_id", "rank")
     },
 
+    Q("q_pq_topk",
+      "PQ ADC two-stage top-5 (Quantize.pqTopK, m=8 subspaces x 32 " +
+        "centroids over the 64-dim corpus): codes are 8 bytes/vector (64x " +
+        "smaller than float32), the ADC stage scans only codes + one " +
+        "broadcast lookup table, exact cosine re-ranks the over-fetch. " +
+        "KMeans codebooks are engine-specific (seeded, deterministic in " +
+        "Spark, not SQL-expressible), so the house sketch pattern applies: " +
+        "output is the EXACT cosine top-5 — which DuckDB computes " +
+        "identically — plus recall_ok, TRUE iff the PQ path recovered >= 3 " +
+        "of the true top-5 (measured 4-5/5 on this corpus at all three " +
+        "SFs; ModulesSpec pins the same m/nC resolution at 0.8 recall). " +
+        "TRIAGE: a recall_ok=false on new data means the PQ resolution " +
+        "bound (raise m/nC or overFetch), NOT an engine bug — the exact " +
+        "rows above it would still hash-match",
+      Some(s"""WITH corpus AS (
+              |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings WHERE vec_id <> 0),
+              |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+              |      FROM embeddings WHERE vec_id = 0)
+              |SELECT vec_id, label, ${text.fixedPoint("similarity", 4)} AS sim_x10k,
+              |  TRUE AS recall_ok
+              |FROM (
+              |  SELECT c.vec_id, c.label,
+              |    ${vectors.cosineSimSql("c.emb", "q.qe")} AS similarity
+              |  FROM corpus c CROSS JOIN q)
+              |ORDER BY similarity DESC, vec_id
+              |LIMIT 5""".stripMargin)) { (s, dir) =>
+      import graft.operators.Quantize
+      val corpus = embeddings(s, dir).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("emb"))
+      val q = embeddings(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("qe"))
+      val cb = Quantize.pqFit(corpus, "emb", dim = 64, m = 8, nCentroids = 32)
+      // overFetch 16: the near-uniform synthetic corpus bunches cosine gaps
+      // tighter than the ADC resolution at 2000 vectors (sf0.1), so the
+      // candidate page must be wider than the default 4x to hold recall —
+      // the dial a real deployment turns before spending bytes on m/nC
+      val approx = Quantize.pqTopK(corpus, "emb", cb, q, k = 5,
+          overFetch = 16, tieBreak = Seq("vec_id"))
+        .select(col("vec_id"), lit(1L).as("pq_hit"))
+      val exact = corpus.crossJoin(broadcast(q))
+        .withColumn("similarity", vectors.cosineSim(col("emb"), col("qe")))
+        .orderBy(desc("similarity"), col("vec_id"))
+        .limit(5)
+        .select(col("vec_id"), col("label"),
+          expr(text.fixedPoint("similarity", 4)).as("sim_x10k"))
+      val marked = exact.join(broadcast(approx), Seq("vec_id"), "left")
+      marked.crossJoin(broadcast(
+          marked.agg(coalesce(sum("pq_hit"), lit(0L)).as("nhit"))))
+        .select(col("vec_id"), col("label"), col("sim_x10k"),
+          (col("nhit") >= 3).as("recall_ok"))
+        .orderBy(desc("sim_x10k"), col("vec_id"))
+    },
+
     Q("q_embed_stub",
       "G7 deterministic embedder: hashing-TF embed of each doc, cosine vs " +
         "doc 0's embedding — the offline stand-in for the reference's " +

@@ -702,6 +702,43 @@ object PipelineQueries {
           col("m.content_sum").as("content_sum"),
           col("m.size_bytes").as("size_bytes"))
         .orderBy("media_id")
+    },
+
+    Q("q_stream_dedup",
+      "Batch twin of the streaming ingest dedup (EventsStream.dedupStream: " +
+        "dropDuplicatesWithinWatermark keyed by content fingerprint, state " +
+        "aged out by the watermark): keep the event-time-FIRST event per " +
+        "fingerprint of (event_type + props), report how many duplicates " +
+        "each survivor absorbed. Equals the streaming output whenever a " +
+        "fingerprint's duplicates span less than the watermark horizon " +
+        "(ModulesSpec pins the streaming side on a fixture; a dupe arriving " +
+        "after the horizon re-opens its fingerprint there by design — " +
+        "bounded state is the point). Scale shape: one fingerprint-keyed " +
+        "window over a codegen'd scan projection — the same single shuffle " +
+        "the streaming state store does by key",
+      Some {
+        val fp = text.fingerprint(D, "(event_type || ' ' || props)")
+        s"""WITH f AS (
+           |  SELECT event_id, user_id, event_type, ts, $fp AS fp
+           |  FROM events),
+           |r AS (
+           |  SELECT event_id, user_id, event_type,
+           |    row_number() OVER (PARTITION BY fp ORDER BY ts, event_id) AS rn,
+           |    count(*) OVER (PARTITION BY fp) AS n_dupes
+           |  FROM f)
+           |SELECT event_id, user_id, event_type, CAST(n_dupes AS BIGINT) AS n_dupes
+           |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin
+      }) { (s, dir) =>
+      val w = Window.partitionBy("fp").orderBy("ts", "event_id")
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+          expr(text.fingerprint(S, "(event_type || ' ' || props)")).as("fp"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_dupes", count(lit(1)).over(Window.partitionBy("fp")))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("n_dupes").cast("long").as("n_dupes"))
+        .orderBy("event_id")
     }
   )
 }

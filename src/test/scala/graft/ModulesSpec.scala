@@ -750,6 +750,24 @@ class ModulesSpec extends AnyFunSuite {
     q.stop()
     assert(ids.contains(1L) && ids.contains(3L), s"survivors missing: $ids")
     assert(!ids.contains(2L), s"duplicate 2 survived: $ids")
+    // batch twin (the q_stream_dedup shape): event-time-first per
+    // fingerprint must equal the streaming survivors on a fixture whose
+    // duplicates all sit inside the watermark horizon
+    val fixture = Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "the same doc"),
+      (Timestamp.valueOf("2024-01-01 10:05:00"), 2L, "the  same   doc"),
+      (Timestamp.valueOf("2024-01-01 10:10:00"), 3L, "a different doc"),
+      (Timestamp.valueOf("2024-01-01 13:00:00"), 4L, "flush marker"))
+      .toDF("ts", "event_id", "text")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy("ts", "event_id")
+    val twin = fixture
+      .withColumn("fp", expr(graft.functions.text.fingerprint(
+        graft.functions.SparkDialect, "text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(twin == ids, s"batch twin $twin != streaming survivors $ids")
   }
 
   test("sessionization gap logic (pure state update)") {
