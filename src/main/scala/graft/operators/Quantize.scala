@@ -75,20 +75,24 @@ object Quantize {
     * clash (one of the two, or the `__q` scratch name) fails loudly:
     * that is caller data this function would silently overwrite.
     *
-    * Freshness is the CALLER's contract: persisted codes must have been
-    * built from the same embedding column (re-embedding the corpus means
-    * re-encoding it). A dimension mismatch fails loudly in the search
-    * kernel; same-dimension stale codes are indistinguishable from fresh
-    * ones by construction. */
+    * Freshness: fresh encodes also stamp `q_sig` — xxhash64 of the
+    * (double-cast) embedding — next to the codes, and [[topK]] re-checks
+    * it per candidate row on the re-rank page (where the float column is
+    * being read anyway), so a store whose embeddings were re-generated
+    * after encoding fails loudly instead of silently ranking on stale
+    * codes. A store persisted WITHOUT `q_sig` (pre-token layout) still
+    * reuses with the dimension-mismatch guard alone — the caller contract
+    * documented here. */
   def withCodes(df: DataFrame, embCol: String): DataFrame = {
     val have = Seq("q_codes", "q_scale").filter(df.columns.contains)
     if (have.size == 2) return df
-    val clash = have ++ Seq("__q").filter(df.columns.contains)
+    val clash = have ++ Seq("__q", "q_sig").filter(df.columns.contains)
     require(clash.isEmpty,
       s"withCodes would overwrite existing column(s): ${clash.mkString(", ")}")
     df.withColumn("__q", encodeUdf(col(embCol).cast("array<double>")))
       .withColumn("q_codes", col("__q._1"))
       .withColumn("q_scale", col("__q._2"))
+      .withColumn("q_sig", xxhash64(col(embCol).cast("array<double>")))
       .drop("__q")
   }
 
@@ -105,9 +109,12 @@ object Quantize {
       .filter(corpus.columns.contains)
     require(reserved.isEmpty,
       s"topK reserves column name(s): ${reserved.mkString(", ")}")
+    // query vectors are transient — drop their freshness stamp so it can't
+    // collide with the corpus store's q_sig across the join
     val q = withCodes(query.select(col("qe").cast("array<double>").as("qe")), "qe")
       .withColumnRenamed("q_codes", "qq_codes")
       .withColumnRenamed("q_scale", "qq_scale")
+      .drop("q_sig")
     val coded = withCodes(corpus, embCol)
     val cand = coded.crossJoin(broadcast(q))
       .withColumn("approx_sim",
@@ -115,11 +122,26 @@ object Quantize {
           col("qq_codes"), col("qq_scale")))
       .orderBy((desc("approx_sim") +: tieBreak.map(col)): _*)
       .limit(k * overFetch)
+    // freshness re-check on the re-rank page only (the float column is in
+    // hand here anyway; the approx stage above stays a narrow codes scan):
+    // assert_true yields NULL when fine, so the coalesce(+0.0) keeps the
+    // check load-bearing inside the similarity expression — an unused
+    // check column would be pruned by the optimizer
+    val sim = vectors.cosineSim(col(embCol), col("qe"))
+    val checked =
+      if (coded.columns.contains("q_sig"))
+        sim + coalesce(assert_true(
+          col("q_sig") === xxhash64(col(embCol).cast("array<double>")),
+          lit(s"stale int8 store: q_sig does not match $embCol — the " +
+            "corpus was re-embedded after q_codes were built; re-encode"))
+          .cast("double"), lit(0.0))
+      else sim
     cand
-      .withColumn("similarity", vectors.cosineSim(col(embCol), col("qe")))
+      .withColumn("similarity", checked)
       .orderBy((desc("similarity") +: tieBreak.map(col)): _*)
       .limit(k)
-      .drop("q_codes", "q_scale", "qq_codes", "qq_scale", "qe", "approx_sim")
+      .drop("q_codes", "q_scale", "q_sig", "qq_codes", "qq_scale", "qe",
+        "approx_sim")
   }
 
   // --- Product quantization (PQ) -------------------------------------------
@@ -185,15 +207,55 @@ object Quantize {
     * recalled 0.2 of the cosine top-5, m=8/nC=32 recalls 0.8
     * (ModulesSpec) — budget m×log2(nC) bits against how tightly the
     * corpus's similarity gaps bunch. */
+  /** Deterministic codebook fingerprint (FNV-1a over the raw double bits):
+    * stamped next to the codes at encode time, compared at reuse time, so
+    * persisted `pq_codes` from a DIFFERENT codebook fit — even one with
+    * the same m/nCentroids, which the shape guards cannot see — fail
+    * loudly instead of silently ranking on the wrong centroids. */
+  private[graft] def cbFingerprint(cb: Array[Array[Array[Double]]]): Long = {
+    var h = 1469598103934665603L
+    var s = 0
+    while (s < cb.length) {
+      var c = 0
+      while (c < cb(s).length) {
+        var j = 0
+        while (j < cb(s)(c).length) {
+          val bits = java.lang.Double.doubleToLongBits(cb(s)(c)(j))
+          var i = 0
+          while (i < 8) {
+            h = (h ^ ((bits >>> (8 * i)) & 0xffL)) * 1099511628211L; i += 1
+          }
+          j += 1
+        }
+        c += 1
+      }
+      s += 1
+    }
+    h
+  }
+
   def pqEncode(df: DataFrame, embCol: String,
                codebooks: Array[Array[Array[Double]]]): DataFrame = {
     // same reuse-or-fail-loudly contract as [[withCodes]]: a frame already
     // carrying both persisted code columns passes through; a partial clash
     // is caller data that would be silently overwritten
+    val sig = cbFingerprint(codebooks)
     val have = Seq("pq_codes", "pq_norm").filter(df.columns.contains)
-    if (have.size == 2) return df
-    require(have.isEmpty,
-      s"pqEncode would overwrite existing column(s): ${have.mkString(", ")}")
+    if (have.size == 2) {
+      // freshness token check (when the store carries one): assert_true is
+      // folded into pq_norm so the optimizer cannot prune it — pq_norm is
+      // load-bearing in every downstream ADC ranking. Pre-token stores
+      // (no pq_cb_sig) keep the documented shape-guard-only contract.
+      if (!df.columns.contains("pq_cb_sig")) return df
+      return df.withColumn("pq_norm", col("pq_norm") +
+        coalesce(assert_true(col("pq_cb_sig") === lit(sig),
+          lit("stale PQ store: pq_cb_sig does not match these codebooks — " +
+            "pq_codes were built from a different fit; re-encode"))
+          .cast("double"), lit(0.0)))
+    }
+    val clash = have ++ Seq("pq_cb_sig").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"pqEncode would overwrite existing column(s): ${clash.mkString(", ")}")
     val w = codebooks(0)(0).length
     val enc = udf { (emb: Array[Double]) =>
       if (emb == null) null
@@ -201,6 +263,7 @@ object Quantize {
     }
     df.withColumn("pq_codes", enc(col(embCol).cast("array<double>")))
       .withColumn("pq_norm", vectors.l2Norm(col(embCol).cast("array<double>")))
+      .withColumn("pq_cb_sig", lit(sig))
   }
 
   /** the ADC lookup table for one query: LUT[s * nCentroids + c] = exact
@@ -278,6 +341,7 @@ object Quantize {
       .withColumn("similarity", vectors.cosineSim(col(embCol), col("qe")))
       .orderBy((desc("similarity") +: tieBreak.map(col)): _*)
       .limit(k)
-      .drop("pq_codes", "pq_norm", "qe", "__lut", "__qn", "approx_sim")
+      .drop("pq_codes", "pq_norm", "pq_cb_sig", "qe", "__lut", "__qn",
+        "approx_sim")
   }
 }

@@ -723,7 +723,10 @@ object AnalyticsQueries {
         "Catalyst's distinct-rewrite would group by the distinct key " +
         "and drag every HLL buffer along PER KEY (unbounded at 100 TB); " +
         "the exact side exists only to grade the sketch — at 100 TB a " +
-        "user runs the approx pass alone",
+        "user runs the approx pass alone. TRIAGE: a *_ok=false on new " +
+        "data/SF means the sketch exceeded its advertised bound (a sketch " +
+        "property, tune rsd), NOT an engine bug — the exact columns beside " +
+        "it would still hash-match",
       Some("""SELECT count(DISTINCT l_partkey) AS n_parts,
              |  count(DISTINCT l_suppkey) AS n_supps,
              |  count(DISTINCT l_orderkey) AS n_orders,
@@ -820,7 +823,9 @@ object AnalyticsQueries {
         "over the 1-row broadcast estimates. GK is deterministic per " +
         "dataset, so TRUE is stable and the DuckDB twin is literal TRUE. " +
         "Scalar columns, not the r2 array output — the driver's pandas " +
-        "comparator cannot hash arrays (VERDICT r2 item 1)",
+        "comparator cannot hash arrays (VERDICT r2 item 1). TRIAGE: a " +
+        "*_ok=false on new data means the sketch exceeded its rank bound " +
+        "(tune accuracy), NOT an engine bug",
       Some("""SELECT count(*) AS n,
              |  TRUE AS price_p50_ok, TRUE AS price_p95_ok,
              |  TRUE AS price_p99_ok, TRUE AS qty_p50_ok

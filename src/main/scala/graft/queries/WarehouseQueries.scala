@@ -659,7 +659,9 @@ object WarehouseQueries {
         "sketch is seeded, so the boolean is deterministic per dataset " +
         "and the DuckDB twin is the exact GROUP BY plus literal TRUE. " +
         "The exact side exists only to grade the sketch — at 100 TB a " +
-        "user probes the sketch alone (same stance as q_approx_distinct)",
+        "user probes the sketch alone (same stance as q_approx_distinct). " +
+        "TRIAGE: est_ok=false on new data means the CMS bound (tune " +
+        "eps/delta), NOT an engine bug — true_n beside it still matches",
       Some("""SELECT l_suppkey AS suppkey, count(*) AS true_n, TRUE AS est_ok
              |FROM lineitem
              |WHERE l_suppkey BETWEEN 1 AND 20

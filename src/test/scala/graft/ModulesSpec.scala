@@ -235,6 +235,23 @@ class ModulesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Quantize.withCodes(corpus.withColumn("q_scale", lit(1.0)), "emb")
     }
+    // freshness token: a store whose embeddings changed AFTER encoding
+    // (same dimension — the case the shape guard cannot see) fails loudly
+    // on the re-rank page instead of silently ranking on stale codes
+    val stale = persisted.withColumn("emb",
+      expr("transform(emb, x -> -x)")) // re-embedded corpus, codes kept
+    val ex = intercept[Exception] {
+      Quantize.topK(stale, "emb", q, k = 5, overFetch = 4,
+        tieBreak = Seq("vec_id")).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("stale int8 store"),
+      s"wrong failure: ${ex.getMessage}")
+    // a pre-token store (persisted before q_sig existed) keeps reusing
+    // under the documented shape-guard-only contract
+    val legacy = Quantize.topK(persisted.drop("q_sig"), "emb", q, k = 5,
+        overFetch = 4, tieBreak = Seq("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(legacy == viaQ, "legacy no-sig store changed the result")
   }
 
   test("product quantization: byte codes, exact-on-centroids ADC, two-stage recall") {
@@ -284,6 +301,28 @@ class ModulesSpec extends AnyFunSuite {
     val recall = got.intersect(truth).size.toDouble / truth.size
     println(s"PQ_RECALL=$recall")
     assert(recall >= 0.4, s"two-stage PQ recall@5 collapsed: $recall")
+    // codebook freshness token: a persisted store searched with DIFFERENT
+    // codebooks of the SAME m/nC — invisible to every shape guard — fails
+    // loudly; the same store with the matching codebooks keeps reusing
+    val persisted = Quantize.pqEncode(corpus, "embedding", cbs)
+    val cbs2 = Quantize.pqFit(withNull.filter(c2("vec_id") =!= 1), "embedding",
+      dim, m, nC, seed = 99L)
+    assert(Quantize.cbFingerprint(cbs2) != Quantize.cbFingerprint(cbs))
+    val ex = intercept[Exception] {
+      Quantize.pqTopK(persisted, "embedding", cbs2, query, k = 5,
+        overFetch = 8, tieBreak = Seq("vec_id")).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("stale PQ store"),
+      s"wrong failure: ${ex.getMessage}")
+    val viaPersisted = Quantize.pqTopK(persisted, "embedding", cbs, query,
+        k = 5, overFetch = 8, tieBreak = Seq("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(viaPersisted == got, "persisted PQ store changed the result")
+    // pre-token stores (no pq_cb_sig) reuse under the shape-guard contract
+    val legacy = Quantize.pqTopK(persisted.drop("pq_cb_sig"), "embedding",
+        cbs, query, k = 5, overFetch = 8, tieBreak = Seq("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(legacy == got, "legacy no-sig PQ store changed the result")
   }
 
   test("incremental clustering equals the from-scratch run over old+new pairs") {
