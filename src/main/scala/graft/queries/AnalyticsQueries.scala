@@ -271,6 +271,57 @@ object AnalyticsQueries {
         .orderBy(desc("sim_x10k"), col("vec_id"))
     },
 
+    Q("q_ivf_topk",
+      "IVF-Flat top-5 (AnnIndex.ivfTopK, 16 centroid-routed inverted " +
+        "lists, nProbe=4): the data-adaptive ANN layout — a probe scans " +
+        "~nProbe/nLists of the corpus, and the persisted index is the " +
+        "corpus partitioned by list_id so the scan is partition-pruned " +
+        "(FAISS IVF-Flat's layout, spec'd in ModulesSpec incl. " +
+        "probe-all == brute-force). KMeans routing is engine-specific, so " +
+        "the sketch pattern applies as in q_pq_topk: output is the EXACT " +
+        "cosine top-5 plus recall_ok = the 4-of-16-list probe recovered " +
+        ">= 3 of the true top-5 (deterministic per dataset; green at all " +
+        "three SFs). TRIAGE: recall_ok=false on new data means probe " +
+        "width vs. list granularity (raise nProbe), not an engine bug",
+      Some(s"""WITH corpus AS (
+              |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings WHERE vec_id <> 0),
+              |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+              |      FROM embeddings WHERE vec_id = 0)
+              |SELECT vec_id, label, ${text.fixedPoint("similarity", 4)} AS sim_x10k,
+              |  TRUE AS recall_ok
+              |FROM (
+              |  SELECT c.vec_id, c.label,
+              |    ${vectors.cosineSimSql("c.emb", "q.qe")} AS similarity
+              |  FROM corpus c CROSS JOIN q)
+              |ORDER BY similarity DESC, vec_id
+              |LIMIT 5""".stripMargin)) { (s, dir) =>
+      val corpus = embeddings(s, dir).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("emb"))
+      val q = embeddings(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("qe"))
+      // routing centroids fit on a deterministic quarter sample — at scale
+      // the fit is a once-offline pass (ivfFit doc), never per query
+      val model = AnnIndex.ivfFit(
+        corpus.filter(col("vec_id") % 4 === 1), "emb", nLists = 16)
+      val approx = AnnIndex.ivfTopK(model, corpus, "emb", q, "qe",
+          k = 5, nProbe = 4, tieBreak = Seq("vec_id"))
+        .select(col("vec_id"), lit(1L).as("ivf_hit"))
+      val exact = corpus.crossJoin(broadcast(q))
+        .withColumn("similarity", vectors.cosineSim(col("emb"), col("qe")))
+        .orderBy(desc("similarity"), col("vec_id"))
+        .limit(5)
+        .select(col("vec_id"), col("label"),
+          expr(text.fixedPoint("similarity", 4)).as("sim_x10k"))
+      val marked = exact.join(broadcast(approx), Seq("vec_id"), "left")
+      marked.crossJoin(broadcast(
+          marked.agg(coalesce(sum("ivf_hit"), lit(0L)).as("nhit"))))
+        .select(col("vec_id"), col("label"), col("sim_x10k"),
+          (col("nhit") >= 3).as("recall_ok"))
+        .orderBy(desc("sim_x10k"), col("vec_id"))
+    },
+
     Q("q_embed_stub",
       "G7 deterministic embedder: hashing-TF embed of each doc, cosine vs " +
         "doc 0's embedding — the offline stand-in for the reference's " +

@@ -171,6 +171,41 @@ class PlanGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("round-4 queries keep their scale-critical plan shapes") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    // q_multimodal_meta: per-row byte work that never leaves the partition
+    // — the ONLY exchange allowed is the final presentation sort's range
+    // partitioning; a hash shuffle here would mean the decode kernels
+    // stopped being projection-shaped
+    val mmShuffles = plans("q_multimodal_meta").collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(mmShuffles.isEmpty,
+      s"q_multimodal_meta: unexpected hash exchange(s):\n${mmShuffles.mkString("\n")}")
+    // q_pq_topk / q_ivf_topk: every join rides a broadcast (1-row query,
+    // KB codebook LUT, centroid routing, tiny candidate page) — a shuffled
+    // join would mean the corpus started moving for a top-5 probe
+    for (name <- Seq("q_pq_topk", "q_ivf_topk")) {
+      val shuffledJoins = plans(name).filter { p =>
+        p.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
+        p.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]
+      }
+      assert(shuffledJoins.isEmpty,
+        s"$name: shuffled join planned:\n${shuffledJoins.mkString("\n")}")
+    }
+    // q_stream_dedup: exactly one hash exchange (the fingerprint window's
+    // key shuffle — the same single by-key shuffle the streaming state
+    // store performs); more would mean the projection stopped collapsing
+    val sdShuffles = plans("q_stream_dedup").collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(sdShuffles.size == 1,
+      s"q_stream_dedup: expected exactly 1 hash exchange, got ${sdShuffles.size}")
+  }
+
   test("partitioned parquet layout prunes partitions at the scan") {
     // S10's other half: the 'index build' at 100 TB is a partitioned
     // layout; a filter on the partition column must plan a pruned scan
