@@ -1212,6 +1212,44 @@ object AnalyticsQueries {
       val c = customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
         .agg(count(lit(1)).as("n_building"))
       a.crossJoin(b).crossJoin(c)
+    },
+
+    Q("q_rolling_dau",
+      "Rolling 7-day active users per day — the engagement metric every " +
+        "product dashboard wants and plain windows cannot express (neither " +
+        "engine supports COUNT(DISTINCT) over a RANGE frame). Formulation: " +
+        "the distinct-day spine (tiny — one row per calendar day, whatever " +
+        "the corpus size) range-joins the events table on [day-6, day], " +
+        "then one distinct-count per spine day. Scale shape: the spine " +
+        "broadcasts, so the range join is a broadcast nested-loop over a " +
+        "≤7-match predicate — events are scanned once, never self-joined; " +
+        "the 7× row amplification is the bounded explode every " +
+        "sliding-distinct formulation pays (q_sliding_window's stance). " +
+        "Day arithmetic uses the shared addHours fragment (-144 h = -6 d) " +
+        "so both engines compare identical TIMESTAMP values",
+      Some {
+        val eday = D.dayTrunc("e.ts")
+        s"""WITH d AS (
+           |  SELECT DISTINCT ${D.dayTrunc("ts")} AS day FROM events),
+           |j AS (
+           |  SELECT d.day, e.user_id
+           |  FROM d JOIN events e
+           |    ON $eday >= ${D.addHours("d.day", "-144")}
+           |   AND $eday <= d.day)
+           |SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau_7d,
+           |  CAST(count(*) AS BIGINT) AS n_events_7d
+           |FROM j GROUP BY day ORDER BY day""".stripMargin
+      }) { (s, dir) =>
+      val ev = events(s, dir)
+        .select(expr(S.dayTrunc("ts")).as("eday"), col("user_id"))
+      val days = ev.select(col("eday").as("day")).distinct()
+      ev.join(broadcast(days),
+          col("eday") >= expr(S.addHours("day", "-144")) &&
+            col("eday") <= col("day"))
+        .groupBy("day")
+        .agg(countDistinct(col("user_id")).cast("long").as("wau_7d"),
+          count(lit(1)).cast("long").as("n_events_7d"))
+        .orderBy("day")
     }
   )
 }

@@ -739,6 +739,260 @@ object PipelineQueries {
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("n_dupes").cast("long").as("n_dupes"))
         .orderBy("event_id")
+    },
+
+    Q("q_bigram_logprob",
+      "Bigram language-model scoring — one order up from q_unigram_logprob's " +
+        "perplexity proxy: p(w2|w1) = c(w1,w2) / c(w1,·), each doc reports " +
+        "its bigram count and summed conditional surprisal. Catches " +
+        "word-salad that unigram frequency misses (every token common, no " +
+        "two ever adjacent in real prose). Scale shape: the bigram table " +
+        "is corpus-vocabulary-squared bounded but Zipf-truncated in " +
+        "practice; unlike the unigram table it may NOT fit a broadcast at " +
+        "100 TB, so both count joins are plain equi-joins on the bigram " +
+        "key and AQE picks broadcast vs shuffle-hash from observed size. " +
+        "Determinism: the per-bigram -ln p is quantized x10k before the " +
+        "per-doc sum (exact integer arithmetic, the q_unigram_logprob " +
+        "contract); docs under 2 tokens are excluded in both engines " +
+        "before the pair build (Spark's sequence(1, 0) would count " +
+        "DOWN where DuckDB's generate_series returns empty). The pair " +
+        "array is built INSIDE a per-row transform and exploded as " +
+        "'w1 w2' strings — a position explode that carries the token " +
+        "array into every output row duplicates O(tokens²) bytes per " +
+        "doc (measured 4×: 7.1 s → 1.8 s at sf0.1); tokens cannot " +
+        "contain whitespace, so split_part recovers w1 losslessly",
+      Some {
+        val lp = text.fixedPoint("-ln(CAST(c2 AS DOUBLE) / c1)", 4)
+        def pairs(d: graft.functions.Dialect) = d.transform(
+          d.seq("1", s"${d.size("toks")} - 1"), "i",
+          s"concat(${d.elementAt("toks", "i")}, ' ', ${d.elementAt("toks", "i + 1")})")
+        s"""WITH tk AS (
+           |  SELECT doc_id, ${text.tokens(D, "text")} AS toks FROM documents),
+           |bg AS (
+           |  SELECT doc_id, unnest(${pairs(D)}) AS pair
+           |  FROM tk WHERE ${D.size("toks")} >= 2),
+           |bfreq AS (
+           |  SELECT pair, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY pair),
+           |cfreq AS (
+           |  SELECT split_part(pair, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+           |  FROM bfreq GROUP BY 1),
+           |scored AS (
+           |  SELECT bg.doc_id, $lp AS lp
+           |  FROM bg JOIN bfreq USING (pair)
+           |  JOIN cfreq ON split_part(bg.pair, ' ', 1) = cfreq.w1
+           |  WHERE bg.doc_id < 100)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigram,
+           |  CAST(sum(lp) AS BIGINT) AS surprisal_x10k
+           |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val lp = text.fixedPoint("-ln(CAST(c2 AS DOUBLE) / c1)", 4)
+      val pairsS = S.transform(
+        S.seq("1", s"${S.size("toks")} - 1"), "i",
+        s"concat(${S.elementAt("toks", "i")}, ' ', ${S.elementAt("toks", "i + 1")})")
+      val bg = documents(s, dir)
+        .select(col("doc_id"), expr(text.tokens(S, "text")).as("toks"))
+        .filter(expr(s"${S.size("toks")} >= 2"))
+        .select(col("doc_id"), explode(expr(pairsS)).as("pair"))
+      val bfreq = bg.groupBy("pair").agg(count(lit(1)).as("c2"))
+      val cfreq = bfreq.groupBy(expr("split_part(pair, ' ', 1)").as("w1"))
+        .agg(sum(col("c2")).as("c1"))
+      bg.filter(col("doc_id") < 100)
+        .join(bfreq, Seq("pair"))
+        .join(cfreq, expr("split_part(pair, ' ', 1)") === col("w1"))
+        .select(col("doc_id"), expr(lp).as("lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigram"),
+          sum(col("lp")).cast("long").as("surprisal_x10k"))
+        .orderBy("doc_id")
+    },
+
+    Q("q_dsir_weights",
+      "DSIR-style importance weights (Xie et al. 2023, 'Data Selection for " +
+        "Language Models via Importance Resampling' — hashed n-gram LMs " +
+        "for target and raw distributions, resample by the likelihood " +
+        "ratio): target LM = the curated sources src1-3, raw LM = the " +
+        "whole corpus, per-doc log-weight = sum over tokens of " +
+        "ln p_target - ln p_raw with add-one smoothing over the shared " +
+        "raw vocabulary. Docs that look like the curated slice score " +
+        "high; resampling by this weight is the principled alternative " +
+        "to hard source filtering. Scale shape: both frequency tables " +
+        "are vocab-sized after map-side-combined aggregates and " +
+        "broadcast onto the exploded corpus (the unigram-LM shape, " +
+        "twice); the scalar totals are 1-row broadcasts. Determinism: " +
+        "per-token quantization x10k before the doc sum",
+      Some {
+        val lw = text.fixedPoint(
+          "ln((COALESCE(ct, 0) + 1.0) / (tt + v)) - ln((cr + 1.0) / (tr + v))", 4)
+        s"""WITH tok AS (
+           |  SELECT doc_id, source, unnest(${text.tokens(D, "text")}) AS tok
+           |  FROM documents),
+           |rawf AS (
+           |  SELECT tok, CAST(count(*) AS BIGINT) AS cr FROM tok GROUP BY tok),
+           |vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM rawf),
+           |rtot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr FROM rawf),
+           |tgtf AS (
+           |  SELECT tok, CAST(count(*) AS BIGINT) AS ct FROM tok
+           |  WHERE source IN ('src1', 'src2', 'src3') GROUP BY tok),
+           |ttot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt FROM tgtf),
+           |scored AS (
+           |  SELECT tok.doc_id, $lw AS lw
+           |  FROM tok
+           |  JOIN rawf USING (tok)
+           |  LEFT JOIN tgtf USING (tok)
+           |  CROSS JOIN vocab CROSS JOIN rtot CROSS JOIN ttot
+           |  WHERE tok.doc_id < 100)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+           |  CAST(sum(lw) AS BIGINT) AS logweight_x10k
+           |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val lw = text.fixedPoint(
+        "ln((COALESCE(ct, 0) + 1.0) / (tt + v)) - ln((cr + 1.0) / (tr + v))", 4)
+      val tok = documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(expr(text.tokens(S, "text"))).as("tok"))
+      val rawf = tok.groupBy("tok").agg(count(lit(1)).as("cr"))
+      val vocab = rawf.agg(count(lit(1)).as("v"))
+      val rtot = rawf.agg(sum(col("cr")).as("tr"))
+      val tgtf = tok.filter(col("source").isin("src1", "src2", "src3"))
+        .groupBy("tok").agg(count(lit(1)).as("ct"))
+      val ttot = tgtf.agg(sum(col("ct")).as("tt"))
+      tok.filter(col("doc_id") < 100)
+        .join(broadcast(rawf), Seq("tok"))
+        .join(broadcast(tgtf), Seq("tok"), "left")
+        .crossJoin(broadcast(vocab))
+        .crossJoin(broadcast(rtot))
+        .crossJoin(broadcast(ttot))
+        .select(col("doc_id"), expr(lw).as("lw"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(col("lw")).cast("long").as("logweight_x10k"))
+        .orderBy("doc_id")
+    },
+
+    Q("q_bpe_pairs",
+      "Tokenizer training, first BPE merge iteration (Sennrich et al. 2016): " +
+        "count adjacent character pairs across the corpus weighted by word " +
+        "frequency, emit the top-20 merge candidates. The scale-smart " +
+        "formulation pre-aggregates words FIRST — the pair explode runs " +
+        "over the vocab-sized distinct-word table carrying its count, not " +
+        "over every corpus occurrence, so a 100 TB corpus pays one " +
+        "map-side-combined word count and then a vocab-bounded explode " +
+        "(this is why real BPE trainers operate on a word-frequency dict). " +
+        "1-char words contribute no pairs and are excluded identically in " +
+        "both engines; ties rank alphabetically for a deterministic top-20",
+      Some {
+        s"""WITH tok AS (
+           |  SELECT unnest(${text.tokens(D, "text")}) AS tok FROM documents),
+           |wf AS (
+           |  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+           |ch AS (
+           |  SELECT c, ${D.splitChars("tok")} AS cs FROM wf),
+           |ex AS (
+           |  SELECT c, cs, unnest(${D.seq("1", s"${D.size("cs")} - 1")}) AS i
+           |  FROM ch WHERE ${D.size("cs")} >= 2),
+           |pr AS (
+           |  SELECT concat(${D.elementAt("cs", "i")},
+           |    ${D.elementAt("cs", "i + 1")}) AS pair, c FROM ex)
+           |SELECT pair, CAST(sum(c) AS BIGINT) AS n
+           |FROM pr GROUP BY pair
+           |ORDER BY n DESC, pair LIMIT 20""".stripMargin
+      }) { (s, dir) =>
+      documents(s, dir)
+        .select(explode(expr(text.tokens(S, "text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .select(col("c"), expr(S.splitChars("tok")).as("cs"))
+        .filter(expr(s"${S.size("cs")} >= 2"))
+        .select(col("c"), col("cs"),
+          explode(expr(S.seq("1", s"${S.size("cs")} - 1"))).as("i"))
+        .select(concat(expr(S.elementAt("cs", "i")),
+          expr(S.elementAt("cs", "i + 1"))).as("pair"), col("c"))
+        .groupBy("pair").agg(sum(col("c")).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    },
+
+    Q("q_pagerank",
+      "Domain-authority PageRank over the crawl link graph (Page et al. " +
+        "1999; the Common Crawl-style domain ranking a curation pipeline " +
+        "uses as a quality prior): 3 unrolled power iterations, damping " +
+        "0.85, over domain→domain edges synthesized deterministically " +
+        "from doc_id (same stance as q_domain_filter's URLs — the " +
+        "synthetic corpus carries no hyperlinks). Scale shape: the " +
+        "Pregel/GraphX pattern without the library — each iteration is " +
+        "ONE join of the edge table against the vertex-sized rank table " +
+        "(rank broadcasts: vertices ≪ edges at web scale) plus one " +
+        "map-side-combined sum keyed by dst; at 100 TB the edge table " +
+        "would be persisted once and ranks checkpointed per iteration " +
+        "(the Dedup.clusters recipe). Determinism: ranks are x1e12 " +
+        "BIGINTs and every step uses integer div — contribution sums " +
+        "are exact integer arithmetic, so float accumulation order " +
+        "cannot flip a digit between engines (mass lost to integer " +
+        "truncation and dangling nodes is identical in both)",
+      Some {
+        def dom(x: String) =
+          s"concat('host', ${D.castString(s"($x) % 10")}, '.example.', " +
+            s"(CASE WHEN ($x) % 3 = 0 THEN 'com' " +
+            s"WHEN ($x) % 3 = 1 THEN 'org' ELSE 'net' END))"
+        val link = s"(${text.mix("doc_id")} % 1000)"
+        val base = D.intDiv(s"15 * ${D.intDiv("1000000000000", "n")}", "100")
+        def iter(k: Int): String = {
+          val prev = s"r${k - 1}"
+          s"""m$k AS (
+             |  SELECT dst, CAST(sum(${D.intDiv("r", "outdeg")}) AS BIGINT) AS m
+             |  FROM ew JOIN $prev ON ew.src = $prev.v GROUP BY dst),
+             |r$k AS (
+             |  SELECT nodes.v,
+             |    $base + ${D.intDiv("85 * COALESCE(m, 0)", "100")} AS r
+             |  FROM nodes CROSS JOIN nn LEFT JOIN m$k ON nodes.v = m$k.dst)"""
+            .stripMargin
+        }
+        s"""WITH e AS (
+           |  SELECT DISTINCT ${dom("doc_id")} AS src, ${dom(link)} AS dst
+           |  FROM documents),
+           |nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+           |deg AS (
+           |  SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+           |ew AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+           |r0 AS (
+           |  SELECT v, ${D.intDiv("1000000000000", "n")} AS r
+           |  FROM nodes CROSS JOIN nn),
+           |${iter(1)},
+           |${iter(2)},
+           |${iter(3)}
+           |SELECT v AS domain, CAST(r AS BIGINT) AS rank_x1e12
+           |FROM r3 ORDER BY domain""".stripMargin
+      }) { (s, dir) =>
+      def dom(x: String) =
+        s"concat('host', ${S.castString(s"($x) % 10")}, '.example.', " +
+          s"(CASE WHEN ($x) % 3 = 0 THEN 'com' " +
+          s"WHEN ($x) % 3 = 1 THEN 'org' ELSE 'net' END))"
+      val link = s"(${text.mix("doc_id")} % 1000)"
+      // the static graph frames are materialized ONCE (the Dedup.clusters
+      // recipe): lazily they would be recomputed — scan + distinct shuffle —
+      // by every one of the 3 unrolled iterations
+      val e = documents(s, dir)
+        .select(expr(dom("doc_id")).as("src"), expr(dom(link)).as("dst"))
+        .distinct().localCheckpoint()
+      val nodes = e.select(col("src").as("v"))
+        .union(e.select(col("dst").as("v"))).distinct().localCheckpoint()
+      val nn = nodes.agg(count(lit(1)).as("n"))
+      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val ew = e.join(deg, Seq("src")).localCheckpoint()
+      val rankExpr = expr(
+        s"${S.intDiv(s"15 * ${S.intDiv("1000000000000", "n")}", "100")} + " +
+          s"${S.intDiv("85 * COALESCE(m, 0)", "100")}").as("r")
+      var r = nodes.crossJoin(broadcast(nn))
+        .select(col("v"), expr(S.intDiv("1000000000000", "n")).as("r"))
+      for (_ <- 1 to 3) {
+        val m = ew.join(broadcast(r.withColumnRenamed("v", "src")), Seq("src"))
+          .groupBy("dst").agg(sum(expr(S.intDiv("r", "outdeg"))).as("m"))
+        r = nodes.crossJoin(broadcast(nn))
+          .join(m.withColumnRenamed("dst", "v"), Seq("v"), "left")
+          .select(col("v"), rankExpr)
+      }
+      r.select(col("v").as("domain"), col("r").cast("long").as("rank_x1e12"))
+        .orderBy("domain")
     }
   )
 }
