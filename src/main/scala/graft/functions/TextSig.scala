@@ -61,6 +61,26 @@ object TextSig {
     arr
   }
 
+  /** ORDERED, non-distinct n-gram hashes — one per gram position, EMPTY for
+    * docs shorter than n tokens (no partial shingle: a positional consumer
+    * like q_substring_dedup's span merge needs gram i to cover tokens
+    * [i, i+n-1] exactly, which a clamped partial gram would break). Mirrors
+    * the dialect fragment `transform(seq(1, size-n+1), i -> tokenHash(...))`
+    * guarded by `size >= n` — parity asserted in ModulesSpec. */
+  def gramHashSeq(s: String, n: Int): Array[Long] = {
+    val toks = tokens(s)
+    if (toks.length < n) Array.emptyLongArray
+    else {
+      val out = new Array[Long](toks.length - (n - 1))
+      var i = 0
+      while (i < out.length) {
+        out(i) = tokenHash(toks.slice(i, i + n).mkString(" "))
+        i += 1
+      }
+      out
+    }
+  }
+
   /** MinHash signature, mirrors [[text.minhashFromHashes]]:
     * sig(i) = min over shingles of ((2i+3)*h + 5i+7) mod P; P when empty */
   def minhashSig(s: String, n: Int, k: Int): Array[Long] = {
@@ -135,6 +155,8 @@ object TextSig {
   // are null-safe for free, so the guards also keep the mirrors aligned)
   val shingleHashesUdf: UserDefinedFunction =
     udf((s: String, n: Int) => if (s == null) null else shingleHashes(s, n))
+  val gramHashSeqUdf: UserDefinedFunction =
+    udf((s: String, n: Int) => if (s == null) null else gramHashSeq(s, n))
   val embedUdf: UserDefinedFunction =
     udf((s: String, dim: Int) => if (s == null) null else embed(s, dim))
   val minhashSigUdf: UserDefinedFunction =

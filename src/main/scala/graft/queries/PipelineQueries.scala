@@ -993,6 +993,253 @@ object PipelineQueries {
       }
       r.select(col("v").as("domain"), col("r").cast("long").as("rank_x1e12"))
         .orderBy("domain")
+    },
+
+    Q("q_substring_dedup",
+      "Duplicate-substring span detection (Lee et al. 2021, 'Deduplicating " +
+        "Training Data Makes Language Models Better' — their ExactSubstr " +
+        "finds verbatim >= 50-token spans shared across documents via a " +
+        "corpus suffix array; a suffix array is inherently single-machine, " +
+        "so the shuffle-friendly equivalent is positional 5-gram " +
+        "fingerprints): every 5-token window is polynomial-hashed WITH its " +
+        "position, grams whose corpus-wide occurrence count > 1 mark their " +
+        "token range duplicated, and overlapping ranges merge per doc via " +
+        "the classic gaps-and-islands window. Output: per-doc merged span " +
+        "count and duplicated-token total — the columns a curation pass " +
+        "thresholds on before cutting spans out. Scale shape: the gram " +
+        "frequency table is corpus-sized, so unlike a vocab table it is " +
+        "NEVER broadcast — the count and the join back are both plain " +
+        "equi-shuffles on the gram hash (map-side-combined aggregate; AQE " +
+        "picks the join strategy), and the island merge windows partition " +
+        "by doc_id. Determinism: positions are unique per doc so the " +
+        "window order key never ties; hash collisions (mod 1e9+7) would " +
+        "mark a false span but identically in both engines",
+      Some {
+        val n = 5
+        def ghs(d: graft.functions.Dialect) = d.transform(
+          d.seq("1", s"${d.size("toks")} - ${n - 1}"), "i",
+          text.tokenHash(d, d.arrayJoin(d.slice("toks", "i", n.toString), " ")))
+        s"""WITH tk AS (
+           |  SELECT doc_id, ${text.tokens(D, "text")} AS toks FROM documents),
+           |g AS (
+           |  SELECT doc_id, ${ghs(D)} AS ghs
+           |  FROM tk WHERE ${D.size("toks")} >= $n),
+           |pos AS (
+           |  SELECT doc_id, ${D.elementAt("ghs", "i")} AS h, i FROM (
+           |    SELECT doc_id, ghs, unnest(${D.seq("1", D.size("ghs"))}) AS i
+           |    FROM g)),
+           |freq AS (
+           |  SELECT h, CAST(count(*) AS BIGINT) AS c FROM pos GROUP BY h),
+           |dup AS (
+           |  SELECT pos.doc_id, pos.i AS s, pos.i + ${n - 1} AS e
+           |  FROM pos JOIN freq USING (h) WHERE c > 1),
+           |m AS (
+           |  SELECT doc_id, s, e,
+           |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+           |  FROM dup),
+           |isl AS (
+           |  SELECT doc_id, s, e,
+           |    sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY doc_id ORDER BY s
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+           |  FROM m),
+           |sp AS (
+           |  SELECT doc_id, isl_id, min(s) AS ss, max(e) AS ee
+           |  FROM isl GROUP BY doc_id, isl_id)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           |  CAST(sum(ee - ss + 1) AS BIGINT) AS dup_tokens
+           |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val n = 5
+      // compiled kernel (TextSig.gramHashSeq), not the dialect HOF fragment:
+      // char-fold hashing per gram as an interpreted Catalyst lambda is the
+      // exact shape the house rule bans from hot paths (benchmarked ~100x
+      // on the MinHash family); kernel-vs-SQL parity asserted in ModulesSpec
+      val pos = documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(graft.functions.TextSig.gramHashSeqUdf(col("text"), lit(n))))
+        .select(col("doc_id"), col("col").as("h"), (col("pos") + 1).as("i"))
+      val freq = pos.groupBy("h").agg(count(lit(1)).as("c"))
+      val dup = pos.join(freq.filter(col("c") > 1), Seq("h"))
+        .select(col("doc_id"), col("i").as("s"), (col("i") + (n - 1)).as("e"))
+      val wPrev = Window.partitionBy("doc_id").orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy("doc_id").orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dup.withColumn("pm", max(col("e")).over(wPrev))
+        .withColumn("isl_id",
+          sum(when(col("pm").isNull || col("s") > col("pm"), 1).otherwise(0))
+            .over(wRun))
+        .groupBy("doc_id", "isl_id")
+        .agg(min(col("s")).as("ss"), max(col("e")).as("ee"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("ee") - col("ss") + 1).as("dup_tokens"))
+        .orderBy("doc_id")
+    },
+
+    Q("q_semdedup",
+      "SemDeDup (Abbas et al. 2023): semantic dedup by clustering embeddings " +
+        "and pruning near-identical pairs WITHIN each cluster — the cluster " +
+        "assignment is what bounds the quadratic (k grows with the corpus, " +
+        "so cluster populations stay flat; the same job the LSH bucket does " +
+        "for MinHash). Centroids here are the first 8 base vectors (a real " +
+        "run feeds k-means centroids in as a table — the assignment plan is " +
+        "identical); assignment = argmax cosine, quantized x10k with " +
+        "centroid-id tie-break so both engines pick the same cluster at " +
+        "equal similarity. The corpus is augmented with x2-rescaled copies " +
+        "(cosine-invariant, sim exactly 1.0 — the q_dedup_embed fixture): " +
+        "each copy lands in its original's cluster (assignment is " +
+        "scale-invariant, asserted by the pairs found) and is pruned as " +
+        "the higher-id member. Scale shape: centroid table broadcasts (k " +
+        "rows); the only self-join is cluster-blocked; per-vector work is " +
+        "k dot products — linear scan, no shuffle until the blocked join",
+      Some {
+        val k = 8
+        s"""WITH base AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+           |corpus AS (
+           |  SELECT vec_id, emb FROM base
+           |  UNION ALL
+           |  SELECT vec_id + 10000, list_transform(emb, x -> x * 2.0) FROM base),
+           |cent AS (SELECT vec_id AS cid, emb AS cemb FROM base WHERE vec_id < $k),
+           |scored AS (
+           |  SELECT c.vec_id, c.emb, t.cid,
+           |    CAST(floor(${graft.functions.vectors.cosineSimSql("c.emb", "t.cemb")} * 10000.0 + 0.5) AS BIGINT) AS sim
+           |  FROM corpus c CROSS JOIN cent t),
+           |asg AS (
+           |  SELECT vec_id, emb, cid AS cluster FROM (
+           |    SELECT vec_id, emb, cid,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+           |    FROM scored) WHERE rn = 1),
+           |nrm AS (
+           |  SELECT vec_id, emb, cluster, sqrt(list_dot_product(emb, emb)) AS nrm
+           |  FROM asg),
+           |pairs AS (
+           |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, b.cluster AS cluster,
+           |    CASE WHEN a.nrm = 0.0 OR b.nrm = 0.0 THEN 0.0
+           |         ELSE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm)
+           |    END AS cosine
+           |  FROM nrm a JOIN nrm b
+           |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+           |SELECT b_id AS pruned_id, cluster,
+           |  CAST(floor(max(cosine) * 10000.0 + 0.5) AS BIGINT) AS best_x10k
+           |FROM pairs WHERE cosine >= 0.99
+           |GROUP BY b_id, cluster ORDER BY pruned_id""".stripMargin
+      }) { (s, dir) =>
+      import graft.functions.vectors
+      val k = 8
+      val base = embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val corpus = base.unionByName(base.select(
+        (col("vec_id") + 10000).as("vec_id"),
+        transform(col("emb"), x => x * 2.0).as("emb")))
+      val cent = base.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+      val wAsg = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
+      val asg = corpus.crossJoin(broadcast(cent))
+        .withColumn("sim",
+          floor(vectors.cosineSim(col("emb"), col("cemb")) * 10000.0 + 0.5)
+            .cast("long"))
+        .withColumn("rn", row_number().over(wAsg)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("emb"), col("cid").as("cluster"))
+        .withColumn("nrm", vectors.l2Norm(col("emb")))
+      val a = asg.select(col("vec_id").as("a_id"), col("cluster"),
+        col("emb").as("a_emb"), col("nrm").as("a_nrm"))
+      val b = asg.select(col("vec_id").as("b_id"), col("cluster"),
+        col("emb").as("b_emb"), col("nrm").as("b_nrm"))
+      a.join(b, Seq("cluster")).filter(col("a_id") < col("b_id"))
+        .withColumn("cosine",
+          when(col("a_nrm") === 0.0 || col("b_nrm") === 0.0, lit(0.0))
+            .otherwise(vectors.dot(col("a_emb"), col("b_emb")) /
+              (col("a_nrm") * col("b_nrm"))))
+        .filter(col("cosine") >= 0.99)
+        .groupBy(col("b_id").as("pruned_id"), col("cluster"))
+        .agg(floor(max(col("cosine")) * 10000.0 + 0.5).cast("long").as("best_x10k"))
+        .orderBy("pruned_id")
+    },
+
+    Q("q_ppl_bucket",
+      "CCNet-style perplexity bucketing (Wenzek et al. 2020): per-doc " +
+        "surprisal-per-token under the corpus unigram LM, bucketed " +
+        "head/middle/tail by per-language terciles — the standard " +
+        "quality-tier split a curation pipeline samples from. The tercile " +
+        "thresholds come from a HISTOGRAM of the x10k-quantized integer " +
+        "score (group by (lang, score) → cumulative count over the " +
+        "distinct-score rows), not from a global sort: that is the shape " +
+        "that survives 100 TB — the histogram is score-cardinality-sized, " +
+        "its window partitions by lang over distinct values only, and the " +
+        "thresholds broadcast back onto the doc frame. Determinism: " +
+        "per-token x10k quantization (the q_unigram_logprob contract), " +
+        "integer div for per-token surprisal, and threshold comparison on " +
+        "BIGINTs — no doubles cross an ordering boundary",
+      Some {
+        val logp = text.fixedPoint("-ln(CAST(c AS DOUBLE) / t)", 4)
+        s"""WITH tok AS (
+           |  SELECT doc_id, lang, unnest(${text.tokens(D, "text")}) AS tok
+           |  FROM documents),
+           |freq AS (
+           |  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+           |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM freq),
+           |doc AS (
+           |  SELECT doc_id, lang,
+           |    ${D.intDiv("CAST(sum(lp) AS BIGINT)", "CAST(count(*) AS BIGINT)")} AS ppl
+           |  FROM (SELECT tok.doc_id, tok.lang, $logp AS lp
+           |        FROM tok JOIN freq USING (tok) CROSS JOIN tot)
+           |  GROUP BY doc_id, lang),
+           |hist AS (
+           |  SELECT lang, ppl, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM doc GROUP BY lang, ppl),
+           |cum AS (
+           |  SELECT lang, ppl,
+           |    sum(cnt) OVER (PARTITION BY lang ORDER BY ppl
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+           |    sum(cnt) OVER (PARTITION BY lang) AS nl
+           |  FROM hist),
+           |th AS (
+           |  SELECT lang,
+           |    min(CASE WHEN cw * 3 >= nl THEN ppl END) AS t1,
+           |    min(CASE WHEN cw * 3 >= nl * 2 THEN ppl END) AS t2
+           |  FROM cum GROUP BY lang)
+           |SELECT doc.lang AS lang,
+           |  CASE WHEN ppl <= t1 THEN 'head'
+           |       WHEN ppl <= t2 THEN 'middle' ELSE 'tail' END AS bucket,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  min(ppl) AS min_ppl, max(ppl) AS max_ppl
+           |FROM doc JOIN th USING (lang)
+           |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
+      }) { (s, dir) =>
+      val logp = text.fixedPoint("-ln(CAST(c AS DOUBLE) / t)", 4)
+      val tok = documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(expr(text.tokens(S, "text"))).as("tok"))
+      val freq = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+      val tot = freq.agg(sum(col("c")).as("t"))
+      val docScore = tok.join(broadcast(freq), Seq("tok"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("lang"), expr(logp).as("lp"))
+        .groupBy("doc_id", "lang")
+        .agg(expr(S.intDiv("CAST(sum(lp) AS BIGINT)", "CAST(count(*) AS BIGINT)"))
+          .as("ppl"))
+      val hist = docScore.groupBy("lang", "ppl").agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy("lang").orderBy("ppl")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wLang = Window.partitionBy("lang")
+      val th = hist
+        .withColumn("cw", sum(col("cnt")).over(wCum))
+        .withColumn("nl", sum(col("cnt")).over(wLang))
+        .groupBy("lang").agg(
+          min(when(col("cw") * 3 >= col("nl"), col("ppl"))).as("t1"),
+          min(when(col("cw") * 3 >= col("nl") * 2, col("ppl"))).as("t2"))
+      docScore.join(broadcast(th), Seq("lang"))
+        .withColumn("bucket",
+          when(col("ppl") <= col("t1"), "head")
+            .when(col("ppl") <= col("t2"), "middle").otherwise("tail"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("ppl")).as("min_ppl"), max(col("ppl")).as("max_ppl"))
+        .orderBy("lang", "bucket")
     }
   )
 }

@@ -44,6 +44,33 @@ class ModulesSpec extends AnyFunSuite {
     }
   }
 
+  test("gramHashSeq kernel matches the positional dialect fragment exactly") {
+    // ORDER matters here (positions feed q_substring_dedup's span merge),
+    // so unlike the shingle-set parity above this compares sequences.
+    // The fragment mirrors the oracle SQL: seq(1, size-n+1) guarded by
+    // size >= n; the kernel returns EMPTY below n tokens.
+    val n = 5
+    val frag = S.transform(
+      S.seq("1", s"${S.size("toks")} - ${n - 1}"), "i",
+      text.tokenHash(S, S.arrayJoin(S.slice("toks", "i", n.toString), " ")))
+    val docs = graft.core.Tables.documents(spark, sf).limit(12)
+      .select(col("doc_id"), col("text"))
+    val viaExpr = docs
+      .select(col("doc_id"), expr(text.tokens(S, "text")).as("toks"))
+      .select(col("doc_id"),
+        when(expr(s"${S.size("toks")} >= $n"), expr(frag))
+          .otherwise(expr("array()").cast("array<bigint>")).as("gh_e"))
+    val viaUdf = docs.select(col("doc_id"),
+      TextSig.gramHashSeqUdf(col("text"), lit(n)).as("gh_u"))
+    val j = viaExpr.join(viaUdf, "doc_id").collect()
+    assert(j.nonEmpty)
+    j.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Long]]("gh_e").toSeq ==
+        r.getAs[scala.collection.Seq[Long]]("gh_u").toSeq,
+        s"positional gram hashes differ for doc ${r.getLong(0)}")
+    }
+  }
+
   test("embed kernel matches the embedStubSql fragment bit-for-bit") {
     val docs = graft.core.Tables.documents(spark, sf).limit(12)
       .select(col("doc_id"), col("text"))
