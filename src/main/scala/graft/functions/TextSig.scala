@@ -81,6 +81,31 @@ object TextSig {
     }
   }
 
+  /** Unordered within-window co-occurrence pairs, mirrors
+    * [[text.pairGrams]] (w pairs per position, non-distinct, EMPTY below
+    * 2 tokens — the fragment's size >= 2 guard). String min/max is Java
+    * compareTo = UTF-16 code units, equal to both engines' binary UTF-8
+    * order on this BMP corpus (same assumption [[tokens]] documents). */
+  def pairGrams(s: String, w: Int): Array[String] = {
+    val toks = tokens(s)
+    if (toks.length < 2) Array.empty
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < toks.length - 1) {
+        var j = i + 1
+        val jEnd = math.min(i + w, toks.length - 1)
+        while (j <= jEnd) {
+          val a = toks(i); val b = toks(j)
+          out += (if (a <= b) s"$a $b" else s"$b $a")
+          j += 1
+        }
+        i += 1
+      }
+      out.toArray
+    }
+  }
+
   /** MinHash signature, mirrors [[text.minhashFromHashes]]:
     * sig(i) = min over shingles of ((2i+3)*h + 5i+7) mod P; P when empty */
   def minhashSig(s: String, n: Int, k: Int): Array[Long] = {
@@ -157,6 +182,8 @@ object TextSig {
     udf((s: String, n: Int) => if (s == null) null else shingleHashes(s, n))
   val gramHashSeqUdf: UserDefinedFunction =
     udf((s: String, n: Int) => if (s == null) null else gramHashSeq(s, n))
+  val pairGramsUdf: UserDefinedFunction =
+    udf((s: String, w: Int) => if (s == null) null else pairGrams(s, w))
   val embedUdf: UserDefinedFunction =
     udf((s: String, dim: Int) => if (s == null) null else embed(s, dim))
   val minhashSigUdf: UserDefinedFunction =

@@ -49,6 +49,24 @@ object text {
       "i", d.arrayJoin(d.slice(toks, "i", n.toString), " "))
   }
 
+  /** unordered within-window co-occurrence pairs over a STAGED tokens
+    * column: for every position i and each j in (i, i+w], emit
+    * "min(tok_i,tok_j) max(tok_i,tok_j)" — the skip-gram pair stream PMI
+    * mining counts. Non-distinct (counts matter), ≤ w pairs per position,
+    * so the explode is a bounded w× amplification of the token stream.
+    * Callers must guard with size >= 2: Spark's sequence(1, 0) DESCENDS
+    * (the [[shingles]] gotcha); the inner sequence is always ascending
+    * because i ≤ size-1 implies i+1 ≤ size. */
+  def pairGrams(d: Dialect, toksCol: String, w: Int): String = {
+    def el(i: String) = d.elementAt(toksCol, i)
+    val pair = s"concat(least(${el("i")}, ${el("j")}), ' ', " +
+      s"greatest(${el("i")}, ${el("j")}))"
+    s"flatten(${d.transform(
+        d.seq("1", s"${d.size(toksCol)} - 1"), "i",
+        d.transform(d.seq("i + 1", s"least(i + $w, ${d.size(toksCol)})"), "j",
+          pair))})"
+  }
+
   /** distinct polynomial hashes of the word n-gram shingles (n=1 → tokens).
     * Shingle-level hashing is what makes MinHash/SimHash discriminative on
     * short-vocabulary corpora: unigram token SETS of any two long docs over
