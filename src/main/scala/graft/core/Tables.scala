@@ -20,11 +20,15 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw
-    * nanos (legacy long mode) and truncate to a micros timestamp — exactly
-    * what DuckDB does when it reads the same file, so oracle comparisons
-    * stay bit-identical.
+  /** `events.ts` has shipped in two physical encodings across testdata
+    * generations: parquet TIMESTAMP(NANOS) — which Spark's vectorized
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]) unless read as raw longs via
+    * `nanosAsLong` — and plain TIMESTAMP(MICROS) without timezone, which
+    * Spark reads as TIMESTAMP_NTZ. The loader is schema-aware so either
+    * file works and downstream always sees one thing: a session-zone
+    * TIMESTAMP in micros (the session timezone is pinned to UTC in
+    * [[Graft.session]], so the NTZ→TZ cast is value-preserving and
+    * matches what DuckDB computes from the same bytes).
     *
     * KNOWN SIDE EFFECT: `nanosAsLong` is a session conf, not a per-read
     * option (verified: `spark.read.option("nanosAsLong", ...)` is ignored
@@ -35,9 +39,15 @@ object Tables {
     * external sessions.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df // already a session-zone timestamp
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
