@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
 
 /** Session extensions: the engine's custom Catalyst surface.
   *
@@ -36,6 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   // double/array<double> at all (MAP, STRUCT, BINARY) fails analysis.
   private def dbl(e: Expression): Expression = Cast(e, DoubleType)
   private def dblArr(e: Expression): Expression = Cast(e, ArrayType(DoubleType))
+  private def lngArr(e: Expression): Expression = Cast(e, ArrayType(LongType))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -59,6 +60,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "dot_product(a, b)")
         DotProduct(dblArr(children(0)), dblArr(children(1)))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("qdist_sq"),
+      new ExpressionInfo(classOf[QDistSq].getName, "qdist_sq"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "qdist_sq(a, b)")
+        QDistSq(lngArr(children(0)), lngArr(children(1)))
       }))
     ext.injectOptimizerRule(_ => BoundingBoxRule)
   }

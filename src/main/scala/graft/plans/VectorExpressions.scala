@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst vector kernels over `array<double>` columns.
   *
@@ -38,6 +38,19 @@ object VectorKernels {
     val na = Math.sqrt(dot(a, a))
     val nb = Math.sqrt(dot(b, b))
     if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b) / (na * nb)
+  }
+
+  /** Σ (aᵢ−bᵢ)² over min length, BIGINT arrays — EXACT integer squared
+    * L2 for quantized vectors (q_kmeans_iter): every distance is the same
+    * BIGINT on every engine under every partitioning, so argmin cluster
+    * assignment can never flip on float association. Headroom: |q| ≤ 1e4
+    * ⇒ per-dim ≤ 4e8, so overflow needs ~2e10 dimensions. */
+  def qdistSq(a: ArrayData, b: ArrayData): Long = {
+    val n = Math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { val d = a.getLong(i) - b.getLong(i); acc += d * d; i += 1 }
+    acc
   }
 }
 
@@ -85,5 +98,32 @@ case class CosineSim(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `qdist_sq(a, b)` — exact integer squared L2 over ARRAY<BIGINT>. */
+case class QDistSq(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "qdist_sq"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects 2 ARRAY<BIGINT> arguments, got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.qdistSq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.VectorKernels.qdistSq($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QDistSq =
     copy(left = newLeft, right = newRight)
 }

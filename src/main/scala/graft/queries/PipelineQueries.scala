@@ -1240,6 +1240,185 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"),
           min(col("ppl")).as("min_ppl"), max(col("ppl")).as("max_ppl"))
         .orderBy("lang", "bucket")
+    },
+
+    Q("q_quality_classifier",
+      "Model-based quality filtering (the fasttext-style classifier stage " +
+        "of modern curation pipelines): a hashing-trick linear classifier " +
+        "scores every doc as one scan-side fold — each token hashes to a " +
+        "bucket whose integer weight is a pure function of the bucket " +
+        "(the deterministic stand-in for learned weights, the embedStub " +
+        "argument), the doc logit is the exact BIGINT sum of its token " +
+        "weights, keep = logit > 0. Inference shuffles NOTHING at 100 TB " +
+        "— no weight-table join, no explode+regroup: the weight lookup is " +
+        "arithmetic inside the same per-row fold that reads the tokens, so " +
+        "the classifier runs at scan speed and only the per-(source, " +
+        "verdict) yield rollup exchanges. Integer weights in [-10000, " +
+        "10000] make every logit exact under any partitioning; the mean " +
+        "token weight divides two exact sums once, then fixed-points",
+      Some {
+        val logit = D.fold(text.tokenHashes(D, "text"), "CAST(0 AS BIGINT)",
+          "acc", "h", s"acc + (((h * 2654435761) % ${text.P}) % 20001 - 10000)")
+        s"""SELECT source, keep, count(*) AS n_docs,
+           |  CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+           |  ${text.fixedPoint(
+                 "CAST(sum(logit) AS DOUBLE) / " +
+                   "(10000.0 * greatest(CAST(sum(n_toks) AS BIGINT), 1))", 6)}
+           |    AS mean_w
+           |FROM (
+           |  SELECT source, n_toks, logit, (logit > 0) AS keep
+           |  FROM (
+           |    SELECT source, ${text.nTokens(D, "text")} AS n_toks,
+           |      $logit AS logit
+           |    FROM documents))
+           |GROUP BY source, keep
+           |ORDER BY source, keep""".stripMargin
+      }) { (s, dir) =>
+      val logit = S.fold(text.tokenHashes(S, "text"), "CAST(0 AS BIGINT)",
+        "acc", "h", s"acc + (((h * 2654435761) % ${text.P}) % 20001 - 10000)")
+      documents(s, dir)
+        .select(col("source"),
+          expr(text.nTokens(S, "text")).as("n_toks"),
+          expr(logit).as("logit"))
+        .groupBy(col("source"), (col("logit") > lit(0)).as("keep"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).cast("long").as("sum_tokens"),
+          expr(text.fixedPoint(
+            "CAST(sum(logit) AS DOUBLE) / " +
+              "(10000.0 * greatest(sum(n_toks), 1))", 6)).as("mean_w"))
+        .orderBy("source", "keep")
+    },
+
+    Q("q_kmeans_iter",
+      "Embedding clustering, 2 unrolled Lloyd iterations (the k-means that " +
+        "PRODUCES the centroid tables q_semdedup and q_ivf_topk consume): " +
+        "k=8 centroids seeded from the lowest vec_ids, assignment = argmin " +
+        "squared L2, update = per-dimension mean, reported as final " +
+        "cluster sizes + centroid checksums. Everything is EXACT integer " +
+        "arithmetic: vectors quantize x10k once, distances are the native " +
+        "qdist_sq BIGINT kernel (codegen'd, scan-side — no float " +
+        "association anywhere, so assignment can never flip under " +
+        "repartitioning), and the mean divides two exact sums once per " +
+        "(cluster, dim). Scale shape per iteration: the k x dim centroid " +
+        "table broadcasts (KB), assignment is k kernel calls per row in " +
+        "the scan, and the update exchange carries at most k x dim " +
+        "(cluster, dim, sum, count) rows after map-side combine — the " +
+        "corpus shuffles ZERO times; real runs checkpoint centroids per " +
+        "iteration exactly like Dedup.clusters' label table",
+      Some {
+        val quant = D.transform(D.castDoubleArray("embedding"), "x",
+          "CAST(floor(x * 10000.0 + 0.5) AS BIGINT)")
+        val dist = D.fold(D.seq("1", D.size("qv")), "CAST(0 AS BIGINT)",
+          "acc", "i",
+          s"acc + (${D.elementAt("qv", "i")} - ${D.elementAt("cq", "i")}) * " +
+            s"(${D.elementAt("qv", "i")} - ${D.elementAt("cq", "i")})")
+        val mean = text.fixedPoint("CAST(sum(q) AS DOUBLE) / count(*)", 0)
+        def asgSql(cent: String) =
+          s"""SELECT vec_id, qv, cid AS cluster FROM (
+             |  SELECT vec_id, qv, cid,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             |  FROM (SELECT vec_id, qv, cid, $dist AS dist
+             |        FROM qv CROSS JOIN $cent)) WHERE rn = 1""".stripMargin
+        def updSql(asg: String) =
+          s"""SELECT cluster AS cid, list(m ORDER BY d) AS cq FROM (
+             |  SELECT cluster, d, $mean AS m
+             |  FROM (SELECT cluster, unnest(qv) AS q,
+             |          unnest(generate_series(1, len(qv))) AS d FROM $asg)
+             |  GROUP BY cluster, d) GROUP BY cluster""".stripMargin
+        s"""WITH qv AS (SELECT vec_id, $quant AS qv FROM embeddings),
+           |c0 AS (SELECT vec_id AS cid, qv AS cq FROM qv WHERE vec_id < 8),
+           |a1 AS (${asgSql("c0")}),
+           |c1 AS (${updSql("a1")}),
+           |a2 AS (${asgSql("c1")}),
+           |c2 AS (${updSql("a2")})
+           |SELECT a.cluster, count(*) AS n_members,
+           |  ${D.fold("c.cq", "CAST(0 AS BIGINT)", "acc", "x", "acc + x")}
+           |    AS cent_sum,
+           |  ${D.fold("c.cq", "CAST(0 AS BIGINT)", "acc", "x", "acc + abs(x)")}
+           |    AS cent_abs
+           |FROM a2 a JOIN c2 c ON a.cluster = c.cid
+           |GROUP BY a.cluster, cent_sum, cent_abs
+           |ORDER BY cluster""".stripMargin
+      }) { (s, dir) =>
+      import org.apache.spark.sql.DataFrame
+      val qv = embeddings(s, dir).select(col("vec_id"),
+        expr(S.transform(S.castDoubleArray("embedding"), "x",
+          "CAST(floor(x * 10000.0 + 0.5) AS BIGINT)")).as("qv"))
+      val c0 = qv.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("qv").as("cq"))
+      // assignment is a PURE PROJECTION: the k centroids collapse into one
+      // broadcast row carrying an array<struct(cid, cq)>, and the argmin is
+      // array_min over (dist, cid) structs — lexicographic struct ordering
+      // IS the (min dist, tie lowest cid) rule, computed per row with zero
+      // explode, zero window, zero corpus regroup. The oracle states the
+      // same rule as row_number() OVER (ORDER BY dist, cid) = 1.
+      def assign(cent: DataFrame): DataFrame = {
+        val centRow = cent.agg(
+          collect_list(struct(col("cid"), col("cq"))).as("cents"))
+        qv.crossJoin(broadcast(centRow))
+          .withColumn("best", expr(
+            "array_min(transform(cents, c -> " +
+              "named_struct('d', qdist_sq(qv, c.cq), 'cid', c.cid)))"))
+          .select(col("vec_id"), col("qv"), col("best.cid").as("cluster"))
+      }
+      def update(asg: DataFrame): DataFrame =
+        asg.select(col("cluster"), posexplode(col("qv")).as(Seq("d0", "q")))
+          .groupBy(col("cluster"), (col("d0") + 1).as("d"))
+          .agg(expr(text.fixedPoint("CAST(sum(q) AS DOUBLE) / count(*)", 0))
+            .as("m"))
+          .groupBy("cluster")
+          .agg(transform(sort_array(collect_list(struct(col("d"), col("m")))),
+            _.getField("m")).as("cq"))
+          .select(col("cluster").as("cid"), col("cq"))
+      val a2 = assign(update(assign(c0)))
+      val c2 = update(a2)
+      a2.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+        .join(c2.select(col("cid").as("cluster"),
+          expr(S.fold("cq", "CAST(0 AS BIGINT)", "acc", "x", "acc + x"))
+            .as("cent_sum"),
+          expr(S.fold("cq", "CAST(0 AS BIGINT)", "acc", "x", "acc + abs(x)"))
+            .as("cent_abs")), "cluster")
+        .orderBy("cluster")
+    },
+
+    Q("q_inverted_index",
+      "Inverted-index build (the index behind q_bm25's keyword search, " +
+        "materialized): token -> document frequency + the first 8 posting " +
+        "doc_ids, top-20 tokens by df. The scale-honest formulation caps " +
+        "the posting page BEFORE any row is buffered: distinct (tok, doc) " +
+        "pairs rank per token with a partitioned window and only rn <= 8 " +
+        "survivors reach collect_list, so no group ever buffers an " +
+        "unbounded posting list (a stopword's postings are corpus-sized at " +
+        "100 TB — the full index would land list-partitioned on disk, " +
+        "page by page, exactly like AnnIndex's bucket layout). df comes " +
+        "from the same window pass (count over the token partition), so " +
+        "dedup, rank, df and page share one exchange",
+      Some(s"""SELECT tok, df,
+              |  array_to_string(list_sort(list(doc_id)), ',') AS postings
+              |FROM (
+              |  SELECT tok, doc_id,
+              |    CAST(count(*) OVER (PARTITION BY tok) AS BIGINT) AS df,
+              |    row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
+              |  FROM (SELECT DISTINCT doc_id, tok FROM (
+              |    SELECT doc_id, unnest(${text.tokens(D, "text")}) AS tok
+              |    FROM documents)))
+              |WHERE rn <= 8
+              |GROUP BY tok, df
+              |ORDER BY df DESC, tok
+              |LIMIT 20""".stripMargin)) { (s, dir) =>
+      val byTok = Window.partitionBy("tok")
+      documents(s, dir)
+        .select(col("doc_id"), explode(expr(text.tokens(S, "text"))).as("tok"))
+        .distinct()
+        .withColumn("df", count(lit(1)).over(byTok))
+        .withColumn("rn", row_number().over(byTok.orderBy("doc_id")))
+        .filter(col("rn") <= 8)
+        .groupBy("tok", "df")
+        .agg(array_join(
+          transform(sort_array(collect_list(col("doc_id"))),
+            _.cast("string")), ",").as("postings"))
+        .orderBy(desc("df"), col("tok"))
+        .limit(20)
     }
   )
 }

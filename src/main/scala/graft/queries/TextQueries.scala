@@ -319,6 +319,64 @@ object TextQueries {
         .orderBy("id")
     },
 
+    Q("q_dedup_best_survivor",
+      "Quality-aware survivor selection: real curation pipelines keep the " +
+        "BEST duplicate (longest text here; any quality score works), not " +
+        "the smallest id — q_dedup_apply's min-id policy silently prefers " +
+        "whichever copy was crawled first. Clusters come from the same " +
+        "min-label propagation as q_dedup_clusters; the policy itself is " +
+        "one window over cluster MEMBERS (pair-graph-vertex sized, orders " +
+        "of magnitude smaller than the corpus) ranking by (quality DESC, " +
+        "id) — so switching survivor policy costs nothing at 100 TB. On " +
+        "this corpus it provably changes the outcome: the offset copies " +
+        "are 3 chars longer, so every survivor is the +10000 twin where " +
+        "min-id would keep the original",
+      Some(s"""WITH RECURSIVE $nearDupCorpusSql,
+              |hs AS (SELECT doc_id, ${text.shingleHashes(D, "text", 3)} AS hs
+              |       FROM corpus),
+              |sig AS (SELECT doc_id, ${text.minhashFromHashes(D, "hs", 16)} AS sig
+              |        FROM hs),
+              |bands AS (SELECT doc_id, j,
+              |            ${D.arrayJoin(D.slice("sig", "4*j + 1", "4"), "_")} AS band_key
+              |          FROM sig, (SELECT unnest(generate_series(0, 3)) AS j)),
+              |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              |          FROM bands a JOIN bands b
+              |            ON a.j = b.j AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+              |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+              |          UNION SELECT b_id, a_id FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT doc_id, doc_id FROM corpus
+              |  UNION
+              |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+              |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+              |sized AS (
+              |  SELECT c.id, c.cluster, length(corpus.text) AS n_chars,
+              |    count(*) OVER (PARTITION BY c.cluster) AS n_members,
+              |    row_number() OVER (PARTITION BY c.cluster
+              |                       ORDER BY length(corpus.text) DESC, c.id) AS rn
+              |  FROM comp c JOIN corpus ON c.id = corpus.doc_id)
+              |SELECT cluster, id AS survivor_id, n_chars AS survivor_chars,
+              |  CAST(n_members AS BIGINT) AS n_members
+              |FROM sized
+              |WHERE rn = 1 AND n_members >= 2
+              |ORDER BY cluster""".stripMargin)) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val corpus = nearDupCorpus(documents(s, dir))
+      val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+        k = 16, bands = 4, shingleN = 3)
+      val comp = Dedup.clusters(corpus, "doc_id", pairs)
+      val w = Window.partitionBy("cluster")
+        .orderBy(desc("n_chars"), col("id"))
+      comp
+        .join(corpus.select(col("doc_id").as("id"),
+          length(col("text")).cast("long").as("n_chars")), "id")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("n_members") >= 2)
+        .select(col("cluster"), col("id").as("survivor_id"),
+          col("n_chars").as("survivor_chars"), col("n_members"))
+        .orderBy("cluster")
+    },
+
     Q("q_fingerprint",
       "Document fingerprinting: rolling polynomial hash over token hashes " +
         "(order-sensitive, unlike the MinHash set signature)",

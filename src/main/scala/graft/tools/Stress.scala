@@ -138,6 +138,44 @@ object Stress {
     }
     results += "segment_dedup" -> (docRows, segS)
 
+    // classifier inference (q_kmeans_iter's sibling in PipelineQueries):
+    // the hashed-weight fold is pure scan-side work, so wall-clock must
+    // track the scan ~linearly in M — any superlinear bend would mean the
+    // "zero-shuffle inference" claim broke
+    val (_, clsS) = time {
+      import graft.functions.{text, SparkDialect => S}
+      val logit = S.fold(text.tokenHashes(S, "text"), "CAST(0 AS BIGINT)",
+        "acc", "h", s"acc + (((h * 2654435761) % ${text.P}) % 20001 - 10000)")
+      docs.select(col("source"), expr(logit).as("logit"))
+        .groupBy(col("source"), (col("logit") > lit(0)).as("keep"))
+        .agg(count(lit(1)).as("n"))
+        .count()
+    }
+    results += "classifier_score" -> (docRows, clsS)
+
+    // k-means assignment over M-scaled embeddings: one broadcast centroid
+    // row + the projection argmin (native qdist_sq kernel) — like the
+    // classifier, a scan-shaped pass whose slope must stay linear
+    val emb = scaled(Tables.embeddings(spark, sfDir), m, stride, Seq("vec_id"))
+    val embRows = emb.count()
+    val (_, kmS) = time {
+      import graft.functions.{SparkDialect => S}
+      val qv = emb.select(col("vec_id"),
+        expr(S.transform(S.castDoubleArray("embedding"), "x",
+          "CAST(floor(x * 10000.0 + 0.5) AS BIGINT)")).as("qv"))
+      val centRow = qv.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("qv").as("cq"))
+        .agg(collect_list(struct(col("cid"), col("cq"))).as("cents"))
+      qv.crossJoin(broadcast(centRow))
+        .select(col("vec_id"), expr(
+          "array_min(transform(cents, c -> " +
+            "named_struct('d', qdist_sq(qv, c.cq), 'cid', c.cid))).cid")
+          .as("cluster"))
+        .groupBy("cluster").agg(count(lit(1)))
+        .count()
+    }
+    results += "kmeans_assign" -> (embRows, kmS)
+
     val qs = results.map { case (k, (rows, s)) =>
       s""""$k":{"rows":$rows,"sec":${f"$s%.2f"}}"""
     }.mkString("{", ",", "}")

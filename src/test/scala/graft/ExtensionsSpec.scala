@@ -54,6 +54,27 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("qdist_sq native kernel matches the cross-dialect fold fragment exactly") {
+    // the kernel powers q_kmeans_iter's argmin; the fold fragment is what
+    // the DuckDB oracle runs — exact integers, so equality is ==, not a
+    // tolerance
+    import graft.functions.{text, SparkDialect => S}
+    val quant = S.transform(S.castDoubleArray("embedding"), "x",
+      "CAST(floor(x * 10000.0 + 0.5) AS BIGINT)")
+    val dist = S.fold(S.seq("1", S.size("qa")), "CAST(0 AS BIGINT)",
+      "acc", "i",
+      s"acc + (${S.elementAt("qa", "i")} - ${S.elementAt("qb", "i")}) * " +
+        s"(${S.elementAt("qa", "i")} - ${S.elementAt("qb", "i")})")
+    val e = graft.core.Tables.embeddings(spark, sf).limit(40)
+      .select(col("vec_id"), expr(quant).as("qa"))
+    val pairs = e.crossJoin(e.select(col("qa").as("qb")).limit(5))
+      .select(expr("qdist_sq(qa, qb)").as("native"), expr(dist).as("fold"))
+    pairs.collect().foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"${r.getLong(0)} != ${r.getLong(1)}")
+    }
+    assert(text.P == "1000000007") // fragment constants stay in sync
+  }
+
   test("BoundingBoxRule injects sargable lat/lon range predicates") {
     val df = spark.read.parquet(geoPath)
     val q = df.filter(expr("haversine_km(lat, lon, 32.5D, -116.5D) <= 20.0D"))
