@@ -168,6 +168,41 @@ object text {
   def nTokensBpe(d: Dialect, col: String): String =
     d.regexpCount(s"lower($col)", "[a-z]+|[0-9]+|[^a-z0-9\\s ]")
 
+  /** One BPE merge (a, b) -> ab applied greedy-left-to-right over a token
+    * array: a sequential fold that either glues the incoming token onto a
+    * matching predecessor or appends it. Leftmost-first semantics match
+    * canonical BPE ("aaa" under (a,a) -> [aa, a]); a merged token never
+    * re-merges within the same pass, exactly like the reference algorithm
+    * (Sennrich et al. 2016). The fold seeds with an empty-string sentinel
+    * (tokens are never empty, so it can't participate in a merge) which
+    * the caller's outermost merge strips via [[bpeApply]] — that keeps
+    * `element_at(acc, -1)` total on both engines without a size guard.
+    * Uses [[Dialect.foldArr]] (array accumulator), whose contract binds
+    * the lambda variable to a single-element array — hence elementAt(x, 1)
+    * to read the token and concatArr(acc, x) to append it whole.
+    * Merge parts must be pre-escaped single-quote-safe literals. */
+  def bpeMergeOnce(d: Dialect, arr: String, a: String, b: String): String =
+    d.foldArr(arr, d.arrayLit(Seq("")), "acc", "x",
+      s"CASE WHEN ${d.elementAt("acc", "-1")} = '$a' " +
+        s"AND ${d.elementAt("x", "1")} = '$b' " +
+        s"THEN ${d.concatArr(
+          d.slice(arr = "acc", start1 = "1", n = s"${d.size("acc")} - 1"),
+          d.arrayLit(Seq(a + b)))} " +
+        s"ELSE ${d.concatArr("acc", "x")} END")
+
+  /** Apply a ranked merge list to a char-token array (BPE encode): merges
+    * compose in priority order — each pass runs over the previous pass's
+    * output, like a trained tokenizer replaying its merge table. Strips
+    * each pass's leading sentinel with a clamped-length slice (both
+    * engines truncate a too-long slice at the array end; referencing
+    * `size(once)` instead would paste the pass expression TWICE and double
+    * the rendered SQL per merge). */
+  def bpeApply(d: Dialect, charsArr: String,
+               merges: Seq[(String, String)]): String =
+    merges.foldLeft(charsArr) { case (acc, (a, b)) =>
+      d.slice(bpeMergeOnce(d, acc, a, b), "2", "1000000")
+    }
+
   /** guard all integer-ratio metrics: empty/whitespace-only docs would give
     * 0/0 = NaN, and fixedPoint's CAST(floor(NaN...)) throws under Spark 4's
     * default ANSI mode — one blank doc must not abort a corpus scan */

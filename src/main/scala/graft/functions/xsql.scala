@@ -26,6 +26,13 @@ sealed abstract class Dialect {
   def filterArr(arr: String, v: String, body: String): String
   /** left fold with explicit BIGINT/DOUBLE init — sequential, same order both engines */
   def fold(arr: String, init: String, acc: String, v: String, body: String): String
+  /** left fold whose ACCUMULATOR is an array (DuckDB's list_reduce can't
+    * mix an array init into a scalar list, so elements are wrapped as
+    * single-element arrays first). CONTRACT: inside `body`, the lambda
+    * variable `v` is bound to a SINGLE-ELEMENT ARRAY holding the current
+    * element — read it with elementAt(v, 1), or append it whole with
+    * concatArr(acc, v). */
+  def foldArr(arr: String, init: String, acc: String, v: String, body: String): String
   def arrayMin(a: String): String
   def arrayDistinct(a: String): String
   def arrayIntersect(a: String, b: String): String
@@ -68,6 +75,8 @@ sealed abstract class Dialect {
   def castDoubleArray(a: String): String
   /** array literal from pre-escaped single-quoted string items */
   def arrayLit(items: Seq[String]): String
+  /** concatenation of two array expressions */
+  def concatArr(a: String, b: String): String
   /** full English weekday name of a timestamp, e.g. 'Wednesday'
     * (reference strftime('%A'), check_hours_availability.py:44) */
   def dayName(ts: String): String
@@ -84,6 +93,8 @@ object SparkDialect extends Dialect {
   def filterArr(arr: String, v: String, body: String) = s"filter($arr, $v -> $body)"
   def fold(arr: String, init: String, acc: String, v: String, body: String) =
     s"aggregate($arr, $init, ($acc, $v) -> $body)"
+  def foldArr(arr: String, init: String, acc: String, v: String, body: String) =
+    s"aggregate(transform($arr, __e -> array(__e)), $init, ($acc, $v) -> $body)"
   def arrayMin(a: String) = s"array_min($a)"
   def arrayDistinct(a: String) = s"array_distinct($a)"
   def arrayIntersect(a: String, b: String) = s"array_intersect($a, $b)"
@@ -120,6 +131,7 @@ object SparkDialect extends Dialect {
     // array(''), a 1-element array holding the empty string
     if (items.isEmpty) "array()"
     else items.mkString("array('", "', '", "')")
+  def concatArr(a: String, b: String) = s"concat($a, $b)"
   def dayName(ts: String) = s"date_format($ts, 'EEEE')"
   def time12(ts: String) = s"date_format($ts, 'hh:mm a')"
 }
@@ -132,6 +144,9 @@ object DuckDialect extends Dialect {
   def filterArr(arr: String, v: String, body: String) = s"list_filter($arr, $v -> $body)"
   def fold(arr: String, init: String, acc: String, v: String, body: String) =
     s"list_reduce(list_prepend($init, $arr), ($acc, $v) -> $body)"
+  def foldArr(arr: String, init: String, acc: String, v: String, body: String) =
+    s"list_reduce(list_prepend($init, list_transform($arr, __e -> [__e])), " +
+      s"($acc, $v) -> $body)"
   def arrayMin(a: String) = s"list_min($a)"
   def arrayDistinct(a: String) = s"list_distinct($a)"
   def arrayIntersect(a: String, b: String) = s"list_intersect($a, $b)"
@@ -164,6 +179,7 @@ object DuckDialect extends Dialect {
   def castDoubleArray(a: String) = s"CAST($a AS DOUBLE[])"
   def arrayLit(items: Seq[String]) =
     if (items.isEmpty) "[]" else items.mkString("['", "', '", "']")
+  def concatArr(a: String, b: String) = s"list_concat($a, $b)"
   def dayName(ts: String) = s"strftime($ts, '%A')"
   def time12(ts: String) = s"strftime($ts, '%I:%M %p')"
 }

@@ -24,6 +24,11 @@ object PipelineQueries {
 
   private val mixDoc = text.mix("doc_id")
 
+  /** q_bpe_encode's ranked merge table — the first merges an English BPE
+    * run learns; (t,h) then (th,e) demonstrates merge chaining. */
+  private val BpeMerges: Seq[(String, String)] =
+    Seq("t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r")
+
   /** Efraimidis-Spirakis key for q_weighted_sample — one shared string so
     * both engines parse the identical expression: u = (mix+1)/(P+1) in
     * (0,1], weight floored at 1 char. (Declared before `all`: the oracle
@@ -1287,6 +1292,46 @@ object PipelineQueries {
             "CAST(sum(logit) AS DOUBLE) / " +
               "(10000.0 * greatest(sum(n_toks), 1))", 6)).as("mean_w"))
         .orderBy("source", "keep")
+    },
+
+    Q("q_bpe_encode",
+      "Tokenizer application — the other half of q_bpe_pairs' training " +
+        "step: replay a 4-entry ranked merge table ((t,h)->(th,e) chains " +
+        "into 'the', plus (i,n) and (e,r)) over the corpus and report the " +
+        "top-25 encoded tokens by occurrence. Canonical BPE semantics per " +
+        "pass: greedy leftmost, merged tokens don't re-merge within their " +
+        "pass, merges compose in priority order (text.bpeApply — one " +
+        "sequential fold per merge). Scale shape is q_bpe_pairs': the " +
+        "corpus pays ONE map-side-combined word count, the per-word " +
+        "encode fold runs over the vocab-sized distinct-word table " +
+        "carrying its count, and occurrence totals are count-weighted " +
+        "sums — a 100 TB corpus never re-encodes a repeated word",
+      Some {
+        val enc = text.bpeApply(D, D.splitChars("w"), BpeMerges)
+        s"""SELECT tok, CAST(sum(c) AS BIGINT) AS n_occurrences,
+           |  count(*) AS n_words
+           |FROM (
+           |  SELECT unnest(toks) AS tok, c FROM (
+           |    SELECT $enc AS toks, c FROM (
+           |      SELECT w, count(*) AS c FROM (
+           |        SELECT unnest(${text.tokens(D, "text")}) AS w
+           |        FROM documents)
+           |      GROUP BY w)))
+           |GROUP BY tok
+           |ORDER BY n_occurrences DESC, tok
+           |LIMIT 25""".stripMargin
+      }) { (s, dir) =>
+      val enc = text.bpeApply(S, S.splitChars("w"), BpeMerges)
+      documents(s, dir)
+        .select(explode(expr(text.tokens(S, "text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .select(expr(enc).as("toks"), col("c"))
+        .select(explode(col("toks")).as("tok"), col("c"))
+        .groupBy("tok")
+        .agg(sum(col("c")).cast("long").as("n_occurrences"),
+          count(lit(1)).as("n_words"))
+        .orderBy(desc("n_occurrences"), col("tok"))
+        .limit(25)
     },
 
     Q("q_kmeans_iter",

@@ -1444,6 +1444,28 @@ class ModulesSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE merge fold: canonical greedy-leftmost semantics on crafted inputs") {
+    // pins the exact Sennrich et al. merge behavior q_bpe_encode relies on:
+    // leftmost-first on runs, no re-merge within a pass, chaining across
+    // ranked passes
+    def enc(word: String, merges: Seq[(String, String)]): Seq[String] = {
+      val e = text.bpeApply(S, S.splitChars("w"), merges)
+      spark.sql(s"SELECT $e AS t FROM (SELECT '$word' AS w)")
+        .head.getSeq[String](0).toSeq
+    }
+    // "aaa" under (a,a): leftmost pair merges, survivor does NOT re-merge
+    assert(enc("aaa", Seq("a" -> "a")) == Seq("aa", "a"))
+    // "aaaa": two disjoint merges in one pass
+    assert(enc("aaaa", Seq("a" -> "a")) == Seq("aa", "aa"))
+    // chaining: (t,h) then (th,e) yields a single 'the' token
+    assert(enc("the", Seq("t" -> "h", "th" -> "e")) == Seq("the"))
+    // a later-rank merge does not apply before its turn: (h,e) consumed
+    // the 'h' only if (t,h) hasn't already
+    assert(enc("the", Seq("h" -> "e", "t" -> "h")) == Seq("t", "he"))
+    // no merge applies: identity to the char split
+    assert(enc("xyz", Seq("a" -> "b")) == Seq("x", "y", "z"))
+  }
+
   test("segments partition the token stream; char chunks cover the text with overlap") {
     // segments: rejoining them with single spaces reproduces the normalized
     // token stream exactly — nothing duplicated, nothing lost (the property
