@@ -1294,6 +1294,93 @@ object PipelineQueries {
         .orderBy("source", "keep")
     },
 
+    Q("q_chunk_cdc",
+      "Content-defined chunking (the LBFS/FastCDC boundary rule, token " +
+        "granularity — unrelated to q_cdc_apply's change-data-capture): a " +
+        "chunk ends wherever the rolling 3-token window hash is 0 mod 8, " +
+        "so boundaries depend ONLY on local content — prepend two tokens " +
+        "to a doc and every boundary past the first window lands on the " +
+        "same content again, where q_chunk_overlap's fixed windows all " +
+        "shift (the property that makes storage-level and crawl-recrawl " +
+        "dedup survive insertions). The corpus here is documents plus a " +
+        "'zz zz '-prefixed copy of each, and the output PROVES the resync: " +
+        "the top duplicated chunk fingerprints all occur in an original " +
+        "and its shifted twin. Shape: gram hashes stage once per doc " +
+        "behind an explode barrier (the BM25 CollapseProject lesson), one " +
+        "doc-partitioned cumsum window assigns chunk ids, fingerprints " +
+        "fold per (doc, chunk) — scan + one keyed window at any scale",
+      Some {
+        val P = text.P
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 10000, 'zz zz ' || text FROM documents),
+           |staged AS (
+           |  SELECT doc_id, ${text.tokenHashes(D, "text")} AS ths,
+           |    ${text.gramHashes(D, "text", 3)} AS ghs
+           |  FROM corpus),
+           |toks AS (
+           |  SELECT doc_id,
+           |    unnest(ths) AS h,
+           |    unnest(generate_series(1, len(ths))) AS pos,
+           |    unnest(${D.transform(D.seq("1", D.size("ths")), "i",
+                 s"CASE WHEN i >= 3 AND ${D.elementAt("ghs", "i - 2")} % 8 = 0 " +
+                   "THEN 1 ELSE 0 END")}) AS f
+           |  FROM staged),
+           |chunked AS (
+           |  SELECT doc_id, h, pos,
+           |    sum(f) OVER (PARTITION BY doc_id ORDER BY pos) - f AS chunk
+           |  FROM toks),
+           |fps AS (
+           |  SELECT doc_id, chunk,
+           |    ${D.fold("list(h ORDER BY pos)", "CAST(0 AS BIGINT)",
+                 "acc", "x", s"(acc * 131 + x) % $P")} AS fp,
+           |    count(*) AS len
+           |  FROM chunked GROUP BY doc_id, chunk)
+           |SELECT fp, count(DISTINCT doc_id) AS n_docs,
+           |  count(*) AS n_occurrences, CAST(max(len) AS BIGINT) AS chunk_len
+           |FROM fps GROUP BY fp
+           |HAVING count(*) >= 2 AND CAST(max(len) AS BIGINT) >= 4
+           |ORDER BY n_occurrences DESC, fp
+           |LIMIT 20""".stripMargin
+      }) { (s, dir) =>
+      val base = documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = base.unionByName(base.select(
+        (col("doc_id") + 10000).as("doc_id"),
+        concat(lit("zz zz "), col("text")).as("text")))
+      val staged = corpus
+        .select(col("doc_id"), explode(array(expr(
+          s"named_struct('ths', ${text.tokenHashes(S, "text")}, " +
+            s"'ghs', ${text.gramHashes(S, "text", 3)})"))).as("z"))
+        .select(col("doc_id"), col("z.ths").as("ths"), col("z.ghs").as("ghs"))
+      val rows = staged
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, size(ths)), i -> named_struct(" +
+            "'h', element_at(ths, i), " +
+            "'f', CASE WHEN i >= 3 AND element_at(ghs, i - 2) % 8 = 0 " +
+            "THEN 1 ELSE 0 END))")).as(Seq("p0", "t")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"),
+          col("t.h").as("h"), col("t.f").as("f"))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      rows
+        .withColumn("chunk", sum(col("f")).over(w) - col("f"))
+        .groupBy("doc_id", "chunk")
+        .agg(expr(
+          "aggregate(transform(sort_array(collect_list(" +
+            "named_struct('pos', pos, 'h', h))), s -> s.h), 0L, " +
+            s"(acc, x) -> (acc * 131 + x) % ${text.P})").as("fp"),
+          count(lit(1)).as("len"))
+        .groupBy("fp")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"),
+          max(col("len")).as("chunk_len"))
+        // substantive chunks only: 1-token boundary chunks repeat across
+        // the whole corpus trivially and would bury the twin-resync signal
+        .filter(col("n_occurrences") >= 2 && col("chunk_len") >= 4)
+        .orderBy(desc("n_occurrences"), col("fp"))
+        .limit(20)
+    },
+
     Q("q_bpe_encode",
       "Tokenizer application — the other half of q_bpe_pairs' training " +
         "step: replay a 4-entry ranked merge table ((t,h)->(th,e) chains " +

@@ -525,6 +525,56 @@ object WarehouseQueries {
         .orderBy("k")
     },
 
+    Q("q_rollup_incremental",
+      "Incremental materialized-view maintenance: a standing daily rollup " +
+        "covers history, the newest slice (orders from 1998 on) arrives as " +
+        "a batch, and the refresh merges BATCH-ROLLUP into STANDING-ROLLUP " +
+        "by re-aggregating two partial-aggregate tables — history is never " +
+        "rescanned, which at 100 TB is the difference between a refresh " +
+        "touching day-sized data and recomputing the lake (both rollups " +
+        "here derive in-query since testdata has no persisted store; in " +
+        "production the standing side reads back from the lake and the " +
+        "merge plan is identical). Every metric crossing the merge is " +
+        "MERGEABLE (counts and cent-sums add; min/max combine); the " +
+        "average is derived AFTER the merge from merged sums — the " +
+        "classic non-mergeable-metric trap. The oracle recomputes the " +
+        "rollup from scratch over all rows: scratch == merged IS the " +
+        "correctness contract of incremental view maintenance (the " +
+        "clustersIncremental pinned-equality pattern, SQL-expressible)",
+      Some(s"""SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+              |  o_orderstatus AS status,
+              |  CAST(count(*) AS BIGINT) AS n,
+              |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+              |    AS cents,
+              |  CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+              |    AS max_cents,
+              |  ${text.fixedPoint(
+                  "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)" +
+                    " / count(*)", 2)} AS avg_cents_x100
+              |FROM orders
+              |GROUP BY day, status
+              |ORDER BY day, status""".stripMargin)) { (s, dir) =>
+      def partial(df: org.apache.spark.sql.DataFrame) = df
+        .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+          col("o_orderstatus").as("status"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy("day", "status")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          max(col("cents")).as("max_cents"))
+      val o = orders(s, dir)
+      val standing = partial(o.filter(col("o_orderdate") < lit("1998-01-01")))
+      val batch = partial(o.filter(col("o_orderdate") >= lit("1998-01-01")))
+      standing.unionByName(batch)
+        .groupBy("day", "status")
+        .agg(sum(col("n")).cast("long").as("n"),
+          sum(col("cents")).cast("long").as("cents"),
+          max(col("max_cents")).cast("long").as("max_cents"))
+        .withColumn("avg_cents_x100",
+          expr(text.fixedPoint("CAST(cents AS DOUBLE) / n", 2)))
+        .select("day", "status", "n", "cents", "max_cents", "avg_cents_x100")
+        .orderBy("day", "status")
+    },
+
     Q("q_running_total",
       "Cumulative revenue per customer over order time — the running-sum " +
         "window every ledger/balance pipeline runs (q_sessionize uses the " +

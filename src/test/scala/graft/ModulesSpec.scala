@@ -1444,6 +1444,59 @@ class ModulesSpec extends AnyFunSuite {
     }
   }
 
+  test("CDC chunking: boundaries resync after a prefix shift; fixed segments do not") {
+    // the property q_chunk_cdc exists for: prepend 2 tokens to a doc and
+    // content-defined boundaries re-land on the same content past the
+    // first hash window, so most chunk fingerprints survive — while fixed
+    // 8-token segmentation shifts every boundary and shares ~nothing
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.core.Tables.documents(spark, sf).limit(40)
+      .select(col("doc_id"), col("text"))
+      .filter(expr(text.nTokens(S, "text")) >= 20)
+    def cdcFps(df: DataFrame): Map[Long, Set[Long]] = {
+      val staged = df.select(col("doc_id"), explode(array(expr(
+        s"named_struct('ths', ${text.tokenHashes(S, "text")}, " +
+          s"'ghs', ${text.gramHashes(S, "text", 3)})"))).as("z"))
+        .select(col("doc_id"), col("z.ths").as("ths"), col("z.ghs").as("ghs"))
+      val rows = staged.select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(ths)), i -> named_struct(" +
+          "'h', element_at(ths, i), " +
+          "'f', CASE WHEN i >= 3 AND element_at(ghs, i - 2) % 8 = 0 " +
+          "THEN 1 ELSE 0 END))")).as(Seq("p0", "t")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"),
+          col("t.h").as("h"), col("t.f").as("f"))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      rows.withColumn("chunk", sum(col("f")).over(w) - col("f"))
+        .groupBy("doc_id", "chunk")
+        .agg(expr("aggregate(transform(sort_array(collect_list(" +
+          "named_struct('pos', pos, 'h', h))), s -> s.h), 0L, " +
+          s"(acc, x) -> (acc * 131 + x) % ${text.P})").as("fp"))
+        .groupBy("doc_id").agg(collect_set("fp").as("fps"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    }
+    def segFps(df: DataFrame): Map[Long, Set[Long]] =
+      df.select(col("doc_id"),
+        explode(expr(text.segments(S, "text", 8))).as("seg"))
+        .select(col("doc_id"), expr(text.tokenHash(S, "seg")).as("fp"))
+        .groupBy("doc_id").agg(collect_set("fp").as("fps"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    def overlap(a: Map[Long, Set[Long]], b: Map[Long, Set[Long]]): Double = {
+      val fr = a.keys.toSeq.map { k =>
+        a(k).intersect(b.getOrElse(k, Set.empty)).size.toDouble /
+          math.max(a(k).size, 1)
+      }
+      fr.sum / fr.size
+    }
+    val shifted = base.select(col("doc_id"),
+      concat(lit("zz zz "), col("text")).as("text"))
+    val cdcO = overlap(cdcFps(base), cdcFps(shifted))
+    val segO = overlap(segFps(base), segFps(shifted))
+    assert(cdcO > 0.5, f"CDC chunk overlap after shift only $cdcO%.2f")
+    assert(segO < 0.2, f"fixed segments unexpectedly stable: $segO%.2f")
+    assert(cdcO > segO + 0.3, f"cdc=$cdcO%.2f seg=$segO%.2f")
+  }
+
   test("BPE merge fold: canonical greedy-leftmost semantics on crafted inputs") {
     // pins the exact Sennrich et al. merge behavior q_bpe_encode relies on:
     // leftmost-first on runs, no re-merge within a pass, chaining across
