@@ -212,12 +212,78 @@ object Multimodal {
     MediaMeta("wav", -1L, -1L, n * 1000L / rate, sum, b.length)
   }
 
+  // ======================================================================
+  // Real pixel work: nearest-neighbor BMP resize + a position-weighted
+  // payload checksum. Both operate in STORAGE order (BMP bottom-up rows):
+  // resize maps storage row r to source storage row r*srcH/dstH — a
+  // uniform flip of both spaces is the same mapping, so nearest-neighbor
+  // in storage coordinates IS nearest-neighbor in image coordinates.
+  // ======================================================================
+
+  /** Nearest-neighbor resize of a 24bpp bottom-up BMP to dstW x dstH.
+    * Output stride re-pads to 4 bytes; header dims/sizes patched. */
+  def resizeBmp(b: Array[Byte], dstW: Int, dstH: Int): Array[Byte] = {
+    require(b.length >= 54 && b(0) == 'B' && b(1) == 'M', "not a BMP")
+    require(dstW > 0 && dstH > 0, s"bad resize dims ${dstW}x$dstH")
+    val srcW = rdLE(b, 18, 4).toInt
+    val srcH = rdLE(b, 22, 4).toInt
+    val srcStride = ((3 * srcW + 3) / 4) * 4
+    val dstStride = ((3 * dstW + 3) / 4) * 4
+    val out = new Array[Byte](54 + dstStride * dstH) // zero pad bytes
+    System.arraycopy(b, 0, out, 0, 54)
+    wrLE(out, 2, out.length, 4)
+    wrLE(out, 18, dstW, 4); wrLE(out, 22, dstH, 4)
+    wrLE(out, 34, dstStride * dstH, 4)
+    var r = 0
+    while (r < dstH) {
+      val sr = r * srcH / dstH
+      var x = 0
+      while (x < dstW) {
+        val sx = x * srcW / dstW
+        var c = 0
+        while (c < 3) {
+          out(54 + r * dstStride + 3 * x + c) = b(54 + sr * srcStride + 3 * sx + c)
+          c += 1
+        }
+        x += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Position-weighted BMP payload checksum: Σ byte_j * (j+1) mod P over
+    * the un-padded payload in storage-raster order. Unlike content_sum's
+    * plain sum this pins the exact pixel LAYOUT — a transposed, flipped or
+    * stride-corrupted resize changes it. */
+  def weightedPixelSum(b: Array[Byte]): Long = {
+    val P = 1000000007L
+    val w = rdLE(b, 18, 4).toInt
+    val h = rdLE(b, 22, 4).toInt
+    val stride = ((3 * w + 3) / 4) * 4
+    var acc = 0L
+    var j = 0L
+    var r = 0
+    while (r < h) {
+      var k = 0
+      while (k < 3 * w) {
+        val v = (b(54 + r * stride + k) & 0xff).toLong
+        acc = (acc + v * ((j + 1) % P)) % P
+        j += 1; k += 1
+      }
+      r += 1
+    }
+    acc
+  }
+
   import org.apache.spark.sql.functions.udf
   /** Kernel UDFs for q_multimodal_meta: per-row pure byte work (format
     * encode/parse) — imperative loops over binary, the documented UDF
     * carve-out (no Catalyst expression operates inside a byte array). */
   val mediaForDocUdf = udf((docId: Long) => mediaForDoc(docId))
   val metaUdf = udf((b: Array[Byte]) => decodeMeta(b))
+  val resizeBmpUdf = udf((b: Array[Byte], w: Int, h: Int) => resizeBmp(b, w, h))
+  val weightedPixelSumUdf = udf((b: Array[Byte]) => weightedPixelSum(b))
 
   /** canonical media table schema */
   val mediaSchema: StructType = StructType(Seq(
@@ -276,7 +342,9 @@ object Multimodal {
           .as("frame_ts_ms"))
 
   /** Resize request plumbing: records the target geometry next to the
-    * metadata; the actual pixel work belongs to the decode kernel. */
+    * metadata. For BMP media the pixel work is REAL ([[resizeBmp]],
+    * oracle-backed by q_multimodal_resize); compressed formats would
+    * decode first (no codecs in this environment). */
   def withResizeSpec(media: DataFrame, w: Int, h: Int): DataFrame =
     media.withColumn("resize_spec",
       struct(lit(w).as("width"), lit(h).as("height"),

@@ -709,6 +709,55 @@ object PipelineQueries {
         .orderBy("media_id")
     },
 
+    Q("q_multimodal_resize",
+      "Multimodal resize, REAL pixels: every BMP doc's image is resized " +
+        "to half dimensions with an actual nearest-neighbor kernel " +
+        "(Multimodal.resizeBmp — storage-order mapping, stride re-padding, " +
+        "header patch), the resized bytes are decoded BACK for the output " +
+        "dims (round-trip proof), and a position-weighted payload checksum " +
+        "pins the exact pixel layout — a transposed, flipped or stride-" +
+        "corrupted resize breaks the hash where a plain sum would not. " +
+        "The oracle recomputes the checksum closed-form from doc_id by " +
+        "replaying the nearest-neighbor index arithmetic in SQL, so the " +
+        "kernel's sr/sx mapping is verified pixel-for-pixel against an " +
+        "independent derivation. Scale shape: per-row byte kernels, no " +
+        "shuffle before the final sort — decode-transform-reencode at " +
+        "100 TB is exactly this, embarrassingly parallel",
+      Some("""WITH m AS (
+             |  SELECT doc_id, 1 + doc_id % 13 AS sw, 1 + doc_id % 7 AS sh
+             |  FROM documents WHERE doc_id % 3 = 0 AND doc_id < 300),
+             |d AS (
+             |  SELECT doc_id, sw, sh,
+             |    greatest(sw // 2, 1) AS dw, greatest(sh // 2, 1) AS dh
+             |  FROM m)
+             |SELECT doc_id AS media_id,
+             |  CAST(sw AS BIGINT) AS src_w, CAST(sh AS BIGINT) AS src_h,
+             |  CAST(dw AS BIGINT) AS dst_w, CAST(dh AS BIGINT) AS dst_h,
+             |  CAST(list_sum(list_transform(generate_series(0, dh * 3 * dw - 1), j ->
+             |    ((doc_id * 3
+             |      + ((j // (3 * dw)) * sh // dh) * 3 * sw
+             |      + (((j % (3 * dw)) // 3) * sw // dw) * 3
+             |      + (j % 3)) % 251) * (j + 1)
+             |  )) % 1000000007 AS BIGINT) AS wsum
+             |FROM d ORDER BY media_id""".stripMargin)) { (s, dir) =>
+      import graft.operators.Multimodal
+      documents(s, dir)
+        .filter(col("doc_id") % 3 === 0 && col("doc_id") < 300)
+        .select(col("doc_id").as("media_id"),
+          (col("doc_id") % 13 + 1).cast("int").as("sw"),
+          (col("doc_id") % 7 + 1).cast("int").as("sh"))
+        .withColumn("dw", greatest(expr("sw div 2"), lit(1)).cast("int"))
+        .withColumn("dh", greatest(expr("sh div 2"), lit(1)).cast("int"))
+        .withColumn("rb", Multimodal.resizeBmpUdf(
+          Multimodal.mediaForDocUdf(col("media_id")), col("dw"), col("dh")))
+        .withColumn("m", Multimodal.metaUdf(col("rb")))
+        .select(col("media_id"),
+          col("sw").cast("long").as("src_w"), col("sh").cast("long").as("src_h"),
+          col("m.width").as("dst_w"), col("m.height").as("dst_h"),
+          Multimodal.weightedPixelSumUdf(col("rb")).as("wsum"))
+        .orderBy("media_id")
+    },
+
     Q("q_stream_dedup",
       "Batch twin of the streaming ingest dedup (EventsStream.dedupStream: " +
         "dropDuplicatesWithinWatermark keyed by content fingerprint, state " +

@@ -525,6 +525,84 @@ object WarehouseQueries {
         .orderBy("k")
     },
 
+    Q("q_dq_audit",
+      "Data-quality expectations (the dbt-test / Great-Expectations family " +
+        "as one query): six checks over the lineitem fact — two range " +
+        "gates, a NOT NULL, an accepted-values set, FK integrity against " +
+        "orders, and key uniqueness on (l_orderkey, l_linenumber) — each " +
+        "reported as (check, n_violations, n_checked). The four row-level " +
+        "checks fold into ONE conditional-aggregate scan pass (map-side " +
+        "combined, zero extra reads however many expectations pile on); " +
+        "FK is a single left join counting unmatched; uniqueness is one " +
+        "keyed aggregate counting rows beyond the first per key. The " +
+        "testdata genuinely fails uniqueness (~12k excess rows at sf0.01, " +
+        "a generator artifact) — the audit reports it instead of hiding it",
+      Some("""WITH scan AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+             |                  THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+             |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+             |                  THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+             |    CAST(sum(CASE WHEN l_returnflag IS NULL
+             |                  THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+             |    CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+             |                  THEN 1 ELSE 0 END) AS BIGINT) AS v_vals
+             |  FROM lineitem),
+             |fk AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+             |         AS BIGINT) AS v
+             |  FROM lineitem l LEFT JOIN orders o
+             |    ON l.l_orderkey = o.o_orderkey),
+             |uniq AS (
+             |  SELECT CAST(sum(c) AS BIGINT) AS n,
+             |    CAST(sum(c - 1) AS BIGINT) AS v
+             |  FROM (SELECT count(*) AS c FROM lineitem
+             |        GROUP BY l_orderkey, l_linenumber))
+             |SELECT 'accepted_values_returnflag' AS "check", v_vals AS n_violations, n AS n_checked FROM scan
+             |UNION ALL SELECT 'fk_lineitem_orders', v, n FROM fk
+             |UNION ALL SELECT 'not_null_returnflag', v_null, n FROM scan
+             |UNION ALL SELECT 'range_discount_0_10pct', v_disc, n FROM scan
+             |UNION ALL SELECT 'range_quantity_1_50', v_qty, n FROM scan
+             |UNION ALL SELECT 'unique_orderkey_linenumber', v, n FROM uniq
+             |ORDER BY "check"""".stripMargin)) { (s, dir) =>
+      val li = lineitem(s, dir)
+      val scan = li.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1)
+          .otherwise(0)).cast("long").as("v_qty"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1)
+          .otherwise(0)).cast("long").as("v_disc"),
+        sum(when(col("l_returnflag").isNull, 1).otherwise(0))
+          .cast("long").as("v_null"),
+        sum(when(!col("l_returnflag").isin("A", "N", "R"), 1).otherwise(0))
+          .cast("long").as("v_vals"))
+        .selectExpr(
+          "stack(4, " +
+            "'accepted_values_returnflag', v_vals, " +
+            "'not_null_returnflag', v_null, " +
+            "'range_discount_0_10pct', v_disc, " +
+            "'range_quantity_1_50', v_qty) AS (check, n_violations)",
+          "n AS n_checked")
+      val fk = li
+        .join(orders(s, dir).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .agg(count(lit(1)).as("n_checked"),
+          sum(when(col("o_orderkey").isNull, 1).otherwise(0))
+            .cast("long").as("n_violations"))
+        .select(lit("fk_lineitem_orders").as("check"),
+          col("n_violations"), col("n_checked"))
+      val uniq = li.groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).cast("long").as("n_checked"),
+          sum(col("c") - 1).cast("long").as("n_violations"))
+        .select(lit("unique_orderkey_linenumber").as("check"),
+          col("n_violations"), col("n_checked"))
+      scan.select("check", "n_violations", "n_checked")
+        .unionByName(fk).unionByName(uniq)
+        .orderBy("check")
+    },
+
     Q("q_rollup_incremental",
       "Incremental materialized-view maintenance: a standing daily rollup " +
         "covers history, the newest slice (orders from 1998 on) arrives as " +

@@ -1444,6 +1444,34 @@ class ModulesSpec extends AnyFunSuite {
     }
   }
 
+  test("BMP resize: real pixel movement, stride re-pad, layout-pinned checksum") {
+    val src = Multimodal.encodeBmp(5, 3, seed = 42L) // stride 16: 1 pad byte
+    val rs = Multimodal.resizeBmp(src, 2, 2)
+    val meta = Multimodal.decodeMeta(rs)
+    assert(meta.kind == "bmp" && meta.width == 2 && meta.height == 2)
+    // every output pixel is the nearest-neighbor source pixel, channel-exact
+    val srcStride = ((3 * 5 + 3) / 4) * 4
+    val dstStride = ((3 * 2 + 3) / 4) * 4
+    for (r <- 0 until 2; x <- 0 until 2; c <- 0 until 3) {
+      val sr = r * 3 / 2; val sx = x * 5 / 2
+      assert(rs(54 + r * dstStride + 3 * x + c) ==
+        src(54 + sr * srcStride + 3 * sx + c), s"pixel ($r,$x,$c)")
+    }
+    // the weighted checksum pins LAYOUT: swapping two adjacent payload
+    // bytes changes it, while the plain content_sum (orientation/position
+    // invariant by construction) cannot see the swap — the gap wsum closes
+    val tweaked = rs.clone()
+    val t = tweaked(54); tweaked(54) = tweaked(55); tweaked(55) = t
+    assert(rs(54) != rs(55)) // deterministic payload => genuinely different
+    assert(Multimodal.weightedPixelSum(rs) != Multimodal.weightedPixelSum(tweaked))
+    assert(Multimodal.decodeMeta(rs).content_sum ==
+      Multimodal.decodeMeta(tweaked).content_sum)
+    // upscale round-trips too (sr/sx mapping must not read out of bounds)
+    val up = Multimodal.resizeBmp(src, 11, 7)
+    assert(Multimodal.decodeMeta(up).width == 11 &&
+      Multimodal.decodeMeta(up).height == 7)
+  }
+
   test("CDC chunking: boundaries resync after a prefix shift; fixed segments do not") {
     // the property q_chunk_cdc exists for: prepend 2 tokens to a doc and
     // content-defined boundaries re-land on the same content past the
