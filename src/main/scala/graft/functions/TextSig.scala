@@ -106,6 +106,57 @@ object TextSig {
     }
   }
 
+  /** BPE encode of one word under a ranked merge table, mirrors
+    * [[text.bpeApply]] over [[text.bpeMergeOnce]] exactly: each merge pass
+    * is greedy leftmost, a token merged in a pass never re-merges within
+    * it, passes compose in rank order. Kernel exists because the 4-level
+    * nested foldArr is interpreted per element (measured: q_bpe_encode
+    * 5.9 s -> sub-second at sf0.1); the SQL fragment remains the oracle
+    * and parity is asserted in ModulesSpec. */
+  def bpeEncodeWord(w: String, merges: Seq[(String, String)]): Array[String] = {
+    var cur: Array[String] = w.map(_.toString).toArray
+    merges.foreach { case (a, b) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < cur.length) {
+        if (out.nonEmpty && out.last == a && cur(i) == b)
+          out(out.length - 1) = a + b
+        else out += cur(i)
+        i += 1
+      }
+      cur = out.toArray
+    }
+    cur
+  }
+
+  /** Content-defined chunk (fingerprint, token-length) pairs of a doc,
+    * mirroring q_chunk_cdc's relational formulation value-for-value: a
+    * chunk ends at 1-based token position i when i >= n and the n-token
+    * gram ending at i ([[gramHashSeq]] index i-n, 0-based) hashes to
+    * 0 mod `mod`; each chunk's fingerprint folds its token hashes in
+    * order as (acc*131 + h) mod P. One pass per row — replaces an
+    * explode + doc-partitioned window + two aggregates (measured: 5.9 s
+    * -> scan-bound at sf0.1). */
+  def cdcChunkFps(s: String, n: Int, mod: Int): Array[(Long, Long)] = {
+    val toks = tokens(s)
+    val ghs = gramHashSeq(s, n)
+    val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var fp = 0L
+    var len = 0L
+    var i = 0
+    while (i < toks.length) {
+      fp = (fp * 131 + tokenHash(toks(i))) % P
+      len += 1
+      val pos1 = i + 1
+      if (pos1 >= n && ghs(pos1 - n) % mod == 0) {
+        res += ((fp, len)); fp = 0L; len = 0L
+      }
+      i += 1
+    }
+    if (len > 0) res += ((fp, len))
+    res.toArray
+  }
+
   /** MinHash signature, mirrors [[text.minhashFromHashes]]:
     * sig(i) = min over shingles of ((2i+3)*h + 5i+7) mod P; P when empty */
   def minhashSig(s: String, n: Int, k: Int): Array[Long] = {
@@ -191,4 +242,11 @@ object TextSig {
   val simhash60Udf: UserDefinedFunction =
     udf((s: String, n: Int) => if (s == null) null
       else java.lang.Long.valueOf(simhash60(s, n)))
+  /** merge table fixed at UDF-build time (merges are literals in the plan's
+    * SQL twin too, so a closure constant keeps the two in lockstep) */
+  def bpeEncodeUdf(merges: Seq[(String, String)]): UserDefinedFunction =
+    udf((w: String) => if (w == null) null else bpeEncodeWord(w, merges))
+  val cdcChunkFpsUdf: UserDefinedFunction =
+    udf((s: String, n: Int, mod: Int) =>
+      if (s == null) null else cdcChunkFps(s, n, mod))
 }

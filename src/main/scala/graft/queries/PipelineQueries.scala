@@ -1354,10 +1354,13 @@ object PipelineQueries {
         "dedup survive insertions). The corpus here is documents plus a " +
         "'zz zz '-prefixed copy of each, and the output PROVES the resync: " +
         "the top duplicated chunk fingerprints all occur in an original " +
-        "and its shifted twin. Shape: gram hashes stage once per doc " +
-        "behind an explode barrier (the BM25 CollapseProject lesson), one " +
-        "doc-partitioned cumsum window assigns chunk ids, fingerprints " +
-        "fold per (doc, chunk) — scan + one keyed window at any scale",
+        "and its shifted twin. Shape: the per-doc chunking (gram hashes, " +
+        "boundary flags, fingerprint folds) is ONE compiled-kernel pass " +
+        "per row (TextSig.cdcChunkFps) — scan-shaped, only the corpus-" +
+        "level fingerprint rollup shuffles; the oracle independently " +
+        "derives the same chunks relationally (explode + doc-partitioned " +
+        "cumsum window + per-chunk fold), so kernel and derivation check " +
+        "each other",
       Some {
         val P = text.P
         s"""WITH corpus AS (
@@ -1397,28 +1400,17 @@ object PipelineQueries {
       val corpus = base.unionByName(base.select(
         (col("doc_id") + 10000).as("doc_id"),
         concat(lit("zz zz "), col("text")).as("text")))
-      val staged = corpus
-        .select(col("doc_id"), explode(array(expr(
-          s"named_struct('ths', ${text.tokenHashes(S, "text")}, " +
-            s"'ghs', ${text.gramHashes(S, "text", 3)})"))).as("z"))
-        .select(col("doc_id"), col("z.ths").as("ths"), col("z.ghs").as("ghs"))
-      val rows = staged
-        .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(1, size(ths)), i -> named_struct(" +
-            "'h', element_at(ths, i), " +
-            "'f', CASE WHEN i >= 3 AND element_at(ghs, i - 2) % 8 = 0 " +
-            "THEN 1 ELSE 0 END))")).as(Seq("p0", "t")))
-        .select(col("doc_id"), (col("p0") + 1).as("pos"),
-          col("t.h").as("h"), col("t.f").as("f"))
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      rows
-        .withColumn("chunk", sum(col("f")).over(w) - col("f"))
-        .groupBy("doc_id", "chunk")
-        .agg(expr(
-          "aggregate(transform(sort_array(collect_list(" +
-            "named_struct('pos', pos, 'h', h))), s -> s.h), 0L, " +
-            s"(acc, x) -> (acc * 131 + x) % ${text.P})").as("fp"),
-          count(lit(1)).as("len"))
+      // compiled kernel: the whole per-doc chunking (gram hashes, boundary
+      // flags, fingerprint folds) is one pass per row, replacing the
+      // token explode + doc-partitioned cumsum window + per-chunk
+      // aggregate of the relational form the oracle runs (measured 5.9 s
+      // isolated at sf0.1 -> scan-bound); the oracle still runs the
+      // relational derivation, so any kernel drift breaks the hash
+      corpus
+        .select(col("doc_id"),
+          explode(graft.functions.TextSig.cdcChunkFpsUdf(
+            col("text"), lit(3), lit(8))).as("ch"))
+        .select(col("doc_id"), col("ch._1").as("fp"), col("ch._2").as("len"))
         .groupBy("fp")
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_occurrences"),
@@ -1457,12 +1449,15 @@ object PipelineQueries {
            |ORDER BY n_occurrences DESC, tok
            |LIMIT 25""".stripMargin
       }) { (s, dir) =>
-      val enc = text.bpeApply(S, S.splitChars("w"), BpeMerges)
+      // compiled kernel, not the foldArr fragment: the 4-level nested
+      // interpreted fold measured 5.9 s isolated at sf0.1, the kernel is
+      // scan-bound; the DuckDB oracle still runs the fragment, so kernel
+      // drift breaks the hash (plus direct parity in ModulesSpec)
       documents(s, dir)
         .select(explode(expr(text.tokens(S, "text"))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
-        .select(expr(enc).as("toks"), col("c"))
-        .select(explode(col("toks")).as("tok"), col("c"))
+        .select(explode(graft.functions.TextSig.bpeEncodeUdf(BpeMerges)(col("w")))
+          .as("tok"), col("c"))
         .groupBy("tok")
         .agg(sum(col("c")).cast("long").as("n_occurrences"),
           count(lit(1)).as("n_words"))

@@ -1525,6 +1525,51 @@ class ModulesSpec extends AnyFunSuite {
     assert(cdcO > segO + 0.3, f"cdc=$cdcO%.2f seg=$segO%.2f")
   }
 
+  test("BPE and CDC kernels match their SQL fragments / relational twins exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val merges = Seq("t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r")
+    // BPE: kernel vs the foldArr fragment, word by word over the real vocab
+    val words = graft.core.Tables.documents(spark, sf).limit(80)
+      .select(explode(expr(text.tokens(S, "text"))).as("w")).distinct()
+    val enc = text.bpeApply(S, S.splitChars("w"), merges)
+    val both = words.select(col("w"), expr(enc).as("frag"),
+      TextSig.bpeEncodeUdf(merges)(col("w")).as("kern")).collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"word ${r.getString(0)}: frag=${r.getSeq[String](1)} kern=${r.getSeq[String](2)}")
+    }
+    // CDC: kernel chunk (fp, len) pairs vs the relational derivation
+    val docs = graft.core.Tables.documents(spark, sf).limit(30)
+      .select(col("doc_id"), col("text"))
+    val viaKernel = docs
+      .select(col("doc_id"),
+        explode(TextSig.cdcChunkFpsUdf(col("text"), lit(3), lit(8))).as("ch"))
+      .select(col("doc_id"), col("ch._1").as("fp"), col("ch._2").as("len"))
+    val staged = docs.select(col("doc_id"), explode(array(expr(
+      s"named_struct('ths', ${text.tokenHashes(S, "text")}, " +
+        s"'ghs', ${text.gramHashes(S, "text", 3)})"))).as("z"))
+      .select(col("doc_id"), col("z.ths").as("ths"), col("z.ghs").as("ghs"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val viaRelational = staged.select(col("doc_id"), posexplode(expr(
+      "transform(sequence(1, size(ths)), i -> named_struct(" +
+        "'h', element_at(ths, i), " +
+        "'f', CASE WHEN i >= 3 AND element_at(ghs, i - 2) % 8 = 0 " +
+        "THEN 1 ELSE 0 END))")).as(Seq("p0", "t")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"),
+        col("t.h").as("h"), col("t.f").as("f"))
+      .withColumn("chunk", sum(col("f")).over(w) - col("f"))
+      .groupBy("doc_id", "chunk")
+      .agg(expr("aggregate(transform(sort_array(collect_list(" +
+        "named_struct('pos', pos, 'h', h))), s -> s.h), 0L, " +
+        s"(acc, x) -> (acc * 131 + x) % ${text.P})").as("fp"),
+        count(lit(1)).as("len"))
+      .select("doc_id", "fp", "len")
+    assert(viaKernel.count() > 0)
+    assert(viaKernel.exceptAll(viaRelational).count() == 0)
+    assert(viaRelational.exceptAll(viaKernel).count() == 0)
+  }
+
   test("BPE merge fold: canonical greedy-leftmost semantics on crafted inputs") {
     // pins the exact Sennrich et al. merge behavior q_bpe_encode relies on:
     // leftmost-first on runs, no re-merge within a pass, chaining across
