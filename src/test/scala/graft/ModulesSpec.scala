@@ -1309,6 +1309,43 @@ class ModulesSpec extends AnyFunSuite {
     assert(scan.metrics("numFiles").value < all.inputFiles.length)
   }
 
+  test("inverted index persists bucketed by token hash; a term probe prunes to one bucket") {
+    // the 100 TB half of q_inverted_index / q_bm25: the posting table lands
+    // partitioned by tokenHash % NBUCKETS, so a keyword lookup is a
+    // directory-pruned read of 1-of-N buckets — the AnnIndex bucket-layout
+    // argument applied to text search
+    import graft.sources.Maintenance
+    val nBuckets = 16
+    val dir = java.nio.file.Files.createTempDirectory("graft_inv").toString + "/index"
+    val postings = graft.core.Tables.documents(spark, sf).limit(200)
+      .select(col("doc_id"), explode(expr(text.tokens(S, "text"))).as("tok"))
+      .distinct()
+      .groupBy("tok")
+      .agg(count(lit(1)).as("df"),
+        array_join(transform(sort_array(collect_list(col("doc_id"))),
+          _.cast("string")), ",").as("postings"))
+      .withColumn("bucket",
+        expr(text.tokenHash(S, "tok")) % nBuckets)
+    Maintenance.writePartitioned(postings, dir, Seq("bucket"))
+    val all = spark.read.parquet(dir)
+    val term = "spark"
+    val termBucket = TextSig.tokenHash(term) % nBuckets
+    val probe = all.filter(col("bucket") === termBucket && col("tok") === term)
+    val got = probe.collect()
+    val want = postings.filter(col("tok") === term)
+      .select("tok", "df", "postings").collect()
+    assert(want.nonEmpty, "probe term absent from the corpus sample")
+    assert(got.map(r => (r.getAs[String]("tok"), r.getAs[Long]("df"),
+      r.getAs[String]("postings"))).toSet ==
+      want.map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet)
+    val scan = probe.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .getOrElse(fail("no FileSourceScanExec in plan"))
+    assert(scan.partitionFilters.nonEmpty, "bucket predicate not a partition filter")
+    assert(scan.metrics("numPartitions").value == 1,
+      s"expected 1 bucket read, got ${scan.metrics("numPartitions").value}")
+  }
+
   test("ORC rewrite round-trips rows and pushes filters") {
     import graft.sources.Maintenance
     val base = java.nio.file.Files.createTempDirectory("graft_orc").toString
