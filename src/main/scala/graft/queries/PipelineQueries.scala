@@ -1343,6 +1343,55 @@ object PipelineQueries {
         .orderBy("source", "keep")
     },
 
+    Q("q_curation_e2e",
+      "The whole curation recipe as ONE declarative plan — quality gate, " +
+        "exact dedup, train/val/test split, per-(split, source) yield — " +
+        "proving the catalog's stages COMPOSE: a user chains the operators " +
+        "and Catalyst fuses the scan-side steps (gate predicates and split " +
+        "assignment are projections hugging the dedup exchange), so the " +
+        "4-stage pipeline costs two keyed shuffles (dedup by content, " +
+        "final rollup) plus the output sort — at 100 TB the recipe reads " +
+        "the corpus ONCE. Stage " +
+        "semantics reuse the standalone operators verbatim: the " +
+        "q_quality_filter token gate, q_dedup_exact's min-id-per-text " +
+        "survivor, q_train_test_split's key-mix split",
+      Some {
+        val nt = text.nTokens(D, "text")
+        s"""SELECT split, source, count(*) AS n_docs,
+           |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+           |FROM (
+           |  SELECT source, n_tok, CASE
+           |      WHEN ($mixDoc) % 10 < 8 THEN 'train'
+           |      WHEN ($mixDoc) % 10 = 8 THEN 'val'
+           |      ELSE 'test' END AS split
+           |  FROM (
+           |    SELECT source, doc_id, n_tok,
+           |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+           |    FROM (
+           |      SELECT source, doc_id, text, $nt AS n_tok
+           |      FROM documents)
+           |    WHERE n_tok BETWEEN 20 AND 5000)
+           |  WHERE rn = 1)
+           |GROUP BY split, source
+           |ORDER BY split, source""".stripMargin
+      }) { (s, dir) =>
+      val w = Window.partitionBy("text").orderBy("doc_id")
+      documents(s, dir)
+        .select(col("source"), col("doc_id"), col("text"),
+          expr(text.nTokens(S, "text")).as("n_tok"))
+        .filter(col("n_tok").between(20, 5000))          // gate
+        .withColumn("rn", row_number().over(w))          // exact dedup
+        .filter(col("rn") === 1)
+        .withColumn("split", expr(                       // split
+          s"""CASE WHEN ($mixDoc) % 10 < 8 THEN 'train'
+             |     WHEN ($mixDoc) % 10 = 8 THEN 'val'
+             |     ELSE 'test' END""".stripMargin))
+        .groupBy("split", "source")                      // yield
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("sum_tokens"))
+        .orderBy("split", "source")
+    },
+
     Q("q_chunk_cdc",
       "Content-defined chunking (the LBFS/FastCDC boundary rule, token " +
         "granularity — unrelated to q_cdc_apply's change-data-capture): a " +
