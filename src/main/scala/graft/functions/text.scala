@@ -217,10 +217,17 @@ object text {
   }
 
   /** fraction of tokens in a marker list (stopword ratio / language score) */
-  def markerRatio(d: Dialect, col: String, markers: Seq[String]): String = {
-    val toks = tokens(d, col)
+  def markerRatio(d: Dialect, col: String, markers: Seq[String]): String =
+    markerRatioFromTokens(d, tokens(d, col), markers)
+
+  /** [[markerRatio]] over a PRE-STAGED tokens column: scoring k marker
+    * sets from one staged array tokenizes the document once, not k× —
+    * the same staging contract as [[minhashFromHashes]] and the hours
+    * parser (Catalyst does not CSE across CASE branches, so an inlined
+    * form re-expands the split+filter per reference). */
+  def markerRatioFromTokens(d: Dialect, toksCol: String, markers: Seq[String]): String = {
     val inList = markers.map(m => s"t = '$m'").mkString(" OR ")
-    safeRatio(d, d.size(d.filterArr(toks, "t", s"($inList)")), toks)
+    safeRatio(d, d.size(d.filterArr(toksCol, "t", s"($inList)")), toksCol)
   }
 
   /** average token length in chars */
@@ -262,16 +269,26 @@ object text {
     "fr" -> Seq("query", "join", "merge"),
     "zh" -> Seq("scan", "sort", "order"))
 
-  /** predicted language = argmax over marker ratios (ties → first
-    * alphabetically, which is the Seq order above) */
-  def langPredict(d: Dialect, col: String): String = {
-    val scored = langMarkers.map { case (lang, ms) => (lang, markerRatio(d, col, ms)) }
-    // strictly-greater chain implements first-wins argmax
-    val best = scored.map { case (lang, s) =>
-      val conds = scored.takeWhile(_._1 != lang).map { case (_, s2) => s"$s > $s2" } ++
-        scored.dropWhile(_._1 != lang).drop(1).map { case (_, s2) => s"$s >= $s2" }
-      s"WHEN ${conds.mkString(" AND ")} THEN '$lang'"
+  /** first-wins argmax over (label, scoreExpr) pairs: label i wins when
+    * strictly greater than every earlier score and ≥ every later one (ties
+    * → first in Seq order). Callers pass staged COLUMN references as the
+    * scores when the underlying expressions are non-trivial — each score
+    * appears ~2k times across the CASE's WHEN chains, so an inlined
+    * expression is re-evaluated ~2k× per row (Catalyst has no cross-branch
+    * CSE; measured 3–6 s for a 200-row lang-ID scan vs 0.2 s staged). */
+  def argmaxCase(scored: Seq[(String, String)], default: String = "und"): String = {
+    val best = scored.map { case (label, s) =>
+      val conds = scored.takeWhile(_._1 != label).map { case (_, s2) => s"$s > $s2" } ++
+        scored.dropWhile(_._1 != label).drop(1).map { case (_, s2) => s"$s >= $s2" }
+      s"WHEN ${conds.mkString(" AND ")} THEN '$label'"
     }
-    s"CASE ${best.mkString(" ")} ELSE 'und' END"
+    s"CASE ${best.mkString(" ")} ELSE '$default' END"
   }
+
+  /** predicted language = argmax over marker ratios (ties → first
+    * alphabetically, which is the Seq order above). Fully inlined — fine
+    * for the DuckDB oracle (it CSEs aggressively); the Spark side should
+    * stage the ratios as columns and [[argmaxCase]] over the references. */
+  def langPredict(d: Dialect, col: String): String =
+    argmaxCase(langMarkers.map { case (lang, ms) => (lang, markerRatio(d, col, ms)) })
 }

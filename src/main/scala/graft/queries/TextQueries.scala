@@ -167,10 +167,24 @@ object TextQueries {
               |FROM documents
               |WHERE doc_id < 200
               |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
-      documents(s, dir)
-        .filter(col("doc_id") < 200)
+      // Stage: one token array, then one ratio column per language, then the
+      // argmax CASE over the column REFERENCES. The inlined langPredict form
+      // re-expands tokens() (split+filter) ~40x across the CASE branches —
+      // Catalyst has no cross-branch CSE, so it ran 3–6 s for 200 rows; the
+      // staged form's multiply-referenced non-cheap aliases survive
+      // CollapseProject (the hours-parser staging contract) and run ~0.2 s.
+      val scoreCols = text.langMarkers.map { case (lang, _) => lang -> s"score_$lang" }
+      val scored = text.langMarkers.foldLeft(
+        documents(s, dir)
+          .filter(col("doc_id") < 200)
+          .withColumn("toks", expr(text.tokens(S, "text")))
+      ) { case (df, (lang, ms)) =>
+        df.withColumn(s"score_$lang",
+          expr(text.markerRatioFromTokens(S, "toks", ms)))
+      }
+      scored
         .select(col("doc_id"), col("lang"),
-          expr(text.langPredict(S, "text")).as("pred_lang"))
+          expr(text.argmaxCase(scoreCols)).as("pred_lang"))
         .orderBy("doc_id")
     },
 
