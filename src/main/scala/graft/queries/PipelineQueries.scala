@@ -1610,14 +1610,16 @@ object PipelineQueries {
       "Inverted-index build (the index behind q_bm25's keyword search, " +
         "materialized): token -> document frequency + the first 8 posting " +
         "doc_ids, top-20 tokens by df. The scale-honest formulation caps " +
-        "the posting page BEFORE any row is buffered: distinct (tok, doc) " +
-        "pairs rank per token with a partitioned window and only rn <= 8 " +
-        "survivors reach collect_list, so no group ever buffers an " +
-        "unbounded posting list (a stopword's postings are corpus-sized at " +
-        "100 TB — the full index would land list-partitioned on disk, " +
-        "page by page, exactly like AnnIndex's bucket layout). df comes " +
-        "from the same window pass (count over the token partition), so " +
-        "dedup, rank, df and page share one exchange",
+        "the posting page BEFORE it crosses the exchange: the bounded-" +
+        "buffer TopK Aggregator (constant score, id-ascending tie-break) " +
+        "combines map-side, so at most 8 doc_ids per token per map " +
+        "partition ship through the token shuffle, and df rides the same " +
+        "partial aggregate as a plain count. A window-rank formulation " +
+        "(the oracle's, and this query's until r6) shuffles EVERY distinct " +
+        "(tok, doc) pair to the token's one partition first — a stopword's " +
+        "postings are corpus-sized at 100 TB and land on one task (the " +
+        "full index would land list-partitioned on disk, page by page, " +
+        "exactly like AnnIndex's bucket layout)",
       Some(s"""SELECT tok, df,
               |  array_to_string(list_sort(list(doc_id)), ',') AS postings
               |FROM (
@@ -1631,16 +1633,18 @@ object PipelineQueries {
               |GROUP BY tok, df
               |ORDER BY df DESC, tok
               |LIMIT 20""".stripMargin)) { (s, dir) =>
-      val byTok = Window.partitionBy("tok")
+      // TopK with a constant score ties every row, so the (score DESC,
+      // id ASC) buffer order degenerates to id ASC — the 8 SMALLEST
+      // doc_ids, already sorted the way the oracle's list_sort emits them
+      val tk = graft.operators.TopK.topK(8)
       documents(s, dir)
         .select(col("doc_id"), explode(expr(text.tokens(S, "text"))).as("tok"))
         .distinct()
-        .withColumn("df", count(lit(1)).over(byTok))
-        .withColumn("rn", row_number().over(byTok.orderBy("doc_id")))
-        .filter(col("rn") <= 8)
-        .groupBy("tok", "df")
-        .agg(array_join(
-          transform(sort_array(collect_list(col("doc_id"))),
+        .groupBy("tok")
+        .agg(count(lit(1)).as("df"),
+          tk(col("doc_id"), lit(0.0)).as("tk"))
+        .select(col("tok"), col("df"),
+          array_join(transform(col("tk").getField("id"),
             _.cast("string")), ",").as("postings"))
         .orderBy(desc("df"), col("tok"))
         .limit(20)

@@ -50,6 +50,27 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"global-window plans:\n${offenders.mkString("\n")}")
   }
 
+  test("inverted-index posting cap is a partial aggregate, never a window") {
+    // the r5 formulation ranked (tok, doc) pairs with a window PARTITION BY
+    // tok — every distinct pair of a stopword lands on ONE task at 100 TB.
+    // The TopK bounded-buffer Aggregator caps map-side instead: at most 8
+    // doc_ids per token per map partition cross the token exchange. Pin
+    // both halves of that claim to the physical plan.
+    val ps = plans("q_inverted_index")
+    val windows = ps.collect { case w: WindowExec => w }
+    assert(windows.isEmpty,
+      s"window crept back into q_inverted_index:\n${windows.mkString("\n")}")
+    val modes = ps.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        a.aggregateExpressions
+          .filter(_.aggregateFunction.toString.toLowerCase.contains("topkagg"))
+          .map(_.mode)
+    }.flatten
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Final, Partial}
+    assert(modes.contains(Partial) && modes.contains(Final),
+      s"TopK aggregate not partial+final (map-side cap lost): $modes")
+  }
+
   test("no catalog query plans a cartesian product") {
     val offenders = allNames.flatMap { name =>
       plans(name).collect { case c: CartesianProductExec => s"$name" }
