@@ -116,17 +116,26 @@ object TextSig {
   def bpeEncodeWord(w: String, merges: Seq[(String, String)]): Array[String] = {
     var cur: Array[String] = w.map(_.toString).toArray
     merges.foreach { case (a, b) =>
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      var i = 0
-      while (i < cur.length) {
-        if (out.nonEmpty && out.last == a && cur(i) == b)
-          out(out.length - 1) = a + b
-        else out += cur(i)
-        i += 1
-      }
-      cur = out.toArray
+      cur = bpeMergePass(scala.collection.immutable.ArraySeq.unsafeWrapArray(cur), a, b)
     }
     cur
+  }
+
+  /** ONE greedy-leftmost merge pass over an existing segmentation, the
+    * (a, b) pair as ARGUMENTS: [[bpeEncodeWord]] fixes its table at
+    * closure-build time, but the TRAINER discovers each iteration's best
+    * pair as data (a broadcast 1-row frame), so the pass must take it per
+    * row. Mirrors [[text.bpeMergeOnceExpr]]; parity in ModulesSpec. */
+  def bpeMergePass(seg: Seq[String], a: String, b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < seg.length) {
+      if (out.nonEmpty && out.last == a && seg(i) == b)
+        out(out.length - 1) = a + b
+      else out += seg(i)
+      i += 1
+    }
+    out.toArray
   }
 
   /** Content-defined chunk (fingerprint, token-length) pairs of a doc,
@@ -246,6 +255,9 @@ object TextSig {
     * SQL twin too, so a closure constant keeps the two in lockstep) */
   def bpeEncodeUdf(merges: Seq[(String, String)]): UserDefinedFunction =
     udf((w: String) => if (w == null) null else bpeEncodeWord(w, merges))
+  val bpeMergePassUdf: UserDefinedFunction =
+    udf((seg: Seq[String], a: String, b: String) =>
+      if (seg == null || a == null || b == null) null else bpeMergePass(seg, a, b))
   val cdcChunkFpsUdf: UserDefinedFunction =
     udf((s: String, n: Int, mod: Int) =>
       if (s == null) null else cdcChunkFps(s, n, mod))

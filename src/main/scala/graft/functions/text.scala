@@ -182,12 +182,18 @@ object text {
     * to read the token and concatArr(acc, x) to append it whole.
     * Merge parts must be pre-escaped single-quote-safe literals. */
   def bpeMergeOnce(d: Dialect, arr: String, a: String, b: String): String =
+    bpeMergeOnceExpr(d, arr, s"'$a'", s"'$b'")
+
+  /** [[bpeMergeOnce]] with the pair as EXPRESSIONS instead of literals —
+    * the BPE trainer discovers each iteration's best pair as DATA (a
+    * broadcast 1-row frame), so the merge must reference its columns. */
+  def bpeMergeOnceExpr(d: Dialect, arr: String, aE: String, bE: String): String =
     d.foldArr(arr, d.arrayLit(Seq("")), "acc", "x",
-      s"CASE WHEN ${d.elementAt("acc", "-1")} = '$a' " +
-        s"AND ${d.elementAt("x", "1")} = '$b' " +
+      s"CASE WHEN ${d.elementAt("acc", "-1")} = ($aE) " +
+        s"AND ${d.elementAt("x", "1")} = ($bE) " +
         s"THEN ${d.concatArr(
           d.slice(arr = "acc", start1 = "1", n = s"${d.size("acc")} - 1"),
-          d.arrayLit(Seq(a + b)))} " +
+          d.arrayOf(s"concat($aE, $bE)"))} " +
         s"ELSE ${d.concatArr("acc", "x")} END")
 
   /** Apply a ranked merge list to a char-token array (BPE encode): merges

@@ -75,6 +75,9 @@ sealed abstract class Dialect {
   def castDoubleArray(a: String): String
   /** array literal from pre-escaped single-quoted string items */
   def arrayLit(items: Seq[String]): String
+  /** single-element array holding an arbitrary EXPRESSION (arrayLit only
+    * takes literals) */
+  def arrayOf(e: String): String
   /** concatenation of two array expressions */
   def concatArr(a: String, b: String): String
   /** full English weekday name of a timestamp, e.g. 'Wednesday'
@@ -131,6 +134,7 @@ object SparkDialect extends Dialect {
     // array(''), a 1-element array holding the empty string
     if (items.isEmpty) "array()"
     else items.mkString("array('", "', '", "')")
+  def arrayOf(e: String) = s"array($e)"
   def concatArr(a: String, b: String) = s"concat($a, $b)"
   def dayName(ts: String) = s"date_format($ts, 'EEEE')"
   def time12(ts: String) = s"date_format($ts, 'hh:mm a')"
@@ -179,6 +183,7 @@ object DuckDialect extends Dialect {
   def castDoubleArray(a: String) = s"CAST($a AS DOUBLE[])"
   def arrayLit(items: Seq[String]) =
     if (items.isEmpty) "[]" else items.mkString("['", "', '", "']")
+  def arrayOf(e: String) = s"[$e]"
   def concatArr(a: String, b: String) = s"list_concat($a, $b)"
   def dayName(ts: String) = s"strftime($ts, '%A')"
   def time12(ts: String) = s"strftime($ts, '%I:%M %p')"

@@ -29,6 +29,81 @@ object PipelineQueries {
   private val BpeMerges: Seq[(String, String)] =
     Seq("t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r")
 
+  /** The BPE TRAINING loop (Sennrich et al. 2016) — the produce side of
+    * q_bpe_encode's consume: `iters` unrolled count→merge→re-segment
+    * rounds over the word-frequency table. Returns (ranked merge table
+    * [rank, a, b, n], final segmented word table [w, c, seg]).
+    *
+    * Scale shape: the corpus is touched ONCE (the map-side-combined word
+    * count); every later step is vocab-sized. Per iteration: the pair
+    * count explodes the vocab's segmentations (bounded by total vocab
+    * chars), the best pair is a global top-1 (TakeOrderedAndProject),
+    * re-segmentation is the compiled one-pass merge kernel under a
+    * broadcast 1-row cross join. Lineage is truncated per round with
+    * localCheckpoint (the Dedup.clusters recipe): iteration K's plan
+    * would otherwise nest K-1's twice — once via the best-pair aggregate,
+    * once via the re-segment join — doubling per round. */
+  private[graft] def bpeTrain(s: org.apache.spark.sql.SparkSession, dir: String,
+                              iters: Int)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    var wf = documents(s, dir)
+      .select(explode(expr(text.tokens(S, "text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(col("w"), col("c"), expr(S.splitChars("w")).as("seg"))
+      .localCheckpoint(true)
+    var merges = Seq.empty[org.apache.spark.sql.DataFrame]
+    for (k <- 1 to iters) {
+      // size >= 2 guard before the explode: Spark's sequence(1, 0) DESCENDS
+      // (the text.shingles gotcha) — a 1-char word must contribute no pairs
+      val best = wf.filter(expr(s"${S.size("seg")} >= 2"))
+        .select(col("c"), col("seg"),
+          explode(expr(S.seq("1", s"${S.size("seg")} - 1"))).as("i"))
+        .select(expr(S.elementAt("seg", "i")).as("a"),
+          expr(S.elementAt("seg", "i + 1")).as("b"), col("c"))
+        .groupBy("a", "b").agg(sum(col("c")).as("n"))
+        .orderBy(desc("n"), col("a"), col("b"))
+        .limit(1)
+        .localCheckpoint(true)
+      merges = merges :+ best.select(lit(k).cast("long").as("rank"),
+        col("a"), col("b"), col("n"))
+      wf = wf.crossJoin(broadcast(
+          best.select(col("a").as("m_a"), col("b").as("m_b"))))
+        .select(col("w"), col("c"),
+          graft.functions.TextSig.bpeMergePassUdf(
+            col("seg"), col("m_a"), col("m_b")).as("seg"))
+        .localCheckpoint(true)
+    }
+    (merges.reduce(_ unionByName _), wf)
+  }
+
+  /** DuckDB twin of [[bpeTrain]]: the WITH-chain prefix defining wf0..wfN
+    * and b1..bN (same count→top-1→re-segment rounds, the merge rendered
+    * from the same [[text.bpeMergeOnceExpr]] builder the kernel mirrors). */
+  private def bpeTrainSql(iters: Int): String = {
+    // sentinel strip via clamped slice, exactly text.bpeApply's trick
+    val mergeSeg = D.slice(
+      text.bpeMergeOnceExpr(D, "seg", "m_a", "m_b"), "2", "1000000")
+    val steps = (1 to iters).map { k =>
+      s"""p$k AS (
+         |  SELECT ${D.elementAt("seg", "i")} AS a,
+         |    ${D.elementAt("seg", "i + 1")} AS b, c FROM (
+         |    SELECT seg, c, unnest(${D.seq("1", s"${D.size("seg")} - 1")}) AS i
+         |    FROM wf${k - 1} WHERE ${D.size("seg")} >= 2)),
+         |b$k AS (
+         |  SELECT a, b, CAST(sum(c) AS BIGINT) AS n FROM p$k GROUP BY a, b
+         |  ORDER BY n DESC, a, b LIMIT 1),
+         |wf$k AS (
+         |  SELECT w, c, $mergeSeg AS seg
+         |  FROM wf${k - 1} CROSS JOIN (SELECT a AS m_a, b AS m_b FROM b$k))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH wf0 AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c, ${D.splitChars("w")} AS seg
+       |  FROM (SELECT unnest(${text.tokens(D, "text")}) AS w FROM documents)
+       |  GROUP BY w),
+       |$steps""".stripMargin
+  }
+
   /** Efraimidis-Spirakis key for q_weighted_sample — one shared string so
     * both engines parse the identical expression: u = (mix+1)/(P+1) in
     * (0,1], weight floored at 1 char. (Declared before `all`: the oracle
@@ -1507,6 +1582,53 @@ object PipelineQueries {
         .groupBy("w").agg(count(lit(1)).as("c"))
         .select(explode(graft.functions.TextSig.bpeEncodeUdf(BpeMerges)(col("w")))
           .as("tok"), col("c"))
+        .groupBy("tok")
+        .agg(sum(col("c")).cast("long").as("n_occurrences"),
+          count(lit(1)).as("n_words"))
+        .orderBy(desc("n_occurrences"), col("tok"))
+        .limit(25)
+    },
+
+    Q("q_bpe_train",
+      "Tokenizer training, the FULL loop (closing q_bpe_pairs' one-" +
+        "iteration gap the way q_kmeans_iter closed it for centroids): 4 " +
+        "unrolled count-pairs -> take-best-merge -> re-segment rounds over " +
+        "the word-frequency table, emitting the ranked merge table that " +
+        "q_bpe_encode-style replay consumes. The corpus pays ONE map-side-" +
+        "combined word count; each round's pair count explodes only the " +
+        "vocab's segmentations, the best pair is a global top-1 " +
+        "(TakeOrderedAndProject) broadcast back as a 1-row frame, and the " +
+        "re-segment is the compiled one-pass merge kernel — per-round " +
+        "lineage truncated like Dedup.clusters. The oracle replays the " +
+        "identical rounds as a WITH chain with the merge rendered from the " +
+        "same dialect builder the kernel mirrors",
+      Some(s"""${bpeTrainSql(4)}
+              |SELECT rank, a, b, n FROM (
+              |  SELECT CAST(1 AS BIGINT) AS rank, a, b, n FROM b1
+              |  UNION ALL SELECT 2, a, b, n FROM b2
+              |  UNION ALL SELECT 3, a, b, n FROM b3
+              |  UNION ALL SELECT 4, a, b, n FROM b4)
+              |ORDER BY rank""".stripMargin)) { (s, dir) =>
+      bpeTrain(s, dir, 4)._1.orderBy("rank")
+    },
+
+    Q("q_bpe_train_encode",
+      "Train-then-encode end to end: the corpus encoded under the merge " +
+        "table q_bpe_train just learned, as ONE plan — the trainer's " +
+        "re-segmented word table IS the encode (replaying the ranked " +
+        "merges equals the trainer's own passes, asserted in ModulesSpec), " +
+        "so consuming it costs only the vocab-sized explode + weighted " +
+        "count, never a corpus re-scan. Top-25 learned tokens by " +
+        "occurrence; same output shape as q_bpe_encode for comparison",
+      Some(s"""${bpeTrainSql(4)}
+              |SELECT tok, CAST(sum(c) AS BIGINT) AS n_occurrences,
+              |  count(*) AS n_words
+              |FROM (SELECT unnest(seg) AS tok, c FROM wf4)
+              |GROUP BY tok
+              |ORDER BY n_occurrences DESC, tok
+              |LIMIT 25""".stripMargin)) { (s, dir) =>
+      bpeTrain(s, dir, 4)._2
+        .select(explode(col("seg")).as("tok"), col("c"))
         .groupBy("tok")
         .agg(sum(col("c")).cast("long").as("n_occurrences"),
           count(lit(1)).as("n_words"))

@@ -1629,6 +1629,42 @@ class ModulesSpec extends AnyFunSuite {
     assert(enc("xyz", Seq("a" -> "b")) == Seq("x", "y", "z"))
   }
 
+  test("BPE trainer: replay of the learned table equals the trainer's segmentation") {
+    // the produce/consume contract q_bpe_train_encode rides on: encoding a
+    // word by REPLAYING the ranked merge table (bpeEncodeWord, q_bpe_encode's
+    // kernel) must equal the final segmentation the trainer maintained
+    // incrementally round by round — the classic BPE equivalence, pinned
+    val (mergesDf, wfFinal) = graft.queries.PipelineQueries.bpeTrain(spark, sf, 4)
+    val learned = mergesDf.orderBy("rank").collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
+    assert(learned.length == 4 && learned.distinct.length == 4,
+      s"trainer emitted $learned")
+    val rows = wfFinal.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val w = r.getAs[String]("w")
+      assert(r.getSeq[String](r.fieldIndex("seg")) ==
+        TextSig.bpeEncodeWord(w, learned).toSeq,
+        s"replay != trainer segmentation for word '$w'")
+    }
+    // and the trainer's inner step itself: one-pass merge kernel vs the
+    // expression-rendered fragment it mirrors, pair riding in as columns
+    val frag = S.slice(text.bpeMergeOnceExpr(S, "seg", "m_a", "m_b"),
+      "2", "1000000")
+    val both = graft.core.Tables.documents(spark, sf).limit(80)
+      .select(explode(expr(text.tokens(S, "text"))).as("w")).distinct()
+      .select(col("w"), expr(S.splitChars("w")).as("seg"),
+        lit("t").as("m_a"), lit("h").as("m_b"))
+      .select(col("w"), expr(frag).as("frag"),
+        TextSig.bpeMergePassUdf(col("seg"), col("m_a"), col("m_b")).as("kern"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"word ${r.getString(0)}: frag=${r.getSeq[String](1)} kern=${r.getSeq[String](2)}")
+    }
+  }
+
   test("segments partition the token stream; char chunks cover the text with overlap") {
     // segments: rejoining them with single spaces reproduces the normalized
     // token stream exactly — nothing duplicated, nothing lost (the property
