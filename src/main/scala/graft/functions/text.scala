@@ -122,6 +122,25 @@ object text {
       "CAST(0 AS BIGINT)", "acc", "b", "acc + b")
   }
 
+  /** overlapping char n-grams of lower(col), spaces included (the
+    * Cavnar-Trenkle 1994 feature space — char grams spanning word
+    * boundaries carry the morphology word tokens erase). Strings shorter
+    * than n yield one clamped partial gram; the lower bound 1 keeps the
+    * sequence ascending (the [[shingles]] guard). */
+  def charGrams(d: Dialect, col: String, n: Int): String =
+    charGramsRaw(d, s"lower($col)", n)
+
+  /** [[charGrams]] over an expression that is ALREADY lowercased. The
+    * lambda body references the string per gram position, so callers on
+    * the hot path must stage the lowered text as a named column first —
+    * an inline lower(text) would re-lowercase the whole document once per
+    * position, O(len²) per row (measured 6.7 → 5.1 s at sf0.1 on
+    * q_lang_id_ngram; the same staging contract as [[minhashFromHashes]]). */
+  def charGramsRaw(d: Dialect, lowered: String, n: Int): String =
+    d.transform(
+      d.seq("1", s"greatest(length($lowered) - ${n - 1}, 1)"),
+      "i", s"substr($lowered, i, $n)")
+
   /** token count (whitespace) */
   def nTokens(d: Dialect, col: String): String = d.size(tokens(d, col))
 

@@ -188,6 +188,106 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    Q("q_lang_id_ngram",
+      "Language-ID, the trained-model operator (Cavnar-Trenkle 1994 " +
+        "char-n-gram family, naive-Bayes scoring with add-one smoothing): " +
+        "char-trigram profiles learned per language from the doc_id%5!=0 " +
+        "split, applied to the held-out fifth, reported as the full " +
+        "confusion matrix. Scoring is integer after fixed-point ln " +
+        "quantization (the q_dsir/q_bm25 precedent): score = n_grams*w0 + " +
+        "sum of per-gram (w - w0) deltas, so unseen grams cost the unseen " +
+        "penalty and argmax (min over (-score, lang) structs) is engine-" +
+        "exact. Measured at sf0.01: 20% held-out accuracy vs a 20% " +
+        "5-class chance floor (41% majority-class) — chance, honestly " +
+        "reported: the " +
+        "generator draws every language from the SAME vocabulary, so the " +
+        "label is unlearnable from text (the q_dq_audit stance — report " +
+        "the data's truth). The machinery is the real operator; on a real " +
+        "corpus the profiles carry the signal. Scale shape: profiles are " +
+        "trigram-space-bounded (≤|charset|^3) and broadcast; the test " +
+        "side pays one explode, one broadcast join, and two map-side-" +
+        "combined aggregates keyed by doc",
+      Some {
+        val fpW = text.fixedPoint("ln((c + 1.0) / (tot + v))", 4)
+        val fpW0 = text.fixedPoint("ln(1.0 / (tot + v))", 4)
+        s"""WITH tg AS (
+           |  SELECT doc_id, lang, unnest(${text.charGrams(D, "text", 3)}) AS g
+           |  FROM documents),
+           |prof AS (
+           |  SELECT lang, g, CAST(count(*) AS BIGINT) AS c
+           |  FROM tg WHERE doc_id % 5 <> 0 GROUP BY lang, g),
+           |tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tot
+           |        FROM prof GROUP BY lang),
+           |v AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS v FROM prof),
+           |w0 AS (SELECT lang, $fpW0 AS w0 FROM tot CROSS JOIN v),
+           |delta AS (
+           |  SELECT prof.lang, g, $fpW - $fpW0 AS dw
+           |  FROM prof JOIN tot USING (lang) CROSS JOIN v),
+           |te AS (SELECT doc_id, lang AS true_lang, g
+           |       FROM tg WHERE doc_id % 5 = 0),
+           |ds AS (SELECT doc_id, true_lang, CAST(count(*) AS BIGINT) AS n_g
+           |       FROM te GROUP BY doc_id, true_lang),
+           |sd AS (
+           |  SELECT doc_id, delta.lang, CAST(sum(dw) AS BIGINT) AS sdw
+           |  FROM te JOIN delta ON te.g = delta.g GROUP BY doc_id, delta.lang),
+           |sc AS (
+           |  SELECT ds.doc_id, ds.true_lang, w0.lang,
+           |    ds.n_g * w0.w0 + COALESCE(sdw, 0) AS score
+           |  FROM ds CROSS JOIN w0
+           |  LEFT JOIN sd ON sd.doc_id = ds.doc_id AND sd.lang = w0.lang),
+           |pred AS (
+           |  SELECT doc_id, true_lang, lang AS pred_lang FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY score DESC, lang) AS rn FROM sc) WHERE rn = 1)
+           |SELECT true_lang AS lang, pred_lang,
+           |  CAST(count(*) AS BIGINT) AS n_docs
+           |FROM pred GROUP BY true_lang, pred_lang
+           |ORDER BY lang, pred_lang""".stripMargin
+      }) { (s, dir) =>
+      val fpW = text.fixedPoint("ln((c + 1.0) / (tot + v))", 4)
+      val fpW0 = text.fixedPoint("ln(1.0 / (tot + v))", 4)
+      // lower(text) staged once — charGramsRaw's lambda reads it per gram
+      // position, and an inlined lower would re-copy the doc per position
+      val tg = documents(s, dir)
+        .withColumn("lt", lower(col("text")))
+        .select(col("doc_id"), col("lang"),
+          explode(expr(text.charGramsRaw(S, "lt", 3))).as("g"))
+      // the trained model materializes ONCE (localCheckpoint): four
+      // consumers (tot, v, delta, w0) would otherwise each re-run the
+      // train-split explode + aggregate — and at 100 TB a trained profile
+      // is a persisted artifact applied many times, never re-derived
+      val prof = tg.filter(col("doc_id") % 5 =!= 0)
+        .groupBy("lang", "g").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val totDf = prof.groupBy("lang").agg(sum(col("c")).as("tot"))
+      val vDf = prof.agg(countDistinct(col("g")).as("v"))
+      val w0 = totDf.crossJoin(broadcast(vDf))
+        .select(col("lang"), expr(fpW0).as("w0"))
+      val delta = prof.join(totDf, "lang").crossJoin(broadcast(vDf))
+        .select(col("lang"), col("g"), (expr(fpW) - expr(fpW0)).as("dw"))
+      // the held-out gram stream is NOT checkpointed: its two consumers
+      // re-run a cheap filtered explode, which measured identical to
+      // materializing 300k rows — recompute wins ties (no memory held)
+      val te = tg.filter(col("doc_id") % 5 === 0)
+        .withColumnRenamed("lang", "true_lang")
+      val ds = te.groupBy("doc_id", "true_lang")
+        .agg(count(lit(1)).as("n_g"))
+      val sd = te.join(broadcast(delta), "g")
+        .groupBy("doc_id", "lang").agg(sum(col("dw")).as("sdw"))
+      val sc = ds.crossJoin(broadcast(w0))
+        .join(sd, Seq("doc_id", "lang"), "left")
+        .select(col("doc_id"), col("true_lang"), col("lang"),
+          (col("n_g") * col("w0") + coalesce(col("sdw"), lit(0L))).as("score"))
+      // argmax as min over (-score, lang) structs — lexicographic struct
+      // ordering IS (max score, tie lowest lang); no window, no regroup
+      sc.groupBy("doc_id", "true_lang")
+        .agg(min(struct((-col("score")).as("ns"), col("lang"))).as("m"))
+        .select(col("true_lang"), col("m.lang").as("pred_lang"))
+        .groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n_docs"))
+        .select(col("true_lang").as("lang"), col("pred_lang"), col("n_docs"))
+        .orderBy("lang", "pred_lang")
+    },
+
     Q("q_text_quality",
       "Per-doc quality scoring: token count, distinct ratio, stopword ratio, " +
         "avg token length, composite score (training-data filter shape). " +
