@@ -174,6 +174,56 @@ object AnnIndex {
       .withColumnRenamed(model.getPredictionCol, "list_id")
       .drop("__features")
 
+  /** Deterministic fingerprint of the routing centroids ([[Quantize.cbFingerprint]]
+    * over the center matrix): the IVF store's freshness token. */
+  private[graft] def ivfModelSig(
+      model: org.apache.spark.ml.clustering.KMeansModel): Long =
+    Quantize.cbFingerprint(Array(model.clusterCenters.map(_.toArray)))
+
+  /** The PERSISTABLE IVF store: [[ivfAssign]] output + `ivf_sig`, the
+    * routing-fit fingerprint stamped per row — write partitioned by
+    * `list_id`. The token is what turns "this store looks plausible" into
+    * a checkable contract: [[ivfRefresh]] refuses a store built under a
+    * different fit, the same loud-failure stance as the int8 `q_sig` and
+    * PQ `pq_cb_sig` tokens. */
+  def ivfStore(model: org.apache.spark.ml.clustering.KMeansModel,
+               df: DataFrame, embCol: String): DataFrame = {
+    require(!df.columns.contains("ivf_sig"),
+      "ivfStore would overwrite an existing ivf_sig column")
+    ivfAssign(model, df, embCol).withColumn("ivf_sig", lit(ivfModelSig(model)))
+  }
+
+  /** Incremental index maintenance — the cheap remedy the freshness
+    * tokens' loud failure points to: assign ONLY the new batch under the
+    * unchanged routing model and APPEND it to the persisted store
+    * (the [[Dedup.minhashBandIndex]] pattern). Per-batch cost is |batch|
+    * assignments + one partitioned write; the existing lists are never
+    * rescanned or rewritten, which is the whole incremental story at
+    * 100 TB — and because assignment is a pure per-row function of
+    * (embedding, centroids), append-then-refresh equals a from-scratch
+    * rebuild exactly (asserted in ModulesSpec). Fails loudly when the
+    * store's `ivf_sig` does not match the model (a store re-fit under
+    * different centroids must be rebuilt, not appended to) or carries no
+    * token at all. The token scan is maintenance-time, one column,
+    * stats-pruned — never on the search path. */
+  def ivfRefresh(spark: org.apache.spark.sql.SparkSession,
+                 model: org.apache.spark.ml.clustering.KMeansModel,
+                 storeDir: String, newBatch: DataFrame, embCol: String): Unit = {
+    val sig = ivfModelSig(model)
+    val stored = spark.read.parquet(storeDir)
+    require(stored.columns.contains("ivf_sig"),
+      s"IVF store at $storeDir carries no ivf_sig token — rebuild it with " +
+        "ivfStore before appending increments")
+    val range = stored.agg(min(col("ivf_sig")), max(col("ivf_sig"))).head()
+    require(range.getLong(0) == sig && range.getLong(1) == sig,
+      s"stale IVF store at $storeDir: ivf_sig does not match this model's " +
+        "centroids — the routing fit changed; rebuild the store instead of " +
+        "appending to it")
+    ivfStore(model, newBatch, embCol)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("list_id").parquet(storeDir)
+  }
+
   /** IVF top-k: route the query to its `nProbe` nearest centroids, scan only
     * those lists, exact cosine re-rank. `nProbe = nLists` degenerates to
     * exact brute force (asserted in ModulesSpec).
@@ -214,11 +264,24 @@ object AnnIndex {
       .orderBy(col("dist2"), col("list_id"))
       .limit(nProbe)
       .select(col("list_id"))
+    // a store stamped by [[ivfStore]] is token-checked on the probe page
+    // (assert_true folded into the load-bearing similarity, the Quantize
+    // recipe — an unused check column would be optimizer-pruned); stores
+    // from bare [[ivfAssign]] keep the unchecked contract
+    val sim = vectors.cosineSim(col(embCol), col(queryCol))
+    val checked =
+      if (!assigned.columns.contains("ivf_sig")) sim
+      else sim + coalesce(assert_true(
+        col("ivf_sig") === lit(ivfModelSig(model)),
+        lit("stale IVF store: ivf_sig does not match this model's " +
+          "centroids — the routing fit changed; rebuild the store"))
+        .cast("double"), lit(0.0))
     assigned
       .join(broadcast(probes), "list_id")
       .crossJoin(broadcast(query.select(col(queryCol))))
-      .withColumn("similarity", vectors.cosineSim(col(embCol), col(queryCol)))
+      .withColumn("similarity", checked)
       .orderBy(desc("similarity") +: tieBreak.map(col): _*)
       .limit(k)
+      .drop("ivf_sig")
   }
 }
