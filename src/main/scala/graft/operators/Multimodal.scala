@@ -225,6 +225,18 @@ object Multimodal {
   def resizeBmp(b: Array[Byte], dstW: Int, dstH: Int): Array[Byte] = {
     require(b.length >= 54 && b(0) == 'B' && b(1) == 'M', "not a BMP")
     require(dstW > 0 && dstH > 0, s"bad resize dims ${dstW}x$dstH")
+    // same header discipline as decodeBmp — a palette BMP or a larger DIB
+    // header would otherwise be silently resized into garbage (the pixel
+    // loop below assumes 3-byte pixels starting at byte 54, and the output
+    // re-uses the source's first 54 bytes as its header verbatim)
+    val dataOff = rdLE(b, 10, 4).toInt
+    val bpp = rdLE(b, 28, 2).toInt
+    val compression = rdLE(b, 30, 4)
+    require(bpp == 24 && compression == 0,
+      s"bmp bpp=$bpp comp=$compression (only uncompressed 24bpp)")
+    require(dataOff == 54,
+      s"bmp pixel data at $dataOff, not 54 — larger DIB header/palette " +
+        "layouts are not resizable here")
     val srcW = rdLE(b, 18, 4).toInt
     val srcH = rdLE(b, 22, 4).toInt
     val srcStride = ((3 * srcW + 3) / 4) * 4

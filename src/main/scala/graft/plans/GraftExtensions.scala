@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType, IntegerType, LongType, ShortType}
 
 /** Session extensions: the engine's custom Catalyst surface.
   *
@@ -36,7 +36,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   // double/array<double> at all (MAP, STRUCT, BINARY) fails analysis.
   private def dbl(e: Expression): Expression = Cast(e, DoubleType)
   private def dblArr(e: Expression): Expression = Cast(e, ArrayType(DoubleType))
-  private def lngArr(e: Expression): Expression = Cast(e, ArrayType(LongType))
+  // Widen only INTEGRAL element types to BIGINT (SQL literal arrays parse
+  // as ARRAY<INT>); anything else passes through UNCAST so QDistSq's
+  // checkInputDataTypes can reject it — an unconditional cast would
+  // silently truncate ARRAY<DOUBLE> embeddings toward zero and return
+  // plausible-but-wrong distances instead of failing analysis.
+  private def lngArr(e: Expression): Expression =
+    if (!e.resolved) Cast(e, ArrayType(LongType))
+    else e.dataType match {
+      case ArrayType(ByteType | ShortType | IntegerType, _) =>
+        Cast(e, ArrayType(LongType))
+      case _ => e
+    }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((

@@ -73,6 +73,18 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(r.getLong(0) == r.getLong(1), s"${r.getLong(0)} != ${r.getLong(1)}")
     }
     assert(text.P == "1000000007") // fragment constants stay in sync
+    // ARRAY<DOUBLE> must FAIL analysis, not silently truncate toward zero:
+    // the registry widens only integral element types to BIGINT, so
+    // un-quantized embeddings reach checkInputDataTypes intact
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      graft.core.Tables.embeddings(spark, sf).limit(1)
+        .select(expr("qdist_sq(CAST(embedding AS ARRAY<DOUBLE>), " +
+          "CAST(embedding AS ARRAY<DOUBLE>))")).collect()
+    }
+    assert(err.getMessage.contains("ARRAY<BIGINT>"), err.getMessage)
+    // integral literals still widen (SQL array literals parse as ARRAY<INT>)
+    assert(spark.sql("SELECT qdist_sq(array(1, 2), array(3, 4)) AS d")
+      .head().getLong(0) == 8L)
   }
 
   test("BoundingBoxRule injects sargable lat/lon range predicates") {

@@ -1546,6 +1546,13 @@ class ModulesSpec extends AnyFunSuite {
     val up = Multimodal.resizeBmp(src, 11, 7)
     assert(Multimodal.decodeMeta(up).width == 11 &&
       Multimodal.decodeMeta(up).height == 7)
+    // malformed-input-throws covers the header fields the pixel loop
+    // assumes: a palette/odd-bpp or shifted-pixel-array BMP must be
+    // refused, not resized into garbage (decodeBmp's discipline)
+    val badBpp = src.clone(); badBpp(28) = 8 // 8bpp palette
+    intercept[IllegalArgumentException] { Multimodal.resizeBmp(badBpp, 2, 2) }
+    val badOff = src.clone(); badOff(10) = 122 // dataOff != 54 (v5 header)
+    intercept[IllegalArgumentException] { Multimodal.resizeBmp(badOff, 2, 2) }
   }
 
   test("CDC chunking: boundaries resync after a prefix shift; fixed segments do not") {
