@@ -19,11 +19,17 @@ import org.apache.spark.sql.types._
   *    (PipelineQueries): the blobs are built by [[mediaForDoc]] as a pure
   *    function of doc_id, so DuckDB recomputes every parsed value
   *    closed-form and a writer OR parser bug breaks the hash.
-  *  - DETERMINISTIC FAKE ([[fakeDecode]]): compressed codecs (JPEG/MP3/
-  *    H.264) don't ship in this container, so feature extraction derives
-  *    pseudo-features from the byte content, clearly marked below. Swap
-  *    `fakeDecode` for a real codec (javacv / a Pandas UDF in PySpark) and
-  *    everything downstream keeps its shape.
+  *  - REAL compressed decode ([[decodeImageIo]]): PNG and baseline JPEG
+  *    through the JDK's own ImageIO codecs (java.desktop, headless) — real
+  *    dims and decoded-pixel checksums, oracle-checked by
+  *    `q_multimodal_codec` (PNG losslessly exact, JPEG dims exact + sum
+  *    within a measured bound), real decoded-pixel features in
+  *    [[extractFeatures]].
+  *  - DETERMINISTIC FAKE ([[fakeDecode]]): audio/video codecs (MP3/H.264)
+  *    don't ship in the JDK or this container, so their feature extraction
+  *    derives pseudo-features from the byte content, clearly marked below.
+  *    Swap `fakeDecode` for a real codec (javacv / a Pandas UDF in
+  *    PySpark) and everything downstream keeps its shape.
   *
   * Scale notes: media rows are large — partition by size
   * (`maxPartitionBytes`), never collect, and keep features (small) in a
@@ -115,6 +121,91 @@ object Multimodal {
     b
   }
 
+  // ======================================================================
+  // REAL compressed codecs via the JDK's own ImageIO (java.desktop ships
+  // baseline JPEG and PNG codecs, headless-safe — verified in this
+  // container): decode below is genuinely the codec, not a stub. PNG is
+  // lossless, so its decoded checksum is oracle-predictable closed-form;
+  // JPEG is lossy, so the oracle pins dims exactly and the checksum to a
+  // measured bound (worst 0.7% on the q_multimodal_codec dims; bound 5%).
+  // MP3/H.264 stay out — the JDK carries no audio/video codec — and
+  // [[fakeDecode]] still stands in for those, clearly marked.
+  // ======================================================================
+
+  private lazy val imageIoInit: Unit = {
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+  }
+
+  /** Deterministic RGB source image: byte i of the row-major RGB raster is
+    * (seed*3 + i) % 251 — the SAME pixel formula as [[encodeBmp]]/
+    * [[encodePpm]], so oracles recompute the lossless sum closed-form. */
+  private def srcImage(w: Int, h: Int, seed: Long): java.awt.image.BufferedImage = {
+    imageIoInit
+    require(w > 0 && h > 0, s"bad image dims ${w}x$h")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var idx = 0L; var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((seed * 3 + idx) % 251).toInt
+        val g = ((seed * 3 + idx + 1) % 251).toInt
+        val b = ((seed * 3 + idx + 2) % 251).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        idx += 3; x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private def writeImage(img: java.awt.image.BufferedImage,
+                         fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, fmt, bos), s"no ImageIO $fmt writer")
+    bos.toByteArray
+  }
+
+  /** Real PNG bytes (lossless — decode reproduces the source raster). */
+  def encodePng(w: Int, h: Int, seed: Long): Array[Byte] =
+    writeImage(srcImage(w, h, seed), "png")
+
+  /** Real baseline-JPEG bytes (lossy — dims survive exactly, pixels
+    * approximately). */
+  def encodeJpeg(w: Int, h: Int, seed: Long): Array[Byte] =
+    writeImage(srcImage(w, h, seed), "jpg")
+
+  /** ImageIO decode path shared by PNG/JPEG: real dims + checksum over the
+    * DECODED RGB raster. Malformed input throws (same policy as the
+    * pure-JVM parsers). */
+  private def decodeImageIo(b: Array[Byte], kind: String): MediaMeta = {
+    imageIoInit
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    require(img != null, s"$kind: ImageIO could not decode the blob")
+    var sum = 0L; var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    MediaMeta(kind, img.getWidth.toLong, img.getHeight.toLong, -1L, sum, b.length)
+  }
+
+  /** Compressed-codec blob for a document (q_multimodal_codec's writer):
+    * PNG for even ids, JPEG for odd; dims 16+doc%13 × 16+doc%7 — large
+    * enough that JPEG's DCT error stays well under the oracle's 5% sum
+    * bound (1-pixel images measured up to 33%). */
+  def codecMediaForDoc(docId: Long): Array[Byte] = {
+    require(docId >= 0, s"negative doc_id $docId")
+    val w = (16 + docId % 13).toInt; val h = (16 + docId % 7).toInt
+    if (docId % 2 == 0) encodePng(w, h, docId) else encodeJpeg(w, h, docId)
+  }
+
   /** Deterministic media blob for a document: doc_id % 3 picks the format,
     * dims/duration derive from doc_id — the same arithmetic the
     * q_multimodal_meta oracle evaluates in SQL. */
@@ -142,6 +233,10 @@ object Multimodal {
     else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
              b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')
       decodeWav(b)
+    else if (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+      decodeImageIo(b, "png")
+    else if (b(0) == 0xff.toByte && b(1) == 0xd8.toByte && b(2) == 0xff.toByte)
+      decodeImageIo(b, "jpeg")
     else sys.error(f"unrecognized media magic 0x${b(0)}%02x 0x${b(1)}%02x")
   }
 
@@ -293,6 +388,7 @@ object Multimodal {
     * encode/parse) — imperative loops over binary, the documented UDF
     * carve-out (no Catalyst expression operates inside a byte array). */
   val mediaForDocUdf = udf((docId: Long) => mediaForDoc(docId))
+  val codecMediaForDocUdf = udf((docId: Long) => codecMediaForDoc(docId))
   val metaUdf = udf((b: Array[Byte]) => decodeMeta(b))
   val resizeBmpUdf = udf((b: Array[Byte], w: Int, h: Int) => resizeBmp(b, w, h))
   val weightedPixelSumUdf = udf((b: Array[Byte]) => weightedPixelSum(b))
@@ -325,12 +421,48 @@ object Multimodal {
     out
   }
 
+  /** REAL image features for ImageIO-decodable blobs: mean gray luminance
+    * (integer 299/587/114 weights) over `dim` equal pixel-index buckets —
+    * a fixed, deterministic featurizer running on genuinely decoded
+    * pixels. Empty buckets (fewer pixels than dim) stay 0. */
+  private[operators] def imageFeatures(content: Array[Byte], dim: Int): Array[Float] = {
+    imageIoInit
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    require(img != null, "imageFeatures: ImageIO could not decode the blob")
+    val out = new Array[Float](dim)
+    val cnt = new Array[Int](dim)
+    val total = img.getWidth * img.getHeight
+    var y = 0; var idx = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        val gray = (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
+          (p & 0xff) * 114) / 1000
+        val b = (idx.toLong * dim / total).toInt
+        out(b) += gray; cnt(b) += 1
+        idx += 1; x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    while (i < dim) { if (cnt(i) > 0) out(i) /= cnt(i); i += 1 }
+    out
+  }
+
+  private def isImageIoMagic(b: Array[Byte]): Boolean =
+    b != null && b.length >= 3 &&
+      ((b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N') ||
+        (b(0) == 0xff.toByte && b(1) == 0xd8.toByte && b(2) == 0xff.toByte))
+
   /** Batch feature extraction: content bytes → `dim`-float feature vector.
     * Typed Dataset mapPartitions (not a per-row UDF, not an RDD drop-down):
     * a real decoder amortizes codec init per partition — the same batch
     * shape Pandas UDFs give PySpark — while rows stay Tungsten-encoded
     * end-to-end and the plan stays a single DeserializeToObject →
-    * MapPartitions → SerializeFromObject pipeline Catalyst can place. */
+    * MapPartitions → SerializeFromObject pipeline Catalyst can place.
+    * PNG/JPEG blobs get REAL decoded-pixel features ([[imageFeatures]]);
+    * formats with no JVM codec (mp3/h264) keep the marked fake. */
   def extractFeatures(media: DataFrame, dim: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -338,7 +470,12 @@ object Multimodal {
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
         // per-partition init happens here (codec handles, model weights, ...)
-        rows.map { case (id, kind, content) => (id, kind, fakeDecode(content, dim)) }
+        imageIoInit
+        rows.map { case (id, kind, content) =>
+          (id, kind,
+            if (isImageIoMagic(content)) imageFeatures(content, dim)
+            else fakeDecode(content, dim))
+        }
       }
       .toDF("media_id", "kind", "feature")
   }

@@ -833,6 +833,43 @@ object PipelineQueries {
         .orderBy("media_id")
     },
 
+    Q("q_multimodal_codec",
+      "Compressed-codec decode, REAL (closing the last multimodal stub " +
+        "tier): genuine PNG (even ids) and baseline-JPEG (odd ids) bytes " +
+        "are produced by the JDK's own ImageIO codecs and decoded BACK " +
+        "with the same codecs — real entropy coding, real DCT, no fake. " +
+        "The oracle pins what each codec guarantees: dims survive both " +
+        "codecs exactly; the decoded-pixel checksum is closed-form exact " +
+        "for lossless PNG and bounded within 5% of the source sum for " +
+        "lossy JPEG (measured worst 0.7% at these dims — the q_pq_topk " +
+        "bound-check-boolean pattern). Scale shape: per-row codec kernels, " +
+        "zero shuffle before the final sort; MP3/H.264 remain documented " +
+        "stubs (no JVM codec exists)",
+      Some("""SELECT doc_id AS media_id,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS kind,
+             |  CAST(16 + doc_id % 13 AS BIGINT) AS width,
+             |  CAST(16 + doc_id % 7 AS BIGINT) AS height,
+             |  TRUE AS sum_ok
+             |FROM documents WHERE doc_id < 300
+             |ORDER BY media_id""".stripMargin)) { (s, dir) =>
+      import graft.operators.Multimodal
+      // closed-form source-raster sum (the shared (seed*3+i)%251 formula)
+      val srcSum = expr(
+        "aggregate(sequence(0, (16 + doc_id % 13) * (16 + doc_id % 7) * 3 - 1), " +
+          "0L, (acc, i) -> acc + (doc_id * 3 + i) % 251)")
+      documents(s, dir)
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          Multimodal.metaUdf(Multimodal.codecMediaForDocUdf(col("doc_id"))).as("m"),
+          srcSum.as("src_sum"))
+        .select(col("doc_id").as("media_id"), col("m.kind").as("kind"),
+          col("m.width").as("width"), col("m.height").as("height"),
+          when(col("m.kind") === "png", col("m.content_sum") === col("src_sum"))
+            .otherwise(abs(col("m.content_sum") - col("src_sum")) * 20
+              <= col("src_sum")).as("sum_ok"))
+        .orderBy("media_id")
+    },
+
     Q("q_stream_dedup",
       "Batch twin of the streaming ingest dedup (EventsStream.dedupStream: " +
         "dropDuplicatesWithinWatermark keyed by content fingerprint, state " +

@@ -1555,6 +1555,42 @@ class ModulesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Multimodal.resizeBmp(badOff, 2, 2) }
   }
 
+  test("PNG/JPEG codec round-trips: lossless exactness, lossy bounds, loud failures") {
+    // the JDK ImageIO tier: PNG decode must reproduce the deterministic
+    // source raster EXACTLY (lossless — checksum equals the closed-form
+    // (seed*3+i)%251 sum), JPEG must keep dims exactly and the sum within
+    // the oracle's 5% bound, and garbage must throw, never zero-fill
+    for ((w, h, seed) <- Seq((16, 16, 0L), (28, 22, 7L), (17, 19, 123L))) {
+      val srcSum = (0L until 3L * w * h).map(i => (seed * 3 + i) % 251).sum
+      val png = Multimodal.decodeMeta(Multimodal.encodePng(w, h, seed))
+      assert(png.kind == "png" && png.width == w && png.height == h &&
+        png.content_sum == srcSum, s"png $png vs srcSum=$srcSum")
+      val jpg = Multimodal.decodeMeta(Multimodal.encodeJpeg(w, h, seed))
+      assert(jpg.kind == "jpeg" && jpg.width == w && jpg.height == h)
+      assert(math.abs(jpg.content_sum - srcSum) * 20 <= srcSum,
+        s"jpeg sum ${jpg.content_sum} beyond 5% of $srcSum")
+    }
+    // truncated JPEG: the codec cannot finish — must surface, not zero
+    val truncated = Multimodal.encodeJpeg(16, 16, 1L).take(20)
+    intercept[Exception] { Multimodal.decodeMeta(truncated) }
+    // real decoded-pixel features: deterministic and kind-dispatched (a
+    // PNG and its JPEG twin land CLOSE — same pixels through a lossy
+    // codec — which the fake byte-hash features could never do)
+    import spark.implicits._
+    val media = Seq(
+      (0L, "png", Multimodal.encodePng(24, 18, 5L)),
+      (1L, "jpeg", Multimodal.encodeJpeg(24, 18, 5L)))
+      .toDF("media_id", "kind", "content")
+    val feats = Multimodal.extractFeatures(media, dim = 8)
+      .orderBy("media_id").collect()
+      .map(_.getSeq[Float](2).toArray)
+    assert(feats.length == 2 && feats(0).length == 8)
+    val dist = feats(0).zip(feats(1)).map { case (a, b) =>
+      math.abs(a - b) }.max
+    assert(dist <= 8.0f, s"png/jpeg feature gap $dist — not decoding real pixels?")
+    assert(feats(0).sum > 0f)
+  }
+
   test("CDC chunking: boundaries resync after a prefix shift; fixed segments do not") {
     // the property q_chunk_cdc exists for: prepend 2 tokens to a doc and
     // content-defined boundaries re-land on the same content past the
