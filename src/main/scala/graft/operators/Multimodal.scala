@@ -196,6 +196,56 @@ object Multimodal {
     MediaMeta(kind, img.getWidth.toLong, img.getHeight.toLong, -1L, sum, b.length)
   }
 
+  /** Nearest-neighbor resize for ImageIO formats (the compressed twin of
+    * [[resizeBmp]]): decode, resample with the SAME index arithmetic
+    * (dst (r,x) ← src (r*srcH/dstH, x*srcW/dstW)), re-encode in the
+    * input's own format. Deterministic: NN picks pixels, never blends. */
+  def resizeImage(b: Array[Byte], dstW: Int, dstH: Int): Array[Byte] = {
+    imageIoInit
+    require(dstW > 0 && dstH > 0, s"bad resize dims ${dstW}x$dstH")
+    val fmt =
+      if (b.length >= 4 && b(0) == 0x89.toByte && b(1) == 'P') "png"
+      else if (b.length >= 3 && b(0) == 0xff.toByte && b(1) == 0xd8.toByte) "jpg"
+      else sys.error("resizeImage handles PNG/JPEG blobs only")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    require(img != null, s"$fmt: ImageIO could not decode the blob")
+    val out = new java.awt.image.BufferedImage(
+      dstW, dstH, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var r = 0
+    while (r < dstH) {
+      val sr = r * img.getHeight / dstH
+      var x = 0
+      while (x < dstW) {
+        out.setRGB(x, r, img.getRGB(x * img.getWidth / dstW, sr))
+        x += 1
+      }
+      r += 1
+    }
+    writeImage(out, fmt)
+  }
+
+  /** Position-weighted sum over the DECODED RGB raster (row-major, R G B
+    * per pixel): Σ byte_j * (j+1) — the layout-pinning checksum
+    * [[weightedPixelSum]] computes for BMP payloads, here for codec
+    * formats. No modulus: raster sizes here keep the sum ≪ 2^63. */
+  def rasterWeightedSum(b: Array[Byte]): Long = {
+    imageIoInit
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    require(img != null, "rasterWeightedSum: ImageIO could not decode")
+    var sum = 0L; var j = 1L; var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        sum += ((p >> 16) & 0xff) * j + ((p >> 8) & 0xff) * (j + 1) +
+          (p & 0xff) * (j + 2)
+        j += 3; x += 1
+      }
+      y += 1
+    }
+    sum
+  }
+
   /** Compressed-codec blob for a document (q_multimodal_codec's writer):
     * PNG for even ids, JPEG for odd; dims 16+doc%13 × 16+doc%7 — large
     * enough that JPEG's DCT error stays well under the oracle's 5% sum
@@ -389,6 +439,8 @@ object Multimodal {
     * carve-out (no Catalyst expression operates inside a byte array). */
   val mediaForDocUdf = udf((docId: Long) => mediaForDoc(docId))
   val codecMediaForDocUdf = udf((docId: Long) => codecMediaForDoc(docId))
+  val resizeImageUdf = udf((b: Array[Byte], w: Int, h: Int) => resizeImage(b, w, h))
+  val rasterWeightedSumUdf = udf((b: Array[Byte]) => rasterWeightedSum(b))
   val metaUdf = udf((b: Array[Byte]) => decodeMeta(b))
   val resizeBmpUdf = udf((b: Array[Byte], w: Int, h: Int) => resizeBmp(b, w, h))
   val weightedPixelSumUdf = udf((b: Array[Byte]) => weightedPixelSum(b))

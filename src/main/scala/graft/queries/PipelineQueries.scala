@@ -870,6 +870,52 @@ object PipelineQueries {
         .orderBy("media_id")
     },
 
+    Q("q_multimodal_resize_codec",
+      "Compressed-format resize, REAL end to end: decode PNG/JPEG with the " +
+        "JDK codec, nearest-neighbor resample to half dims with the same " +
+        "index arithmetic as the BMP kernel, re-encode in the input's own " +
+        "format, decode BACK. The oracle pins dims exactly for both " +
+        "codecs; the pixel proof splits by what each codec guarantees — " +
+        "PNG (lossless both ways) must match the position-weighted raster " +
+        "checksum of the closed-form NN resample EXACTLY, JPEG (lossy " +
+        "both ways) holds a 10% plain-sum bound (measured ~1-2%). " +
+        "Scale shape: per-row codec kernels, zero shuffle before the sort",
+      Some("""SELECT doc_id AS media_id,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS kind,
+             |  CAST((16 + doc_id % 13) // 2 AS BIGINT) AS dst_w,
+             |  CAST((16 + doc_id % 7) // 2 AS BIGINT) AS dst_h,
+             |  TRUE AS ok
+             |FROM documents WHERE doc_id < 300
+             |ORDER BY media_id""".stripMargin)) { (s, dir) =>
+      import graft.operators.Multimodal
+      // closed-form byte of the NN-resampled source raster at position j
+      val nnByte = "(media_id * 3 " +
+        "+ ((j div (3*dw)) * sh div dh) * 3 * sw " +
+        "+ (((j % (3*dw)) div 3) * sw div dw) * 3 + (j % 3)) % 251"
+      val nnWsum = s"aggregate(sequence(0, 3*dw*dh - 1), 0L, " +
+        s"(acc, j) -> acc + ($nnByte) * (j + 1))"
+      val nnSum = s"aggregate(sequence(0, 3*dw*dh - 1), 0L, " +
+        s"(acc, j) -> acc + ($nnByte))"
+      documents(s, dir)
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id").as("media_id"),
+          (lit(16) + col("doc_id") % 13).cast("int").as("sw"),
+          (lit(16) + col("doc_id") % 7).cast("int").as("sh"))
+        .withColumn("dw", expr("sw div 2").cast("int"))
+        .withColumn("dh", expr("sh div 2").cast("int"))
+        .withColumn("rb", Multimodal.resizeImageUdf(
+          Multimodal.codecMediaForDocUdf(col("media_id")), col("dw"), col("dh")))
+        .withColumn("m", Multimodal.metaUdf(col("rb")))
+        .select(col("media_id"),
+          col("m.kind").as("kind"),
+          col("m.width").as("dst_w"), col("m.height").as("dst_h"),
+          when(col("m.kind") === "png",
+            Multimodal.rasterWeightedSumUdf(col("rb")) === expr(nnWsum))
+            .otherwise(abs(col("m.content_sum") - expr(nnSum)) * 10
+              <= expr(nnSum)).as("ok"))
+        .orderBy("media_id")
+    },
+
     Q("q_stream_dedup",
       "Batch twin of the streaming ingest dedup (EventsStream.dedupStream: " +
         "dropDuplicatesWithinWatermark keyed by content fingerprint, state " +

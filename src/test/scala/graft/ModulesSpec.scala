@@ -1573,6 +1573,27 @@ class ModulesSpec extends AnyFunSuite {
     // truncated JPEG: the codec cannot finish — must surface, not zero
     val truncated = Multimodal.encodeJpeg(16, 16, 1L).take(20)
     intercept[Exception] { Multimodal.decodeMeta(truncated) }
+    // compressed-format resize: PNG is lossless both ways, so the resized
+    // raster must equal the closed-form NN resample byte-for-byte (via the
+    // position-weighted checksum); JPEG double-lossy stays within half the
+    // oracle's 10% bound on these dims
+    for ((sw, sh, seed) <- Seq((16, 16, 2L), (28, 22, 9L))) {
+      val (dw, dh) = (sw / 2, sh / 2)
+      def nnByte(j: Int): Long =
+        (seed * 3 + (j / (3 * dw)) * sh / dh * 3 * sw +
+          (j % (3 * dw)) / 3 * sw / dw * 3 + j % 3) % 251
+      val wantW = (0 until 3 * dw * dh).map(j => nnByte(j) * (j + 1)).sum
+      val wantS = (0 until 3 * dw * dh).map(nnByte(_)).sum
+      val rp = Multimodal.resizeImage(Multimodal.encodePng(sw, sh, seed), dw, dh)
+      assert(Multimodal.decodeMeta(rp).width == dw)
+      assert(Multimodal.rasterWeightedSum(rp) == wantW,
+        s"png resize raster diverged at ${sw}x$sh")
+      val rj = Multimodal.resizeImage(Multimodal.encodeJpeg(sw, sh, seed), dw, dh)
+      val js = Multimodal.decodeMeta(rj)
+      assert(js.width == dw && js.height == dh)
+      assert(math.abs(js.content_sum - wantS) * 20 <= wantS,
+        s"jpeg resize sum ${js.content_sum} beyond 5% of $wantS")
+    }
     // real decoded-pixel features: deterministic and kind-dispatched (a
     // PNG and its JPEG twin land CLOSE — same pixels through a lossy
     // codec — which the fake byte-hash features could never do)
