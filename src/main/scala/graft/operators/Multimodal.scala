@@ -330,9 +330,11 @@ object Multimodal {
     MediaMeta("ppm", w, h, -1L, sum, b.length)
   }
 
-  private def decodeWav(b: Array[Byte]): MediaMeta = {
-    // RIFF chunk walk: unknown chunks skipped (odd sizes pad one byte), so
-    // files with LIST/INFO chunks between fmt and data still parse
+  /** PCM payload of a mono 16-bit WAV as signed samples + sample rate —
+    * the RIFF chunk walk shared by [[decodeWav]] and [[audioFeatures]].
+    * Unknown chunks are skipped (odd sizes pad one byte), so files with
+    * LIST/INFO chunks between fmt and data still parse. */
+  private def wavPcm(b: Array[Byte]): (Array[Int], Long) = {
     var p = 12; var rate = -1L; var bits = -1L; var channels = -1L
     var dataOff = -1; var dataLen = -1
     while (p + 8 <= b.length) {
@@ -349,12 +351,52 @@ object Multimodal {
       s"wav: rate=$rate bits=$bits ch=$channels dataOff=$dataOff (PCM mono 16-bit only)")
     require(b.length >= dataOff + dataLen && dataLen % 2 == 0, "wav truncated data chunk")
     val n = dataLen / 2
-    var sum = 0L; var i = 0
+    val s = new Array[Int](n)
+    var i = 0
     while (i < n) { // int16 LE, sign via Byte->Int extension of the high byte
-      sum += (b(dataOff + 2 * i + 1).toInt << 8) | (b(dataOff + 2 * i) & 0xff)
+      s(i) = (b(dataOff + 2 * i + 1).toInt << 8) | (b(dataOff + 2 * i) & 0xff)
       i += 1
     }
-    MediaMeta("wav", -1L, -1L, n * 1000L / rate, sum, b.length)
+    (s, rate)
+  }
+
+  private def decodeWav(b: Array[Byte]): MediaMeta = {
+    val (s, rate) = wavPcm(b)
+    var sum = 0L; var i = 0
+    while (i < s.length) { sum += s(i); i += 1 }
+    MediaMeta("wav", -1L, -1L, s.length * 1000L / rate, sum, b.length)
+  }
+
+  /** Real DSP over the PCM payload (the audio analog of the decoded-pixel
+    * work): sign-change count over the whole clip, exact integer energy
+    * (Σ s²) total and per non-overlapping `frame`-sample frame (max
+    * reported; the tail short frame is excluded from the max, included in
+    * the total). All integer arithmetic — 2000² × clip length ≪ 2⁶³ —
+    * so the q_audio_features oracle replays every value closed-form. */
+  final case class AudioFeatures(n_frames: Long, zero_crossings: Long,
+      max_frame_energy: Long, total_energy: Long)
+
+  def audioFeatures(b: Array[Byte], frame: Int): AudioFeatures = {
+    require(frame > 0, s"bad frame size $frame")
+    val (s, _) = wavPcm(b)
+    var zcr = 0L; var i = 1
+    while (i < s.length) {
+      if ((s(i - 1) < 0) != (s(i) < 0)) zcr += 1
+      i += 1
+    }
+    val k = s.length / frame
+    var maxE = 0L; var f = 0
+    while (f < k) {
+      var e = 0L; var j = 0
+      while (j < frame) {
+        val v = s(f * frame + j).toLong; e += v * v; j += 1
+      }
+      if (e > maxE) maxE = e
+      f += 1
+    }
+    var tot = 0L; i = 0
+    while (i < s.length) { tot += s(i).toLong * s(i); i += 1 }
+    AudioFeatures(k.toLong, zcr, maxE, tot)
   }
 
   // ======================================================================
@@ -441,6 +483,7 @@ object Multimodal {
   val codecMediaForDocUdf = udf((docId: Long) => codecMediaForDoc(docId))
   val resizeImageUdf = udf((b: Array[Byte], w: Int, h: Int) => resizeImage(b, w, h))
   val rasterWeightedSumUdf = udf((b: Array[Byte]) => rasterWeightedSum(b))
+  val audioFeaturesUdf = udf((b: Array[Byte], frame: Int) => audioFeatures(b, frame))
   val metaUdf = udf((b: Array[Byte]) => decodeMeta(b))
   val resizeBmpUdf = udf((b: Array[Byte], w: Int, h: Int) => resizeBmp(b, w, h))
   val weightedPixelSumUdf = udf((b: Array[Byte]) => weightedPixelSum(b))

@@ -833,6 +833,49 @@ object PipelineQueries {
         .orderBy("media_id")
     },
 
+    Q("q_audio_features",
+      "Real DSP over real WAV bytes (the audio analog of the decoded-pixel " +
+        "queries): parse the RIFF/PCM payload, then compute zero-crossing " +
+        "count, exact integer energy (sum of squared samples) total and " +
+        "per 256-sample frame (max reported) — the framing/energy/ZCR " +
+        "primitives every audio-curation filter (silence, clipping, " +
+        "speech/music) builds on. All integer arithmetic, so the oracle " +
+        "replays every value closed-form from the deterministic sample " +
+        "formula — a parser or framing bug breaks the hash. Scale shape: " +
+        "one per-row kernel over the blob column, zero shuffle before " +
+        "the sort",
+      Some("""WITH d AS (
+             |  SELECT doc_id, 8 * (100 + doc_id % 100) AS n
+             |  FROM documents WHERE doc_id % 3 = 2 AND doc_id < 300)
+             |SELECT doc_id AS media_id,
+             |  CAST(n // 256 AS BIGINT) AS n_frames,
+             |  CAST(len(list_filter(generate_series(1, n - 1), i ->
+             |    ((doc_id*7 + i - 1) % 4001 - 2000 < 0) !=
+             |      ((doc_id*7 + i) % 4001 - 2000 < 0))) AS BIGINT)
+             |    AS zero_crossings,
+             |  CAST(list_max(list_transform(generate_series(0, n // 256 - 1), f ->
+             |    list_sum(list_transform(generate_series(0, 255), j ->
+             |      ((doc_id*7 + f*256 + j) % 4001 - 2000)
+             |        * ((doc_id*7 + f*256 + j) % 4001 - 2000))))) AS BIGINT)
+             |    AS max_frame_energy,
+             |  CAST(list_sum(list_transform(generate_series(0, n - 1), i ->
+             |    ((doc_id*7 + i) % 4001 - 2000)
+             |      * ((doc_id*7 + i) % 4001 - 2000))) AS BIGINT)
+             |    AS total_energy
+             |FROM d ORDER BY media_id""".stripMargin)) { (s, dir) =>
+      import graft.operators.Multimodal
+      documents(s, dir)
+        .filter(col("doc_id") % 3 === 2 && col("doc_id") < 300)
+        .select(col("doc_id").as("media_id"),
+          Multimodal.audioFeaturesUdf(
+            Multimodal.mediaForDocUdf(col("doc_id")), lit(256)).as("f"))
+        .select(col("media_id"), col("f.n_frames").as("n_frames"),
+          col("f.zero_crossings").as("zero_crossings"),
+          col("f.max_frame_energy").as("max_frame_energy"),
+          col("f.total_energy").as("total_energy"))
+        .orderBy("media_id")
+    },
+
     Q("q_multimodal_codec",
       "Compressed-codec decode, REAL (closing the last multimodal stub " +
         "tier): genuine PNG (even ids) and baseline-JPEG (odd ids) bytes " +
