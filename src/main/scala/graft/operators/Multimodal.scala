@@ -367,6 +367,91 @@ object Multimodal {
     MediaMeta("wav", -1L, -1L, s.length * 1000L / rate, sum, b.length)
   }
 
+  // ======================================================================
+  // Video, REAL uncompressed tier: Y4M (YUV4MPEG2) — ASCII stream header,
+  // then per frame an ASCII "FRAME\n" marker + raw C420 planes
+  // (w*h luma + 2 quarter-size chroma). The one video container a pure
+  // JVM can parse byte-exactly; H.264 remains the documented codec stub.
+  // ======================================================================
+
+  /** Y4M writer: payload byte i of the CONCATENATED frame planes (all
+    * frames, Y then U then V per frame) is (seed*5 + i) % 241 — one
+    * formula, so oracles recompute sums closed-form. C420 needs even
+    * dims; 25:1 frame rate → 40 ms per frame. */
+  def encodeY4m(w: Int, h: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    require(w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0,
+      s"y4m C420 needs even dims, got ${w}x$h")
+    require(nFrames > 0, s"bad frame count $nFrames")
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n".getBytes("US-ASCII")
+    val frameBytes = w * h + 2 * (w / 2) * (h / 2)
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    val out = new Array[Byte](
+      header.length + nFrames * (marker.length + frameBytes))
+    System.arraycopy(header, 0, out, 0, header.length)
+    var p = header.length; var i = 0L; var f = 0
+    while (f < nFrames) {
+      System.arraycopy(marker, 0, out, p, marker.length)
+      p += marker.length
+      var j = 0
+      while (j < frameBytes) {
+        out(p) = ((seed * 5 + i) % 241).toByte
+        p += 1; i += 1; j += 1
+      }
+      f += 1
+    }
+    out
+  }
+
+  /** Parsed Y4M stream: real dims, frame count from the actual FRAME
+    * markers, duration from the header's rate, payload checksum plus the
+    * max per-frame LUMA-plane sum (the framing proof — wrong plane sizes
+    * or marker handling shifts every later frame's luma window). */
+  final case class VideoMeta(width: Long, height: Long, n_frames: Long,
+      duration_ms: Long, content_sum: Long, max_frame_luma: Long)
+
+  def videoMeta(b: Array[Byte]): VideoMeta = {
+    require(b.length >= 10 &&
+      new String(b, 0, 9, "US-ASCII") == "YUV4MPEG2", "not a Y4M stream")
+    var nl = 9
+    while (nl < b.length && b(nl) != '\n') nl += 1
+    require(nl < b.length, "y4m: unterminated stream header")
+    var w = -1; var h = -1; var fNum = -1L; var fDen = -1L
+    for (tok <- new String(b, 9, nl - 9, "US-ASCII").trim.split(" ")
+         if tok.nonEmpty) tok.charAt(0) match {
+      case 'W' => w = tok.drop(1).toInt
+      case 'H' => h = tok.drop(1).toInt
+      case 'F' =>
+        val Array(n, d) = tok.drop(1).split(":"); fNum = n.toLong; fDen = d.toLong
+      case 'C' => require(tok == "C420", s"y4m: only C420 supported, got $tok")
+      case _ => () // interlacing/aspect/extensions: irrelevant to the walk
+    }
+    require(w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0 && fNum > 0 && fDen > 0,
+      s"y4m header: W$w H$h F$fNum:$fDen")
+    val lumaBytes = w * h
+    val frameBytes = lumaBytes + 2 * (w / 2) * (h / 2)
+    var p = nl + 1; var frames = 0L; var sum = 0L; var maxLuma = 0L
+    while (p < b.length) {
+      require(p + 6 <= b.length &&
+        new String(b, p, 5, "US-ASCII") == "FRAME", s"y4m: no FRAME marker at $p")
+      var q = p + 5 // frame params (none written here) end at the newline
+      while (q < b.length && b(q) != '\n') q += 1
+      require(q + frameBytes < b.length, "y4m: truncated frame payload")
+      var j = 0; var luma = 0L
+      while (j < frameBytes) {
+        val v = (b(q + 1 + j) & 0xff).toLong
+        sum += v
+        if (j < lumaBytes) luma += v
+        j += 1
+      }
+      if (luma > maxLuma) maxLuma = luma
+      frames += 1
+      p = q + 1 + frameBytes
+    }
+    require(frames > 0, "y4m: no frames")
+    VideoMeta(w.toLong, h.toLong, frames,
+      frames * 1000L * fDen / fNum, sum, maxLuma)
+  }
+
   /** Real DSP over the PCM payload (the audio analog of the decoded-pixel
     * work): sign-change count over the whole clip, exact integer energy
     * (Σ s²) total and per non-overlapping `frame`-sample frame (max
@@ -484,6 +569,12 @@ object Multimodal {
   val resizeImageUdf = udf((b: Array[Byte], w: Int, h: Int) => resizeImage(b, w, h))
   val rasterWeightedSumUdf = udf((b: Array[Byte]) => rasterWeightedSum(b))
   val audioFeaturesUdf = udf((b: Array[Byte], frame: Int) => audioFeatures(b, frame))
+  val y4mForDocUdf = udf((docId: Long) => {
+    require(docId >= 0, s"negative doc_id $docId")
+    encodeY4m((2 * (1 + docId % 6)).toInt, (2 * (1 + docId % 3)).toInt,
+      (3 + docId % 5).toInt, docId)
+  })
+  val videoMetaUdf = udf((b: Array[Byte]) => videoMeta(b))
   val metaUdf = udf((b: Array[Byte]) => decodeMeta(b))
   val resizeBmpUdf = udf((b: Array[Byte], w: Int, h: Int) => resizeBmp(b, w, h))
   val weightedPixelSumUdf = udf((b: Array[Byte]) => weightedPixelSum(b))

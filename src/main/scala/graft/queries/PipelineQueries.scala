@@ -833,6 +833,47 @@ object PipelineQueries {
         .orderBy("media_id")
     },
 
+    Q("q_video_meta",
+      "Video metadata, REAL uncompressed tier: genuine Y4M (YUV4MPEG2) " +
+        "streams — ASCII header, FRAME markers, raw C420 planes — built " +
+        "per doc and parsed back with the pure-JVM walker: dims and frame " +
+        "rate from the header, frame count from the actual markers, " +
+        "duration, payload checksum, and the max per-frame LUMA sum (the " +
+        "framing proof: wrong plane arithmetic or marker handling shifts " +
+        "every later frame's luma window). The oracle replays all of it " +
+        "closed-form from doc_id; H.264 remains the documented codec " +
+        "stub. Scale shape: one per-row kernel, zero shuffle before the " +
+        "sort — frame-level work stays inside the partition",
+      Some("""WITH d AS (
+             |  SELECT doc_id, 2 * (1 + doc_id % 6) AS w,
+             |    2 * (1 + doc_id % 3) AS h, 3 + doc_id % 5 AS nf
+             |  FROM documents WHERE doc_id < 300),
+             |e AS (SELECT *, w * h AS luma, (w * h * 3) // 2 AS fb FROM d)
+             |SELECT doc_id AS media_id,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(nf AS BIGINT) AS n_frames,
+             |  CAST(nf * 40 AS BIGINT) AS duration_ms,
+             |  CAST(list_sum(list_transform(generate_series(0, nf * fb - 1),
+             |    i -> (doc_id * 5 + i) % 241)) AS BIGINT) AS content_sum,
+             |  CAST(list_max(list_transform(generate_series(0, nf - 1), f ->
+             |    list_sum(list_transform(generate_series(0, luma - 1), j ->
+             |      (doc_id * 5 + f * fb + j) % 241)))) AS BIGINT)
+             |    AS max_frame_luma
+             |FROM e ORDER BY media_id""".stripMargin)) { (s, dir) =>
+      import graft.operators.Multimodal
+      documents(s, dir)
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id").as("media_id"),
+          Multimodal.videoMetaUdf(
+            Multimodal.y4mForDocUdf(col("doc_id"))).as("v"))
+        .select(col("media_id"), col("v.width").as("width"),
+          col("v.height").as("height"), col("v.n_frames").as("n_frames"),
+          col("v.duration_ms").as("duration_ms"),
+          col("v.content_sum").as("content_sum"),
+          col("v.max_frame_luma").as("max_frame_luma"))
+        .orderBy("media_id")
+    },
+
     Q("q_audio_features",
       "Real DSP over real WAV bytes (the audio analog of the decoded-pixel " +
         "queries): parse the RIFF/PCM payload, then compute zero-crossing " +

@@ -1612,6 +1612,24 @@ class ModulesSpec extends AnyFunSuite {
     assert(feats(0).sum > 0f)
   }
 
+  test("Y4M video walker: header, frame markers, luma framing, loud failures") {
+    val b = Multimodal.encodeY4m(4, 2, 3, seed = 9L)
+    val v = Multimodal.videoMeta(b)
+    val fb = 4 * 2 + 2 * 2 * 1 // C420: 8 luma + 2x2 chroma bytes
+    assert(v.width == 4 && v.height == 2 && v.n_frames == 3 &&
+      v.duration_ms == 120) // 3 frames at 25 fps
+    assert(v.content_sum == (0 until 3 * fb).map(i => (45L + i) % 241).sum)
+    assert(v.max_frame_luma ==
+      (0 until 3).map(f => (0 until 8).map(j => (45L + f * fb + j) % 241).sum).max)
+    // malformed must throw, never zero-fill: truncated payload, odd C420
+    // dims, corrupted FRAME marker
+    intercept[IllegalArgumentException] { Multimodal.videoMeta(b.dropRight(1)) }
+    intercept[IllegalArgumentException] { Multimodal.encodeY4m(3, 2, 1, 0L) }
+    val bad = b.clone()
+    bad("YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420\n".length) = 'X'
+    intercept[IllegalArgumentException] { Multimodal.videoMeta(bad) }
+  }
+
   test("CDC chunking: boundaries resync after a prefix shift; fixed segments do not") {
     // the property q_chunk_cdc exists for: prepend 2 tokens to a doc and
     // content-defined boundaries re-land on the same content past the
