@@ -1937,6 +1937,88 @@ object PipelineQueries {
             _.cast("string")), ",").as("postings"))
         .orderBy(desc("df"), col("tok"))
         .limit(20)
+    },
+
+    Q("q_text_normalize",
+      "Unicode normalization — the stage-zero scrub every crawl pipeline " +
+        "runs before hashing, shingling or language-ID (a decomposed " +
+        "e+U+0301 and a composed é would otherwise dedup-miss and " +
+        "tokenize apart): NFC compose, strip C0 controls except the five " +
+        "ASCII whitespace controls (plus DEL), collapse whitespace runs " +
+        "to one space, trim — pinned order, TextNorm.scala's contract. " +
+        "Both engines build the same dirty input (combining marks, BEL, " +
+        "CRLF, tab runs appended to each doc) and the oracle replays the " +
+        "pipeline with DuckDB's own UAX#15 nfc_normalize + RE2, so the " +
+        "kernel is checked against an independent Unicode implementation, " +
+        "not against itself. Scale shape: one narrow per-row projection, " +
+        "zero shuffle before the sort",
+      Some("""WITH d AS (SELECT doc_id,
+             |  substr(text, 1, 60) || ' Cafe' || chr(769) || ' A' || chr(778)
+             |    || chr(9) || ' x' || chr(7) || 'y ' || chr(13) || chr(10)
+             |    || ' end  ' AS raw
+             |  FROM documents),
+             |n AS (SELECT doc_id, raw,
+             |  trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+             |    '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'),
+             |    '[ \x09-\x0D]+', ' ', 'g')) AS text_norm
+             |  FROM d)
+             |SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_raw,
+             |  CAST(length(text_norm) AS BIGINT) AS n_norm, text_norm
+             |FROM n ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      import graft.functions.TextNorm
+      documents(s, dir)
+        .select(col("doc_id"), concat(substring(col("text"), 1, 60),
+          lit(" Cafe\u0301 A\u030A\t x\u0007y \r\n end  ")).as("raw"))
+        .withColumn("text_norm", TextNorm.normalizeUdf(col("raw")))
+        .select(col("doc_id"), length(col("raw")).cast("long").as("n_raw"),
+          length(col("text_norm")).cast("long").as("n_norm"),
+          col("text_norm"))
+        .orderBy("doc_id")
+    },
+
+    Q("q_html_extract",
+      "HTML-to-text extraction (trafilatura's job, kernel-sized): real " +
+        "crawl corpora are markup, not text — drop script/style WITH " +
+        "their content (the scanner must not leak 'var x = 1 < 2;' into " +
+        "the corpus), every other tag becomes one space, entities decode " +
+        "(named + decimal + hex), then the q_text_normalize collapse. " +
+        "The oracle is by-construction: both engines assemble the same " +
+        "HTML around each doc's text, and DuckDB states the expected " +
+        "VISIBLE text directly — the extractor must invert the markup " +
+        "exactly, including a per-doc variable link count whose hrefs " +
+        "the kernel also extracts (n_links = the link-graph out-degree " +
+        "feed). Scale shape: one per-row scanner pass, zero shuffle " +
+        "before the sort",
+      Some("""WITH d AS (SELECT doc_id,
+             |  'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+             |  regexp_replace(substr(text, 1, 50), '[^A-Za-z0-9 .,]', '', 'g')
+             |    AS piece
+             |  FROM documents)
+             |SELECT doc_id, CAST(doc_id % 3 AS BIGINT) AS n_links,
+             |  trim(regexp_replace(
+             |    title || ' ' || title || ' ' || piece || ' & more ' ||
+             |      repeat('L ', CAST(doc_id % 3 AS INT)) ||
+             |      'x < y > z ''q'' "w" end AB',
+             |    '[ \x09-\x0D]+', ' ', 'g')) AS text_out
+             |FROM d ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      import graft.functions.TextNorm
+      val title = concat(lit("Doc "), col("doc_id").cast("string"))
+      val piece = regexp_replace(substring(col("text"), 1, 50),
+        "[^A-Za-z0-9 .,]", "")
+      val links = expr(
+        "repeat('<a href=\"https://ex.org/p\">L</a>', cast(doc_id % 3 as int))")
+      documents(s, dir)
+        .select(col("doc_id"), concat(
+          lit("<html><head><title>"), title,
+          lit("</title><style>p{margin:0}</style></head>" +
+            "<body><script>var x = 1 < 2;</script><h1>"), title,
+          lit("</h1><p>"), piece, lit(" &amp; more</p>"), links,
+          lit("<div>x &lt; y &gt; z &#39;q&#39; &quot;w&quot;&nbsp;end" +
+            " &#65;&#x42;</div></body></html>")).as("html"))
+        .select(col("doc_id"),
+          size(TextNorm.extractLinksUdf(col("html"))).cast("long").as("n_links"),
+          TextNorm.htmlToTextUdf(col("html")).as("text_out"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -1891,4 +1891,46 @@ class ModulesSpec extends AnyFunSuite {
     }
     assert(bhj.nonEmpty, "boilerplate set not broadcast")
   }
+
+  test("TextNorm.normalize: NFC composes, controls strip, whitespace collapses") {
+    import graft.functions.TextNorm
+    // decomposed e+combining-acute composes to one code point
+    assert(TextNorm.normalize("Cafe\u0301") == "Caf\u00E9")
+    assert(TextNorm.normalize("A\u030A") == "\u00C5")
+    // C0 controls vanish; the five ASCII whitespace controls collapse
+    assert(TextNorm.normalize("a\u0007b") == "ab")
+    assert(TextNorm.normalize("a\u0000\u0001\u007Fb") == "ab")
+    assert(TextNorm.normalize(" a\t\t b\r\nc\u000B\u000Cd  ") == "a b c d")
+    // idempotent: a second pass is the identity
+    val once = TextNorm.normalize("  Cafe\u0301\u0007\t x ")
+    assert(TextNorm.normalize(once) == once)
+    assert(TextNorm.normalize("") == "")
+    assert(TextNorm.normalize("\t\u0007 ") == "")
+  }
+
+  test("TextNorm.htmlToText: script/style content drops, entities decode, truncation is safe") {
+    import graft.functions.TextNorm
+    assert(TextNorm.htmlToText("<p>a</p><script>var x = 1 < 2;</script>b") == "a b")
+    // case-insensitive element names, attributes on the opening tag
+    assert(TextNorm.htmlToText("<SCRIPT type=\"t\">x<y</SCRIPT>ok") == "ok")
+    assert(TextNorm.htmlToText("<style media=\"all\">p{a:b}</style>ok") == "ok")
+    // <styled> is NOT a style element: name boundary required
+    assert(TextNorm.htmlToText("<styled>kept</styled>") == "kept")
+    // entities: named, decimal, hex; unknown and malformed pass through
+    assert(TextNorm.htmlToText("x &lt; y &amp;&nbsp;&#65;&#x42;") == "x < y & AB")
+    assert(TextNorm.htmlToText("&foo; &amp &#xzz; &#1114112;") ==
+      "&foo; &amp &#xzz; &#1114112;")
+    // unterminated tag / unterminated script: consume to end, never leak markup
+    assert(TextNorm.htmlToText("a<div  class=") == "a")
+    assert(TextNorm.htmlToText("a<script>var x=1;") == "a")
+    assert(TextNorm.htmlToText("a<script>x</script") == "a")
+  }
+
+  test("TextNorm.extractLinks: document order, duplicates kept, case-insensitive") {
+    import graft.functions.TextNorm
+    val html = "<a href=\"u1\">x</a><A HREF=\"u2\">y</A>" +
+      "<a class=\"c\" href=\"u1\">z</a><a name=\"no-href\">w</a>"
+    assert(TextNorm.extractLinks(html).toSeq == Seq("u1", "u2", "u1"))
+    assert(TextNorm.extractLinks("no links").isEmpty)
+  }
 }
