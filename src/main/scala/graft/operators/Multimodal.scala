@@ -409,7 +409,15 @@ object Multimodal {
   final case class VideoMeta(width: Long, height: Long, n_frames: Long,
       duration_ms: Long, content_sum: Long, max_frame_luma: Long)
 
-  def videoMeta(b: Array[Byte]): VideoMeta = {
+  /** parsed stream header + the byte offset where frame data starts —
+    * shared by [[videoMeta]] and [[videoFrameStats]] */
+  private final case class Y4mHead(w: Int, h: Int, fNum: Long, fDen: Long,
+      payloadStart: Int) {
+    val lumaBytes: Int = w * h
+    val frameBytes: Int = lumaBytes + 2 * (w / 2) * (h / 2)
+  }
+
+  private def y4mHead(b: Array[Byte]): Y4mHead = {
     require(b.length >= 10 &&
       new String(b, 0, 9, "US-ASCII") == "YUV4MPEG2", "not a Y4M stream")
     var nl = 9
@@ -427,9 +435,15 @@ object Multimodal {
     }
     require(w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0 && fNum > 0 && fDen > 0,
       s"y4m header: W$w H$h F$fNum:$fDen")
-    val lumaBytes = w * h
-    val frameBytes = lumaBytes + 2 * (w / 2) * (h / 2)
-    var p = nl + 1; var frames = 0L; var sum = 0L; var maxLuma = 0L
+    Y4mHead(w, h, fNum, fDen, nl + 1)
+  }
+
+  def videoMeta(b: Array[Byte]): VideoMeta = {
+    val hd = y4mHead(b)
+    val w = hd.w; val h = hd.h; val fNum = hd.fNum; val fDen = hd.fDen
+    val lumaBytes = hd.lumaBytes
+    val frameBytes = hd.frameBytes
+    var p = hd.payloadStart; var frames = 0L; var sum = 0L; var maxLuma = 0L
     while (p < b.length) {
       require(p + 6 <= b.length &&
         new String(b, p, 5, "US-ASCII") == "FRAME", s"y4m: no FRAME marker at $p")
@@ -450,6 +464,44 @@ object Multimodal {
     require(frames > 0, "y4m: no frames")
     VideoMeta(w.toLong, h.toLong, frames,
       frames * 1000L * fDen / fNum, sum, maxLuma)
+  }
+
+  /** One sampled frame's integer stats: exact luma- and chroma-plane sums
+    * (the per-frame brightness/color energy every sampling-based video
+    * filter — scene change, black-frame drop, thumbnail pick — builds on). */
+  final case class FrameStat(frame_idx: Long, luma_sum: Long, chroma_sum: Long)
+
+  /** Frame sampling: walk the stream like [[videoMeta]] but keep every
+    * `stride`-th frame's plane sums (frame 0, stride, 2*stride, ...).
+    * Sampling happens INSIDE the per-row kernel — a 2-hour clip never
+    * materializes its unsampled frames into the row, which is the whole
+    * point of frame-sampling at 100 TB. Malformed input throws, same
+    * policy as the other walkers. */
+  def videoFrameStats(b: Array[Byte], stride: Int): Array[FrameStat] = {
+    require(stride > 0, s"bad stride $stride")
+    val hd = y4mHead(b)
+    val out = scala.collection.mutable.ArrayBuffer.empty[FrameStat]
+    var p = hd.payloadStart; var f = 0L
+    while (p < b.length) {
+      require(p + 6 <= b.length &&
+        new String(b, p, 5, "US-ASCII") == "FRAME", s"y4m: no FRAME marker at $p")
+      var q = p + 5
+      while (q < b.length && b(q) != '\n') q += 1
+      require(q + hd.frameBytes < b.length, "y4m: truncated frame payload")
+      if (f % stride == 0) {
+        var j = 0; var luma = 0L; var chroma = 0L
+        while (j < hd.frameBytes) {
+          val v = (b(q + 1 + j) & 0xff).toLong
+          if (j < hd.lumaBytes) luma += v else chroma += v
+          j += 1
+        }
+        out += FrameStat(f, luma, chroma)
+      }
+      f += 1
+      p = q + 1 + hd.frameBytes
+    }
+    require(f > 0, "y4m: no frames")
+    out.toArray
   }
 
   /** Real DSP over the PCM payload (the audio analog of the decoded-pixel
@@ -575,6 +627,8 @@ object Multimodal {
       (3 + docId % 5).toInt, docId)
   })
   val videoMetaUdf = udf((b: Array[Byte]) => videoMeta(b))
+  val videoFrameStatsUdf =
+    udf((b: Array[Byte], stride: Int) => videoFrameStats(b, stride))
   val metaUdf = udf((b: Array[Byte]) => decodeMeta(b))
   val resizeBmpUdf = udf((b: Array[Byte], w: Int, h: Int) => resizeBmp(b, w, h))
   val weightedPixelSumUdf = udf((b: Array[Byte]) => weightedPixelSum(b))

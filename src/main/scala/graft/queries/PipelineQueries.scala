@@ -874,6 +874,52 @@ object PipelineQueries {
         .orderBy("media_id")
     },
 
+    Q("q_video_frames",
+      "Frame SAMPLING over the real Y4M tier (the brief's frame-sample " +
+        "op): every 2nd frame's exact luma- and chroma-plane sums, plus " +
+        "the luma delta vs the previous sampled frame — the scene-change " +
+        "/ black-frame primitive. The sampling happens INSIDE the per-row " +
+        "kernel (unsampled frames never materialize into the row), and " +
+        "the oracle replays sums and deltas closed-form from the " +
+        "(seed*5+i)%241 payload formula, so plane arithmetic, marker " +
+        "walking and stride selection are all pinned. Scale shape: " +
+        "per-row kernel + explode, then one window PARTITIONED BY media " +
+        "(state bounded by one clip's sampled frames, never corpus-sized)",
+      Some("""WITH d AS (
+             |  SELECT doc_id, 2 * (1 + doc_id % 6) AS w,
+             |    2 * (1 + doc_id % 3) AS h, 3 + doc_id % 5 AS nf
+             |  FROM documents WHERE doc_id < 200),
+             |e AS (SELECT *, w * h AS luma, (w * h * 3) // 2 AS fb FROM d),
+             |f AS (SELECT doc_id, luma, fb,
+             |  unnest(list_filter(generate_series(0, nf - 1), x -> x % 2 = 0))
+             |    AS fi FROM e),
+             |s AS (SELECT doc_id, fi,
+             |  list_sum(list_transform(generate_series(0, luma - 1), j ->
+             |    (doc_id * 5 + fi * fb + j) % 241)) AS ls,
+             |  list_sum(list_transform(generate_series(luma, fb - 1), j ->
+             |    (doc_id * 5 + fi * fb + j) % 241)) AS cs
+             |  FROM f)
+             |SELECT doc_id AS media_id, CAST(fi AS BIGINT) AS frame_idx,
+             |  CAST(ls AS BIGINT) AS luma_sum, CAST(cs AS BIGINT) AS chroma_sum,
+             |  CAST(ls - coalesce(lag(ls) OVER (PARTITION BY doc_id ORDER BY fi),
+             |    ls) AS BIGINT) AS luma_delta
+             |FROM s ORDER BY media_id, frame_idx""".stripMargin)) { (s, dir) =>
+      import graft.operators.Multimodal
+      documents(s, dir)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id").as("media_id"),
+          explode(Multimodal.videoFrameStatsUdf(
+            Multimodal.y4mForDocUdf(col("doc_id")), lit(2))).as("fs"))
+        .select(col("media_id"), col("fs.frame_idx").as("frame_idx"),
+          col("fs.luma_sum").as("luma_sum"),
+          col("fs.chroma_sum").as("chroma_sum"))
+        .withColumn("luma_delta", col("luma_sum") - coalesce(
+          lag("luma_sum", 1).over(
+            Window.partitionBy("media_id").orderBy("frame_idx")),
+          col("luma_sum")))
+        .orderBy("media_id", "frame_idx")
+    },
+
     Q("q_audio_features",
       "Real DSP over real WAV bytes (the audio analog of the decoded-pixel " +
         "queries): parse the RIFF/PCM payload, then compute zero-crossing " +

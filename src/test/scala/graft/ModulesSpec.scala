@@ -1892,6 +1892,28 @@ class ModulesSpec extends AnyFunSuite {
     assert(bhj.nonEmpty, "boilerplate set not broadcast")
   }
 
+  test("videoFrameStats: stride sampling agrees with the full videoMeta walk") {
+    import graft.operators.Multimodal
+    val b = Multimodal.encodeY4m(w = 8, h = 4, nFrames = 7, seed = 11L)
+    val meta = Multimodal.videoMeta(b)
+    val all = Multimodal.videoFrameStats(b, 1)
+    // stride 1 is the full walk: frame count, total payload, max luma agree
+    assert(all.length == meta.n_frames)
+    assert(all.map(f => f.luma_sum + f.chroma_sum).sum == meta.content_sum)
+    assert(all.map(_.luma_sum).max == meta.max_frame_luma)
+    // stride 3 keeps exactly frames 0,3,6 of the full walk's values
+    val s3 = Multimodal.videoFrameStats(b, 3)
+    assert(s3.map(_.frame_idx).toSeq == Seq(0L, 3L, 6L))
+    assert(s3.toSeq == s3.map(f => all(f.frame_idx.toInt)).toSeq)
+    // malformed input throws, same policy as the other walkers
+    intercept[IllegalArgumentException] {
+      Multimodal.videoFrameStats(b.take(b.length - 1), 2)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.videoFrameStats(b, 0)
+    }
+  }
+
   test("TextNorm.normalize: NFC composes, controls strip, whitespace collapses") {
     import graft.functions.TextNorm
     // decomposed e+combining-acute composes to one code point
