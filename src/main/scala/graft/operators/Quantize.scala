@@ -314,27 +314,19 @@ object Quantize {
     lut
   }
 
-  /** Two-stage PQ top-k: ADC approximate dot (m lookups/row over the
-    * m-byte code column) over-fetches `overFetch × k`, exact float cosine
-    * re-ranks. Same contract as [[topK]]; query is a 1-row frame with
-    * `qe` (array<double>). */
-  def pqTopK(corpus: DataFrame, embCol: String,
-             codebooks: Array[Array[Array[Double]]],
-             query: DataFrame, k: Int, overFetch: Int = 4,
-             tieBreak: Seq[String] = Nil): DataFrame = {
-    val nC = codebooks(0).length
-    val reserved = Seq("qe", "__lut", "__qn", "approx_sim", "similarity")
-      .filter(corpus.columns.contains)
-    require(reserved.isEmpty,
-      s"pqTopK reserves column name(s): ${reserved.mkString(", ")}")
-    val coded = pqEncode(corpus, embCol, codebooks)
-    // null query → null LUT; adc/approx_sim go null and desc ordering
-    // drops them to the tail (mirrors the int8 path's encodeUdf guard)
-    val lutUdf = udf { (q: Array[Double]) =>
+  /** null query → null LUT; adc/approx_sim go null and desc ordering
+    * drops them to the tail (mirrors the int8 path's encodeUdf guard) */
+  private def lutUdfFor(codebooks: Array[Array[Array[Double]]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (q: Array[Double]) =>
       if (q == null) null else adcTable(codebooks, q)
     }
+
+  private def adcUdfFor(codebooks: Array[Array[Array[Double]]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val m = codebooks.length
-    val adcUdf = udf { (codes: Array[Byte], lut: Array[Double]) =>
+    val nC = codebooks(0).length
+    udf { (codes: Array[Byte], lut: Array[Double]) =>
       if (codes == null || lut == null) null
       else {
         // persisted pq_codes from DIFFERENT codebooks (other m/nC) would
@@ -354,6 +346,24 @@ object Quantize {
         java.lang.Double.valueOf(acc)
       }
     }
+  }
+
+  /** Two-stage PQ top-k: ADC approximate dot (m lookups/row over the
+    * m-byte code column) over-fetches `overFetch × k`, exact float cosine
+    * re-ranks. Same contract as [[topK]]; query is a 1-row frame with
+    * `qe` (array<double>). */
+  def pqTopK(corpus: DataFrame, embCol: String,
+             codebooks: Array[Array[Array[Double]]],
+             query: DataFrame, k: Int, overFetch: Int = 4,
+             tieBreak: Seq[String] = Nil): DataFrame = {
+    val nC = codebooks(0).length
+    val reserved = Seq("qe", "__lut", "__qn", "approx_sim", "similarity")
+      .filter(corpus.columns.contains)
+    require(reserved.isEmpty,
+      s"pqTopK reserves column name(s): ${reserved.mkString(", ")}")
+    val coded = pqEncode(corpus, embCol, codebooks)
+    val lutUdf = lutUdfFor(codebooks)
+    val adcUdf = adcUdfFor(codebooks)
     val q = query.select(col("qe").cast("array<double>").as("qe"))
       .withColumn("__lut", lutUdf(col("qe")))
       .withColumn("__qn", vectors.l2Norm(col("qe")))
@@ -369,5 +379,92 @@ object Quantize {
       .limit(k)
       .drop("pq_codes", "pq_norm", "pq_cb_sig", "qe", "__lut", "__qn",
         "approx_sim")
+  }
+
+  /** IVF-residual view: [[AnnIndex.ivfAssign]]'s list assignment plus
+    * `__res` = emb − centroid[list]. Residuals are what IVFPQ (Jégou et
+    * al. 2011) quantizes: within one list every vector is near its
+    * centroid, so residual magnitudes — and hence PQ quantization error —
+    * are much smaller than raw-vector magnitudes at the same code budget.
+    * The centroid table is driver-side (nLists × dim, tiny) and closes
+    * over the kernel; the corpus never shuffles. */
+  def ivfResiduals(model: org.apache.spark.ml.clustering.KMeansModel,
+                   df: DataFrame, embCol: String): DataFrame = {
+    require(!df.columns.contains("__res"),
+      "ivfResiduals would overwrite an existing __res column")
+    val centers = model.clusterCenters.map(_.toArray)
+    val resUdf = udf { (emb: Array[Double], list: Int) =>
+      if (emb == null) null
+      else {
+        val c = centers(list)
+        require(c.length == emb.length,
+          s"embedding dim ${emb.length} != centroid dim ${c.length}")
+        val r = new Array[Double](emb.length)
+        var i = 0
+        while (i < emb.length) { r(i) = emb(i) - c(i); i += 1 }
+        r
+      }
+    }
+    AnnIndex.ivfAssign(model, df, embCol)
+      .withColumn("__res",
+        resUdf(col(embCol).cast("array<double>"), col("list_id")))
+  }
+
+  /** IVFPQ search — the two ANN layouts composed the way FAISS ships
+    * them: IVF routes the query to `nProbe` lists (a partition-pruned
+    * scan of the persisted index at scale), PQ's ADC ranks only the
+    * probed lists' m-byte RESIDUAL codes, exact cosine re-ranks the
+    * over-fetch. The residual identity q·emb = q·centroid + q·residual
+    * splits the approximate score into a per-list scalar (computed once
+    * on the probe page) plus the ADC lookup — one broadcast of nProbe
+    * (list_id, q·c, LUT) rows is the entire query-side state. `codebooks`
+    * must come from [[pqFit]] over [[ivfResiduals]] of the SAME model —
+    * the adc shape guards catch an m/nC mismatch, and a wrong-model
+    * residual shows up as recall collapse, which is why the catalog query
+    * carries a recall bound. `nProbe = nLists` + a corpus-sized overFetch
+    * degenerates to exact brute force (asserted in ModulesSpec). */
+  def ivfPqTopK(model: org.apache.spark.ml.clustering.KMeansModel,
+                corpus: DataFrame, embCol: String,
+                codebooks: Array[Array[Array[Double]]],
+                query: DataFrame, k: Int, nProbe: Int, overFetch: Int = 4,
+                tieBreak: Seq[String] = Nil): DataFrame = {
+    val reserved = Seq("qe", "__lut", "__qn", "__qdotc", "__en", "__res",
+      "list_id", "approx_sim", "similarity").filter(corpus.columns.contains)
+    require(reserved.isEmpty,
+      s"ivfPqTopK reserves column name(s): ${reserved.mkString(", ")}")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val coded = pqEncode(ivfResiduals(model, corpus, embCol), "__res", codebooks)
+      .withColumn("__en", vectors.l2Norm(col(embCol).cast("array<double>")))
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("list_id", "centroid")
+    // the probe page: nProbe nearest lists, each carrying q·centroid and
+    // the (list-independent — LUTs are linear in q) residual ADC table
+    val probes = query.select(col("qe").cast("array<double>").as("qe"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist2",
+        vectors.dot(col("qe"), col("qe"))
+          - lit(2.0) * vectors.dot(col("qe"), col("centroid"))
+          + vectors.dot(col("centroid"), col("centroid")))
+      .orderBy(col("dist2"), col("list_id"))
+      .limit(nProbe)
+      .select(col("list_id"),
+        vectors.dot(col("qe"), col("centroid")).as("__qdotc"),
+        lutUdfFor(codebooks)(col("qe")).as("__lut"),
+        vectors.l2Norm(col("qe")).as("__qn"), col("qe"))
+    val adcUdf = adcUdfFor(codebooks)
+    coded.join(broadcast(probes), "list_id")
+      .withColumn("approx_sim",
+        when(col("__en") === 0.0 || col("__qn") === 0.0, lit(0.0))
+          .otherwise((col("__qdotc") + adcUdf(col("pq_codes"), col("__lut"))) /
+            (col("__en") * col("__qn"))))
+      .orderBy((desc("approx_sim") +: tieBreak.map(col)): _*)
+      .limit(k * overFetch)
+      .withColumn("similarity", vectors.cosineSim(col(embCol), col("qe")))
+      .orderBy((desc("similarity") +: tieBreak.map(col)): _*)
+      .limit(k)
+      .drop("pq_codes", "pq_norm", "pq_cb_sig", "qe", "__lut", "__qn",
+        "__qdotc", "__en", "__res", "list_id", "approx_sim")
   }
 }

@@ -322,6 +322,64 @@ object AnalyticsQueries {
         .orderBy(desc("sim_x10k"), col("vec_id"))
     },
 
+    Q("q_ivfpq_topk",
+      "IVFPQ top-5 (Quantize.ivfPqTopK — the two ANN layouts composed as " +
+        "FAISS ships them, Jégou et al. 2011): IVF routes the query to 4 " +
+        "of 16 lists, PQ ADC ranks only the probed lists' 8-byte RESIDUAL " +
+        "codes (q·emb = q·centroid + q·residual — the per-list scalar " +
+        "rides the broadcast probe page, and residual quantization error " +
+        "is far below raw-vector error at the same code budget), exact " +
+        "cosine re-ranks the over-fetch. At 100 TB this is THE serving " +
+        "layout: a partition-pruned scan of nProbe/nLists of the corpus " +
+        "touching m bytes per vector, one broadcast of nProbe (list, q·c, " +
+        "LUT) rows as the whole query-side state. KMeans routing + " +
+        "codebooks are engine-specific, so the sketch pattern applies as " +
+        "in q_pq_topk/q_ivf_topk: output is the EXACT cosine top-5 plus " +
+        "recall_ok = the composed path recovered >= 3 of the true top-5. " +
+        "TRIAGE: recall_ok=false on new data means probe width or code " +
+        "resolution (raise nProbe/m/overFetch), not an engine bug",
+      Some(s"""WITH corpus AS (
+              |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings WHERE vec_id <> 0),
+              |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+              |      FROM embeddings WHERE vec_id = 0)
+              |SELECT vec_id, label, ${text.fixedPoint("similarity", 4)} AS sim_x10k,
+              |  TRUE AS recall_ok
+              |FROM (
+              |  SELECT c.vec_id, c.label,
+              |    ${vectors.cosineSimSql("c.emb", "q.qe")} AS similarity
+              |  FROM corpus c CROSS JOIN q)
+              |ORDER BY similarity DESC, vec_id
+              |LIMIT 5""".stripMargin)) { (s, dir) =>
+      import graft.operators.Quantize
+      val corpus = embeddings(s, dir).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("emb"))
+      val q = embeddings(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("qe"))
+      // routing + residual codebooks fit on the same deterministic quarter
+      // sample — both are once-offline passes at scale (ivfFit/pqFit docs)
+      val sample = corpus.filter(col("vec_id") % 4 === 1)
+      val model = AnnIndex.ivfFit(sample, "emb", nLists = 16)
+      val cb = Quantize.pqFit(Quantize.ivfResiduals(model, sample, "emb"),
+        "__res", dim = 64, m = 8, nCentroids = 32, maxIter = 2)
+      val approx = Quantize.ivfPqTopK(model, corpus, "emb", cb, q, k = 5,
+          nProbe = 4, overFetch = 32, tieBreak = Seq("vec_id"))
+        .select(col("vec_id"), lit(1L).as("pq_hit"))
+      val exact = corpus.crossJoin(broadcast(q))
+        .withColumn("similarity", vectors.cosineSim(col("emb"), col("qe")))
+        .orderBy(desc("similarity"), col("vec_id"))
+        .limit(5)
+        .select(col("vec_id"), col("label"),
+          expr(text.fixedPoint("similarity", 4)).as("sim_x10k"))
+      val marked = exact.join(broadcast(approx), Seq("vec_id"), "left")
+      marked.crossJoin(broadcast(
+          marked.agg(coalesce(sum("pq_hit"), lit(0L)).as("nhit"))))
+        .select(col("vec_id"), col("label"), col("sim_x10k"),
+          (col("nhit") >= 3).as("recall_ok"))
+        .orderBy(desc("sim_x10k"), col("vec_id"))
+    },
+
     Q("q_embed_stub",
       "G7 deterministic embedder: hashing-TF embed of each doc, cosine vs " +
         "doc 0's embedding — the offline stand-in for the reference's " +

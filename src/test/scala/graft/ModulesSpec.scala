@@ -563,6 +563,32 @@ class ModulesSpec extends AnyFunSuite {
     assert(recall >= 3, s"nProbe=2 recall too low: $recall of 10 ($partial)")
   }
 
+  test("IVFPQ: probe-all + wide over-fetch equals brute force; residual recall beats a bound") {
+    import graft.operators.{AnnIndex, Quantize}
+    val corpus = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val query = corpus.filter(col("vec_id") === 0).select(col("emb").as("qe"))
+    val rest = corpus.filter(col("vec_id") =!= 0)
+    val model = AnnIndex.ivfFit(rest, "emb", nLists = 8)
+    val cb = Quantize.pqFit(Quantize.ivfResiduals(model, rest, "emb"),
+      "__res", dim = 64, m = 8, nCentroids = 16, maxIter = 2)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").collect().map(_.getLong(0)).toSeq
+    val brute = ids(graft.operators.VectorSearch.knnByExample(
+      rest, "emb", query, "qe", k = 10, threshold = -2.0))
+    // probe-all + corpus-wide over-fetch: the exact re-rank sees every
+    // row, so ADC resolution cannot matter — must equal brute force
+    val n = rest.count().toInt
+    val full = ids(Quantize.ivfPqTopK(model, rest, "emb", cb, query,
+      k = 10, nProbe = 8, overFetch = n, tieBreak = Seq("vec_id")))
+    assert(full.toSet == brute.toSet, s"degenerate IVFPQ diverged: $full vs $brute")
+    // the real configuration: partial probe + narrow over-fetch
+    val approx = ids(Quantize.ivfPqTopK(model, rest, "emb", cb, query,
+      k = 10, nProbe = 2, overFetch = 4, tieBreak = Seq("vec_id")))
+    val recall = approx.toSet.intersect(brute.toSet).size
+    assert(recall >= 3, s"IVFPQ recall too low: $recall of 10 ($approx)")
+  }
+
   test("IVF store refresh: append-only increment equals a from-scratch rebuild") {
     // the incremental-maintenance contract: the persisted store's loud
     // staleness failure has a cheap remedy — assign ONLY the new batch
