@@ -163,4 +163,61 @@ object TextNorm {
 
   val extractLinksUdf: UserDefinedFunction =
     udf { (s: String) => if (s == null) null else extractLinks(s) }
+
+  /** params every crawl pipeline strips before URL-level dedup: click/
+    * campaign trackers that vary per referrer while the content doesn't */
+  private val TrackingParams = Set("fbclid", "gclid", "msclkid")
+
+  @inline private def isTracking(name: String): Boolean =
+    name.startsWith("utm_") || TrackingParams.contains(name)
+
+  /** URL canonicalization — the key function of crawl-level dedup (two
+    * fetches of the same page under different tracking params must hash
+    * together). Pinned rules, in order: (1) scheme and host lowercase;
+    * (2) default port stripped (:80 for http, :443 for https);
+    * (3) fragment dropped; (4) query params split on '&', tracking params
+    * (utm_*, fbclid, gclid, msclkid) dropped, the rest sorted by full
+    * `name=value` text and re-joined ('' → no '?'); (5) path: empty → '/',
+    * runs of '/' collapsed, trailing '/' stripped except on the root.
+    * Scheme-relative, userinfo and IDN edge cases are out of scope —
+    * deterministic string rules, not a full RFC 3986 resolver. */
+  def canonicalizeUrl(url: String): String = {
+    val schemeEnd = url.indexOf("://")
+    if (schemeEnd < 0) return url // not an absolute URL: pass through
+    val scheme = url.substring(0, schemeEnd).toLowerCase
+    val rest = url.substring(schemeEnd + 3)
+    // authority ends at the first of '/', '?', '#'
+    var aEnd = 0
+    while (aEnd < rest.length && rest.charAt(aEnd) != '/' &&
+      rest.charAt(aEnd) != '?' && rest.charAt(aEnd) != '#') aEnd += 1
+    var host = rest.substring(0, aEnd).toLowerCase
+    if ((scheme == "http" && host.endsWith(":80")) ||
+        (scheme == "https" && host.endsWith(":443")))
+      host = host.substring(0, host.lastIndexOf(':'))
+    var tail = rest.substring(aEnd)
+    val hash = tail.indexOf('#')
+    if (hash >= 0) tail = tail.substring(0, hash)
+    val qm = tail.indexOf('?')
+    val (rawPath, rawQuery) =
+      if (qm < 0) (tail, "") else (tail.substring(0, qm), tail.substring(qm + 1))
+    val sb = new java.lang.StringBuilder(rawPath.length)
+    var i = 0
+    while (i < rawPath.length) {
+      val c = rawPath.charAt(i)
+      if (c != '/' || sb.length == 0 || sb.charAt(sb.length - 1) != '/')
+        sb.append(c)
+      i += 1
+    }
+    if (sb.length > 1 && sb.charAt(sb.length - 1) == '/')
+      sb.setLength(sb.length - 1)
+    val path = if (sb.length == 0) "/" else sb.toString
+    val kept = rawQuery.split("&").toSeq
+      .filter(p => p.nonEmpty && !isTracking(p.takeWhile(_ != '=')))
+      .sorted
+    scheme + "://" + host + path +
+      (if (kept.isEmpty) "" else kept.mkString("?", "&", ""))
+  }
+
+  val canonicalizeUrlUdf: UserDefinedFunction =
+    udf { (s: String) => if (s == null) null else canonicalizeUrl(s) }
 }

@@ -2065,6 +2065,60 @@ object PipelineQueries {
           size(TextNorm.extractLinksUdf(col("html"))).cast("long").as("n_links"),
           TextNorm.htmlToTextUdf(col("html")).as("text_out"))
         .orderBy("doc_id")
+    },
+
+    Q("q_url_dedup",
+      "URL canonicalization + crawl-level dedup: scheme/host lowercase, " +
+        "default-port strip, fragment drop, tracking params (utm_*, " +
+        "fbclid, gclid, msclkid) removed and the rest sorted, path " +
+        "slash-collapse — TextNorm.canonicalizeUrl's pinned rules — then " +
+        "group by canonical form. Both engines build the same raw URLs " +
+        "(case, port, duplicate-slash, tracking-param variants that MUST " +
+        "collapse) and the oracle states each URL's canonical form by " +
+        "construction, so every rule is pinned; n_raw_variants proves " +
+        "distinct raw spellings actually merged. Scale shape: one per-row " +
+        "kernel + one map-side-combined aggregate on the canonical key — " +
+        "URL-level dedup is the cheapest dedup tier and runs before any " +
+        "content hash touches the corpus",
+      Some("""WITH u AS (SELECT doc_id,
+             |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+             |    || '://WWW.Example' || (doc_id % 7) || '.Com'
+             |    || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+             |    || (CASE WHEN doc_id % 4 = 0 THEN '/a//b'
+             |             WHEN doc_id % 4 = 1 THEN '/a/b/' ELSE '/a/b' END)
+             |    || (CASE WHEN doc_id % 2 = 0
+             |         THEN '?utm_source=news&b=' || (doc_id % 5)
+             |           || '&a=xyz&fbclid=F#sec'
+             |         ELSE '?a=xyz&b=' || (doc_id % 5) || '#sec' END) AS url,
+             |  'https://www.example' || (doc_id % 7) || '.com/a/b?a=xyz&b='
+             |    || (doc_id % 5) AS canonical_url
+             |  FROM documents)
+             |SELECT canonical_url, count(*) AS n_urls,
+             |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants,
+             |  CAST(min(doc_id) AS BIGINT) AS first_doc
+             |FROM u GROUP BY canonical_url
+             |ORDER BY canonical_url""".stripMargin)) { (s, dir) =>
+      import graft.functions.TextNorm
+      val raw = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
+        lit("://WWW.Example"), (col("doc_id") % 7).cast("string"), lit(".Com"),
+        when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit("/a//b"))
+          .when(col("doc_id") % 4 === 1, lit("/a/b/"))
+          .otherwise(lit("/a/b")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("?utm_source=news&b="), (col("doc_id") % 5).cast("string"),
+            lit("&a=xyz&fbclid=F#sec")))
+          .otherwise(concat(lit("?a=xyz&b="), (col("doc_id") % 5).cast("string"),
+            lit("#sec"))))
+      documents(s, dir)
+        .select(col("doc_id"), raw.as("url"))
+        .withColumn("canonical_url", TextNorm.canonicalizeUrlUdf(col("url")))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct("url").as("n_raw_variants"),
+          min("doc_id").as("first_doc"))
+        .orderBy("canonical_url")
     }
   )
 }

@@ -1974,6 +1974,29 @@ class ModulesSpec extends AnyFunSuite {
     assert(TextNorm.htmlToText("a<script>x</script") == "a")
   }
 
+  test("TextNorm.canonicalizeUrl: pinned rules, including the ones the catalog query can't hit") {
+    import graft.functions.TextNorm.canonicalizeUrl
+    // scheme/host case, default port, fragment, tracking params, sort
+    assert(canonicalizeUrl("HTTP://Ex.COM:80/p?utm_a=1&b=2&a=1#f") ==
+      "http://ex.com/p?a=1&b=2")
+    // NON-default port and cross-scheme default port are kept
+    assert(canonicalizeUrl("http://ex.com:8080/p") == "http://ex.com:8080/p")
+    assert(canonicalizeUrl("http://ex.com:443/p") == "http://ex.com:443/p")
+    // path: empty -> '/', slash runs collapse, root slash survives
+    assert(canonicalizeUrl("https://ex.com") == "https://ex.com/")
+    assert(canonicalizeUrl("https://ex.com///a//b///") == "https://ex.com/a/b")
+    assert(canonicalizeUrl("https://ex.com/?gclid=x") == "https://ex.com/")
+    // all-tracking query disappears entirely (no dangling '?')
+    assert(canonicalizeUrl("https://ex.com/p?utm_source=a&fbclid=b") ==
+      "https://ex.com/p")
+    // params sort by full name=value text; duplicates kept
+    assert(canonicalizeUrl("https://ex.com/p?b=2&a=9&a=1") ==
+      "https://ex.com/p?a=1&a=9&b=2")
+    // not an absolute URL: pass through untouched
+    assert(canonicalizeUrl("not a url") == "not a url")
+    assert(canonicalizeUrl("/relative/path?x=1") == "/relative/path?x=1")
+  }
+
   test("TextNorm.extractLinks: document order, duplicates kept, case-insensitive") {
     import graft.functions.TextNorm
     val html = "<a href=\"u1\">x</a><A HREF=\"u2\">y</A>" +
