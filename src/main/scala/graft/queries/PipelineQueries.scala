@@ -1849,6 +1849,101 @@ object PipelineQueries {
         .limit(25)
     },
 
+    Q("q_wordpiece",
+      "WordPiece-family tokenizer, trained AND applied in one plan (the " +
+        "BERT-style greedy longest-match alternative to the BPE pair): " +
+        "vocab = every corpus character plus the top-40 2..4-char " +
+        "substrings by count-weighted frequency; segmentation = at each " +
+        "position take the longest vocab piece that matches (single " +
+        "chars guarantee progress). The key insight making this " +
+        "RELATIONAL rather than a per-word kernel: greedy longest-match " +
+        "is position-independent — best_len(word,pos) never depends on " +
+        "how the scanner reached pos — so segmentation is just " +
+        "reachability over a functional graph: one best-piece table " +
+        "(vocab-sized join + max), then <= 12 chained frontier hops " +
+        "(words capped at 12 chars in both engines; each hop advances " +
+        ">= 1 char). The oracle replays it as a recursive CTE. Scale " +
+        "shape: the corpus pays ONE map-side-combined word count; " +
+        "every later step — scores, vocab, best table, hops — is " +
+        "vocab-sized, and the vocab broadcast-joins the candidates",
+      Some(s"""WITH RECURSIVE
+              |wf AS (SELECT w, count(*) AS c FROM (
+              |  SELECT unnest(${text.tokens(D, "text")}) AS w FROM documents)
+              |  WHERE length(w) <= 12 GROUP BY w),
+              |pc AS (SELECT substr(w, i, L) AS p, sum(c) AS score
+              |       FROM wf, unnest(generate_series(2, 4)) AS ls(L),
+              |            unnest(generate_series(1, length(w) - L + 1)) AS ps(i)
+              |       GROUP BY p),
+              |tp AS (SELECT p FROM pc ORDER BY score DESC, p LIMIT 40),
+              |ch AS (SELECT DISTINCT substr(w, i, 1) AS p
+              |       FROM wf, unnest(generate_series(1, length(w))) AS ps(i)),
+              |vocab AS (SELECT p FROM tp UNION SELECT p FROM ch),
+              |best AS (SELECT w, c, pos, max(L) AS best_len
+              |         FROM (SELECT wf.w, wf.c, ps.i - 1 AS pos, ls.L
+              |               FROM wf, unnest(generate_series(1, 4)) AS ls(L),
+              |                    unnest(generate_series(1, length(w))) AS ps(i)
+              |               WHERE ps.i - 1 + ls.L <= length(w)
+              |                 AND substr(w, ps.i, ls.L) IN (SELECT p FROM vocab))
+              |         GROUP BY w, c, pos),
+              |reach AS (SELECT w, 0 AS pos FROM wf
+              |          UNION ALL
+              |          SELECT r.w, r.pos + b.best_len FROM reach r
+              |          JOIN best b ON b.w = r.w AND b.pos = r.pos
+              |          WHERE r.pos + b.best_len < length(r.w))
+              |SELECT substr(b.w, b.pos + 1, b.best_len) AS tok,
+              |  CAST(sum(b.c) AS BIGINT) AS n_occurrences, count(*) AS n_sites
+              |FROM reach r JOIN best b ON b.w = r.w AND b.pos = r.pos
+              |GROUP BY tok ORDER BY n_occurrences DESC, tok
+              |LIMIT 25""".stripMargin)) { (s, dir) =>
+      val wf = documents(s, dir)
+        .select(explode(expr(text.tokens(S, "text"))).as("w"))
+        .filter(length(col("w")) <= 12)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val top = wf
+        .select(col("w"), col("c"), explode(expr("sequence(2, 4)")).as("L"))
+        .filter(length(col("w")) >= col("L"))
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - L + 1), i -> substr(w, i, L))"))
+          .as("p"), col("c"))
+        .groupBy("p").agg(sum("c").as("score"))
+        .orderBy(desc("score"), col("p")).limit(40).select("p")
+      val ch = wf.select(explode(expr(
+        "transform(sequence(1, length(w)), i -> substr(w, i, 1))")).as("p"))
+        .distinct()
+      val vocab = top.union(ch).distinct()
+      val cand = wf
+        .select(col("w"), col("c"),
+          explode(expr("sequence(0, length(w) - 1)")).as("pos"))
+        .select(col("w"), col("c"), col("pos"),
+          explode(expr("sequence(1, 4)")).as("L"))
+        .filter(col("pos") + col("L") <= length(col("w")))
+        .withColumn("p", expr("substr(w, pos + 1, L)"))
+      // checkpointed: best is re-joined by every hop and by the final
+      // token roll-up — without this the 12 hops re-derive the whole
+      // vocab pipeline per hop (the bpeTrain lineage lesson)
+      val best = cand.join(broadcast(vocab), "p")
+        .groupBy("w", "c", "pos").agg(max("L").as("best_len"))
+        .withColumn("piece", expr("substr(w, pos + 1, best_len)"))
+        .localCheckpoint(true)
+      var frontier = wf.select(col("w"), lit(0).as("pos"))
+      var reach = frontier
+      // <= 12-char words and >= 1 char per hop: 11 hops past pos 0 cover
+      // every reachable position; later hops would be empty joins
+      for (_ <- 1 to 11) {
+        frontier = frontier.join(best, Seq("w", "pos"))
+          .select(col("w"), (col("pos") + col("best_len")).as("pos"))
+          .filter(col("pos") < length(col("w")))
+        reach = reach.union(frontier)
+      }
+      reach.join(best, Seq("w", "pos"))
+        .groupBy("piece")
+        .agg(sum("c").cast("long").as("n_occurrences"),
+          count(lit(1)).as("n_sites"))
+        .select(col("piece").as("tok"), col("n_occurrences"), col("n_sites"))
+        .orderBy(desc("n_occurrences"), col("tok"))
+        .limit(25)
+    },
+
     Q("q_kmeans_iter",
       "Embedding clustering, 2 unrolled Lloyd iterations (the k-means that " +
         "PRODUCES the centroid tables q_semdedup and q_ivf_topk consume): " +
