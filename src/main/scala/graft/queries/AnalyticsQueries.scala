@@ -380,6 +380,94 @@ object AnalyticsQueries {
         .orderBy(desc("sim_x10k"), col("vec_id"))
     },
 
+    Q("q_mmr_rerank",
+      "Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998 — " +
+        "the diversity stage after any of the ANN searches): from the " +
+        "exact cosine top-12 candidate page, greedily pick 5 results " +
+        "maximizing 0.7*sim(q,d) - 0.3*max_sim(d, already-picked), ties " +
+        "to the smallest vec_id, first pick scored with an empty penalty " +
+        "term. The 5 selection rounds are UNROLLED IN THE PLAN (the " +
+        "q_kmeans_iter recipe): candidate page and its 12x12 pairwise-" +
+        "similarity table are checkpointed once, every round is anti-join " +
+        "+ broadcast max + top-1 over those tiny frames — the corpus " +
+        "pays only the initial top-k scan, and identical float " +
+        "expressions in both engines make every argmax replayable. The " +
+        "oracle is the same 5 rounds as generated CTEs",
+      Some {
+        val cos = vectors.cosineSimSql("a.emb", "b.emb")
+        val simq = vectors.cosineSimSql("c.emb", "q.qe")
+        val sb = new StringBuilder
+        sb ++= s"""WITH cand AS (
+                  |  SELECT vec_id, emb, simq FROM (
+                  |    SELECT c.vec_id, c.emb, $simq AS simq
+                  |    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                  |          FROM embeddings WHERE vec_id <> 0) c
+                  |    CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                  |                FROM embeddings WHERE vec_id = 0) q)
+                  |  ORDER BY simq DESC, vec_id LIMIT 12),
+                  |pairs AS (SELECT a.vec_id AS a, b.vec_id AS b, $cos AS s
+                  |          FROM cand a, cand b),
+                  |s1 AS (SELECT vec_id, 1 AS rank, simq, 0.7 * simq AS mmr
+                  |       FROM cand ORDER BY simq DESC, vec_id LIMIT 1)""".stripMargin
+        for (i <- 2 to 5) {
+          val prev = (1 until i).map(j => s"SELECT vec_id FROM s$j")
+            .mkString(" UNION ALL ")
+          sb ++= s""",
+                    |s$i AS (SELECT vec_id, $i AS rank, simq, mmr FROM (
+                    |  SELECT c.vec_id, c.simq,
+                    |    0.7 * c.simq - 0.3 * max(p.s) AS mmr
+                    |  FROM cand c JOIN pairs p ON p.a = c.vec_id
+                    |  WHERE p.b IN ($prev) AND c.vec_id NOT IN ($prev)
+                    |  GROUP BY c.vec_id, c.simq)
+                    |ORDER BY mmr DESC, vec_id LIMIT 1)""".stripMargin
+        }
+        sb ++= s"""
+                  |SELECT rank, vec_id, ${text.fixedPoint("simq", 4)} AS sim_x10k,
+                  |  ${text.fixedPoint("mmr", 4)} AS mmr_x10k
+                  |FROM (${(1 to 5).map(j => s"SELECT * FROM s$j")
+                      .mkString(" UNION ALL ")})
+                  |ORDER BY rank""".stripMargin
+        sb.toString
+      }) { (s, dir) =>
+      val emb = embeddings(s, dir).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val q = embeddings(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("qe"))
+      val cand = emb.crossJoin(broadcast(q))
+        .withColumn("simq", vectors.cosineSim(col("emb"), col("qe")))
+        .orderBy(desc("simq"), col("vec_id"))
+        .limit(12)
+        .select("vec_id", "simq", "emb")
+        .localCheckpoint(true)
+      val pairs = cand.select(col("vec_id").as("a"), col("emb").as("ea"))
+        .crossJoin(broadcast(cand.select(col("vec_id").as("b"),
+          col("emb").as("eb"))))
+        .withColumn("s", vectors.cosineSim(col("ea"), col("eb")))
+        .select("a", "b", "s")
+        .localCheckpoint(true)
+      var sel = cand.orderBy(desc("simq"), col("vec_id")).limit(1)
+        .select(col("vec_id"), lit(1).as("rank"), col("simq"),
+          (lit(0.7) * col("simq")).as("mmr"))
+      for (i <- 2 to 5) {
+        val picked = sel.select(col("vec_id").as("sv"))
+        val pick = cand
+          .join(broadcast(picked), col("vec_id") === col("sv"), "left_anti")
+          .join(broadcast(pairs), col("vec_id") === col("a"))
+          .join(broadcast(picked), col("b") === col("sv"))
+          .groupBy(col("vec_id"), col("simq"))
+          .agg(max("s").as("ms"))
+          .withColumn("mmr", lit(0.7) * col("simq") - lit(0.3) * col("ms"))
+          .orderBy(desc("mmr"), col("vec_id"))
+          .limit(1)
+          .select(col("vec_id"), lit(i).as("rank"), col("simq"), col("mmr"))
+        sel = sel.union(pick)
+      }
+      sel.select(col("rank"), col("vec_id"),
+          expr(text.fixedPoint("simq", 4)).as("sim_x10k"),
+          expr(text.fixedPoint("mmr", 4)).as("mmr_x10k"))
+        .orderBy("rank")
+    },
+
     Q("q_embed_stub",
       "G7 deterministic embedder: hashing-TF embed of each doc, cosine vs " +
         "doc 0's embedding — the offline stand-in for the reference's " +
