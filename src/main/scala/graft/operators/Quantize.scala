@@ -381,6 +381,33 @@ object Quantize {
         "approx_sim")
   }
 
+  /** Incremental PQ-store maintenance — [[AnnIndex.ivfRefresh]]'s twin
+    * for the code store: encode ONLY the new batch under the unchanged
+    * codebooks and append it to the persisted store ([[pqEncode]] output,
+    * which carries the `pq_cb_sig` freshness token per row). Because
+    * encoding is a pure per-row function of (embedding, codebooks),
+    * append-then-refresh equals a from-scratch re-encode exactly
+    * (asserted in ModulesSpec). Fails loudly when the store was built
+    * under different codebooks (different m/nC/fit — rebuild, don't
+    * append) or carries no token at all; the token scan is
+    * maintenance-time, one column, never on the search path. */
+  def pqRefresh(spark: org.apache.spark.sql.SparkSession,
+                codebooks: Array[Array[Array[Double]]],
+                storeDir: String, newBatch: DataFrame, embCol: String): Unit = {
+    val sig = cbFingerprint(codebooks)
+    val stored = spark.read.parquet(storeDir)
+    require(stored.columns.contains("pq_cb_sig"),
+      s"PQ store at $storeDir carries no pq_cb_sig token — rebuild it with " +
+        "pqEncode before appending increments")
+    val range = stored.agg(min(col("pq_cb_sig")), max(col("pq_cb_sig"))).head()
+    require(range.getLong(0) == sig && range.getLong(1) == sig,
+      s"stale PQ store at $storeDir: pq_cb_sig does not match these " +
+        "codebooks — the fit changed; rebuild the store instead of " +
+        "appending to it")
+    pqEncode(newBatch, embCol, codebooks)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(storeDir)
+  }
+
   /** IVF-residual view: [[AnnIndex.ivfAssign]]'s list assignment plus
     * `__res` = emb − centroid[list]. Residuals are what IVFPQ (Jégou et
     * al. 2011) quantizes: within one list every vector is near its

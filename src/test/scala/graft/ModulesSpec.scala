@@ -628,6 +628,37 @@ class ModulesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("stale IVF store"), e.getMessage)
   }
 
+  test("PQ store refresh: append-only increment equals a from-scratch re-encode") {
+    // pqRefresh is ivfRefresh's twin for the code store: encoding is a
+    // pure per-row function of (embedding, codebooks), so appending the
+    // newly-encoded batch equals re-encoding everything; a store built
+    // under different codebooks must be refused, not absorbed
+    import graft.operators.Quantize
+    val corpus = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val base = corpus.filter(col("vec_id") < 150)
+    val batch = corpus.filter(col("vec_id") >= 150 && col("vec_id") < 200)
+    val cb = Quantize.pqFit(base, "emb", dim = 64, m = 8,
+      nCentroids = 16, maxIter = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString + "/store"
+    Quantize.pqEncode(base, "emb", cb).write.parquet(dir)
+    Quantize.pqRefresh(spark, cb, dir, batch, "emb")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "pq_codes", "pq_cb_sig").collect()
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toList, r.getLong(2)))
+        .toSet
+    val rebuilt = rows(Quantize.pqEncode(base.unionByName(batch), "emb", cb))
+    assert(rows(spark.read.parquet(dir)) == rebuilt,
+      "refreshed PQ store differs from a from-scratch re-encode")
+    // codebooks from a different fit must be refused loudly
+    val refit = Quantize.pqFit(base, "emb", dim = 64, m = 8,
+      nCentroids = 16, seed = 99L, maxIter = 2)
+    val e = intercept[IllegalArgumentException] {
+      Quantize.pqRefresh(spark, refit, dir, batch, "emb")
+    }
+    assert(e.getMessage.contains("stale PQ store"), e.getMessage)
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     // the 100 TB co-location story: pre-bucketing both sides of a repeated
     // join key removes the per-query Exchange entirely — the planner must
