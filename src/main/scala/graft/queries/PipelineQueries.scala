@@ -1987,6 +1987,60 @@ object PipelineQueries {
         .limit(25)
     },
 
+    Q("q_collocations",
+      "Collocation mining (the distributional-statistics op behind " +
+        "phrase detection and word2vec-era feature engineering): for " +
+        "every unordered within-document word pair, document-level joint " +
+        "frequency and LIFT = n_ab*N/(n_a*n_b) — the PMI statistic kept " +
+        "as an exact-integer ratio instead of its log, because IEEE " +
+        "division of exact counts replays bit-identically across engines " +
+        "where libm's ln need not. Support floor n_ab >= 50, top-20 by " +
+        "lift. Scale shape: the pair explode is a doc-keyed equi-self-" +
+        "join of the distinct (doc, word) table — per-doc cost is " +
+        "doc-length squared, never corpus squared — and the unigram " +
+        "document frequencies broadcast back (vocab-sized), with N one " +
+        "broadcast scalar",
+      Some(s"""WITH dw AS (SELECT DISTINCT doc_id, w FROM (
+              |  SELECT doc_id, unnest(${text.tokens(D, "text")}) AS w
+              |  FROM documents)),
+              |nw AS (SELECT w, count(*) AS nw FROM dw GROUP BY w),
+              |nd AS (SELECT count(DISTINCT doc_id) AS n FROM dw),
+              |ab AS (SELECT a.w AS wa, b.w AS wb, count(*) AS nab
+              |       FROM dw a JOIN dw b
+              |         ON a.doc_id = b.doc_id AND a.w < b.w
+              |       GROUP BY a.w, b.w)
+              |SELECT wa, wb, CAST(nab AS BIGINT) AS n_docs_both,
+              |  ${text.fixedPoint(
+                  "CAST(nab AS DOUBLE) * n / (CAST(na.nw AS DOUBLE) * nb.nw)",
+                  4)} AS lift_x10k
+              |FROM ab
+              |JOIN nw na ON na.w = ab.wa
+              |JOIN nw nb ON nb.w = ab.wb
+              |CROSS JOIN nd
+              |WHERE nab >= 50
+              |ORDER BY lift_x10k DESC, wa, wb
+              |LIMIT 20""".stripMargin)) { (s, dir) =>
+      val dw = documents(s, dir)
+        .select(col("doc_id"), explode(expr(text.tokens(S, "text"))).as("w"))
+        .distinct()
+      val nw = dw.groupBy("w").agg(count(lit(1)).as("nw"))
+      val nd = dw.agg(countDistinct("doc_id").as("n"))
+      val ab = dw.select(col("doc_id"), col("w").as("wa"))
+        .join(dw.select(col("doc_id"), col("w").as("wb")), "doc_id")
+        .filter(col("wa") < col("wb"))
+        .groupBy("wa", "wb").agg(count(lit(1)).as("nab"))
+        .filter(col("nab") >= 50)
+      ab.join(broadcast(nw.select(col("w").as("wa"), col("nw").as("na"))), "wa")
+        .join(broadcast(nw.select(col("w").as("wb"), col("nw").as("nb"))), "wb")
+        .crossJoin(broadcast(nd))
+        .select(col("wa"), col("wb"), col("nab").cast("long").as("n_docs_both"),
+          expr(text.fixedPoint(
+            "CAST(nab AS DOUBLE) * n / (CAST(na AS DOUBLE) * nb)", 4))
+            .as("lift_x10k"))
+        .orderBy(desc("lift_x10k"), col("wa"), col("wb"))
+        .limit(20)
+    },
+
     Q("q_wordpiece",
       "WordPiece-family tokenizer, trained AND applied in one plan (the " +
         "BERT-style greedy longest-match alternative to the BPE pair): " +

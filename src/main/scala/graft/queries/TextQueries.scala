@@ -575,6 +575,67 @@ object TextQueries {
           expr(text.fixedPoint("CAST(dupc AS DOUBLE) / CAST(tot AS DOUBLE)", 4))
             .as("dup_gram_x10k"))
         .orderBy("doc_id")
+    },
+
+    Q("q_lsh_tuning",
+      "LSH parameter sweep — the measurement a pipeline runs BEFORE " +
+        "committing band/row dials to a 100 TB dedup pass: for (bands, " +
+        "rows/band) in {(2,8),(4,4),(8,2)} over the same 16-minhash " +
+        "signatures, candidate-pair volume and precision against exact " +
+        "3-gram Jaccard >= 0.6. More bands -> lower collision threshold " +
+        "-> more candidates at worse precision; the sweep quantifies " +
+        "that trade on YOUR corpus instead of trusting the (1/b)^(1/r) " +
+        "formula. Scale shape: three band self-joins (each the " +
+        "q_dedup_minhash shape), the exact verify only ever on " +
+        "candidates, stats collapse to 3 rows",
+      Some {
+        val cfgs = Seq((2, 8), (4, 4), (8, 2))
+        val blocks = cfgs.map { case (b, r) =>
+          s"""bands$b AS (SELECT doc_id, hs, j,
+             |    ${D.arrayJoin(D.slice("sig", s"$r*j + 1", s"$r"), "_")} AS band_key
+             |  FROM sig, (SELECT unnest(generate_series(0, ${b - 1})) AS j)),
+             |cand$b AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             |    a.hs AS a_hs, b.hs AS b_hs
+             |  FROM bands$b a JOIN bands$b b
+             |    ON a.j = b.j AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+             |stat$b AS (SELECT CAST($b AS BIGINT) AS bands,
+             |    CAST($r AS BIGINT) AS rows_per_band,
+             |    CAST(count(*) AS BIGINT) AS n_candidates,
+             |    CAST(coalesce(sum(CASE WHEN jaccard >= 0.6 THEN 1 ELSE 0 END),
+             |      0) AS BIGINT) AS n_true_dups,
+             |    ${text.fixedPoint(
+                   "coalesce(sum(CASE WHEN jaccard >= 0.6 THEN 1.0 ELSE 0.0 " +
+                     "END), 0.0) / greatest(count(*), 1)", 4)} AS precision_x10k
+             |  FROM (SELECT CAST(len(list_intersect(a_hs, b_hs)) AS DOUBLE)
+             |          / len(list_distinct(list_concat(a_hs, b_hs))) AS jaccard
+             |        FROM cand$b))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $nearDupCorpusSql,
+           |hs AS (SELECT doc_id, ${text.shingleHashes(D, "text", 3)} AS hs
+           |       FROM corpus),
+           |sig AS (SELECT doc_id, hs, ${text.minhashFromHashes(D, "hs", 16)} AS sig
+           |        FROM hs),
+           |$blocks
+           |SELECT * FROM (${cfgs.map { case (b, _) => s"SELECT * FROM stat$b" }
+              .mkString(" UNION ALL ")})
+           |ORDER BY bands""".stripMargin
+      }) { (s, dir) =>
+      val corpus = nearDupCorpus(documents(s, dir))
+      val stats = Seq((2, 8), (4, 4), (8, 2)).map { case (b, r) =>
+        Dedup.minhashLshVerifiedPairs(corpus, "doc_id", "text",
+            k = 16, bands = b, shingleN = 3, threshold = 0.0)
+          .agg(count(lit(1)).as("n_candidates"),
+            coalesce(sum(when(col("jaccard") >= 0.6, 1L).otherwise(0L)),
+              lit(0L)).as("n_true_dups"))
+          .select(lit(b).cast("long").as("bands"),
+            lit(r).cast("long").as("rows_per_band"),
+            col("n_candidates").cast("long").as("n_candidates"),
+            col("n_true_dups").cast("long").as("n_true_dups"),
+            expr(text.fixedPoint(
+              "CAST(n_true_dups AS DOUBLE) / greatest(n_candidates, 1)", 4))
+              .as("precision_x10k"))
+      }
+      stats.reduce(_.unionByName(_)).orderBy("bands")
     }
   )
 }
