@@ -176,6 +176,43 @@ object Stress {
     }
     results += "kmeans_assign" -> (embRows, kmS)
 
+    // stage-zero scrub kernels (round-6 family): NFC normalize + HTML
+    // extract + URL canonicalize chained over the scaled corpus — three
+    // per-row kernels in one projection, zero shuffle, so the slope is
+    // the scan's. A bend here would mean a kernel stopped being one-pass
+    val (_, scrubS) = time {
+      import graft.functions.TextNorm
+      docs.select(col("doc_id"),
+          TextNorm.normalizeUdf(col("text")).as("t"),
+          TextNorm.canonicalizeUrlUdf(
+            concat(lit("HTTPS://Ex.COM:443/a//b?utm_s=x&id="),
+              (col("doc_id") % 97).cast("string"))).as("u"))
+        .select(TextNorm.htmlToTextUdf(
+          concat(lit("<p>"), col("t"), lit("</p><script>x<y</script>"))).as("x"),
+          col("u"))
+        .groupBy(length(col("x")) % 7, col("u")).agg(count(lit(1)))
+        .count()
+    }
+    results += "scrub_kernels" -> (docRows, scrubS)
+
+    // collocation pair join (q_collocations' shape): the doc-keyed
+    // equi-self-join is quadratic PER DOC, linear in doc count — M copies
+    // with offset keys multiply docs, not per-doc pair counts, so the
+    // slope must stay ~linear; a corpus-quadratic formulation would bend
+    // immediately
+    val (_, colS) = time {
+      import graft.functions.{text, SparkDialect => S}
+      val dw = docs
+        .select(col("doc_id"), explode(expr(text.tokens(S, "text"))).as("w"))
+        .distinct()
+      dw.select(col("doc_id"), col("w").as("wa"))
+        .join(dw.select(col("doc_id"), col("w").as("wb")), "doc_id")
+        .filter(col("wa") < col("wb"))
+        .groupBy("wa", "wb").agg(count(lit(1)).as("nab"))
+        .count()
+    }
+    results += "collocation_pairs" -> (docRows, colS)
+
     val qs = results.map { case (k, (rows, s)) =>
       s""""$k":{"rows":$rows,"sec":${f"$s%.2f"}}"""
     }.mkString("{", ",", "}")
