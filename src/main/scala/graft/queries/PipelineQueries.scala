@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables._
-import graft.functions.{text, DuckDialect => D, SparkDialect => S}
+import graft.functions.{text, vectors, DuckDialect => D, SparkDialect => S}
 
 /** The training-data-curation stage of a 100 TB pipeline, as oracle-backed
   * operators: deterministic sampling, train/val/test splitting, per-source
@@ -23,6 +23,59 @@ import graft.functions.{text, DuckDialect => D, SparkDialect => S}
 object PipelineQueries {
 
   private val mixDoc = text.mix("doc_id")
+
+  /** Exact-integer k-means machinery shared by q_kmeans_iter and
+    * q_cluster_topics — both engines run the SAME Lloyd step on x10k-
+    * quantized vectors: assignment = argmin of the BIGINT squared-L2
+    * (tie to lowest cid), update = per-dimension fixed-point mean of two
+    * exact sums. The Spark assignment is a pure projection (centroids
+    * collapse into ONE broadcast row, argmin = array_min over (dist, cid)
+    * structs — lexicographic struct ordering IS the tie rule, zero
+    * explode, zero window, zero corpus regroup); the oracle states the
+    * identical rule as row_number() OVER (ORDER BY dist, cid) = 1. */
+  private def kmDistD: String =
+    D.fold(D.seq("1", D.size("qv")), "CAST(0 AS BIGINT)", "acc", "i",
+      s"acc + (${D.elementAt("qv", "i")} - ${D.elementAt("cq", "i")}) * " +
+        s"(${D.elementAt("qv", "i")} - ${D.elementAt("cq", "i")})")
+
+  private def kmAsgSql(cent: String): String =
+    s"""SELECT vec_id, qv, cid AS cluster FROM (
+       |  SELECT vec_id, qv, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |  FROM (SELECT vec_id, qv, cid, $kmDistD AS dist
+       |        FROM qv CROSS JOIN $cent)) WHERE rn = 1""".stripMargin
+
+  private def kmUpdSql(asg: String): String = {
+    val mean = text.fixedPoint("CAST(sum(q) AS DOUBLE) / count(*)", 0)
+    s"""SELECT cluster AS cid, list(m ORDER BY d) AS cq FROM (
+       |  SELECT cluster, d, $mean AS m
+       |  FROM (SELECT cluster, unnest(qv) AS q,
+       |          unnest(generate_series(1, len(qv))) AS d FROM $asg)
+       |  GROUP BY cluster, d) GROUP BY cluster""".stripMargin
+  }
+
+  private def kmAssign(qv: org.apache.spark.sql.DataFrame,
+                       cent: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val centRow = cent.agg(
+      collect_list(struct(col("cid"), col("cq"))).as("cents"))
+    qv.crossJoin(broadcast(centRow))
+      .withColumn("best", expr(
+        "array_min(transform(cents, c -> " +
+          "named_struct('d', qdist_sq(qv, c.cq), 'cid', c.cid)))"))
+      .select(col("vec_id"), col("qv"), col("best.cid").as("cluster"))
+  }
+
+  private def kmUpdate(asg: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    asg.select(col("cluster"), posexplode(col("qv")).as(Seq("d0", "q")))
+      .groupBy(col("cluster"), (col("d0") + 1).as("d"))
+      .agg(expr(text.fixedPoint("CAST(sum(q) AS DOUBLE) / count(*)", 0))
+        .as("m"))
+      .groupBy("cluster")
+      .agg(transform(sort_array(collect_list(struct(col("d"), col("m")))),
+        _.getField("m")).as("cq"))
+      .select(col("cluster").as("cid"), col("cq"))
 
   /** Shared by q_pr_curve / q_auc: every doc scored by the hashing-trick
     * classifier (q_quality_classifier's exact-BIGINT fold) and labeled by
@@ -2155,29 +2208,12 @@ object PipelineQueries {
       Some {
         val quant = D.transform(D.castDoubleArray("embedding"), "x",
           "CAST(floor(x * 10000.0 + 0.5) AS BIGINT)")
-        val dist = D.fold(D.seq("1", D.size("qv")), "CAST(0 AS BIGINT)",
-          "acc", "i",
-          s"acc + (${D.elementAt("qv", "i")} - ${D.elementAt("cq", "i")}) * " +
-            s"(${D.elementAt("qv", "i")} - ${D.elementAt("cq", "i")})")
-        val mean = text.fixedPoint("CAST(sum(q) AS DOUBLE) / count(*)", 0)
-        def asgSql(cent: String) =
-          s"""SELECT vec_id, qv, cid AS cluster FROM (
-             |  SELECT vec_id, qv, cid,
-             |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-             |  FROM (SELECT vec_id, qv, cid, $dist AS dist
-             |        FROM qv CROSS JOIN $cent)) WHERE rn = 1""".stripMargin
-        def updSql(asg: String) =
-          s"""SELECT cluster AS cid, list(m ORDER BY d) AS cq FROM (
-             |  SELECT cluster, d, $mean AS m
-             |  FROM (SELECT cluster, unnest(qv) AS q,
-             |          unnest(generate_series(1, len(qv))) AS d FROM $asg)
-             |  GROUP BY cluster, d) GROUP BY cluster""".stripMargin
         s"""WITH qv AS (SELECT vec_id, $quant AS qv FROM embeddings),
            |c0 AS (SELECT vec_id AS cid, qv AS cq FROM qv WHERE vec_id < 8),
-           |a1 AS (${asgSql("c0")}),
-           |c1 AS (${updSql("a1")}),
-           |a2 AS (${asgSql("c1")}),
-           |c2 AS (${updSql("a2")})
+           |a1 AS (${kmAsgSql("c0")}),
+           |c1 AS (${kmUpdSql("a1")}),
+           |a2 AS (${kmAsgSql("c1")}),
+           |c2 AS (${kmUpdSql("a2")})
            |SELECT a.cluster, count(*) AS n_members,
            |  ${D.fold("c.cq", "CAST(0 AS BIGINT)", "acc", "x", "acc + x")}
            |    AS cent_sum,
@@ -2187,38 +2223,13 @@ object PipelineQueries {
            |GROUP BY a.cluster, cent_sum, cent_abs
            |ORDER BY cluster""".stripMargin
       }) { (s, dir) =>
-      import org.apache.spark.sql.DataFrame
       val qv = embeddings(s, dir).select(col("vec_id"),
         expr(S.transform(S.castDoubleArray("embedding"), "x",
           "CAST(floor(x * 10000.0 + 0.5) AS BIGINT)")).as("qv"))
       val c0 = qv.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("qv").as("cq"))
-      // assignment is a PURE PROJECTION: the k centroids collapse into one
-      // broadcast row carrying an array<struct(cid, cq)>, and the argmin is
-      // array_min over (dist, cid) structs — lexicographic struct ordering
-      // IS the (min dist, tie lowest cid) rule, computed per row with zero
-      // explode, zero window, zero corpus regroup. The oracle states the
-      // same rule as row_number() OVER (ORDER BY dist, cid) = 1.
-      def assign(cent: DataFrame): DataFrame = {
-        val centRow = cent.agg(
-          collect_list(struct(col("cid"), col("cq"))).as("cents"))
-        qv.crossJoin(broadcast(centRow))
-          .withColumn("best", expr(
-            "array_min(transform(cents, c -> " +
-              "named_struct('d', qdist_sq(qv, c.cq), 'cid', c.cid)))"))
-          .select(col("vec_id"), col("qv"), col("best.cid").as("cluster"))
-      }
-      def update(asg: DataFrame): DataFrame =
-        asg.select(col("cluster"), posexplode(col("qv")).as(Seq("d0", "q")))
-          .groupBy(col("cluster"), (col("d0") + 1).as("d"))
-          .agg(expr(text.fixedPoint("CAST(sum(q) AS DOUBLE) / count(*)", 0))
-            .as("m"))
-          .groupBy("cluster")
-          .agg(transform(sort_array(collect_list(struct(col("d"), col("m")))),
-            _.getField("m")).as("cq"))
-          .select(col("cluster").as("cid"), col("cq"))
-      val a2 = assign(update(assign(c0)))
-      val c2 = update(a2)
+      val a2 = kmAssign(qv, kmUpdate(kmAssign(qv, c0)))
+      val c2 = kmUpdate(a2)
       a2.groupBy("cluster").agg(count(lit(1)).as("n_members"))
         .join(c2.select(col("cid").as("cluster"),
           expr(S.fold("cq", "CAST(0 AS BIGINT)", "acc", "x", "acc + x"))
@@ -2226,6 +2237,76 @@ object PipelineQueries {
           expr(S.fold("cq", "CAST(0 AS BIGINT)", "acc", "x", "acc + abs(x)"))
             .as("cent_abs")), "cluster")
         .orderBy("cluster")
+    },
+
+    Q("q_cluster_topics",
+      "Cluster LABELING — the step that turns q_kmeans_iter's anonymous " +
+        "cluster ids into something a curation report can print: docs " +
+        "cluster by their deterministic embedStub embeddings (the shared " +
+        "exact-integer Lloyd machinery, k=4, 2 unrolled iterations), then " +
+        "each cluster is named by its top-3 tokens ranked by tf x N/df — " +
+        "tf-idf with the idf kept as an exact-count RATIO (the " +
+        "q_collocations trick: IEEE division replays across engines, " +
+        "libm's ln need not). Scale shape: clustering is the kmeans " +
+        "shape (corpus never shuffles, centroids broadcast); labeling " +
+        "adds one cluster-keyed token count, a vocab-sized df broadcast, " +
+        "and a per-cluster window over vocab-sized groups",
+      Some {
+        val quant = "list_transform(e, x -> CAST(floor(x * 10000.0 + 0.5) " +
+          "AS BIGINT))"
+        s"""WITH emb AS (SELECT doc_id, ${vectors.embedStubSql(D, "text", 16)} AS e
+           |            FROM documents),
+           |qv AS (SELECT doc_id AS vec_id, $quant AS qv FROM emb),
+           |c0 AS (SELECT vec_id AS cid, qv AS cq FROM qv WHERE vec_id < 4),
+           |a1 AS (${kmAsgSql("c0")}),
+           |c1 AS (${kmUpdSql("a1")}),
+           |a2 AS (${kmAsgSql("c1")}),
+           |tok AS (SELECT doc_id, unnest(${text.tokens(D, "text")}) AS tok
+           |        FROM documents),
+           |dfq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+           |nd AS (SELECT count(*) AS n FROM documents),
+           |tf AS (SELECT a.cluster, t.tok, count(*) AS tf
+           |       FROM tok t JOIN a2 a ON a.vec_id = t.doc_id
+           |       GROUP BY a.cluster, t.tok),
+           |sz AS (SELECT cluster, count(*) AS n_docs FROM a2 GROUP BY cluster),
+           |scored AS (SELECT cluster, tok,
+           |    ${text.fixedPoint("CAST(tf AS DOUBLE) * n / df", 2)} AS score_x100,
+           |    row_number() OVER (PARTITION BY cluster
+           |      ORDER BY CAST(tf AS DOUBLE) * n / df DESC, tok) AS rk
+           |  FROM tf JOIN dfq USING (tok) CROSS JOIN nd)
+           |SELECT s.cluster, CAST(rk AS BIGINT) AS rank, tok, score_x100,
+           |  CAST(z.n_docs AS BIGINT) AS n_docs
+           |FROM scored s JOIN sz z ON z.cluster = s.cluster
+           |WHERE rk <= 3
+           |ORDER BY s.cluster, rank""".stripMargin
+      }) { (s, dir) =>
+      val qv = documents(s, dir)
+        .select(col("doc_id").as("vec_id"),
+          vectors.embedStub("text", 16).as("e"))
+        .select(col("vec_id"), expr(S.transform("e", "x",
+          "CAST(floor(x * 10000.0 + 0.5) AS BIGINT)")).as("qv"))
+      val c0 = qv.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("qv").as("cq"))
+      val a2 = kmAssign(qv, kmUpdate(kmAssign(qv, c0)))
+        .select(col("vec_id").as("doc_id"), col("cluster"))
+      val toks = documents(s, dir)
+        .select(col("doc_id"), explode(expr(text.tokens(S, "text"))).as("tok"))
+      val dfq = toks.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+      val nd = documents(s, dir).agg(count(lit(1)).as("n"))
+      val tf = toks.join(a2, "doc_id")
+        .groupBy("cluster", "tok").agg(count(lit(1)).as("tf"))
+      val sz = a2.groupBy("cluster").agg(count(lit(1)).as("n_docs"))
+      tf.join(broadcast(dfq), "tok")
+        .crossJoin(broadcast(nd))
+        .withColumn("sc", expr("CAST(tf AS DOUBLE) * n / df"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("cluster").orderBy(desc("sc"), col("tok"))))
+        .filter(col("rk") <= 3)
+        .join(broadcast(sz), "cluster")
+        .select(col("cluster"), col("rk").cast("long").as("rank"), col("tok"),
+          expr(text.fixedPoint("sc", 2)).as("score_x100"),
+          col("n_docs").cast("long").as("n_docs"))
+        .orderBy("cluster", "rank")
     },
 
     Q("q_inverted_index",
