@@ -825,6 +825,53 @@ object AnalyticsQueries {
         .orderBy("day", "event_type")
     },
 
+    Q("q_ohlc_resample",
+      "Time-series resampling to OHLC bars (the telemetry/finance " +
+        "downsample every metrics store runs): per (event_type, hour) " +
+        "the first/max/min/last value plus the event count, cents-exact. " +
+        "Open/close are defined by (ts, event_id) order — the unique " +
+        "tie-break the determinism contract requires — via two windows " +
+        "PARTITIONED by the (type, bucket) key, so a key-hour's bar " +
+        "builds inside one partition and the downsample output is " +
+        "bars-sized, not events-sized. Hour buckets ship as strings " +
+        "(the q_daily_window type-bridge rule)",
+      Some("""WITH e AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+             |    ts, event_id, CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events),
+             |r AS (SELECT *,
+             |    row_number() OVER (PARTITION BY event_type, bucket
+             |      ORDER BY ts, event_id) AS rn_a,
+             |    row_number() OVER (PARTITION BY event_type, bucket
+             |      ORDER BY ts DESC, event_id DESC) AS rn_d
+             |  FROM e)
+             |SELECT event_type,
+             |  strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_h,
+             |  CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_c,
+             |  CAST(max(cents) AS BIGINT) AS high_c,
+             |  CAST(min(cents) AS BIGINT) AS low_c,
+             |  CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_c,
+             |  count(*) AS n_events
+             |FROM r GROUP BY event_type, bucket
+             |ORDER BY event_type, bucket_h""".stripMargin)) { (s, dir) =>
+      val e = events(s, dir)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("bucket"),
+          col("ts"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy("event_type", "bucket")
+      e.withColumn("rn_a",
+          row_number().over(w.orderBy(col("ts"), col("event_id"))))
+        .withColumn("rn_d",
+          row_number().over(w.orderBy(col("ts").desc, col("event_id").desc)))
+        .groupBy(col("event_type"),
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket_h"))
+        .agg(max(when(col("rn_a") === 1, col("cents"))).cast("long").as("open_c"),
+          max("cents").cast("long").as("high_c"),
+          min("cents").cast("long").as("low_c"),
+          max(when(col("rn_d") === 1, col("cents"))).cast("long").as("close_c"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type", "bucket_h")
+    },
+
     Q("q_sliding_window",
       "Sliding-window aggregation: 2-day windows sliding 1 day (each event " +
         "lands in two windows) — the trend-smoothing sibling of " +

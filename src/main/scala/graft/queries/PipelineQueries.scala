@@ -2239,6 +2239,46 @@ object PipelineQueries {
         .orderBy("cluster")
     },
 
+    Q("q_tokenizer_fertility",
+      "Tokenizer fertility accounting — the metric a team tracks when " +
+        "choosing merges/vocab size: per source, tokens-per-word and " +
+        "chars-per-token under the merge table q_bpe_train just learned " +
+        "(ratios as exact-count divisions, x10k). Consumes the trainer's " +
+        "own final segmentation through a vocab-sized broadcast join " +
+        "back over the corpus words — the per-source re-scan is one " +
+        "explode + map-side-combined rollup, and no word is ever " +
+        "re-segmented (the q_bpe_train_encode consume contract, with " +
+        "source attribution added)",
+      Some(s"""${bpeTrainSql(4)},
+              |tok AS (SELECT source, unnest(${text.tokens(D, "text")}) AS w
+              |        FROM documents)
+              |SELECT source, count(*) AS n_words,
+              |  CAST(sum(len(f.seg)) AS BIGINT) AS n_tokens,
+              |  CAST(sum(length(t.w)) AS BIGINT) AS n_chars,
+              |  ${text.fixedPoint(
+                  "CAST(sum(len(f.seg)) AS DOUBLE) / count(*)",
+                  4)} AS tokens_per_word_x10k,
+              |  ${text.fixedPoint(
+                  "CAST(sum(length(t.w)) AS DOUBLE) / sum(len(f.seg))",
+                  4)} AS chars_per_token_x10k
+              |FROM tok t JOIN wf4 f ON f.w = t.w
+              |GROUP BY source ORDER BY source""".stripMargin)) { (s, dir) =>
+      val wf4 = bpeTrain(s, dir, 4)._2.select(col("w"), col("seg"))
+      documents(s, dir)
+        .select(col("source"), explode(expr(text.tokens(S, "text"))).as("w"))
+        .join(broadcast(wf4), "w")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_words"),
+          sum(size(col("seg"))).cast("long").as("n_tokens"),
+          sum(length(col("w"))).cast("long").as("n_chars"))
+        .select(col("source"), col("n_words"), col("n_tokens"), col("n_chars"),
+          expr(text.fixedPoint(
+            "CAST(n_tokens AS DOUBLE) / n_words", 4)).as("tokens_per_word_x10k"),
+          expr(text.fixedPoint(
+            "CAST(n_chars AS DOUBLE) / n_tokens", 4)).as("chars_per_token_x10k"))
+        .orderBy("source")
+    },
+
     Q("q_cluster_topics",
       "Cluster LABELING — the step that turns q_kmeans_iter's anonymous " +
         "cluster ids into something a curation report can print: docs " +
