@@ -577,6 +577,70 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    Q("q_dup_rate_by_group",
+      "Duplication-rate report — the number a curation run actually " +
+        "publishes per corpus slice: for each lang, how many docs " +
+        "participate in at least one VERIFIED near-dup pair (the " +
+        "q_dedup_lsh_verified two-stage machinery, Jaccard >= 0.6) and " +
+        "the resulting dup-rate. Scale shape: the pair search is the " +
+        "banded LSH join (never corpus x corpus), the dup-member id set " +
+        "is pair-graph-sized and re-joins the corpus by key, and the " +
+        "report is one map-side-combined rollup. (Own fixture, not " +
+        "nearDupCorpus: only every 3rd doc gets a twin, so the rates " +
+        "are informative instead of uniformly 100%)",
+      Some(s"""WITH corpus AS (
+              |  SELECT doc_id, text, lang FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 10000, text || ' xq', lang FROM documents
+              |  WHERE doc_id % 3 = 0),
+              |hs AS (SELECT doc_id, ${text.shingleHashes(D, "text", 3)} AS hs
+              |       FROM corpus),
+              |sig AS (SELECT doc_id, hs, ${text.minhashFromHashes(D, "hs", 16)} AS sig
+              |        FROM hs),
+              |bands AS (SELECT doc_id, hs, j,
+              |            ${D.arrayJoin(D.slice("sig", "4*j + 1", "4"), "_")} AS band_key
+              |          FROM sig, (SELECT unnest(generate_series(0, 3)) AS j)),
+              |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+              |                a.hs AS a_hs, b.hs AS b_hs
+              |         FROM bands a JOIN bands b
+              |           ON a.j = b.j AND a.band_key = b.band_key
+              |             AND a.doc_id < b.doc_id),
+              |pairs AS (SELECT a_id, b_id FROM (
+              |  SELECT a_id, b_id,
+              |    CAST(len(list_intersect(a_hs, b_hs)) AS DOUBLE)
+              |      / len(list_distinct(list_concat(a_hs, b_hs))) AS jaccard
+              |  FROM cand) WHERE jaccard >= 0.6),
+              |dup AS (SELECT DISTINCT doc_id FROM (
+              |  SELECT a_id AS doc_id FROM pairs
+              |  UNION ALL SELECT b_id FROM pairs))
+              |SELECT lang, count(*) AS n_docs,
+              |  CAST(coalesce(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 END), 0)
+              |    AS BIGINT) AS n_dup_docs,
+              |  ${text.fixedPoint(
+                  "coalesce(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1.0 END), " +
+                    "0.0) / count(*)", 4)} AS dup_rate_x10k
+              |FROM corpus c LEFT JOIN dup d USING (doc_id)
+              |GROUP BY lang ORDER BY lang""".stripMargin)) { (s, dir) =>
+      val base = documents(s, dir).select(col("doc_id"), col("text"), col("lang"))
+      val corpus = base.unionByName(base.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" xq")).as("text"), col("lang")))
+      val pairs = Dedup.minhashLshVerifiedPairs(corpus, "doc_id", "text",
+        k = 16, bands = 4, shingleN = 3, threshold = 0.6)
+      val dupIds = pairs.select(col("a_id").as("doc_id"))
+        .union(pairs.select(col("b_id").as("doc_id")))
+        .distinct()
+        .withColumn("is_dup", lit(1L))
+      corpus.join(dupIds, Seq("doc_id"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("is_dup"), lit(0L)).cast("long").as("n_dup_docs"))
+        .select(col("lang"), col("n_docs"), col("n_dup_docs"),
+          expr(text.fixedPoint(
+            "CAST(n_dup_docs AS DOUBLE) / n_docs", 4)).as("dup_rate_x10k"))
+        .orderBy("lang")
+    },
+
     Q("q_lsh_tuning",
       "LSH parameter sweep — the measurement a pipeline runs BEFORE " +
         "committing band/row dials to a 100 TB dedup pass: for (bands, " +

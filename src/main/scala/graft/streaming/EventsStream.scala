@@ -152,6 +152,24 @@ object EventsStream {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** [[dedupStream]] keyed by CANONICAL URL instead of content
+    * fingerprint — the streaming face of q_url_dedup: a crawl frontier
+    * deduping fetches as they arrive, where the same page under
+    * different tracking params / case / port spellings must collapse to
+    * one fetch. Same watermark-bounded state contract; the canonical
+    * form is computed by the one-pass [[graft.functions.TextNorm]]
+    * kernel at scan time, so state is keyed by a short canonical string,
+    * never the raw URL variants. */
+  def urlDedupStream(events: DataFrame, urlCol: String,
+                     watermark: String = "1 hour",
+                     tsCol: String = "ts"): DataFrame =
+    events
+      .withColumn("__canon",
+        graft.functions.TextNorm.canonicalizeUrlUdf(col(urlCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__canon")
+      .drop("__canon")
+
   /** Stream-stream inner join within an event-time window: each right-side
     * event joins the left-side events of the same key that happened at
     * most `windowMinutes` before it (the impression→click attribution

@@ -932,6 +932,32 @@ class ModulesSpec extends AnyFunSuite {
     assert(twin == ids, s"batch twin $twin != streaming survivors $ids")
   }
 
+  test("streaming URL dedup collapses spelling variants to one fetch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "event_id", "url")
+    val q = EventsStream.urlDedupStream(df, "url")
+      .writeStream.format("memory").queryName("url_dedup_stream")
+      .outputMode("append").start()
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L,
+        "https://ex.com/a?id=1&utm_source=x"),
+      // same page: tracking param differs, host case differs, default port
+      (Timestamp.valueOf("2024-01-01 10:05:00"), 2L,
+        "HTTPS://EX.COM:443/a?id=1&utm_source=y"),
+      (Timestamp.valueOf("2024-01-01 10:10:00"), 3L, "https://ex.com/b"))
+    q.processAllAvailable()
+    mem.addData((Timestamp.valueOf("2024-01-01 13:00:00"), 4L,
+      "https://ex.com/flush"))
+    q.processAllAvailable()
+    val ids = spark.table("url_dedup_stream").select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(ids.contains(1L) && ids.contains(3L), s"survivors missing: $ids")
+    assert(!ids.contains(2L), s"URL spelling variant 2 survived: $ids")
+  }
+
   test("sessionization gap logic (pure state update)") {
     def ev(id: Long, t: String) =
       EventsStream.Event(id, Timestamp.valueOf(t), 1, "click", 1.0)
