@@ -380,6 +380,41 @@ object AnalyticsQueries {
         .orderBy(desc("sim_x10k"), col("vec_id"))
     },
 
+    Q("q_embedding_norm_audit",
+      "Vector-store hygiene audit — the check every ANN deployment runs " +
+        "before trusting cosine math: corpus size, zero-vector count " +
+        "(cosine against a zero vector is pinned to 0.0 by the kernel, " +
+        "but a corpus FULL of them means the embedder upstream broke), " +
+        "and the norm distribution (min / max / mean). Norms quantize " +
+        "x10k PER ROW before aggregating, so the sums are exact BIGINTs " +
+        "under any partitioning — an avg() of raw doubles would hash " +
+        "differently per shuffle layout. One scan-side projection + one " +
+        "scalar aggregate",
+      Some(s"""SELECT count(*) AS n_vecs,
+              |  CAST(sum(CASE WHEN qn = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_zero,
+              |  CAST(min(qn) AS BIGINT) AS min_norm_x10k,
+              |  CAST(max(qn) AS BIGINT) AS max_norm_x10k,
+              |  ${text.fixedPoint(
+                  "CAST(sum(qn) AS DOUBLE) / count(*)", 0)} AS mean_norm_x10k
+              |FROM (
+              |  SELECT CAST(floor(sqrt(list_dot_product(
+              |      CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+              |    * 10000.0 + 0.5) AS BIGINT) AS qn
+              |  FROM embeddings)
+              |ORDER BY n_vecs""".stripMargin)) { (s, dir) =>
+      embeddings(s, dir)
+        .select((floor(vectors.l2Norm(col("embedding")) * 10000.0 + 0.5))
+          .cast("long").as("qn"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("qn") === 0, 1).otherwise(0)).cast("long").as("n_zero"),
+          min("qn").cast("long").as("min_norm_x10k"),
+          max("qn").cast("long").as("max_norm_x10k"),
+          expr(text.fixedPoint("CAST(sum(qn) AS DOUBLE) / count(*)", 0))
+            .as("mean_norm_x10k"))
+        .orderBy("n_vecs")
+    },
+
     Q("q_mmr_rerank",
       "Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998 — " +
         "the diversity stage after any of the ANN searches): from the " +

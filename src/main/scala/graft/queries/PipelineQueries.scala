@@ -620,6 +620,54 @@ object PipelineQueries {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    Q("q_rag_e2e",
+      "The RAG ingestion+serve pipeline as ONE declarative plan (the " +
+        "retrieval sibling of q_curation_e2e's proof that the catalog's " +
+        "stages COMPOSE): chunk the corpus (q_chunk_overlap's windows), " +
+        "embed every chunk with the deterministic hashing-TF embedder, " +
+        "embed the query TEXT the same way, exact cosine top-5 with " +
+        "(doc, chunk) identity. Catalyst fuses chunk+embed into the scan " +
+        "projection and the top-k is TakeOrderedAndProject — the corpus " +
+        "is read once and nothing shuffles; swap the brute-force tail " +
+        "for AnnIndex buckets / IVF lists and this is the serving path " +
+        "at 100 TB. Chunk identity being a pure (doc, position) function " +
+        "is what lets a re-run resume instead of re-embedding",
+      Some {
+        val chunks = text.charChunks(D, "text", 200, 150)
+        s"""WITH ch AS (
+           |  SELECT doc_id, generate_subscripts(chunks, 1) AS chunk_idx,
+           |    unnest(chunks) AS chunk
+           |  FROM (SELECT doc_id, $chunks AS chunks FROM documents
+           |        WHERE doc_id < 120)),
+           |emb AS (SELECT doc_id, chunk_idx,
+           |          ${vectors.embedStubSql(D, "chunk", 16)} AS e FROM ch),
+           |q AS (SELECT ${vectors.embedStubSql(D, "qt", 16)} AS qe
+           |      FROM (SELECT 'spark join order fast' AS qt))
+           |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           |  ${text.fixedPoint("sim", 4)} AS sim_x10k
+           |FROM (SELECT doc_id, chunk_idx,
+           |        ${vectors.cosineSimSql("e", "qe")} AS sim
+           |      FROM emb CROSS JOIN q)
+           |ORDER BY sim DESC, doc_id, chunk_idx
+           |LIMIT 5""".stripMargin
+      }) { (s, dir) =>
+      import graft.functions.TextSig
+      val chunks = documents(s, dir)
+        .filter(col("doc_id") < 120)
+        .select(col("doc_id"), posexplode(
+          expr(text.charChunks(S, "text", 200, 150))).as(Seq("pos", "chunk")))
+        .select(col("doc_id"), (col("pos") + 1).as("chunk_idx"),
+          TextSig.embedUdf(col("chunk"), lit(16)).as("e"))
+      val q = chunks.sparkSession.range(1)
+        .select(TextSig.embedUdf(lit("spark join order fast"), lit(16)).as("qe"))
+      chunks.crossJoin(broadcast(q))
+        .withColumn("sim", vectors.cosineSim(col("e"), col("qe")))
+        .orderBy(desc("sim"), col("doc_id"), col("chunk_idx"))
+        .limit(5)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          expr(text.fixedPoint("sim", 4)).as("sim_x10k"))
+    },
+
     Q("q_tfidf_keywords",
       "Per-document keyword extraction: top-3 tokens by tf-idf (tf x " +
         "ln(N/df)), reported for the first 50 docs. df is vocab-sized " +

@@ -577,6 +577,52 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    Q("q_script_profile",
+      "Character-class corpus profiling — the script/encoding sanity " +
+        "report run before language-ID and tokenization (a corpus whose " +
+        "'en' slice is 30% digits is a table dump, not prose): per lang, " +
+        "digit / ASCII-letter / whitespace ratios as ratios of exact " +
+        "per-class char counts (sum-of-counts over sum-of-lengths — " +
+        "never an average of per-doc doubles, so partitioning cannot " +
+        "move a digit). One regex-projection pass + one map-side " +
+        "rollup, no shuffle beyond the per-lang exchange",
+      Some(s"""SELECT lang, count(*) AS n_docs,
+              |  CAST(sum(n) AS BIGINT) AS n_chars,
+              |  ${text.fixedPoint(
+                  "CAST(sum(dg) AS DOUBLE) / greatest(sum(n), 1)",
+                  4)} AS digit_x10k,
+              |  ${text.fixedPoint(
+                  "CAST(sum(lt) AS DOUBLE) / greatest(sum(n), 1)",
+                  4)} AS letter_x10k,
+              |  ${text.fixedPoint(
+                  "CAST(sum(sp) AS DOUBLE) / greatest(sum(n), 1)",
+                  4)} AS space_x10k
+              |FROM (
+              |  SELECT lang, length(text) AS n,
+              |    length(regexp_replace(text, '[^0-9]', '', 'g')) AS dg,
+              |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS lt,
+              |    length(regexp_replace(text, '[^ ]', '', 'g')) AS sp
+              |  FROM documents)
+              |GROUP BY lang ORDER BY lang""".stripMargin)) { (s, dir) =>
+      documents(s, dir)
+        .select(col("lang"), length(col("text")).as("n"),
+          length(regexp_replace(col("text"), "[^0-9]", "")).as("dg"),
+          length(regexp_replace(col("text"), "[^A-Za-z]", "")).as("lt"),
+          length(regexp_replace(col("text"), "[^ ]", "")).as("sp"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n").cast("long").as("n_chars"),
+          expr(text.fixedPoint(
+            "CAST(sum(dg) AS DOUBLE) / greatest(sum(n), 1)", 4))
+            .as("digit_x10k"),
+          expr(text.fixedPoint(
+            "CAST(sum(lt) AS DOUBLE) / greatest(sum(n), 1)", 4))
+            .as("letter_x10k"),
+          expr(text.fixedPoint(
+            "CAST(sum(sp) AS DOUBLE) / greatest(sum(n), 1)", 4))
+            .as("space_x10k"))
+        .orderBy("lang")
+    },
+
     Q("q_dup_rate_by_group",
       "Duplication-rate report — the number a curation run actually " +
         "publishes per corpus slice: for each lang, how many docs " +
