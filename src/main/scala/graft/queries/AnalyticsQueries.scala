@@ -380,6 +380,72 @@ object AnalyticsQueries {
         .orderBy(desc("sim_x10k"), col("vec_id"))
     },
 
+    Q("q_geo_density",
+      "Geo density grid — the heatmap backing every map view of the " +
+        "reference's service/housing layers: point counts and exact " +
+        "balance cents per 0.1-degree cell, top-20 cells. The cell key " +
+        "is pure floor arithmetic on the coordinates, so the rollup is " +
+        "one map-side-combined aggregate — the same shape at 100 TB, " +
+        "and the cell key doubles as the Z-order / partition key the " +
+        "Maintenance layouts cluster by",
+      Some(s"""SELECT CAST(floor(lat * 10) AS BIGINT) AS cell_lat,
+              |  CAST(floor(lon * 10) AS BIGINT) AS cell_lon,
+              |  count(*) AS n,
+              |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+              |    AS bal_cents
+              |FROM (SELECT ${geo.synthLatSql("c_custkey")} AS lat,
+              |        ${geo.synthLonSql("c_custkey")} AS lon, c_acctbal
+              |      FROM customer)
+              |GROUP BY 1, 2
+              |ORDER BY n DESC, cell_lat, cell_lon
+              |LIMIT 20""".stripMargin)) { (s, dir) =>
+      customer(s, dir)
+        .select(geo.synthLat(col("c_custkey")).as("lat"),
+          geo.synthLon(col("c_custkey")).as("lon"), col("c_acctbal"))
+        .groupBy(floor(col("lat") * 10).cast("long").as("cell_lat"),
+          floor(col("lon") * 10).cast("long").as("cell_lon"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("c_acctbal") * 100).cast("long")).cast("long")
+            .as("bal_cents"))
+        .orderBy(desc("n"), col("cell_lat"), col("cell_lon"))
+        .limit(20)
+    },
+
+    Q("q_wow_change",
+      "Week-over-week trend deltas — the growth report on top of " +
+        "q_event_trend's counts: weekly volume per event type plus the " +
+        "absolute delta and ratio vs the previous week (first week " +
+        "compares to itself: delta 0, ratio 1). The lag window is " +
+        "PARTITIONED by event type — state per key is weeks-sized, " +
+        "never events-sized; weeks ship as date strings per the " +
+        "type-bridge rule",
+      Some(s"""WITH w AS (
+              |  SELECT event_type,
+              |    strftime(CAST(date_trunc('week', ts) AS DATE), '%Y-%m-%d')
+              |      AS wk,
+              |    CAST(count(*) AS BIGINT) AS n
+              |  FROM events GROUP BY 1, 2)
+              |SELECT event_type, wk, n,
+              |  CAST(n - coalesce(lag(n) OVER (PARTITION BY event_type
+              |    ORDER BY wk), n) AS BIGINT) AS delta,
+              |  ${text.fixedPoint(
+                  "CAST(n AS DOUBLE) / greatest(coalesce(lag(n) OVER " +
+                    "(PARTITION BY event_type ORDER BY wk), n), 1)",
+                  4)} AS ratio_x10k
+              |FROM w ORDER BY event_type, wk""".stripMargin)) { (s, dir) =>
+      val w = Window.partitionBy("event_type").orderBy("wk")
+      events(s, dir)
+        .groupBy(col("event_type"),
+          date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("wk"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("prev", coalesce(lag("n", 1).over(w), col("n")))
+        .select(col("event_type"), col("wk"), col("n"),
+          (col("n") - col("prev")).cast("long").as("delta"),
+          expr(text.fixedPoint(
+            "CAST(n AS DOUBLE) / greatest(prev, 1)", 4)).as("ratio_x10k"))
+        .orderBy("event_type", "wk")
+    },
+
     Q("q_embedding_norm_audit",
       "Vector-store hygiene audit — the check every ANN deployment runs " +
         "before trusting cosine math: corpus size, zero-vector count " +
