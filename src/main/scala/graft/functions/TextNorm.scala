@@ -220,4 +220,29 @@ object TextNorm {
 
   val canonicalizeUrlUdf: UserDefinedFunction =
     udf { (s: String) => if (s == null) null else canonicalizeUrl(s) }
+
+  // Column forms route through the native codegen expressions
+  // (plans/TextNormExpressions, registered by GraftExtensions) when the
+  // session carries them — same dispatch recipe as [[vectors.dot]]: the
+  // native call stays inside WholeStageCodegen, the UDF fallback keeps
+  // plain sessions working, and both delegate to the SAME kernel above so
+  // they cannot disagree.
+  private def extensionsActive: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(_.catalog.functionExists("normalize_text"))
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.call_function
+
+  def normalizeCol(c: Column): Column =
+    if (extensionsActive) call_function("normalize_text", c)
+    else normalizeUdf(c)
+
+  def htmlToTextCol(c: Column): Column =
+    if (extensionsActive) call_function("html_to_text", c)
+    else htmlToTextUdf(c)
+
+  def canonicalizeUrlCol(c: Column): Column =
+    if (extensionsActive) call_function("canonical_url", c)
+    else canonicalizeUrlUdf(c)
 }

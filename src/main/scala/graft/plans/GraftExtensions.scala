@@ -79,6 +79,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "qdist_sq(a, b)")
         QDistSq(lngArr(children(0)), lngArr(children(1)))
       }))
+    // the TextNorm scrub kernels, SQL-callable and codegen-inlined; the
+    // strict STRING check stays with the expression (no coercing cast:
+    // normalizing a number is a caller bug worth failing at analysis)
+    Seq[(String, Expression => Expression)](
+      ("normalize_text", NormalizeText.apply),
+      ("html_to_text", HtmlToText.apply),
+      ("canonical_url", CanonicalizeUrl.apply)
+    ).foreach { case (name, build) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[NormalizeText].getName, name),
+        (children: Seq[Expression]) => {
+          require(children.length == 1, s"$name(s)")
+          build(children.head)
+        }))
+    }
     ext.injectOptimizerRule(_ => BoundingBoxRule)
   }
 }

@@ -2471,7 +2471,7 @@ object PipelineQueries {
       documents(s, dir)
         .select(col("doc_id"), concat(substring(col("text"), 1, 60),
           lit(" Cafe\u0301 A\u030A\t x\u0007y \r\n end  ")).as("raw"))
-        .withColumn("text_norm", TextNorm.normalizeUdf(col("raw")))
+        .withColumn("text_norm", TextNorm.normalizeCol(col("raw")))
         .select(col("doc_id"), length(col("raw")).cast("long").as("n_raw"),
           length(col("text_norm")).cast("long").as("n_norm"),
           col("text_norm"))
@@ -2519,7 +2519,7 @@ object PipelineQueries {
             " &#65;&#x42;</div></body></html>")).as("html"))
         .select(col("doc_id"),
           size(TextNorm.extractLinksUdf(col("html"))).cast("long").as("n_links"),
-          TextNorm.htmlToTextUdf(col("html")).as("text_out"))
+          TextNorm.htmlToTextCol(col("html")).as("text_out"))
         .orderBy("doc_id")
     },
 
@@ -2569,7 +2569,7 @@ object PipelineQueries {
             lit("#sec"))))
       documents(s, dir)
         .select(col("doc_id"), raw.as("url"))
-        .withColumn("canonical_url", TextNorm.canonicalizeUrlUdf(col("url")))
+        .withColumn("canonical_url", TextNorm.canonicalizeUrlCol(col("url")))
         .groupBy("canonical_url")
         .agg(count(lit(1)).as("n_urls"),
           countDistinct("url").as("n_raw_variants"),

@@ -165,7 +165,7 @@ object EventsStream {
                      tsCol: String = "ts"): DataFrame =
     events
       .withColumn("__canon",
-        graft.functions.TextNorm.canonicalizeUrlUdf(col(urlCol)))
+        graft.functions.TextNorm.canonicalizeUrlCol(col(urlCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__canon")
       .drop("__canon")

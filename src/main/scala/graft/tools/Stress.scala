@@ -183,11 +183,11 @@ object Stress {
     val (_, scrubS) = time {
       import graft.functions.TextNorm
       docs.select(col("doc_id"),
-          TextNorm.normalizeUdf(col("text")).as("t"),
-          TextNorm.canonicalizeUrlUdf(
+          TextNorm.normalizeCol(col("text")).as("t"),
+          TextNorm.canonicalizeUrlCol(
             concat(lit("HTTPS://Ex.COM:443/a//b?utm_s=x&id="),
               (col("doc_id") % 97).cast("string"))).as("u"))
-        .select(TextNorm.htmlToTextUdf(
+        .select(TextNorm.htmlToTextCol(
           concat(lit("<p>"), col("t"), lit("</p><script>x<y</script>"))).as("x"),
           col("u"))
         .groupBy(length(col("x")) % 7, col("u")).agg(count(lit(1)))
