@@ -577,6 +577,78 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    Q("q_containment_dedup",
+      "Asymmetric CONTAINMENT dedup (Broder's other resemblance measure " +
+        "— the one Jaccard structurally misses): a truncated page is " +
+        "contained in its source, but the symmetric Jaccard of a half-" +
+        "doc against its full doc is ~0.5 and sails under every Jaccard " +
+        "threshold. Fixture: every 4th doc also appears prefix-truncated " +
+        "(+20000 ids); candidates block on the first-3-token prefix hash " +
+        "(truncation preserves the prefix — the blocking key FOR this " +
+        "failure mode, as LSH bands are for symmetric overlap); " +
+        "containment = |A∩B| / min(|A|,|B|) over 3-gram shingle sets, " +
+        "reported with Jaccard and a jaccard_missed flag — on this " +
+        "corpus most confirmed containments fall below Jaccard 0.6, " +
+        "which is the point. Scale shape: one prefix-keyed self-join " +
+        "(never corpus x corpus; a boilerplate-prefix corpus would cap " +
+        "the bucket exactly like Dedup's LSH maxBucket), shingle sets " +
+        "ride the join row, stats are a projection",
+      Some {
+        val toks = text.tokens(D, "text")
+        val blk = text.tokenHash(D, D.arrayJoin(D.slice(toks, "1", "3"), " "))
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 20000, substr(text, 1, 80) FROM documents
+           |  WHERE doc_id % 4 = 1),
+           |s AS (SELECT doc_id, $blk AS blk,
+           |        ${text.shingleHashes(D, "text", 3)} AS sh
+           |      FROM corpus)
+           |SELECT a_id, b_id,
+           |  ${text.fixedPoint("cont", 4)} AS cont_x10k,
+           |  ${text.fixedPoint("jac", 4)} AS jac_x10k,
+           |  (jac < 0.6) AS jaccard_missed
+           |FROM (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |      / least(len(a.sh), len(b.sh)) AS cont,
+           |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+           |  FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+           |WHERE cont >= 0.8
+           |ORDER BY a_id, b_id""".stripMargin
+      }) { (s, dir) =>
+      val toks = text.tokens(S, "text")
+      val blk = text.tokenHash(S, S.arrayJoin(S.slice(toks, "1", "3"), " "))
+      val base = documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = base.unionByName(base.filter(col("doc_id") % 4 === 1)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          substring(col("text"), 1, 80).as("text")))
+      val keyed = corpus.select(col("doc_id"), expr(blk).as("blk"),
+        expr(text.shingleHashes(S, "text", 3)).as("sh"))
+      val l = keyed.select(col("doc_id").as("a_id"), col("blk"),
+        col("sh").as("a_sh"))
+      val r = keyed.select(col("doc_id").as("b_id"), col("blk"),
+        col("sh").as("b_sh"))
+      // shuffle_hash for the same reason as the LSH band join: the stats
+      // behind a UDF-heavy projection would tempt a single-threaded
+      // broadcast of the whole corpus
+      l.hint("shuffle_hash").join(r, "blk")
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("inter",
+          size(array_intersect(col("a_sh"), col("b_sh"))).cast("double"))
+        .withColumn("cont",
+          col("inter") / least(size(col("a_sh")), size(col("b_sh"))))
+        .withColumn("jac",
+          col("inter") / size(array_union(col("a_sh"), col("b_sh"))))
+        .filter(col("cont") >= 0.8)
+        .select(col("a_id"), col("b_id"),
+          expr(text.fixedPoint("cont", 4)).as("cont_x10k"),
+          expr(text.fixedPoint("jac", 4)).as("jac_x10k"),
+          (col("jac") < 0.6).as("jaccard_missed"))
+        .orderBy("a_id", "b_id")
+    },
+
     Q("q_script_profile",
       "Character-class corpus profiling — the script/encoding sanity " +
         "report run before language-ID and tokenization (a corpus whose " +
