@@ -47,8 +47,26 @@ object Dedup {
       .filter(col("__n_docs") > maxBucket)
       .drop("__n_docs")
 
-  private def pairJoin(sigs: DataFrame, joinCols: Seq[String],
-                       maxBucket: Int = Int.MaxValue): DataFrame = {
+  /** Generic block-key bucket census — the drop-audit behind every
+    * `maxBucket` cap here: one row per distinct `joinCols` key with its
+    * bucket size, largest first. Run it before committing a cap to see
+    * exactly which keys (and how many docs) the cap would exclude. One
+    * map-side-combinable aggregate; at 100 TB add a LIMIT — only the head
+    * (the skew) is ever interesting. */
+  def blockBucketStats(sigs: DataFrame, joinCols: Seq[String]): DataFrame =
+    sigs.groupBy(joinCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(desc("n_docs"), col(joinCols.head))
+
+  /** Capped blocked self-join — the one shape every pair-mining operator
+    * in this file reduces to, public so ad-hoc blocking schemes (e.g. the
+    * containment dedup's first-3-token prefix) get the same mega-bucket
+    * protection as the LSH band join instead of re-rolling an uncapped
+    * join. Contract: `sigs` must carry an `id` column (pair order is
+    * `a.id < b.id`); output duplicates every column as `a_`/`b_` pairs.
+    * Audit what a cap would drop with [[blockBucketStats]]. */
+  def pairJoin(sigs: DataFrame, joinCols: Seq[String],
+               maxBucket: Int = Int.MaxValue): DataFrame = {
     // Mega-bucket cap (drop-and-count, not salt-and-split): a block key
     // shared by > maxBucket docs is boilerplate by construction — its
     // pairs are O(bucket²) shuffle rows of near-zero information, and ONE

@@ -589,10 +589,13 @@ object TextQueries {
         "containment = |A∩B| / min(|A|,|B|) over 3-gram shingle sets, " +
         "reported with Jaccard and a jaccard_missed flag — on this " +
         "corpus most confirmed containments fall below Jaccard 0.6, " +
-        "which is the point. Scale shape: one prefix-keyed self-join " +
-        "(never corpus x corpus; a boilerplate-prefix corpus would cap " +
-        "the bucket exactly like Dedup's LSH maxBucket), shingle sets " +
-        "ride the join row, stats are a projection",
+        "which is the point. Scale shape: the self-join IS " +
+        "Dedup.pairJoin with maxBucket=64 — on a real crawl boilerplate " +
+        "prefixes ('Copyright ...', shared page headers) are the NORM, " +
+        "and one hot prefix would make the bucket quadratic on a single " +
+        "join key; the cap (mirrored in the oracle) bounds every task at " +
+        "cap^2 candidates, audited via Dedup.blockBucketStats. Shingle " +
+        "sets ride the join row, stats are a projection",
       Some {
         val toks = text.tokens(D, "text")
         val blk = text.tokenHash(D, D.arrayJoin(D.slice(toks, "1", "3"), " "))
@@ -603,7 +606,9 @@ object TextQueries {
            |  WHERE doc_id % 4 = 1),
            |s AS (SELECT doc_id, $blk AS blk,
            |        ${text.shingleHashes(D, "text", 3)} AS sh
-           |      FROM corpus)
+           |      FROM corpus),
+           |big AS (SELECT blk FROM s GROUP BY blk HAVING count(*) > 64),
+           |s2 AS (SELECT * FROM s WHERE blk NOT IN (SELECT blk FROM big))
            |SELECT a_id, b_id,
            |  ${text.fixedPoint("cont", 4)} AS cont_x10k,
            |  ${text.fixedPoint("jac", 4)} AS jac_x10k,
@@ -611,10 +616,10 @@ object TextQueries {
            |FROM (
            |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-           |      / least(len(a.sh), len(b.sh)) AS cont,
+           |      / greatest(least(len(a.sh), len(b.sh)), 1) AS cont,
            |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-           |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
-           |  FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+           |      / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) AS jac
+           |  FROM s2 a JOIN s2 b ON a.blk = b.blk AND a.doc_id < b.doc_id)
            |WHERE cont >= 0.8
            |ORDER BY a_id, b_id""".stripMargin
       }) { (s, dir) =>
@@ -624,23 +629,23 @@ object TextQueries {
       val corpus = base.unionByName(base.filter(col("doc_id") % 4 === 1)
         .select((col("doc_id") + 20000).as("doc_id"),
           substring(col("text"), 1, 80).as("text")))
-      val keyed = corpus.select(col("doc_id"), expr(blk).as("blk"),
+      val keyed = corpus.select(col("doc_id").as("id"), expr(blk).as("blk"),
         expr(text.shingleHashes(S, "text", 3)).as("sh"))
-      val l = keyed.select(col("doc_id").as("a_id"), col("blk"),
-        col("sh").as("a_sh"))
-      val r = keyed.select(col("doc_id").as("b_id"), col("blk"),
-        col("sh").as("b_sh"))
-      // shuffle_hash for the same reason as the LSH band join: the stats
-      // behind a UDF-heavy projection would tempt a single-threaded
-      // broadcast of the whole corpus
-      l.hint("shuffle_hash").join(r, "blk")
-        .filter(col("a_id") < col("b_id"))
+      // Dedup.pairJoin: same shuffle_hash'd blocked self-join as the LSH
+      // band path, INCLUDING the mega-bucket cap — the r6 verdict's last
+      // uncapped skewed-key join. greatest(...,1) guards the 0/0 of an
+      // empty shingle set (sub-3-token doc): Spark's divide yields NULL
+      // (pair silently dropped) where DuckDB's IEEE NaN sorts ABOVE the
+      // 0.8 threshold, so without the guard the two engines diverge on
+      // exactly the degenerate rows.
+      Dedup.pairJoin(keyed, Seq("blk"), maxBucket = 64)
+        .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh"))
         .withColumn("inter",
           size(array_intersect(col("a_sh"), col("b_sh"))).cast("double"))
-        .withColumn("cont",
-          col("inter") / least(size(col("a_sh")), size(col("b_sh"))))
-        .withColumn("jac",
-          col("inter") / size(array_union(col("a_sh"), col("b_sh"))))
+        .withColumn("cont", col("inter") /
+          greatest(least(size(col("a_sh")), size(col("b_sh"))), lit(1)))
+        .withColumn("jac", col("inter") /
+          greatest(size(array_union(col("a_sh"), col("b_sh"))), lit(1)))
         .filter(col("cont") >= 0.8)
         .select(col("a_id"), col("b_id"),
           expr(text.fixedPoint("cont", 4)).as("cont_x10k"),

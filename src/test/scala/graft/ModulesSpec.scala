@@ -211,6 +211,32 @@ class ModulesSpec extends AnyFunSuite {
     assert(incr == Set((101L, 102L), (103L, 104L)))
   }
 
+  test("pairJoin cap (containment's prefix block): hot bucket dropped, small buckets exact") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // one boilerplate prefix key (7) held by 60 docs — the crawl-header
+    // skew q_containment_dedup's block key is exposed to — plus two
+    // legitimate contained pairs on unique prefixes
+    val sigs = ((1L to 60L).map(i => (i, 7L)) ++
+      Seq((101L, 1L), (102L, 1L), (103L, 2L), (104L, 2L))).toDF("id", "blk")
+    // the generic audit sees the mega-bucket, largest first
+    val stats = Dedup.blockBucketStats(sigs, Seq("blk")).collect()
+    assert(stats.head.getLong(1) == 60L)
+    val cap = 10
+    val uncapped = Dedup.pairJoin(sigs, Seq("blk"))
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.pairJoin(sigs, Seq("blk"), maxBucket = cap)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // uncapped pays the quadratic bucket (60*59/2 pairs); capped drops
+    // EXACTLY the oversized bucket and keeps small-bucket pairs
+    // bit-identical — no bucket larger than cap crosses the join
+    assert(uncapped.size == 60 * 59 / 2 + 2)
+    assert(capped == Set((101L, 102L), (103L, 104L)))
+    assert(capped.forall { case (a, b) => a < b })
+  }
+
   test("int8 quantization: bounded dot error, high two-stage recall, 4x smaller") {
     import graft.operators.Quantize
     val corpus = graft.core.Tables.embeddings(spark, sf)
