@@ -61,6 +61,14 @@ object TextSig {
     arr
   }
 
+  /** polynomial hash of the first-`n`-token prefix joined by ' ' — the
+    * containment-dedup block key (truncation preserves the prefix, so a
+    * doc and its truncated copy share the block). Mirrors the dialect
+    * fragment `tokenHash(arrayJoin(slice(tokens(col), 1, n), ' '))`;
+    * parity asserted in ModulesSpec. */
+  def prefixHash(s: String, n: Int): Long =
+    tokenHash(tokens(s).take(n).mkString(" "))
+
   /** ORDERED, non-distinct n-gram hashes — one per gram position, EMPTY for
     * docs shorter than n tokens (no partial shingle: a positional consumer
     * like q_substring_dedup's span merge needs gram i to cover tokens
@@ -251,6 +259,9 @@ object TextSig {
   val simhash60Udf: UserDefinedFunction =
     udf((s: String, n: Int) => if (s == null) null
       else java.lang.Long.valueOf(simhash60(s, n)))
+  val prefixHashUdf: UserDefinedFunction =
+    udf((s: String, n: Int) => if (s == null) null
+      else java.lang.Long.valueOf(prefixHash(s, n)))
   /** merge table fixed at UDF-build time (merges are literals in the plan's
     * SQL twin too, so a closure constant keeps the two in lockstep) */
   def bpeEncodeUdf(merges: Seq[(String, String)]): UserDefinedFunction =

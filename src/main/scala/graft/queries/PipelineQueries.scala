@@ -2089,52 +2089,63 @@ object PipelineQueries {
     },
 
     Q("q_collocations",
-      "Collocation mining (the distributional-statistics op behind " +
-        "phrase detection and word2vec-era feature engineering): for " +
-        "every unordered within-document word pair, document-level joint " +
+      "Collocation mining, word2vec-standard form (the distributional-" +
+        "statistics op behind phrase detection): unordered token pairs " +
+        "co-occurring within a +-4-token window, token-level joint " +
         "frequency and LIFT = n_ab*N/(n_a*n_b) — the PMI statistic kept " +
         "as an exact-integer ratio instead of its log, because IEEE " +
         "division of exact counts replays bit-identically across engines " +
         "where libm's ln need not. Support floor n_ab >= 50, top-20 by " +
-        "lift. Scale shape: the pair explode is a doc-keyed equi-self-" +
-        "join of the distinct (doc, word) table — per-doc cost is " +
-        "doc-length squared, never corpus squared — and the unigram " +
-        "document frequencies broadcast back (vocab-sized), with N one " +
-        "broadcast scalar",
-      Some(s"""WITH dw AS (SELECT DISTINCT doc_id, w FROM (
-              |  SELECT doc_id, unnest(${text.tokens(D, "text")}) AS w
-              |  FROM documents)),
-              |nw AS (SELECT w, count(*) AS nw FROM dw GROUP BY w),
-              |nd AS (SELECT count(DISTINCT doc_id) AS n FROM dw),
-              |ab AS (SELECT a.w AS wa, b.w AS wb, count(*) AS nab
-              |       FROM dw a JOIN dw b
-              |         ON a.doc_id = b.doc_id AND a.w < b.w
-              |       GROUP BY a.w, b.w)
-              |SELECT wa, wb, CAST(nab AS BIGINT) AS n_docs_both,
+        "lift. Scale shape: pair generation is a per-row array kernel " +
+        "(each position pairs with at most the 4 tokens after it), so a " +
+        "doc emits <= 4*len pairs — LINEAR in doc length, where the " +
+        "r6 document-level form was doc-length SQUARED (one 10k-distinct-" +
+        "token log dump emitted ~50M pairs from a single row). Unigram " +
+        "counts broadcast back (vocab-sized), N is one broadcast scalar",
+      Some(s"""WITH d AS (SELECT doc_id, ${text.tokens(D, "text")} AS toks
+              |  FROM documents),
+              |t AS (SELECT doc_id, i AS pos, toks[i] AS w
+              |      FROM d, unnest(generate_series(1, len(toks))) AS s(i)),
+              |nw AS (SELECT w, count(*) AS nw FROM t GROUP BY w),
+              |nt AS (SELECT count(*) AS n FROM t),
+              |ab AS (SELECT least(a.w, b.w) AS wa, greatest(a.w, b.w) AS wb,
+              |         count(*) AS nab
+              |       FROM t a JOIN t b ON a.doc_id = b.doc_id
+              |         AND b.pos BETWEEN a.pos + 1 AND a.pos + 4
+              |       WHERE a.w <> b.w
+              |       GROUP BY 1, 2)
+              |SELECT wa, wb, CAST(nab AS BIGINT) AS n_cooc,
               |  ${text.fixedPoint(
                   "CAST(nab AS DOUBLE) * n / (CAST(na.nw AS DOUBLE) * nb.nw)",
                   4)} AS lift_x10k
               |FROM ab
               |JOIN nw na ON na.w = ab.wa
               |JOIN nw nb ON nb.w = ab.wb
-              |CROSS JOIN nd
+              |CROSS JOIN nt
               |WHERE nab >= 50
               |ORDER BY lift_x10k DESC, wa, wb
               |LIMIT 20""".stripMargin)) { (s, dir) =>
+      // the oracle replays the window as a positions range-join (fine for
+      // a correctness gate); the engine never joins — the window pairs are
+      // generated INSIDE the row by one HOF projection, so the only
+      // shuffles are the two vocab-sized aggregates
       val dw = documents(s, dir)
-        .select(col("doc_id"), explode(expr(text.tokens(S, "text"))).as("w"))
-        .distinct()
-      val nw = dw.groupBy("w").agg(count(lit(1)).as("nw"))
-      val nd = dw.agg(countDistinct("doc_id").as("n"))
-      val ab = dw.select(col("doc_id"), col("w").as("wa"))
-        .join(dw.select(col("doc_id"), col("w").as("wb")), "doc_id")
-        .filter(col("wa") < col("wb"))
-        .groupBy("wa", "wb").agg(count(lit(1)).as("nab"))
+        .select(col("doc_id"), expr(text.tokens(S, "text")).as("toks"))
+      val pairs = dw.select(explode(expr(
+          "flatten(transform(toks, (x, i) -> " +
+            "transform(filter(slice(toks, i + 2, 4), y -> y <> x), " +
+            "y -> named_struct('wa', least(x, y), 'wb', greatest(x, y)))))"))
+          .as("p"))
+        .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+      val tok = dw.select(explode(col("toks")).as("w"))
+      val nw = tok.groupBy("w").agg(count(lit(1)).as("nw"))
+      val nt = tok.agg(count(lit(1)).as("n"))
+      val ab = pairs.groupBy("wa", "wb").agg(count(lit(1)).as("nab"))
         .filter(col("nab") >= 50)
       ab.join(broadcast(nw.select(col("w").as("wa"), col("nw").as("na"))), "wa")
         .join(broadcast(nw.select(col("w").as("wb"), col("nw").as("nb"))), "wb")
-        .crossJoin(broadcast(nd))
-        .select(col("wa"), col("wb"), col("nab").cast("long").as("n_docs_both"),
+        .crossJoin(broadcast(nt))
+        .select(col("wa"), col("wb"), col("nab").cast("long").as("n_cooc"),
           expr(text.fixedPoint(
             "CAST(nab AS DOUBLE) * n / (CAST(na AS DOUBLE) * nb)", 4))
             .as("lift_x10k"))

