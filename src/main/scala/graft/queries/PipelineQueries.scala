@@ -33,6 +33,17 @@ object PipelineQueries {
     * structs — lexicographic struct ordering IS the tie rule, zero
     * explode, zero window, zero corpus regroup); the oracle states the
     * identical rule as row_number() OVER (ORDER BY dist, cid) = 1. */
+  /** Spark HOF fragment emitting q_collocations' ±`k`-token window pair
+    * structs from a token-array column: position i pairs with at most the
+    * k tokens after it, so a doc emits ≤ k·len pairs — LINEAR in doc
+    * length (the property the linearity spec pins; a document-level
+    * co-occurrence explode is len² and one long log-dump doc sinks the
+    * stage). Same-token pairs dropped; pairs canonicalized wa ≤ wb. */
+  private[graft] def windowPairsExpr(toks: String, k: Int): String =
+    s"flatten(transform($toks, (x, i) -> " +
+      s"transform(filter(slice($toks, i + 2, $k), y -> y <> x), " +
+      "y -> named_struct('wa', least(x, y), 'wb', greatest(x, y)))))"
+
   private def kmDistD: String =
     D.fold(D.seq("1", D.size("qv")), "CAST(0 AS BIGINT)", "acc", "i",
       s"acc + (${D.elementAt("qv", "i")} - ${D.elementAt("cq", "i")}) * " +
@@ -2131,11 +2142,7 @@ object PipelineQueries {
       // shuffles are the two vocab-sized aggregates
       val dw = documents(s, dir)
         .select(col("doc_id"), expr(text.tokens(S, "text")).as("toks"))
-      val pairs = dw.select(explode(expr(
-          "flatten(transform(toks, (x, i) -> " +
-            "transform(filter(slice(toks, i + 2, 4), y -> y <> x), " +
-            "y -> named_struct('wa', least(x, y), 'wb', greatest(x, y)))))"))
-          .as("p"))
+      val pairs = dw.select(explode(expr(windowPairsExpr("toks", 4))).as("p"))
         .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
       val tok = dw.select(explode(col("toks")).as("w"))
       val nw = tok.groupBy("w").agg(count(lit(1)).as("nw"))

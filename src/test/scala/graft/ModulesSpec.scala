@@ -259,6 +259,22 @@ class ModulesSpec extends AnyFunSuite {
     assert(capped.forall { case (a, b) => a < b })
   }
 
+  test("windowed collocation pairs grow linearly in doc length") {
+    import spark.implicits._
+    // an all-distinct-token doc of L tokens emits exactly k*L - k(k+1)/2
+    // pairs under the ±k window (k=4): LINEAR. The r6 document-level form
+    // emitted L(L-1)/2 from the same doc — 2000 tokens would mean ~2M
+    // pairs instead of 7990. Long-doc fixture, exact counts.
+    def nPairs(len: Int): Long =
+      Seq((1 to len).map(i => s"t$i").mkString(" ")).toDF("text")
+        .select(expr(graft.functions.text.tokens(S, "text")).as("toks"))
+        .select(explode(expr(
+          graft.queries.PipelineQueries.windowPairsExpr("toks", 4))))
+        .count()
+    assert(nPairs(1000) == 4L * 1000 - 10)
+    assert(nPairs(2000) == 4L * 2000 - 10)
+  }
+
   test("int8 quantization: bounded dot error, high two-stage recall, 4x smaller") {
     import graft.operators.Quantize
     val corpus = graft.core.Tables.embeddings(spark, sf)
