@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.vectors
+import graft.functions.{text, vectors}
 
 /** Approximate nearest-neighbor search over an embedding column.
   *
@@ -244,18 +244,21 @@ object AnnIndex {
     * [[ivfAssign]] output stored partitioned by `list_id`): only the query
     * routes through the centroids at search time, and the list join prunes
     * partitions instead of re-running assignment over the whole corpus. */
-  def ivfTopKAssigned(model: org.apache.spark.ml.clustering.KMeansModel,
-                      assigned: DataFrame, embCol: String,
-                      query: DataFrame, queryCol: String,
-                      k: Int, nProbe: Int,
-                      tieBreak: Seq[String] = Nil): DataFrame = {
-    val spark = assigned.sparkSession
+  /** The `nProbe` nearest inverted lists to the query, by centroid
+    * distance — the routing stage shared by [[ivfTopKAssigned]] and
+    * [[ivfTuning]]. Squared euclidean via the staged-dot identity;
+    * centroid count is tiny, so this is a broadcast cross join +
+    * TakeOrderedAndProject. Deterministic total order (dist2, list_id),
+    * so probe sets are NESTED prefixes across nProbe values — the
+    * property [[ivfTuning]]'s monotonicity checks rest on. */
+  private def probeLists(model: org.apache.spark.ml.clustering.KMeansModel,
+                         query: DataFrame, queryCol: String,
+                         nProbe: Int): DataFrame = {
+    val spark = query.sparkSession
     import spark.implicits._
     val cents = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq.toDF("list_id", "centroid")
-    // squared euclidean via the staged-dot identity; centroid count is tiny,
-    // so the routing is a broadcast cross join + TakeOrderedAndProject
-    val probes = query.select(col(queryCol).cast("array<double>").as("__q"))
+    query.select(col(queryCol).cast("array<double>").as("__q"))
       .crossJoin(broadcast(cents))
       .withColumn("dist2",
         vectors.dot(col("__q"), col("__q"))
@@ -264,6 +267,14 @@ object AnnIndex {
       .orderBy(col("dist2"), col("list_id"))
       .limit(nProbe)
       .select(col("list_id"))
+  }
+
+  def ivfTopKAssigned(model: org.apache.spark.ml.clustering.KMeansModel,
+                      assigned: DataFrame, embCol: String,
+                      query: DataFrame, queryCol: String,
+                      k: Int, nProbe: Int,
+                      tieBreak: Seq[String] = Nil): DataFrame = {
+    val probes = probeLists(model, query, queryCol, nProbe)
     // a store stamped by [[ivfStore]] is token-checked on the probe page
     // (assert_true folded into the load-bearing similarity, the Quantize
     // recipe — an unused check column would be optimizer-pruned); stores
@@ -283,5 +294,58 @@ object AnnIndex {
       .orderBy(desc("similarity") +: tieBreak.map(col): _*)
       .limit(k)
       .drop("ivf_sig")
+  }
+
+  /** IVF dial sweep — [[Dedup]]'s LSH-tuning pattern applied to ANN
+    * serving: for each `nProbe`, the candidate volume a probe scans
+    * (rows in the probed lists — the partition-pruned read at 100 TB)
+    * and recall@k against the exact cosine top-k, over ONE shared
+    * assignment of the corpus. This is the measurement that justifies a
+    * fixed nProbe before committing it to a serving config: the
+    * (1/nLists)·nProbe scan-fraction formula says what probing COSTS,
+    * only the sweep says what recall it BUYS on your corpus. One row per
+    * dial: (nprobe, n_candidates, n_corpus, n_hits, recall_x10k,
+    * cand_frac_x10k). Because probe sets are nested prefixes
+    * ([[probeLists]]' deterministic total order) and the true top-k of a
+    * candidate superset can only gain true-top-k members, both
+    * n_candidates and n_hits are non-decreasing in nProbe, and
+    * nProbe = nLists is exactly brute force — the theorem-backed
+    * properties q_ivf_tuning's oracle pins. Scale shape: each dial is
+    * one probed partition-pruned scan + a k-row broadcast intersection;
+    * the exact top-k baseline is computed once. */
+  def ivfTuning(model: org.apache.spark.ml.clustering.KMeansModel,
+                assigned: DataFrame, embCol: String, idCol: String,
+                query: DataFrame, queryCol: String,
+                k: Int, nProbes: Seq[Int]): DataFrame = {
+    val exactIds = assigned
+      .crossJoin(broadcast(query.select(col(queryCol))))
+      .withColumn("__sim", vectors.cosineSim(col(embCol), col(queryCol)))
+      .orderBy(desc("__sim"), col(idCol))
+      .limit(k)
+      .select(col(idCol))
+    val nCorpus = assigned.agg(count(lit(1)).as("n_corpus"))
+    val stats = nProbes.map { np =>
+      val nCand = assigned
+        .join(broadcast(probeLists(model, query, queryCol, np)), "list_id")
+        .agg(count(lit(1)).as("n_candidates"))
+      val nHits = ivfTopKAssigned(model, assigned, embCol, query, queryCol,
+          k, np, tieBreak = Seq(idCol))
+        .select(col(idCol))
+        .join(broadcast(exactIds), Seq(idCol), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      nCand.crossJoin(nHits).select(lit(np).cast("long").as("nprobe"),
+        col("n_candidates").cast("long").as("n_candidates"),
+        col("n_hits").cast("long").as("n_hits"))
+    }
+    stats.reduce(_.unionByName(_))
+      .crossJoin(broadcast(nCorpus))
+      .select(col("nprobe"), col("n_candidates"),
+        col("n_corpus").cast("long").as("n_corpus"), col("n_hits"),
+        expr(text.fixedPoint(s"CAST(n_hits AS DOUBLE) / $k", 4))
+          .as("recall_x10k"),
+        expr(text.fixedPoint(
+          "CAST(n_candidates AS DOUBLE) / greatest(n_corpus, 1)", 4))
+          .as("cand_frac_x10k"))
+      .orderBy("nprobe")
   }
 }

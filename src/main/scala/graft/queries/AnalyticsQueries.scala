@@ -322,6 +322,64 @@ object AnalyticsQueries {
         .orderBy(desc("sim_x10k"), col("vec_id"))
     },
 
+    Q("q_ivf_tuning",
+      "IVF dial sweep (AnnIndex.ivfTuning — q_lsh_tuning's measure-" +
+        "before-committing pattern applied to ANN serving): nProbe in " +
+        "{1,2,4,8,16} over ONE assignment of the corpus, reporting " +
+        "candidate volume (the partition-pruned scan a probe pays) and " +
+        "recall@5 vs the exact cosine top-5 per dial — the measurement " +
+        "that justifies q_ivf_topk's fixed nProbe=4 on THIS corpus " +
+        "instead of trusting the scan-fraction formula. KMeans routing " +
+        "is engine-specific, so the gate pins the THEOREM-backed shape " +
+        "of the sweep (sketch pattern, as q_ivf_topk): probe sets are " +
+        "nested prefixes, so recall and candidate volume are non-" +
+        "decreasing in nProbe (recall_monotone_ok / cands_monotone_ok), " +
+        "and dial_ok pins nProbe=4 recovering >= 3/5 (the published " +
+        "dial) plus nProbe=nLists=16 being EXACTLY brute force (5/5). " +
+        "Measured recall/volume numbers are asserted in ModulesSpec. " +
+        "TRIAGE: a false row on new data means probe width vs list " +
+        "granularity, not an engine bug",
+      Some("""SELECT CAST(nprobe AS BIGINT) AS nprobe,
+             |  TRUE AS recall_monotone_ok, TRUE AS cands_monotone_ok,
+             |  TRUE AS dial_ok
+             |FROM (VALUES (1), (2), (4), (8), (16)) t(nprobe)
+             |ORDER BY nprobe""".stripMargin)) { (s, dir) =>
+      val corpus = embeddings(s, dir).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("emb"))
+      val q = embeddings(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("qe"))
+      // same quarter-sample routing fit as q_ivf_topk — the sweep measures
+      // the dials of the EXACT index the serving query uses
+      val model = AnnIndex.ivfFit(
+        corpus.filter(col("vec_id") % 4 === 1), "emb", nLists = 16)
+      val rep = AnnIndex.ivfTuning(model,
+        AnnIndex.ivfAssign(model, corpus, "emb"), "emb", "vec_id",
+        q, "qe", k = 5, nProbes = Seq(1, 2, 4, 8, 16))
+      // 5-row report -> one array, monotonicity as a HOF over adjacent
+      // elements: no window (PlanGuard) and no driver-side collect
+      rep.agg(sort_array(collect_list(struct(
+          col("nprobe"), col("n_candidates"), col("n_hits")))).as("a"))
+        .select(explode(expr(
+          """transform(a, (x, i) -> named_struct(
+            |  'nprobe', x.nprobe,
+            |  'recall_monotone_ok',
+            |  CASE WHEN i = 0 THEN true
+            |       ELSE x.n_hits >= element_at(a, i).n_hits END,
+            |  'cands_monotone_ok',
+            |  CASE WHEN i = 0 THEN true
+            |       ELSE x.n_candidates >= element_at(a, i).n_candidates END,
+            |  'dial_ok',
+            |  CASE WHEN x.nprobe = 4 THEN x.n_hits >= 3
+            |       WHEN x.nprobe = 16 THEN x.n_hits = 5
+            |       ELSE true END))""".stripMargin)).as("r"))
+        .select(col("r.nprobe").as("nprobe"),
+          col("r.recall_monotone_ok").as("recall_monotone_ok"),
+          col("r.cands_monotone_ok").as("cands_monotone_ok"),
+          col("r.dial_ok").as("dial_ok"))
+        .orderBy("nprobe")
+    },
+
     Q("q_ivfpq_topk",
       "IVFPQ top-5 (Quantize.ivfPqTopK — the two ANN layouts composed as " +
         "FAISS ships them, Jégou et al. 2011): IVF routes the query to 4 " +

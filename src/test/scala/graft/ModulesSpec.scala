@@ -259,6 +259,33 @@ class ModulesSpec extends AnyFunSuite {
     assert(capped.forall { case (a, b) => a < b })
   }
 
+  test("ivfTuning: measured recall/volume justify the published nProbe=4 dial") {
+    import graft.operators.AnnIndex
+    val corpus = graft.core.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = graft.core.Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("qe"))
+    val model = AnnIndex.ivfFit(
+      corpus.filter(col("vec_id") % 4 === 1), "emb", nLists = 16)
+    val rep = AnnIndex.ivfTuning(model, AnnIndex.ivfAssign(model, corpus, "emb"),
+        "emb", "vec_id", q, "qe", k = 5, nProbes = Seq(1, 2, 4, 8, 16))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nCorpus = rep.head._3
+    // the published dial: nProbe=4 buys >= 3/5 recall while scanning a
+    // strict subset of the corpus — the measured justification for
+    // q_ivf_topk's recall_ok bound
+    val at4 = rep.find(_._1 == 4L).get
+    assert(at4._4 >= 3L, s"nProbe=4 recall collapsed: $at4")
+    assert(at4._2 < nCorpus, s"nProbe=4 scans the whole corpus: $at4")
+    // theorem checks on the measured rows: monotone volume + recall,
+    // probe-all == brute force (full corpus, 5/5)
+    assert(rep.map(_._2).toSeq == rep.map(_._2).sorted.toSeq)
+    assert(rep.map(_._4).toSeq == rep.map(_._4).sorted.toSeq)
+    val full = rep.find(_._1 == 16L).get
+    assert(full._2 == nCorpus && full._4 == 5L)
+  }
+
   test("windowed collocation pairs grow linearly in doc length") {
     import spark.implicits._
     // an all-distinct-token doc of L tokens emits exactly k*L - k(k+1)/2
