@@ -246,6 +246,106 @@ object Multimodal {
     sum
   }
 
+  /** Real ANIMATED GIF via the JDK's own ImageIO GIF codec
+    * (writeToSequence) — the compressed-container analog of [[encodeY4m]]:
+    * `nFrames` full TYPE_BYTE_GRAY frames whose pixel i (row-major,
+    * frames concatenated) is (seed*5 + i) % 241, the Y4M payload formula.
+    * 241 < 256 distinct gray values fit the GIF palette, so the LZW
+    * encoding is LOSSLESS here and the oracle replays every frame sum
+    * closed-form — real compression, exact arithmetic. */
+  def encodeGif(w: Int, h: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    imageIoInit
+    require(w > 0 && h > 0, s"bad gif dims ${w}x$h")
+    require(nFrames > 0, s"bad frame count $nFrames")
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+    require(writers.hasNext, "no ImageIO gif writer")
+    val wr = writers.next()
+    // explicit 256-entry gray palette: a bare TYPE_BYTE_GRAY image makes
+    // the JDK writer derive (and quantize through) its own color table —
+    // measured value drift on small rasters. With the identity gray ICM
+    // the palette IS the byte value.
+    val g = Array.tabulate[Byte](256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, g, g, g)
+    try {
+      wr.setOutput(ios)
+      // interlace OFF: the JDK writer's interlaced (progressive) output
+      // row-shuffles frames whose height is not a multiple of the pass
+      // structure (probed: 4x3 frames came back with a zeroed middle row);
+      // non-interlaced output round-trips bit-exact at every dim
+      val p = wr.getDefaultWriteParam
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      wr.prepareWriteSequence(null)
+      var idx = 0L; var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        val r = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            r.setSample(x, y, 0, ((seed * 5 + idx) % 241).toInt)
+            idx += 1; x += 1
+          }
+          y += 1
+        }
+        wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), p)
+        f += 1
+      }
+      wr.endWriteSequence()
+    } finally { wr.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** One sampled GIF frame's stats: dims + exact gray sum over the
+    * genuinely LZW-decoded raster ([[FrameStat]]'s shape; GIF frames here
+    * are gray, so there is no chroma plane). */
+  final case class GifFrameStat(frame_idx: Long, width: Long, height: Long,
+      gray_sum: Long)
+
+  /** Frame walk + sampling over real GIF bytes via the ImageIO reader:
+    * every `stride`-th frame decoded (reader.read is per-index — an
+    * unsampled frame's raster is never materialized, the frame-sampling
+    * contract at 100 TB), per-frame dims + exact gray sum. Each stored
+    * frame is written full by [[encodeGif]], so read(i) needs no
+    * disposal-method compositing. Malformed input throws, same policy as
+    * the other walkers. */
+  def gifFrameStats(b: Array[Byte], stride: Int): Array[GifFrameStat] = {
+    imageIoInit
+    require(stride > 0, s"bad stride $stride")
+    require(b != null && b.length >= 6 &&
+      b(0) == 'G' && b(1) == 'I' && b(2) == 'F', "not a GIF")
+    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    require(readers.hasNext, "no ImageIO gif reader")
+    val rd = readers.next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      rd.setInput(iis, false)
+      val n = rd.getNumImages(true)
+      require(n > 0, "gif: no frames")
+      val out = scala.collection.mutable.ArrayBuffer.empty[GifFrameStat]
+      var f = 0
+      while (f < n) {
+        if (f % stride == 0) {
+          val img = rd.read(f)
+          var s = 0L; var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { s += (img.getRGB(x, y) & 0xff); x += 1 }
+            y += 1
+          }
+          out += GifFrameStat(f.toLong, img.getWidth.toLong,
+            img.getHeight.toLong, s)
+        }
+        f += 1
+      }
+      out.toArray
+    } finally { rd.dispose(); iis.close() }
+  }
+
   /** Compressed-codec blob for a document (q_multimodal_codec's writer):
     * PNG for even ids, JPEG for odd; dims 16+doc%13 × 16+doc%7 — large
     * enough that JPEG's DCT error stays well under the oracle's 5% sum
@@ -629,6 +729,13 @@ object Multimodal {
   val videoMetaUdf = udf((b: Array[Byte]) => videoMeta(b))
   val videoFrameStatsUdf =
     udf((b: Array[Byte], stride: Int) => videoFrameStats(b, stride))
+  val gifForDocUdf = udf((docId: Long) => {
+    require(docId >= 0, s"negative doc_id $docId")
+    encodeGif((3 + docId % 6).toInt, (2 + docId % 4).toInt,
+      (3 + docId % 5).toInt, docId)
+  })
+  val gifFrameStatsUdf =
+    udf((b: Array[Byte], stride: Int) => gifFrameStats(b, stride))
   val metaUdf = udf((b: Array[Byte]) => decodeMeta(b))
   val resizeBmpUdf = udf((b: Array[Byte], w: Int, h: Int) => resizeBmp(b, w, h))
   val weightedPixelSumUdf = udf((b: Array[Byte]) => weightedPixelSum(b))
@@ -693,7 +800,8 @@ object Multimodal {
   private def isImageIoMagic(b: Array[Byte]): Boolean =
     b != null && b.length >= 3 &&
       ((b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N') ||
-        (b(0) == 0xff.toByte && b(1) == 0xd8.toByte && b(2) == 0xff.toByte))
+        (b(0) == 0xff.toByte && b(1) == 0xd8.toByte && b(2) == 0xff.toByte) ||
+        (b(0) == 'G' && b(1) == 'I' && b(2) == 'F'))
 
   /** Batch feature extraction: content bytes → `dim`-float feature vector.
     * Typed Dataset mapPartitions (not a per-row UDF, not an RDD drop-down):

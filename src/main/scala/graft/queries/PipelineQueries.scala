@@ -1069,6 +1069,53 @@ object PipelineQueries {
         .orderBy("media_id", "frame_idx")
     },
 
+    Q("q_gif_frames",
+      "Frame sampling over REAL animated GIF — the first COMPRESSED " +
+        "container to get the Y4M frame-walk treatment, through the " +
+        "JDK's own ImageIO GIF codec (genuine LZW encode AND decode, no " +
+        "stub): every 2nd frame's dims + exact gray-raster sum and the " +
+        "delta vs the previous sampled frame. The fixture's 241 gray " +
+        "values fit GIF's 256-entry palette, so the lossy-looking codec " +
+        "is exactly lossless here and the oracle replays the sums " +
+        "closed-form from the (seed*5+i)%241 payload formula — " +
+        "fakeDecode's remaining scope shrinks to MP3/H.264 (the JDK " +
+        "ships no audio/video codec). Scale shape: per-row codec " +
+        "kernel + explode, unsampled frames never decode, then one " +
+        "window PARTITIONED BY media",
+      Some("""WITH d AS (
+             |  SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 4 AS h,
+             |    3 + doc_id % 5 AS nf
+             |  FROM documents WHERE doc_id < 200),
+             |e AS (SELECT *, w * h AS fb FROM d),
+             |f AS (SELECT doc_id, w, h, fb,
+             |  unnest(list_filter(generate_series(0, nf - 1), x -> x % 2 = 0))
+             |    AS fi FROM e),
+             |s AS (SELECT doc_id, w, h, fi,
+             |  list_sum(list_transform(generate_series(0, fb - 1), j ->
+             |    (doc_id * 5 + fi * fb + j) % 241)) AS gs
+             |  FROM f)
+             |SELECT doc_id AS media_id, CAST(fi AS BIGINT) AS frame_idx,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(gs AS BIGINT) AS gray_sum,
+             |  CAST(gs - coalesce(lag(gs) OVER (PARTITION BY doc_id ORDER BY fi),
+             |    gs) AS BIGINT) AS gray_delta
+             |FROM s ORDER BY media_id, frame_idx""".stripMargin)) { (s, dir) =>
+      import graft.operators.Multimodal
+      documents(s, dir)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id").as("media_id"),
+          explode(Multimodal.gifFrameStatsUdf(
+            Multimodal.gifForDocUdf(col("doc_id")), lit(2))).as("fs"))
+        .select(col("media_id"), col("fs.frame_idx").as("frame_idx"),
+          col("fs.width").as("width"), col("fs.height").as("height"),
+          col("fs.gray_sum").as("gray_sum"))
+        .withColumn("gray_delta", col("gray_sum") - coalesce(
+          lag("gray_sum", 1).over(
+            Window.partitionBy("media_id").orderBy("frame_idx")),
+          col("gray_sum")))
+        .orderBy("media_id", "frame_idx")
+    },
+
     Q("q_audio_features",
       "Real DSP over real WAV bytes (the audio analog of the decoded-pixel " +
         "queries): parse the RIFF/PCM payload, then compute zero-crossing " +

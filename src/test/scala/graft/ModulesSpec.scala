@@ -286,6 +286,28 @@ class ModulesSpec extends AnyFunSuite {
     assert(full._2 == nCorpus && full._4 == 5L)
   }
 
+  test("GIF codec: animated round-trip exact, stride sampling, malformed throws") {
+    import graft.operators.Multimodal
+    val b = Multimodal.encodeGif(5, 4, 6, 9L)
+    assert(new String(b, 0, 6, "US-ASCII").startsWith("GIF8"))
+    // full walk: every frame's decoded gray sum replays the payload
+    // formula exactly — the LZW path is genuinely lossless here
+    val all = Multimodal.gifFrameStats(b, 1)
+    assert(all.length == 6)
+    val fb = 5L * 4L
+    all.foreach { fs =>
+      val want = (0L until fb).map(j => (9L * 5 + fs.frame_idx * fb + j) % 241).sum
+      assert(fs.gray_sum == want && fs.width == 5L && fs.height == 4L,
+        s"frame ${fs.frame_idx}: $fs != $want")
+    }
+    // stride sampling keeps frames 0, 3 only
+    assert(Multimodal.gifFrameStats(b, 3).map(_.frame_idx).toSeq == Seq(0L, 3L))
+    // non-GIF bytes fail loudly, same policy as the other walkers
+    intercept[IllegalArgumentException] {
+      Multimodal.gifFrameStats("not a gif at all".getBytes("US-ASCII"), 1)
+    }
+  }
+
   test("windowed collocation pairs grow linearly in doc length") {
     import spark.implicits._
     // an all-distinct-token doc of L tokens emits exactly k*L - k(k+1)/2
