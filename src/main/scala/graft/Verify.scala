@@ -33,6 +33,21 @@ object Verify {
         failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
       }
     }
+    // ---- streaming smoke: the streaming tier under the SAME gate as the
+    // batch catalog (previously spec-only; its batch twins alone ran here).
+    // One bounded availableNow pass over the REAL events table through
+    // dedupStream + dailyCounts, parity-asserted against the batch-twin
+    // aggregation. A parity break lands in the failures manifest and the
+    // nonzero exit like any broken query dump. Skipped under
+    // SPARK_GRAFT_ONLY (dev loops), like Bench's isolated re-timing.
+    if (only.isEmpty) {
+      try streamingSmoke(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] streaming_smoke failed: ${e.getMessage}")
+        failures("streaming_smoke") =
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+      }
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -66,5 +81,71 @@ object Verify {
         failures.keys.mkString(", "))
       sys.exit(1)
     }
+  }
+
+  /** Bounded streaming run + parity assert (see call site). Throws on any
+    * divergence; the caller records it as a gate failure. */
+  private def streamingSmoke(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.functions.{text, SparkDialect => S}
+    val events = graft.core.Tables.events(spark, sfDir)
+    val tmp = Files.createTempDirectory("graft_stream_smoke")
+    val inDir = tmp.resolve("in").toString
+    events.write.mode("overwrite").parquet(inDir)
+    val stream = spark.readStream.schema(events.schema).parquet(inDir)
+
+    // 1) watermark-bounded ingest dedup. All files land in one availableNow
+    // micro-batch (no maxFilesPerTrigger cap), so the state store sees the
+    // whole table inside one watermark horizon and must keep EXACTLY one
+    // survivor per content fingerprint — the arrival-order-free contract
+    // the batch side can replay (survivor IDENTITY is arrival-order
+    // dependent and is pinned by the ModulesSpec fixture instead).
+    val fpCol = expr(text.fingerprint(S, "(event_type || ' ' || props)"))
+    val dedup = graft.streaming.EventsStream
+      .dedupStream(stream, "(event_type || ' ' || props)")
+    val q1 = dedup.writeStream.format("memory").queryName("smoke_dedup")
+      .option("checkpointLocation", tmp.resolve("ck1").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+    val gotFps = spark.table("smoke_dedup")
+      .select(fpCol.as("fp")).collect().map(_.getLong(0)).sorted.toSeq
+    val wantFps = events
+      .select(fpCol.as("fp")).distinct().collect().map(_.getLong(0)).sorted.toSeq
+    require(gotFps == wantFps,
+      s"streaming dedup parity: ${gotFps.length} survivors with " +
+        s"${gotFps.distinct.length} distinct fingerprints vs " +
+        s"${wantFps.length} batch-distinct fingerprints")
+
+    // 2) tumbling daily window. Complete output mode emits every window
+    // regardless of the final watermark (append would hold back the last
+    // open day), so the streaming result must EQUAL the batch twin rollup
+    // row for row — avg quantized x100 exactly as q_daily_window ships it.
+    val daily = graft.streaming.EventsStream.dailyCounts(stream)
+    val q2 = daily.writeStream.format("memory").queryName("smoke_daily")
+      .outputMode("complete")
+      .option("checkpointLocation", tmp.resolve("ck2").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val got = spark.table("smoke_daily")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n").cast("long").as("n"),
+        expr(text.fixedPoint("avg_value", 2)).as("avg_x100"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).sorted.toSeq
+    val want = events
+      .groupBy(date_format(expr(S.dayTrunc("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr(text.fixedPoint("avg(value)", 2)).as("avg_x100"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).sorted.toSeq
+    require(got == want,
+      s"streaming daily-window parity: ${got.length} streamed rows vs " +
+        s"${want.length} batch rows" +
+        got.zip(want).collectFirst { case (g, w) if g != w =>
+          s"; first divergence $g vs $w" }.getOrElse(""))
+    println(s"[verify] streaming_smoke OK: ${gotFps.length} dedup " +
+      s"survivors, ${got.length} daily-window rows parity-matched")
   }
 }
