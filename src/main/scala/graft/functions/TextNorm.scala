@@ -86,7 +86,11 @@ object TextNorm {
             Integer.parseInt(num.substring(1), 16)
           else Integer.parseInt(num)
         } catch { case _: NumberFormatException => -1 }
-      if (cp < 0 || cp > 0x10FFFF) null
+      // surrogate code points (0xD800-0xDFFF) are not characters: toChars
+      // would emit an unpaired surrogate — invalid UTF-8 once materialized
+      // as UTF8String, and a divergence from any Unicode-correct oracle —
+      // so the entity passes through verbatim like other malformed ones
+      if (cp < 0 || cp > 0x10FFFF || (cp >= 0xD800 && cp <= 0xDFFF)) null
       else (new String(Character.toChars(cp)), semi - i + 1)
     } else Named.get(body) match {
       case Some(r) => (r, semi - i + 1)
@@ -128,7 +132,14 @@ object TextNorm {
     var i = 0
     while (i < html.length) {
       val c = html.charAt(i)
-      if (c == '<') {
+      // '<' opens a tag only when followed by a letter, '/', or '!' (the
+      // HTML spec's tag-open disposition); a bare '<' before anything else
+      // — '1 < 2' in unescaped crawl text — is character data, and
+      // swallowing to the next '>' would silently delete visible content
+      if (c == '<' && i + 1 < html.length && {
+        val n = html.charAt(i + 1)
+        (n >= 'a' && n <= 'z') || (n >= 'A' && n <= 'Z') || n == '/' || n == '!'
+      }) {
         if (opensElement(html, i, "script")) i = skipElement(html, i, "script")
         else if (opensElement(html, i, "style")) i = skipElement(html, i, "style")
         else {

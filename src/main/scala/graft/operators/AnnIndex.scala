@@ -215,6 +215,11 @@ object AnnIndex {
       s"IVF store at $storeDir carries no ivf_sig token — rebuild it with " +
         "ivfStore before appending increments")
     val range = stored.agg(min(col("ivf_sig")), max(col("ivf_sig"))).head()
+    // min/max over ZERO rows are NULL — an empty store must raise the same
+    // loud rebuild message, not an NPE out of getLong
+    require(!range.isNullAt(0) && !range.isNullAt(1),
+      s"IVF store at $storeDir is empty — rebuild it with ivfStore before " +
+        "appending increments")
     require(range.getLong(0) == sig && range.getLong(1) == sig,
       s"stale IVF store at $storeDir: ivf_sig does not match this model's " +
         "centroids — the routing fit changed; rebuild the store instead of " +

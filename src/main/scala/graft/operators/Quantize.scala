@@ -400,6 +400,11 @@ object Quantize {
       s"PQ store at $storeDir carries no pq_cb_sig token — rebuild it with " +
         "pqEncode before appending increments")
     val range = stored.agg(min(col("pq_cb_sig")), max(col("pq_cb_sig"))).head()
+    // min/max over ZERO rows are NULL — an empty store must raise the same
+    // loud rebuild message, not an NPE out of getLong
+    require(!range.isNullAt(0) && !range.isNullAt(1),
+      s"PQ store at $storeDir is empty — rebuild it with pqEncode before " +
+        "appending increments")
     require(range.getLong(0) == sig && range.getLong(1) == sig,
       s"stale PQ store at $storeDir: pq_cb_sig does not match these " +
         "codebooks — the fit changed; rebuild the store instead of " +

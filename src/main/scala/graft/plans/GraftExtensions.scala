@@ -82,14 +82,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the TextNorm scrub kernels, SQL-callable and codegen-inlined; the
     // strict STRING check stays with the expression (no coercing cast:
     // normalizing a number is a caller bug worth failing at analysis)
-    Seq[(String, Expression => Expression)](
-      ("normalize_text", NormalizeText.apply),
-      ("html_to_text", HtmlToText.apply),
-      ("canonical_url", CanonicalizeUrl.apply)
-    ).foreach { case (name, build) =>
+    Seq[(String, Class[_], Expression => Expression)](
+      ("normalize_text", classOf[NormalizeText], NormalizeText.apply),
+      ("html_to_text", classOf[HtmlToText], HtmlToText.apply),
+      ("canonical_url", classOf[CanonicalizeUrl], CanonicalizeUrl.apply)
+    ).foreach { case (name, cls, build) =>
       ext.injectFunction((
         new FunctionIdentifier(name),
-        new ExpressionInfo(classOf[NormalizeText].getName, name),
+        // each entry carries ITS implementing class: DESCRIBE FUNCTION
+        // reports it, and all three pointing at NormalizeText misled
+        new ExpressionInfo(cls.getName, name),
         (children: Seq[Expression]) => {
           require(children.length == 1, s"$name(s)")
           build(children.head)

@@ -770,6 +770,24 @@ class ModulesSpec extends AnyFunSuite {
       Quantize.pqRefresh(spark, refit, dir, batch, "emb")
     }
     assert(e.getMessage.contains("stale PQ store"), e.getMessage)
+    // a ZERO-ROW store (schema present, no data) raises the loud rebuild
+    // message, not an NPE from the null min/max — both refresh twins
+    val emptyPq = java.nio.file.Files
+      .createTempDirectory("graft_pq_empty").toString + "/store"
+    Quantize.pqEncode(base, "emb", cb).limit(0).write.parquet(emptyPq)
+    val ep = intercept[IllegalArgumentException] {
+      Quantize.pqRefresh(spark, cb, emptyPq, batch, "emb")
+    }
+    assert(ep.getMessage.contains("is empty"), ep.getMessage)
+    import graft.operators.AnnIndex
+    val model = AnnIndex.ivfFit(base, "emb", nLists = 4)
+    val emptyIvf = java.nio.file.Files
+      .createTempDirectory("graft_ivf_empty").toString + "/store"
+    AnnIndex.ivfStore(model, base, "emb").limit(0).write.parquet(emptyIvf)
+    val ei = intercept[IllegalArgumentException] {
+      AnnIndex.ivfRefresh(spark, model, emptyIvf, batch, "emb")
+    }
+    assert(ei.getMessage.contains("is empty"), ei.getMessage)
   }
 
   test("bucketed tables join without a shuffle (co-located join)") {
@@ -2142,6 +2160,16 @@ class ModulesSpec extends AnyFunSuite {
     assert(TextNorm.htmlToText("a<div  class=") == "a")
     assert(TextNorm.htmlToText("a<script>var x=1;") == "a")
     assert(TextNorm.htmlToText("a<script>x</script") == "a")
+    // bare '<' before a non-letter is CHARACTER DATA (HTML spec), not a
+    // tag opener — unescaped comparisons in crawl text must survive
+    assert(TextNorm.htmlToText("1 < 2 > 3") == "1 < 2 > 3")
+    assert(TextNorm.htmlToText("a < <b>bold</b>") == "a < bold")
+    assert(TextNorm.htmlToText("x <") == "x <")
+    // surrogate code points are not characters: the numeric entity passes
+    // through verbatim like other malformed entities, never an unpaired
+    // surrogate in the output
+    assert(TextNorm.htmlToText("&#xD800; ok &#55296;") == "&#xD800; ok &#55296;")
+    assert(!TextNorm.htmlToText("&#xDFFF;").exists(Character.isSurrogate))
   }
 
   test("TextNorm.canonicalizeUrl: pinned rules, including the ones the catalog query can't hit") {
