@@ -231,18 +231,29 @@ object Dedup {
     // sides, matching what a from-scratch capped run over old+new would do
     val all = corpusIndex.unionByName(nb)
       .select(col("id"), col("band_idx"), col("band_key"))
+    // null-safe key comparisons throughout, same rationale as [[pairJoin]]:
+    // `=` (or a name-based join) makes Spark push inferred isnotnull(key)
+    // below the banding projection and re-evaluate the signature UDF chain
+    // once per key per branch
+    val keys = Seq("band_idx", "band_key")
     def bound(df: DataFrame): DataFrame =
       if (maxBucket == Int.MaxValue) df
-      else df.join(
-        broadcast(oversizedKeys(all, Seq("band_idx", "band_key"), maxBucket)),
-        Seq("band_idx", "band_key"), "left_anti")
+      else {
+        val over = oversizedKeys(all, keys, maxBucket)
+          .select(keys.map(c => col(c).as(s"__over_$c")): _*)
+        df.join(broadcast(over),
+          keys.map(c => col(c) <=> col(s"__over_$c")).reduce(_ && _),
+          "left_anti")
+      }
     val a = bound(nb)
       .select(col("id").as("a_id"), col("band_idx"), col("band_key"))
       .hint("shuffle_hash")
     val b = bound(all)
-      .select(col("id").as("b_id"), col("band_idx"), col("band_key"))
+      .select(col("id").as("b_id"), col("band_idx").as("__b_band_idx"),
+        col("band_key").as("__b_band_key"))
       .hint("shuffle_hash")
-    a.join(b, Seq("band_idx", "band_key"))
+    a.join(b, col("band_idx") <=> col("__b_band_idx") &&
+        col("band_key") <=> col("__b_band_key"))
       .filter(col("a_id") =!= col("b_id"))
       // normalize orientation; a new×new pair arrives from both sides and
       // (band_idx is unique per doc) collapses on the distinct
