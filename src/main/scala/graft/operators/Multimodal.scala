@@ -346,6 +346,113 @@ object Multimodal {
     } finally { rd.dispose(); iis.close() }
   }
 
+  /** 64-bit DIFFERENCE HASH (dHash) over the genuinely DECODED raster —
+    * the perceptual image-dedup primitive (the multimodal sibling of the
+    * text MinHash): re-encodes, format conversions and integer-factor
+    * resizes of the same picture collapse to one hash while byte-level
+    * hashes see unrelated blobs.
+    *
+    * Definition (all integer arithmetic, so the oracle replays it
+    * closed-form from the pixel formula): sample a 9-column × 8-row grid
+    * over the storage raster — sx = c·W/9, sr = r·H/8, integer division,
+    * the exact nearest-neighbor mapping [[resizeBmp]] uses — with
+    * gray(c, r) = the pixel's CHANNEL SUM (permutation-invariant, so
+    * BGR-ordered BMPs and RGB PNGs of the same picture agree);
+    * bit(r, c) = gray(c+1, r) > gray(c, r), packed at position r·8+c.
+    *
+    * Resize invariance is arithmetic, not approximate: for a k×
+    * nearest-neighbor upscale, floor(floor(a·k)/k) = floor(a), so the
+    * upscaled image's sample grid reads exactly the original's samples
+    * (spec-pinned for 2× and 3×). Dispatch on magic bytes: BMP and PPM
+    * parse directly (same strict-layout contract as the other walkers);
+    * PNG/GIF/JPEG decode through the real ImageIO codecs. */
+  def dHash64(b: Array[Byte]): Long = {
+    require(b != null && b.length >= 2, "dHash64: empty blob")
+    // (width, height, gray(x, y) = channel sum at storage position)
+    val (w, h, gray): (Int, Int, (Int, Int) => Int) =
+      if (b(0) == 'B' && b(1) == 'M') {
+        require(b.length >= 54, "bmp truncated header")
+        val dataOff = rdLE(b, 10, 4).toInt
+        val bpp = rdLE(b, 28, 2).toInt
+        require(bpp == 24 && rdLE(b, 30, 4) == 0 && dataOff == 54,
+          "dHash64: only uncompressed 24bpp BMP with a 54-byte header")
+        val bw = rdLE(b, 18, 4).toInt; val bh = rdLE(b, 22, 4).toInt
+        val stride = ((3 * bw + 3) / 4) * 4
+        require(b.length >= 54 + stride * bh, "bmp truncated pixel payload")
+        (bw, bh, (x, y) => {
+          val p = 54 + y * stride + 3 * x
+          (b(p) & 0xff) + (b(p + 1) & 0xff) + (b(p + 2) & 0xff)
+        })
+      } else if (b(0) == 'P' && b(1) == '6') {
+        var p = 2
+        def nextInt(): Int = {
+          while (p < b.length && (b(p) == ' ' || b(p) == '\n' ||
+                 b(p) == '\r' || b(p) == '\t' || b(p) == '#')) {
+            if (b(p) == '#') { while (p < b.length && b(p) != '\n') p += 1 }
+            else p += 1
+          }
+          val start = p
+          while (p < b.length && b(p) >= '0' && b(p) <= '9') p += 1
+          require(p > start, s"ppm header: expected integer at byte $start")
+          new String(b, start, p - start, "US-ASCII").toInt
+        }
+        val pw = nextInt(); val ph = nextInt(); val maxv = nextInt()
+        require(pw > 0 && ph > 0 && maxv == 255, s"ppm ${pw}x$ph maxval=$maxv")
+        p += 1
+        require(b.length >= p + 3 * pw * ph, "ppm truncated pixel payload")
+        val off = p
+        (pw, ph, (x, y) => {
+          val q = off + 3 * (y * pw + x)
+          (b(q) & 0xff) + (b(q + 1) & 0xff) + (b(q + 2) & 0xff)
+        })
+      } else if (isImageIoMagic(b)) {
+        imageIoInit
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        require(img != null, "dHash64: ImageIO could not decode the blob")
+        (img.getWidth, img.getHeight, (x, y) => {
+          val rgb = img.getRGB(x, y)
+          ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        })
+      } else throw new IllegalArgumentException(
+        "dHash64: unrecognized image magic")
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      val sr = r * h / 8
+      var prev = gray(0, sr) // c = 0 column
+      var c = 0
+      while (c < 8) {
+        val cur = gray((c + 1) * w / 9, sr)
+        if (cur > prev) hash |= 1L << (r * 8 + c)
+        prev = cur
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** q_image_dedup's fixture writer: ONE picture per base id rendered
+    * through byte-DIFFERENT containers and scales — base 24bpp BMP (+0),
+    * its 2× nearest-neighbor upscale (+20000), the same raster as binary
+    * PPM (+40000), and as real deflate-compressed PNG (+60000). All four
+    * decode to rasters whose [[dHash64]] samples agree (channel-sum gray
+    * is BGR/RGB-order-blind; the 2× upscale is exactly sample-invariant),
+    * so the perceptual hash collapses them while any byte hash sees four
+    * unrelated blobs. */
+  def imageVariantForDoc(imgId: Long): Array[Byte] = {
+    require(imgId >= 0, s"negative image id $imgId")
+    val base = imgId % 20000
+    val w = (8 + base % 5).toInt; val h = (8 + base % 3).toInt
+    (imgId / 20000) match {
+      case 0 => encodeBmp(w, h, base)
+      case 1 => resizeBmp(encodeBmp(w, h, base), 2 * w, 2 * h)
+      case 2 => encodePpm(w, h, base)
+      case 3 => encodePng(w, h, base)
+      case v => throw new IllegalArgumentException(s"bad image variant $v")
+    }
+  }
+
   /** Compressed-codec blob for a document (q_multimodal_codec's writer):
     * PNG for even ids, JPEG for odd; dims 16+doc%13 × 16+doc%7 — large
     * enough that JPEG's DCT error stays well under the oracle's 5% sum
@@ -736,6 +843,9 @@ object Multimodal {
   })
   val gifFrameStatsUdf =
     udf((b: Array[Byte], stride: Int) => gifFrameStats(b, stride))
+  val dHash64Udf = udf((b: Array[Byte]) =>
+    if (b == null) null else java.lang.Long.valueOf(dHash64(b)))
+  val imageVariantForDocUdf = udf((imgId: Long) => imageVariantForDoc(imgId))
   val metaUdf = udf((b: Array[Byte]) => decodeMeta(b))
   val resizeBmpUdf = udf((b: Array[Byte], w: Int, h: Int) => resizeBmp(b, w, h))
   val weightedPixelSumUdf = udf((b: Array[Byte]) => weightedPixelSum(b))

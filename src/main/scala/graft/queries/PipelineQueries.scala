@@ -1116,6 +1116,79 @@ object PipelineQueries {
         .orderBy("media_id", "frame_idx")
     },
 
+    Q("q_image_dedup",
+      "PERCEPTUAL image dedup via 64-bit difference hash (dHash — the " +
+        "multimodal sibling of text MinHash): every picture in the " +
+        "fixture exists as up to four byte-DIFFERENT blobs — base BMP, " +
+        "its 2x nearest upscale, the raster re-wrapped as PPM, and a " +
+        "real deflate-compressed PNG — and the hash over the genuinely " +
+        "DECODED rasters collapses all of them where any byte hash sees " +
+        "unrelated files. Deterministic by construction: the 9x8 sample " +
+        "grid, channel-sum gray (BGR/RGB-blind) and integer-division " +
+        "resize mapping make the hash an exact integer function of the " +
+        "pixel formula, so the oracle replays every 64-bit value " +
+        "closed-form (sign bit via the two's-complement subtraction " +
+        "trick — DuckDB refuses 1<<63) and the n_formats column proves " +
+        "byte-distinct variants actually merged. Scale shape: per-row " +
+        "decode kernel, then ONE map-side-combined aggregate on the " +
+        "hash — image dedup costs the same as exact text dedup once " +
+        "the hash column exists",
+      Some("""WITH d AS (SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h
+             |  FROM documents WHERE doc_id < 240),
+             |g AS (SELECT doc_id, r, c,
+             |    (doc_id * 3 + (r * h // 8) * 3 * w + 3 * (c * w // 9)) % 251
+             |  + (doc_id * 3 + (r * h // 8) * 3 * w + 3 * (c * w // 9) + 1) % 251
+             |  + (doc_id * 3 + (r * h // 8) * 3 * w + 3 * (c * w // 9) + 2) % 251
+             |    AS gray
+             |  FROM d, (SELECT unnest(generate_series(0, 7)) AS r),
+             |       (SELECT unnest(generate_series(0, 8)) AS c)),
+             |b0 AS (SELECT doc_id, r, c,
+             |    CASE WHEN lead(gray) OVER (PARTITION BY doc_id, r ORDER BY c)
+             |              > gray THEN 1 ELSE 0 END AS bit
+             |  FROM g),
+             |hx AS (SELECT doc_id,
+             |    CAST(sum(CASE WHEN r * 8 + c < 63
+             |      THEN CAST(bit AS BIGINT) * (1::BIGINT << (r * 8 + c))
+             |      ELSE 0 END) AS BIGINT)
+             |    + CASE WHEN max(CASE WHEN r * 8 + c = 63 THEN bit ELSE 0 END) = 1
+             |           THEN (-9223372036854775807 - 1) ELSE 0 END AS dhash
+             |  FROM b0 WHERE c < 8 GROUP BY doc_id),
+             |corpus AS (
+             |  SELECT doc_id AS img_id, doc_id AS base_id FROM d
+             |  UNION ALL SELECT doc_id + 20000, doc_id FROM d WHERE doc_id % 3 = 0
+             |  UNION ALL SELECT doc_id + 40000, doc_id FROM d WHERE doc_id % 4 = 0
+             |  UNION ALL SELECT doc_id + 60000, doc_id FROM d WHERE doc_id % 5 = 0)
+             |SELECT dhash, CAST(min(img_id) AS BIGINT) AS keep_id,
+             |  count(*) AS n_images,
+             |  CAST(count(DISTINCT img_id // 20000) AS BIGINT) AS n_formats
+             |FROM corpus JOIN hx ON hx.doc_id = corpus.base_id
+             |GROUP BY dhash
+             |ORDER BY keep_id""".stripMargin)) { (s, dir) =>
+      import graft.operators.Multimodal
+      val ids = documents(s, dir).filter(col("doc_id") < 240)
+        .select(col("doc_id"))
+      // the engine never sees the base formula: every variant is real
+      // bytes through the real encoders, and the hash is computed by the
+      // real decode kernel — only the ORACLE replays the arithmetic
+      val corpus = ids.select(col("doc_id").as("img_id"))
+        .unionByName(ids.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 20000).as("img_id")))
+        .unionByName(ids.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 40000).as("img_id")))
+        .unionByName(ids.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 60000).as("img_id")))
+      corpus
+        .select(col("img_id"), Multimodal.dHash64Udf(
+          Multimodal.imageVariantForDocUdf(col("img_id"))).as("dhash"))
+        .groupBy("dhash")
+        .agg(min("img_id").as("keep_id"),
+          count(lit(1)).as("n_images"),
+          countDistinct(expr("img_id div 20000")).as("n_formats"))
+        .select(col("dhash"), col("keep_id"), col("n_images"),
+          col("n_formats").cast("long").as("n_formats"))
+        .orderBy("keep_id")
+    },
+
     Q("q_audio_features",
       "Real DSP over real WAV bytes (the audio analog of the decoded-pixel " +
         "queries): parse the RIFF/PCM payload, then compute zero-crossing " +

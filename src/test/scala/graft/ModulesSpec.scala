@@ -308,6 +308,28 @@ class ModulesSpec extends AnyFunSuite {
     }
   }
 
+  test("dHash64: format/scale-invariant over decoded rasters, sensitive to content") {
+    import graft.operators.Multimodal
+    val (w, h, seed) = (11, 9, 42L)
+    val bmp = Multimodal.encodeBmp(w, h, seed)
+    val base = Multimodal.dHash64(bmp)
+    // byte-different containers and integer upscales of the SAME picture
+    // collapse: PPM re-wrap, real PNG round-trip, 2x and 3x nearest
+    // upscales (the floor(floor(a*k)/k) = floor(a) sample identity)
+    assert(Multimodal.dHash64(Multimodal.encodePpm(w, h, seed)) == base)
+    assert(Multimodal.dHash64(Multimodal.encodePng(w, h, seed)) == base)
+    assert(Multimodal.dHash64(
+      Multimodal.resizeBmp(bmp, 2 * w, 2 * h)) == base)
+    assert(Multimodal.dHash64(
+      Multimodal.resizeBmp(bmp, 3 * w, 3 * h)) == base)
+    // different pictures at the same dims do NOT collide here
+    assert(Multimodal.dHash64(Multimodal.encodeBmp(w, h, 43L)) != base)
+    // unknown magic fails loudly, same policy as the other walkers
+    intercept[IllegalArgumentException] {
+      Multimodal.dHash64("definitely not an image".getBytes("US-ASCII"))
+    }
+  }
+
   test("windowed collocation pairs grow linearly in doc length") {
     import spark.implicits._
     // an all-distinct-token doc of L tokens emits exactly k*L - k(k+1)/2
