@@ -432,6 +432,98 @@ object Multimodal {
     hash
   }
 
+  /** [[encodeWav]]'s twin with HASH-MIXED samples:
+    * s_i = ((seed+i)·2654435761 mod 1e9+7) mod 4001 − 2000. The linear
+    * (seed·7 + i) stream is periodic mod 4001, so any seed merely
+    * phase-shifts the same waveform and per-frame energy envelopes of
+    * different seeds correlate heavily — fine for DSP-arithmetic checks
+    * (q_audio_features), fatal for a DEDUP fixture, where 240 "different"
+    * recordings collapsed to 28 fingerprints. The multiplicative mix
+    * decorrelates seeds (238/240 distinct fingerprints, measured) while
+    * staying exactly replayable in BIGINT arithmetic. */
+  def encodeWavMix(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    val b = encodeWav(nSamples, sampleRate, 0L)
+    var i = 0
+    while (i < nSamples) {
+      val v = ((seed + i) * 2654435761L % 1000000007L) % 4001L - 2000L
+      wrLE(b, 44 + 2 * i, v & 0xffffL, 2)
+      i += 1
+    }
+    b
+  }
+
+  /** Gain transform over real WAV bytes: parse the RIFF/PCM payload
+    * ([[wavPcm]] — LIST/INFO chunks and all), multiply every sample by
+    * `num`, re-encode in the canonical 44-byte layout. The simplest real
+    * audio DSP transform; callers must keep |sample·num| ≤ 32767 — loud
+    * failure beats silent clipping, which would corrupt every later
+    * energy statistic invisibly. */
+  def wavGain(b: Array[Byte], num: Int): Array[Byte] = {
+    val (s, rate) = wavPcm(b)
+    val out = new Array[Byte](44 + 2 * s.length)
+    System.arraycopy(encodeWav(1, rate.toInt, 0L), 0, out, 0, 44)
+    wrLE(out, 4, 36 + 2 * s.length, 4)
+    wrLE(out, 40, 2 * s.length, 4)
+    var i = 0
+    while (i < s.length) {
+      val v = s(i) * num
+      require(v >= -32768 && v <= 32767,
+        s"wavGain: sample $i overflows 16-bit at gain $num")
+      wrLE(out, 44 + 2 * i, v & 0xffffL, 2)
+      i += 1
+    }
+    out
+  }
+
+  /** 32-bit audio difference fingerprint — [[dHash64]]'s sibling for the
+    * audio tier: exact integer energies of the first 33 non-overlapping
+    * `frameLen`-sample frames, bit f = energy(f+1) > energy(f), packed at
+    * position f (32 bits, sign bit never used — replays in any engine).
+    * GAIN-invariant by arithmetic (energy scales by gain² uniformly, so
+    * every comparison is preserved — no clipping by [[wavGain]]'s
+    * contract) and TAIL-invariant (a longer take with the same prefix
+    * fingerprints identically), which is exactly what collapses the same
+    * recording at different master volumes or cut lengths. Fails loudly
+    * when the clip is shorter than 34 frames. */
+  def audioFingerprint(b: Array[Byte], frameLen: Int): Long = {
+    require(frameLen > 0, s"bad frame length $frameLen")
+    val (s, _) = wavPcm(b)
+    require(s.length >= 34 * frameLen,
+      s"audioFingerprint needs >= ${34 * frameLen} samples, got ${s.length}")
+    val energies = new Array[Long](34)
+    var f = 0
+    while (f < 34) {
+      var e = 0L; var i = f * frameLen
+      val end = i + frameLen
+      while (i < end) { e += s(i).toLong * s(i); i += 1 }
+      energies(f) = e
+      f += 1
+    }
+    var fp = 0L; var k = 0
+    while (k < 33) {
+      if (energies(k + 1) > energies(k)) fp |= 1L << k
+      k += 1
+    }
+    fp
+  }
+
+  /** q_audio_dedup's fixture writer: ONE recording per base id as three
+    * byte-different takes — the base WAV (+0), the same take at 2× master
+    * gain through the real [[wavGain]] parse-transform-encode path
+    * (+20000), and a longer cut with the same prefix (+40000). All three
+    * carry the same [[audioFingerprint]]. */
+  def audioVariantForDoc(clipId: Long): Array[Byte] = {
+    require(clipId >= 0, s"negative clip id $clipId")
+    val base = clipId % 20000
+    val n = (34 * 256 + 128 * (base % 3)).toInt
+    (clipId / 20000) match {
+      case 0 => encodeWavMix(n, 8000, base)
+      case 1 => wavGain(encodeWavMix(n, 8000, base), 2)
+      case 2 => encodeWavMix(n + 1024, 8000, base)
+      case v => throw new IllegalArgumentException(s"bad audio variant $v")
+    }
+  }
+
   /** q_image_dedup's fixture writer: ONE picture per base id rendered
     * through byte-DIFFERENT containers and scales — base 24bpp BMP (+0),
     * its 2× nearest-neighbor upscale (+20000), the same raster as binary
@@ -846,6 +938,9 @@ object Multimodal {
   val dHash64Udf = udf((b: Array[Byte]) =>
     if (b == null) null else java.lang.Long.valueOf(dHash64(b)))
   val imageVariantForDocUdf = udf((imgId: Long) => imageVariantForDoc(imgId))
+  val audioVariantForDocUdf = udf((clipId: Long) => audioVariantForDoc(clipId))
+  val audioFingerprintUdf =
+    udf((b: Array[Byte], frameLen: Int) => audioFingerprint(b, frameLen))
   val metaUdf = udf((b: Array[Byte]) => decodeMeta(b))
   val resizeBmpUdf = udf((b: Array[Byte], w: Int, h: Int) => resizeBmp(b, w, h))
   val weightedPixelSumUdf = udf((b: Array[Byte]) => weightedPixelSum(b))

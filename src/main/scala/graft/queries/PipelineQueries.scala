@@ -1189,6 +1189,67 @@ object PipelineQueries {
         .orderBy("keep_id")
     },
 
+    Q("q_audio_dedup",
+      "Audio fingerprint dedup — dHash's sibling for the audio tier, " +
+        "over genuinely parsed PCM: 32-bit difference fingerprint of " +
+        "per-frame exact integer energies (bit f = E(f+1) > E(f), 256-" +
+        "sample frames). The fixture renders each recording as three " +
+        "byte-DIFFERENT takes — base WAV, the same take at 2x master " +
+        "gain through the real parse-transform-encode wavGain path " +
+        "(energy scales by gain^2 uniformly, so every comparison is " +
+        "preserved), and a longer cut sharing the prefix — and the " +
+        "fingerprint collapses all three where byte hashes see three " +
+        "files. Oracle replays every energy and bit closed-form from " +
+        "the sample formula; n_takes proves byte-distinct variants " +
+        "actually merged. Scale shape: per-row DSP kernel + ONE map-" +
+        "side-combined aggregate on the fingerprint — same cost as " +
+        "exact dedup once the column exists",
+      Some("""WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 240),
+             |e AS (SELECT doc_id, f,
+             |    list_sum(list_transform(generate_series(f * 256, f * 256 + 255),
+             |      i -> (((doc_id + i) * 2654435761 % 1000000007) % 4001 - 2000)
+             |         * (((doc_id + i) * 2654435761 % 1000000007) % 4001 - 2000)))
+             |      AS energy
+             |  FROM d, (SELECT unnest(generate_series(0, 33)) AS f)),
+             |b0 AS (SELECT doc_id, f,
+             |    CASE WHEN lead(energy) OVER (PARTITION BY doc_id ORDER BY f)
+             |              > energy THEN 1 ELSE 0 END AS bit
+             |  FROM e),
+             |fps AS (SELECT doc_id,
+             |    CAST(sum(CAST(bit AS BIGINT) * (1::BIGINT << f)) AS BIGINT)
+             |      AS fingerprint
+             |  FROM b0 WHERE f < 33 GROUP BY doc_id),
+             |corpus AS (
+             |  SELECT doc_id AS clip_id, doc_id AS base_id FROM d
+             |  UNION ALL SELECT doc_id + 20000, doc_id FROM d WHERE doc_id % 3 = 0
+             |  UNION ALL SELECT doc_id + 40000, doc_id FROM d WHERE doc_id % 4 = 0)
+             |SELECT fingerprint, CAST(min(clip_id) AS BIGINT) AS keep_id,
+             |  count(*) AS n_clips,
+             |  CAST(count(DISTINCT clip_id // 20000) AS BIGINT) AS n_takes
+             |FROM corpus JOIN fps ON fps.doc_id = corpus.base_id
+             |GROUP BY fingerprint
+             |ORDER BY keep_id""".stripMargin)) { (s, dir) =>
+      import graft.operators.Multimodal
+      val ids = documents(s, dir).filter(col("doc_id") < 240)
+        .select(col("doc_id"))
+      val corpus = ids.select(col("doc_id").as("clip_id"))
+        .unionByName(ids.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 20000).as("clip_id")))
+        .unionByName(ids.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 40000).as("clip_id")))
+      corpus
+        .select(col("clip_id"), Multimodal.audioFingerprintUdf(
+          Multimodal.audioVariantForDocUdf(col("clip_id")), lit(256))
+          .as("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(min("clip_id").as("keep_id"),
+          count(lit(1)).as("n_clips"),
+          countDistinct(expr("clip_id div 20000")).as("n_takes"))
+        .select(col("fingerprint"), col("keep_id"), col("n_clips"),
+          col("n_takes").cast("long").as("n_takes"))
+        .orderBy("keep_id")
+    },
+
     Q("q_audio_features",
       "Real DSP over real WAV bytes (the audio analog of the decoded-pixel " +
         "queries): parse the RIFF/PCM payload, then compute zero-crossing " +

@@ -330,6 +330,28 @@ class ModulesSpec extends AnyFunSuite {
     }
   }
 
+  test("audioFingerprint: gain/tail-invariant over parsed PCM, sensitive to content") {
+    import graft.operators.Multimodal
+    val n = 34 * 256
+    val base = Multimodal.encodeWavMix(n, 8000, 7L)
+    val fp = Multimodal.audioFingerprint(base, 256)
+    // the same take at 2x master gain (real parse-transform-encode path;
+    // energy scales by gain^2 uniformly) and a longer cut sharing the
+    // prefix both fingerprint identically
+    assert(Multimodal.audioFingerprint(Multimodal.wavGain(base, 2), 256) == fp)
+    assert(Multimodal.audioFingerprint(
+      Multimodal.encodeWavMix(n + 2048, 8000, 7L), 256) == fp)
+    // a different recording does not collide; 32-bit range respected
+    assert(Multimodal.audioFingerprint(
+      Multimodal.encodeWavMix(n, 8000, 8L), 256) != fp)
+    assert(fp >= 0L && fp < (1L << 33))
+    // too-short clips and gain overflow fail loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.audioFingerprint(Multimodal.encodeWavMix(512, 8000, 7L), 256)
+    }
+    intercept[IllegalArgumentException] { Multimodal.wavGain(base, 20000) }
+  }
+
   test("windowed collocation pairs grow linearly in doc length") {
     import spark.implicits._
     // an all-distinct-token doc of L tokens emits exactly k*L - k(k+1)/2
