@@ -286,28 +286,52 @@ object Dedup {
     * `bits`-bit fingerprints. Pigeonhole prefilter: fingerprints are cut
     * into `chunks` equal chunks; hamming ≤ chunks-1 implies ≥1 equal chunk,
     * so the join on (chunk_idx, chunk_value) is exact, never lossy. */
+  /** Near-duplicate pairs by hamming distance ≤ `maxHamming` over a
+    * PRECOMPUTED `bits`-bit fingerprint column — the pigeonhole prefilter
+    * generalized from [[simhashPairs]] so every fingerprint family (text
+    * SimHash, image dHash64, audio difference fingerprint) shares one
+    * pair-search shape: fingerprints cut into `chunks` equal chunks;
+    * hamming ≤ chunks−1 implies ≥ 1 equal chunk, so the (chunk_idx,
+    * chunk_val) block join is exact, never lossy — and it rides
+    * [[pairJoin]], so the mega-bucket `maxBucket` cap and null-safe keys
+    * apply here too. Chunk extraction is an UNSIGNED shift, so a
+    * fingerprint using the sign bit (dHash64) blocks correctly where a
+    * `div`/`pow` split would mangle negatives. Input: (`idCol`,
+    * `hashCol`); output (a_id, b_id, hamming). */
+  def hammingPairs(df: DataFrame, idCol: String, hashCol: String,
+                   bits: Int, chunks: Int, maxHamming: Int,
+                   maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
+    require(bits % chunks == 0, s"bits=$bits not divisible by chunks=$chunks")
+    val w = bits / chunks
+    val chunked = df.select(col(idCol).as("id"), col(hashCol).as("fp"))
+      .select(col("id"), col("fp"),
+      explode(expr(
+        // 1L << w, not 1 << w: an Int shift wraps at 32 (chunks=1 -> w=60
+        // -> 1<<60 is silently 2^28, collapsing the prefilter's key space)
+        // & mask, not %: Spark's % keeps the dividend's sign, so a
+        // negative fingerprint's low chunk would come out negative and
+        // never match the same bits in a positive fingerprint
+        s"transform(sequence(0, ${chunks - 1}), j -> " +
+          s"struct(j AS chunk_idx, " +
+          s"shiftrightunsigned(fp, j*$w) & ${(1L << w) - 1}L AS chunk_val))"))
+        .as("c"))
+      .select(col("id"), col("fp"), col("c.chunk_idx"), col("c.chunk_val"))
+    pairJoin(chunked, Seq("chunk_idx", "chunk_val"), maxBucket)
+      .select(col("a_id"), col("b_id"), col("a_fp"), col("b_fp")).distinct()
+      .withColumn("hamming",
+        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
   def simhashPairs(df: DataFrame, keyCol: String, textCol: String,
                    bits: Int, chunks: Int, maxHamming: Int, shingleN: Int): DataFrame = {
-    require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
-    require(bits % chunks == 0)
-    val w = bits / chunks
     require(bits == 60, "compiled kernel is fixed at 60 bits (TextSig.simhash60)")
     // compiled one-pass kernel — see TextSig for why not HOF expressions
     val sh = df.select(col(keyCol).as("id"),
       TextSig.simhash60Udf(col(textCol), lit(shingleN)).as("sh"))
-    val chunked = sh.select(col("id"), col("sh"),
-      explode(expr(
-        // 1L << w, not 1 << w: an Int shift wraps at 32 (chunks=1 -> w=60
-        // -> 1<<60 is silently 2^28, collapsing the prefilter's key space)
-        s"transform(sequence(0, ${chunks - 1}), j -> " +
-          s"struct(j AS chunk_idx, (sh div CAST(pow(2, j*$w) AS BIGINT)) % ${1L << w}L AS chunk_val))"))
-        .as("c"))
-      .select(col("id"), col("sh"), col("c.chunk_idx"), col("c.chunk_val"))
-    pairJoin(chunked, Seq("chunk_idx", "chunk_val"))
-      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh")).distinct()
-      .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("a_id"), col("b_id"), col("hamming"))
+    hammingPairs(sh, "id", "sh", bits, chunks, maxHamming)
   }
 
   /** Apply a pair table to the corpus: drop the higher-keyed member of

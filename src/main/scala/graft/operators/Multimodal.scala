@@ -545,6 +545,47 @@ object Multimodal {
     }
   }
 
+  /** [[encodeBmp]]'s twin with HASH-MIXED pixel bytes
+    * (((seed+i)·2654435761 mod 1e9+7) mod 251) — the [[encodeWavMix]]
+    * argument applied to pixels: the linear gradient raster makes every
+    * picture's dHash a near-all-ones pattern (over half of all image
+    * PAIRS landed under hamming 3 — a degenerate near-dup fixture), the
+    * mix decorrelates pictures while staying exactly BIGINT-replayable. */
+  def encodeBmpMix(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val b = encodeBmp(w, h, 0L)
+    val stride = ((3 * w + 3) / 4) * 4
+    var idx = 0L; var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < 3 * w) {
+        b(54 + y * stride + x) =
+          (((seed + idx) * 2654435761L % 1000000007L) % 251L).toByte
+        idx += 1; x += 1
+      }
+      y += 1
+    }
+    b
+  }
+
+  /** q_image_neardup's fixture writer: base hash-mixed BMP (+0) and its
+    * PERTURBED near-dup twin (+80000) — one real decoded-pixel edit,
+    * overwriting the single pixel that only [[dHash64]]'s (r=7, c=8)
+    * sample reads (sx(8) and sr(7) are hit by no other sample at these
+    * dims) with max gray, so the twin's hash differs from the base in AT
+    * MOST bit 63: a bounded-hamming pair by construction. */
+  def nearImageForDoc(imgId: Long): Array[Byte] = {
+    require(imgId >= 0, s"negative image id $imgId")
+    val base = imgId % 80000
+    val w = (8 + base % 5).toInt; val h = (8 + base % 3).toInt
+    val bmp = encodeBmpMix(w, h, base)
+    if (imgId >= 80000) {
+      val stride = ((3 * w + 3) / 4) * 4
+      val px = 54 + (7 * h / 8) * stride + 3 * (8 * w / 9)
+      bmp(px) = 250.toByte; bmp(px + 1) = 250.toByte; bmp(px + 2) = 250.toByte
+    }
+    bmp
+  }
+
   /** Compressed-codec blob for a document (q_multimodal_codec's writer):
     * PNG for even ids, JPEG for odd; dims 16+doc%13 × 16+doc%7 — large
     * enough that JPEG's DCT error stays well under the oracle's 5% sum
@@ -938,6 +979,7 @@ object Multimodal {
   val dHash64Udf = udf((b: Array[Byte]) =>
     if (b == null) null else java.lang.Long.valueOf(dHash64(b)))
   val imageVariantForDocUdf = udf((imgId: Long) => imageVariantForDoc(imgId))
+  val nearImageForDocUdf = udf((imgId: Long) => nearImageForDoc(imgId))
   val audioVariantForDocUdf = udf((clipId: Long) => audioVariantForDoc(clipId))
   val audioFingerprintUdf =
     udf((b: Array[Byte], frameLen: Int) => audioFingerprint(b, frameLen))

@@ -1189,6 +1189,71 @@ object PipelineQueries {
         .orderBy("keep_id")
     },
 
+    Q("q_image_neardup",
+      "NEAR-duplicate image pairs — q_image_dedup finds re-encodes of " +
+        "the SAME raster; this finds slightly-EDITED pictures (hamming " +
+        "<= 3 over dHash64) via the pigeonhole prefilter now shared by " +
+        "every fingerprint family (Dedup.hammingPairs, the simhashPairs " +
+        "machinery generalized to precomputed hashes — unsigned-shift " +
+        "chunking so the sign-bit-bearing dHash blocks correctly): 4 " +
+        "chunks of 16 bits, hamming <= 3 implies >= 1 equal chunk, so " +
+        "the block join is exact, never lossy. Fixture: hash-mixed " +
+        "rasters (the gradient formula made HALF of all image pairs " +
+        "near-dups — degenerate), every 2nd picture also appearing with " +
+        "ONE sampled pixel overwritten (+80000 ids) — a real decoded-" +
+        "pixel edit that flips at most hash bit 63 — and the oracle " +
+        "brute-forces all pairs closed-form, so the prefilter's no-" +
+        "false-negative guarantee is checked against an exhaustive " +
+        "ground truth. Scale shape: per-row decode kernel, then the " +
+        "capped blocked self-join — never corpus x corpus",
+      Some("""WITH d AS (SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h
+             |  FROM documents WHERE doc_id < 240),
+             |g AS (SELECT doc_id, v, r, c,
+             |    CASE WHEN v = 1 AND r = 7 AND c = 8 THEN 750 ELSE
+             |      ((doc_id + (r * h // 8) * 3 * w + 3 * (c * w // 9))
+             |        * 2654435761 % 1000000007) % 251
+             |    + ((doc_id + (r * h // 8) * 3 * w + 3 * (c * w // 9) + 1)
+             |        * 2654435761 % 1000000007) % 251
+             |    + ((doc_id + (r * h // 8) * 3 * w + 3 * (c * w // 9) + 2)
+             |        * 2654435761 % 1000000007) % 251
+             |    END AS gray
+             |  FROM d, (SELECT unnest(generate_series(0, 7)) AS r),
+             |       (SELECT unnest(generate_series(0, 8)) AS c),
+             |       (SELECT unnest(generate_series(0, 1)) AS v)),
+             |b0 AS (SELECT doc_id, v, r, c,
+             |    CASE WHEN lead(gray) OVER (PARTITION BY doc_id, v, r ORDER BY c)
+             |              > gray THEN 1 ELSE 0 END AS bit
+             |  FROM g),
+             |hx AS (SELECT doc_id, v,
+             |    CAST(sum(CASE WHEN r * 8 + c < 63
+             |      THEN CAST(bit AS BIGINT) * (1::BIGINT << (r * 8 + c))
+             |      ELSE 0 END) AS BIGINT)
+             |    + CASE WHEN max(CASE WHEN r * 8 + c = 63 THEN bit ELSE 0 END) = 1
+             |           THEN (-9223372036854775807 - 1) ELSE 0 END AS dhash
+             |  FROM b0 WHERE c < 8 GROUP BY doc_id, v),
+             |corpus AS (
+             |  SELECT doc_id AS img_id, dhash FROM hx WHERE v = 0
+             |  UNION ALL
+             |  SELECT doc_id + 80000, dhash FROM hx
+             |  WHERE v = 1 AND doc_id % 2 = 0)
+             |SELECT a.img_id AS a_id, b.img_id AS b_id,
+             |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+             |FROM corpus a JOIN corpus b ON a.img_id < b.img_id
+             |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+             |ORDER BY a_id, b_id""".stripMargin)) { (s, dir) =>
+      import graft.operators.Multimodal
+      val ids = documents(s, dir).filter(col("doc_id") < 240)
+        .select(col("doc_id"))
+      val corpus = ids.select(col("doc_id").as("img_id"))
+        .unionByName(ids.filter(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 80000).as("img_id")))
+      val hashes = corpus.select(col("img_id"), Multimodal.dHash64Udf(
+        Multimodal.nearImageForDocUdf(col("img_id"))).as("dhash"))
+      graft.operators.Dedup.hammingPairs(hashes, "img_id", "dhash",
+          bits = 64, chunks = 4, maxHamming = 3)
+        .orderBy("a_id", "b_id")
+    },
+
     Q("q_audio_dedup",
       "Audio fingerprint dedup — dHash's sibling for the audio tier, " +
         "over genuinely parsed PCM: 32-bit difference fingerprint of " +

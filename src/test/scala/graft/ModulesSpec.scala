@@ -352,6 +352,24 @@ class ModulesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Multimodal.wavGain(base, 20000) }
   }
 
+  test("hammingPairs: sign-bit-safe chunking recovers planted near pairs") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // fingerprints exercising the SIGN bit: dHash64 can set bit 63, and a
+    // div/pow or %-based chunk split mangles negative values — the
+    // unsigned-shift + mask split must still block equal chunks together
+    val rows = Seq(
+      (1L, 0x8000000000000000L), // sign bit only
+      (2L, 0x8000000000000001L), // hamming 1 from id 1
+      (3L, 0x0000000000000001L), // hamming 1 from id 2, 2 from id 1
+      (4L, 0x7FFFFFFFFFFFFFFFL)  // far from everything
+    ).toDF("id", "fp")
+    val got = Dedup.hammingPairs(rows, "id", "fp",
+        bits = 64, chunks = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1L), (1L, 3L, 2L), (2L, 3L, 1L)))
+  }
+
   test("windowed collocation pairs grow linearly in doc length") {
     import spark.implicits._
     // an all-distinct-token doc of L tokens emits exactly k*L - k(k+1)/2
