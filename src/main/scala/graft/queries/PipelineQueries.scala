@@ -1254,6 +1254,80 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     },
 
+    Q("q_image_clusters",
+      "Near-dup image GALLERIES: connected components over the dHash " +
+        "hamming pair graph — q_image_neardup's pairs fed through the " +
+        "same min-label propagation (Dedup.clusters) the text corpus " +
+        "uses, proving the pair-graph machinery is modality-agnostic: " +
+        "an edited chain a~b~c lands in ONE gallery even where a and c " +
+        "differ by more than the pair threshold. Oracle replays hashes " +
+        "closed-form, brute-forces the pair graph, and closes it with " +
+        "WITH RECURSIVE — the unique fixpoint checks the distributed " +
+        "iterative algorithm exactly. Scale shape: pairs from the " +
+        "capped blocked join; propagation only ever touches pair-graph " +
+        "vertices (singletons rejoin at the end), localCheckpoint per " +
+        "round",
+      Some("""WITH RECURSIVE
+             |d AS (SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h
+             |  FROM documents WHERE doc_id < 240),
+             |g AS (SELECT doc_id, v, r, c,
+             |    CASE WHEN v = 1 AND r = 7 AND c = 8 THEN 750 ELSE
+             |      ((doc_id + (r * h // 8) * 3 * w + 3 * (c * w // 9))
+             |        * 2654435761 % 1000000007) % 251
+             |    + ((doc_id + (r * h // 8) * 3 * w + 3 * (c * w // 9) + 1)
+             |        * 2654435761 % 1000000007) % 251
+             |    + ((doc_id + (r * h // 8) * 3 * w + 3 * (c * w // 9) + 2)
+             |        * 2654435761 % 1000000007) % 251
+             |    END AS gray
+             |  FROM d, (SELECT unnest(generate_series(0, 7)) AS r),
+             |       (SELECT unnest(generate_series(0, 8)) AS c),
+             |       (SELECT unnest(generate_series(0, 1)) AS v)),
+             |b0 AS (SELECT doc_id, v, r, c,
+             |    CASE WHEN lead(gray) OVER (PARTITION BY doc_id, v, r ORDER BY c)
+             |              > gray THEN 1 ELSE 0 END AS bit
+             |  FROM g),
+             |hx AS (SELECT doc_id, v,
+             |    CAST(sum(CASE WHEN r * 8 + c < 63
+             |      THEN CAST(bit AS BIGINT) * (1::BIGINT << (r * 8 + c))
+             |      ELSE 0 END) AS BIGINT)
+             |    + CASE WHEN max(CASE WHEN r * 8 + c = 63 THEN bit ELSE 0 END) = 1
+             |           THEN (-9223372036854775807 - 1) ELSE 0 END AS dhash
+             |  FROM b0 WHERE c < 8 GROUP BY doc_id, v),
+             |corpus AS (
+             |  SELECT doc_id AS img_id, dhash FROM hx WHERE v = 0
+             |  UNION ALL
+             |  SELECT doc_id + 80000, dhash FROM hx
+             |  WHERE v = 1 AND doc_id % 2 = 0),
+             |pairs AS (SELECT a.img_id AS a_id, b.img_id AS b_id
+             |  FROM corpus a JOIN corpus b ON a.img_id < b.img_id
+             |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+             |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+             |          UNION SELECT b_id, a_id FROM pairs),
+             |reach(id, r) AS (
+             |  SELECT img_id, img_id FROM corpus
+             |  UNION
+             |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+             |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+             |SELECT c.id, c.cluster, s.n_members
+             |FROM comp c
+             |JOIN (SELECT cluster, count(*) AS n_members
+             |      FROM comp GROUP BY cluster) s USING (cluster)
+             |ORDER BY id""".stripMargin)) { (s, dir) =>
+      import graft.operators.Multimodal
+      val ids = documents(s, dir).filter(col("doc_id") < 240)
+        .select(col("doc_id"))
+      val corpus = ids.select(col("doc_id").as("img_id"))
+        .unionByName(ids.filter(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 80000).as("img_id")))
+      val hashes = corpus.select(col("img_id"), Multimodal.dHash64Udf(
+        Multimodal.nearImageForDocUdf(col("img_id"))).as("dhash"))
+      val pairs = graft.operators.Dedup.hammingPairs(hashes, "img_id",
+        "dhash", bits = 64, chunks = 4, maxHamming = 3)
+      graft.operators.Dedup.clusters(corpus, "img_id", pairs)
+        .select(col("id"), col("cluster"), col("n_members"))
+        .orderBy("id")
+    },
+
     Q("q_audio_dedup",
       "Audio fingerprint dedup — dHash's sibling for the audio tier, " +
         "over genuinely parsed PCM: 32-bit difference fingerprint of " +

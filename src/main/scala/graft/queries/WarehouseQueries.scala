@@ -525,6 +525,61 @@ object WarehouseQueries {
         .orderBy("k")
     },
 
+    Q("q_k_anonymity",
+      "k-anonymity audit over quasi-identifiers — q_pii_scrub removes " +
+        "DIRECT identifiers; this measures the re-identification risk " +
+        "that remains when 'anonymous' rows are still unique on the " +
+        "combination of innocuous columns (Sweeney's k-anonymity): " +
+        "customers grouped by the (nation, mktsegment, acctbal-rounded-" +
+        "to-100s) quasi-identifier, equivalence classes bucketed by " +
+        "size — k=1 rows ARE re-identifiable — with class counts, row " +
+        "counts and the row share per bucket. The release gate a " +
+        "curation pipeline runs before shipping 'de-identified' data. " +
+        "Scale shape: ONE map-side-combined aggregate on the QI key " +
+        "(class table is classes-sized), then a 4-row bucket rollup " +
+        "with the scalar total broadcast back — same cost as a " +
+        "group-by at any corpus size",
+      Some(s"""WITH qi AS (
+              |  SELECT c_nationkey, c_mktsegment,
+              |    CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_bucket,
+              |    count(*) AS k
+              |  FROM customer
+              |  GROUP BY 1, 2, 3),
+              |b AS (SELECT CASE WHEN k = 1 THEN '1_unique'
+              |               WHEN k < 5 THEN '2_small_2_4'
+              |               WHEN k < 10 THEN '3_medium_5_9'
+              |               ELSE '4_large_10_plus' END AS k_bucket,
+              |        k
+              |      FROM qi),
+              |t AS (SELECT CAST(sum(k) AS BIGINT) AS total FROM b)
+              |SELECT k_bucket, count(*) AS n_classes,
+              |  CAST(sum(k) AS BIGINT) AS n_rows,
+              |  ${graft.functions.text.fixedPoint(
+                  "CAST(sum(k) AS DOUBLE) / greatest(total, 1)", 4)}
+              |    AS row_share_x10k
+              |FROM b CROSS JOIN t
+              |GROUP BY k_bucket, total
+              |ORDER BY k_bucket""".stripMargin)) { (s, dir) =>
+      val qi = customer(s, dir)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 100).cast("long").as("bal_bucket"))
+        .agg(count(lit(1)).as("k"))
+      val b = qi.select(
+        when(col("k") === 1, "1_unique")
+          .when(col("k") < 5, "2_small_2_4")
+          .when(col("k") < 10, "3_medium_5_9")
+          .otherwise("4_large_10_plus").as("k_bucket"), col("k"))
+      val t = b.agg(sum("k").cast("long").as("total"))
+      b.crossJoin(broadcast(t))
+        .groupBy("k_bucket", "total")
+        .agg(count(lit(1)).as("n_classes"), sum("k").cast("long").as("n_rows"))
+        .select(col("k_bucket"), col("n_classes"), col("n_rows"),
+          expr(graft.functions.text.fixedPoint(
+            "CAST(n_rows AS DOUBLE) / greatest(total, 1)", 4))
+            .as("row_share_x10k"))
+        .orderBy("k_bucket")
+    },
+
     Q("q_dq_audit",
       "Data-quality expectations (the dbt-test / Great-Expectations family " +
         "as one query): six checks over the lineitem fact — two range " +
