@@ -156,26 +156,56 @@ object Dedup {
     * shingle-hash array through (needed only when candidates get exact
     * Jaccard verification downstream; plain candidate mining skips the
     * array to keep the band shuffle narrow). */
-  private def minhashBanded(df: DataFrame, keyCol: String, textCol: String,
-                            k: Int, bands: Int, shingleN: Int,
-                            carryHashes: Boolean): DataFrame = {
+  /** The persistable MinHash signature table: (id, hs, sig) — shingle-hash
+    * set + k-value signature, computed in ONE compiled-kernel corpus pass.
+    * This is the artifact a 100 TB pipeline stores once and sweeps dials
+    * over: every (bands, rows) configuration in [[minhashLshVerifiedPairsFromSignatures]]
+    * re-reads the same signatures instead of re-tokenizing the corpus
+    * (the q_lsh_tuning shape — 3 sweeps, one signature pass). */
+  def minhashSignatures(df: DataFrame, keyCol: String, textCol: String,
+                        k: Int, shingleN: Int): DataFrame =
+    df.select(col(keyCol).as("id"),
+      TextSig.shingleHashesUdf(col(textCol), lit(shingleN)).as("hs"),
+      TextSig.minhashSigUdf(col(textCol), lit(shingleN), lit(k)).as("sig"))
+
+  /** Band rows from a PRECOMPUTED signature table ([[minhashSignatures]]
+    * output): the banding stage alone — cheap array slicing, no corpus
+    * re-tokenization. */
+  private def bandedFromSignatures(sigs: DataFrame, k: Int, bands: Int,
+                                   carryHashes: Boolean): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val r = k / bands
-    // compiled one-pass kernel: Catalyst HOF lambdas re-evaluate the
-    // shingle hashing per signature value (CollapseProject re-inlines any
-    // staged projection), which benchmarked 100x slower — see TextSig
-    val carried = if (carryHashes)
-      Seq(TextSig.shingleHashesUdf(col(textCol), lit(shingleN)).as("hs")) else Nil
-    val sig = df.select(
-      (col(keyCol).as("id") +: carried :+
-        TextSig.minhashSigUdf(col(textCol), lit(shingleN), lit(k)).as("sig")): _*)
     val keep = col("id") +: (if (carryHashes) Seq(col("hs")) else Nil)
-    sig.select((keep :+ explode(expr(
+    sigs.select((keep :+ explode(expr(
         s"transform(sequence(0, ${bands - 1}), j -> " +
           s"struct(j AS band_idx, array_join(slice(sig, j*$r + 1, $r), '_') AS band_key))"))
         .as("band")): _*)
       .select((keep :+ col("band.band_idx") :+ col("band.band_key")): _*)
   }
+
+  private def minhashBanded(df: DataFrame, keyCol: String, textCol: String,
+                            k: Int, bands: Int, shingleN: Int,
+                            carryHashes: Boolean): DataFrame =
+    // compiled one-pass kernels: Catalyst HOF lambdas re-evaluate the
+    // shingle hashing per signature value (CollapseProject re-inlines any
+    // staged projection), which benchmarked 100x slower — see TextSig
+    bandedFromSignatures(minhashSignatures(df, keyCol, textCol, k, shingleN),
+      k, bands, carryHashes)
+
+  /** [[minhashLshVerifiedPairs]] over a PRECOMPUTED (possibly persisted /
+    * checkpointed) signature table — band-dial sweeps and repeated runs
+    * pay the corpus tokenization exactly once. */
+  def minhashLshVerifiedPairsFromSignatures(sigs: DataFrame, k: Int,
+                                            bands: Int, threshold: Double,
+                                            maxBucket: Int = Int.MaxValue): DataFrame =
+    pairJoin(bandedFromSignatures(sigs, k, bands, carryHashes = true),
+        Seq("band_idx", "band_key"), maxBucket)
+      .select(col("a_id"), col("b_id"), col("a_hs"), col("b_hs")).distinct()
+      .withColumn("jaccard",
+        size(array_intersect(col("a_hs"), col("b_hs"))).cast("double") /
+          size(array_union(col("a_hs"), col("b_hs"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
 
   /** Candidate near-duplicate pairs by MinHash LSH: k-value signatures cut
     * into `bands` bands; pairs sharing ≥1 band are candidates. Returns
@@ -273,14 +303,9 @@ object Dedup {
                               k: Int, bands: Int, shingleN: Int,
                               threshold: Double,
                               maxBucket: Int = Int.MaxValue): DataFrame =
-    pairJoin(minhashBanded(df, keyCol, textCol, k, bands, shingleN,
-        carryHashes = true), Seq("band_idx", "band_key"), maxBucket)
-      .select(col("a_id"), col("b_id"), col("a_hs"), col("b_hs")).distinct()
-      .withColumn("jaccard",
-        size(array_intersect(col("a_hs"), col("b_hs"))).cast("double") /
-          size(array_union(col("a_hs"), col("b_hs"))))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
+    minhashLshVerifiedPairsFromSignatures(
+      minhashSignatures(df, keyCol, textCol, k, shingleN),
+      k, bands, threshold, maxBucket)
 
   /** Near-duplicate pairs by SimHash hamming distance ≤ `maxHamming` over
     * `bits`-bit fingerprints. Pigeonhole prefilter: fingerprints are cut

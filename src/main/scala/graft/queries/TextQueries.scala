@@ -780,8 +780,11 @@ object TextQueries {
         "3-gram Jaccard >= 0.6. More bands -> lower collision threshold " +
         "-> more candidates at worse precision; the sweep quantifies " +
         "that trade on YOUR corpus instead of trusting the (1/b)^(1/r) " +
-        "formula. Scale shape: three band self-joins (each the " +
-        "q_dedup_minhash shape), the exact verify only ever on " +
+        "formula. Scale shape: the signature table is computed ONCE and " +
+        "localCheckpointed — the sweep's three band self-joins re-read " +
+        "signatures instead of re-tokenizing the corpus per dial (at " +
+        "100 TB the signatures persist and the sweep costs 3 band joins, " +
+        "not 3 corpus passes); the exact verify only ever runs on " +
         "candidates, stats collapse to 3 rows",
       Some {
         val cfgs = Seq((2, 8), (4, 4), (8, 2))
@@ -816,9 +819,13 @@ object TextQueries {
            |ORDER BY bands""".stripMargin
       }) { (s, dir) =>
       val corpus = nearDupCorpus(documents(s, dir))
+      // one signature pass for the whole sweep: the checkpointed (id, hs,
+      // sig) table is what a real pipeline would persist before tuning
+      val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text",
+        k = 16, shingleN = 3).localCheckpoint()
       val stats = Seq((2, 8), (4, 4), (8, 2)).map { case (b, r) =>
-        Dedup.minhashLshVerifiedPairs(corpus, "doc_id", "text",
-            k = 16, bands = b, shingleN = 3, threshold = 0.0)
+        Dedup.minhashLshVerifiedPairsFromSignatures(sigs,
+            k = 16, bands = b, threshold = 0.0)
           .agg(count(lit(1)).as("n_candidates"),
             coalesce(sum(when(col("jaccard") >= 0.6, 1L).otherwise(0L)),
               lit(0L)).as("n_true_dups"))
