@@ -19,12 +19,13 @@ import org.apache.spark.sql.types._
   *    (PipelineQueries): the blobs are built by [[mediaForDoc]] as a pure
   *    function of doc_id, so DuckDB recomputes every parsed value
   *    closed-form and a writer OR parser bug breaks the hash.
-  *  - REAL compressed decode ([[decodeImageIo]]): PNG and baseline JPEG
-  *    through the JDK's own ImageIO codecs (java.desktop, headless) — real
-  *    dims and decoded-pixel checksums, oracle-checked by
-  *    `q_multimodal_codec` (PNG losslessly exact, JPEG dims exact + sum
-  *    within a measured bound), real decoded-pixel features in
-  *    [[extractFeatures]].
+  *  - REAL compressed decode ([[decodeImageIo]]): PNG, baseline JPEG and
+  *    (r7) animated GIF through the JDK's own ImageIO codecs
+  *    (java.desktop, headless) — real dims and decoded-pixel checksums,
+  *    oracle-checked by `q_multimodal_codec` / `q_gif_frames` (PNG and
+  *    the ≤256-gray GIF losslessly exact, JPEG dims exact + sum within a
+  *    measured bound), real decoded-pixel features in [[extractFeatures]]
+  *    and perceptual hashes in [[dHash64]]/[[audioFingerprint]].
   *  - DETERMINISTIC FAKE ([[fakeDecode]]): audio/video codecs (MP3/H.264)
   *    don't ship in the JDK or this container, so their feature extraction
   *    derives pseudo-features from the byte content, clearly marked below.
@@ -367,15 +368,55 @@ object Multimodal {
     * parse directly (same strict-layout contract as the other walkers);
     * PNG/GIF/JPEG decode through the real ImageIO codecs. */
   def dHash64(b: Array[Byte]): Long = {
-    require(b != null && b.length >= 2, "dHash64: empty blob")
-    // (width, height, gray(x, y) = channel sum at storage position)
-    val (w, h, gray): (Int, Int, (Int, Int) => Int) =
+    val (w, h, gray) = grayRaster(b)
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      val sr = r * h / 8
+      var prev = gray(0, sr) // c = 0 column
+      var c = 0
+      while (c < 8) {
+        val cur = gray((c + 1) * w / 9, sr)
+        if (cur > prev) hash |= 1L << (r * 8 + c)
+        prev = cur
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** Channel-sum gray histogram over pixel-index buckets: bucket j =
+    * Σ gray(p) over pixel indices p ≡ j (mod `dim`), exact BIGINTs — the
+    * deterministic integer IMAGE ENCODER behind q_crossmodal_match (the
+    * real encoder is an external model, DEVIATIONS #1; this stand-in
+    * keeps the retrieval machinery exactly oracle-replayable). Decodes
+    * through the same dispatch as [[dHash64]]. */
+  def imageGrayBuckets(b: Array[Byte], dim: Int): Array[Long] = {
+    require(dim > 0, s"bad dim $dim")
+    val (w, h, gray) = grayRaster(b)
+    val out = new Array[Long](dim)
+    var p = 0; var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { out(p % dim) += gray(x, y); p += 1; x += 1 }
+      y += 1
+    }
+    out
+  }
+
+  /** Shared decode dispatch: (width, height, gray(x, y) = channel sum at
+    * storage position). BMP and PPM parse directly (strict-layout
+    * contract, as the other walkers); PNG/GIF/JPEG decode through the
+    * real ImageIO codecs. Malformed input throws. */
+  private def grayRaster(b: Array[Byte]): (Int, Int, (Int, Int) => Int) = {
+    require(b != null && b.length >= 2, "grayRaster: empty blob")
       if (b(0) == 'B' && b(1) == 'M') {
         require(b.length >= 54, "bmp truncated header")
         val dataOff = rdLE(b, 10, 4).toInt
         val bpp = rdLE(b, 28, 2).toInt
         require(bpp == 24 && rdLE(b, 30, 4) == 0 && dataOff == 54,
-          "dHash64: only uncompressed 24bpp BMP with a 54-byte header")
+          "grayRaster: only uncompressed 24bpp BMP with a 54-byte header")
         val bw = rdLE(b, 18, 4).toInt; val bh = rdLE(b, 22, 4).toInt
         val stride = ((3 * bw + 3) / 4) * 4
         require(b.length >= 54 + stride * bh, "bmp truncated pixel payload")
@@ -408,28 +449,13 @@ object Multimodal {
       } else if (isImageIoMagic(b)) {
         imageIoInit
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-        require(img != null, "dHash64: ImageIO could not decode the blob")
+        require(img != null, "grayRaster: ImageIO could not decode the blob")
         (img.getWidth, img.getHeight, (x, y) => {
           val rgb = img.getRGB(x, y)
           ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
         })
       } else throw new IllegalArgumentException(
-        "dHash64: unrecognized image magic")
-    var hash = 0L
-    var r = 0
-    while (r < 8) {
-      val sr = r * h / 8
-      var prev = gray(0, sr) // c = 0 column
-      var c = 0
-      while (c < 8) {
-        val cur = gray((c + 1) * w / 9, sr)
-        if (cur > prev) hash |= 1L << (r * 8 + c)
-        prev = cur
-        c += 1
-      }
-      r += 1
-    }
-    hash
+        "grayRaster: unrecognized image magic")
   }
 
   /** [[encodeWav]]'s twin with HASH-MIXED samples:
@@ -980,6 +1006,8 @@ object Multimodal {
     if (b == null) null else java.lang.Long.valueOf(dHash64(b)))
   val imageVariantForDocUdf = udf((imgId: Long) => imageVariantForDoc(imgId))
   val nearImageForDocUdf = udf((imgId: Long) => nearImageForDoc(imgId))
+  val imageGrayBucketsUdf =
+    udf((b: Array[Byte], dim: Int) => imageGrayBuckets(b, dim))
   val audioVariantForDocUdf = udf((clipId: Long) => audioVariantForDoc(clipId))
   val audioFingerprintUdf =
     udf((b: Array[Byte], frameLen: Int) => audioFingerprint(b, frameLen))

@@ -1254,6 +1254,70 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     },
 
+    Q("q_crossmodal_match",
+      "Cross-modal retrieval (the LAION/CLIP-style caption-to-image " +
+        "matcher, machinery-real / encoders-stubbed): captions and " +
+        "images meet through DUAL ENCODERS — text side = token hashes, " +
+        "image side = a 16-bucket channel-sum gray histogram over the " +
+        "genuinely decoded raster — and similarity is the exact-integer " +
+        "dot product folded as one pass over the caption's tokens " +
+        "indexing the image vector (no histogram materialization on the " +
+        "text side at all). Top-3 images per caption. The REAL encoder " +
+        "is an external model (DEVIATIONS #1, same stance as " +
+        "q_embed_stub); what this pins is the retrieval machinery a " +
+        "100 TB pairing run needs: image vectors are encoder-output-" +
+        "sized and BROADCAST (never the rasters), the dot product is " +
+        "scan-side arithmetic, and the per-caption top-k is a window " +
+        "partitioned by caption. Oracle replays both encoders " +
+        "closed-form from the pixel/token formulas",
+      Some(s"""WITH cap AS (SELECT doc_id, ${text.tokenHashes(D, "text")} AS th
+              |  FROM documents WHERE doc_id < 50),
+              |img AS (SELECT doc_id AS img_id, 8 + doc_id % 5 AS w,
+              |    8 + doc_id % 3 AS h
+              |  FROM documents WHERE doc_id < 60),
+              |ivj AS (SELECT img_id, j,
+              |    list_sum(list_transform(
+              |      list_filter(generate_series(0, w * h - 1), p -> p % 16 = j),
+              |      p -> ((img_id + 3 * p) * 2654435761 % 1000000007) % 251
+              |         + ((img_id + 3 * p + 1) * 2654435761 % 1000000007) % 251
+              |         + ((img_id + 3 * p + 2) * 2654435761 % 1000000007) % 251))
+              |      AS v
+              |  FROM img, (SELECT unnest(generate_series(0, 15)) AS j)),
+              |ivarr AS (SELECT img_id, list(coalesce(v, 0) ORDER BY j) AS iv
+              |  FROM ivj GROUP BY img_id),
+              |sims AS (SELECT c.doc_id, i.img_id,
+              |    CAST(coalesce(list_sum(list_transform(c.th,
+              |      t -> i.iv[CAST(t % 16 AS INT) + 1])), 0) AS BIGINT) AS sim
+              |  FROM cap c CROSS JOIN ivarr i),
+              |r AS (SELECT doc_id, img_id, sim,
+              |    row_number() OVER (PARTITION BY doc_id
+              |                       ORDER BY sim DESC, img_id) AS rnk
+              |  FROM sims)
+              |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, img_id, sim
+              |FROM r WHERE rnk <= 3
+              |ORDER BY doc_id, rnk""".stripMargin)) { (s, dir) =>
+      import graft.operators.Multimodal
+      val caps = documents(s, dir).filter(col("doc_id") < 50)
+        .select(col("doc_id"), expr(text.tokenHashes(S, "text")).as("th"))
+      // image vectors through the REAL decode path (nearImageForDoc's
+      // unperturbed tier is the hash-mixed BMP writer); 60 16-long vectors
+      // broadcast — the raster bytes never cross an exchange
+      val imgs = documents(s, dir).filter(col("doc_id") < 60)
+        .select(col("doc_id").as("img_id"),
+          Multimodal.imageGrayBucketsUdf(
+            Multimodal.nearImageForDocUdf(col("doc_id")), lit(16)).as("iv"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("sim"), col("img_id"))
+      caps.crossJoin(broadcast(imgs))
+        .withColumn("sim", expr(
+          "aggregate(th, CAST(0 AS BIGINT), " +
+            "(acc, t) -> acc + element_at(iv, CAST(t % 16 AS INT) + 1))"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+          col("img_id"), col("sim"))
+        .orderBy("doc_id", "rnk")
+    },
+
     Q("q_image_clusters",
       "Near-dup image GALLERIES: connected components over the dHash " +
         "hamming pair graph — q_image_neardup's pairs fed through the " +
