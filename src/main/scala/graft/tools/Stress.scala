@@ -236,6 +236,29 @@ object Stress {
     }
     results += "containment_capped" -> (docRows, contS)
 
+    // perceptual fingerprint dedup over the scaled corpus (r7 families):
+    // real container encode + real decode + hash per row — pure
+    // scan-shaped kernel work, then ONE keyed aggregate each. Slope must
+    // track the scan; a bend would mean a codec kernel stopped being
+    // per-row or the dedup aggregate stopped map-side-combining.
+    val (_, imgS) = time {
+      import graft.operators.Multimodal
+      docs.select(Multimodal.dHash64Udf(
+          Multimodal.nearImageForDocUdf(col("doc_id") % 80000)).as("dhash"))
+        .groupBy("dhash").agg(count(lit(1)))
+        .count()
+    }
+    results += "image_fingerprint_dedup" -> (docRows, imgS)
+    val (_, audS) = time {
+      import graft.operators.Multimodal
+      docs.select(Multimodal.audioFingerprintUdf(
+          Multimodal.audioVariantForDocUdf(col("doc_id") % 60000),
+          lit(256)).as("fp"))
+        .groupBy("fp").agg(count(lit(1)))
+        .count()
+    }
+    results += "audio_fingerprint_dedup" -> (docRows, audS)
+
     val qs = results.map { case (k, (rows, s)) =>
       s""""$k":{"rows":$rows,"sec":${f"$s%.2f"}}"""
     }.mkString("{", ",", "}")

@@ -227,6 +227,36 @@ class PlanGuardSpec extends AnyFunSuite {
       s"q_stream_dedup: expected exactly 1 hash exchange, got ${sdShuffles.size}")
   }
 
+  test("round-7 queries keep their scale-critical plan shapes") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    def hashShuffles(name: String) = plans(name).collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    def joins(name: String) = plans(name).filter(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+    // fingerprint dedup: decode is per-row kernel work; the dedup itself
+    // must be join-FREE — only the keyed aggregate(s) shuffle. A join
+    // appearing here would mean the hash column stopped being scan-side.
+    for (name <- Seq("q_image_dedup", "q_audio_dedup")) {
+      assert(joins(name).isEmpty,
+        s"$name: fingerprint dedup planned a join:\n${joins(name).mkString("\n")}")
+      val n = hashShuffles(name).size
+      assert(n <= 3, s"$name: expected <= 3 hash exchanges " +
+        s"(count-distinct rewrite + keyed agg), got $n")
+    }
+    // cross-modal retrieval: the image-vector side must BROADCAST (60
+    // encoder-output rows) — a shuffled join would mean raster-derived
+    // data started moving with the corpus
+    val cmShuffledJoins = plans("q_crossmodal_match").filter { p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]
+    }
+    assert(cmShuffledJoins.isEmpty,
+      s"q_crossmodal_match: shuffled join planned:\n${cmShuffledJoins.mkString("\n")}")
+  }
+
   test("partitioned parquet layout prunes partitions at the scan") {
     // S10's other half: the 'index build' at 100 TB is a partitioned
     // layout; a filter on the partition column must plan a pruned scan
