@@ -152,6 +152,24 @@ object EventsStream {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** [[dedupStream]] keyed by PERCEPTUAL fingerprint over a binary media
+    * column — streaming ingest dedup for the multimodal tier: the same
+    * picture arriving as a PNG re-encode, a different container, or an
+    * integer-factor upscale carries the same
+    * [[graft.operators.Multimodal.dHash64]] (all genuinely decoded), so
+    * the state store suppresses it in flight where a byte hash would
+    * admit every re-encode as new. Same watermark-bounded state contract
+    * as the text dedup: state is keyed by a LONG, never the blob. */
+  def mediaDedupStream(media: DataFrame, contentCol: String,
+                       watermark: String = "1 hour",
+                       tsCol: String = "ts"): DataFrame =
+    media
+      .withColumn("__fp",
+        graft.operators.Multimodal.dHash64Udf(col(contentCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** [[dedupStream]] keyed by CANONICAL URL instead of content
     * fingerprint — the streaming face of q_url_dedup: a crawl frontier
     * deduping fetches as they arrive, where the same page under

@@ -1034,6 +1034,32 @@ class ModulesSpec extends AnyFunSuite {
     assert(click.getLong(2) == 2 && click.getDouble(3) == 2.0)
   }
 
+  test("streaming perceptual dedup: re-encoded images collapse in-flight") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    // the same picture (doc 3) arrives four times — BMP, 2x upscale, PPM,
+    // real PNG, all byte-DIFFERENT blobs — plus one genuinely different
+    // picture; the dHash-keyed state must keep exactly one of each
+    val mem = MemoryStream[(Timestamp, Long, Array[Byte])]
+    val df = mem.toDF().toDF("ts", "img_id", "content")
+    val q = EventsStream.mediaDedupStream(df, "content")
+      .writeStream.format("memory").queryName("media_dedup").start()
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, Multimodal.imageVariantForDoc(3L)),
+      (Timestamp.valueOf("2024-01-01 10:00:01"), 2L, Multimodal.imageVariantForDoc(3L + 20000)),
+      (Timestamp.valueOf("2024-01-01 10:00:02"), 3L, Multimodal.imageVariantForDoc(3L + 40000)),
+      (Timestamp.valueOf("2024-01-01 10:00:03"), 4L, Multimodal.imageVariantForDoc(3L + 60000)),
+      (Timestamp.valueOf("2024-01-01 10:00:04"), 5L, Multimodal.imageVariantForDoc(7L)))
+    q.processAllAvailable()
+    val survivors = spark.table("media_dedup").collect()
+      .map(_.getLong(1)).sorted.toSeq
+    q.stop()
+    // first arrival of picture 3 survives; the three re-encodes are
+    // suppressed by the in-flight state; picture 7 passes
+    assert(survivors == Seq(1L, 5L), s"got $survivors")
+  }
+
   test("streaming per-window top-k leaderboard merges state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
