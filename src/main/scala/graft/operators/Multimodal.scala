@@ -550,6 +550,40 @@ object Multimodal {
     }
   }
 
+  /** [[encodePpm]] / [[encodePng]] twins over the HASH-MIXED raster (the
+    * [[encodeBmpMix]] formula) — needed so the image-dedup fixture's
+    * format variants carry the same decorrelated picture as its BMP
+    * base. The PNG goes through the REAL deflate writer via a mixed
+    * source image. */
+  def encodePpmMix(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val b = encodePpm(w, h, 0L)
+    val off = b.length - 3 * w * h
+    var i = 0
+    while (i < 3 * w * h) {
+      b(off + i) = (((seed + i) * 2654435761L % 1000000007L) % 251L).toByte
+      i += 1
+    }
+    b
+  }
+
+  def encodePngMix(w: Int, h: Int, seed: Long): Array[Byte] = {
+    imageIoInit
+    require(w > 0 && h > 0, s"bad image dims ${w}x$h")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    def v(i: Long): Int = (((seed + i) * 2654435761L % 1000000007L) % 251L).toInt
+    var idx = 0L; var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (v(idx) << 16) | (v(idx + 1) << 8) | v(idx + 2))
+        idx += 3; x += 1
+      }
+      y += 1
+    }
+    writeImage(img, "png")
+  }
+
   /** q_image_dedup's fixture writer: ONE picture per base id rendered
     * through byte-DIFFERENT containers and scales — base 24bpp BMP (+0),
     * its 2× nearest-neighbor upscale (+20000), the same raster as binary
@@ -557,16 +591,19 @@ object Multimodal {
     * decode to rasters whose [[dHash64]] samples agree (channel-sum gray
     * is BGR/RGB-order-blind; the 2× upscale is exactly sample-invariant),
     * so the perceptual hash collapses them while any byte hash sees four
-    * unrelated blobs. */
+    * unrelated blobs. Rasters are HASH-MIXED ([[encodeBmpMix]]): under
+    * the linear gradient formula 240 pictures shared only 134 distinct
+    * hashes, conflating codec-collapse groups with accidental collisions
+    * (221/240 distinct mixed). */
   def imageVariantForDoc(imgId: Long): Array[Byte] = {
     require(imgId >= 0, s"negative image id $imgId")
     val base = imgId % 20000
     val w = (8 + base % 5).toInt; val h = (8 + base % 3).toInt
     (imgId / 20000) match {
-      case 0 => encodeBmp(w, h, base)
-      case 1 => resizeBmp(encodeBmp(w, h, base), 2 * w, 2 * h)
-      case 2 => encodePpm(w, h, base)
-      case 3 => encodePng(w, h, base)
+      case 0 => encodeBmpMix(w, h, base)
+      case 1 => resizeBmp(encodeBmpMix(w, h, base), 2 * w, 2 * h)
+      case 2 => encodePpmMix(w, h, base)
+      case 3 => encodePngMix(w, h, base)
       case v => throw new IllegalArgumentException(s"bad image variant $v")
     }
   }

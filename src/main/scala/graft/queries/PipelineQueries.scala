@@ -1136,9 +1136,12 @@ object PipelineQueries {
       Some("""WITH d AS (SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h
              |  FROM documents WHERE doc_id < 240),
              |g AS (SELECT doc_id, r, c,
-             |    (doc_id * 3 + (r * h // 8) * 3 * w + 3 * (c * w // 9)) % 251
-             |  + (doc_id * 3 + (r * h // 8) * 3 * w + 3 * (c * w // 9) + 1) % 251
-             |  + (doc_id * 3 + (r * h // 8) * 3 * w + 3 * (c * w // 9) + 2) % 251
+             |    ((doc_id + (r * h // 8) * 3 * w + 3 * (c * w // 9))
+             |      * 2654435761 % 1000000007) % 251
+             |  + ((doc_id + (r * h // 8) * 3 * w + 3 * (c * w // 9) + 1)
+             |      * 2654435761 % 1000000007) % 251
+             |  + ((doc_id + (r * h // 8) * 3 * w + 3 * (c * w // 9) + 2)
+             |      * 2654435761 % 1000000007) % 251
              |    AS gray
              |  FROM d, (SELECT unnest(generate_series(0, 7)) AS r),
              |       (SELECT unnest(generate_series(0, 8)) AS c)),

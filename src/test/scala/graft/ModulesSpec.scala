@@ -324,6 +324,12 @@ class ModulesSpec extends AnyFunSuite {
       Multimodal.resizeBmp(bmp, 3 * w, 3 * h)) == base)
     // different pictures at the same dims do NOT collide here
     assert(Multimodal.dHash64(Multimodal.encodeBmp(w, h, 43L)) != base)
+    // the hash-mixed encoder family (the dedup fixtures) agrees the same
+    // way: BMP == PPM == real-deflate PNG of the same mixed raster
+    val mixed = Multimodal.dHash64(Multimodal.encodeBmpMix(w, h, seed))
+    assert(Multimodal.dHash64(Multimodal.encodePpmMix(w, h, seed)) == mixed)
+    assert(Multimodal.dHash64(Multimodal.encodePngMix(w, h, seed)) == mixed)
+    assert(mixed != base)
     // unknown magic fails loudly, same policy as the other walkers
     intercept[IllegalArgumentException] {
       Multimodal.dHash64("definitely not an image".getBytes("US-ASCII"))
