@@ -584,6 +584,24 @@ object Multimodal {
     writeImage(img, "png")
   }
 
+  /** q_audio_neardup's fixture writer: base hash-mixed WAV (+0) and its
+    * PERTURBED near-dup twin (+80000) — one bounded edit, overwriting
+    * frame 17's 256 samples with a constant 500, so only the two energy
+    * comparisons touching frame 17 (fingerprint bits 16 and 17) can
+    * flip: a hamming ≤ 2 pair by construction, the audio analog of
+    * [[nearImageForDoc]]'s single-pixel edit. */
+  def nearAudioForDoc(clipId: Long): Array[Byte] = {
+    require(clipId >= 0, s"negative clip id $clipId")
+    val base = clipId % 80000
+    val n = (34 * 256 + 128 * (base % 3)).toInt
+    val b = encodeWavMix(n, 8000, base)
+    if (clipId >= 80000) {
+      var i = 17 * 256
+      while (i < 18 * 256) { wrLE(b, 44 + 2 * i, 500L & 0xffffL, 2); i += 1 }
+    }
+    b
+  }
+
   /** q_image_dedup's fixture writer: ONE picture per base id rendered
     * through byte-DIFFERENT containers and scales — base 24bpp BMP (+0),
     * its 2× nearest-neighbor upscale (+20000), the same raster as binary
@@ -1045,6 +1063,7 @@ object Multimodal {
   val nearImageForDocUdf = udf((imgId: Long) => nearImageForDoc(imgId))
   val imageGrayBucketsUdf =
     udf((b: Array[Byte], dim: Int) => imageGrayBuckets(b, dim))
+  val nearAudioForDocUdf = udf((clipId: Long) => nearAudioForDoc(clipId))
   val audioVariantForDocUdf = udf((clipId: Long) => audioVariantForDoc(clipId))
   val audioFingerprintUdf =
     udf((b: Array[Byte], frameLen: Int) => audioFingerprint(b, frameLen))

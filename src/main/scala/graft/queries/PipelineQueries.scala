@@ -1456,6 +1456,60 @@ object PipelineQueries {
         .orderBy("keep_id")
     },
 
+    Q("q_audio_neardup",
+      "NEAR-duplicate audio pairs — q_audio_dedup finds re-masters of " +
+        "the SAME take; this finds slightly-EDITED recordings (hamming " +
+        "<= 2 over the 33-bit energy fingerprint) via the same " +
+        "Dedup.hammingPairs pigeonhole the image and text tiers use " +
+        "(3 chunks of 12 bits: hamming <= 2 implies >= 1 equal chunk, " +
+        "exact prefilter). Fixture: every 2nd recording also appears " +
+        "with ONE frame's samples overwritten (+80000 ids) — a bounded " +
+        "edit that can flip only the two energy comparisons touching " +
+        "that frame — and the oracle brute-forces all pairs closed-" +
+        "form, checking the no-false-negative guarantee against " +
+        "exhaustive ground truth. Scale shape: per-row DSP kernel, " +
+        "then the capped blocked self-join — never corpus x corpus",
+      Some("""WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 240),
+             |e AS (SELECT doc_id, v, f,
+             |    CASE WHEN v = 1 AND f = 17 THEN 256 * 500 * 500 ELSE
+             |      list_sum(list_transform(generate_series(f * 256, f * 256 + 255),
+             |        i -> (((doc_id + i) * 2654435761 % 1000000007) % 4001 - 2000)
+             |           * (((doc_id + i) * 2654435761 % 1000000007) % 4001 - 2000)))
+             |    END AS energy
+             |  FROM d, (SELECT unnest(generate_series(0, 33)) AS f),
+             |       (SELECT unnest(generate_series(0, 1)) AS v)),
+             |b0 AS (SELECT doc_id, v, f,
+             |    CASE WHEN lead(energy) OVER (PARTITION BY doc_id, v ORDER BY f)
+             |              > energy THEN 1 ELSE 0 END AS bit
+             |  FROM e),
+             |fps AS (SELECT doc_id, v,
+             |    CAST(sum(CAST(bit AS BIGINT) * (1::BIGINT << f)) AS BIGINT)
+             |      AS fingerprint
+             |  FROM b0 WHERE f < 33 GROUP BY doc_id, v),
+             |corpus AS (
+             |  SELECT doc_id AS clip_id, fingerprint FROM fps WHERE v = 0
+             |  UNION ALL
+             |  SELECT doc_id + 80000, fingerprint FROM fps
+             |  WHERE v = 1 AND doc_id % 2 = 0)
+             |SELECT a.clip_id AS a_id, b.clip_id AS b_id,
+             |  CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS BIGINT)
+             |    AS hamming
+             |FROM corpus a JOIN corpus b ON a.clip_id < b.clip_id
+             |WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 2
+             |ORDER BY a_id, b_id""".stripMargin)) { (s, dir) =>
+      import graft.operators.Multimodal
+      val ids = documents(s, dir).filter(col("doc_id") < 240)
+        .select(col("doc_id"))
+      val corpus = ids.select(col("doc_id").as("clip_id"))
+        .unionByName(ids.filter(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 80000).as("clip_id")))
+      val fps = corpus.select(col("clip_id"), Multimodal.audioFingerprintUdf(
+        Multimodal.nearAudioForDocUdf(col("clip_id")), lit(256)).as("fp"))
+      graft.operators.Dedup.hammingPairs(fps, "clip_id", "fp",
+          bits = 36, chunks = 3, maxHamming = 2)
+        .orderBy("a_id", "b_id")
+    },
+
     Q("q_audio_features",
       "Real DSP over real WAV bytes (the audio analog of the decoded-pixel " +
         "queries): parse the RIFF/PCM payload, then compute zero-crossing " +
