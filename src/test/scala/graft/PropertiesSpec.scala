@@ -175,4 +175,57 @@ class PropertiesSpec extends AnyFunSuite {
       assert(agg.finish(merged) == want)
     }
   }
+
+  test("dHash64: container/scale-invariant and deterministic over random dims+seeds") {
+    import graft.operators.Multimodal
+    // the q_image_dedup contract as a property, not a fixture: for ANY
+    // dims and seed, the BMP / PPM / real-deflate PNG / k-times upscale
+    // of one mixed raster share one hash, and the hash is 64-bit total
+    forAllSamples(60) {
+      val w = 2 + rnd.nextInt(24); val h = 2 + rnd.nextInt(18)
+      val seed = rnd.nextInt(100000).toLong
+      val bmp = Multimodal.encodeBmpMix(w, h, seed)
+      val base = Multimodal.dHash64(bmp)
+      assert(Multimodal.dHash64(bmp) == base)
+      assert(Multimodal.dHash64(Multimodal.encodePpmMix(w, h, seed)) == base)
+      assert(Multimodal.dHash64(Multimodal.encodePngMix(w, h, seed)) == base)
+      val k = 2 + rnd.nextInt(3)
+      assert(Multimodal.dHash64(
+        Multimodal.resizeBmp(bmp, k * w, k * h)) == base)
+    }
+  }
+
+  test("audioFingerprint: gain/tail-invariant over random seeds and gains") {
+    import graft.operators.Multimodal
+    forAllSamples(40) {
+      val n = 34 * 256 + 128 * rnd.nextInt(4)
+      val seed = rnd.nextInt(100000).toLong
+      val base = Multimodal.encodeWavMix(n, 8000, seed)
+      val fp = Multimodal.audioFingerprint(base, 256)
+      assert(fp >= 0L && fp < (1L << 33))
+      // any non-clipping gain preserves every energy comparison
+      val g = 2 + rnd.nextInt(15) // |sample| <= 2000, 16*2000 < 32767
+      assert(Multimodal.audioFingerprint(Multimodal.wavGain(base, g), 256) == fp)
+      // longer takes sharing the prefix fingerprint identically
+      assert(Multimodal.audioFingerprint(
+        Multimodal.encodeWavMix(n + 256 * (1 + rnd.nextInt(8)), 8000, seed),
+        256) == fp)
+    }
+  }
+
+  test("hamming pigeonhole: <= chunks-1 flipped bits always share a chunk") {
+    // the no-false-negative guarantee hammingPairs' block join rests on,
+    // checked over random 64-bit fingerprints incl. the sign bit: flip up
+    // to (chunks-1) random bits and verify at least one 16-bit chunk is
+    // untouched — i.e. the chunk block key would still collide
+    forAllSamples(300) {
+      val fp = rnd.nextLong()
+      val nFlip = rnd.nextInt(4) // 0..3 with chunks = 4
+      val flipped = (1 to nFlip).foldLeft(fp)((v, _) => v ^ (1L << rnd.nextInt(64)))
+      val shared = (0 until 4).exists { j =>
+        ((fp >>> (j * 16)) & 0xffffL) == ((flipped >>> (j * 16)) & 0xffffL)
+      }
+      assert(shared, f"no shared chunk for fp=$fp%x flipped=$flipped%x")
+    }
+  }
 }
