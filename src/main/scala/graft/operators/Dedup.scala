@@ -351,12 +351,13 @@ object Dedup {
   }
 
   def simhashPairs(df: DataFrame, keyCol: String, textCol: String,
-                   bits: Int, chunks: Int, maxHamming: Int, shingleN: Int): DataFrame = {
+                   bits: Int, chunks: Int, maxHamming: Int, shingleN: Int,
+                   maxBucket: Int = Int.MaxValue): DataFrame = {
     require(bits == 60, "compiled kernel is fixed at 60 bits (TextSig.simhash60)")
     // compiled one-pass kernel — see TextSig for why not HOF expressions
     val sh = df.select(col(keyCol).as("id"),
       TextSig.simhash60Udf(col(textCol), lit(shingleN)).as("sh"))
-    hammingPairs(sh, "id", "sh", bits, chunks, maxHamming)
+    hammingPairs(sh, "id", "sh", bits, chunks, maxHamming, maxBucket)
   }
 
   /** Apply a pair table to the corpus: drop the higher-keyed member of

@@ -418,6 +418,10 @@ object Multimodal {
         require(bpp == 24 && rdLE(b, 30, 4) == 0 && dataOff == 54,
           "grayRaster: only uncompressed 24bpp BMP with a 54-byte header")
         val bw = rdLE(b, 18, 4).toInt; val bh = rdLE(b, 22, 4).toInt
+        // mirror encodeBmp's dim require: a crafted negative biHeight makes
+        // stride*bh negative, sails past the truncation check, and dies as
+        // ArrayIndexOutOfBounds instead of the documented loud reject
+        require(bw > 0 && bh > 0, s"grayRaster: bad BMP dims ${bw}x$bh")
         val stride = ((3 * bw + 3) / 4) * 4
         require(b.length >= 54 + stride * bh, "bmp truncated pixel payload")
         (bw, bh, (x, y) => {
@@ -501,10 +505,12 @@ object Multimodal {
     out
   }
 
-  /** 32-bit audio difference fingerprint — [[dHash64]]'s sibling for the
-    * audio tier: exact integer energies of the first 33 non-overlapping
+  /** 33-bit audio difference fingerprint — [[dHash64]]'s sibling for the
+    * audio tier: exact integer energies of the first 34 non-overlapping
     * `frameLen`-sample frames, bit f = energy(f+1) > energy(f), packed at
-    * position f (32 bits, sign bit never used — replays in any engine).
+    * positions 0..32 (33 bits, sign bit never used — replays in any
+    * engine; chunking callers must size bits ≥ 33, q_audio_neardup uses
+    * bits=36 = 3×12).
     * GAIN-invariant by arithmetic (energy scales by gain² uniformly, so
     * every comparison is preserved — no clipping by [[wavGain]]'s
     * contract) and TAIL-invariant (a longer take with the same prefix

@@ -1205,10 +1205,17 @@ object PipelineQueries {
         "near-dups — degenerate), every 2nd picture also appearing with " +
         "ONE sampled pixel overwritten (+80000 ids) — a real decoded-" +
         "pixel edit that flips at most hash bit 63 — and the oracle " +
-        "brute-forces all pairs closed-form, so the prefilter's no-" +
-        "false-negative guarantee is checked against an exhaustive " +
-        "ground truth. Scale shape: per-row decode kernel, then the " +
-        "capped blocked self-join — never corpus x corpus",
+        "replays the capped pigeonhole join closed-form (chunk " +
+        "extraction + the >64 bucket exclusion, exactly the Spark " +
+        "plan; no fixture bucket reaches the cap, so the pairs remain " +
+        "the exhaustive brute-force ground truth — asserted by the " +
+        "no-false-negative property battery). Scale shape: per-row " +
+        "decode kernel, then the capped blocked self-join with " +
+        "maxBucket=64 ENGAGED — on a real crawl monochrome thumbnails " +
+        "and letterboxed frames make the all-zero dHash chunk a " +
+        "mega-bucket (quadratic on one join key) the same way " +
+        "boilerplate prefixes did for containment — never corpus x " +
+        "corpus",
       Some("""WITH d AS (SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h
              |  FROM documents WHERE doc_id < 240),
              |g AS (SELECT doc_id, v, r, c,
@@ -1238,11 +1245,20 @@ object PipelineQueries {
              |  SELECT doc_id AS img_id, dhash FROM hx WHERE v = 0
              |  UNION ALL
              |  SELECT doc_id + 80000, dhash FROM hx
-             |  WHERE v = 1 AND doc_id % 2 = 0)
-             |SELECT a.img_id AS a_id, b.img_id AS b_id,
-             |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
-             |FROM corpus a JOIN corpus b ON a.img_id < b.img_id
-             |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+             |  WHERE v = 1 AND doc_id % 2 = 0),
+             |ch AS (SELECT img_id, dhash, j, (dhash >> (j * 16)) & 65535 AS cv
+             |  FROM corpus, (SELECT unnest(generate_series(0, 3)) AS j)),
+             |big AS (SELECT j, cv FROM ch GROUP BY j, cv HAVING count(*) > 64),
+             |ch2 AS (SELECT * FROM ch WHERE NOT EXISTS (
+             |  SELECT 1 FROM big WHERE big.j = ch.j AND big.cv = ch.cv)),
+             |cand AS (SELECT DISTINCT a.img_id AS a_id, b.img_id AS b_id,
+             |    a.dhash AS a_h, b.dhash AS b_h
+             |  FROM ch2 a JOIN ch2 b
+             |    ON a.j = b.j AND a.cv = b.cv AND a.img_id < b.img_id)
+             |SELECT a_id, b_id,
+             |  CAST(bit_count(xor(a_h, b_h)) AS BIGINT) AS hamming
+             |FROM cand
+             |WHERE bit_count(xor(a_h, b_h)) <= 3
              |ORDER BY a_id, b_id""".stripMargin)) { (s, dir) =>
       import graft.operators.Multimodal
       val ids = documents(s, dir).filter(col("doc_id") < 240)
@@ -1253,7 +1269,7 @@ object PipelineQueries {
       val hashes = corpus.select(col("img_id"), Multimodal.dHash64Udf(
         Multimodal.nearImageForDocUdf(col("img_id"))).as("dhash"))
       graft.operators.Dedup.hammingPairs(hashes, "img_id", "dhash",
-          bits = 64, chunks = 4, maxHamming = 3)
+          bits = 64, chunks = 4, maxHamming = 3, maxBucket = 64)
         .orderBy("a_id", "b_id")
     },
 
@@ -1311,9 +1327,13 @@ object PipelineQueries {
             Multimodal.nearImageForDocUdf(col("doc_id")), lit(16)).as("iv"))
       val w = Window.partitionBy("doc_id").orderBy(desc("sim"), col("img_id"))
       caps.crossJoin(broadcast(imgs))
-        .withColumn("sim", expr(
+        // coalesce mirrors the oracle's coalesce(list_sum(...), 0):
+        // aggregate() over a NULL token array is NULL, so a null-text
+        // caption would otherwise diverge (NULL vs 0 sim)
+        .withColumn("sim", coalesce(expr(
           "aggregate(th, CAST(0 AS BIGINT), " +
-            "(acc, t) -> acc + element_at(iv, CAST(t % 16 AS INT) + 1))"))
+            "(acc, t) -> acc + element_at(iv, CAST(t % 16 AS INT) + 1))"),
+          lit(0L)))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
@@ -1365,8 +1385,14 @@ object PipelineQueries {
              |  UNION ALL
              |  SELECT doc_id + 80000, dhash FROM hx
              |  WHERE v = 1 AND doc_id % 2 = 0),
-             |pairs AS (SELECT a.img_id AS a_id, b.img_id AS b_id
-             |  FROM corpus a JOIN corpus b ON a.img_id < b.img_id
+             |ch AS (SELECT img_id, dhash, j, (dhash >> (j * 16)) & 65535 AS cv
+             |  FROM corpus, (SELECT unnest(generate_series(0, 3)) AS j)),
+             |big AS (SELECT j, cv FROM ch GROUP BY j, cv HAVING count(*) > 64),
+             |ch2 AS (SELECT * FROM ch WHERE NOT EXISTS (
+             |  SELECT 1 FROM big WHERE big.j = ch.j AND big.cv = ch.cv)),
+             |pairs AS (SELECT DISTINCT a.img_id AS a_id, b.img_id AS b_id
+             |  FROM ch2 a JOIN ch2 b
+             |    ON a.j = b.j AND a.cv = b.cv AND a.img_id < b.img_id
              |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
              |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
              |          UNION SELECT b_id, a_id FROM pairs),
@@ -1389,7 +1415,7 @@ object PipelineQueries {
       val hashes = corpus.select(col("img_id"), Multimodal.dHash64Udf(
         Multimodal.nearImageForDocUdf(col("img_id"))).as("dhash"))
       val pairs = graft.operators.Dedup.hammingPairs(hashes, "img_id",
-        "dhash", bits = 64, chunks = 4, maxHamming = 3)
+        "dhash", bits = 64, chunks = 4, maxHamming = 3, maxBucket = 64)
       graft.operators.Dedup.clusters(corpus, "img_id", pairs)
         .select(col("id"), col("cluster"), col("n_members"))
         .orderBy("id")
@@ -1465,10 +1491,14 @@ object PipelineQueries {
         "exact prefilter). Fixture: every 2nd recording also appears " +
         "with ONE frame's samples overwritten (+80000 ids) — a bounded " +
         "edit that can flip only the two energy comparisons touching " +
-        "that frame — and the oracle brute-forces all pairs closed-" +
-        "form, checking the no-false-negative guarantee against " +
-        "exhaustive ground truth. Scale shape: per-row DSP kernel, " +
-        "then the capped blocked self-join — never corpus x corpus",
+        "that frame — and the oracle replays the capped pigeonhole " +
+        "join closed-form (chunk extraction + the >64 bucket " +
+        "exclusion, exactly the Spark plan; no fixture bucket reaches " +
+        "the cap, so pairs remain exhaustive ground truth). Scale " +
+        "shape: per-row DSP kernel, then the capped blocked self-join " +
+        "with maxBucket=64 ENGAGED — silence-heavy clips all carry " +
+        "zero-energy frames, making the all-zero fingerprint chunk a " +
+        "mega-bucket on a real crawl — never corpus x corpus",
       Some("""WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 240),
              |e AS (SELECT doc_id, v, f,
              |    CASE WHEN v = 1 AND f = 17 THEN 256 * 500 * 500 ELSE
@@ -1490,12 +1520,21 @@ object PipelineQueries {
              |  SELECT doc_id AS clip_id, fingerprint FROM fps WHERE v = 0
              |  UNION ALL
              |  SELECT doc_id + 80000, fingerprint FROM fps
-             |  WHERE v = 1 AND doc_id % 2 = 0)
-             |SELECT a.clip_id AS a_id, b.clip_id AS b_id,
-             |  CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS BIGINT)
-             |    AS hamming
-             |FROM corpus a JOIN corpus b ON a.clip_id < b.clip_id
-             |WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 2
+             |  WHERE v = 1 AND doc_id % 2 = 0),
+             |ch AS (SELECT clip_id, fingerprint, j,
+             |    (fingerprint >> (j * 12)) & 4095 AS cv
+             |  FROM corpus, (SELECT unnest(generate_series(0, 2)) AS j)),
+             |big AS (SELECT j, cv FROM ch GROUP BY j, cv HAVING count(*) > 64),
+             |ch2 AS (SELECT * FROM ch WHERE NOT EXISTS (
+             |  SELECT 1 FROM big WHERE big.j = ch.j AND big.cv = ch.cv)),
+             |cand AS (SELECT DISTINCT a.clip_id AS a_id, b.clip_id AS b_id,
+             |    a.fingerprint AS a_fp, b.fingerprint AS b_fp
+             |  FROM ch2 a JOIN ch2 b
+             |    ON a.j = b.j AND a.cv = b.cv AND a.clip_id < b.clip_id)
+             |SELECT a_id, b_id,
+             |  CAST(bit_count(xor(a_fp, b_fp)) AS BIGINT) AS hamming
+             |FROM cand
+             |WHERE bit_count(xor(a_fp, b_fp)) <= 2
              |ORDER BY a_id, b_id""".stripMargin)) { (s, dir) =>
       import graft.operators.Multimodal
       val ids = documents(s, dir).filter(col("doc_id") < 240)
@@ -1506,7 +1545,7 @@ object PipelineQueries {
       val fps = corpus.select(col("clip_id"), Multimodal.audioFingerprintUdf(
         Multimodal.nearAudioForDocUdf(col("clip_id")), lit(256)).as("fp"))
       graft.operators.Dedup.hammingPairs(fps, "clip_id", "fp",
-          bits = 36, chunks = 3, maxHamming = 2)
+          bits = 36, chunks = 3, maxHamming = 2, maxBucket = 64)
         .orderBy("a_id", "b_id")
     },
 

@@ -100,8 +100,11 @@ object TextQueries {
     Q("q_dedup_simhash",
       "SimHash near-dup pairs: 60-bit fingerprints over 3-gram shingle hashes, " +
         "hamming <= 3 via exact pigeonhole chunk-join (4 chunks of 15 bits — " +
-        "32k-value chunks keep buckets tiny at any corpus size; 4-bit chunks " +
-        "would collapse into mega-buckets and a quadratic join)",
+        "32k-value chunks keep buckets tiny on PROSE at any corpus size — " +
+        "but near-empty docs hash to all-zero fingerprints whose chunks " +
+        "collapse into one mega-bucket on a real crawl, so maxBucket=64 is " +
+        "ENGAGED and mirrored in the oracle's bucket exclusion; no fixture " +
+        "bucket reaches it)",
       Some(s"""WITH $nearDupCorpusSql,
               |hs AS (SELECT doc_id, ${text.shingleHashes(D, "text", 3)} AS hs
               |       FROM corpus),
@@ -113,9 +116,12 @@ object TextQueries {
               |ch AS (SELECT doc_id, sh, j,
               |         ${D.intDiv("sh", "CAST(pow(2, j*15) AS BIGINT)")} % 32768 AS cv
               |       FROM sigs, (SELECT unnest(generate_series(0, 3)) AS j)),
+              |big AS (SELECT j, cv FROM ch GROUP BY j, cv HAVING count(*) > 64),
+              |ch2 AS (SELECT * FROM ch WHERE NOT EXISTS (
+              |          SELECT 1 FROM big WHERE big.j = ch.j AND big.cv = ch.cv)),
               |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
               |                a.sh AS a_sh, b.sh AS b_sh
-              |         FROM ch a JOIN ch b
+              |         FROM ch2 a JOIN ch2 b
               |           ON a.j = b.j AND a.cv = b.cv AND a.doc_id < b.doc_id)
               |SELECT a_id, b_id,
               |  CAST(bit_count(xor(a_sh, b_sh)) AS BIGINT) AS hamming
@@ -123,7 +129,8 @@ object TextQueries {
               |WHERE bit_count(xor(a_sh, b_sh)) <= 3
               |ORDER BY a_id, b_id""".stripMargin)) { (s, dir) =>
       Dedup.simhashPairs(nearDupCorpus(documents(s, dir)),
-          "doc_id", "text", bits = 60, chunks = 4, maxHamming = 3, shingleN = 3)
+          "doc_id", "text", bits = 60, chunks = 4, maxHamming = 3, shingleN = 3,
+          maxBucket = 64)
         .orderBy("a_id", "b_id")
     },
 

@@ -376,6 +376,65 @@ class ModulesSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L, 1L), (1L, 3L, 2L), (2L, 3L, 1L)))
   }
 
+  test("hamming mega-bucket cap: monochrome images / silent audio bounded") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Multimodal}
+    // THE fingerprint-family skew hazard (the hot-prefix corpus' analog):
+    // a monochrome raster has no rising gray anywhere, so EVERY letterbox
+    // bar / blank thumbnail dHashes to exactly 0 — one mega-bucket per
+    // chunk. Rasters go through the REAL PPM decode path.
+    def monoPpm(w: Int, h: Int, v: Int): Array[Byte] =
+      s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++
+        Array.fill(3 * w * h)(v.toByte)
+    val monoHashes = (1L to 80L).map(i =>
+      (i, Multimodal.dHash64(monoPpm((9 + i % 3).toInt, 9, (i % 5).toInt * 40))))
+    assert(monoHashes.forall(_._2 == 0L), "monochrome rasters must dHash to 0")
+    // planted legitimate near-dup pair (hamming <= 3) via the real fixture
+    // writers — a small bucket that must survive the cap bit-identically
+    val planted = Seq(
+      (101L, Multimodal.dHash64(Multimodal.nearImageForDoc(2L))),
+      (102L, Multimodal.dHash64(Multimodal.nearImageForDoc(80002L))))
+    val imgs = (monoHashes ++ planted).toDF("id", "fp")
+    val uncapped = Dedup.hammingPairs(imgs, "id", "fp", 64, 4, 3)
+    val capped = Dedup.hammingPairs(imgs, "id", "fp", 64, 4, 3, maxBucket = 10)
+    // uncapped pays the quadratic mega-bucket (80*79/2 zero-hamming pairs);
+    // the cap drops EXACTLY the oversized bucket's pairs and keeps the
+    // small-bucket pair — bounded volume, no bucket > cap crosses the join
+    assert(uncapped.count() == 80L * 79L / 2L + 1L)
+    assert(capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((101L, 102L)))
+    // silent audio: zero samples -> every frame energy 0 -> fingerprint 0,
+    // same mega-bucket shape through the real RIFF/PCM parse
+    val silentFp = {
+      val b = Multimodal.encodeWavMix(34 * 256, 8000, 3L)
+      java.util.Arrays.fill(b, 44, b.length, 0.toByte)
+      Multimodal.audioFingerprint(b, 256)
+    }
+    assert(silentFp == 0L, "silent clip must fingerprint to 0")
+    val silents = (1L to 60L).map(i => (i, silentFp))
+    val clipPair = Seq(
+      (201L, Multimodal.audioFingerprint(Multimodal.nearAudioForDoc(4L), 256)),
+      (202L, Multimodal.audioFingerprint(Multimodal.nearAudioForDoc(80004L), 256)))
+    val clips = (silents ++ clipPair).toDF("id", "fp")
+    assert(Dedup.hammingPairs(clips, "id", "fp", 36, 3, 2).count() ==
+      60L * 59L / 2L + 1L)
+    assert(Dedup.hammingPairs(clips, "id", "fp", 36, 3, 2, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((201L, 202L)))
+    // simhashPairs threads the cap: near-empty docs -> all-zero
+    // fingerprints -> one mega-bucket; distinct prose pair survives
+    val docs = ((1L to 40L).map(i => (i, "")) ++ Seq(
+      (301L, "the quick brown fox jumps over the lazy dog again and again"),
+      (302L, "the quick brown fox jumps over the lazy dog again and again")))
+      .toDF("doc_id", "text")
+    val sim = Dedup.simhashPairs(docs, "doc_id", "text", 60, 4, 3, 3,
+        maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sim == Seq((301L, 302L)))
+    assert(Dedup.simhashPairs(docs, "doc_id", "text", 60, 4, 3, 3)
+      .count() == 40L * 39L / 2L + 1L)
+  }
+
   test("windowed collocation pairs grow linearly in doc length") {
     import spark.implicits._
     // an all-distinct-token doc of L tokens emits exactly k*L - k(k+1)/2
