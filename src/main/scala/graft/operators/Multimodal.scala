@@ -931,6 +931,109 @@ object Multimodal {
     out.toArray
   }
 
+  /** 64-bit video CLIP fingerprint — [[dHash64]] lifted to the time axis
+    * (temporal-mean difference hash): walk the Y4M stream like
+    * [[videoFrameStats]], and for every `stride`-th frame accumulate the
+    * luma value at each of dHash's 8×9 grid positions (x = j·w/9,
+    * y = r·h/8 — the same integer-division sample map, so the resize
+    * identity carries over); bit (r,c) = colSum(r,c+1) > colSum(r,c).
+    * Comparing per-position SUMS over an equal frame count is comparing
+    * temporal MEANS, so the signature is a mean-frame dHash: stable under
+    * per-frame noise that a per-frame-hash XOR fold would amplify, and a
+    * bounded single-pixel edit in ONE sampled frame can move only the one
+    * grid sum that reads it (at most one bit flips when the edited pixel
+    * is read by a single grid position — the PropertiesSpec pin).
+    * Unsampled frames never leave the walk, same contract as the frame
+    * walkers; chunk via [[graft.operators.Dedup.hammingPairs]] with
+    * bits=64. Malformed input throws. */
+  def videoFingerprint(b: Array[Byte], stride: Int): Long = {
+    require(stride > 0, s"bad stride $stride")
+    val hd = y4mHead(b)
+    val w = hd.w; val h = hd.h
+    val sums = Array.ofDim[Long](8, 9)
+    var p = hd.payloadStart; var f = 0L; var sampled = 0L
+    while (p < b.length) {
+      require(p + 6 <= b.length &&
+        new String(b, p, 5, "US-ASCII") == "FRAME", s"y4m: no FRAME marker at $p")
+      var q = p + 5
+      while (q < b.length && b(q) != '\n') q += 1
+      require(q + hd.frameBytes < b.length, "y4m: truncated frame payload")
+      if (f % stride == 0) {
+        var r = 0
+        while (r < 8) {
+          val y = r * h / 8
+          var j = 0
+          while (j < 9) {
+            sums(r)(j) += (b(q + 1 + y * w + j * w / 9) & 0xff).toLong
+            j += 1
+          }
+          r += 1
+        }
+        sampled += 1
+      }
+      f += 1
+      p = q + 1 + hd.frameBytes
+    }
+    require(sampled > 0, "y4m: no frames")
+    var hash = 0L; var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (sums(r)(c + 1) > sums(r)(c)) hash |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** [[encodeY4m]]'s twin with HASH-MIXED payload bytes — the
+    * [[encodeBmpMix]]/[[encodeWavMix]] argument applied to video: the
+    * linear (seed·5 + i) % 241 payload makes every clip a phase-shift of
+    * the same periodic stream, so clips sharing dims would collide en
+    * masse under any temporal-sum fingerprint (the documented dedup-
+    * fixture trap); the multiplicative mix decorrelates seeds while
+    * staying exactly BIGINT-replayable in the oracle. */
+  def encodeY4mMix(w: Int, h: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    val b = encodeY4m(w, h, nFrames, 0L)
+    val hd = y4mHead(b)
+    var f = 0; var i = 0L
+    while (f < nFrames) {
+      val base = hd.payloadStart + f * (6 + hd.frameBytes) + 6
+      var j = 0
+      while (j < hd.frameBytes) {
+        b(base + j) = (((seed + i) * 2654435761L % 1000000007L) % 241L).toByte
+        i += 1; j += 1
+      }
+      f += 1
+    }
+    b
+  }
+
+  /** q_video_neardup's fixture writer: base hash-mixed Y4M (+0) and its
+    * PERTURBED near-dup twin (+80000) — one bounded decoded-pixel edit,
+    * overwriting the single luma pixel of SAMPLED frame 2 that only
+    * [[videoFingerprint]]'s (r=7, j=8) grid position reads (x = 8w/9 and
+    * y = 7h/8 are hit by no other sample at these dims — verified for
+    * every (w, h) the id formula produces) with near-max luma, so the
+    * twin's fingerprint differs from the base in AT MOST bit 63: the
+    * video analog of [[nearImageForDoc]]'s single-pixel edit. */
+  def nearVideoForDoc(mediaId: Long): Array[Byte] = {
+    require(mediaId >= 0, s"negative media id $mediaId")
+    val base = mediaId % 80000
+    val w = (10 + 2 * (base % 4)).toInt
+    val h = (8 + 2 * (base % 3)).toInt
+    val nf = (3 + base % 4).toInt
+    val b = encodeY4mMix(w, h, nf, base)
+    if (mediaId >= 80000) {
+      val hd = y4mHead(b)
+      val off = hd.payloadStart + 2 * (6 + hd.frameBytes) + 6 +
+        (7 * h / 8) * w + 8 * w / 9
+      b(off) = 240.toByte
+    }
+    b
+  }
+
   /** Real DSP over the PCM payload (the audio analog of the decoded-pixel
     * work): sign-change count over the whole clip, exact integer energy
     * (Σ s²) total and per non-overlapping `frame`-sample frame (max
@@ -1070,6 +1173,9 @@ object Multimodal {
   val imageGrayBucketsUdf =
     udf((b: Array[Byte], dim: Int) => imageGrayBuckets(b, dim))
   val nearAudioForDocUdf = udf((clipId: Long) => nearAudioForDoc(clipId))
+  val videoFingerprintUdf =
+    udf((b: Array[Byte], stride: Int) => videoFingerprint(b, stride))
+  val nearVideoForDocUdf = udf((mediaId: Long) => nearVideoForDoc(mediaId))
   val audioVariantForDocUdf = udf((clipId: Long) => audioVariantForDoc(clipId))
   val audioFingerprintUdf =
     udf((b: Array[Byte], frameLen: Int) => audioFingerprint(b, frameLen))

@@ -1549,6 +1549,84 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     },
 
+    Q("q_video_neardup",
+      "NEAR-duplicate VIDEO pairs — the last missing modality in the " +
+        "fingerprint matrix (text SimHash, image dHash, audio energy " +
+        "fingerprint, now video): a 64-bit temporal-mean dHash folds " +
+        "every 2nd frame's luma at the dHash 8x9 grid into per-position " +
+        "sums over genuinely parsed Y4M (Multimodal.videoFingerprint — " +
+        "comparing sums over an equal frame count IS comparing temporal " +
+        "means, so a bounded single-pixel edit in one sampled frame " +
+        "moves one grid sum and flips at most one bit). Fixture: " +
+        "hash-mixed clips (the linear payload formula would phase-shift-" +
+        "collide clips sharing dims — the documented fixture trap), " +
+        "every 2nd clip also appearing with ONE luma pixel of sampled " +
+        "frame 2 overwritten (+80000 ids), a pixel only the (r=7,j=8) " +
+        "grid position reads, so the twin differs in at most hash bit " +
+        "63. Pairs via the same capped Dedup.hammingPairs pigeonhole as " +
+        "the image tier (4x16-bit chunks, hamming <= 3, maxBucket=64 — " +
+        "black frames and letterboxed clips make the all-zero chunk a " +
+        "mega-bucket on a real crawl), oracle replays fingerprints " +
+        "closed-form from the payload formula and mirrors the capped " +
+        "chunk join exactly. Scale shape: per-row codec walk (unsampled " +
+        "frames never decode), then the capped blocked self-join — " +
+        "never corpus x corpus",
+      Some("""WITH d AS (SELECT doc_id, 10 + 2 * (doc_id % 4) AS w,
+             |    8 + 2 * (doc_id % 3) AS h, 3 + doc_id % 4 AS nf
+             |  FROM documents WHERE doc_id < 240),
+             |e AS (SELECT doc_id, w, h, nf, 3 * w * h // 2 AS fb FROM d),
+             |g AS (SELECT doc_id, v, r, j,
+             |    list_sum(list_transform(
+             |      list_filter(generate_series(0, nf - 1), f -> f % 2 = 0),
+             |      f -> CASE WHEN v = 1 AND f = 2 AND r = 7 AND j = 8 THEN 240
+             |        ELSE ((doc_id + f * fb + (r * h // 8) * w + j * w // 9)
+             |               * 2654435761 % 1000000007) % 241 END)) AS s
+             |  FROM e, (SELECT unnest(generate_series(0, 7)) AS r),
+             |       (SELECT unnest(generate_series(0, 8)) AS j),
+             |       (SELECT unnest(generate_series(0, 1)) AS v)),
+             |b0 AS (SELECT doc_id, v, r, j,
+             |    CASE WHEN lead(s) OVER (PARTITION BY doc_id, v, r ORDER BY j)
+             |              > s THEN 1 ELSE 0 END AS bit
+             |  FROM g),
+             |hx AS (SELECT doc_id, v,
+             |    CAST(sum(CASE WHEN r * 8 + j < 63
+             |      THEN CAST(bit AS BIGINT) * (1::BIGINT << (r * 8 + j))
+             |      ELSE 0 END) AS BIGINT)
+             |    + CASE WHEN max(CASE WHEN r * 8 + j = 63 THEN bit ELSE 0 END) = 1
+             |           THEN (-9223372036854775807 - 1) ELSE 0 END AS fp
+             |  FROM b0 WHERE j < 8 GROUP BY doc_id, v),
+             |corpus AS (
+             |  SELECT doc_id AS clip_id, fp FROM hx WHERE v = 0
+             |  UNION ALL
+             |  SELECT doc_id + 80000, fp FROM hx
+             |  WHERE v = 1 AND doc_id % 2 = 0),
+             |ch AS (SELECT clip_id, fp, j, (fp >> (j * 16)) & 65535 AS cv
+             |  FROM corpus, (SELECT unnest(generate_series(0, 3)) AS j)),
+             |big AS (SELECT j, cv FROM ch GROUP BY j, cv HAVING count(*) > 64),
+             |ch2 AS (SELECT * FROM ch WHERE NOT EXISTS (
+             |  SELECT 1 FROM big WHERE big.j = ch.j AND big.cv = ch.cv)),
+             |cand AS (SELECT DISTINCT a.clip_id AS a_id, b.clip_id AS b_id,
+             |    a.fp AS a_fp, b.fp AS b_fp
+             |  FROM ch2 a JOIN ch2 b
+             |    ON a.j = b.j AND a.cv = b.cv AND a.clip_id < b.clip_id)
+             |SELECT a_id, b_id,
+             |  CAST(bit_count(xor(a_fp, b_fp)) AS BIGINT) AS hamming
+             |FROM cand
+             |WHERE bit_count(xor(a_fp, b_fp)) <= 3
+             |ORDER BY a_id, b_id""".stripMargin)) { (s, dir) =>
+      import graft.operators.Multimodal
+      val ids = documents(s, dir).filter(col("doc_id") < 240)
+        .select(col("doc_id"))
+      val corpus = ids.select(col("doc_id").as("clip_id"))
+        .unionByName(ids.filter(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 80000).as("clip_id")))
+      val fps = corpus.select(col("clip_id"), Multimodal.videoFingerprintUdf(
+        Multimodal.nearVideoForDocUdf(col("clip_id")), lit(2)).as("fp"))
+      graft.operators.Dedup.hammingPairs(fps, "clip_id", "fp",
+          bits = 64, chunks = 4, maxHamming = 3, maxBucket = 64)
+        .orderBy("a_id", "b_id")
+    },
+
     Q("q_audio_features",
       "Real DSP over real WAV bytes (the audio analog of the decoded-pixel " +
         "queries): parse the RIFF/PCM payload, then compute zero-crossing " +

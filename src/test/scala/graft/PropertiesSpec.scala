@@ -213,6 +213,30 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("videoFingerprint: bounded-edit flips at most bit 63, deterministic, stride-sensitive sampling") {
+    import graft.operators.Multimodal
+    // the q_video_neardup contract as a property: for ANY dims/frame
+    // count the id formula can produce, overwriting the one luma pixel
+    // that only the (r=7, j=8) grid position reads in ONE sampled frame
+    // moves one temporal sum, so base and twin fingerprints differ in AT
+    // MOST bit 63 — and in nothing else
+    forAllSamples(60) {
+      val base = rnd.nextInt(100000).toLong
+      val b0 = Multimodal.nearVideoForDoc(base)
+      val b1 = Multimodal.nearVideoForDoc(base + 80000L)
+      val fp0 = Multimodal.videoFingerprint(b0, 2)
+      val fp1 = Multimodal.videoFingerprint(b1, 2)
+      assert(Multimodal.videoFingerprint(b0, 2) == fp0) // deterministic
+      val diff = fp0 ^ fp1
+      assert((diff & ~(1L << 63)) == 0L,
+        f"edit leaked beyond bit 63: base=$fp0%x twin=$fp1%x")
+      // a stride that skips the edited frame (frame 2) cannot see it:
+      // stride 3 samples frames 0, 3, ... — twin == base exactly
+      assert(Multimodal.videoFingerprint(b1, 3) ==
+        Multimodal.videoFingerprint(b0, 3))
+    }
+  }
+
   test("hamming pigeonhole: <= chunks-1 flipped bits always share a chunk") {
     // the no-false-negative guarantee hammingPairs' block join rests on,
     // checked over random 64-bit fingerprints incl. the sign bit: flip up
