@@ -327,9 +327,28 @@ object Dedup {
                    bits: Int, chunks: Int, maxHamming: Int,
                    maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
-    require(bits % chunks == 0, s"bits=$bits not divisible by chunks=$chunks")
+    pairJoin(hammingChunkIndex(df, idCol, hashCol, bits, chunks),
+        Seq("chunk_idx", "chunk_val"), maxBucket)
+      .select(col("a_id"), col("b_id"), col("a_fp"), col("b_fp")).distinct()
+      .withColumn("hamming",
+        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  /** The persistable hamming CHUNK INDEX of a fingerprint corpus — one
+    * (id, fp, chunk_idx, chunk_val) row per fingerprint per chunk, i.e.
+    * exactly what [[hammingPairs]] self-joins: the perceptual tier's
+    * analog of [[minhashBandIndex]]. At 100 TB this frame is written to
+    * parquet partitioned by chunk_idx once, and every later image/audio/
+    * video batch joins against it ([[hammingIncrementalPairs]]) instead
+    * of re-decoding and re-fingerprinting the corpus. */
+  def hammingChunkIndex(df: DataFrame, idCol: String, hashCol: String,
+                        bits: Int, chunks: Int): DataFrame = {
+    require(chunks > 0 && bits % chunks == 0,
+      s"bits=$bits not divisible by chunks=$chunks")
     val w = bits / chunks
-    val chunked = df.select(col(idCol).as("id"), col(hashCol).as("fp"))
+    df.select(col(idCol).as("id"), col(hashCol).as("fp"))
       .select(col("id"), col("fp"),
       explode(expr(
         // 1L << w, not 1 << w: an Int shift wraps at 32 (chunks=1 -> w=60
@@ -342,12 +361,59 @@ object Dedup {
           s"shiftrightunsigned(fp, j*$w) & ${(1L << w) - 1}L AS chunk_val))"))
         .as("c"))
       .select(col("id"), col("fp"), col("c.chunk_idx"), col("c.chunk_val"))
-    pairJoin(chunked, Seq("chunk_idx", "chunk_val"), maxBucket)
-      .select(col("a_id"), col("b_id"), col("a_fp"), col("b_fp")).distinct()
+  }
+
+  /** Incremental perceptual near-dup mining: hamming ≤ `maxHamming`
+    * pairs INVOLVING a new fingerprint batch — new×corpus and new×new,
+    * never corpus×corpus — against a prebuilt [[hammingChunkIndex]],
+    * mirroring [[minhashIncrementalPairs]] for the hamming family: a
+    * daily image/audio/video ingest batch costs |batch| × bucket-mates,
+    * independent of corpus size, where a full [[hammingPairs]] re-run
+    * grows with the corpus square. The `maxBucket` cap population is the
+    * FULL post-batch bucket (index ∪ batch), so a bucket the batch
+    * pushes over the cap drops from both sides — exactly what a capped
+    * from-scratch run over old+new would do (asserted in ModulesSpec).
+    * Pair ids are normalized (a_id < b_id); hamming is symmetric, so the
+    * distinct collapses both orientations of a new×new pair. */
+  def hammingIncrementalPairs(newDf: DataFrame, corpusIndex: DataFrame,
+                              idCol: String, hashCol: String,
+                              bits: Int, chunks: Int, maxHamming: Int,
+                              maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
+    val nb = hammingChunkIndex(newDf, idCol, hashCol, bits, chunks)
+    val all = corpusIndex.unionByName(nb)
+      .select(col("id"), col("fp"), col("chunk_idx"), col("chunk_val"))
+    // null-safe key comparisons throughout, same rationale as [[pairJoin]]
+    val keys = Seq("chunk_idx", "chunk_val")
+    def bound(df: DataFrame): DataFrame =
+      if (maxBucket == Int.MaxValue) df
+      else {
+        val over = oversizedKeys(all, keys, maxBucket)
+          .select(keys.map(c => col(c).as(s"__over_$c")): _*)
+        df.join(broadcast(over),
+          keys.map(c => col(c) <=> col(s"__over_$c")).reduce(_ && _),
+          "left_anti")
+      }
+    val a = bound(nb)
+      .select(col("id").as("a_id"), col("fp").as("a_fp"),
+        col("chunk_idx"), col("chunk_val"))
+      .hint("shuffle_hash")
+    val b = bound(all)
+      .select(col("id").as("b_id"), col("fp").as("b_fp"),
+        col("chunk_idx").as("__b_chunk_idx"),
+        col("chunk_val").as("__b_chunk_val"))
+      .hint("shuffle_hash")
+    a.join(b, col("chunk_idx") <=> col("__b_chunk_idx") &&
+        col("chunk_val") <=> col("__b_chunk_val"))
+      .filter(col("a_id") =!= col("b_id"))
+      // hamming before the orientation swap: it is symmetric, so the
+      // normalized pair carries the same distance from either side
       .withColumn("hamming",
         bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("a_id"), col("b_id"), col("hamming"))
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"), col("hamming"))
+      .distinct()
   }
 
   def simhashPairs(df: DataFrame, keyCol: String, textCol: String,

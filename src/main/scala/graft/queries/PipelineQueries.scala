@@ -1273,6 +1273,87 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     },
 
+    Q("q_image_neardup_incremental",
+      "INCREMENTAL perceptual near-dup — the continuous-ingest face of " +
+        "q_image_neardup, closing the perceptual tier's index gap: the " +
+        "corpus (240 base rasters) is decoded and chunk-indexed ONCE " +
+        "(Dedup.hammingChunkIndex, the hamming analog of " +
+        "minhashBandIndex — at 100 TB it persists partitioned by " +
+        "chunk_idx), and the day's batch (the 120 single-pixel-edited " +
+        "twins) mines hamming <= 3 pairs by joining new x (index UNION " +
+        "batch) — new x corpus and new x new, NEVER corpus x corpus, so " +
+        "per-batch cost is |batch| x bucket-mates, independent of " +
+        "corpus size. maxBucket=64's population is the full post-batch " +
+        "bucket, so a bucket the batch pushes over the cap drops from " +
+        "both sides, matching a capped from-scratch run exactly " +
+        "(ModulesSpec asserts increment == from-scratch restricted to " +
+        "batch-involving pairs). Oracle: the full capped pigeonhole " +
+        "join restricted to pairs touching a batch id — the from-" +
+        "scratch equivalence IS the check",
+      Some("""WITH d AS (SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h
+             |  FROM documents WHERE doc_id < 240),
+             |g AS (SELECT doc_id, v, r, c,
+             |    CASE WHEN v = 1 AND r = 7 AND c = 8 THEN 750 ELSE
+             |      ((doc_id + (r * h // 8) * 3 * w + 3 * (c * w // 9))
+             |        * 2654435761 % 1000000007) % 251
+             |    + ((doc_id + (r * h // 8) * 3 * w + 3 * (c * w // 9) + 1)
+             |        * 2654435761 % 1000000007) % 251
+             |    + ((doc_id + (r * h // 8) * 3 * w + 3 * (c * w // 9) + 2)
+             |        * 2654435761 % 1000000007) % 251
+             |    END AS gray
+             |  FROM d, (SELECT unnest(generate_series(0, 7)) AS r),
+             |       (SELECT unnest(generate_series(0, 8)) AS c),
+             |       (SELECT unnest(generate_series(0, 1)) AS v)),
+             |b0 AS (SELECT doc_id, v, r, c,
+             |    CASE WHEN lead(gray) OVER (PARTITION BY doc_id, v, r ORDER BY c)
+             |              > gray THEN 1 ELSE 0 END AS bit
+             |  FROM g),
+             |hx AS (SELECT doc_id, v,
+             |    CAST(sum(CASE WHEN r * 8 + c < 63
+             |      THEN CAST(bit AS BIGINT) * (1::BIGINT << (r * 8 + c))
+             |      ELSE 0 END) AS BIGINT)
+             |    + CASE WHEN max(CASE WHEN r * 8 + c = 63 THEN bit ELSE 0 END) = 1
+             |           THEN (-9223372036854775807 - 1) ELSE 0 END AS dhash
+             |  FROM b0 WHERE c < 8 GROUP BY doc_id, v),
+             |corpus AS (
+             |  SELECT doc_id AS img_id, dhash FROM hx WHERE v = 0
+             |  UNION ALL
+             |  SELECT doc_id + 80000, dhash FROM hx
+             |  WHERE v = 1 AND doc_id % 2 = 0),
+             |ch AS (SELECT img_id, dhash, j, (dhash >> (j * 16)) & 65535 AS cv
+             |  FROM corpus, (SELECT unnest(generate_series(0, 3)) AS j)),
+             |big AS (SELECT j, cv FROM ch GROUP BY j, cv HAVING count(*) > 64),
+             |ch2 AS (SELECT * FROM ch WHERE NOT EXISTS (
+             |  SELECT 1 FROM big WHERE big.j = ch.j AND big.cv = ch.cv)),
+             |cand AS (SELECT DISTINCT a.img_id AS a_id, b.img_id AS b_id,
+             |    a.dhash AS a_h, b.dhash AS b_h
+             |  FROM ch2 a JOIN ch2 b
+             |    ON a.j = b.j AND a.cv = b.cv AND a.img_id < b.img_id)
+             |SELECT a_id, b_id,
+             |  CAST(bit_count(xor(a_h, b_h)) AS BIGINT) AS hamming
+             |FROM cand
+             |WHERE bit_count(xor(a_h, b_h)) <= 3
+             |  AND (a_id >= 80000 OR b_id >= 80000)
+             |ORDER BY a_id, b_id""".stripMargin)) { (s, dir) =>
+      import graft.operators.{Dedup, Multimodal}
+      val ids = documents(s, dir).filter(col("doc_id") < 240)
+        .select(col("doc_id"))
+      // the prebuilt corpus-side artifact: decode + hash + chunk ONCE
+      val corpusIndex = Dedup.hammingChunkIndex(
+        ids.select(col("doc_id").as("img_id"))
+          .select(col("img_id"), Multimodal.dHash64Udf(
+            Multimodal.nearImageForDocUdf(col("img_id"))).as("dhash")),
+        "img_id", "dhash", bits = 64, chunks = 4)
+      // the day's batch: only these rasters are decoded in this run
+      val batch = ids.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 80000).as("img_id"))
+        .select(col("img_id"), Multimodal.dHash64Udf(
+          Multimodal.nearImageForDocUdf(col("img_id"))).as("dhash"))
+      Dedup.hammingIncrementalPairs(batch, corpusIndex, "img_id", "dhash",
+          bits = 64, chunks = 4, maxHamming = 3, maxBucket = 64)
+        .orderBy("a_id", "b_id")
+    },
+
     Q("q_crossmodal_match",
       "Cross-modal retrieval (the LAION/CLIP-style caption-to-image " +
         "matcher, machinery-real / encoders-stubbed): captions and " +

@@ -170,6 +170,117 @@ object EventsStream {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** One streaming near-duplicate hit: `id` arrived while `matched_id`
+    * (an earlier arrival within the watermark horizon) sat within
+    * `hamming` bits of it. */
+  case class HammingMatch(id: Long, matched_id: Long, hamming: Int)
+
+  private[streaming] case class BucketEntry(id: Long, fp: Long, tsMs: Long)
+  private[streaming] case class BucketState(entries: List[BucketEntry],
+                                            saturated: Boolean, lastTsMs: Long)
+
+  /** Streaming NEAR-dup detection over a fingerprint column — the
+    * in-flight face of [[graft.operators.Dedup.hammingPairs]], closing
+    * the gap where [[mediaDedupStream]] only suppresses EXACT fingerprint
+    * repeats: each row explodes into its `chunks` pigeonhole chunks
+    * (hamming ≤ chunks−1 guarantees a shared chunk, same theorem as the
+    * batch join), state is keyed by (chunk_idx, chunk_val) — the
+    * streaming analog of the band/chunk shuffle key, hash-partitioned
+    * across executors — and each bucket keeps the (id, fp) pairs seen
+    * inside the watermark horizon, emitting a [[HammingMatch]] when a new
+    * arrival lands within `maxHamming` bits of a bucket-mate. A pair
+    * sharing several chunks emits from each — consumers dedup on
+    * (id, matched_id), exactly like the batch path's `.distinct()`.
+    *
+    * The `maxBucket` cap carries over: a bucket exceeding it SATURATES —
+    * its entries drop and it emits nothing until the watermark passes its
+    * last contribution — bounding both state size and per-arrival compare
+    * cost under the monochrome/silence mega-buckets that motivate the
+    * batch cap. State is aged two ways: entries older than the watermark
+    * are pruned on access, and an event-time timeout reaps idle buckets
+    * wholesale. Within a micro-batch, "earlier" is iterator order — the
+    * same tie the exact-dedup state store breaks arbitrarily. */
+  def nearDupStream(rows: DataFrame, idCol: String, fpCol: String,
+                    bits: Int, chunks: Int, maxHamming: Int,
+                    maxBucket: Int = Int.MaxValue,
+                    watermark: String = "1 hour",
+                    tsCol: String = "ts"): Dataset[HammingMatch] = {
+    require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
+    require(bits % chunks == 0, s"bits=$bits not divisible by chunks=$chunks")
+    val session = rows.sparkSession
+    import session.implicits._
+    val w = bits / chunks
+    val chunked = rows
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol).as("ts"), col(idCol).as("id"), col(fpCol).as("fp"))
+      .select(col("ts"), col("id"), col("fp"), explode(expr(
+        // same unsigned-shift + mask chunking as Dedup.hammingChunkIndex
+        s"transform(sequence(0, ${chunks - 1}), j -> " +
+          s"struct(j AS chunk_idx, " +
+          s"shiftrightunsigned(fp, j*$w) & ${(1L << w) - 1}L AS chunk_val))"))
+        .as("c"))
+      .select(col("ts"), col("id"), col("fp"),
+        col("c.chunk_idx").as("chunk_idx"), col("c.chunk_val").as("chunk_val"))
+      .as[(Timestamp, Long, Long, Int, Long)]
+    chunked
+      .groupByKey(r => (r._4, r._5))
+      .flatMapGroupsWithState[BucketState, HammingMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long), batch: Iterator[(Timestamp, Long, Long, Int, Long)],
+         state: GroupState[BucketState]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            state.remove(); Iterator.empty
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            val st0 = state.getOption.getOrElse(BucketState(Nil, false, 0L))
+            // a saturated bucket un-saturates once the watermark passes
+            // its last contribution (the batch cap's "next run" analog)
+            val st = if (st0.saturated && wm > st0.lastTsMs)
+              BucketState(Nil, false, 0L) else st0
+            var entries = st.entries.filter(_.tsMs >= wm)
+            var saturated = st.saturated
+            var lastTs = st.lastTsMs
+            val out = scala.collection.mutable.ArrayBuffer.empty[HammingMatch]
+            batch.foreach { case (ts, id, fp, _, _) =>
+              lastTs = math.max(lastTs, ts.getTime)
+              if (!saturated) {
+                entries.foreach { e =>
+                  if (e.id != id) {
+                    val hd = java.lang.Long.bitCount(e.fp ^ fp)
+                    if (hd <= maxHamming) out += HammingMatch(id, e.id, hd)
+                  }
+                }
+                entries = BucketEntry(id, fp, ts.getTime) :: entries
+                if (entries.size > maxBucket) { saturated = true; entries = Nil }
+              }
+            }
+            if (entries.isEmpty && !saturated) state.remove()
+            else {
+              state.update(BucketState(entries, saturated, lastTs))
+              // reap the bucket when the watermark passes its newest event
+              if (lastTs > wm) state.setTimeoutTimestamp(lastTs)
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** [[nearDupStream]] over a binary media column through the real
+    * [[graft.operators.Multimodal.dHash64]] decode — the near-dup-aware
+    * upgrade of [[mediaDedupStream]]: a single-pixel edit or a slightly
+    * cropped re-post lands within `maxHamming` bits and is flagged
+    * in-flight, where the exact-fingerprint state admits it as new.
+    * maxBucket=64 matches the batch call sites. */
+  def mediaNearDupStream(media: DataFrame, idCol: String, contentCol: String,
+                         maxHamming: Int = 3,
+                         watermark: String = "1 hour",
+                         tsCol: String = "ts"): Dataset[HammingMatch] =
+    nearDupStream(
+      media.withColumn("__fp",
+        graft.operators.Multimodal.dHash64Udf(col(contentCol))),
+      idCol, "__fp", bits = 64, chunks = 4, maxHamming = maxHamming,
+      maxBucket = 64, watermark = watermark, tsCol = tsCol)
+
   /** [[dedupStream]] keyed by CANONICAL URL instead of content
     * fingerprint — the streaming face of q_url_dedup: a crawl frontier
     * deduping fetches as they arrive, where the same page under

@@ -435,6 +435,45 @@ class ModulesSpec extends AnyFunSuite {
       .count() == 40L * 39L / 2L + 1L)
   }
 
+  test("hammingIncrementalPairs: increment == from-scratch on batch-involving pairs") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // old corpus: a 9-strong all-zero bucket (exactly AT cap 9 — buckets
+    // at the cap are untouched) plus two spread fingerprints; batch: a
+    // near-dup of id 20, a new all-zero clip (pushing the zero bucket
+    // OVER the cap), and a new x new pair
+    val old = ((1L to 9L).map(i => (i, 0L)) ++ Seq(
+      (20L, 0x0123456789ABCDEFL), (21L, 0x7EDCBA9876543210L))).toDF("id", "fp")
+    val batch = Seq(
+      (101L, 0x0123456789ABCDECL), // hamming 2 from id 20
+      (102L, 0L),                  // 10th member of the zero bucket
+      (103L, 0x00FF00FF00FF00FFL), // new x new pair with 104
+      (104L, 0x00FF00FF00FF00FEL)  // hamming 1 from 103
+    ).toDF("id", "fp")
+    val full = old.unionByName(batch)
+    val cap = 9
+    def run(pairs: org.apache.spark.sql.DataFrame) =
+      pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val index = Dedup.hammingChunkIndex(old, "id", "fp", 64, 4)
+    val incr = run(Dedup.hammingIncrementalPairs(batch, index, "id", "fp",
+      64, 4, 3, maxBucket = cap))
+    val scratch = run(Dedup.hammingPairs(full, "id", "fp", 64, 4, 3,
+      maxBucket = cap))
+    // the contract: increment equals the capped from-scratch run over
+    // old+new, restricted to pairs involving the batch — the zero bucket
+    // (pushed over the cap BY the batch) is dropped from both sides, so
+    // neither run pairs 102 with the nine old zeros
+    assert(incr == scratch.filter { case (a, b, _) => a >= 101L || b >= 101L })
+    assert(incr == Set((20L, 101L, 2L), (103L, 104L, 1L)))
+    // uncapped, the batch's zero clip would have paired with all nine
+    assert(run(Dedup.hammingIncrementalPairs(batch, index, "id", "fp",
+      64, 4, 3)).size == 2 + 9)
+    // an alien batch (no shared chunks possible at hamming <= 3) is empty
+    val alien = Seq((999L, 0x5A5A5A5A5A5A5A5AL)).toDF("id", "fp")
+    assert(Dedup.hammingIncrementalPairs(alien, index, "id", "fp",
+      64, 4, 0).isEmpty)
+  }
+
   test("windowed collocation pairs grow linearly in doc length") {
     import spark.implicits._
     // an all-distinct-token doc of L tokens emits exactly k*L - k(k+1)/2
@@ -1123,6 +1162,63 @@ class ModulesSpec extends AnyFunSuite {
     // first arrival of picture 3 survives; the three re-encodes are
     // suppressed by the in-flight state; picture 7 passes
     assert(survivors == Seq(1L, 5L), s"got $survivors")
+  }
+
+  test("streaming near-dup: edited re-posts flagged in-flight, mega-bucket saturates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Dedup, Multimodal}
+    // picture 6 arrives, then its single-pixel edit (hamming <= 1 by the
+    // fixture contract), then an unrelated picture — the chunk-bucket
+    // state must flag exactly the edit pair, matching the batch
+    // hammingPairs verdict on the same fingerprints
+    val mem = MemoryStream[(Timestamp, Long, Array[Byte])]
+    val df = mem.toDF().toDF("ts", "img_id", "content")
+    val q = EventsStream.mediaNearDupStream(df, "img_id", "content")
+      .writeStream.format("memory").queryName("media_neardup").start()
+    val arrivals = Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, Multimodal.nearImageForDoc(6L)),
+      (Timestamp.valueOf("2024-01-01 10:00:01"), 2L, Multimodal.nearImageForDoc(80006L)),
+      (Timestamp.valueOf("2024-01-01 10:00:02"), 3L, Multimodal.nearImageForDoc(9L)))
+    mem.addData(arrivals: _*)
+    q.processAllAvailable()
+    val hits = spark.table("media_neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).distinct.toSeq
+    q.stop()
+    // the fixture contract is hamming <= 1 (the edit flips AT MOST bit 63)
+    assert(hits.map { case (a, b, _) => (a, b) } == Seq((2L, 1L)) &&
+      hits.head._3 <= 1, s"got $hits")
+    // parity with the batch path on the same corpus: same (unordered)
+    // pair set, same hamming
+    val batchPairs = Dedup.hammingPairs(
+        arrivals.map { case (_, id, b) => (id, Multimodal.dHash64(b)) }
+          .toDF("id", "fp"), "id", "fp", 64, 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batchPairs == hits.map { case (a, b, h) =>
+      (math.min(a, b), math.max(a, b), h.toLong) }.toSet)
+    // mega-bucket saturation: monochrome rasters all dHash to 0; with
+    // maxBucket=2 the zero bucket saturates and stops emitting — bounded
+    // state where the uncapped form would compare every new arrival to
+    // every monochrome seen
+    def monoPpm(v: Int): Array[Byte] =
+      "P6\n9 9\n255\n".getBytes("US-ASCII") ++ Array.fill(3 * 9 * 9)(v.toByte)
+    val mem2 = MemoryStream[(Timestamp, Long, Array[Byte])]
+    val df2 = mem2.toDF().toDF("ts", "img_id", "content")
+    val q2 = EventsStream.nearDupStream(
+        df2.withColumn("__fp", Multimodal.dHash64Udf(col("content"))),
+        "img_id", "__fp", bits = 64, chunks = 4, maxHamming = 3,
+        maxBucket = 2)
+      .writeStream.format("memory").queryName("media_neardup_cap").start()
+    mem2.addData((1L to 6L).map(i =>
+      (Timestamp.valueOf(s"2024-01-01 10:00:0${i - 1}"), i,
+        monoPpm((i % 4).toInt * 30))): _*)
+    q2.processAllAvailable()
+    val capped = spark.table("media_neardup_cap").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct.toSeq
+    q2.stop()
+    // arrivals 2 and 3 match before the bucket exceeds 2; the saturation
+    // then silences 4..6 (uncapped would emit 5+4+3 more hits)
+    assert(capped.toSet == Set((2L, 1L), (3L, 1L), (3L, 2L)), s"got $capped")
   }
 
   test("streaming per-window top-k leaderboard merges state across batches") {
