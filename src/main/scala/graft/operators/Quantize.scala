@@ -499,4 +499,85 @@ object Quantize {
       .drop("pq_codes", "pq_norm", "pq_cb_sig", "qe", "__lut", "__qn",
         "__qdotc", "__en", "__res", "list_id", "approx_sim")
   }
+
+  /** IVFPQ dial sweep — [[AnnIndex.ivfTuning]]'s discipline applied to
+    * the PQ dials [[ivfPqTopK]] fixes by spec: for every code budget `m`
+    * (bytes per vector) and every `overFetch`, recall@k of the composed
+    * path against the exact cosine top-k. The sweep probes ALL lists
+    * (nProbe = nLists), deliberately: nProbe is [[AnnIndex.ivfTuning]]'s
+    * dial — holding it at probe-everything isolates what the PQ stage
+    * alone costs in recall, so a low row here means code resolution, not
+    * routing. One-pass structure: the corpus pays ONE residual encode per
+    * code budget (cached, shared by every overFetch dial — the
+    * q_lsh_tuning discipline), and the exact top-k baseline is computed
+    * once.
+    *
+    * Theorem-backed shape (what the oracle pins): for fixed m the ADC
+    * ranking is fixed, so overFetch prefixes are NESTED candidate sets
+    * and the exact re-rank of a superset can only gain true-top-k members
+    * — n_hits is non-decreasing in overFetch; and once k·overFetch ≥
+    * corpus the candidate set IS the corpus, so the re-rank is exactly
+    * brute force and n_hits = k regardless of m. Across DIFFERENT m no
+    * theorem holds (more bytes usually help, nothing guarantees it) —
+    * that column is measurement, asserted in ModulesSpec. */
+  def ivfPqTuning(model: org.apache.spark.ml.clustering.KMeansModel,
+                  corpus: DataFrame, embCol: String, idCol: String,
+                  fitSample: DataFrame, query: DataFrame,
+                  k: Int, dim: Int, ms: Seq[Int], overFetches: Seq[Int],
+                  nCentroids: Int = 32, maxIter: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = query.select(col("qe").cast("array<double>").as("qe"))
+    val exactIds = corpus.crossJoin(broadcast(q))
+      .withColumn("__sim", vectors.cosineSim(col(embCol), col("qe")))
+      .orderBy(desc("__sim"), col(idCol))
+      .limit(k)
+      .select(col(idCol))
+    val nLists = model.clusterCenters.length
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("list_id", "centroid")
+    val stats = ms.flatMap { m =>
+      val cb = pqFit(ivfResiduals(model, fitSample, embCol), "__res",
+        dim, m, nCentroids, maxIter)
+      // ONE residual encode of the corpus per code budget, cached so all
+      // overFetch dials re-rank the same scored frame instead of paying
+      // the encode kernel again (at 100 TB: the persisted code store)
+      val coded = pqEncode(ivfResiduals(model, corpus, embCol), "__res", cb)
+        .withColumn("__en", vectors.l2Norm(col(embCol).cast("array<double>")))
+      val probes = q.crossJoin(broadcast(cents))
+        .withColumn("dist2",
+          vectors.dot(col("qe"), col("qe"))
+            - lit(2.0) * vectors.dot(col("qe"), col("centroid"))
+            + vectors.dot(col("centroid"), col("centroid")))
+        .orderBy(col("dist2"), col("list_id"))
+        .limit(nLists)
+        .select(col("list_id"),
+          vectors.dot(col("qe"), col("centroid")).as("__qdotc"),
+          lutUdfFor(cb)(col("qe")).as("__lut"),
+          vectors.l2Norm(col("qe")).as("__qn"), col("qe"))
+      val adcUdf = adcUdfFor(cb)
+      val scored = coded.join(broadcast(probes), "list_id")
+        .withColumn("approx_sim",
+          when(col("__en") === 0.0 || col("__qn") === 0.0, lit(0.0))
+            .otherwise((col("__qdotc") + adcUdf(col("pq_codes"), col("__lut"))) /
+              (col("__en") * col("__qn"))))
+        .cache()
+      overFetches.map { of =>
+        scored
+          .orderBy(desc("approx_sim"), col(idCol))
+          .limit(k * of)
+          .withColumn("similarity", vectors.cosineSim(col(embCol), col("qe")))
+          .orderBy(desc("similarity"), col(idCol))
+          .limit(k)
+          .select(col(idCol))
+          .join(broadcast(exactIds), Seq(idCol), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(m).cast("long").as("m"),
+            lit(of).cast("long").as("overfetch"),
+            col("n_hits").cast("long").as("n_hits"))
+      }
+    }
+    stats.reduce(_.unionByName(_)).orderBy("m", "overfetch")
+  }
 }

@@ -438,6 +438,67 @@ object AnalyticsQueries {
         .orderBy(desc("sim_x10k"), col("vec_id"))
     },
 
+    Q("q_ivfpq_tuning",
+      "IVFPQ dial sweep (Quantize.ivfPqTuning — q_ivf_tuning's measure-" +
+        "before-committing discipline extended to the PQ dials " +
+        "q_ivfpq_topk fixes by spec): m in {2,8} bytes/vector x " +
+        "overFetch in {1,4,32,512}, recall@5 vs the exact cosine top-5 " +
+        "per cell, probing ALL 16 lists so the sweep isolates what code " +
+        "resolution alone costs (nProbe is q_ivf_tuning's dial). One-" +
+        "pass: the corpus pays one residual encode per code budget, " +
+        "cached across the overFetch dials; exact baseline computed " +
+        "once. Codebooks are engine-specific, so the gate pins the " +
+        "THEOREM-backed shape: for fixed m the ADC ranking is fixed, so " +
+        "overFetch prefixes are nested candidate sets and n_hits is " +
+        "non-decreasing (overfetch_monotone_ok); at overFetch=512, " +
+        "5x512 >= corpus at every SF, so the re-rank IS brute force and " +
+        "n_hits = 5 exactly, any m (recovery_ok); dial_ok pins the " +
+        "published serving dial (m=8, overFetch=32 recovering >= 3/5). " +
+        "Measured cells asserted in ModulesSpec. TRIAGE: a false row on " +
+        "new data means code budget vs corpus variance, not an engine " +
+        "bug",
+      Some("""SELECT CAST(m AS BIGINT) AS m,
+             |  CAST(overfetch AS BIGINT) AS overfetch,
+             |  TRUE AS overfetch_monotone_ok, TRUE AS recovery_ok,
+             |  TRUE AS dial_ok
+             |FROM (VALUES (2), (8)) t(m),
+             |     (VALUES (1), (4), (32), (512)) u(overfetch)
+             |ORDER BY m, overfetch""".stripMargin)) { (s, dir) =>
+      import graft.operators.Quantize
+      val corpus = embeddings(s, dir).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("emb"))
+      val q = embeddings(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("qe"))
+      // same quarter-sample routing + codebook fits as q_ivfpq_topk — the
+      // sweep measures the dials of the EXACT serving layout
+      val sample = corpus.filter(col("vec_id") % 4 === 1)
+      val model = AnnIndex.ivfFit(sample, "emb", nLists = 16)
+      val rep = Quantize.ivfPqTuning(model, corpus, "emb", "vec_id",
+        sample, q, k = 5, dim = 64, ms = Seq(2, 8),
+        overFetches = Seq(1, 4, 32, 512))
+      // 8-row report -> one array; monotonicity via the q_ivf_tuning HOF
+      // pattern, guarded to adjacent cells of the SAME code budget
+      rep.agg(sort_array(collect_list(struct(
+          col("m"), col("overfetch"), col("n_hits")))).as("a"))
+        .select(explode(expr(
+          """transform(a, (x, i) -> named_struct(
+            |  'm', x.m, 'overfetch', x.overfetch,
+            |  'overfetch_monotone_ok',
+            |  CASE WHEN i = 0 OR element_at(a, i).m <> x.m THEN true
+            |       ELSE x.n_hits >= element_at(a, i).n_hits END,
+            |  'recovery_ok',
+            |  CASE WHEN x.overfetch = 512 THEN x.n_hits = 5 ELSE true END,
+            |  'dial_ok',
+            |  CASE WHEN x.m = 8 AND x.overfetch = 32 THEN x.n_hits >= 3
+            |       ELSE true END))""".stripMargin)).as("r"))
+        .select(col("r.m").as("m"), col("r.overfetch").as("overfetch"),
+          col("r.overfetch_monotone_ok").as("overfetch_monotone_ok"),
+          col("r.recovery_ok").as("recovery_ok"),
+          col("r.dial_ok").as("dial_ok"))
+        .orderBy("m", "overfetch")
+    },
+
     Q("q_geo_density",
       "Geo density grid — the heatmap backing every map view of the " +
         "reference's service/housing layers: point counts and exact " +

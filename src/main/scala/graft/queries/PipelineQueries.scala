@@ -1422,6 +1422,110 @@ object PipelineQueries {
         .orderBy("doc_id", "rnk")
     },
 
+    Q("q_crossmodal_ann",
+      "ANN-ROUTED cross-modal retrieval — q_crossmodal_match rebuilt " +
+        "the way a real pairing run must ship: at 100 TB the image-" +
+        "vector side outgrows broadcast, so the image vectors live in " +
+        "an IVF store (ivfFit over the encoder outputs, persisted " +
+        "PARTITIONED BY list_id) and each caption probes only its " +
+        "nProbe=4 of 8 best lists by query-centroid dot product — a " +
+        "partition-pruned read of half the lists instead of every " +
+        "caption scanning every image. The caption's query vector is " +
+        "its token-bucket histogram (sim = sum over tokens of " +
+        "iv[t%16] = capVec . iv EXACTLY, so the dot-product routing " +
+        "ranks the same score the exact path computes). KMeans routing " +
+        "is engine-specific, so the sketch pattern applies " +
+        "(q_ivf_topk's): output is the EXACT per-caption top-3 plus " +
+        "recall_ok = the routed path recovered >= 2 of the true top-3 " +
+        "for that caption. TRIAGE: recall_ok=false on new data means " +
+        "probe width vs list granularity, not an engine bug",
+      Some(s"""WITH cap AS (SELECT doc_id, ${text.tokenHashes(D, "text")} AS th
+              |  FROM documents WHERE doc_id < 50),
+              |img AS (SELECT doc_id AS img_id, 8 + doc_id % 5 AS w,
+              |    8 + doc_id % 3 AS h
+              |  FROM documents WHERE doc_id < 60),
+              |ivj AS (SELECT img_id, j,
+              |    list_sum(list_transform(
+              |      list_filter(generate_series(0, w * h - 1), p -> p % 16 = j),
+              |      p -> ((img_id + 3 * p) * 2654435761 % 1000000007) % 251
+              |         + ((img_id + 3 * p + 1) * 2654435761 % 1000000007) % 251
+              |         + ((img_id + 3 * p + 2) * 2654435761 % 1000000007) % 251))
+              |      AS v
+              |  FROM img, (SELECT unnest(generate_series(0, 15)) AS j)),
+              |ivarr AS (SELECT img_id, list(coalesce(v, 0) ORDER BY j) AS iv
+              |  FROM ivj GROUP BY img_id),
+              |sims AS (SELECT c.doc_id, i.img_id,
+              |    CAST(coalesce(list_sum(list_transform(c.th,
+              |      t -> i.iv[CAST(t % 16 AS INT) + 1])), 0) AS BIGINT) AS sim
+              |  FROM cap c CROSS JOIN ivarr i),
+              |r AS (SELECT doc_id, img_id, sim,
+              |    row_number() OVER (PARTITION BY doc_id
+              |                       ORDER BY sim DESC, img_id) AS rnk
+              |  FROM sims)
+              |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, img_id, sim,
+              |  TRUE AS recall_ok
+              |FROM r WHERE rnk <= 3
+              |ORDER BY doc_id, rnk""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      import graft.operators.{AnnIndex, Multimodal}
+      val caps = documents(s, dir).filter(col("doc_id") < 50)
+        .select(col("doc_id"), expr(text.tokenHashes(S, "text")).as("th"))
+        // the caption's query vector: token-bucket histogram, the exact
+        // linear form of the token-indexed sim (sum_t iv[t%16] = cv . iv)
+        .withColumn("cv", expr(
+          "transform(sequence(0, 15), j -> " +
+            "CAST(size(filter(th, t -> t % 16 = j)) AS DOUBLE))"))
+      val imgs = documents(s, dir).filter(col("doc_id") < 60)
+        .select(col("doc_id").as("img_id"),
+          Multimodal.imageGrayBucketsUdf(
+            Multimodal.nearImageForDocUdf(col("doc_id")), lit(16)).as("iv"))
+        .withColumn("ivd", col("iv").cast("array<double>"))
+      // the IVF store over the image-vector side: fit + assign once; at
+      // scale this persists partitioned by list_id and a probe is a
+      // partition-pruned read (AnnIndex.ivfStore), never a broadcast of
+      // the image side
+      val model = AnnIndex.ivfFit(imgs, "ivd", nLists = 8)
+      val assigned = AnnIndex.ivfAssign(model, imgs, "ivd")
+        .select(col("img_id"), col("iv"), col("list_id"))
+      val cents = model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+        .toDF("list_id", "centroid")
+      // MIPS routing: the score is linear in the image vector, so the
+      // best lists for a caption are the centroids maximizing cv . c
+      val wRoute = Window.partitionBy("doc_id")
+        .orderBy(desc("route"), col("list_id"))
+      val probes = caps.crossJoin(broadcast(cents))
+        .withColumn("route", vectors.dot(col("cv"), col("centroid")))
+        .withColumn("prnk", row_number().over(wRoute))
+        .filter(col("prnk") <= 4)
+        .select(col("doc_id"), col("th"), col("list_id"))
+      val simExpr = coalesce(expr(
+        "aggregate(th, CAST(0 AS BIGINT), " +
+          "(acc, t) -> acc + element_at(iv, CAST(t % 16 AS INT) + 1))"),
+        lit(0L))
+      val wTop = Window.partitionBy("doc_id").orderBy(desc("sim"), col("img_id"))
+      // the routed page: probe rows broadcast, the store joins on its
+      // partition key — only probed lists' images are scored
+      val annTop = assigned.join(broadcast(probes), "list_id")
+        .withColumn("sim", simExpr)
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("img_id"), lit(1L).as("hit"))
+      // exact baseline (the gate's replayable half, as in q_ivf_topk)
+      val exact = caps.select(col("doc_id"), col("th"))
+        .crossJoin(broadcast(imgs.select(col("img_id"), col("iv"))))
+        .withColumn("sim", simExpr)
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 3)
+      exact.join(broadcast(annTop), Seq("doc_id", "img_id"), "left")
+        .withColumn("nhit",
+          sum(coalesce(col("hit"), lit(0L)))
+            .over(Window.partitionBy("doc_id")))
+        .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+          col("img_id"), col("sim"), (col("nhit") >= 2).as("recall_ok"))
+        .orderBy("doc_id", "rnk")
+    },
+
     Q("q_image_clusters",
       "Near-dup image GALLERIES: connected components over the dHash " +
         "hamming pair graph — q_image_neardup's pairs fed through the " +

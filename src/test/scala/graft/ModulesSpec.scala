@@ -286,6 +286,31 @@ class ModulesSpec extends AnyFunSuite {
     assert(full._2 == nCorpus && full._4 == 5L)
   }
 
+  test("ivfPqTuning: measured recall justifies the published m=8/overFetch=32 dials") {
+    import graft.operators.{AnnIndex, Quantize}
+    val corpus = graft.core.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = graft.core.Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("qe"))
+    val sample = corpus.filter(col("vec_id") % 4 === 1)
+    val model = AnnIndex.ivfFit(sample, "emb", nLists = 16)
+    val rep = Quantize.ivfPqTuning(model, corpus, "emb", "vec_id",
+        sample, q, k = 5, dim = 64, ms = Seq(2, 8),
+        overFetches = Seq(1, 4, 32, 512))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // the published q_ivfpq_topk dials: 8 bytes/vector + x32 over-fetch
+    // buy >= 3/5 recall — the measured justification for the spec values
+    assert(rep((8L, 32L)) >= 3L, s"m=8/of=32 recall collapsed: $rep")
+    // theorem rows on the measured cells: saturated over-fetch (5*512 >=
+    // corpus) is exactly brute force at ANY code budget; recall is
+    // non-decreasing in overFetch within each m (nested prefixes)
+    assert(rep((2L, 512L)) == 5L && rep((8L, 512L)) == 5L)
+    for (m <- Seq(2L, 8L))
+      assert(Seq(1L, 4L, 32L, 512L).map(of => rep((m, of)))
+        .sliding(2).forall(p => p(0) <= p(1)), s"m=$m not monotone: $rep")
+  }
+
   test("GIF codec: animated round-trip exact, stride sampling, malformed throws") {
     import graft.operators.Multimodal
     val b = Multimodal.encodeGif(5, 4, 6, 9L)
