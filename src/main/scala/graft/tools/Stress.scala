@@ -258,6 +258,62 @@ object Stress {
         .count()
     }
     results += "audio_fingerprint_dedup" -> (docRows, audS)
+    // video fingerprint (r8): real Y4M walk + temporal-mean dHash per
+    // row — the same scan-shaped profile as the image/audio rows, with a
+    // heavier per-row kernel (every 2nd frame's 72 grid samples)
+    val (_, vidS) = time {
+      import graft.operators.Multimodal
+      docs.select(Multimodal.videoFingerprintUdf(
+          Multimodal.nearVideoForDocUdf(col("doc_id") % 80000),
+          lit(2)).as("fp"))
+        .groupBy("fp").agg(count(lit(1)))
+        .count()
+    }
+    results += "video_fingerprint_dedup" -> (docRows, vidS)
+
+    // capped hamming pair search under the mega-bucket WORST case (r8):
+    // HALF the corpus fingerprints are all-zero — the monochrome-image /
+    // silent-audio hazard the engaged maxBucket=64 exists for — so every
+    // zero chunk bucket holds docRows/2 members and uncapped pair volume
+    // would grow (M·rows)² on one join key. The cap drops those buckets
+    // (drop-and-count) and wall-clock must stay ~linear in M: the
+    // residual is the chunk explode + the spread half's tiny buckets.
+    // Fingerprints are synthesized (xxhash64 spread) because this row
+    // measures the JOIN machinery — the decode kernels' slope is the
+    // three fingerprint_dedup rows above.
+    val (hamPairs, hamS) = time {
+      val fps = docs.select(col("doc_id").as("id"),
+        when(col("doc_id") % 2 === 0, lit(0L))
+          .otherwise(xxhash64(col("doc_id"))).as("fp"))
+      graft.operators.Dedup.hammingPairs(fps, "id", "fp",
+        bits = 64, chunks = 4, maxHamming = 3, maxBucket = 64).count()
+    }
+    results += "hamming_capped_megabucket" -> (docRows, hamS)
+
+    // incremental hamming mine (r8): the chunk index over the M-scaled
+    // corpus is built (and checkpointed) once — the offline cost — and a
+    // CONSTANT-sized batch (the unscaled sf docs, offset ids, fingerprints
+    // matching their copy-0 twins) mines its pairs against it. Index
+    // build tracks the corpus ~linearly; the batch mine's join work is
+    // batch × bucket-mates, so its slope should stay far below the
+    // from-scratch pair search's as M grows (the scan of the index is the
+    // linear floor).
+    val corpusFps = docs.select(col("doc_id").as("id"),
+      xxhash64(col("doc_id") % stride).as("fp"))
+    val (idx, idxS) = time {
+      graft.operators.Dedup.hammingChunkIndex(corpusFps, "id", "fp",
+        bits = 64, chunks = 4).localCheckpoint(true)
+    }
+    results += "hamming_index_build" -> (docRows, idxS)
+    val batch = Tables.documents(spark, sfDir)
+      .select((col("doc_id") + 10 * stride).as("id"),
+        xxhash64(col("doc_id")).as("fp"))
+    val batchRows = batch.count()
+    val (incrPairs, incrS) = time {
+      graft.operators.Dedup.hammingIncrementalPairs(batch, idx, "id", "fp",
+        bits = 64, chunks = 4, maxHamming = 3, maxBucket = 64).count()
+    }
+    results += "hamming_incremental_batch" -> (batchRows, incrS)
 
     val qs = results.map { case (k, (rows, s)) =>
       s""""$k":{"rows":$rows,"sec":${f"$s%.2f"}}"""
