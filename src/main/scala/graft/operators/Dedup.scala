@@ -337,19 +337,25 @@ object Dedup {
   }
 
   /** The persistable hamming CHUNK INDEX of a fingerprint corpus — one
-    * (id, fp, chunk_idx, chunk_val) row per fingerprint per chunk, i.e.
-    * exactly what [[hammingPairs]] self-joins: the perceptual tier's
-    * analog of [[minhashBandIndex]]. At 100 TB this frame is written to
-    * parquet partitioned by chunk_idx once, and every later image/audio/
-    * video batch joins against it ([[hammingIncrementalPairs]]) instead
-    * of re-decoding and re-fingerprinting the corpus. */
+    * (id, fp, chunk_idx, chunk_val, chunk_sig) row per fingerprint per
+    * chunk, i.e. exactly what [[hammingPairs]] self-joins: the
+    * perceptual tier's analog of [[minhashBandIndex]]. At 100 TB this
+    * frame is written to parquet partitioned by chunk_idx once, and
+    * every later image/audio/video batch joins against it
+    * ([[hammingIncrementalPairs]]) instead of re-decoding and
+    * re-fingerprinting the corpus. `chunk_sig` is the freshness token
+    * ([[AnnIndex.ivfStore]]'s recipe): it encodes (bits, chunks), and
+    * the incremental mine refuses an index chunked under different
+    * geometry — whose chunk_vals would simply never match, silently
+    * missing every pair. */
   def hammingChunkIndex(df: DataFrame, idCol: String, hashCol: String,
                         bits: Int, chunks: Int): DataFrame = {
     require(chunks > 0 && bits % chunks == 0,
       s"bits=$bits not divisible by chunks=$chunks")
     val w = bits / chunks
     df.select(col(idCol).as("id"), col(hashCol).as("fp"))
-      .select(col("id"), col("fp"),
+      .withColumn("chunk_sig", lit(chunkSig(bits, chunks)))
+      .select(col("id"), col("fp"), col("chunk_sig"),
       explode(expr(
         // 1L << w, not 1 << w: an Int shift wraps at 32 (chunks=1 -> w=60
         // -> 1<<60 is silently 2^28, collapsing the prefilter's key space)
@@ -360,8 +366,14 @@ object Dedup {
           s"struct(j AS chunk_idx, " +
           s"shiftrightunsigned(fp, j*$w) & ${(1L << w) - 1}L AS chunk_val))"))
         .as("c"))
-      .select(col("id"), col("fp"), col("c.chunk_idx"), col("c.chunk_val"))
+      .select(col("id"), col("fp"), col("c.chunk_idx"), col("c.chunk_val"),
+        col("chunk_sig"))
   }
+
+  /** The chunk-geometry token stamped by [[hammingChunkIndex]] and
+    * verified by [[hammingIncrementalPairs]]. */
+  private def chunkSig(bits: Int, chunks: Int): Long =
+    bits.toLong * 100000L + chunks
 
   /** Incremental perceptual near-dup mining: hamming ≤ `maxHamming`
     * pairs INVOLVING a new fingerprint batch — new×corpus and new×new,
@@ -380,9 +392,16 @@ object Dedup {
                               bits: Int, chunks: Int, maxHamming: Int,
                               maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
+    // a legacy index without the token cannot be geometry-checked — and a
+    // geometry mismatch is SILENT (foreign chunk_vals never match, every
+    // cross pair just vanishes), so refuse loudly, the pqRefresh stance
+    require(corpusIndex.columns.contains("chunk_sig"),
+      "hamming index carries no chunk_sig token — rebuild it with " +
+        "hammingChunkIndex before mining increments against it")
     val nb = hammingChunkIndex(newDf, idCol, hashCol, bits, chunks)
     val all = corpusIndex.unionByName(nb)
-      .select(col("id"), col("fp"), col("chunk_idx"), col("chunk_val"))
+      .select(col("id"), col("fp"), col("chunk_idx"), col("chunk_val"),
+        col("chunk_sig"))
     // null-safe key comparisons throughout, same rationale as [[pairJoin]]
     val keys = Seq("chunk_idx", "chunk_val")
     def bound(df: DataFrame): DataFrame =
@@ -401,15 +420,23 @@ object Dedup {
     val b = bound(all)
       .select(col("id").as("b_id"), col("fp").as("b_fp"),
         col("chunk_idx").as("__b_chunk_idx"),
-        col("chunk_val").as("__b_chunk_val"))
+        col("chunk_val").as("__b_chunk_val"), col("chunk_sig").as("__b_sig"))
       .hint("shuffle_hash")
     a.join(b, col("chunk_idx") <=> col("__b_chunk_idx") &&
         col("chunk_val") <=> col("__b_chunk_val"))
       .filter(col("a_id") =!= col("b_id"))
       // hamming before the orientation swap: it is symmetric, so the
-      // normalized pair carries the same distance from either side
+      // normalized pair carries the same distance from either side.
+      // The geometry assert folds into the load-bearing column (the
+      // ivfStore recipe — a standalone check column would be pruned):
+      // an index chunked under different (bits, chunks) fails the job
+      // loudly instead of silently missing every cross pair
       .withColumn("hamming",
-        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long"))
+        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long") +
+          coalesce(assert_true(col("__b_sig") === lit(chunkSig(bits, chunks)),
+            lit(s"stale hamming index: chunk_sig does not match " +
+              s"bits=$bits/chunks=$chunks — the chunk geometry changed; " +
+              "rebuild the index")).cast("long"), lit(0L)))
       .filter(col("hamming") <= maxHamming)
       .select(least(col("a_id"), col("b_id")).as("a_id"),
         greatest(col("a_id"), col("b_id")).as("b_id"), col("hamming"))

@@ -420,10 +420,14 @@ object Multimodal {
         val bw = rdLE(b, 18, 4).toInt; val bh = rdLE(b, 22, 4).toInt
         // mirror encodeBmp's dim require: a crafted negative biHeight makes
         // stride*bh negative, sails past the truncation check, and dies as
-        // ArrayIndexOutOfBounds instead of the documented loud reject
+        // ArrayIndexOutOfBounds instead of the documented loud reject;
+        // the size check runs in Long so a huge positive bw can't wrap
+        // 3*bw negative and sneak past the same check the other way
         require(bw > 0 && bh > 0, s"grayRaster: bad BMP dims ${bw}x$bh")
-        val stride = ((3 * bw + 3) / 4) * 4
-        require(b.length >= 54 + stride * bh, "bmp truncated pixel payload")
+        val strideL = ((3L * bw + 3L) / 4L) * 4L
+        require(b.length >= 54L + strideL * bh, "bmp truncated pixel payload")
+        // a payload that fits in the array bounds fits in Int arithmetic
+        val stride = strideL.toInt
         (bw, bh, (x, y) => {
           val p = 54 + y * stride + 3 * x
           (b(p) & 0xff) + (b(p + 1) & 0xff) + (b(p + 2) & 0xff)

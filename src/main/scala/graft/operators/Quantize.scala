@@ -533,11 +533,17 @@ object Quantize {
       .orderBy(desc("__sim"), col(idCol))
       .limit(k)
       .select(col(idCol))
+    val nCorpus = corpus.count()
     val nLists = model.clusterCenters.length
     val cents = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
       .toDF("list_id", "centroid")
-    val stats = ms.flatMap { m =>
+    // the report is |ms|·|overFetches| scalar cells: each is collected
+    // EAGERLY so every code budget's cached scored frame can be
+    // unpersisted before the next fit (pqFit's try/finally discipline —
+    // a sweep that leaks one corpus-sized cache per dial would pin
+    // executor storage for the life of the session)
+    val cells = ms.flatMap { m =>
       val cb = pqFit(ivfResiduals(model, fitSample, embCol), "__res",
         dim, m, nCentroids, maxIter)
       // ONE residual encode of the corpus per code budget, cached so all
@@ -563,21 +569,22 @@ object Quantize {
             .otherwise((col("__qdotc") + adcUdf(col("pq_codes"), col("__lut"))) /
               (col("__en") * col("__qn"))))
         .cache()
-      overFetches.map { of =>
-        scored
-          .orderBy(desc("approx_sim"), col(idCol))
-          .limit(k * of)
-          .withColumn("similarity", vectors.cosineSim(col(embCol), col("qe")))
-          .orderBy(desc("similarity"), col(idCol))
-          .limit(k)
-          .select(col(idCol))
-          .join(broadcast(exactIds), Seq(idCol), "left_semi")
-          .agg(count(lit(1)).as("n_hits"))
-          .select(lit(m).cast("long").as("m"),
-            lit(of).cast("long").as("overfetch"),
-            col("n_hits").cast("long").as("n_hits"))
-      }
+      try {
+        overFetches.map { of =>
+          val nHits = scored
+            .orderBy(desc("approx_sim"), col(idCol))
+            .limit(k * of)
+            .withColumn("similarity", vectors.cosineSim(col(embCol), col("qe")))
+            .orderBy(desc("similarity"), col(idCol))
+            .limit(k)
+            .select(col(idCol))
+            .join(broadcast(exactIds), Seq(idCol), "left_semi")
+            .count()
+          (m.toLong, of.toLong, nHits, nCorpus)
+        }
+      } finally scored.unpersist()
     }
-    stats.reduce(_.unionByName(_)).orderBy("m", "overfetch")
+    cells.toDF("m", "overfetch", "n_hits", "n_corpus")
+      .orderBy("m", "overfetch")
   }
 }

@@ -450,9 +450,12 @@ object AnalyticsQueries {
         "once. Codebooks are engine-specific, so the gate pins the " +
         "THEOREM-backed shape: for fixed m the ADC ranking is fixed, so " +
         "overFetch prefixes are nested candidate sets and n_hits is " +
-        "non-decreasing (overfetch_monotone_ok); at overFetch=512, " +
-        "5x512 >= corpus at every SF, so the re-rank IS brute force and " +
-        "n_hits = 5 exactly, any m (recovery_ok); dial_ok pins the " +
+        "non-decreasing (overfetch_monotone_ok); recovery_ok derives its " +
+        "saturation bound from the MEASURED corpus count — whenever " +
+        "k*overFetch >= n_corpus the re-rank IS brute force and n_hits " +
+        "= 5 exactly, any m (at the shipped SFs that's the 512 column; " +
+        "a bigger corpus makes the row vacuously true instead of " +
+        "asserting a theorem that no longer applies); dial_ok pins the " +
         "published serving dial (m=8, overFetch=32 recovering >= 3/5). " +
         "Measured cells asserted in ModulesSpec. TRIAGE: a false row on " +
         "new data means code budget vs corpus variance, not an engine " +
@@ -480,7 +483,7 @@ object AnalyticsQueries {
       // 8-row report -> one array; monotonicity via the q_ivf_tuning HOF
       // pattern, guarded to adjacent cells of the SAME code budget
       rep.agg(sort_array(collect_list(struct(
-          col("m"), col("overfetch"), col("n_hits")))).as("a"))
+          col("m"), col("overfetch"), col("n_hits"), col("n_corpus")))).as("a"))
         .select(explode(expr(
           """transform(a, (x, i) -> named_struct(
             |  'm', x.m, 'overfetch', x.overfetch,
@@ -488,7 +491,8 @@ object AnalyticsQueries {
             |  CASE WHEN i = 0 OR element_at(a, i).m <> x.m THEN true
             |       ELSE x.n_hits >= element_at(a, i).n_hits END,
             |  'recovery_ok',
-            |  CASE WHEN x.overfetch = 512 THEN x.n_hits = 5 ELSE true END,
+            |  CASE WHEN x.overfetch * 5 >= x.n_corpus THEN x.n_hits = 5
+            |       ELSE true END,
             |  'dial_ok',
             |  CASE WHEN x.m = 8 AND x.overfetch = 32 THEN x.n_hits >= 3
             |       ELSE true END))""".stripMargin)).as("r"))

@@ -1471,10 +1471,14 @@ object PipelineQueries {
       val caps = documents(s, dir).filter(col("doc_id") < 50)
         .select(col("doc_id"), expr(text.tokenHashes(S, "text")).as("th"))
         // the caption's query vector: token-bucket histogram, the exact
-        // linear form of the token-indexed sim (sum_t iv[t%16] = cv . iv)
+        // linear form of the token-indexed sim (sum_t iv[t%16] = cv . iv).
+        // coalesce per bucket: a null-text caption (th NULL) must yield
+        // the zero vector, not an array of NULLs that kills vectors.dot —
+        // the same latent-null class the sim coalesce guards
         .withColumn("cv", expr(
           "transform(sequence(0, 15), j -> " +
-            "CAST(size(filter(th, t -> t % 16 = j)) AS DOUBLE))"))
+            "coalesce(CAST(size(filter(th, t -> t % 16 = j)) AS DOUBLE)," +
+            " CAST(0 AS DOUBLE)))"))
       val imgs = documents(s, dir).filter(col("doc_id") < 60)
         .select(col("doc_id").as("img_id"),
           Multimodal.imageGrayBucketsUdf(
@@ -1521,8 +1525,13 @@ object PipelineQueries {
         .withColumn("nhit",
           sum(coalesce(col("hit"), lit(0L)))
             .over(Window.partitionBy("doc_id")))
+        // a tokenless caption has the zero query vector: every image ties
+        // at sim 0 and "recall" is meaningless — vacuously true, matching
+        // the oracle's constant, instead of failing on an arbitrary tie
         .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
-          col("img_id"), col("sim"), (col("nhit") >= 2).as("recall_ok"))
+          col("img_id"), col("sim"),
+          (col("nhit") >= 2 || coalesce(size(col("th")), lit(0)) === 0)
+            .as("recall_ok"))
         .orderBy("doc_id", "rnk")
     },
 

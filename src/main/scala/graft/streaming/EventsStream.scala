@@ -257,8 +257,12 @@ object EventsStream {
             if (entries.isEmpty && !saturated) state.remove()
             else {
               state.update(BucketState(entries, saturated, lastTs))
-              // reap the bucket when the watermark passes its newest event
-              if (lastTs > wm) state.setTimeoutTimestamp(lastTs)
+              // reap the bucket when the watermark passes its newest
+              // event; the max guard covers lastTs == wm (a timeout must
+              // sit strictly past the watermark — without it that bucket
+              // would register NO timeout and leak state forever if its
+              // key never fires again)
+              state.setTimeoutTimestamp(math.max(lastTs, wm + 1L))
             }
             out.iterator
           }

@@ -305,8 +305,12 @@ object Stress {
         bits = 64, chunks = 4).localCheckpoint(true)
     }
     results += "hamming_index_build" -> (docRows, idxS)
+    // batch ids offset PAST every corpus copy (copies occupy offsets
+    // 0..m-1; a fixed offset inside that range would collide with that
+    // copy's ids and the a_id =!= b_id filter would silently drop the
+    // colliding twin pairs, distorting the measured slope)
     val batch = Tables.documents(spark, sfDir)
-      .select((col("doc_id") + 10 * stride).as("id"),
+      .select((col("doc_id") + m.toLong * stride).as("id"),
         xxhash64(col("doc_id")).as("fp"))
     val batchRows = batch.count()
     val (incrPairs, incrS) = time {

@@ -221,7 +221,9 @@ class PropertiesSpec extends AnyFunSuite {
     // moves one temporal sum, so base and twin fingerprints differ in AT
     // MOST bit 63 — and in nothing else
     forAllSamples(60) {
-      val base = rnd.nextInt(100000).toLong
+      // draw below the +80000 edit threshold: a base in the edited range
+      // would make b0 == b1 byte-identical and the assertions vacuous
+      val base = rnd.nextInt(80000).toLong
       val b0 = Multimodal.nearVideoForDoc(base)
       val b1 = Multimodal.nearVideoForDoc(base + 80000L)
       val fp0 = Multimodal.videoFingerprint(b0, 2)
