@@ -141,8 +141,8 @@ object EventsStream {
     * (plain dropDuplicates on a stream grows state forever — at 100 TB/day
     * of ingest that is an OOM with extra steps). The fingerprint is the
     * rolling token hash ([[graft.functions.text.fingerprint]]), so
-    * whitespace-insensitive exact dupes collapse; swap in a MinHash band
-    * key for streaming NEAR-dup suppression with the same state shape. */
+    * whitespace-insensitive exact dupes collapse; [[lshNearDupStream]]
+    * is the MinHash-band NEAR-dup variant with the same state shape. */
   def dedupStream(events: DataFrame, textCol: String,
                   watermark: String = "1 hour", tsCol: String = "ts"): DataFrame =
     events
@@ -262,6 +262,104 @@ object EventsStream {
               // sit strictly past the watermark — without it that bucket
               // would register NO timeout and leak state forever if its
               // key never fires again)
+              state.setTimeoutTimestamp(math.max(lastTs, wm + 1L))
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** One streaming text near-dup hit: `id` arrived while `matched_id`
+    * (an earlier arrival within the watermark horizon) shared an LSH
+    * band with it and verified at `jaccard` ≥ the threshold. */
+  case class JaccardMatch(id: Long, matched_id: Long, jaccard: Double)
+
+  private[streaming] case class SigEntry(id: Long, hs: Array[Long], tsMs: Long)
+  private[streaming] case class SigBucketState(entries: List[SigEntry],
+                                               saturated: Boolean, lastTsMs: Long)
+
+  /** Streaming TEXT near-dup detection — the MinHash-band variant
+    * [[dedupStream]]'s docstring promises, and [[nearDupStream]]'s
+    * sibling for set similarity: each document's k-value MinHash
+    * signature (computed by the compiled [[graft.functions.TextSig]]
+    * kernels, same as the batch path) cuts into `bands` bands, state
+    * keys on (band_idx, band_key) — the streaming analog of the LSH band
+    * shuffle, hash-partitioned across executors — and a new arrival
+    * sharing a band with a bucket-mate is EXACT-Jaccard verified against
+    * it (the two-stage candidates-then-verify pattern of
+    * [[graft.operators.Dedup.minhashLshVerifiedPairs]], per arrival),
+    * emitting a [[JaccardMatch]] at ≥ `threshold`. A pair sharing
+    * several bands emits from each — consumers dedup on
+    * (id, matched_id), like the batch `.distinct()`.
+    *
+    * Same bounded-state contract as [[nearDupStream]]: entries age out
+    * by watermark, idle buckets are reaped by event-time timeout, and a
+    * bucket over `maxBucket` SATURATES — the boilerplate mega-bucket
+    * (one license header arriving thousands of times an hour) stops
+    * costing |bucket| shingle-set compares per arrival, exactly the
+    * skew the batch cap drops. Bucket state carries shingle-hash sets
+    * (needed for the verify), so the cap also bounds state BYTES, not
+    * just entry counts. */
+  def lshNearDupStream(rows: DataFrame, idCol: String, textCol: String,
+                       k: Int, bands: Int, shingleN: Int, threshold: Double,
+                       maxBucket: Int = Int.MaxValue,
+                       watermark: String = "1 hour",
+                       tsCol: String = "ts"): Dataset[JaccardMatch] = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val session = rows.sparkSession
+    import session.implicits._
+    import graft.functions.TextSig
+    val r = k / bands
+    val banded = rows
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol).as("ts"), col(idCol).as("id"),
+        TextSig.shingleHashesUdf(col(textCol), lit(shingleN)).as("hs"),
+        TextSig.minhashSigUdf(col(textCol), lit(shingleN), lit(k)).as("sig"))
+      .select(col("ts"), col("id"), col("hs"), explode(expr(
+        // same banding expression as Dedup.bandedFromSignatures
+        s"transform(sequence(0, ${bands - 1}), j -> " +
+          s"struct(j AS band_idx, " +
+          s"array_join(slice(sig, j*$r + 1, $r), '_') AS band_key))")).as("b"))
+      .select(col("ts"), col("id"), col("hs"),
+        col("b.band_idx").as("band_idx"), col("b.band_key").as("band_key"))
+      .as[(Timestamp, Long, Array[Long], Int, String)]
+    banded
+      .groupByKey(x => (x._4, x._5))
+      .flatMapGroupsWithState[SigBucketState, JaccardMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, String), batch: Iterator[(Timestamp, Long, Array[Long], Int, String)],
+         state: GroupState[SigBucketState]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            state.remove(); Iterator.empty
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            val st0 = state.getOption.getOrElse(SigBucketState(Nil, false, 0L))
+            val st = if (st0.saturated && wm > st0.lastTsMs)
+              SigBucketState(Nil, false, 0L) else st0
+            var entries = st.entries.filter(_.tsMs >= wm)
+            var saturated = st.saturated
+            var lastTs = st.lastTsMs
+            val out = scala.collection.mutable.ArrayBuffer.empty[JaccardMatch]
+            batch.foreach { case (ts, id, hs, _, _) =>
+              lastTs = math.max(lastTs, ts.getTime)
+              if (!saturated) {
+                val mySet = hs.toSet
+                entries.foreach { e =>
+                  if (e.id != id) {
+                    val eSet = e.hs.toSet
+                    val inter = (mySet & eSet).size
+                    val union = mySet.size + eSet.size - inter
+                    val j = if (union == 0) 0.0 else inter.toDouble / union
+                    if (j >= threshold) out += JaccardMatch(id, e.id, j)
+                  }
+                }
+                entries = SigEntry(id, hs, ts.getTime) :: entries
+                if (entries.size > maxBucket) { saturated = true; entries = Nil }
+              }
+            }
+            if (entries.isEmpty && !saturated) state.remove()
+            else {
+              state.update(SigBucketState(entries, saturated, lastTs))
               state.setTimeoutTimestamp(math.max(lastTs, wm + 1L))
             }
             out.iterator

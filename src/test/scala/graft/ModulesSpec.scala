@@ -497,6 +497,37 @@ class ModulesSpec extends AnyFunSuite {
     val alien = Seq((999L, 0x5A5A5A5A5A5A5A5AL)).toDF("id", "fp")
     assert(Dedup.hammingIncrementalPairs(alien, index, "id", "fp",
       64, 4, 0).isEmpty)
+    // a geometry-mismatched index fails LOUDLY instead of silently
+    // mining zero cross pairs (the chunk_sig token)
+    val err = intercept[Exception] {
+      Dedup.hammingIncrementalPairs(batch, Dedup.hammingChunkIndex(
+        old, "id", "fp", 64, 2), "id", "fp", 64, 4, 3).collect()
+    }
+    assert(Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(5).exists(e => Option(e.getMessage)
+        .exists(_.contains("stale hamming index"))), s"wrong error: $err")
+    // RANDOMIZED equivalence: over random fingerprint corpora, batches,
+    // and caps, increment == capped from-scratch restricted to pairs
+    // involving the batch — the fixed cases above are instances of this
+    val rnd = new scala.util.Random(77)
+    for (trial <- 1 to 3) {
+      val cap2 = Seq(3, 8, Int.MaxValue)(trial - 1)
+      // cluster fingerprints near a few anchors so near-dup pairs and
+      // shared buckets actually occur at hamming <= 3
+      def near(anchor: Long) =
+        (1 to rnd.nextInt(4)).foldLeft(anchor)((v, _) => v ^ (1L << rnd.nextInt(64)))
+      val anchors = Array.fill(5)(rnd.nextLong())
+      val oldR = (1L to 40L).map(i => (i, near(anchors(rnd.nextInt(5)))))
+      val newR = (101L to 115L).map(i => (i, near(anchors(rnd.nextInt(5)))))
+      val oldDf = oldR.toDF("id", "fp"); val newDf = newR.toDF("id", "fp")
+      val incr2 = run(Dedup.hammingIncrementalPairs(newDf,
+        Dedup.hammingChunkIndex(oldDf, "id", "fp", 64, 4),
+        "id", "fp", 64, 4, 3, maxBucket = cap2))
+      val scratch2 = run(Dedup.hammingPairs(oldDf.unionByName(newDf),
+        "id", "fp", 64, 4, 3, maxBucket = cap2))
+      assert(incr2 == scratch2.filter { case (a, b, _) => a > 100L || b > 100L },
+        s"trial $trial cap=$cap2: increment != from-scratch")
+    }
   }
 
   test("windowed collocation pairs grow linearly in doc length") {
@@ -1244,6 +1275,56 @@ class ModulesSpec extends AnyFunSuite {
     // arrivals 2 and 3 match before the bucket exceeds 2; the saturation
     // then silences 4..6 (uncapped would emit 5+4+3 more hits)
     assert(capped.toSet == Set((2L, 1L), (3L, 1L), (3L, 2L)), s"got $capped")
+  }
+
+  test("streaming LSH text near-dup: band-mates verified in-flight, boilerplate saturates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val twinText = "the quick brown fox jumps over the lazy dog again and again"
+    val otherText = "completely different subject matter in this document entirely"
+    // a twin pair plus an unrelated doc: the band-keyed state must flag
+    // exactly the twin pair at jaccard 1.0, matching the batch verdict
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = EventsStream.lshNearDupStream(df, "doc_id", "text",
+        k = 16, bands = 4, shingleN = 3, threshold = 0.8)
+      .writeStream.format("memory").queryName("lsh_neardup").start()
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, twinText),
+      (Timestamp.valueOf("2024-01-01 10:00:01"), 2L, twinText),
+      (Timestamp.valueOf("2024-01-01 10:00:02"), 3L, otherText))
+    q.processAllAvailable()
+    val hits = spark.table("lsh_neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).distinct.toSeq
+    q.stop()
+    assert(hits == Seq((2L, 1L, 1.0)), s"got $hits")
+    // batch parity on the same corpus: same pair set, same jaccard
+    val batchPairs = Dedup.minhashLshVerifiedPairs(
+        Seq((1L, twinText), (2L, twinText), (3L, otherText))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", k = 16, bands = 4, shingleN = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batchPairs == hits.map { case (a, b, j) =>
+      (math.min(a, b), math.max(a, b), j) }.toSet)
+    // boilerplate saturation: the license header arriving over and over
+    // lands every copy in the same bucket of every band; with maxBucket=2
+    // the buckets saturate and per-arrival compares stop — the streaming
+    // face of the batch mega-bucket cap
+    val mem2 = MemoryStream[(Timestamp, Long, String)]
+    val df2 = mem2.toDF().toDF("ts", "doc_id", "text")
+    val q2 = EventsStream.lshNearDupStream(df2, "doc_id", "text",
+        k = 16, bands = 4, shingleN = 3, threshold = 0.8, maxBucket = 2)
+      .writeStream.format("memory").queryName("lsh_neardup_cap").start()
+    mem2.addData((1L to 8L).map(i =>
+      (Timestamp.valueOf(s"2024-01-01 10:00:0${i - 1}"), i, twinText)): _*)
+    q2.processAllAvailable()
+    val sat = spark.table("lsh_neardup_cap").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct.toSeq
+    q2.stop()
+    // arrivals 2 and 3 match; saturation then silences 4..8 (uncapped
+    // would emit 7+6+...+1 more)
+    assert(sat.toSet == Set((2L, 1L), (3L, 1L), (3L, 2L)), s"got $sat")
   }
 
   test("streaming per-window top-k leaderboard merges state across batches") {
