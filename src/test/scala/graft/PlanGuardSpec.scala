@@ -257,6 +257,45 @@ class PlanGuardSpec extends AnyFunSuite {
       s"q_crossmodal_match: shuffled join planned:\n${cmShuffledJoins.mkString("\n")}")
   }
 
+  test("round-8 queries keep their scale-critical plan shapes") {
+    import org.apache.spark.sql.execution.joins._
+    // hamming pair search (image/audio/video): the blocked self-join must
+    // be SHUFFLE_HASH — both sides are the whole corpus behind UDF-heavy
+    // decode projections, and a broadcast build would evaluate one full
+    // side single-threaded (and can't exist at 100 TB); the engaged
+    // mega-bucket cap shows up as a broadcast LEFT ANTI against the
+    // (few, by definition) oversized keys
+    for (name <- Seq("q_image_neardup", "q_audio_neardup", "q_video_neardup")) {
+      val ps = plans(name)
+      assert(ps.exists(_.isInstanceOf[ShuffledHashJoinExec]),
+        s"$name: pair join is not shuffle_hash")
+      val anti = ps.collect {
+        case b: BroadcastHashJoinExec
+          if b.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => b
+      }
+      assert(anti.nonEmpty, s"$name: the maxBucket cap's broadcast " +
+        "anti-join is missing — the cap stopped being engaged")
+    }
+    // incremental mine: same two shapes — the batch×(index ∪ batch) join
+    // shuffles on the chunk key, the cap anti-joins broadcast
+    val incr = plans("q_image_neardup_incremental")
+    assert(incr.exists(_.isInstanceOf[ShuffledHashJoinExec]),
+      "q_image_neardup_incremental: batch×index join is not shuffle_hash")
+    assert(incr.exists {
+      case b: BroadcastHashJoinExec =>
+        b.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti
+      case _ => false
+    }, "q_image_neardup_incremental: cap anti-join missing")
+    // ANN-routed cross-modal: the probe page is the ONLY broadcast build;
+    // the image store side must never move through a shuffled join (at
+    // scale it is the partition-pruned store read)
+    val cma = plans("q_crossmodal_ann").filter { p =>
+      p.isInstanceOf[SortMergeJoinExec] || p.isInstanceOf[ShuffledHashJoinExec]
+    }
+    assert(cma.isEmpty,
+      s"q_crossmodal_ann: shuffled join planned:\n${cma.mkString("\n")}")
+  }
+
   test("partitioned parquet layout prunes partitions at the scan") {
     // S10's other half: the 'index build' at 100 TB is a partitioned
     // layout; a filter on the partition column must plan a pruned scan
