@@ -300,6 +300,56 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** [[encodeGif]]'s twin with HASH-MIXED pixels on a caller-chosen
+    * per-frame index stride: frame f's pixel (x, y) carries
+    * ((seed + f·frameStride + y·w + x)·2654435761 mod 1e9+7) mod 241.
+    * With frameStride = the Y4M frame size (3wh/2), frame f's raster is
+    * value-identical to [[encodeY4mMix]]'s LUMA plane for the same seed
+    * — the cross-CONTAINER video-dedup fixture: the same clip as raw
+    * Y4M and as real LZW-compressed GIF, byte-unrelated blobs whose
+    * decoded frames agree. */
+  def encodeGifMix(w: Int, h: Int, nFrames: Int, seed: Long,
+                   frameStride: Int): Array[Byte] = {
+    imageIoInit
+    require(w > 0 && h > 0, s"bad gif dims ${w}x$h")
+    require(nFrames > 0 && frameStride > 0,
+      s"bad frame count $nFrames / stride $frameStride")
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+    require(writers.hasNext, "no ImageIO gif writer")
+    val wr = writers.next()
+    val g = Array.tabulate[Byte](256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, g, g, g)
+    try {
+      wr.setOutput(ios)
+      val p = wr.getDefaultWriteParam
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      wr.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        val r = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val i = seed + f.toLong * frameStride + y.toLong * w + x
+            r.setSample(x, y, 0,
+              ((i * 2654435761L % 1000000007L) % 241L).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), p)
+        f += 1
+      }
+      wr.endWriteSequence()
+    } finally { wr.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
   /** One sampled GIF frame's stats: dims + exact gray sum over the
     * genuinely LZW-decoded raster ([[FrameStat]]'s shape; GIF frames here
     * are gray, so there is no chroma plane). */
@@ -949,9 +999,22 @@ object Multimodal {
     * is read by a single grid position — the PropertiesSpec pin).
     * Unsampled frames never leave the walk, same contract as the frame
     * walkers; chunk via [[graft.operators.Dedup.hammingPairs]] with
-    * bits=64. Malformed input throws. */
+    * bits=64. Malformed input throws.
+    *
+    * CONTAINER-INVARIANT by construction: dispatch on magic bytes — raw
+    * Y4M reads the luma plane directly, GIF decodes each sampled frame
+    * through the real ImageIO LZW codec and reads the CHANNEL SUM at the
+    * same grid. For the same underlying frames, channel-sum gray is
+    * exactly 3× the luma value (gray palette), and dHash bits are
+    * order comparisons — invariant under any positive scaling — so the
+    * same clip rendered as raw Y4M and as compressed GIF carries ONE
+    * fingerprint (spec-pinned over random dims/seeds), while byte hashes
+    * see two unrelated blobs. */
   def videoFingerprint(b: Array[Byte], stride: Int): Long = {
     require(stride > 0, s"bad stride $stride")
+    require(b != null && b.length >= 6, "videoFingerprint: empty blob")
+    if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
+      return videoFingerprintGif(b, stride)
     val hd = y4mHead(b)
     val w = hd.w; val h = hd.h
     val sums = Array.ofDim[Long](8, 9)
@@ -989,6 +1052,77 @@ object Multimodal {
       r += 1
     }
     hash
+  }
+
+  /** [[videoFingerprint]]'s GIF branch: the identical temporal-mean grid
+    * fold over ImageIO-decoded frames (channel-sum gray — 3× luma for a
+    * gray palette, dHash-bit-equivalent since bits are order
+    * comparisons). reader.read is per-index, so unsampled frames never
+    * decode — the frame-sampling contract at 100 TB. */
+  private def videoFingerprintGif(b: Array[Byte], stride: Int): Long = {
+    imageIoInit
+    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    require(readers.hasNext, "no ImageIO gif reader")
+    val rd = readers.next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      rd.setInput(iis, false)
+      val n = rd.getNumImages(true)
+      require(n > 0, "gif: no frames")
+      val sums = Array.ofDim[Long](8, 9)
+      var f = 0
+      while (f < n) {
+        if (f % stride == 0) {
+          val img = rd.read(f)
+          val w = img.getWidth; val h = img.getHeight
+          var r = 0
+          while (r < 8) {
+            val y = r * h / 8
+            var j = 0
+            while (j < 9) {
+              val rgb = img.getRGB(j * w / 9, y)
+              sums(r)(j) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                (rgb & 0xff)
+              j += 1
+            }
+            r += 1
+          }
+        }
+        f += 1
+      }
+      var hash = 0L; var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          if (sums(r)(c + 1) > sums(r)(c)) hash |= 1L << (r * 8 + c)
+          c += 1
+        }
+        r += 1
+      }
+      hash
+    } finally { rd.dispose(); iis.close() }
+  }
+
+  /** q_video_dedup's fixture writer: ONE clip per base id rendered
+    * through byte-DIFFERENT containers — raw hash-mixed Y4M (+0) and the
+    * same frames as real LZW-compressed GIF (+20000, [[encodeGifMix]]
+    * with the Y4M frame stride so frame rasters are value-identical to
+    * the Y4M luma plane). Both decode to frames whose
+    * [[videoFingerprint]] grid comparisons agree, so the perceptual
+    * fingerprint collapses them while any byte hash sees two unrelated
+    * files — [[imageVariantForDoc]]'s story lifted to the time axis. */
+  def videoVariantForDoc(mediaId: Long): Array[Byte] = {
+    require(mediaId >= 0, s"negative media id $mediaId")
+    val base = mediaId % 20000
+    val w = (10 + 2 * (base % 4)).toInt
+    val h = (8 + 2 * (base % 3)).toInt
+    val nf = (3 + base % 4).toInt
+    (mediaId / 20000) match {
+      case 0 => encodeY4mMix(w, h, nf, base)
+      case 1 => encodeGifMix(w, h, nf, base, 3 * w * h / 2)
+      case v => throw new IllegalArgumentException(s"bad video variant $v")
+    }
   }
 
   /** [[encodeY4m]]'s twin with HASH-MIXED payload bytes — the
@@ -1180,6 +1314,7 @@ object Multimodal {
   val videoFingerprintUdf =
     udf((b: Array[Byte], stride: Int) => videoFingerprint(b, stride))
   val nearVideoForDocUdf = udf((mediaId: Long) => nearVideoForDoc(mediaId))
+  val videoVariantForDocUdf = udf((mediaId: Long) => videoVariantForDoc(mediaId))
   val audioVariantForDocUdf = udf((clipId: Long) => audioVariantForDoc(clipId))
   val audioFingerprintUdf =
     udf((b: Array[Byte], frameLen: Int) => audioFingerprint(b, frameLen))

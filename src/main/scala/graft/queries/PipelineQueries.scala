@@ -1743,6 +1743,74 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     },
 
+    Q("q_video_dedup",
+      "Cross-CONTAINER video dedup — q_image_dedup's story lifted to the " +
+        "time axis: every clip in the fixture exists as two byte-" +
+        "UNRELATED blobs — raw hash-mixed Y4M and the SAME frames as " +
+        "real LZW-compressed GIF through the JDK ImageIO codec — and " +
+        "the temporal-mean dHash over the genuinely DECODED frames " +
+        "collapses both where any byte hash sees two files. The " +
+        "invariance is arithmetic, not approximate: GIF's channel-sum " +
+        "gray is exactly 3x the Y4M luma value (gray palette), and " +
+        "dHash bits are order comparisons — invariant under positive " +
+        "scaling (property-pinned over random dims/seeds). n_formats " +
+        "proves byte-distinct containers actually merged; the oracle " +
+        "replays every 64-bit fingerprint closed-form from the payload " +
+        "formula (sign bit via the two's-complement trick). Scale " +
+        "shape: per-row codec walk + ONE map-side-combined aggregate " +
+        "on the fingerprint — video dedup costs the same as exact text " +
+        "dedup once the column exists",
+      Some("""WITH d AS (SELECT doc_id, 10 + 2 * (doc_id % 4) AS w,
+             |    8 + 2 * (doc_id % 3) AS h, 3 + doc_id % 4 AS nf
+             |  FROM documents WHERE doc_id < 240),
+             |e AS (SELECT doc_id, w, h, nf, 3 * w * h // 2 AS fb FROM d),
+             |g AS (SELECT doc_id, r, j,
+             |    list_sum(list_transform(
+             |      list_filter(generate_series(0, nf - 1), f -> f % 2 = 0),
+             |      f -> ((doc_id + f * fb + (r * h // 8) * w + j * w // 9)
+             |             * 2654435761 % 1000000007) % 241)) AS s
+             |  FROM e, (SELECT unnest(generate_series(0, 7)) AS r),
+             |       (SELECT unnest(generate_series(0, 8)) AS j)),
+             |b0 AS (SELECT doc_id, r, j,
+             |    CASE WHEN lead(s) OVER (PARTITION BY doc_id, r ORDER BY j)
+             |              > s THEN 1 ELSE 0 END AS bit
+             |  FROM g),
+             |hx AS (SELECT doc_id,
+             |    CAST(sum(CASE WHEN r * 8 + j < 63
+             |      THEN CAST(bit AS BIGINT) * (1::BIGINT << (r * 8 + j))
+             |      ELSE 0 END) AS BIGINT)
+             |    + CASE WHEN max(CASE WHEN r * 8 + j = 63 THEN bit ELSE 0 END) = 1
+             |           THEN (-9223372036854775807 - 1) ELSE 0 END AS fp
+             |  FROM b0 WHERE j < 8 GROUP BY doc_id),
+             |corpus AS (
+             |  SELECT doc_id AS clip_id, doc_id AS base_id FROM d
+             |  UNION ALL
+             |  SELECT doc_id + 20000, doc_id FROM d WHERE doc_id % 3 = 0)
+             |SELECT fp AS fingerprint, CAST(min(clip_id) AS BIGINT) AS keep_id,
+             |  count(*) AS n_clips,
+             |  CAST(count(DISTINCT clip_id // 20000) AS BIGINT) AS n_formats
+             |FROM corpus JOIN hx ON hx.doc_id = corpus.base_id
+             |GROUP BY fp
+             |ORDER BY keep_id""".stripMargin)) { (s, dir) =>
+      import graft.operators.Multimodal
+      val ids = documents(s, dir).filter(col("doc_id") < 240)
+        .select(col("doc_id"))
+      val corpus = ids.select(col("doc_id").as("clip_id"))
+        .unionByName(ids.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 20000).as("clip_id")))
+      corpus
+        .select(col("clip_id"), Multimodal.videoFingerprintUdf(
+          Multimodal.videoVariantForDocUdf(col("clip_id")), lit(2))
+          .as("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(min("clip_id").as("keep_id"),
+          count(lit(1)).as("n_clips"),
+          countDistinct(expr("clip_id div 20000")).as("n_formats"))
+        .select(col("fingerprint"), col("keep_id"), col("n_clips"),
+          col("n_formats").cast("long").as("n_formats"))
+        .orderBy("keep_id")
+    },
+
     Q("q_video_neardup",
       "NEAR-duplicate VIDEO pairs — the last missing modality in the " +
         "fingerprint matrix (text SimHash, image dHash, audio energy " +

@@ -239,6 +239,30 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("videoFingerprint: container-invariant across raw Y4M and LZW GIF") {
+    import graft.operators.Multimodal
+    // the q_video_dedup contract as a property: for ANY dims/frames the
+    // id formula can produce, the raw Y4M and the compressed-GIF render
+    // of the same frames carry ONE fingerprint — dHash bits are order
+    // comparisons, invariant under the gray-palette channel-sum's 3x
+    // scaling of the luma values, and the GIF pipeline is the real
+    // ImageIO LZW codec both ways
+    forAllSamples(40) {
+      val seed = rnd.nextInt(20000).toLong
+      val w = 10 + 2 * (seed % 4).toInt; val h = 8 + 2 * (seed % 3).toInt
+      val nf = 3 + (seed % 4).toInt
+      val y4m = Multimodal.encodeY4mMix(w, h, nf, seed)
+      val gif = Multimodal.encodeGifMix(w, h, nf, seed, 3 * w * h / 2)
+      assert(gif(0) == 'G' && y4m(0) == 'Y') // genuinely different containers
+      val fp = Multimodal.videoFingerprint(y4m, 2)
+      assert(Multimodal.videoFingerprint(gif, 2) == fp,
+        s"container variance at seed=$seed ${w}x$h nf=$nf")
+      // a different clip does not collide through either container
+      val other = Multimodal.encodeY4mMix(w, h, nf, seed + 50000L)
+      assert(Multimodal.videoFingerprint(other, 2) != fp)
+    }
+  }
+
   test("hamming pigeonhole: <= chunks-1 flipped bits always share a chunk") {
     // the no-false-negative guarantee hammingPairs' block join rests on,
     // checked over random 64-bit fingerprints incl. the sign bit: flip up
