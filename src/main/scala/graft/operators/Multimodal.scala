@@ -727,6 +727,18 @@ object Multimodal {
     bmp
   }
 
+  /** q_dedup_cap_audit's monochrome tier: a genuinely decoded CONSTANT
+    * raster (binary PPM) — the letterbox-bar / blank-thumbnail shape
+    * whose [[dHash64]] is exactly 0 (no rising gray anywhere), i.e. the
+    * mega-bucket population the engaged maxBucket cap exists for. */
+  def monoImageForDoc(imgId: Long): Array[Byte] = {
+    require(imgId >= 0, s"negative image id $imgId")
+    val w = (9 + imgId % 3).toInt; val h = 9
+    val v = ((imgId % 5) * 40).toInt
+    s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++
+      Array.fill(3 * w * h)(v.toByte)
+  }
+
   /** Compressed-codec blob for a document (q_multimodal_codec's writer):
     * PNG for even ids, JPEG for odd; dims 16+doc%13 × 16+doc%7 — large
     * enough that JPEG's DCT error stays well under the oracle's 5% sum
@@ -1315,6 +1327,7 @@ object Multimodal {
     udf((b: Array[Byte], stride: Int) => videoFingerprint(b, stride))
   val nearVideoForDocUdf = udf((mediaId: Long) => nearVideoForDoc(mediaId))
   val videoVariantForDocUdf = udf((mediaId: Long) => videoVariantForDoc(mediaId))
+  val monoImageForDocUdf = udf((imgId: Long) => monoImageForDoc(imgId))
   val audioVariantForDocUdf = udf((clipId: Long) => audioVariantForDoc(clipId))
   val audioFingerprintUdf =
     udf((b: Array[Byte], frameLen: Int) => audioFingerprint(b, frameLen))

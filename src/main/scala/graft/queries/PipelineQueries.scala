@@ -1354,6 +1354,92 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     },
 
+    Q("q_dedup_cap_audit",
+      "The maxBucket DROP-AUDIT as a first-class query — the measure-" +
+        "before-committing step for the pair-search cap, completing the " +
+        "q_lsh_tuning/q_ivf_tuning discipline for the blocking dial: " +
+        "per fingerprint chunk position, the bucket census (bucket " +
+        "count, docs, largest bucket) plus EXACTLY what a cap of 64 " +
+        "would drop — oversized-bucket count, docs dropped, and the " +
+        "candidate pairs avoided (sum n(n-1)/2 over oversized buckets: " +
+        "the quadratic shuffle rows that never happen). Fixture: the " +
+        "240 hash-mixed rasters (healthy tier — nothing dropped) plus " +
+        "80 genuinely decoded MONOCHROME thumbnails whose dHash is " +
+        "exactly 0, forming the all-zero mega-bucket in every chunk " +
+        "position — the audit shows ~3160 pairs avoided per chunk, " +
+        "which is the evidence the engaged cap at the q_image_neardup " +
+        "call sites rests on. Scale shape: one map-side-combined " +
+        "census aggregate over the chunk index, bucket-sized output — " +
+        "at 100 TB this runs over the persisted hammingChunkIndex " +
+        "before any pair join is launched",
+      Some("""WITH d AS (SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h
+             |  FROM documents WHERE doc_id < 240),
+             |g AS (SELECT doc_id, r, c,
+             |    ((doc_id + (r * h // 8) * 3 * w + 3 * (c * w // 9))
+             |      * 2654435761 % 1000000007) % 251
+             |  + ((doc_id + (r * h // 8) * 3 * w + 3 * (c * w // 9) + 1)
+             |      * 2654435761 % 1000000007) % 251
+             |  + ((doc_id + (r * h // 8) * 3 * w + 3 * (c * w // 9) + 2)
+             |      * 2654435761 % 1000000007) % 251
+             |    AS gray
+             |  FROM d, (SELECT unnest(generate_series(0, 7)) AS r),
+             |       (SELECT unnest(generate_series(0, 8)) AS c)),
+             |b0 AS (SELECT doc_id, r, c,
+             |    CASE WHEN lead(gray) OVER (PARTITION BY doc_id, r ORDER BY c)
+             |              > gray THEN 1 ELSE 0 END AS bit
+             |  FROM g),
+             |hx AS (SELECT doc_id,
+             |    CAST(sum(CASE WHEN r * 8 + c < 63
+             |      THEN CAST(bit AS BIGINT) * (1::BIGINT << (r * 8 + c))
+             |      ELSE 0 END) AS BIGINT)
+             |    + CASE WHEN max(CASE WHEN r * 8 + c = 63 THEN bit ELSE 0 END) = 1
+             |           THEN (-9223372036854775807 - 1) ELSE 0 END AS dhash
+             |  FROM b0 WHERE c < 8 GROUP BY doc_id),
+             |corpus AS (
+             |  SELECT doc_id AS img_id, dhash FROM hx
+             |  UNION ALL
+             |  SELECT doc_id + 100000, CAST(0 AS BIGINT) FROM documents
+             |  WHERE doc_id < 80),
+             |ch AS (SELECT img_id, j, (dhash >> (j * 16)) & 65535 AS cv
+             |  FROM corpus, (SELECT unnest(generate_series(0, 3)) AS j)),
+             |bk AS (SELECT j, cv, count(*) AS n FROM ch GROUP BY j, cv)
+             |SELECT CAST(j AS BIGINT) AS chunk_idx,
+             |  count(*) AS n_buckets,
+             |  CAST(sum(n) AS BIGINT) AS n_docs,
+             |  CAST(max(n) AS BIGINT) AS max_bucket,
+             |  CAST(sum(CASE WHEN n > 64 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_oversized,
+             |  CAST(coalesce(sum(CASE WHEN n > 64 THEN n END), 0) AS BIGINT)
+             |    AS n_docs_dropped,
+             |  CAST(coalesce(sum(CASE WHEN n > 64 THEN n * (n - 1) // 2 END), 0)
+             |    AS BIGINT) AS pairs_avoided
+             |FROM bk GROUP BY j
+             |ORDER BY chunk_idx""".stripMargin)) { (s, dir) =>
+      import graft.operators.{Dedup, Multimodal}
+      val ids = documents(s, dir).filter(col("doc_id") < 240)
+        .select(col("doc_id"))
+      val fps = ids.select(col("doc_id").as("img_id"), Multimodal.dHash64Udf(
+          Multimodal.nearImageForDocUdf(col("doc_id"))).as("dhash"))
+        .unionByName(documents(s, dir).filter(col("doc_id") < 80)
+          .select((col("doc_id") + 100000).as("img_id"), Multimodal.dHash64Udf(
+            Multimodal.monoImageForDocUdf(col("doc_id"))).as("dhash")))
+      val cap = 64
+      Dedup.hammingChunkIndex(fps, "img_id", "dhash", bits = 64, chunks = 4)
+        .groupBy(col("chunk_idx"), col("chunk_val"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("chunk_idx").cast("long").as("chunk_idx"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("n")).cast("long").as("n_docs"),
+          max(col("n")).cast("long").as("max_bucket"),
+          sum(when(col("n") > cap, 1L).otherwise(0L)).as("n_oversized"),
+          coalesce(sum(when(col("n") > cap, col("n"))), lit(0L))
+            .cast("long").as("n_docs_dropped"),
+          coalesce(sum(when(col("n") > cap,
+              col("n") * (col("n") - 1) / 2)), lit(0L))
+            .cast("long").as("pairs_avoided"))
+        .orderBy("chunk_idx")
+    },
+
     Q("q_crossmodal_match",
       "Cross-modal retrieval (the LAION/CLIP-style caption-to-image " +
         "matcher, machinery-real / encoders-stubbed): captions and " +
