@@ -171,14 +171,21 @@ object Dedup {
   /** Band rows from a PRECOMPUTED signature table ([[minhashSignatures]]
     * output): the banding stage alone — cheap array slicing, no corpus
     * re-tokenization. */
+  /** The LSH banding expression over a `sig` signature-array column:
+    * one (band_idx, band_key) struct per band. Shared by
+    * [[minhashLshPairs]]' banding stage and the streaming
+    * [[graft.streaming.EventsStream.lshNearDupStream]], so the band-key
+    * format lives exactly once. */
+  private[graft] def bandStructsExpr(bands: Int, r: Int): String =
+    s"transform(sequence(0, ${bands - 1}), j -> " +
+      s"struct(j AS band_idx, array_join(slice(sig, j*$r + 1, $r), '_') AS band_key))"
+
   private def bandedFromSignatures(sigs: DataFrame, k: Int, bands: Int,
                                    carryHashes: Boolean): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val r = k / bands
     val keep = col("id") +: (if (carryHashes) Seq(col("hs")) else Nil)
-    sigs.select((keep :+ explode(expr(
-        s"transform(sequence(0, ${bands - 1}), j -> " +
-          s"struct(j AS band_idx, array_join(slice(sig, j*$r + 1, $r), '_') AS band_key))"))
+    sigs.select((keep :+ explode(expr(bandStructsExpr(bands, r)))
         .as("band")): _*)
       .select((keep :+ col("band.band_idx") :+ col("band.band_key")): _*)
   }

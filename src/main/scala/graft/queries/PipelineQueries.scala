@@ -1434,8 +1434,12 @@ object PipelineQueries {
           sum(when(col("n") > cap, 1L).otherwise(0L)).as("n_oversized"),
           coalesce(sum(when(col("n") > cap, col("n"))), lit(0L))
             .cast("long").as("n_docs_dropped"),
+          // integer `div`, not `/`: Column divide is a double, and for
+          // the ~1e8-row mega-buckets this audit exists to measure,
+          // n*(n-1) exceeds 2^53 and a double silently rounds — the
+          // DuckDB oracle's // is exact, so the engine must be too
           coalesce(sum(when(col("n") > cap,
-              col("n") * (col("n") - 1) / 2)), lit(0L))
+              expr("n * (n - 1) div 2"))), lit(0L))
             .cast("long").as("pairs_avoided"))
         .orderBy("chunk_idx")
     },

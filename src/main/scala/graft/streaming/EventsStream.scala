@@ -176,8 +176,54 @@ object EventsStream {
   case class HammingMatch(id: Long, matched_id: Long, hamming: Int)
 
   private[streaming] case class BucketEntry(id: Long, fp: Long, tsMs: Long)
-  private[streaming] case class BucketState(entries: List[BucketEntry],
-                                            saturated: Boolean, lastTsMs: Long)
+  private[streaming] case class SatBucketState[E](entries: List[E],
+                                                  saturated: Boolean, lastTsMs: Long)
+
+  /** The saturating-bucket state transition shared by every streaming
+    * near-dup variant ([[nearDupStream]]'s hamming buckets,
+    * [[lshNearDupStream]]'s band buckets — one state machine, so the
+    * watermark-reset / prune / saturate / timeout bookkeeping cannot
+    * drift between them): prune entries past the watermark, un-saturate
+    * once the watermark passes the bucket's last contribution, compare
+    * each arrival to the surviving bucket-mates via `matches`, add it,
+    * and SATURATE (drop entries, stop emitting) past `maxBucket`; empty
+    * un-saturated buckets remove their state, live ones register an
+    * event-time timeout strictly past the watermark (a timeout AT the
+    * watermark would never be registered and the bucket would leak if
+    * its key never fired again). */
+  private def stepSatBucket[T, P, E, M](
+      batch: Iterator[T], state: GroupState[SatBucketState[E]],
+      tsOf: T => Long, prepOf: T => P, entryOf: T => E, entryTs: E => Long,
+      matches: (P, E) => Option[M], maxBucket: Int): Iterator[M] =
+    if (batch.isEmpty && state.hasTimedOut) {
+      state.remove(); Iterator.empty
+    } else {
+      val wm = state.getCurrentWatermarkMs()
+      val st0 = state.getOption.getOrElse(SatBucketState[E](Nil, false, 0L))
+      val st = if (st0.saturated && wm > st0.lastTsMs)
+        SatBucketState[E](Nil, false, 0L) else st0
+      var entries = st.entries.filter(entryTs(_) >= wm)
+      var saturated = st.saturated
+      var lastTs = st.lastTsMs
+      val out = scala.collection.mutable.ArrayBuffer.empty[M]
+      batch.foreach { t =>
+        lastTs = math.max(lastTs, tsOf(t))
+        if (!saturated) {
+          // prepOf runs ONCE per arrival (e.g. the shingle-set build),
+          // not once per bucket-mate comparison
+          val p = prepOf(t)
+          entries.foreach { e => matches(p, e).foreach(out += _) }
+          entries = entryOf(t) :: entries
+          if (entries.size > maxBucket) { saturated = true; entries = Nil }
+        }
+      }
+      if (entries.isEmpty && !saturated) state.remove()
+      else {
+        state.update(SatBucketState(entries, saturated, lastTs))
+        state.setTimeoutTimestamp(math.max(lastTs, wm + 1L))
+      }
+      out.iterator
+    }
 
   /** Streaming NEAR-dup detection over a fingerprint column — the
     * in-flight face of [[graft.operators.Dedup.hammingPairs]], closing
@@ -224,48 +270,23 @@ object EventsStream {
       .as[(Timestamp, Long, Long, Int, Long)]
     chunked
       .groupByKey(r => (r._4, r._5))
-      .flatMapGroupsWithState[BucketState, HammingMatch](
+      .flatMapGroupsWithState[SatBucketState[BucketEntry], HammingMatch](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_: (Int, Long), batch: Iterator[(Timestamp, Long, Long, Int, Long)],
-         state: GroupState[BucketState]) =>
-          if (batch.isEmpty && state.hasTimedOut) {
-            state.remove(); Iterator.empty
-          } else {
-            val wm = state.getCurrentWatermarkMs()
-            val st0 = state.getOption.getOrElse(BucketState(Nil, false, 0L))
-            // a saturated bucket un-saturates once the watermark passes
-            // its last contribution (the batch cap's "next run" analog)
-            val st = if (st0.saturated && wm > st0.lastTsMs)
-              BucketState(Nil, false, 0L) else st0
-            var entries = st.entries.filter(_.tsMs >= wm)
-            var saturated = st.saturated
-            var lastTs = st.lastTsMs
-            val out = scala.collection.mutable.ArrayBuffer.empty[HammingMatch]
-            batch.foreach { case (ts, id, fp, _, _) =>
-              lastTs = math.max(lastTs, ts.getTime)
-              if (!saturated) {
-                entries.foreach { e =>
-                  if (e.id != id) {
-                    val hd = java.lang.Long.bitCount(e.fp ^ fp)
-                    if (hd <= maxHamming) out += HammingMatch(id, e.id, hd)
-                  }
-                }
-                entries = BucketEntry(id, fp, ts.getTime) :: entries
-                if (entries.size > maxBucket) { saturated = true; entries = Nil }
-              }
-            }
-            if (entries.isEmpty && !saturated) state.remove()
-            else {
-              state.update(BucketState(entries, saturated, lastTs))
-              // reap the bucket when the watermark passes its newest
-              // event; the max guard covers lastTs == wm (a timeout must
-              // sit strictly past the watermark — without it that bucket
-              // would register NO timeout and leak state forever if its
-              // key never fires again)
-              state.setTimeoutTimestamp(math.max(lastTs, wm + 1L))
-            }
-            out.iterator
-          }
+         state: GroupState[SatBucketState[BucketEntry]]) =>
+          stepSatBucket[(Timestamp, Long, Long, Int, Long), (Long, Long),
+              BucketEntry, HammingMatch](
+            batch, state,
+            tsOf = _._1.getTime,
+            prepOf = t => (t._2, t._3),
+            entryOf = t => BucketEntry(t._2, t._3, t._1.getTime),
+            entryTs = _.tsMs,
+            matches = { case ((id, fp), e) =>
+              val hd = java.lang.Long.bitCount(e.fp ^ fp)
+              if (e.id != id && hd <= maxHamming) Some(HammingMatch(id, e.id, hd))
+              else None
+            },
+            maxBucket = maxBucket)
       }
   }
 
@@ -275,8 +296,6 @@ object EventsStream {
   case class JaccardMatch(id: Long, matched_id: Long, jaccard: Double)
 
   private[streaming] case class SigEntry(id: Long, hs: Array[Long], tsMs: Long)
-  private[streaming] case class SigBucketState(entries: List[SigEntry],
-                                               saturated: Boolean, lastTsMs: Long)
 
   /** Streaming TEXT near-dup detection — the MinHash-band variant
     * [[dedupStream]]'s docstring promises, and [[nearDupStream]]'s
@@ -315,55 +334,36 @@ object EventsStream {
       .select(col(tsCol).as("ts"), col(idCol).as("id"),
         TextSig.shingleHashesUdf(col(textCol), lit(shingleN)).as("hs"),
         TextSig.minhashSigUdf(col(textCol), lit(shingleN), lit(k)).as("sig"))
-      .select(col("ts"), col("id"), col("hs"), explode(expr(
-        // same banding expression as Dedup.bandedFromSignatures
-        s"transform(sequence(0, ${bands - 1}), j -> " +
-          s"struct(j AS band_idx, " +
-          s"array_join(slice(sig, j*$r + 1, $r), '_') AS band_key))")).as("b"))
+      .select(col("ts"), col("id"), col("hs"),
+        explode(expr(
+          graft.operators.Dedup.bandStructsExpr(bands, r))).as("b"))
       .select(col("ts"), col("id"), col("hs"),
         col("b.band_idx").as("band_idx"), col("b.band_key").as("band_key"))
       .as[(Timestamp, Long, Array[Long], Int, String)]
     banded
       .groupByKey(x => (x._4, x._5))
-      .flatMapGroupsWithState[SigBucketState, JaccardMatch](
+      .flatMapGroupsWithState[SatBucketState[SigEntry], JaccardMatch](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_: (Int, String), batch: Iterator[(Timestamp, Long, Array[Long], Int, String)],
-         state: GroupState[SigBucketState]) =>
-          if (batch.isEmpty && state.hasTimedOut) {
-            state.remove(); Iterator.empty
-          } else {
-            val wm = state.getCurrentWatermarkMs()
-            val st0 = state.getOption.getOrElse(SigBucketState(Nil, false, 0L))
-            val st = if (st0.saturated && wm > st0.lastTsMs)
-              SigBucketState(Nil, false, 0L) else st0
-            var entries = st.entries.filter(_.tsMs >= wm)
-            var saturated = st.saturated
-            var lastTs = st.lastTsMs
-            val out = scala.collection.mutable.ArrayBuffer.empty[JaccardMatch]
-            batch.foreach { case (ts, id, hs, _, _) =>
-              lastTs = math.max(lastTs, ts.getTime)
-              if (!saturated) {
-                val mySet = hs.toSet
-                entries.foreach { e =>
-                  if (e.id != id) {
-                    val eSet = e.hs.toSet
-                    val inter = (mySet & eSet).size
-                    val union = mySet.size + eSet.size - inter
-                    val j = if (union == 0) 0.0 else inter.toDouble / union
-                    if (j >= threshold) out += JaccardMatch(id, e.id, j)
-                  }
-                }
-                entries = SigEntry(id, hs, ts.getTime) :: entries
-                if (entries.size > maxBucket) { saturated = true; entries = Nil }
+         state: GroupState[SatBucketState[SigEntry]]) =>
+          stepSatBucket[(Timestamp, Long, Array[Long], Int, String),
+              (Long, Set[Long]), SigEntry, JaccardMatch](
+            batch, state,
+            tsOf = _._1.getTime,
+            prepOf = t => (t._2, t._3.toSet),
+            entryOf = t => SigEntry(t._2, t._3, t._1.getTime),
+            entryTs = _.tsMs,
+            matches = { case ((id, mySet), e) =>
+              if (e.id == id) None
+              else {
+                val eSet = e.hs.toSet
+                val inter = (mySet & eSet).size
+                val union = mySet.size + eSet.size - inter
+                val j = if (union == 0) 0.0 else inter.toDouble / union
+                if (j >= threshold) Some(JaccardMatch(id, e.id, j)) else None
               }
-            }
-            if (entries.isEmpty && !saturated) state.remove()
-            else {
-              state.update(SigBucketState(entries, saturated, lastTs))
-              state.setTimeoutTimestamp(math.max(lastTs, wm + 1L))
-            }
-            out.iterator
-          }
+            },
+            maxBucket = maxBucket)
       }
   }
 

@@ -294,6 +294,16 @@ class PlanGuardSpec extends AnyFunSuite {
     }
     assert(cma.isEmpty,
       s"q_crossmodal_ann: shuffled join planned:\n${cma.mkString("\n")}")
+    // cross-container video dedup and the cap drop-audit are aggregate-
+    // only shapes: per-row kernel work + map-side-combined rollups —
+    // any join appearing means fingerprint/census columns stopped being
+    // scan-side
+    for (name <- Seq("q_video_dedup", "q_dedup_cap_audit")) {
+      val joins = plans(name).filter(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+      assert(joins.isEmpty,
+        s"$name: aggregate-only query planned a join:\n${joins.mkString("\n")}")
+    }
   }
 
   test("partitioned parquet layout prunes partitions at the scan") {
