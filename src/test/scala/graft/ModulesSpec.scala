@@ -528,6 +528,16 @@ class ModulesSpec extends AnyFunSuite {
       assert(incr2 == scratch2.filter { case (a, b, _) => a > 100L || b > 100L },
         s"trial $trial cap=$cap2: increment != from-scratch")
     }
+    // the persistence claim, end-to-end: the index written to parquet
+    // PARTITIONED BY chunk_idx (the documented 100 TB layout) and read
+    // back — chunk_sig token included — mines the same pairs as the
+    // in-memory index
+    val dir = java.nio.file.Files.createTempDirectory("graft_hidx").toString + "/idx"
+    index.write.partitionBy("chunk_idx").parquet(dir)
+    val loaded = spark.read.parquet(dir)
+    val viaStore = run(Dedup.hammingIncrementalPairs(batch, loaded,
+      "id", "fp", 64, 4, 3, maxBucket = cap))
+    assert(viaStore == incr, s"parquet round-trip changed pairs: $viaStore")
   }
 
   test("windowed collocation pairs grow linearly in doc length") {
