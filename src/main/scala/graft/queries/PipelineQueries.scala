@@ -1833,6 +1833,79 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     },
 
+    Q("q_audio_neardup_incremental",
+      "INCREMENTAL audio near-dup — q_image_neardup_incremental's " +
+        "continuous-ingest pattern at the AUDIO geometry (36-bit/3-chunk " +
+        "energy fingerprints, hamming <= 2), completing the driver-gated " +
+        "incremental story across the perceptual modalities: the 240 base " +
+        "recordings are DSP'd and chunk-indexed ONCE " +
+        "(Dedup.hammingChunkIndex — at 100 TB it persists partitioned by " +
+        "chunk_idx), and the day's batch (the 120 one-frame-edited takes) " +
+        "mines pairs by joining new x (index UNION batch) — new x corpus " +
+        "and new x new, NEVER corpus x corpus, so a daily ingest batch " +
+        "costs |batch| x bucket-mates, independent of corpus size. " +
+        "maxBucket=64's population is the full post-batch bucket " +
+        "(generic machinery, ModulesSpec randomized battery covers the " +
+        "cap-crossing case). Oracle: the full capped pigeonhole join " +
+        "restricted to pairs touching a batch id — the from-scratch " +
+        "equivalence IS the check",
+      Some("""WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 240),
+             |e AS (SELECT doc_id, v, f,
+             |    CASE WHEN v = 1 AND f = 17 THEN 256 * 500 * 500 ELSE
+             |      list_sum(list_transform(generate_series(f * 256, f * 256 + 255),
+             |        i -> (((doc_id + i) * 2654435761 % 1000000007) % 4001 - 2000)
+             |           * (((doc_id + i) * 2654435761 % 1000000007) % 4001 - 2000)))
+             |    END AS energy
+             |  FROM d, (SELECT unnest(generate_series(0, 33)) AS f),
+             |       (SELECT unnest(generate_series(0, 1)) AS v)),
+             |b0 AS (SELECT doc_id, v, f,
+             |    CASE WHEN lead(energy) OVER (PARTITION BY doc_id, v ORDER BY f)
+             |              > energy THEN 1 ELSE 0 END AS bit
+             |  FROM e),
+             |fps AS (SELECT doc_id, v,
+             |    CAST(sum(CAST(bit AS BIGINT) * (1::BIGINT << f)) AS BIGINT)
+             |      AS fingerprint
+             |  FROM b0 WHERE f < 33 GROUP BY doc_id, v),
+             |corpus AS (
+             |  SELECT doc_id AS clip_id, fingerprint FROM fps WHERE v = 0
+             |  UNION ALL
+             |  SELECT doc_id + 80000, fingerprint FROM fps
+             |  WHERE v = 1 AND doc_id % 2 = 0),
+             |ch AS (SELECT clip_id, fingerprint, j,
+             |    (fingerprint >> (j * 12)) & 4095 AS cv
+             |  FROM corpus, (SELECT unnest(generate_series(0, 2)) AS j)),
+             |big AS (SELECT j, cv FROM ch GROUP BY j, cv HAVING count(*) > 64),
+             |ch2 AS (SELECT * FROM ch WHERE NOT EXISTS (
+             |  SELECT 1 FROM big WHERE big.j = ch.j AND big.cv = ch.cv)),
+             |cand AS (SELECT DISTINCT a.clip_id AS a_id, b.clip_id AS b_id,
+             |    a.fingerprint AS a_fp, b.fingerprint AS b_fp
+             |  FROM ch2 a JOIN ch2 b
+             |    ON a.j = b.j AND a.cv = b.cv AND a.clip_id < b.clip_id)
+             |SELECT a_id, b_id,
+             |  CAST(bit_count(xor(a_fp, b_fp)) AS BIGINT) AS hamming
+             |FROM cand
+             |WHERE bit_count(xor(a_fp, b_fp)) <= 2
+             |  AND (a_id >= 80000 OR b_id >= 80000)
+             |ORDER BY a_id, b_id""".stripMargin)) { (s, dir) =>
+      import graft.operators.{Dedup, Multimodal}
+      val ids = documents(s, dir).filter(col("doc_id") < 240)
+        .select(col("doc_id"))
+      // the prebuilt corpus-side artifact: parse + DSP + chunk ONCE
+      val corpusIndex = Dedup.hammingChunkIndex(
+        ids.select(col("doc_id").as("clip_id"))
+          .select(col("clip_id"), Multimodal.audioFingerprintUdf(
+            Multimodal.nearAudioForDocUdf(col("clip_id")), lit(256)).as("fp")),
+        "clip_id", "fp", bits = 36, chunks = 3)
+      // the day's batch: only these takes are decoded in this run
+      val batch = ids.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 80000).as("clip_id"))
+        .select(col("clip_id"), Multimodal.audioFingerprintUdf(
+          Multimodal.nearAudioForDocUdf(col("clip_id")), lit(256)).as("fp"))
+      Dedup.hammingIncrementalPairs(batch, corpusIndex, "clip_id", "fp",
+          bits = 36, chunks = 3, maxHamming = 2, maxBucket = 64)
+        .orderBy("a_id", "b_id")
+    },
+
     Q("q_video_dedup",
       "Cross-CONTAINER video dedup — q_image_dedup's story lifted to the " +
         "time axis: every clip in the fixture exists as two byte-" +
@@ -1975,6 +2048,84 @@ object PipelineQueries {
       val fps = corpus.select(col("clip_id"), Multimodal.videoFingerprintUdf(
         Multimodal.nearVideoForDocUdf(col("clip_id")), lit(2)).as("fp"))
       graft.operators.Dedup.hammingPairs(fps, "clip_id", "fp",
+          bits = 64, chunks = 4, maxHamming = 3, maxBucket = 64)
+        .orderBy("a_id", "b_id")
+    },
+
+    Q("q_video_neardup_incremental",
+      "INCREMENTAL video near-dup — the continuous-ingest face of " +
+        "q_video_neardup at the video geometry (64-bit temporal-mean " +
+        "dHash, 4x16-bit chunks, hamming <= 3), the last modality " +
+        "joining the driver-gated incremental family: the 240 base clips " +
+        "are codec-walked and chunk-indexed ONCE (Dedup.hammingChunkIndex " +
+        "— at 100 TB it persists partitioned by chunk_idx), and the " +
+        "day's batch (the 120 single-pixel-edited clips) mines pairs by " +
+        "joining new x (index UNION batch) — new x corpus and new x new, " +
+        "NEVER corpus x corpus, so a daily clip ingest costs |batch| x " +
+        "bucket-mates, independent of corpus size. maxBucket=64's " +
+        "population is the full post-batch bucket (generic machinery, " +
+        "ModulesSpec randomized battery covers the cap-crossing case). " +
+        "Oracle: the full capped pigeonhole join restricted to pairs " +
+        "touching a batch id — the from-scratch equivalence IS the check",
+      Some("""WITH d AS (SELECT doc_id, 10 + 2 * (doc_id % 4) AS w,
+             |    8 + 2 * (doc_id % 3) AS h, 3 + doc_id % 4 AS nf
+             |  FROM documents WHERE doc_id < 240),
+             |e AS (SELECT doc_id, w, h, nf, 3 * w * h // 2 AS fb FROM d),
+             |g AS (SELECT doc_id, v, r, j,
+             |    list_sum(list_transform(
+             |      list_filter(generate_series(0, nf - 1), f -> f % 2 = 0),
+             |      f -> CASE WHEN v = 1 AND f = 2 AND r = 7 AND j = 8 THEN 240
+             |        ELSE ((doc_id + f * fb + (r * h // 8) * w + j * w // 9)
+             |               * 2654435761 % 1000000007) % 241 END)) AS s
+             |  FROM e, (SELECT unnest(generate_series(0, 7)) AS r),
+             |       (SELECT unnest(generate_series(0, 8)) AS j),
+             |       (SELECT unnest(generate_series(0, 1)) AS v)),
+             |b0 AS (SELECT doc_id, v, r, j,
+             |    CASE WHEN lead(s) OVER (PARTITION BY doc_id, v, r ORDER BY j)
+             |              > s THEN 1 ELSE 0 END AS bit
+             |  FROM g),
+             |hx AS (SELECT doc_id, v,
+             |    CAST(sum(CASE WHEN r * 8 + j < 63
+             |      THEN CAST(bit AS BIGINT) * (1::BIGINT << (r * 8 + j))
+             |      ELSE 0 END) AS BIGINT)
+             |    + CASE WHEN max(CASE WHEN r * 8 + j = 63 THEN bit ELSE 0 END) = 1
+             |           THEN (-9223372036854775807 - 1) ELSE 0 END AS fp
+             |  FROM b0 WHERE j < 8 GROUP BY doc_id, v),
+             |corpus AS (
+             |  SELECT doc_id AS clip_id, fp FROM hx WHERE v = 0
+             |  UNION ALL
+             |  SELECT doc_id + 80000, fp FROM hx
+             |  WHERE v = 1 AND doc_id % 2 = 0),
+             |ch AS (SELECT clip_id, fp, j, (fp >> (j * 16)) & 65535 AS cv
+             |  FROM corpus, (SELECT unnest(generate_series(0, 3)) AS j)),
+             |big AS (SELECT j, cv FROM ch GROUP BY j, cv HAVING count(*) > 64),
+             |ch2 AS (SELECT * FROM ch WHERE NOT EXISTS (
+             |  SELECT 1 FROM big WHERE big.j = ch.j AND big.cv = ch.cv)),
+             |cand AS (SELECT DISTINCT a.clip_id AS a_id, b.clip_id AS b_id,
+             |    a.fp AS a_fp, b.fp AS b_fp
+             |  FROM ch2 a JOIN ch2 b
+             |    ON a.j = b.j AND a.cv = b.cv AND a.clip_id < b.clip_id)
+             |SELECT a_id, b_id,
+             |  CAST(bit_count(xor(a_fp, b_fp)) AS BIGINT) AS hamming
+             |FROM cand
+             |WHERE bit_count(xor(a_fp, b_fp)) <= 3
+             |  AND (a_id >= 80000 OR b_id >= 80000)
+             |ORDER BY a_id, b_id""".stripMargin)) { (s, dir) =>
+      import graft.operators.{Dedup, Multimodal}
+      val ids = documents(s, dir).filter(col("doc_id") < 240)
+        .select(col("doc_id"))
+      // the prebuilt corpus-side artifact: codec walk + hash + chunk ONCE
+      val corpusIndex = Dedup.hammingChunkIndex(
+        ids.select(col("doc_id").as("clip_id"))
+          .select(col("clip_id"), Multimodal.videoFingerprintUdf(
+            Multimodal.nearVideoForDocUdf(col("clip_id")), lit(2)).as("fp")),
+        "clip_id", "fp", bits = 64, chunks = 4)
+      // the day's batch: only these clips are decoded in this run
+      val batch = ids.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 80000).as("clip_id"))
+        .select(col("clip_id"), Multimodal.videoFingerprintUdf(
+          Multimodal.nearVideoForDocUdf(col("clip_id")), lit(2)).as("fp"))
+      Dedup.hammingIncrementalPairs(batch, corpusIndex, "clip_id", "fp",
           bits = 64, chunks = 4, maxHamming = 3, maxBucket = 64)
         .orderBy("a_id", "b_id")
     },
