@@ -145,7 +145,87 @@ object Verify {
         s"${want.length} batch rows" +
         got.zip(want).collectFirst { case (g, w) if g != w =>
           s"; first divergence $g vs $w" }.getOrElse(""))
+
+    // 3) perceptual near-dup stream (the statefullest r8 code) under the
+    // same hard signal: one availableNow pass of a media fixture through
+    // mediaNearDupStream (real dHash64 decode, chunk-keyed saturating
+    // buckets), parity-asserted against the capped batch hammingPairs
+    // plan. Fixture tiers: 60 hash-mixed rasters + 30 single-pixel-edited
+    // twins (the bounded-hamming pairs the stream must flag), plus a
+    // 200-image MONOCHROME run (dHash exactly 0) that makes every (j, 0)
+    // chunk bucket a mega-bucket — the batch cap (maxBucket=64) drops
+    // those buckets wholesale, the stream SATURATES them, so the parity
+    // splits by tier:
+    //  - healthy x healthy: streamed pair set == batch pair set EXACTLY
+    //    (no healthy bucket reaches the cap; chunk-bucket order cannot
+    //    matter below saturation, so the set is deterministic);
+    //  - mono x mono: emissions are order-dependent (each of the 4
+    //    saturating buckets emits exactly C(cap+1, 2) pairs among its
+    //    first cap+1 arrivals, and which arrivals those are is iterator
+    //    order), so the assert is the DETERMINISTIC envelope: all
+    //    hamming 0, at least ~one bucket's worth, and at most
+    //    4 x C(65, 2) = 8320 distinct pairs — strictly below the 19900
+    //    an unsaturated stream would emit, so the bound fails if
+    //    saturation ever stops engaging;
+    //  - every streamed pair re-verified against recomputed fingerprints
+    //    (no false positive can hide in either tier).
+    import graft.operators.{Dedup, Multimodal}
+    val mediaIn = tmp.resolve("media_in").toString
+    val healthy = spark.range(0, 60).select(col("id"))
+      .unionByName(spark.range(0, 60).filter(col("id") % 2 === 0)
+        .select((col("id") + 80000L).as("id")))
+      .select(col("id"), Multimodal.nearImageForDocUdf(col("id")).as("content"))
+    val monoBase = 100000L
+    val mono = spark.range(0, 200)
+      .select((col("id") + monoBase).as("id"),
+        Multimodal.monoImageForDocUdf(col("id")).as("content"))
+    healthy.unionByName(mono)
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .coalesce(1).write.mode("overwrite").parquet(mediaIn)
+    val mediaSchema = spark.read.parquet(mediaIn).schema
+    val q3 = graft.streaming.EventsStream
+      .mediaNearDupStream(
+        spark.readStream.schema(mediaSchema).parquet(mediaIn), "id", "content")
+      .writeStream.format("memory").queryName("smoke_neardup")
+      .option("checkpointLocation", tmp.resolve("ck3").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination()
+    // a pair sharing several chunks emits once per chunk — dedup on the
+    // normalized pair, exactly the consumer contract the docstring states
+    val streamed = spark.table("smoke_neardup")
+      .select(least(col("id"), col("matched_id")).as("a_id"),
+        greatest(col("id"), col("matched_id")).as("b_id"), col("hamming"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    val fps = spark.read.parquet(mediaIn)
+      .select(col("id"), Multimodal.dHash64Udf(col("content")).as("fp"))
+    val fpMap = fps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    streamed.foreach { case (a, b, hd) =>
+      val real = java.lang.Long.bitCount(fpMap(a) ^ fpMap(b)).toLong
+      require(real == hd && real <= 3,
+        s"streaming near-dup false positive: ($a, $b) reported hamming " +
+          s"$hd, recomputed $real") }
+    val batchPairs = Dedup.hammingPairs(fps, "id", "fp",
+        bits = 64, chunks = 4, maxHamming = 3, maxBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    require(batchPairs.forall(p => p._1 < monoBase && p._2 < monoBase),
+      "batch cap failed to drop the monochrome mega-buckets — fixture broken")
+    val streamedHealthy = streamed.filter(p => p._1 < monoBase && p._2 < monoBase)
+    require(streamedHealthy == batchPairs,
+      s"streaming near-dup parity: ${streamedHealthy.size} healthy streamed " +
+        s"pairs vs ${batchPairs.size} capped batch pairs; " +
+        s"missing=${(batchPairs -- streamedHealthy).take(3)} " +
+        s"extra=${(streamedHealthy -- batchPairs).take(3)}")
+    val monoPairs = streamed.filter(p => p._1 >= monoBase && p._2 >= monoBase)
+    require(monoPairs.forall(_._3 == 0L),
+      "monochrome near-dup pair with nonzero hamming — decode broken")
+    val capEnv = 4 * (65 * 64 / 2)
+    require(monoPairs.size >= 1900 && monoPairs.size <= capEnv,
+      s"streaming saturation envelope: ${monoPairs.size} mono pairs, " +
+        s"expected [1900, $capEnv] (200 unsaturated arrivals would emit 19900)")
     println(s"[verify] streaming_smoke OK: ${gotFps.length} dedup " +
-      s"survivors, ${got.length} daily-window rows parity-matched")
+      s"survivors, ${got.length} daily-window rows, " +
+      s"${streamedHealthy.size} near-dup pairs parity-matched " +
+      s"(+${monoPairs.size} saturation-bounded mono emissions)")
   }
 }
