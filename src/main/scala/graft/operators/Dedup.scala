@@ -334,13 +334,116 @@ object Dedup {
                    bits: Int, chunks: Int, maxHamming: Int,
                    maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
-    pairJoin(hammingChunkIndex(df, idCol, hashCol, bits, chunks),
+    hammingPairsFromIndex(
+      hammingChunkIndex(df, idCol, hashCol, bits, chunks),
+      maxHamming, maxBucket)
+  }
+
+  /** [[hammingPairs]] over a PRECOMPUTED (possibly persisted) chunk
+    * index ([[hammingChunkIndex]] output) — repeated runs and dial
+    * sweeps pay the decode + fingerprint pass exactly once, the
+    * [[minhashLshVerifiedPairsFromSignatures]] pattern for the hamming
+    * family. */
+  def hammingPairsFromIndex(index: DataFrame, maxHamming: Int,
+                            maxBucket: Int = Int.MaxValue): DataFrame =
+    pairJoin(index.select(col("id"), col("fp"), col("chunk_idx"),
+        col("chunk_val")),
         Seq("chunk_idx", "chunk_val"), maxBucket)
       .select(col("a_id"), col("b_id"), col("a_fp"), col("b_fp")).distinct()
       .withColumn("hamming",
         bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
+
+  /** SALVAGE edges for the mega-buckets the `maxBucket` cap drops — the
+    * answer to "a genuine near-dup pair whose every matching chunk lands
+    * in an oversized bucket is lost SILENTLY": instead of pairing an
+    * oversized bucket quadratically (the cost the cap exists to avoid),
+    * collapse it into identical-fingerprint groups and emit
+    *
+    *  - STAR edges: every member links to its group's min-id
+    *    representative (hamming 0 by construction) — n−1 edges where the
+    *    group's full pair set is n(n−1)/2, preserving the group's
+    *    CONNECTIVITY exactly (the property [[clusters]] and
+    *    [[dropNearDuplicates]] actually consume; a boilerplate bucket's
+    *    quadratic pair list carries no more information);
+    *  - REPRESENTATIVE pairs: the bucket's distinct fingerprints,
+    *    pair-joined and hamming-verified — bounded by `maxReps` distinct
+    *    fingerprints per bucket (a bucket more rep-diverse than that
+    *    skips rep pairing, keeping its stars; the second-tier cap that
+    *    keeps every task bounded).
+    *
+    * Theorem (property-pinned in ModulesSpec): a true pair (hamming ≤
+    * `maxHamming`) sharing ONLY oversized buckets is CONNECTED through
+    * stars + rep pairs of any one shared bucket whenever that bucket has
+    * ≤ `maxReps` distinct fingerprints — so [[hammingPairsSalvaged]]
+    * recovers full connectivity where the plain cap loses it, at
+    * linear-per-bucket cost (stars) plus ≤ maxReps² per bucket (reps).
+    *
+    * Null fingerprints are excluded, matching the capped path (null
+    * similarity never clears a caller's threshold). Output
+    * (a_id, b_id, hamming), normalized a_id < b_id. */
+  def hammingSalvageEdges(index: DataFrame, maxHamming: Int,
+                          maxBucket: Int, maxReps: Int): DataFrame = {
+    val keys = Seq("chunk_idx", "chunk_val")
+    val rows = index.select(col("id"), col("fp"), col("chunk_idx"),
+      col("chunk_val"))
+    val over = oversizedKeys(rows, keys, maxBucket)
+      .select(keys.map(c => col(c).as(s"__over_$c")): _*)
+    val overCond = keys.map(c => col(c) <=> col(s"__over_$c")).reduce(_ && _)
+    // only the oversized buckets' rows — by definition few KEYS (each
+    // holds > maxBucket of the corpus), so the key frame broadcasts;
+    // the member rows themselves stay distributed
+    val mega = rows.join(broadcast(over), overCond, "left_semi")
+      .filter(col("fp").isNotNull)
+    // identical-fingerprint groups within each mega bucket: the shuffle
+    // is keyed by (chunk, fp), so one group = one task, linear in the
+    // group — never bucket² rows
+    val groups = mega.groupBy(col("chunk_idx"), col("chunk_val"), col("fp"))
+      .agg(min(col("id")).as("rep"))
+    val g = groups.select(col("chunk_idx").as("__g_idx"),
+      col("chunk_val").as("__g_val"), col("fp").as("__g_fp"), col("rep"))
+    val stars = mega.join(g,
+        col("chunk_idx") <=> col("__g_idx") &&
+          col("chunk_val") <=> col("__g_val") && col("fp") <=> col("__g_fp"))
+      .filter(col("id") =!= col("rep"))
+      .select(least(col("id"), col("rep")).as("a_id"),
+        greatest(col("id"), col("rep")).as("b_id"), lit(0L).as("hamming"))
+    // rep pairing only where the bucket's fingerprint diversity is
+    // bounded: > maxReps distinct fps means the bucket is not boilerplate
+    // but genuinely diverse — rep pairs there would re-grow the quadratic
+    val pairable = groups.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n_reps"))
+      .filter(col("__n_reps") <= maxReps)
+      .select(keys.map(c => col(c).as(s"__ok_$c")): _*)
+    val okCond = keys.map(c => col(c) <=> col(s"__ok_$c")).reduce(_ && _)
+    val repPairs = pairJoin(
+        groups.join(broadcast(pairable), okCond, "left_semi")
+          .select(col("rep").as("id"), col("fp"), col("chunk_idx"),
+            col("chunk_val")),
+        keys)
+      .select(col("a_id"), col("b_id"), col("a_fp"), col("b_fp")).distinct()
+      .withColumn("hamming",
+        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+    stars.unionByName(repPairs).distinct()
+  }
+
+  /** The capped pigeonhole join PLUS the mega-bucket salvage tier: every
+    * pair [[hammingPairs]] finds, united with [[hammingSalvageEdges]]
+    * over the same chunk index — bounded tasks (the cap) without silent
+    * loss (the salvage). This is the shape a recall-critical 100 TB
+    * dedup run ships; `hamming` is a function of the pair, so the
+    * distinct collapses a pair found by both tiers. */
+  def hammingPairsSalvaged(df: DataFrame, idCol: String, hashCol: String,
+                           bits: Int, chunks: Int, maxHamming: Int,
+                           maxBucket: Int, maxReps: Int): DataFrame = {
+    require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
+    val index = hammingChunkIndex(df, idCol, hashCol, bits, chunks)
+    hammingPairsFromIndex(index, maxHamming, maxBucket)
+      .unionByName(hammingSalvageEdges(index, maxHamming, maxBucket, maxReps))
+      .distinct()
   }
 
   /** The persistable hamming CHUNK INDEX of a fingerprint corpus — one

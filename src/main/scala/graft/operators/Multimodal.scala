@@ -739,6 +739,26 @@ object Multimodal {
       Array.fill(3 * w * h)(v.toByte)
   }
 
+  /** q_dedup_cap_recall's planted twin INSIDE the mega-bucket: a
+    * [[monoImageForDoc]]-family constant raster with ONE bright pixel at
+    * exactly the sample position only [[dHash64]]'s (r = editId%8, c = 8)
+    * grid read touches — sx(8) = 8·w/9 is hit by no other column sample
+    * at these dims, so the decoded hash is EXACTLY 1 << (r·8 + 7): a
+    * genuine hamming-1 near-dup of every monochrome thumbnail, whose
+    * every zero chunk lands in the all-zero mega-bucket. This is the
+    * pair the plain maxBucket cap loses SILENTLY and the salvage tier
+    * ([[Dedup.hammingSalvageEdges]]) must recover. */
+  def monoEditImageForDoc(editId: Long): Array[Byte] = {
+    require(editId >= 0, s"negative image id $editId")
+    val b = monoImageForDoc(editId)
+    val w = (9 + editId % 3).toInt; val h = 9
+    val hdr = s"P6\n$w $h\n255\n".getBytes("US-ASCII").length
+    val x0 = 8 * w / 9; val y0 = ((editId % 8) * h / 8).toInt
+    val px = hdr + 3 * (y0 * w + x0)
+    b(px) = 250.toByte; b(px + 1) = 250.toByte; b(px + 2) = 250.toByte
+    b
+  }
+
   /** Compressed-codec blob for a document (q_multimodal_codec's writer):
     * PNG for even ids, JPEG for odd; dims 16+doc%13 × 16+doc%7 — large
     * enough that JPEG's DCT error stays well under the oracle's 5% sum
@@ -1328,6 +1348,7 @@ object Multimodal {
   val nearVideoForDocUdf = udf((mediaId: Long) => nearVideoForDoc(mediaId))
   val videoVariantForDocUdf = udf((mediaId: Long) => videoVariantForDoc(mediaId))
   val monoImageForDocUdf = udf((imgId: Long) => monoImageForDoc(imgId))
+  val monoEditImageForDocUdf = udf((editId: Long) => monoEditImageForDoc(editId))
   val audioVariantForDocUdf = udf((clipId: Long) => audioVariantForDoc(clipId))
   val audioFingerprintUdf =
     udf((b: Array[Byte], frameLen: Int) => audioFingerprint(b, frameLen))

@@ -1444,6 +1444,149 @@ object PipelineQueries {
         .orderBy("chunk_idx")
     },
 
+    Q("q_dedup_cap_recall",
+      "TRUE-PAIR RECALL under the maxBucket cap, and the salvage tier " +
+        "that closes the loss — q_dedup_cap_audit counts the pairs the " +
+        "cap AVOIDS (cost); this measures the genuine near-dup pairs it " +
+        "LOSES (recall) and proves the recovery path: the fixture " +
+        "plants 100 genuinely decoded monochrome thumbnails (dHash " +
+        "exactly 0 — every chunk bucket a mega-bucket) plus 40 " +
+        "single-bright-pixel EDITS whose decoded hash is exactly one " +
+        "bit (hamming 1 from every mono, hamming <= 2 from each other " +
+        "— real twins living INSIDE the mega-bucket, where pigeonhole " +
+        "redundancy cannot save them: every shared chunk is oversized). " +
+        "The plain cap finds only the 80 same-bit edit pairs (their " +
+        "set-bit buckets are small) and SILENTLY loses all 8950 " +
+        "mono-involving true pairs. The salvage tier " +
+        "(Dedup.hammingSalvageEdges) collapses each mega-bucket into " +
+        "identical-fingerprint groups — STAR edges to the group rep " +
+        "(n-1 rows, not n(n-1)/2) plus hamming-verified REP pairs " +
+        "bounded by maxReps=16 distinct fingerprints per bucket — and " +
+        "connectivity recall (what clusters/dropNearDuplicates consume, " +
+        "measured through the real Dedup.clusters propagation on BOTH " +
+        "graphs) returns to 100% at linear-per-bucket cost. Oracle " +
+        "replays fingerprints closed-form, mirrors cap + salvage " +
+        "exactly, and closes both graphs with WITH RECURSIVE",
+      Some("""WITH RECURSIVE
+             |corpus AS (
+             |  SELECT doc_id + 100000 AS id, CAST(0 AS BIGINT) AS fp
+             |  FROM documents WHERE doc_id < 100
+             |  UNION ALL
+             |  SELECT doc_id + 200000,
+             |    CASE WHEN doc_id % 8 = 7 THEN (-9223372036854775807 - 1)
+             |         ELSE (1::BIGINT << CAST((doc_id % 8) * 8 + 7 AS INT))
+             |    END
+             |  FROM documents WHERE doc_id < 40),
+             |tp AS (SELECT a.id AS a_id, b.id AS b_id
+             |  FROM corpus a JOIN corpus b ON a.id < b.id
+             |  WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+             |ch AS (SELECT id, fp, j, (fp >> (j * 16)) & 65535 AS cv
+             |  FROM corpus, (SELECT unnest(generate_series(0, 3)) AS j)),
+             |big AS (SELECT j, cv FROM ch GROUP BY j, cv HAVING count(*) > 64),
+             |ch2 AS (SELECT * FROM ch WHERE NOT EXISTS (
+             |  SELECT 1 FROM big WHERE big.j = ch.j AND big.cv = ch.cv)),
+             |capped AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
+             |  FROM ch2 a JOIN ch2 b
+             |    ON a.j = b.j AND a.cv = b.cv AND a.id < b.id
+             |  WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+             |mega AS (SELECT ch.* FROM ch WHERE EXISTS (
+             |  SELECT 1 FROM big WHERE big.j = ch.j AND big.cv = ch.cv)),
+             |grp AS (SELECT j, cv, fp, min(id) AS rep
+             |  FROM mega GROUP BY j, cv, fp),
+             |stars AS (SELECT DISTINCT least(m.id, g.rep) AS a_id,
+             |    greatest(m.id, g.rep) AS b_id
+             |  FROM mega m JOIN grp g
+             |    ON m.j = g.j AND m.cv = g.cv AND m.fp = g.fp
+             |  WHERE m.id <> g.rep),
+             |pairable AS (SELECT j, cv FROM grp GROUP BY j, cv
+             |  HAVING count(*) <= 16),
+             |reppairs AS (SELECT DISTINCT a.rep AS a_id, b.rep AS b_id
+             |  FROM grp a JOIN grp b
+             |    ON a.j = b.j AND a.cv = b.cv AND a.rep < b.rep
+             |  WHERE EXISTS (SELECT 1 FROM pairable p
+             |                WHERE p.j = a.j AND p.cv = a.cv)
+             |    AND bit_count(xor(a.fp, b.fp)) <= 3),
+             |salv AS (SELECT a_id, b_id FROM capped
+             |  UNION SELECT a_id, b_id FROM stars
+             |  UNION SELECT a_id, b_id FROM reppairs),
+             |cedges AS (SELECT a_id AS s, b_id AS d FROM capped
+             |  UNION SELECT b_id, a_id FROM capped),
+             |sedges AS (SELECT a_id AS s, b_id AS d FROM salv
+             |  UNION SELECT b_id, a_id FROM salv),
+             |creach(id, r) AS (SELECT id, id FROM corpus
+             |  UNION SELECT creach.id, e.d
+             |  FROM creach JOIN cedges e ON creach.r = e.s),
+             |ccomp AS (SELECT id, min(r) AS cl FROM creach GROUP BY id),
+             |sreach(id, r) AS (SELECT id, id FROM corpus
+             |  UNION SELECT sreach.id, e.d
+             |  FROM sreach JOIN sedges e ON sreach.r = e.s),
+             |scomp AS (SELECT id, min(r) AS cl FROM sreach GROUP BY id)
+             |SELECT
+             |  (SELECT count(*) FROM tp) AS n_true_pairs,
+             |  (SELECT count(*) FROM capped) AS n_capped_pairs,
+             |  (SELECT count(*) FROM tp
+             |     JOIN ccomp a ON tp.a_id = a.id
+             |     JOIN ccomp b ON tp.b_id = b.id
+             |     WHERE a.cl = b.cl) AS n_true_connected_capped,
+             |  (SELECT count(*) FROM salv) AS n_salvage_pairs,
+             |  (SELECT count(*) FROM tp
+             |     JOIN scomp a ON tp.a_id = a.id
+             |     JOIN scomp b ON tp.b_id = b.id
+             |     WHERE a.cl = b.cl) AS n_true_connected_salvaged,
+             |  (SELECT count(*) FROM tp) = (SELECT count(*) FROM tp
+             |     JOIN scomp a ON tp.a_id = a.id
+             |     JOIN scomp b ON tp.b_id = b.id
+             |     WHERE a.cl = b.cl) AS salvage_full_recall""".stripMargin)) { (s, dir) =>
+      import graft.operators.{Dedup, Multimodal}
+      val docs = documents(s, dir)
+      // the engine never sees the closed forms: monos and edits are real
+      // bytes through the real PPM writer, hashed by the real decode
+      // kernel — only the ORACLE replays fp=0 and fp=1<<(r*8+7)
+      val fps = docs.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 100000).as("id"),
+          Multimodal.dHash64Udf(
+            Multimodal.monoImageForDocUdf(col("doc_id"))).as("fp"))
+        .unionByName(docs.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 200000).as("id"),
+            Multimodal.dHash64Udf(
+              Multimodal.monoEditImageForDocUdf(col("doc_id"))).as("fp")))
+      val index = Dedup.hammingChunkIndex(fps, "id", "fp",
+        bits = 64, chunks = 4)
+      // ground truth: the UNCAPPED pigeonhole join (exhaustive for
+      // hamming <= 3 at 4 chunks) — affordable here because the fixture
+      // is small; at 100 TB this is exactly the join you cannot run,
+      // which is why the recall number matters
+      val truePairs = Dedup.hammingPairsFromIndex(index, maxHamming = 3)
+        .select(col("a_id"), col("b_id"))
+      val capped = Dedup.hammingPairsFromIndex(index, maxHamming = 3,
+          maxBucket = 64)
+        .select(col("a_id"), col("b_id"))
+      val salvaged = capped.unionByName(
+          Dedup.hammingSalvageEdges(index, maxHamming = 3, maxBucket = 64,
+            maxReps = 16).select(col("a_id"), col("b_id")))
+        .distinct()
+      val ids = fps.select(col("id"))
+      // connectivity recall through the REAL propagation machinery: how
+      // many ground-truth pairs end up in one cluster under each graph
+      def nConnected(pairs: org.apache.spark.sql.DataFrame, as: String) = {
+        val labels = Dedup.clusters(ids, "id", pairs)
+        truePairs
+          .join(labels.select(col("id").as("a_id"),
+            col("cluster").as("a_cl")), Seq("a_id"))
+          .join(labels.select(col("id").as("b_id"),
+            col("cluster").as("b_cl")), Seq("b_id"))
+          .filter(col("a_cl") === col("b_cl"))
+          .agg(count(lit(1)).as(as))
+      }
+      truePairs.agg(count(lit(1)).as("n_true_pairs"))
+        .crossJoin(capped.agg(count(lit(1)).as("n_capped_pairs")))
+        .crossJoin(nConnected(capped, "n_true_connected_capped"))
+        .crossJoin(salvaged.agg(count(lit(1)).as("n_salvage_pairs")))
+        .crossJoin(nConnected(salvaged, "n_true_connected_salvaged"))
+        .withColumn("salvage_full_recall",
+          col("n_true_connected_salvaged") === col("n_true_pairs"))
+    },
+
     Q("q_crossmodal_match",
       "Cross-modal retrieval (the LAION/CLIP-style caption-to-image " +
         "matcher, machinery-real / encoders-stubbed): captions and " +
@@ -1622,6 +1765,143 @@ object PipelineQueries {
           col("img_id"), col("sim"),
           (col("nhit") >= 2 || coalesce(size(col("th")), lit(0)) === 0)
             .as("recall_ok"))
+        .orderBy("doc_id", "rnk")
+    },
+
+    Q("q_crossmodal_ann_cos",
+      "ANN-routed cross-modal retrieval under a NON-LINEAR score — " +
+        "q_crossmodal_ann's centroid routing is exact because its " +
+        "token-indexed sim is linear in the image vector; real " +
+        "CLIP-style retrieval ranks by COSINE, where centroid routing " +
+        "is genuinely approximate. Same machinery (image vectors in " +
+        "the IVF store, partition-pruned probes, never a broadcast of " +
+        "the image side at scale), but captions rank lists by " +
+        "cos(cv, centroid) and images by cos(cv, iv) — norms staged " +
+        "per row so each pair costs one dot product. All sums are " +
+        "exact-integer-in-double and both engines evaluate the " +
+        "identical IEEE expression tree, so the cosine DOUBLES are " +
+        "bit-equal and the x10000 fixed-point ships hash-exact. " +
+        "Lists are SPHERICAL (fit + assign on L2-normalized vectors — " +
+        "direction is what cosine ranks; raw-vector lists measured " +
+        "8/50 captions under recall at the same probe width) and the " +
+        "probe page is nProbe=5 of 8: one list wider than the linear " +
+        "sibling, because centroids here depend on the KMeans fit and " +
+        "a marginal caption flipped across input partitionings at " +
+        "nProbe=4. Output: the EXACT per-caption top-3 plus recall_ok " +
+        "= the cosine-routed page recovered >= 2 of the true top-3 " +
+        "(the q_ivf_tuning measured-recall discipline; TRIAGE: " +
+        "recall_ok=false on new data means probe width vs list " +
+        "granularity, not an engine bug)",
+      Some(s"""WITH cap AS (SELECT doc_id, ${text.tokenHashes(D, "text")} AS th
+              |  FROM documents WHERE doc_id < 50),
+              |cvv AS (SELECT doc_id,
+              |    list_transform(generate_series(0, 15), j ->
+              |      CAST(coalesce(len(list_filter(th, t -> t % 16 = j)), 0)
+              |        AS DOUBLE)) AS cv
+              |  FROM cap),
+              |img AS (SELECT doc_id AS img_id, 8 + doc_id % 5 AS w,
+              |    8 + doc_id % 3 AS h
+              |  FROM documents WHERE doc_id < 60),
+              |ivj AS (SELECT img_id, j,
+              |    list_sum(list_transform(
+              |      list_filter(generate_series(0, w * h - 1), p -> p % 16 = j),
+              |      p -> ((img_id + 3 * p) * 2654435761 % 1000000007) % 251
+              |         + ((img_id + 3 * p + 1) * 2654435761 % 1000000007) % 251
+              |         + ((img_id + 3 * p + 2) * 2654435761 % 1000000007) % 251))
+              |      AS v
+              |  FROM img, (SELECT unnest(generate_series(0, 15)) AS j)),
+              |ivarr AS (SELECT img_id, list(coalesce(v, 0) ORDER BY j) AS iv
+              |  FROM ivj GROUP BY img_id),
+              |sims AS (SELECT c.doc_id, i.img_id,
+              |    list_sum(list_transform(generate_series(1, 16),
+              |      k -> c.cv[k] * CAST(i.iv[k] AS DOUBLE))) AS dt,
+              |    sqrt(list_sum(list_transform(generate_series(1, 16),
+              |      k -> c.cv[k] * c.cv[k]))) AS cn,
+              |    sqrt(list_sum(list_transform(generate_series(1, 16),
+              |      k -> CAST(i.iv[k] AS DOUBLE) * CAST(i.iv[k] AS DOUBLE))))
+              |      AS inm
+              |  FROM cvv c CROSS JOIN ivarr i),
+              |sc AS (SELECT doc_id, img_id,
+              |    CASE WHEN cn = 0 OR inm = 0 THEN 0.0
+              |         ELSE dt / (cn * inm) END AS cos
+              |  FROM sims),
+              |r AS (SELECT doc_id, img_id, cos,
+              |    row_number() OVER (PARTITION BY doc_id
+              |                       ORDER BY cos DESC, img_id) AS rnk
+              |  FROM sc)
+              |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, img_id,
+              |  ${text.fixedPoint("cos", 4)} AS cos_x10000,
+              |  TRUE AS recall_ok
+              |FROM r WHERE rnk <= 3
+              |ORDER BY doc_id, rnk""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      import graft.operators.{AnnIndex, Multimodal}
+      val caps = documents(s, dir).filter(col("doc_id") < 50)
+        .select(col("doc_id"), expr(text.tokenHashes(S, "text")).as("th"))
+        // per-bucket coalesce: a null-text caption must yield the zero
+        // vector (the q_crossmodal_ann latent-null guard)
+        .withColumn("cv", expr(
+          "transform(sequence(0, 15), j -> " +
+            "coalesce(CAST(size(filter(th, t -> t % 16 = j)) AS DOUBLE)," +
+            " CAST(0 AS DOUBLE)))"))
+        .withColumn("cnorm", vectors.l2Norm(col("cv")))
+        .select(col("doc_id"), col("cv"), col("cnorm"))
+      val imgs = documents(s, dir).filter(col("doc_id") < 60)
+        .select(col("doc_id").as("img_id"),
+          Multimodal.imageGrayBucketsUdf(
+            Multimodal.nearImageForDocUdf(col("doc_id")), lit(16)).as("iv"))
+        .withColumn("ivd", col("iv").cast("array<double>"))
+        .withColumn("inorm", vectors.l2Norm(col("ivd")))
+        // the spherical-IVF recipe: for a cosine score, fit and assign on
+        // the L2-NORMALIZED vectors (direction is what cosine ranks;
+        // norm-skewed lists mis-route — measured 8/50 captions under
+        // recall with raw-vector lists at the same probe width)
+        .withColumn("ivn",
+          expr("transform(ivd, x -> x / greatest(inorm, 1e-12d))"))
+        .select(col("img_id"), col("ivd"), col("inorm"), col("ivn"))
+      val model = AnnIndex.ivfFit(imgs, "ivn", nLists = 8)
+      val assigned = AnnIndex.ivfAssign(model, imgs, "ivn")
+        .select(col("img_id"), col("ivd"), col("inorm"), col("list_id"))
+      val cents = model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+        .toDF("list_id", "centroid")
+      // cosine routing: rank lists by cos(cv, centroid); |cv| is constant
+      // within a caption, so the ranking needs only dot / |centroid| —
+      // genuinely approximate for the cosine score, hence the recall pin
+      val wRoute = Window.partitionBy("doc_id")
+        .orderBy(desc("route"), col("list_id"))
+      val probes = caps.crossJoin(broadcast(cents))
+        .withColumn("route",
+          vectors.dot(col("cv"), col("centroid")) /
+            greatest(vectors.l2Norm(col("centroid")), lit(1e-12)))
+        .withColumn("prnk", row_number().over(wRoute))
+        .filter(col("prnk") <= 5)
+        .select(col("doc_id"), col("cv"), col("cnorm"), col("list_id"))
+      val cosCol = when(col("cnorm") === 0.0 || col("inorm") === 0.0, lit(0.0))
+        .otherwise(vectors.dot(col("cv"), col("ivd")) /
+          (col("cnorm") * col("inorm")))
+      val wTop = Window.partitionBy("doc_id").orderBy(desc("cos"), col("img_id"))
+      // the routed page: probe rows broadcast, the store joins on its
+      // partition key — only probed lists' images are scored
+      val annTop = assigned.join(broadcast(probes), "list_id")
+        .withColumn("cos", cosCol)
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("img_id"), lit(1L).as("hit"))
+      // exact baseline (the gate's replayable half)
+      val exact = caps.crossJoin(broadcast(imgs))
+        .withColumn("cos", cosCol)
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 3)
+      exact.join(broadcast(annTop), Seq("doc_id", "img_id"), "left")
+        .withColumn("nhit",
+          sum(coalesce(col("hit"), lit(0L)))
+            .over(Window.partitionBy("doc_id")))
+        // a tokenless caption has the zero query vector: every image ties
+        // at cos 0 and recall is vacuously true, matching the oracle
+        .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+          col("img_id"), expr(text.fixedPoint("cos", 4)).as("cos_x10000"),
+          (col("nhit") >= 2 || col("cnorm") === 0.0).as("recall_ok"))
         .orderBy("doc_id", "rnk")
     },
 

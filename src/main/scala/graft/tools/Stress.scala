@@ -290,6 +290,23 @@ object Stress {
     }
     results += "hamming_capped_megabucket" -> (docRows, hamS)
 
+    // the SALVAGE tier on the same worst case (r9): instead of dropping
+    // the all-zero mega-bucket, hammingPairsSalvaged collapses it into
+    // identical-fingerprint groups — the half-zero corpus becomes ONE
+    // group per chunk, i.e. docRows/2 - 1 star edges (LINEAR output where
+    // the dropped pair set was quadratic) plus <= maxReps² rep compares
+    // per bucket. Wall-clock must track the capped row ~linearly in M:
+    // the extra cost is one more aggregate over the oversized rows.
+    val (salvPairs, salvS) = time {
+      val fps = docs.select(col("doc_id").as("id"),
+        when(col("doc_id") % 2 === 0, lit(0L))
+          .otherwise(xxhash64(col("doc_id"))).as("fp"))
+      graft.operators.Dedup.hammingPairsSalvaged(fps, "id", "fp",
+        bits = 64, chunks = 4, maxHamming = 3, maxBucket = 64,
+        maxReps = 16).count()
+    }
+    results += "hamming_salvaged_megabucket" -> (docRows, salvS)
+
     // incremental hamming mine (r8): the chunk index over the M-scaled
     // corpus is built (and checkpointed) once — the offline cost — and a
     // CONSTANT-sized batch (the unscaled sf docs, offset ids, fingerprints

@@ -540,6 +540,158 @@ class ModulesSpec extends AnyFunSuite {
     assert(viaStore == incr, s"parquet round-trip changed pairs: $viaStore")
   }
 
+  test("hammingSalvageEdges: mega-bucket connectivity recovered without the quadratic") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Multimodal}
+    // planted twins INSIDE the mega-bucket through the REAL decode path:
+    // 30 monochrome rasters (dHash exactly 0) + 10 single-bright-pixel
+    // edits (dHash exactly one bit) — at cap 10 every shared chunk
+    // bucket of a mono-involving pair is oversized, so pigeonhole
+    // redundancy cannot save it and the plain cap loses it silently
+    val monos = (0L until 30L).map(i =>
+      (1000L + i, Multimodal.dHash64(Multimodal.monoImageForDoc(i))))
+    val edits = (0L until 10L).map(e =>
+      (2000L + e, Multimodal.dHash64(Multimodal.monoEditImageForDoc(e))))
+    assert(monos.forall(_._2 == 0L), "monochrome rasters must dHash to 0")
+    // the decoded edit hash is EXACTLY 1 << (r*8+7) — the fixture
+    // contract q_dedup_cap_recall's closed-form oracle replays
+    edits.foreach { case (id, fp) =>
+      assert(fp == (1L << (((id - 2000L) % 8L) * 8L + 7L).toInt),
+        s"edit $id decoded to $fp") }
+    val df = (monos ++ edits).toDF("id", "fp")
+    val fpMap = (monos ++ edits).toMap
+    val cap = 10
+    val index = Dedup.hammingChunkIndex(df, "id", "fp", 64, 4)
+    def pairSet(p: org.apache.spark.sql.DataFrame) =
+      p.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val truePairs = pairSet(Dedup.hammingPairsFromIndex(index, 3))
+    val capped = pairSet(Dedup.hammingPairsFromIndex(index, 3, cap))
+    val salvaged = pairSet(Dedup.hammingPairsSalvaged(df, "id", "fp",
+      64, 4, 3, maxBucket = cap, maxReps = 16))
+    // every pair in the fixture is a true pair (mono-mono 0, mono-edit 1,
+    // edit-edit <= 2); the plain cap keeps only the two same-bit edit
+    // pairs whose set-bit bucket is small
+    assert(truePairs.size == 40 * 39 / 2)
+    assert(capped == Set((2000L, 2008L, 0L), (2001L, 2009L, 0L)))
+    // SOUND: every salvaged pair is true, with its real hamming
+    salvaged.foreach { case (a, b, h) =>
+      assert(java.lang.Long.bitCount(fpMap(a) ^ fpMap(b)).toLong == h
+        && h <= 3L, s"false positive ($a, $b, $h)") }
+    // superset of the capped run, at LINEAR size: stars are n-1 edges per
+    // identical-fp group where the true pair set is quadratic
+    assert(capped.subsetOf(salvaged))
+    assert(salvaged.size < truePairs.size / 4,
+      s"salvage emitted ${salvaged.size} of ${truePairs.size} — not linear")
+    // COMPLETE: connectivity through the real propagation equals the
+    // uncapped ground truth (all 40 one component here)
+    def labelsOf(pairs: Set[(Long, Long, Long)]) =
+      Dedup.clusters(df.select(col("id")), "id",
+          pairs.toSeq.map(p => (p._1, p._2)).toDF("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labelsOf(salvaged) == labelsOf(truePairs),
+      "salvaged components differ from uncapped ground truth")
+    // the second-tier bound: a bucket more rep-diverse than maxReps skips
+    // rep pairing (no mono-edit links survive) but KEEPS its stars, so
+    // identical-fp groups still collapse
+    val starved = pairSet(Dedup.hammingPairsSalvaged(df, "id", "fp",
+      64, 4, 3, maxBucket = cap, maxReps = 2))
+    assert(starved.forall { case (a, b, _) =>
+      (a < 2000L) == (b < 2000L) }, "rep pairs leaked past maxReps")
+    assert(starved.contains((1000L, 1001L, 0L)), "stars must survive maxReps")
+    // RANDOMIZED battery: salvage ⊇ capped, sound, and (at unbounded
+    // maxReps) component-EQUAL to the uncapped run — arbitrary skew
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 2) {
+      val cap2 = Seq(4, 8)(trial - 1)
+      def near(anchor: Long) =
+        (1 to rnd.nextInt(4)).foldLeft(anchor)((v, _) => v ^ (1L << rnd.nextInt(64)))
+      val anchors = Array.fill(4)(rnd.nextLong())
+      // anchor 0 is boilerplate: copies + near variants force mega-buckets
+      val rows = (1L to 20L).map(i => (i, near(anchors(0)))) ++
+        (21L to 40L).map(i => (i, near(anchors(rnd.nextInt(4)))))
+      val rdf = rows.toDF("id", "fp")
+      val rMap = rows.toMap
+      val rIndex = Dedup.hammingChunkIndex(rdf, "id", "fp", 64, 4)
+      val rTrue = pairSet(Dedup.hammingPairsFromIndex(rIndex, 3))
+      val rCapped = pairSet(Dedup.hammingPairsFromIndex(rIndex, 3, cap2))
+      val rSalv = pairSet(Dedup.hammingPairsSalvaged(rdf, "id", "fp",
+        64, 4, 3, maxBucket = cap2, maxReps = Int.MaxValue))
+      assert(rCapped.subsetOf(rSalv), s"trial $trial: lost capped pairs")
+      rSalv.foreach { case (a, b, h) =>
+        assert(java.lang.Long.bitCount(rMap(a) ^ rMap(b)).toLong == h
+          && h <= 3L, s"trial $trial false positive ($a, $b, $h)") }
+      def rLabels(pairs: Set[(Long, Long, Long)]) =
+        Dedup.clusters(rdf.select(col("id")), "id",
+            pairs.toSeq.map(p => (p._1, p._2)).toDF("a_id", "b_id"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rLabels(rSalv) == rLabels(rTrue),
+        s"trial $trial cap=$cap2: salvage components != uncapped components")
+    }
+  }
+
+  test("cosine IVF routing: monotone recall in nProbe, saturation equals brute force") {
+    import spark.implicits._
+    import graft.operators.AnnIndex
+    // the q_crossmodal_ann_cos dial row: spherical lists (fit on
+    // L2-normalized vectors), captions route by cos(query, centroid),
+    // and the probed candidate SET grows with nProbe — so per-query
+    // top-3 hits are weakly increasing, and probing all lists IS the
+    // brute-force scan. Deterministic synthetic vectors: 64 images,
+    // 20 captions that are small multiplicative perturbations of images
+    // (the noisy-paired-modality shape).
+    val rnd = new scala.util.Random(7)
+    val imgs = (0 until 64).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextInt(100) + 1.0)))
+    val caps = (0 until 20).map { c =>
+      val base = imgs(rnd.nextInt(64))._2
+      (c.toLong, base.map(x => x * (1.0 + 0.05 * rnd.nextGaussian())))
+    }
+    def normalize(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val imgDf = imgs.map { case (id, v) => (id, normalize(v).toSeq) }
+      .toDF("img_id", "ivn")
+    val model = AnnIndex.ivfFit(imgDf, "ivn", nLists = 8)
+    val assign = AnnIndex.ivfAssign(model, imgDf, "ivn")
+      .select(col("img_id"), col("list_id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cents = model.clusterCenters.map(_.toArray)
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def top3(cv: Array[Double], pool: Seq[(Long, Array[Double])]) =
+      pool.map { case (id, v) => (id, cos(cv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toSet
+    val exact = caps.map { case (cid, cv) => cid -> top3(cv, imgs) }.toMap
+    val hitsAt = (1 to 8).map { nProbe =>
+      nProbe -> caps.map { case (cid, cv) =>
+        val lists = cents.zipWithIndex
+          .sortBy { case (c, i) => (-cos(cv, c), i) }.take(nProbe)
+          .map(_._2).toSet
+        val pool = imgs.filter { case (id, _) => lists.contains(assign(id)) }
+        cid -> (top3(cv, pool) & exact(cid)).size
+      }.toMap
+    }.toMap
+    // weakly increasing per caption — a theorem, not a tendency: any
+    // global-top-3 member inside the probed pool necessarily ranks in
+    // the pool's top-3 (at most two others beat it anywhere), so
+    // hits = |exact_top3 ∩ pool|, monotone in the pool; at nProbe=8 the
+    // pool IS the corpus, so saturation must equal brute force exactly
+    for (cid <- caps.map(_._1); n <- 1 to 7)
+      assert(hitsAt(n)(cid) <= hitsAt(n + 1)(cid),
+        s"caption $cid recall collapsed from nProbe=$n to ${n + 1}")
+    assert(caps.forall { case (cid, _) => hitsAt(8)(cid) == 3 },
+      "probing all lists must reproduce the exact top-3")
+    // the q_crossmodal_ann_cos pin at its shipped dial: >= 2/3 per query
+    assert(caps.forall { case (cid, _) => hitsAt(5)(cid) >= 2 },
+      s"nProbe=5 recall pin broke: ${hitsAt(5)}")
+    // and the dial is not vacuous: narrow probing genuinely misses
+    assert(caps.map { case (cid, _) => hitsAt(1)(cid) }.sum <
+      caps.map { case (cid, _) => hitsAt(8)(cid) }.sum,
+      "nProbe=1 recalled everything — fixture has no routing tension")
+  }
+
   test("windowed collocation pairs grow linearly in doc length") {
     import spark.implicits._
     // an all-distinct-token doc of L tokens emits exactly k*L - k(k+1)/2
