@@ -383,6 +383,28 @@ object EventsStream {
       idCol, "__fp", bits = 64, chunks = 4, maxHamming = maxHamming,
       maxBucket = 64, watermark = watermark, tsCol = tsCol)
 
+  /** [[mediaNearDupStream]]'s VIDEO sibling — the ingest-tier face of
+    * q_video_neardup, completing the streaming near-dup modality matrix
+    * (text LSH, image dHash, now clips): each arriving blob walks the
+    * real codec path ([[graft.operators.Multimodal.videoFingerprint]] —
+    * stride-sampled Y4M/GIF frames folded into the 64-bit temporal-mean
+    * dHash), so a re-posted clip with one edited frame lands within
+    * `maxHamming` bits and is flagged in flight. Same chunk-keyed
+    * saturating-bucket state machine and geometry as the image tier
+    * (64 bits / 4 chunks, maxBucket=64 matching the batch call sites);
+    * black/letterboxed clips all fingerprint to 0 and saturate the zero
+    * bucket instead of sinking it. */
+  def videoNearDupStream(media: DataFrame, idCol: String, contentCol: String,
+                         maxHamming: Int = 3, stride: Int = 2,
+                         watermark: String = "1 hour",
+                         tsCol: String = "ts"): Dataset[HammingMatch] =
+    nearDupStream(
+      media.withColumn("__fp",
+        graft.operators.Multimodal.videoFingerprintUdf(col(contentCol),
+          lit(stride))),
+      idCol, "__fp", bits = 64, chunks = 4, maxHamming = maxHamming,
+      maxBucket = 64, watermark = watermark, tsCol = tsCol)
+
   /** [[dedupStream]] keyed by CANONICAL URL instead of content
     * fingerprint — the streaming face of q_url_dedup: a crawl frontier
     * deduping fetches as they arrive, where the same page under

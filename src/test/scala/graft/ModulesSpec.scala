@@ -1439,6 +1439,69 @@ class ModulesSpec extends AnyFunSuite {
     assert(capped.toSet == Set((2L, 1L), (3L, 1L), (3L, 2L)), s"got $capped")
   }
 
+  test("streaming video near-dup: edited clips flagged in-flight, black clips saturate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Dedup, Multimodal}
+    // clip 6 arrives, then its single-pixel-edited re-post (the fixture
+    // contract: the edit flips AT MOST bit 63 of the temporal-mean
+    // dHash), then an unrelated clip — the chunk-bucket state must flag
+    // exactly the edit pair, matching the batch verdict
+    val mem = MemoryStream[(Timestamp, Long, Array[Byte])]
+    val df = mem.toDF().toDF("ts", "clip_id", "content")
+    val q = EventsStream.videoNearDupStream(df, "clip_id", "content")
+      .writeStream.format("memory").queryName("video_neardup").start()
+    val arrivals = Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, Multimodal.nearVideoForDoc(6L)),
+      (Timestamp.valueOf("2024-01-01 10:00:01"), 2L, Multimodal.nearVideoForDoc(80006L)),
+      (Timestamp.valueOf("2024-01-01 10:00:02"), 3L, Multimodal.nearVideoForDoc(9L)))
+    mem.addData(arrivals: _*)
+    q.processAllAvailable()
+    val hits = spark.table("video_neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).distinct.toSeq
+    q.stop()
+    assert(hits.map { case (a, b, _) => (a, b) } == Seq((2L, 1L)) &&
+      hits.head._3 <= 1, s"got $hits")
+    // parity with the batch path on the same corpus: same (unordered)
+    // pair set, same hamming
+    val batchPairs = Dedup.hammingPairs(
+        arrivals.map { case (_, id, b) => (id, Multimodal.videoFingerprint(b, 2)) }
+          .toDF("id", "fp"), "id", "fp", 64, 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batchPairs == hits.map { case (a, b, h) =>
+      (math.min(a, b), math.max(a, b), h.toLong) }.toSet)
+    // mega-bucket saturation: BLACK clips (all-zero planes through the
+    // real Y4M walk) fingerprint to exactly 0; with maxBucket=2 the zero
+    // bucket saturates and stops emitting — bounded state where the
+    // uncapped form would compare every arrival to every black clip
+    def blackY4m(w: Int, h: Int, nf: Int): Array[Byte] = {
+      val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n".getBytes("US-ASCII")
+      val fb = w * h + 2 * (w / 2) * (h / 2)
+      val marker = "FRAME\n".getBytes("US-ASCII")
+      header ++ (1 to nf).flatMap(_ => marker ++ new Array[Byte](fb))
+    }
+    assert(Multimodal.videoFingerprint(blackY4m(10, 8, 4), 2) == 0L,
+      "black clip must fingerprint to 0")
+    val mem2 = MemoryStream[(Timestamp, Long, Array[Byte])]
+    val df2 = mem2.toDF().toDF("ts", "clip_id", "content")
+    val q2 = EventsStream.nearDupStream(
+        df2.withColumn("__fp",
+          Multimodal.videoFingerprintUdf(col("content"), lit(2))),
+        "clip_id", "__fp", bits = 64, chunks = 4, maxHamming = 3,
+        maxBucket = 2)
+      .writeStream.format("memory").queryName("video_neardup_cap").start()
+    mem2.addData((1L to 6L).map(i =>
+      (Timestamp.valueOf(s"2024-01-01 10:00:0${i - 1}"), i,
+        blackY4m(10 + 2 * (i % 2).toInt, 8, 3))): _*)
+    q2.processAllAvailable()
+    val capped = spark.table("video_neardup_cap").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct.toSeq
+    q2.stop()
+    // arrivals 2 and 3 match before the bucket exceeds 2; the saturation
+    // then silences 4..6 (uncapped would emit 5+4+3 more hits)
+    assert(capped.toSet == Set((2L, 1L), (3L, 1L), (3L, 2L)), s"got $capped")
+  }
+
   test("streaming LSH text near-dup: band-mates verified in-flight, boilerplate saturates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
