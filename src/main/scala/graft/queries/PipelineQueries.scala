@@ -1462,13 +1462,19 @@ object PipelineQueries {
         "identical-fingerprint groups — STAR edges to the group rep " +
         "(n-1 rows, not n(n-1)/2) plus hamming-verified REP pairs " +
         "bounded by maxReps=16 distinct fingerprints per bucket — and " +
-        "connectivity recall (what clusters/dropNearDuplicates consume, " +
-        "measured through the real Dedup.clusters propagation on BOTH " +
-        "graphs) returns to 100% at linear-per-bucket cost. Oracle " +
-        "replays fingerprints closed-form, mirrors cap + salvage " +
-        "exactly, and closes both graphs with WITH RECURSIVE",
-      Some("""WITH RECURSIVE
-             |corpus AS (
+        "connectivity recall (what clusters/dropNearDuplicates consume) " +
+        "returns to 100%. Connectivity is measured by a FIXED 3-hop " +
+        "reachability join, which is EXACT here by construction: every " +
+        "true pair shares >= 1 chunk bucket (pigeonhole), a small " +
+        "bucket links it in 1 hop (the capped pair), an oversized one " +
+        "in <= 3 (star - rep pair - star) whenever its fingerprint " +
+        "diversity fits maxReps — so no iterative propagation runs in " +
+        "the gate (a first draft ran Dedup.clusters on both graphs and " +
+        "paid 10.5 s of per-round job overhead for the same numbers; " +
+        "the clusters-equivalence itself is the ModulesSpec randomized " +
+        "battery's job). Oracle replays fingerprints closed-form and " +
+        "mirrors cap + salvage + the 3-hop closure exactly",
+      Some("""WITH corpus AS (
              |  SELECT doc_id + 100000 AS id, CAST(0 AS BIGINT) AS fp
              |  FROM documents WHERE doc_id < 100
              |  UNION ALL
@@ -1509,34 +1515,24 @@ object PipelineQueries {
              |salv AS (SELECT a_id, b_id FROM capped
              |  UNION SELECT a_id, b_id FROM stars
              |  UNION SELECT a_id, b_id FROM reppairs),
-             |cedges AS (SELECT a_id AS s, b_id AS d FROM capped
-             |  UNION SELECT b_id, a_id FROM capped),
-             |sedges AS (SELECT a_id AS s, b_id AS d FROM salv
+             |e1 AS (SELECT a_id AS s, b_id AS d FROM salv
              |  UNION SELECT b_id, a_id FROM salv),
-             |creach(id, r) AS (SELECT id, id FROM corpus
-             |  UNION SELECT creach.id, e.d
-             |  FROM creach JOIN cedges e ON creach.r = e.s),
-             |ccomp AS (SELECT id, min(r) AS cl FROM creach GROUP BY id),
-             |sreach(id, r) AS (SELECT id, id FROM corpus
-             |  UNION SELECT sreach.id, e.d
-             |  FROM sreach JOIN sedges e ON sreach.r = e.s),
-             |scomp AS (SELECT id, min(r) AS cl FROM sreach GROUP BY id)
+             |r2 AS (SELECT s, d FROM e1
+             |  UNION SELECT a.s, b.d FROM e1 a JOIN e1 b ON a.d = b.s),
+             |r3 AS (SELECT s, d FROM r2
+             |  UNION SELECT r2.s, e1.d FROM r2 JOIN e1 ON r2.d = e1.s)
              |SELECT
              |  (SELECT count(*) FROM tp) AS n_true_pairs,
              |  (SELECT count(*) FROM capped) AS n_capped_pairs,
-             |  (SELECT count(*) FROM tp
-             |     JOIN ccomp a ON tp.a_id = a.id
-             |     JOIN ccomp b ON tp.b_id = b.id
-             |     WHERE a.cl = b.cl) AS n_true_connected_capped,
              |  (SELECT count(*) FROM salv) AS n_salvage_pairs,
-             |  (SELECT count(*) FROM tp
-             |     JOIN scomp a ON tp.a_id = a.id
-             |     JOIN scomp b ON tp.b_id = b.id
-             |     WHERE a.cl = b.cl) AS n_true_connected_salvaged,
+             |  (SELECT count(*) FROM tp WHERE EXISTS (SELECT 1 FROM r3
+             |     WHERE r3.s = tp.a_id AND r3.d = tp.b_id))
+             |    AS n_true_connected_salvaged,
              |  (SELECT count(*) FROM tp) = (SELECT count(*) FROM tp
-             |     JOIN scomp a ON tp.a_id = a.id
-             |     JOIN scomp b ON tp.b_id = b.id
-             |     WHERE a.cl = b.cl) AS salvage_full_recall""".stripMargin)) { (s, dir) =>
+             |     WHERE EXISTS (SELECT 1 FROM r3
+             |       WHERE r3.s = tp.a_id AND r3.d = tp.b_id))
+             |    AS salvage_full_recall""".stripMargin)) { (s, dir) =>
+      import s.implicits._
       import graft.operators.{Dedup, Multimodal}
       val docs = documents(s, dir)
       // the engine never sees the closed forms: monos and edits are real
@@ -1550,41 +1546,66 @@ object PipelineQueries {
           .select((col("doc_id") + 200000).as("id"),
             Multimodal.dHash64Udf(
               Multimodal.monoEditImageForDocUdf(col("doc_id"))).as("fp")))
+        .cache()
+      // the ivfPqTuning discipline: this audit derives SIX scalar cells
+      // from four pair frames that share the decode + chunk-index + self-
+      // join subplans — a lazily-composed plan re-executed every subplan
+      // per cell (measured 13.5 s); caching the KB-sized intermediates
+      // and collecting the cells eagerly runs each subplan once, with
+      // every cache unpersisted in finally
       val index = Dedup.hammingChunkIndex(fps, "id", "fp",
-        bits = 64, chunks = 4)
+        bits = 64, chunks = 4).cache()
       // ground truth: the UNCAPPED pigeonhole join (exhaustive for
       // hamming <= 3 at 4 chunks) — affordable here because the fixture
       // is small; at 100 TB this is exactly the join you cannot run,
       // which is why the recall number matters
       val truePairs = Dedup.hammingPairsFromIndex(index, maxHamming = 3)
-        .select(col("a_id"), col("b_id"))
+        .select(col("a_id"), col("b_id")).cache()
       val capped = Dedup.hammingPairsFromIndex(index, maxHamming = 3,
           maxBucket = 64)
-        .select(col("a_id"), col("b_id"))
+        .select(col("a_id"), col("b_id")).cache()
       val salvaged = capped.unionByName(
           Dedup.hammingSalvageEdges(index, maxHamming = 3, maxBucket = 64,
             maxReps = 16).select(col("a_id"), col("b_id")))
-        .distinct()
-      val ids = fps.select(col("id"))
-      // connectivity recall through the REAL propagation machinery: how
-      // many ground-truth pairs end up in one cluster under each graph
-      def nConnected(pairs: org.apache.spark.sql.DataFrame, as: String) = {
-        val labels = Dedup.clusters(ids, "id", pairs)
-        truePairs
-          .join(labels.select(col("id").as("a_id"),
-            col("cluster").as("a_cl")), Seq("a_id"))
-          .join(labels.select(col("id").as("b_id"),
-            col("cluster").as("b_cl")), Seq("b_id"))
-          .filter(col("a_cl") === col("b_cl"))
-          .agg(count(lit(1)).as(as))
+        .distinct().cache()
+      try {
+        // the EXACT fixed-depth closure (see docstring: <= 3 hops covers
+        // every recoverable true pair by construction, so no iterative
+        // propagation belongs in this plan). The closure side is KB-sized
+        // (<= |V|² = 19 600 pairs), so every hop join BROADCASTS — no
+        // exchange — and one distinct at the end bounds the path
+        // enumeration; intermediate distincts would each cost a full
+        // AQE-wide exchange for nothing at this size
+        val e1 = salvaged
+          .select(col("a_id").as("s"), col("b_id").as("d"))
+          .unionByName(salvaged
+            .select(col("b_id").as("s"), col("a_id").as("d")))
+        val be1 = broadcast(e1.select(col("s").as("__m"), col("d")))
+        val p2 = e1.select(col("s"), col("d").as("__m"))
+          .join(be1, "__m").select(col("s"), col("d"))
+        val r3 = e1.unionByName(p2).unionByName(
+            p2.select(col("s"), col("d").as("__m"))
+              .join(be1, "__m").select(col("s"), col("d")))
+          .distinct()
+        // cells collected EAGERLY in dependency order, one action per
+        // cached frame: each cache materializes exactly once before its
+        // consumers read it (a fused single-job variant let concurrent
+        // branches race the unmaterialized caches and recompute the
+        // salvage chain several times — measured ~1.6x slower)
+        val nTrue = truePairs.count()
+        val nCapped = capped.count()
+        val nSalv = salvaged.count()
+        val nConn = truePairs.join(broadcast(r3),
+            col("a_id") === col("s") && col("b_id") === col("d"),
+            "left_semi").count()
+        Seq((nTrue, nCapped, nSalv, nConn))
+          .toDF("n_true_pairs", "n_capped_pairs", "n_salvage_pairs",
+            "n_true_connected_salvaged")
+          .withColumn("salvage_full_recall", lit(nConn == nTrue))
+      } finally {
+        salvaged.unpersist(); capped.unpersist(); truePairs.unpersist()
+        index.unpersist(); fps.unpersist()
       }
-      truePairs.agg(count(lit(1)).as("n_true_pairs"))
-        .crossJoin(capped.agg(count(lit(1)).as("n_capped_pairs")))
-        .crossJoin(nConnected(capped, "n_true_connected_capped"))
-        .crossJoin(salvaged.agg(count(lit(1)).as("n_salvage_pairs")))
-        .crossJoin(nConnected(salvaged, "n_true_connected_salvaged"))
-        .withColumn("salvage_full_recall",
-          col("n_true_connected_salvaged") === col("n_true_pairs"))
     },
 
     Q("q_crossmodal_match",
