@@ -343,17 +343,46 @@ object Dedup {
     * index ([[hammingChunkIndex]] output) — repeated runs and dial
     * sweeps pay the decode + fingerprint pass exactly once, the
     * [[minhashLshVerifiedPairsFromSignatures]] pattern for the hamming
-    * family. */
+    * family. The index's `chunk_sig` token is REQUIRED and checked on
+    * the row path: an index chunked too coarsely for this `maxHamming`
+    * (chunks ≤ maxHamming) breaks the pigeonhole guarantee and would
+    * silently MISS pairs sharing no equal chunk — the same
+    * silent-recall-loss class [[hammingIncrementalPairs]] refuses
+    * loudly, so this refuses too. */
   def hammingPairsFromIndex(index: DataFrame, maxHamming: Int,
-                            maxBucket: Int = Int.MaxValue): DataFrame =
-    pairJoin(index.select(col("id"), col("fp"), col("chunk_idx"),
-        col("chunk_val")),
+                            maxBucket: Int = Int.MaxValue): DataFrame = {
+    pairJoin(requireSigned(index, maxHamming),
         Seq("chunk_idx", "chunk_val"), maxBucket)
-      .select(col("a_id"), col("b_id"), col("a_fp"), col("b_fp")).distinct()
+      .select(col("a_id"), col("b_id"), col("a_fp"), col("b_fp"),
+        col("a_chunk_sig")).distinct()
       .withColumn("hamming",
-        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long"))
+        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long") +
+          pigeonholeGuard(col("a_chunk_sig"), maxHamming))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  /** Loud-failure plumbing for the index-accepting entry points: the
+    * presence require (a legacy index without the token cannot be
+    * geometry-checked at all) plus the row-level pigeonhole assert,
+    * folded into a load-bearing column the [[hammingIncrementalPairs]]
+    * way — a standalone check column would be pruned. */
+  private def requireSigned(index: DataFrame, maxHamming: Int): DataFrame = {
+    require(index.columns.contains("chunk_sig"),
+      "hamming index carries no chunk_sig token — rebuild it with " +
+        "hammingChunkIndex before mining pairs from it")
+    index.select(col("id"), col("fp"), col("chunk_idx"), col("chunk_val"),
+      col("chunk_sig"))
+  }
+
+  /** Zero, or a thrown error when the index's chunk count (the low half
+    * of `chunk_sig`) cannot satisfy pigeonhole for `maxHamming`. */
+  private def pigeonholeGuard(sig: org.apache.spark.sql.Column,
+                              maxHamming: Int): org.apache.spark.sql.Column =
+    coalesce(assert_true(lit(maxHamming) < sig % 100000L,
+      lit(s"hamming index chunked too coarsely for maxHamming=$maxHamming: " +
+        "pigeonhole needs maxHamming < chunks — rebuild the index with " +
+        "more chunks")).cast("long"), lit(0L))
 
   /** SALVAGE edges for the mega-buckets the `maxBucket` cap drops — the
     * answer to "a genuine near-dup pair whose every matching chunk lands
@@ -386,14 +415,18 @@ object Dedup {
   def hammingSalvageEdges(index: DataFrame, maxHamming: Int,
                           maxBucket: Int, maxReps: Int): DataFrame = {
     val keys = Seq("chunk_idx", "chunk_val")
-    val rows = index.select(col("id"), col("fp"), col("chunk_idx"),
-      col("chunk_val"))
+    val rows = requireSigned(index, maxHamming)
     val over = oversizedKeys(rows, keys, maxBucket)
       .select(keys.map(c => col(c).as(s"__over_$c")): _*)
     val overCond = keys.map(c => col(c) <=> col(s"__over_$c")).reduce(_ && _)
-    // only the oversized buckets' rows — by definition few KEYS (each
-    // holds > maxBucket of the corpus), so the key frame broadcasts;
-    // the member rows themselves stay distributed
+    // only the oversized buckets' rows. The oversized-KEY frame is
+    // bounded by rows·chunks/maxBucket entries — small in the skewed
+    // regime the cap exists for (a handful of boilerplate keys holding
+    // large corpus fractions), NOT a universal guarantee: a corpus of
+    // millions of barely-over buckets makes it large, and the remedy is
+    // a larger maxBucket (the audit query sizes it), not this operator.
+    // The broadcast spares the member rows a shuffle; the members stay
+    // distributed either way
     val mega = rows.join(broadcast(over), overCond, "left_semi")
       .filter(col("fp").isNotNull)
     // identical-fingerprint groups within each mega bucket: the shuffle
@@ -407,8 +440,13 @@ object Dedup {
         col("chunk_idx") <=> col("__g_idx") &&
           col("chunk_val") <=> col("__g_val") && col("fp") <=> col("__g_fp"))
       .filter(col("id") =!= col("rep"))
+      // star hamming is 0 by construction (identical fps); the pigeonhole
+      // guard rides the column so a standalone call over a too-coarse
+      // index fails loudly instead of quietly under-salvaging
       .select(least(col("id"), col("rep")).as("a_id"),
-        greatest(col("id"), col("rep")).as("b_id"), lit(0L).as("hamming"))
+        greatest(col("id"), col("rep")).as("b_id"),
+        (lit(0L) + pigeonholeGuard(col("chunk_sig"), maxHamming))
+          .as("hamming"))
     // rep pairing only where the bucket's fingerprint diversity is
     // bounded: > maxReps distinct fps means the bucket is not boilerplate
     // but genuinely diverse — rep pairs there would re-grow the quadratic
@@ -433,9 +471,19 @@ object Dedup {
   /** The capped pigeonhole join PLUS the mega-bucket salvage tier: every
     * pair [[hammingPairs]] finds, united with [[hammingSalvageEdges]]
     * over the same chunk index — bounded tasks (the cap) without silent
-    * loss (the salvage). This is the shape a recall-critical 100 TB
-    * dedup run ships; `hamming` is a function of the pair, so the
-    * distinct collapses a pair found by both tiers. */
+    * loss (the salvage); `hamming` is a function of the pair, so the
+    * distinct collapses a pair found by both tiers.
+    *
+    * COST SHAPE: this convenience form builds the index lazily from
+    * `df`, and the capped join + salvage reference that plan from
+    * several subtrees — so an expensive `hashCol` (a decode UDF chain)
+    * is re-evaluated per subtree. The recall-critical production shape
+    * is the one q_dedup_cap_recall ships: materialize
+    * [[hammingChunkIndex]] ONCE (persisted partitioned by chunk_idx, or
+    * cached for a one-shot run) and feed it to
+    * [[hammingPairsFromIndex]] + [[hammingSalvageEdges]] — the decode
+    * pass is paid exactly once. Use this wrapper when the fingerprint
+    * column is already materialized or cheap. */
   def hammingPairsSalvaged(df: DataFrame, idCol: String, hashCol: String,
                            bits: Int, chunks: Int, maxHamming: Int,
                            maxBucket: Int, maxReps: Int): DataFrame = {

@@ -598,6 +598,24 @@ class ModulesSpec extends AnyFunSuite {
     assert(starved.forall { case (a, b, _) =>
       (a < 2000L) == (b < 2000L) }, "rep pairs leaked past maxReps")
     assert(starved.contains((1000L, 1001L, 0L)), "stars must survive maxReps")
+    // the index-accepting faces refuse what they cannot check or satisfy:
+    // a legacy index without the chunk_sig token fails the require, and a
+    // 2-chunk index cannot pigeonhole maxHamming=3 — the guard rides the
+    // hamming column and fails the JOB loudly instead of silently missing
+    // every pair that shares no equal chunk
+    intercept[IllegalArgumentException] {
+      Dedup.hammingPairsFromIndex(index.drop("chunk_sig"), 3)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.hammingSalvageEdges(index.drop("chunk_sig"), 3, cap, 16)
+    }
+    val coarse = Dedup.hammingChunkIndex(df, "id", "fp", 64, 2)
+    val geomErr = intercept[Exception] {
+      Dedup.hammingPairsFromIndex(coarse, 3).collect()
+    }
+    assert(Iterator.iterate(geomErr: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(5).exists(e => Option(e.getMessage)
+        .exists(_.contains("chunked too coarsely"))), s"wrong error: $geomErr")
     // RANDOMIZED battery: salvage ⊇ capped, sound, and (at unbounded
     // maxReps) component-EQUAL to the uncapped run — arbitrary skew
     val rnd = new scala.util.Random(99)
