@@ -223,9 +223,82 @@ object Verify {
     require(monoPairs.size >= 1900 && monoPairs.size <= capEnv,
       s"streaming saturation envelope: ${monoPairs.size} mono pairs, " +
         s"expected [1900, $capEnv] (200 unsaturated arrivals would emit 19900)")
+    // 4) LSH TEXT near-dup stream — the band-keyed sibling of (3), same
+    // gate discipline: real document texts through the compiled MinHash
+    // kernels, streamed against the capped batch
+    // minhashLshVerifiedPairs verdict. Boilerplate tier: 150 copies of
+    // one license header — every band bucket a mega-bucket, so the
+    // batch cap drops them wholesale and the stream SATURATES; the
+    // deterministic envelope is [C(65,2), 4·C(65,2)] distinct pairs,
+    // strictly below the 11 175 an unsaturated stream would emit.
+    // Unlike the hamming tier, every emission is exact-Jaccard VERIFIED
+    // per arrival, so boilerplate pairs must all carry jaccard 1.0 and
+    // no cross (healthy×boilerplate) pair can exist at the threshold.
+    val lshIn = tmp.resolve("lsh_in").toString
+    val boilerBase = 200000L
+    val twinBase = 150000L
+    val boiler = "this software is provided as is without warranty of " +
+      "any kind express or implied including fitness for a purpose"
+    val lshDocs = graft.core.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 120).select(col("doc_id").as("id"), col("text"))
+    // exact twins of the first dozen long docs keep the healthy parity
+    // leg NON-VACUOUS at every SF (the organic corpus has no pairs at
+    // threshold 0.8): each twin is a 2-member band bucket, far under
+    // the cap, so the capped batch MUST find it and parity must too
+    val lshTwins = lshDocs
+      .filter(col("id") < 15 && length(col("text")) >= 60)
+      .select((col("id") + twinBase).as("id"), col("text"))
+    lshDocs.unionByName(lshTwins)
+      .unionByName(spark.range(0, 150)
+        .select((col("id") + boilerBase).as("id"), lit(boiler).as("text")))
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .coalesce(1).write.mode("overwrite").parquet(lshIn)
+    val lshSchema = spark.read.parquet(lshIn).schema
+    val (k4, bands4, sh4, thr4) = (16, 4, 3, 0.8)
+    val q4 = graft.streaming.EventsStream
+      .lshNearDupStream(
+        spark.readStream.schema(lshSchema).parquet(lshIn), "id", "text",
+        k = k4, bands = bands4, shingleN = sh4, threshold = thr4,
+        maxBucket = 64)
+      .writeStream.format("memory").queryName("smoke_lsh")
+      .option("checkpointLocation", tmp.resolve("ck4").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q4.awaitTermination()
+    val lshStreamed = spark.table("smoke_lsh")
+      .select(least(col("id"), col("matched_id")).as("a_id"),
+        greatest(col("id"), col("matched_id")).as("b_id"), col("jaccard"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lshBatch = graft.operators.Dedup.minhashLshVerifiedPairs(
+        spark.read.parquet(lshIn), "id", "text",
+        k = k4, bands = bands4, shingleN = sh4, threshold = thr4,
+        maxBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    require(lshBatch.forall(p => p._1 < boilerBase && p._2 < boilerBase),
+      "batch cap failed to drop the boilerplate band buckets — fixture broken")
+    require(lshBatch.size >= 10,
+      s"planted exact-twin fixture yielded only ${lshBatch.size} capped " +
+        "batch pairs — the healthy parity leg went vacuous")
+    val lshHealthy = lshStreamed.filter(p => p._1 < boilerBase && p._2 < boilerBase)
+    require(lshHealthy == lshBatch,
+      s"streaming LSH parity: ${lshHealthy.size} healthy streamed pairs vs " +
+        s"${lshBatch.size} capped batch pairs; " +
+        s"missing=${(lshBatch -- lshHealthy).take(3)} " +
+        s"extra=${(lshHealthy -- lshBatch).take(3)}")
+    val boilerPairs = lshStreamed.filter(p => p._1 >= boilerBase && p._2 >= boilerBase)
+    require(boilerPairs.forall(_._3 == 1.0),
+      "boilerplate near-dup pair verified below jaccard 1.0 — kernel broken")
+    require(lshStreamed.size == lshHealthy.size + boilerPairs.size,
+      "cross healthy×boilerplate pair cleared the jaccard threshold")
+    require(boilerPairs.size >= 2080 && boilerPairs.size <= capEnv,
+      s"streaming LSH saturation envelope: ${boilerPairs.size} boilerplate " +
+        s"pairs, expected [2080, $capEnv] (150 unsaturated arrivals " +
+        "would emit 11175)")
     println(s"[verify] streaming_smoke OK: ${gotFps.length} dedup " +
       s"survivors, ${got.length} daily-window rows, " +
       s"${streamedHealthy.size} near-dup pairs parity-matched " +
-      s"(+${monoPairs.size} saturation-bounded mono emissions)")
+      s"(+${monoPairs.size} saturation-bounded mono emissions), " +
+      s"${lshHealthy.size} LSH pairs parity-matched " +
+      s"(+${boilerPairs.size} saturation-bounded boilerplate emissions)")
   }
 }

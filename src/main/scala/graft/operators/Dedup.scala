@@ -214,6 +214,92 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
 
+  /** SALVAGE pairs for the band mega-buckets the `maxBucket` cap drops —
+    * [[hammingSalvageEdges]]'s sibling for the MinHash family, with one
+    * structural difference: identical fingerprints GUARANTEE a true pair
+    * (hamming 0), identical MinHash signatures only make one likely — so
+    * every salvage edge here is exact-Jaccard VERIFIED before it is
+    * emitted. Within each oversized (band_idx, band_key) bucket, members
+    * collapse into identical-FULL-SIGNATURE groups (a boilerplate
+    * bucket is mostly one group), and the tier emits
+    *
+    *  - verified STAR pairs: each member against its group's min-id
+    *    representative — n−1 verifications where the bucket's pair set
+    *    is n(n−1)/2;
+    *  - verified REPRESENTATIVE pairs: the bucket's distinct signatures
+    *    pair-joined, bounded by `maxReps` distinct signatures per
+    *    bucket (more rep-diverse buckets skip rep pairing, keeping
+    *    their stars).
+    *
+    * Unlike the hamming tier there is NO exactness theorem: a true pair
+    * whose members sit in different signature groups is recovered only
+    * through the rep chain, and verification can break a link — the
+    * measured-recall query (q_dedup_lsh_recall) quantifies exactly what
+    * this tier recovers, the q_dedup_cap_recall discipline. Output
+    * (a_id, b_id, jaccard ≥ `threshold`), normalized a_id < b_id; input
+    * is a [[minhashSignatures]] table, so a persisted signature store
+    * pays tokenization once. */
+  def minhashSalvageVerifiedPairs(sigs: DataFrame, k: Int, bands: Int,
+                                  threshold: Double, maxBucket: Int,
+                                  maxReps: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val r = k / bands
+    val banded = sigs.select(col("id"), col("hs"), col("sig"),
+        explode(expr(bandStructsExpr(bands, r))).as("b"))
+      .select(col("id"), col("hs"), col("sig"),
+        col("b.band_idx").as("band_idx"), col("b.band_key").as("band_key"))
+    val keys = Seq("band_idx", "band_key")
+    val over = oversizedKeys(banded.select((Seq("id") ++ keys).map(col): _*),
+        keys, maxBucket)
+      .select(keys.map(c => col(c).as(s"__over_$c")): _*)
+    val overCond = keys.map(c => col(c) <=> col(s"__over_$c")).reduce(_ && _)
+    // oversized-KEY bound: rows·bands/maxBucket in the worst case — see
+    // hammingSalvageEdges; small in the skewed regime the cap exists for
+    val mega = banded.join(broadcast(over), overCond, "left_semi")
+      .filter(col("sig").isNotNull)
+    // identical-signature groups; min(struct) picks the rep AND its
+    // shingle set in one aggregate (ids are unique, so the array field
+    // never participates in the ordering)
+    val groups = mega
+      .groupBy(col("band_idx"), col("band_key"), col("sig"))
+      .agg(min(struct(col("id"), col("hs"))).as("r"))
+      .select(col("band_idx"), col("band_key"), col("sig"),
+        col("r.id").as("rep"), col("r.hs").as("rep_hs"))
+    val g = groups.select(col("band_idx").as("__g_idx"),
+      col("band_key").as("__g_key"), col("sig").as("__g_sig"),
+      col("rep"), col("rep_hs"))
+    val jac = size(array_intersect(col("a_hs"), col("b_hs"))).cast("double") /
+      size(array_union(col("a_hs"), col("b_hs")))
+    val stars = mega.join(g,
+        col("band_idx") <=> col("__g_idx") &&
+          col("band_key") <=> col("__g_key") && col("sig") <=> col("__g_sig"))
+      .filter(col("id") =!= col("rep"))
+      .select(least(col("id"), col("rep")).as("a_id"),
+        greatest(col("id"), col("rep")).as("b_id"),
+        col("hs").as("a_hs"), col("rep_hs").as("b_hs"))
+      .distinct()
+      .withColumn("jaccard", jac)
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+    val pairable = groups.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n_reps"))
+      .filter(col("__n_reps") <= maxReps)
+      .select(keys.map(c => col(c).as(s"__ok_$c")): _*)
+    val okCond = keys.map(c => col(c) <=> col(s"__ok_$c")).reduce(_ && _)
+    val repPairs = pairJoin(
+        groups.join(broadcast(pairable), okCond, "left_semi")
+          .select(col("rep").as("id"), col("rep_hs").as("hs"),
+            col("band_idx"), col("band_key")),
+        keys)
+      .select(col("a_id"), col("b_id"), col("a_hs"), col("b_hs")).distinct()
+      .withColumn("jaccard", jac)
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+    // jaccard is a function of the pair, so the distinct collapses a
+    // pair found by both faces (or from several buckets)
+    stars.unionByName(repPairs).distinct()
+  }
+
   /** Candidate near-duplicate pairs by MinHash LSH: k-value signatures cut
     * into `bands` bands; pairs sharing ≥1 band are candidates. Returns
     * (a_id, b_id, n_bands) — callers verify candidates with exact Jaccard

@@ -1608,6 +1608,165 @@ object PipelineQueries {
       }
     },
 
+    Q("q_dedup_lsh_recall",
+      "TRUE-PAIR RECALL under the band-bucket cap for the MINHASH " +
+        "family — q_dedup_cap_recall's discipline carried from the " +
+        "hamming tier to text LSH, where it is genuinely harder: " +
+        "identical fingerprints guarantee a pair, identical MinHash " +
+        "signatures only make one likely, so every salvage edge is " +
+        "exact-Jaccard VERIFIED (Dedup.minhashSalvageVerifiedPairs: " +
+        "verified stars to each oversized bucket's per-signature rep, " +
+        "n-1 verifications not n(n-1)/2, plus verified rep pairs " +
+        "bounded by maxReps=64 signatures per bucket) and there is NO " +
+        "exactness theorem — a variant whose every band moved off the " +
+        "boilerplate's keys is invisible to both the capped and the " +
+        "salvage face, which is exactly what this query MEASURES " +
+        "instead of assuming. Fixture: 100 identical license headers " +
+        "(every band bucket a mega-bucket at cap 64) + 40 one-word-" +
+        "appended variants (jaccard ~0.86 to the header, ~0.72 to " +
+        "each other, all >= the 0.6 threshold); the plain cap finds " +
+        "almost nothing, the salvage tier recovers the boilerplate " +
+        "mass, and connectivity is counted within the construction's " +
+        "3-hop radius (star - rep pair - star). Oracle replays " +
+        "shingles, signatures, banding, cap, salvage and closure " +
+        "closed-form from the same text",
+      Some(s"""WITH corpus AS (
+              |  SELECT doc_id + 100000 AS id,
+              |    'this software is provided as is without warranty of any '
+              |    || 'kind express or implied including fitness for a '
+              |    || 'particular purpose and noninfringement' AS text
+              |  FROM documents WHERE doc_id < 100
+              |  UNION ALL
+              |  SELECT doc_id + 200000,
+              |    'this software is provided as is without warranty of any '
+              |    || 'kind express or implied including fitness for a '
+              |    || 'particular purpose and noninfringement zz'
+              |    || CAST(doc_id AS VARCHAR)
+              |  FROM documents WHERE doc_id < 40),
+              |hs AS (SELECT id, ${text.shingleHashes(D, "text", 3)} AS hs
+              |       FROM corpus),
+              |tp AS (SELECT a.id AS a_id, b.id AS b_id
+              |  FROM hs a JOIN hs b ON a.id < b.id
+              |  WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+              |      / len(list_distinct(list_concat(a.hs, b.hs))) >= 0.6),
+              |sig AS (SELECT id, hs,
+              |    ${text.minhashFromHashes(D, "hs", 16)} AS sig
+              |  FROM hs),
+              |bands AS (SELECT id, hs, sig, j,
+              |    ${D.arrayJoin(D.slice("sig", "4*j + 1", "4"), "_")} AS bk
+              |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j)),
+              |big AS (SELECT j, bk FROM bands GROUP BY j, bk
+              |  HAVING count(*) > 64),
+              |small AS (SELECT * FROM bands WHERE NOT EXISTS (
+              |  SELECT 1 FROM big WHERE big.j = bands.j AND big.bk = bands.bk)),
+              |capped AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
+              |  FROM small a JOIN small b
+              |    ON a.j = b.j AND a.bk = b.bk AND a.id < b.id
+              |  WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+              |      / len(list_distinct(list_concat(a.hs, b.hs))) >= 0.6),
+              |mega AS (SELECT bands.* FROM bands WHERE EXISTS (
+              |  SELECT 1 FROM big WHERE big.j = bands.j AND big.bk = bands.bk)),
+              |grp AS (SELECT j, bk, sig, min(id) AS rep,
+              |    arg_min(hs, id) AS rep_hs
+              |  FROM mega GROUP BY j, bk, sig),
+              |stars AS (SELECT DISTINCT least(m.id, g.rep) AS a_id,
+              |    greatest(m.id, g.rep) AS b_id
+              |  FROM mega m JOIN grp g
+              |    ON m.j = g.j AND m.bk = g.bk AND m.sig = g.sig
+              |  WHERE m.id <> g.rep
+              |    AND CAST(len(list_intersect(m.hs, g.rep_hs)) AS DOUBLE)
+              |      / len(list_distinct(list_concat(m.hs, g.rep_hs))) >= 0.6),
+              |pairable AS (SELECT j, bk FROM grp GROUP BY j, bk
+              |  HAVING count(*) <= 64),
+              |reppairs AS (SELECT DISTINCT a.rep AS a_id, b.rep AS b_id
+              |  FROM grp a JOIN grp b
+              |    ON a.j = b.j AND a.bk = b.bk AND a.rep < b.rep
+              |  WHERE EXISTS (SELECT 1 FROM pairable p
+              |                WHERE p.j = a.j AND p.bk = a.bk)
+              |    AND CAST(len(list_intersect(a.rep_hs, b.rep_hs)) AS DOUBLE)
+              |      / len(list_distinct(list_concat(a.rep_hs, b.rep_hs))) >= 0.6),
+              |salv AS (SELECT a_id, b_id FROM capped
+              |  UNION SELECT a_id, b_id FROM stars
+              |  UNION SELECT a_id, b_id FROM reppairs),
+              |e1 AS (SELECT a_id AS s, b_id AS d FROM salv
+              |  UNION SELECT b_id, a_id FROM salv),
+              |r2 AS (SELECT s, d FROM e1
+              |  UNION SELECT a.s, b.d FROM e1 a JOIN e1 b ON a.d = b.s),
+              |r3 AS (SELECT s, d FROM r2
+              |  UNION SELECT r2.s, e1.d FROM r2 JOIN e1 ON r2.d = e1.s)
+              |SELECT
+              |  (SELECT count(*) FROM tp) AS n_true_pairs,
+              |  (SELECT count(*) FROM capped) AS n_capped_pairs,
+              |  (SELECT count(*) FROM salv) AS n_salvage_pairs,
+              |  (SELECT count(*) FROM tp WHERE EXISTS (SELECT 1 FROM r3
+              |     WHERE r3.s = tp.a_id AND r3.d = tp.b_id))
+              |    AS n_true_connected_salvaged,
+              |  (SELECT count(*) FROM tp) = (SELECT count(*) FROM tp
+              |     WHERE EXISTS (SELECT 1 FROM r3
+              |       WHERE r3.s = tp.a_id AND r3.d = tp.b_id))
+              |    AS salvage_full_recall""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Dedup
+      val boiler = "this software is provided as is without warranty of " +
+        "any kind express or implied including fitness for a particular " +
+        "purpose and noninfringement"
+      val docs = documents(s, dir)
+      val corpus = docs.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 100000).as("id"), lit(boiler).as("text"))
+        .unionByName(docs.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 200000).as("id"),
+            concat(lit(boiler + " zz"), col("doc_id").cast("string"))
+              .as("text")))
+        .cache()
+      // ONE signature pass feeds the capped face, the salvage face and
+      // the banding — the persisted-signature-store shape
+      val sigs = Dedup.minhashSignatures(corpus, "id", "text",
+        k = 16, shingleN = 3).cache()
+      // ground truth: exact Jaccard over ALL pairs (one constant block —
+      // affordable on the planted fixture, the join you cannot run at
+      // 100 TB, which is why the recall number matters)
+      val truePairs = Dedup.ngramJaccardPairs(
+          corpus.withColumn("blk", lit(1)), "id", "text", "blk",
+          n = 3, threshold = 0.6)
+        .select(col("a_id"), col("b_id")).cache()
+      val capped = Dedup.minhashLshVerifiedPairsFromSignatures(sigs,
+          k = 16, bands = 4, threshold = 0.6, maxBucket = 64)
+        .select(col("a_id"), col("b_id")).cache()
+      val salvaged = capped.unionByName(
+          Dedup.minhashSalvageVerifiedPairs(sigs, k = 16, bands = 4,
+            threshold = 0.6, maxBucket = 64, maxReps = 64)
+            .select(col("a_id"), col("b_id")))
+        .distinct().cache()
+      try {
+        // the same broadcast 3-hop closure as q_dedup_cap_recall — here a
+        // MEASURE of the construction's radius, not a theorem
+        val e1 = salvaged
+          .select(col("a_id").as("s"), col("b_id").as("d"))
+          .unionByName(salvaged
+            .select(col("b_id").as("s"), col("a_id").as("d")))
+        val be1 = broadcast(e1.select(col("s").as("__m"), col("d")))
+        val p2 = e1.select(col("s"), col("d").as("__m"))
+          .join(be1, "__m").select(col("s"), col("d"))
+        val r3 = e1.unionByName(p2).unionByName(
+            p2.select(col("s"), col("d").as("__m"))
+              .join(be1, "__m").select(col("s"), col("d")))
+          .distinct()
+        val nTrue = truePairs.count()
+        val nCapped = capped.count()
+        val nSalv = salvaged.count()
+        val nConn = truePairs.join(broadcast(r3),
+            col("a_id") === col("s") && col("b_id") === col("d"),
+            "left_semi").count()
+        Seq((nTrue, nCapped, nSalv, nConn))
+          .toDF("n_true_pairs", "n_capped_pairs", "n_salvage_pairs",
+            "n_true_connected_salvaged")
+          .withColumn("salvage_full_recall", lit(nConn == nTrue))
+      } finally {
+        salvaged.unpersist(); capped.unpersist(); truePairs.unpersist()
+        sigs.unpersist(); corpus.unpersist()
+      }
+    },
+
     Q("q_crossmodal_match",
       "Cross-modal retrieval (the LAION/CLIP-style caption-to-image " +
         "matcher, machinery-real / encoders-stubbed): captions and " +

@@ -306,6 +306,37 @@ class PlanGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("round-9 queries keep their scale-critical plan shapes") {
+    import org.apache.spark.sql.execution.joins._
+    // incremental audio/video mine: the q_image_neardup_incremental
+    // shapes at their geometries — the batch×(index ∪ batch) join
+    // shuffles on the chunk key, the engaged cap anti-joins broadcast
+    for (name <- Seq("q_audio_neardup_incremental",
+        "q_video_neardup_incremental")) {
+      val ps = plans(name)
+      assert(ps.exists(_.isInstanceOf[ShuffledHashJoinExec]),
+        s"$name: batch×index join is not shuffle_hash")
+      assert(ps.exists {
+        case b: BroadcastHashJoinExec =>
+          b.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti
+        case _ => false
+      }, s"$name: cap anti-join missing — the cap stopped being engaged")
+    }
+    // cosine ANN-routed cross-modal: same no-shuffled-store pin as the
+    // linear sibling — the probe page and the closure side broadcast,
+    // the image store must never move through a shuffled join
+    val cmc = plans("q_crossmodal_ann_cos").filter { p =>
+      p.isInstanceOf[SortMergeJoinExec] || p.isInstanceOf[ShuffledHashJoinExec]
+    }
+    assert(cmc.isEmpty,
+      s"q_crossmodal_ann_cos: shuffled join planned:\n${cmc.mkString("\n")}")
+    // q_dedup_cap_recall collects its cells eagerly (the tuning-family
+    // shape), so its returned frame is a LocalRelation with no pipeline
+    // to pin here — its operators (hammingPairsFromIndex / SalvageEdges)
+    // carry the shuffle_hash + broadcast-anti shapes pinned above and in
+    // the round-8 test, and ModulesSpec pins salvage semantics.
+  }
+
   test("partitioned parquet layout prunes partitions at the scan") {
     // S10's other half: the 'index build' at 100 TB is a partitioned
     // layout; a filter on the partition column must plan a pruned scan
