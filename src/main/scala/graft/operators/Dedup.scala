@@ -181,10 +181,12 @@ object Dedup {
       s"struct(j AS band_idx, array_join(slice(sig, j*$r + 1, $r), '_') AS band_key))"
 
   private def bandedFromSignatures(sigs: DataFrame, k: Int, bands: Int,
-                                   carryHashes: Boolean): DataFrame = {
+                                   carryHashes: Boolean,
+                                   carrySig: Boolean = false): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val r = k / bands
-    val keep = col("id") +: (if (carryHashes) Seq(col("hs")) else Nil)
+    val keep = col("id") +: ((if (carryHashes) Seq(col("hs")) else Nil) ++
+      (if (carrySig) Seq(col("sig")) else Nil))
     sigs.select((keep :+ explode(expr(bandStructsExpr(bands, r)))
         .as("band")): _*)
       .select((keep :+ col("band.band_idx") :+ col("band.band_key")): _*)
@@ -242,12 +244,8 @@ object Dedup {
   def minhashSalvageVerifiedPairs(sigs: DataFrame, k: Int, bands: Int,
                                   threshold: Double, maxBucket: Int,
                                   maxReps: Int): DataFrame = {
-    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
-    val r = k / bands
-    val banded = sigs.select(col("id"), col("hs"), col("sig"),
-        explode(expr(bandStructsExpr(bands, r))).as("b"))
-      .select(col("id"), col("hs"), col("sig"),
-        col("b.band_idx").as("band_idx"), col("b.band_key").as("band_key"))
+    val banded = bandedFromSignatures(sigs, k, bands,
+      carryHashes = true, carrySig = true)
     val keys = Seq("band_idx", "band_key")
     val over = oversizedKeys(banded.select((Seq("id") ++ keys).map(col): _*),
         keys, maxBucket)

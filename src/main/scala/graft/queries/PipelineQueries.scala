@@ -205,6 +205,29 @@ object PipelineQueries {
        |$steps""".stripMargin
   }
 
+  /** Broadcast fixed-depth (≤3 hop) closure over an undirected (a_id,
+    * b_id) edge set, shared by the recall-audit queries
+    * (q_dedup_cap_recall, q_dedup_lsh_recall): returns every ordered
+    * (s, d) pair connected within 3 hops. The edge side is KB-sized on
+    * the audit fixtures, so every hop join BROADCASTS — no exchange —
+    * and the single distinct at the end bounds the path enumeration
+    * (intermediate distincts would each cost a full AQE-wide exchange
+    * for nothing at this size). */
+  private def threeHopClosure(pairs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val e1 = pairs
+      .select(col("a_id").as("s"), col("b_id").as("d"))
+      .unionByName(pairs
+        .select(col("b_id").as("s"), col("a_id").as("d")))
+    val be1 = broadcast(e1.select(col("s").as("__m"), col("d")))
+    val p2 = e1.select(col("s"), col("d").as("__m"))
+      .join(be1, "__m").select(col("s"), col("d"))
+    e1.unionByName(p2).unionByName(
+        p2.select(col("s"), col("d").as("__m"))
+          .join(be1, "__m").select(col("s"), col("d")))
+      .distinct()
+  }
+
   /** Efraimidis-Spirakis key for q_weighted_sample — one shared string so
     * both engines parse the identical expression: u = (mix+1)/(P+1) in
     * (0,1], weight floored at 1 char. (Declared before `all`: the oracle
@@ -1571,22 +1594,9 @@ object PipelineQueries {
       try {
         // the EXACT fixed-depth closure (see docstring: <= 3 hops covers
         // every recoverable true pair by construction, so no iterative
-        // propagation belongs in this plan). The closure side is KB-sized
-        // (<= |V|² = 19 600 pairs), so every hop join BROADCASTS — no
-        // exchange — and one distinct at the end bounds the path
-        // enumeration; intermediate distincts would each cost a full
-        // AQE-wide exchange for nothing at this size
-        val e1 = salvaged
-          .select(col("a_id").as("s"), col("b_id").as("d"))
-          .unionByName(salvaged
-            .select(col("b_id").as("s"), col("a_id").as("d")))
-        val be1 = broadcast(e1.select(col("s").as("__m"), col("d")))
-        val p2 = e1.select(col("s"), col("d").as("__m"))
-          .join(be1, "__m").select(col("s"), col("d"))
-        val r3 = e1.unionByName(p2).unionByName(
-            p2.select(col("s"), col("d").as("__m"))
-              .join(be1, "__m").select(col("s"), col("d")))
-          .distinct()
+        // propagation belongs in this plan); threeHopClosure broadcasts
+        // every hop — the closure side is KB-sized (<= |V|² = 19 600)
+        val r3 = threeHopClosure(salvaged)
         // cells collected EAGERLY in dependency order, one action per
         // cached frame: each cache materializes exactly once before its
         // consumers read it (a fused single-job variant let concurrent
@@ -1724,10 +1734,14 @@ object PipelineQueries {
         k = 16, shingleN = 3).cache()
       // ground truth: exact Jaccard over ALL pairs (one constant block —
       // affordable on the planted fixture, the join you cannot run at
-      // 100 TB, which is why the recall number matters)
-      val truePairs = Dedup.ngramJaccardPairs(
-          corpus.withColumn("blk", lit(1)), "id", "text", "blk",
-          n = 3, threshold = 0.6)
+      // 100 TB, which is why the recall number matters). Built from the
+      // cached sigs' shingle sets — the one signature pass really does
+      // feed every face, including the truth leg
+      val truePairs = Dedup.pairJoin(
+          sigs.select(col("id"), col("hs"), lit(1).as("blk")), Seq("blk"))
+        .filter(size(array_intersect(col("a_hs"), col("b_hs")))
+          .cast("double") /
+          size(array_union(col("a_hs"), col("b_hs"))) >= 0.6)
         .select(col("a_id"), col("b_id")).cache()
       val capped = Dedup.minhashLshVerifiedPairsFromSignatures(sigs,
           k = 16, bands = 4, threshold = 0.6, maxBucket = 64)
@@ -1740,17 +1754,7 @@ object PipelineQueries {
       try {
         // the same broadcast 3-hop closure as q_dedup_cap_recall — here a
         // MEASURE of the construction's radius, not a theorem
-        val e1 = salvaged
-          .select(col("a_id").as("s"), col("b_id").as("d"))
-          .unionByName(salvaged
-            .select(col("b_id").as("s"), col("a_id").as("d")))
-        val be1 = broadcast(e1.select(col("s").as("__m"), col("d")))
-        val p2 = e1.select(col("s"), col("d").as("__m"))
-          .join(be1, "__m").select(col("s"), col("d"))
-        val r3 = e1.unionByName(p2).unionByName(
-            p2.select(col("s"), col("d").as("__m"))
-              .join(be1, "__m").select(col("s"), col("d")))
-          .distinct()
+        val r3 = threeHopClosure(salvaged)
         val nTrue = truePairs.count()
         val nCapped = capped.count()
         val nSalv = salvaged.count()

@@ -647,6 +647,52 @@ class ModulesSpec extends AnyFunSuite {
     }
   }
 
+  test("minhashSalvageVerifiedPairs: verified stars + bounded rep pairs on mega band buckets") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // 20 identical copies of a license header (one signature group) +
+    // 20 copies of the same header with one appended word (a second
+    // group, exact jaccard 28/29 to the first — both groups' band
+    // buckets are mega at cap 8, so the plain capped face drops EVERY
+    // pair and only the salvage tier can recover the mass
+    val headA = (1 to 30).map(i => s"w$i").mkString(" ")
+    val headB = headA + " extraword"
+    val corpus = ((1000L until 1020L).map(i => (i, headA)) ++
+      (2000L until 2020L).map(i => (i, headB))).toDF("id", "text")
+    val sigs = Dedup.minhashSignatures(corpus, "id", "text",
+      k = 16, shingleN = 3).cache()
+    val cap = 8
+    def pairSet(p: org.apache.spark.sql.DataFrame) =
+      p.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = pairSet(Dedup.minhashLshVerifiedPairsFromSignatures(sigs,
+      k = 16, bands = 4, threshold = 0.6, maxBucket = cap))
+    assert(capped.isEmpty, s"every bucket is mega — capped face must drop all: $capped")
+    // the fixture only exercises the rep chain if the two groups share
+    // >= 1 band key (the appended shingle left some band's minima alone)
+    val sharedBands = Dedup.minhashLshPairs(corpus.filter(col("id").isin(1000L, 2000L)),
+        "id", "text", 16, 4, 3)
+      .collect()
+    assert(sharedBands.nonEmpty, "fixture broken: groups share no band")
+    val salvaged = pairSet(Dedup.minhashSalvageVerifiedPairs(sigs,
+      k = 16, bands = 4, threshold = 0.6, maxBucket = cap, maxReps = 16))
+    // stars: 19 (member, rep=min-id) edges per group at jaccard 1.0;
+    // rep pairs: exactly one cross edge (1000, 2000) at 28/29 — LINEAR
+    // where the true pair set is C(40,2) = 780
+    val within = salvaged.filter { case (a, b, _) => (a < 2000L) == (b < 2000L) }
+    val cross = salvaged -- within
+    assert(within == ((1001L until 1020L).map(x => (1000L, x, 1.0)) ++
+      (2001L until 2020L).map(x => (2000L, x, 1.0))).toSet,
+      s"stars wrong: $within")
+    assert(cross == Set((1000L, 2000L, 28.0 / 29.0)), s"rep pairs wrong: $cross")
+    // the second-tier bound: the shared mega bucket holds 2 distinct
+    // signatures, so maxReps = 1 skips rep pairing there but KEEPS the
+    // stars — identical-text groups still collapse
+    val starved = pairSet(Dedup.minhashSalvageVerifiedPairs(sigs,
+      k = 16, bands = 4, threshold = 0.6, maxBucket = cap, maxReps = 1))
+    assert(starved == within, s"maxReps=1 must strip exactly the rep pairs: $starved")
+    sigs.unpersist()
+  }
+
   test("cosine IVF routing: monotone recall in nProbe, saturation equals brute force") {
     import spark.implicits._
     import graft.operators.AnnIndex
