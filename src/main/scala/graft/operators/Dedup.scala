@@ -298,6 +298,34 @@ object Dedup {
     stars.unionByName(repPairs).distinct()
   }
 
+  /** The capped verified LSH join PLUS the mega-bucket salvage tier —
+    * [[hammingPairsSalvaged]]'s MinHash mirror: every pair
+    * [[minhashLshVerifiedPairs]] finds at `maxBucket`, united with
+    * [[minhashSalvageVerifiedPairs]] over the SAME signature table —
+    * bounded tasks (the cap) plus verified recovery of the boilerplate
+    * mass the cap drops; `jaccard` is a function of the pair, so the
+    * distinct collapses pairs found by both tiers.
+    *
+    * COST SHAPE: mirrors the hamming wrapper's caveat — this form
+    * computes [[minhashSignatures]] lazily from `df`, and both tiers
+    * reference that plan from several subtrees, so the tokenize+hash
+    * kernels re-run per subtree. The production shape is
+    * q_dedup_lsh_recall's: materialize the signature table ONCE
+    * (persisted or cached) and feed
+    * [[minhashLshVerifiedPairsFromSignatures]] +
+    * [[minhashSalvageVerifiedPairs]]. Use this wrapper for one-shot
+    * runs on corpora where tokenization is not the dominant cost. */
+  def minhashLshPairsSalvaged(df: DataFrame, keyCol: String, textCol: String,
+                              k: Int, bands: Int, shingleN: Int,
+                              threshold: Double, maxBucket: Int,
+                              maxReps: Int): DataFrame = {
+    val sigs = minhashSignatures(df, keyCol, textCol, k, shingleN)
+    minhashLshVerifiedPairsFromSignatures(sigs, k, bands, threshold, maxBucket)
+      .unionByName(
+        minhashSalvageVerifiedPairs(sigs, k, bands, threshold, maxBucket, maxReps))
+      .distinct()
+  }
+
   /** Candidate near-duplicate pairs by MinHash LSH: k-value signatures cut
     * into `bands` bands; pairs sharing ≥1 band are candidates. Returns
     * (a_id, b_id, n_bands) — callers verify candidates with exact Jaccard

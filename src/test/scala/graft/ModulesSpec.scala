@@ -690,6 +690,11 @@ class ModulesSpec extends AnyFunSuite {
     val starved = pairSet(Dedup.minhashSalvageVerifiedPairs(sigs,
       k = 16, bands = 4, threshold = 0.6, maxBucket = cap, maxReps = 1))
     assert(starved == within, s"maxReps=1 must strip exactly the rep pairs: $starved")
+    // the one-shot wrapper = capped face ∪ salvage tier on the same dials
+    val wrapped = pairSet(Dedup.minhashLshPairsSalvaged(corpus, "id", "text",
+      k = 16, bands = 4, shingleN = 3, threshold = 0.6,
+      maxBucket = cap, maxReps = 16))
+    assert(wrapped == capped ++ salvaged, s"wrapper diverged: $wrapped")
     sigs.unpersist()
   }
 
