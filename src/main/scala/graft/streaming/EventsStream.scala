@@ -186,15 +186,35 @@ object EventsStream {
     * drift between them): prune entries past the watermark, un-saturate
     * once the watermark passes the bucket's last contribution, compare
     * each arrival to the surviving bucket-mates via `matches`, add it,
-    * and SATURATE (drop entries, stop emitting) past `maxBucket`; empty
-    * un-saturated buckets remove their state, live ones register an
-    * event-time timeout strictly past the watermark (a timeout AT the
-    * watermark would never be registered and the bucket would leak if
-    * its key never fired again). */
+    * and SATURATE past `maxBucket`; empty un-saturated buckets remove
+    * their state, live ones register an event-time timeout strictly past
+    * the watermark (a timeout AT the watermark would never be registered
+    * and the bucket would leak if its key never fired again).
+    *
+    * What saturation MEANS is the `repPick` dial — the streaming face of
+    * the batch cap-vs-salvage choice:
+    *  - `None` (the cap): entries drop and the bucket emits nothing
+    *    until the watermark passes it — the boilerplate flood costs
+    *    nothing, and its pairs are recovered offline by the batch
+    *    salvage tier ([[graft.operators.Dedup.hammingSalvageEdges]] /
+    *    `minhashSalvageVerifiedPairs`).
+    *  - `Some(pick)` (the in-flight STAR tier): the bucket keeps ONE
+    *    representative — `pick` folded over the entries at saturation,
+    *    min-id at every call site, matching the batch star tier's rep —
+    *    and each later arrival is compared against the rep ONLY and NOT
+    *    stored: O(1) compare cost and one-entry state per saturated
+    *    bucket, while every flood member still links to the rep, so
+    *    connectivity through the mega-bucket survives in flight instead
+    *    of waiting for the offline salvage pass. A rep aged past the
+    *    watermark is replaced by promoting the next arrival (no
+    *    emission — nothing to compare against). Same caveat as the
+    *    batch star tier: a variant that matches flood members but NOT
+    *    the rep goes unflagged while saturated. */
   private def stepSatBucket[T, P, E, M](
       batch: Iterator[T], state: GroupState[SatBucketState[E]],
       tsOf: T => Long, prepOf: T => P, entryOf: T => E, entryTs: E => Long,
-      matches: (P, E) => Option[M], maxBucket: Int): Iterator[M] =
+      matches: (P, E) => Option[M], maxBucket: Int,
+      repPick: Option[(E, E) => E] = None): Iterator[M] =
     if (batch.isEmpty && state.hasTimedOut) {
       state.remove(); Iterator.empty
     } else {
@@ -214,7 +234,13 @@ object EventsStream {
           val p = prepOf(t)
           entries.foreach { e => matches(p, e).foreach(out += _) }
           entries = entryOf(t) :: entries
-          if (entries.size > maxBucket) { saturated = true; entries = Nil }
+          if (entries.size > maxBucket) {
+            saturated = true
+            entries = repPick.fold(List.empty[E])(p => List(entries.reduce(p)))
+          }
+        } else repPick.foreach { _ =>
+          if (entries.isEmpty) entries = List(entryOf(t))
+          else matches(prepOf(t), entries.head).foreach(out += _)
         }
       }
       if (entries.isEmpty && !saturated) state.remove()
@@ -245,12 +271,19 @@ object EventsStream {
     * batch cap. State is aged two ways: entries older than the watermark
     * are pruned on access, and an event-time timeout reaps idle buckets
     * wholesale. Within a micro-batch, "earlier" is iterator order — the
-    * same tie the exact-dedup state store breaks arbitrarily. */
+    * same tie the exact-dedup state store breaks arbitrarily.
+    *
+    * `salvageRep = true` turns saturation from the silent cap into the
+    * in-flight STAR tier (see [[stepSatBucket]]): the saturated bucket
+    * keeps its min-id arrival as representative and every later flood
+    * member emits its verified match against that rep — O(1) per
+    * arrival, one-entry state, connectivity kept through the flood. */
   def nearDupStream(rows: DataFrame, idCol: String, fpCol: String,
                     bits: Int, chunks: Int, maxHamming: Int,
                     maxBucket: Int = Int.MaxValue,
                     watermark: String = "1 hour",
-                    tsCol: String = "ts"): Dataset[HammingMatch] = {
+                    tsCol: String = "ts",
+                    salvageRep: Boolean = false): Dataset[HammingMatch] = {
     require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
     require(bits % chunks == 0, s"bits=$bits not divisible by chunks=$chunks")
     val session = rows.sparkSession
@@ -286,7 +319,10 @@ object EventsStream {
               if (e.id != id && hd <= maxHamming) Some(HammingMatch(id, e.id, hd))
               else None
             },
-            maxBucket = maxBucket)
+            maxBucket = maxBucket,
+            repPick = if (salvageRep)
+              Some((a: BucketEntry, b: BucketEntry) => if (a.id <= b.id) a else b)
+            else None)
       }
   }
 
@@ -318,12 +354,19 @@ object EventsStream {
     * costing |bucket| shingle-set compares per arrival, exactly the
     * skew the batch cap drops. Bucket state carries shingle-hash sets
     * (needed for the verify), so the cap also bounds state BYTES, not
-    * just entry counts. */
+    * just entry counts. `salvageRep = true` is the in-flight star tier
+    * ([[nearDupStream]]'s dial): the saturated band bucket keeps its
+    * min-id arrival and each flood member exact-Jaccard verifies
+    * against that rep only — here the verification can REJECT the star
+    * edge (signatures collide, sets differ), the same
+    * no-exactness-theorem caveat as the batch
+    * [[graft.operators.Dedup.minhashSalvageVerifiedPairs]]. */
   def lshNearDupStream(rows: DataFrame, idCol: String, textCol: String,
                        k: Int, bands: Int, shingleN: Int, threshold: Double,
                        maxBucket: Int = Int.MaxValue,
                        watermark: String = "1 hour",
-                       tsCol: String = "ts"): Dataset[JaccardMatch] = {
+                       tsCol: String = "ts",
+                       salvageRep: Boolean = false): Dataset[JaccardMatch] = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val session = rows.sparkSession
     import session.implicits._
@@ -363,7 +406,10 @@ object EventsStream {
                 if (j >= threshold) Some(JaccardMatch(id, e.id, j)) else None
               }
             },
-            maxBucket = maxBucket)
+            maxBucket = maxBucket,
+            repPick = if (salvageRep)
+              Some((a: SigEntry, b: SigEntry) => if (a.id <= b.id) a else b)
+            else None)
       }
   }
 
@@ -376,12 +422,14 @@ object EventsStream {
   def mediaNearDupStream(media: DataFrame, idCol: String, contentCol: String,
                          maxHamming: Int = 3,
                          watermark: String = "1 hour",
-                         tsCol: String = "ts"): Dataset[HammingMatch] =
+                         tsCol: String = "ts",
+                         salvageRep: Boolean = false): Dataset[HammingMatch] =
     nearDupStream(
       media.withColumn("__fp",
         graft.operators.Multimodal.dHash64Udf(col(contentCol))),
       idCol, "__fp", bits = 64, chunks = 4, maxHamming = maxHamming,
-      maxBucket = 64, watermark = watermark, tsCol = tsCol)
+      maxBucket = 64, watermark = watermark, tsCol = tsCol,
+      salvageRep = salvageRep)
 
   /** [[mediaNearDupStream]]'s VIDEO sibling — the ingest-tier face of
     * q_video_neardup, completing the streaming near-dup modality matrix
@@ -397,13 +445,15 @@ object EventsStream {
   def videoNearDupStream(media: DataFrame, idCol: String, contentCol: String,
                          maxHamming: Int = 3, stride: Int = 2,
                          watermark: String = "1 hour",
-                         tsCol: String = "ts"): Dataset[HammingMatch] =
+                         tsCol: String = "ts",
+                         salvageRep: Boolean = false): Dataset[HammingMatch] =
     nearDupStream(
       media.withColumn("__fp",
         graft.operators.Multimodal.videoFingerprintUdf(col(contentCol),
           lit(stride))),
       idCol, "__fp", bits = 64, chunks = 4, maxHamming = maxHamming,
-      maxBucket = 64, watermark = watermark, tsCol = tsCol)
+      maxBucket = 64, watermark = watermark, tsCol = tsCol,
+      salvageRep = salvageRep)
 
   /** [[dedupStream]] keyed by CANONICAL URL instead of content
     * fingerprint — the streaming face of q_url_dedup: a crawl frontier

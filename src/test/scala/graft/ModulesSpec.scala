@@ -1506,6 +1506,44 @@ class ModulesSpec extends AnyFunSuite {
     // arrivals 2 and 3 match before the bucket exceeds 2; the saturation
     // then silences 4..6 (uncapped would emit 5+4+3 more hits)
     assert(capped.toSet == Set((2L, 1L), (3L, 1L), (3L, 2L)), s"got $capped")
+    // salvageRep: the same flood with the in-flight STAR tier — the
+    // saturated bucket keeps min-id arrival 1 as representative and
+    // 4..6 each emit exactly their verified star edge to it (hamming 0),
+    // O(1) per arrival where the cap went silent and the uncapped form
+    // compared against everything
+    val mem3 = MemoryStream[(Timestamp, Long, Array[Byte])]
+    val df3 = mem3.toDF().toDF("ts", "img_id", "content")
+    val q3 = EventsStream.nearDupStream(
+        df3.withColumn("__fp", Multimodal.dHash64Udf(col("content"))),
+        "img_id", "__fp", bits = 64, chunks = 4, maxHamming = 3,
+        maxBucket = 2, salvageRep = true)
+      .writeStream.format("memory").queryName("media_neardup_star").start()
+    mem3.addData((1L to 6L).map(i =>
+      (Timestamp.valueOf(s"2024-01-01 10:00:0${i - 1}"), i,
+        monoPpm((i % 4).toInt * 30))): _*)
+    q3.processAllAvailable()
+    val starred = spark.table("media_neardup_star").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).distinct.toSeq
+    // rep PROMOTION: the rep ages past the watermark while the flood
+    // continues. Batch 2 (arrival 7, event time 12:00) still runs under
+    // the old watermark, so 7 stars against rep 1 AND advances the
+    // watermark to 11:00 for the next batch; in batch 3 the 10:00 rep
+    // is pruned, arrival 8 is promoted silently (no emission), and 9
+    // stars against the NEW rep 8 — the bucket never goes blind
+    mem3.addData((Timestamp.valueOf("2024-01-01 12:00:00"), 7L, monoPpm(0)))
+    q3.processAllAvailable() // watermark -> 11:00, past the 10:00 rep
+    mem3.addData(
+      (Timestamp.valueOf("2024-01-01 12:00:01"), 8L, monoPpm(30)),
+      (Timestamp.valueOf("2024-01-01 12:00:02"), 9L, monoPpm(60)))
+    q3.processAllAvailable()
+    val promoted = spark.table("media_neardup_star").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).distinct.toSeq
+      .filter(_._1 >= 7L)
+    q3.stop()
+    assert(starred.toSet == Set((2L, 1L, 0), (3L, 1L, 0), (3L, 2L, 0),
+      (4L, 1L, 0), (5L, 1L, 0), (6L, 1L, 0)), s"got $starred")
+    assert(promoted.toSet == Set((7L, 1L, 0), (9L, 8L, 0)),
+      s"promotion broke: $promoted")
   }
 
   test("streaming video near-dup: edited clips flagged in-flight, black clips saturate") {
@@ -1619,6 +1657,33 @@ class ModulesSpec extends AnyFunSuite {
     // arrivals 2 and 3 match; saturation then silences 4..8 (uncapped
     // would emit 7+6+...+1 more)
     assert(sat.toSet == Set((2L, 1L), (3L, 1L), (3L, 2L)), s"got $sat")
+    // salvageRep: the same boilerplate flood with the in-flight STAR
+    // tier — 4..8 each exact-Jaccard verify against min-id rep 1 and
+    // emit their star edge at 1.0; a NEAR-variant (one appended word,
+    // jaccard 10/11 < the 0.95 threshold) that still shares a band with
+    // the rep is candidate-matched but VERIFIED AWAY — the streaming
+    // face of the batch salvage tier's no-exactness-theorem caveat
+    val variant = twinText + " extra"
+    assert(Dedup.minhashLshPairs(
+        Seq((1L, twinText), (99L, variant)).toDF("doc_id", "text"),
+        "doc_id", "text", 16, 4, 3).collect().nonEmpty,
+      "fixture broken: variant shares no band with the rep")
+    val mem3 = MemoryStream[(Timestamp, Long, String)]
+    val df3 = mem3.toDF().toDF("ts", "doc_id", "text")
+    val q3 = EventsStream.lshNearDupStream(df3, "doc_id", "text",
+        k = 16, bands = 4, shingleN = 3, threshold = 0.95, maxBucket = 2,
+        salvageRep = true)
+      .writeStream.format("memory").queryName("lsh_neardup_star").start()
+    mem3.addData(((1L to 8L).map(i =>
+      (Timestamp.valueOf(s"2024-01-01 10:00:0${i - 1}"), i, twinText)) :+
+      ((Timestamp.valueOf("2024-01-01 10:00:08"), 9L, variant))): _*)
+    q3.processAllAvailable()
+    val star = spark.table("lsh_neardup_star").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).distinct.toSeq
+    q3.stop()
+    assert(star.toSet == ((2L to 8L).flatMap(i =>
+        Seq((i, 1L, 1.0)) ++ (if (i == 3L) Seq((3L, 2L, 1.0)) else Nil)).toSet),
+      s"got $star")
   }
 
   test("streaming per-window top-k leaderboard merges state across batches") {
