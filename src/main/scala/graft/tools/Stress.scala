@@ -17,7 +17,9 @@ import graft.core.Tables
   *
   * Run: `SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_STRESS_M=10
   *       sbt "runMain graft.tools.Stress"` — prints one JSON line.
-  */
+  * `SPARK_GRAFT_STRESS_ONLY=dedup_minhash_salvaged,...` measures just
+  * those workloads (the bench's SPARK_GRAFT_ONLY discipline: adding a
+  * row never requires re-paying the whole suite at every M). */
 object Stress {
 
   private def time[A](body: => A): (A, Double) = {
@@ -53,20 +55,29 @@ object Stress {
     val spark: SparkSession = graft.core.Graft.session(s"local[$cpus]",
       shufflePartitions = shuffle, appName = "graft-stress")
 
+    val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def include(name: String): Boolean = only.forall(_.contains(name))
+
     val stride = 100000000L
     val li = scaled(Tables.lineitem(spark, sfDir), m, stride, Seq("l_orderkey"))
     val ord = scaled(Tables.orders(spark, sfDir), m, stride, Seq("o_orderkey"))
     val docs = scaled(Tables.documents(spark, sfDir), m, stride, Seq("doc_id"))
     // actual input sizes, not assumed-sf0.1 constants: SPARK_GRAFT_SF_DIR
-    // is configurable, so the reported "rows" must come from the data (two
-    // cheap count-only scans, untimed)
-    val liRows = li.count()
-    val docRows = docs.count()
+    // is configurable, so the reported "rows" must come from the data
+    // (cheap count-only scans, untimed, and only for included workloads)
+    lazy val liRows = li.count()
+    lazy val docRows = docs.count()
 
     val results = scala.collection.mutable.LinkedHashMap[String, (Long, Double)]()
+    def measure(name: String, rows: => Long)(body: => Any): Unit =
+      if (include(name)) {
+        val (_, s) = time(body)
+        results += name -> (rows, s)
+      }
 
     // star join + grouped agg: one fact shuffle, dims broadcast
-    val (starRows, starS) = time {
+    measure("star_join_agg", liRows) {
       li.join(broadcast(Tables.supplier(spark, sfDir)),
           col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Tables.nation(spark, sfDir)),
@@ -76,10 +87,9 @@ object Stress {
           sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
         .count()
     }
-    results += "star_join_agg" -> (liRows, starS)
 
     // fact-to-fact join + per-key window (latest lineitem per order)
-    val (wRows, wS) = time {
+    measure("join_window_latest", liRows) {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("l_orderkey").orderBy(desc("l_linenumber"))
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
@@ -87,22 +97,19 @@ object Stress {
         .filter(col("rn") === 1)
         .count()
     }
-    results += "join_window_latest" -> (liRows, wS)
 
     // exact dedup over the M-way duplicated corpus
-    val (exRows, exS) = time {
+    measure("dedup_exact", docRows) {
       graft.operators.Dedup.exact(docs, "doc_id", "text").count()
     }
-    results += "dedup_exact" -> (docRows, exS)
 
     // MinHash LSH near-dup pairs: M copies of each doc → the pair table
     // grows ~M² per doc; banding must keep it a keyed join, not a cross
-    val (pairRows, pairS) = time {
+    measure("dedup_minhash_pairs", docRows) {
       graft.operators.Dedup
         .minhashLshPairs(docs, "doc_id", "text", k = 16, bands = 4, shingleN = 3)
         .count()
     }
-    results += "dedup_minhash_pairs" -> (docRows, pairS)
 
     // the same corpus with the mega-bucket cap: every original doc's band
     // bucket holds its M copies, so a cap below M excludes ALL of them —
@@ -110,20 +117,35 @@ object Stress {
     // banding/shuffle cost stays. This is the boilerplate-skew defense
     // measured: capped wall-clock should stay near-flat in M where the
     // uncapped pair count above grows ~M² per doc.
-    val (cappedPairs, capS) = time {
+    measure("dedup_minhash_capped", docRows) {
       graft.operators.Dedup
         .minhashLshPairs(docs, "doc_id", "text", k = 16, bands = 4,
           shingleN = 3, maxBucket = math.max(2, m / 2))
         .count()
     }
-    results += "dedup_minhash_capped" -> (docRows, capS)
+
+    // the SALVAGE tier on the same corpus (r9): instead of dropping each
+    // doc's M-copy band bucket, minhashLshPairsSalvaged collapses it
+    // into identical-signature groups — M identical copies are ONE
+    // group, so the tier emits M-1 verified star edges per doc (LINEAR
+    // output where the dropped pair set grew M² per doc) plus rep pairs
+    // bounded by maxReps² per bucket. Wall-clock must track the capped
+    // row ~linearly in M: the extra cost is the salvage aggregates plus
+    // one exact-Jaccard verify per star edge.
+    measure("dedup_minhash_salvaged", docRows) {
+      graft.operators.Dedup
+        .minhashLshPairsSalvaged(docs, "doc_id", "text", k = 16, bands = 4,
+          shingleN = 3, threshold = 0.8, maxBucket = math.max(2, m / 2),
+          maxReps = 16)
+        .count()
+    }
 
     // line-level boilerplate removal over the duplicated corpus: with M
     // copies of every doc, EVERY segment crosses the df >= 2 bar, so this
     // measures the worst case — the boilerplate set is the whole distinct
     // segment space (constant in M) and the broadcast join back drops all
     // of it. Slope should track the explode + aggregate, ~linear in M.
-    val (segRows, segS) = time {
+    measure("segment_dedup", docRows) {
       val seg = docs.select(col("doc_id"),
         posexplode(expr(graft.functions.text.segments(
           graft.functions.SparkDialect, "text", 8))).as(Seq("pos", "seg")))
@@ -136,13 +158,12 @@ object Stress {
           sum(when(col("b_seg").isNotNull, 1).otherwise(0)).as("n_dropped"))
         .count()
     }
-    results += "segment_dedup" -> (docRows, segS)
 
     // classifier inference (q_kmeans_iter's sibling in PipelineQueries):
     // the hashed-weight fold is pure scan-side work, so wall-clock must
     // track the scan ~linearly in M — any superlinear bend would mean the
     // "zero-shuffle inference" claim broke
-    val (_, clsS) = time {
+    measure("classifier_score", docRows) {
       import graft.functions.{text, SparkDialect => S}
       val logit = S.fold(text.tokenHashes(S, "text"), "CAST(0 AS BIGINT)",
         "acc", "h", s"acc + (((h * 2654435761) % ${text.P}) % 20001 - 10000)")
@@ -151,14 +172,12 @@ object Stress {
         .agg(count(lit(1)).as("n"))
         .count()
     }
-    results += "classifier_score" -> (docRows, clsS)
 
     // k-means assignment over M-scaled embeddings: one broadcast centroid
     // row + the projection argmin (native qdist_sq kernel) — like the
     // classifier, a scan-shaped pass whose slope must stay linear
-    val emb = scaled(Tables.embeddings(spark, sfDir), m, stride, Seq("vec_id"))
-    val embRows = emb.count()
-    val (_, kmS) = time {
+    lazy val emb = scaled(Tables.embeddings(spark, sfDir), m, stride, Seq("vec_id"))
+    measure("kmeans_assign", emb.count()) {
       import graft.functions.{SparkDialect => S}
       val qv = emb.select(col("vec_id"),
         expr(S.transform(S.castDoubleArray("embedding"), "x",
@@ -174,13 +193,12 @@ object Stress {
         .groupBy("cluster").agg(count(lit(1)))
         .count()
     }
-    results += "kmeans_assign" -> (embRows, kmS)
 
     // stage-zero scrub kernels (round-6 family): NFC normalize + HTML
     // extract + URL canonicalize chained over the scaled corpus — three
     // per-row kernels in one projection, zero shuffle, so the slope is
     // the scan's. A bend here would mean a kernel stopped being one-pass
-    val (_, scrubS) = time {
+    measure("scrub_kernels", docRows) {
       import graft.functions.TextNorm
       docs.select(col("doc_id"),
           TextNorm.normalizeCol(col("text")).as("t"),
@@ -193,7 +211,6 @@ object Stress {
         .groupBy(length(col("x")) % 7, col("u")).agg(count(lit(1)))
         .count()
     }
-    results += "scrub_kernels" -> (docRows, scrubS)
 
     // windowed collocation pairs (q_collocations' r7 shape): pair
     // generation is a per-row ±4-token HOF — LINEAR per doc, ≤ 4·len
@@ -201,7 +218,7 @@ object Stress {
     // counts, and the only shuffle is the vocab-bounded aggregate. The
     // r6 doc-keyed self-join this replaced was per-doc quadratic: linear
     // in doc COUNT here too, but one long doc could sink a task
-    val (_, colS) = time {
+    measure("collocation_window_pairs", docRows) {
       import graft.functions.{text, SparkDialect => S}
       docs.select(col("doc_id"), expr(text.tokens(S, "text")).as("toks"))
         .select(explode(expr(
@@ -209,7 +226,6 @@ object Stress {
         .groupBy("p.wa", "p.wb").agg(count(lit(1)).as("nab"))
         .count()
     }
-    results += "collocation_window_pairs" -> (docRows, colS)
 
     // containment dedup under a HOT-PREFIX corpus (q_containment_dedup's
     // shape): the M identical copies of every doc land in the SAME
@@ -219,7 +235,7 @@ object Stress {
     // pairJoin defense) and wall-clock must stay near-flat in M: the
     // residual is the linear per-doc signature projection, exactly like
     // dedup_minhash_capped above.
-    val (contPairs, contS) = time {
+    measure("containment_capped", docRows) {
       import graft.functions.TextSig
       val keyed = docs.select(col("doc_id").as("id"), col("text"),
         TextSig.prefixHashUdf(col("text"), lit(3)).as("blk"))
@@ -234,22 +250,20 @@ object Stress {
           greatest(least(size(col("a_sh")), size(col("b_sh"))), lit(1)) >= 0.8)
         .count()
     }
-    results += "containment_capped" -> (docRows, contS)
 
     // perceptual fingerprint dedup over the scaled corpus (r7 families):
     // real container encode + real decode + hash per row — pure
     // scan-shaped kernel work, then ONE keyed aggregate each. Slope must
     // track the scan; a bend would mean a codec kernel stopped being
     // per-row or the dedup aggregate stopped map-side-combining.
-    val (_, imgS) = time {
+    measure("image_fingerprint_dedup", docRows) {
       import graft.operators.Multimodal
       docs.select(Multimodal.dHash64Udf(
           Multimodal.nearImageForDocUdf(col("doc_id") % 80000)).as("dhash"))
         .groupBy("dhash").agg(count(lit(1)))
         .count()
     }
-    results += "image_fingerprint_dedup" -> (docRows, imgS)
-    val (_, audS) = time {
+    measure("audio_fingerprint_dedup", docRows) {
       import graft.operators.Multimodal
       docs.select(Multimodal.audioFingerprintUdf(
           Multimodal.audioVariantForDocUdf(col("doc_id") % 60000),
@@ -257,11 +271,10 @@ object Stress {
         .groupBy("fp").agg(count(lit(1)))
         .count()
     }
-    results += "audio_fingerprint_dedup" -> (docRows, audS)
     // video fingerprint (r8): real Y4M walk + temporal-mean dHash per
     // row — the same scan-shaped profile as the image/audio rows, with a
     // heavier per-row kernel (every 2nd frame's 72 grid samples)
-    val (_, vidS) = time {
+    measure("video_fingerprint_dedup", docRows) {
       import graft.operators.Multimodal
       docs.select(Multimodal.videoFingerprintUdf(
           Multimodal.nearVideoForDocUdf(col("doc_id") % 80000),
@@ -269,7 +282,6 @@ object Stress {
         .groupBy("fp").agg(count(lit(1)))
         .count()
     }
-    results += "video_fingerprint_dedup" -> (docRows, vidS)
 
     // capped hamming pair search under the mega-bucket WORST case (r8):
     // HALF the corpus fingerprints are all-zero — the monochrome-image /
@@ -281,14 +293,13 @@ object Stress {
     // Fingerprints are synthesized (xxhash64 spread) because this row
     // measures the JOIN machinery — the decode kernels' slope is the
     // three fingerprint_dedup rows above.
-    val (hamPairs, hamS) = time {
-      val fps = docs.select(col("doc_id").as("id"),
-        when(col("doc_id") % 2 === 0, lit(0L))
-          .otherwise(xxhash64(col("doc_id"))).as("fp"))
-      graft.operators.Dedup.hammingPairs(fps, "id", "fp",
+    def halfZeroFps: DataFrame = docs.select(col("doc_id").as("id"),
+      when(col("doc_id") % 2 === 0, lit(0L))
+        .otherwise(xxhash64(col("doc_id"))).as("fp"))
+    measure("hamming_capped_megabucket", docRows) {
+      graft.operators.Dedup.hammingPairs(halfZeroFps, "id", "fp",
         bits = 64, chunks = 4, maxHamming = 3, maxBucket = 64).count()
     }
-    results += "hamming_capped_megabucket" -> (docRows, hamS)
 
     // the SALVAGE tier on the same worst case (r9): instead of dropping
     // the all-zero mega-bucket, hammingPairsSalvaged collapses it into
@@ -297,15 +308,11 @@ object Stress {
     // the dropped pair set was quadratic) plus <= maxReps² rep compares
     // per bucket. Wall-clock must track the capped row ~linearly in M:
     // the extra cost is one more aggregate over the oversized rows.
-    val (salvPairs, salvS) = time {
-      val fps = docs.select(col("doc_id").as("id"),
-        when(col("doc_id") % 2 === 0, lit(0L))
-          .otherwise(xxhash64(col("doc_id"))).as("fp"))
-      graft.operators.Dedup.hammingPairsSalvaged(fps, "id", "fp",
+    measure("hamming_salvaged_megabucket", docRows) {
+      graft.operators.Dedup.hammingPairsSalvaged(halfZeroFps, "id", "fp",
         bits = 64, chunks = 4, maxHamming = 3, maxBucket = 64,
         maxReps = 16).count()
     }
-    results += "hamming_salvaged_megabucket" -> (docRows, salvS)
 
     // incremental hamming mine (r8): the chunk index over the M-scaled
     // corpus is built (and checkpointed) once — the offline cost — and a
@@ -315,33 +322,36 @@ object Stress {
     // batch × bucket-mates, so its slope should stay far below the
     // from-scratch pair search's as M grows (the scan of the index is the
     // linear floor).
-    val corpusFps = docs.select(col("doc_id").as("id"),
-      xxhash64(col("doc_id") % stride).as("fp"))
-    val (idx, idxS) = time {
-      graft.operators.Dedup.hammingChunkIndex(corpusFps, "id", "fp",
-        bits = 64, chunks = 4).localCheckpoint(true)
+    if (include("hamming_index_build") || include("hamming_incremental_batch")) {
+      val corpusFps = docs.select(col("doc_id").as("id"),
+        xxhash64(col("doc_id") % stride).as("fp"))
+      val (idx, idxS) = time {
+        graft.operators.Dedup.hammingChunkIndex(corpusFps, "id", "fp",
+          bits = 64, chunks = 4).localCheckpoint(true)
+      }
+      if (include("hamming_index_build"))
+        results += "hamming_index_build" -> (docRows, idxS)
+      if (include("hamming_incremental_batch")) {
+        // batch ids offset PAST every corpus copy (copies occupy offsets
+        // 0..m-1; a fixed offset inside that range would collide with that
+        // copy's ids and the a_id =!= b_id filter would silently drop the
+        // colliding twin pairs, distorting the measured slope)
+        val batch = Tables.documents(spark, sfDir)
+          .select((col("doc_id") + m.toLong * stride).as("id"),
+            xxhash64(col("doc_id")).as("fp"))
+        val batchRows = batch.count()
+        val (_, incrS) = time {
+          graft.operators.Dedup.hammingIncrementalPairs(batch, idx, "id", "fp",
+            bits = 64, chunks = 4, maxHamming = 3, maxBucket = 64).count()
+        }
+        results += "hamming_incremental_batch" -> (batchRows, incrS)
+      }
     }
-    results += "hamming_index_build" -> (docRows, idxS)
-    // batch ids offset PAST every corpus copy (copies occupy offsets
-    // 0..m-1; a fixed offset inside that range would collide with that
-    // copy's ids and the a_id =!= b_id filter would silently drop the
-    // colliding twin pairs, distorting the measured slope)
-    val batch = Tables.documents(spark, sfDir)
-      .select((col("doc_id") + m.toLong * stride).as("id"),
-        xxhash64(col("doc_id")).as("fp"))
-    val batchRows = batch.count()
-    val (incrPairs, incrS) = time {
-      graft.operators.Dedup.hammingIncrementalPairs(batch, idx, "id", "fp",
-        bits = 64, chunks = 4, maxHamming = 3, maxBucket = 64).count()
-    }
-    results += "hamming_incremental_batch" -> (batchRows, incrS)
 
     val qs = results.map { case (k, (rows, s)) =>
       s""""$k":{"rows":$rows,"sec":${f"$s%.2f"}}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"stress","m":$m,"workloads":$qs,"sf":"$sfDir"}""")
-    // pair count sanity: every doc appears in >= its copy-pair count only
-    // when banding recalls them; report the measured pair rows for the log
     spark.stop()
   }
 }
