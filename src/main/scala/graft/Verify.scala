@@ -294,11 +294,57 @@ object Verify {
       s"streaming LSH saturation envelope: ${boilerPairs.size} boilerplate " +
         s"pairs, expected [2080, $capEnv] (150 unsaturated arrivals " +
         "would emit 11175)")
+    // 5) the salvageRep STAR tier on the same fixture: saturation keeps
+    // the bucket's min-id arrival as representative, so the 85 post-
+    // saturation boilerplate arrivals each emit one verified star edge
+    // (jaccard 1.0) instead of going silent — the deterministic total is
+    // EXACTLY C(65,2) + 85 = 2165 distinct pairs (same-ts arrivals mean
+    // the watermark never ages the rep out), the healthy tier is
+    // untouched (twin buckets never saturate), and the batch salvage
+    // tier's boilerplate star edges must be a SUBSET of the streamed
+    // emissions — the stream recovers in flight at least what the
+    // offline pass would
+    val q5 = graft.streaming.EventsStream
+      .lshNearDupStream(
+        spark.readStream.schema(lshSchema).parquet(lshIn), "id", "text",
+        k = k4, bands = bands4, shingleN = sh4, threshold = thr4,
+        maxBucket = 64, salvageRep = true)
+      .writeStream.format("memory").queryName("smoke_lsh_star")
+      .option("checkpointLocation", tmp.resolve("ck5").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q5.awaitTermination()
+    val starStreamed = spark.table("smoke_lsh_star")
+      .select(least(col("id"), col("matched_id")).as("a_id"),
+        greatest(col("id"), col("matched_id")).as("b_id"), col("jaccard"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val starHealthy = starStreamed.filter(p => p._1 < boilerBase && p._2 < boilerBase)
+    require(starHealthy == lshBatch,
+      s"star tier disturbed the healthy emissions: ${starHealthy.size} vs " +
+        s"${lshBatch.size}")
+    val starBoiler = starStreamed -- starHealthy
+    require(starBoiler.forall(p =>
+        p._1 >= boilerBase && p._2 >= boilerBase && p._3 == 1.0),
+      "star-tier boilerplate emission crossed tiers or verified below 1.0")
+    require(starBoiler.size == 2080 + 85,
+      s"star-tier boilerplate emissions: ${starBoiler.size}, expected " +
+        "exactly 2165 = C(65,2) pre-saturation + 85 star edges")
+    val batchSalvBoiler = graft.operators.Dedup.minhashSalvageVerifiedPairs(
+        graft.operators.Dedup.minhashSignatures(
+          spark.read.parquet(lshIn), "id", "text", k = k4, shingleN = sh4),
+        k = k4, bands = bands4, threshold = thr4, maxBucket = 64,
+        maxReps = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      .filter(p => p._1 >= boilerBase && p._2 >= boilerBase)
+    require(batchSalvBoiler.subsetOf(starBoiler),
+      s"batch salvage found boilerplate edges the stream's star tier " +
+        s"missed: ${(batchSalvBoiler -- starBoiler).take(3)}")
     println(s"[verify] streaming_smoke OK: ${gotFps.length} dedup " +
       s"survivors, ${got.length} daily-window rows, " +
       s"${streamedHealthy.size} near-dup pairs parity-matched " +
       s"(+${monoPairs.size} saturation-bounded mono emissions), " +
       s"${lshHealthy.size} LSH pairs parity-matched " +
-      s"(+${boilerPairs.size} saturation-bounded boilerplate emissions)")
+      s"(+${boilerPairs.size} saturation-bounded boilerplate emissions, " +
+      s"star tier ${starBoiler.size} exact)")
   }
 }

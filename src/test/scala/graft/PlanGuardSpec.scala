@@ -337,6 +337,34 @@ class PlanGuardSpec extends AnyFunSuite {
     // the round-8 test, and ModulesSpec pins salvage semantics.
   }
 
+  test("minhash salvage tier keeps its scale-critical plan shapes") {
+    // q_dedup_lsh_recall also collects eagerly, so the tier is pinned at
+    // the OPERATOR level: the two key gates (oversized buckets, rep-
+    // pairable buckets) must broadcast their small-by-construction key
+    // sets as semi builds, and the rep pair join must inherit pairJoin's
+    // shuffle_hash discipline — both its sides derive from the
+    // distributed signature table and can never be broadcast at 100 TB
+    import org.apache.spark.sql.execution.joins._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id").as("id"), col("text"))
+    val sigs = Dedup.minhashSignatures(docs, "id", "text", k = 16, shingleN = 3)
+    val ps = walk(Dedup.minhashSalvageVerifiedPairs(sigs, k = 16, bands = 4,
+        threshold = 0.6, maxBucket = 8, maxReps = 8)
+      .queryExecution.executedPlan)
+    val semis = ps.collect {
+      case b: BroadcastHashJoinExec
+        if b.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => b
+    }
+    assert(semis.size >= 2,
+      s"expected the two broadcast semi key gates, got ${semis.size}")
+    assert(ps.exists(_.isInstanceOf[ShuffledHashJoinExec]),
+      "rep pairJoin is not shuffle_hash")
+    assert(!ps.exists(_.isInstanceOf[CartesianProductExec]),
+      "salvage tier planned a cartesian product")
+  }
+
   test("partitioned parquet layout prunes partitions at the scan") {
     // S10's other half: the 'index build' at 100 TB is a partitioned
     // layout; a filter on the partition column must plan a pruned scan
