@@ -236,7 +236,7 @@ object EventsStream {
           entries = entryOf(t) :: entries
           if (entries.size > maxBucket) {
             saturated = true
-            entries = repPick.fold(List.empty[E])(p => List(entries.reduce(p)))
+            entries = repPick.fold(List.empty[E])(pick => List(entries.reduce(pick)))
           }
         } else repPick.foreach { _ =>
           if (entries.isEmpty) entries = List(entryOf(t))

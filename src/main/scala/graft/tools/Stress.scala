@@ -55,8 +55,23 @@ object Stress {
     val spark: SparkSession = graft.core.Graft.session(s"local[$cpus]",
       shufflePartitions = shuffle, appName = "graft-stress")
 
+    // loud on typos, the SPARK_GRAFT_ONLY discipline: a silently-ignored
+    // name would record an incomplete measurement as if it were the suite
+    val workloadNames = Set("star_join_agg", "join_window_latest",
+      "dedup_exact", "dedup_minhash_pairs", "dedup_minhash_capped",
+      "dedup_minhash_salvaged", "segment_dedup", "classifier_score",
+      "kmeans_assign", "scrub_kernels", "collocation_window_pairs",
+      "containment_capped", "image_fingerprint_dedup",
+      "audio_fingerprint_dedup", "video_fingerprint_dedup",
+      "hamming_capped_megabucket", "hamming_salvaged_megabucket",
+      "hamming_index_build", "hamming_incremental_batch")
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- workloadNames
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_STRESS_ONLY names not in the suite: ${unknown.mkString(", ")}")
+    }
     def include(name: String): Boolean = only.forall(_.contains(name))
 
     val stride = 100000000L
