@@ -255,12 +255,12 @@ object Verify {
       .coalesce(1).write.mode("overwrite").parquet(lshIn)
     val lshSchema = spark.read.parquet(lshIn).schema
     val (k4, bands4, sh4, thr4) = (16, 4, 3, 0.8)
-    // one normalization for every (a, b, jaccard) pair set this section
-    // compares — streamed or batch — so the tiers can never diverge on it
+    // one normalization for every (a, b, similarity) pair set this
+    // section compares — streamed or batch — so tiers can never diverge
     def jpairs(df: org.apache.spark.sql.DataFrame,
-               a: String, b: String): Set[(Long, Long, Double)] =
+               a: String, b: String, v: String = "jaccard"): Set[(Long, Long, Double)] =
       df.select(least(col(a), col(b)).as("a"),
-          greatest(col(a), col(b)).as("b"), col("jaccard"))
+          greatest(col(a), col(b)).as("b"), col(v))
         .distinct()
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val q4 = graft.streaming.EventsStream
@@ -334,12 +334,93 @@ object Verify {
     require((boilerBase until boilerBase + 150).forall(linked.contains),
       s"star tier left flood members unlinked: " +
         s"${(boilerBase until boilerBase + 150).filterNot(linked.contains).take(3)}")
+    // 6) EMBEDDING near-dup stream — the vector face of the matrix under
+    // the same gate: real embeddings + 12 planted x2-rescaled twins
+    // (cosine exactly 1.0, sign-LSH scale-invariant so each twin shares
+    // its original's bucket) + a 150-copy i-rescaled flood of one
+    // synthetic vector, all in ONE bucket the healthy fixture is
+    // filtered away from — so the flood's counts are exact whatever the
+    // arrival order: cap mode emits C(65,2) = 2080 flood pairs then
+    // silences, star mode exactly 2165 with every member linked, and the
+    // healthy tier must equal the capped batch embeddingPairs verdict
+    // over the SAME sign-LSH blocking in both modes.
+    val embIn = tmp.resolve("emb_in").toString
+    val (dimE, planesE, thrE) = (64, 8, 0.99)
+    val floodVec = expr("transform(sequence(1, 64), j -> " +
+      "CAST(CASE WHEN j % 2 = 0 THEN 1.0 ELSE -0.5 END AS DOUBLE))")
+    val floodBucket = spark.range(1)
+      .select(graft.operators.AnnIndex.bucketExprOf(floodVec, dimE, planesE)
+        .as("b")).head().getLong(0)
+    val healthyEmb = graft.core.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 100)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .filter(graft.operators.AnnIndex.bucketExprOf(col("emb"), dimE, planesE)
+        =!= floodBucket)
+    healthyEmb
+      .unionByName(healthyEmb.filter(col("id") < 12)
+        .select((col("id") + twinBase).as("id"),
+          expr("transform(emb, x -> x * 2.0D)").as("emb")))
+      .unionByName(spark.range(0, 150)
+        .select((col("id") + boilerBase).as("id"),
+          expr("transform(sequence(1, 64), j -> " +
+            "CAST(CASE WHEN j % 2 = 0 THEN 1.0 ELSE -0.5 END AS DOUBLE) " +
+            "* (id + 1))").as("emb")))
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .coalesce(1).write.mode("overwrite").parquet(embIn)
+    val embSchema = spark.read.parquet(embIn).schema
+    val embBatch = jpairs(graft.operators.Dedup.embeddingPairs(
+        graft.operators.AnnIndex.withBucket(
+          spark.read.parquet(embIn), "emb", dimE, planesE),
+        "id", "emb", "bucket", threshold = thrE, maxBucket = 64),
+      "a_id", "b_id", "cosine")
+    require(embBatch.forall(p => p._1 < boilerBase && p._2 < boilerBase),
+      "batch cap failed to drop the embedding flood bucket — fixture broken")
+    require(embBatch.size >= 10,
+      s"planted rescale-twin fixture yielded only ${embBatch.size} capped " +
+        "batch pairs — the embedding parity leg went vacuous")
+    for (star <- Seq(false, true)) {
+      val qe = graft.streaming.EventsStream
+        .embedNearDupStream(
+          spark.readStream.schema(embSchema).parquet(embIn), "id", "emb",
+          dim = dimE, planes = planesE, threshold = thrE, maxBucket = 64,
+          salvageRep = star)
+        .writeStream.format("memory").queryName(s"smoke_emb_$star")
+        .option("checkpointLocation", tmp.resolve(s"ck6_$star").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      qe.awaitTermination()
+      val embStreamed = jpairs(spark.table(s"smoke_emb_$star"),
+        "id", "matched_id", "cosine")
+      val embHealthy = embStreamed.filter(p =>
+        p._1 < boilerBase && p._2 < boilerBase)
+      require(embHealthy == embBatch,
+        s"embedding parity (star=$star): ${embHealthy.size} healthy " +
+          s"streamed vs ${embBatch.size} batch; " +
+          s"missing=${(embBatch -- embHealthy).take(3)} " +
+          s"extra=${(embHealthy -- embBatch).take(3)}")
+      val embFlood = embStreamed -- embHealthy
+      require(embFlood.forall(p =>
+          p._1 >= boilerBase && p._2 >= boilerBase && p._3 == 1.0),
+        s"embedding flood emission (star=$star) crossed tiers or " +
+          "verified below 1.0")
+      val expectFlood = if (star) 2165 else 2080
+      require(embFlood.size == expectFlood,
+        s"embedding flood emissions (star=$star): ${embFlood.size}, " +
+          s"expected exactly $expectFlood (single bucket — order-free)")
+      if (star) {
+        val embLinked = embFlood.flatMap(p => Seq(p._1, p._2))
+        require((boilerBase until boilerBase + 150).forall(embLinked.contains),
+          "embedding star tier left flood members unlinked")
+      }
+    }
     println(s"[verify] streaming_smoke OK: ${gotFps.length} dedup " +
       s"survivors, ${got.length} daily-window rows, " +
       s"${streamedHealthy.size} near-dup pairs parity-matched " +
       s"(+${monoPairs.size} saturation-bounded mono emissions), " +
       s"${lshHealthy.size} LSH pairs parity-matched " +
       s"(+${boilerPairs.size} saturation-bounded boilerplate emissions, " +
-      s"star tier ${starBoiler.size} all-linked)")
+      s"star tier ${starBoiler.size} all-linked), " +
+      s"${embBatch.size} embedding pairs parity-matched in both modes " +
+      "(flood 2080 capped / 2165 starred, exact)")
   }
 }

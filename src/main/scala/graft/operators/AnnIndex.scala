@@ -50,7 +50,12 @@ object AnnIndex {
   }
 
   def bucketExpr(embCol: String, dim: Int, planes: Int): Column =
-    bucketUdf(col(embCol).cast("array<double>"), lit(dim), lit(planes))
+    bucketExprOf(col(embCol), dim, planes)
+
+  /** [[bucketExpr]] over an arbitrary embedding Column (a literal vector,
+    * a transform result) rather than a named input column. */
+  def bucketExprOf(emb: Column, dim: Int, planes: Int): Column =
+    bucketUdf(emb.cast("array<double>"), lit(dim), lit(planes))
 
   /** DuckDB rendering of [[bucketExpr]] for oracle SQL. */
   def bucketSqlDuck(embCol: String, dim: Int, planes: Int): String = {

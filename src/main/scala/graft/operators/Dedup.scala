@@ -819,14 +819,20 @@ object Dedup {
   /** Near-duplicate pairs by embedding cosine ≥ `threshold`, compared within
     * equal `blockCol` (e.g. an LSH bucket from [[AnnIndex.withBucket]]).
     * L2 norms are staged per row, so each pair costs one dot product instead
-    * of three. */
+    * of three. `maxBucket` is the same mega-bucket cap as every other pair
+    * face ([[pairJoin]]): a viral embedding arriving as thousands of
+    * near-identical copies lands one block key, and its quadratic carries
+    * no more information than the flood's star — cap it and salvage
+    * connectivity in flight via
+    * [[graft.streaming.EventsStream.embedNearDupStream]]'s star tier. */
   def embeddingPairs(df: DataFrame, keyCol: String, embCol: String,
-                     blockCol: String, threshold: Double): DataFrame = {
+                     blockCol: String, threshold: Double,
+                     maxBucket: Int = Int.MaxValue): DataFrame = {
     import graft.functions.vectors
     val sigs = df.select(col(keyCol).as("id"), col(blockCol).as("block"),
       col(embCol).as("emb"),
       vectors.l2Norm(col(embCol)).as("nrm"))
-    pairJoin(sigs, Seq("block"))
+    pairJoin(sigs, Seq("block"), maxBucket)
       .withColumn("cosine",
         when(col("a_nrm") === 0.0 || col("b_nrm") === 0.0, lit(0.0))
           .otherwise(vectors.dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))))

@@ -413,6 +413,92 @@ object EventsStream {
       }
   }
 
+  /** One streaming embedding near-dup hit: `id` arrived while
+    * `matched_id` (an earlier arrival within the watermark horizon)
+    * shared its sign-LSH bucket and verified at `cosine` ≥ the
+    * threshold (rounded to 4 decimals, the batch
+    * [[graft.operators.Dedup.embeddingPairs]] contract). */
+  case class CosineMatch(id: Long, matched_id: Long, cosine: Double)
+
+  private[streaming] case class VecEntry(id: Long, emb: Array[Double],
+                                         nrm: Double, tsMs: Long)
+
+  /** Streaming EMBEDDING near-dup detection — the vector-modality face
+    * of the matrix (text LSH bands, image/video hamming chunks, now
+    * embeddings): each arrival is keyed by its
+    * [[graft.operators.AnnIndex.bucketExpr]] sign-LSH bucket (the same
+    * hyperplane hash the batch ANN index builds on, so a persisted
+    * bucket layout and the stream agree on blocking) and exact-cosine
+    * verified against its bucket-mates with per-row staged L2 norms —
+    * one dot product per compare, [[graft.operators.Dedup.embeddingPairs]]'
+    * candidates-then-verify per arrival. Emits a [[CosineMatch]] at
+    * ≥ `threshold`; cosine is rounded to 4 decimals exactly like the
+    * batch face, so stream/batch pair sets compare bit-identically.
+    *
+    * Same bounded-state contract as [[nearDupStream]] ([[stepSatBucket]]):
+    * watermark prune, event-time timeout, and `maxBucket` SATURATION —
+    * a near-duplicate flood (the same viral image's embedding arriving
+    * thousands of times) lands in one bucket and would otherwise cost
+    * |bucket| dot products per arrival AND |bucket|·dim state doubles;
+    * the cap bounds both. `salvageRep = true` is the star tier: the
+    * saturated bucket keeps its min-id arrival and each flood member
+    * verifies against that rep only — verification can REJECT the edge
+    * (sign buckets collide for vectors under the threshold), the LSH
+    * face's no-exactness-theorem caveat. */
+  def embedNearDupStream(rows: DataFrame, idCol: String, embCol: String,
+                         dim: Int, planes: Int, threshold: Double,
+                         maxBucket: Int = Int.MaxValue,
+                         watermark: String = "1 hour",
+                         tsCol: String = "ts",
+                         salvageRep: Boolean = false): Dataset[CosineMatch] = {
+    val session = rows.sparkSession
+    import session.implicits._
+    import graft.functions.vectors
+    val keyed = rows
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol).as("ts"), col(idCol).as("id"),
+        col(embCol).cast("array<double>").as("emb"),
+        graft.operators.AnnIndex.bucketExpr(embCol, dim, planes).as("bucket"),
+        vectors.l2Norm(col(embCol)).as("nrm"))
+      .as[(Timestamp, Long, Array[Double], Long, Double)]
+    def round4(c: Double): Double =
+      BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    keyed
+      .groupByKey(_._4)
+      .flatMapGroupsWithState[SatBucketState[VecEntry], CosineMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, batch: Iterator[(Timestamp, Long, Array[Double], Long, Double)],
+         state: GroupState[SatBucketState[VecEntry]]) =>
+          stepSatBucket[(Timestamp, Long, Array[Double], Long, Double),
+              (Long, Array[Double], Double), VecEntry, CosineMatch](
+            batch, state,
+            tsOf = _._1.getTime,
+            prepOf = t => (t._2, t._3, t._5),
+            entryOf = t => VecEntry(t._2, t._3, t._5, t._1.getTime),
+            entryTs = _.tsMs,
+            matches = { case ((id, emb, nrm), e) =>
+              if (e.id == id) None
+              else {
+                // the batch face's zero-norm guard: cosine 0.0, which a
+                // positive threshold drops — no survivor can differ
+                val c = if (nrm == 0.0 || e.nrm == 0.0) 0.0 else {
+                  var acc = 0.0
+                  var i = 0
+                  val n = math.min(emb.length, e.emb.length)
+                  while (i < n) { acc += emb(i) * e.emb(i); i += 1 }
+                  acc / (nrm * e.nrm)
+                }
+                if (c >= threshold) Some(CosineMatch(id, e.id, round4(c)))
+                else None
+              }
+            },
+            maxBucket = maxBucket,
+            repPick = if (salvageRep)
+              Some((a: VecEntry, b: VecEntry) => if (a.id <= b.id) a else b)
+            else None)
+      }
+  }
+
   /** [[nearDupStream]] over a binary media column through the real
     * [[graft.operators.Multimodal.dHash64]] decode — the near-dup-aware
     * upgrade of [[mediaDedupStream]]: a single-pixel edit or a slightly

@@ -1686,6 +1686,64 @@ class ModulesSpec extends AnyFunSuite {
       s"got $star")
   }
 
+  test("streaming embedding near-dup: rescaled twins verified in-flight, floods saturate and star") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{AnnIndex, Dedup}
+    // the q_dedup_embed fixture trick: an x2-rescaled copy is cosine 1.0
+    // to its original and sign-LSH lands it in the SAME hyperplane
+    // bucket (signs are scale-invariant) — the streamed verdict must
+    // equal the batch embeddingPairs verdict over the same bucketing
+    val v = Array(1.0, 2.0, 3.0, 4.0)
+    val arrivals = Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, v),
+      (Timestamp.valueOf("2024-01-01 10:00:01"), 2L, v.map(_ * 2)),
+      (Timestamp.valueOf("2024-01-01 10:00:02"), 3L, Array(-4.0, 3.0, -2.0, 1.0)))
+    val mem = MemoryStream[(Timestamp, Long, Array[Double])]
+    val df = mem.toDF().toDF("ts", "vec_id", "embedding")
+    val q = EventsStream.embedNearDupStream(df, "vec_id", "embedding",
+        dim = 4, planes = 8, threshold = 0.95)
+      .writeStream.format("memory").queryName("embed_neardup").start()
+    mem.addData(arrivals: _*)
+    q.processAllAvailable()
+    val hits = spark.table("embed_neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).distinct.toSeq
+    q.stop()
+    assert(hits == Seq((2L, 1L, 1.0)), s"got $hits")
+    // batch parity on the same corpus and the same sign-LSH blocking
+    val batchPairs = Dedup.embeddingPairs(
+        AnnIndex.withBucket(
+          arrivals.map { case (_, id, e) => (id, e) }.toDF("vec_id", "embedding"),
+          "embedding", dim = 4, planes = 8),
+        "vec_id", "embedding", "bucket", threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batchPairs == hits.map { case (a, b, c) =>
+      (math.min(a, b), math.max(a, b), c) }.toSet)
+    // flood saturation + the star tier: i-rescaled copies of one vector
+    // (all cosine 1.0, one bucket) at cap 2 — cap mode silences 4..6,
+    // star mode keeps emitting verified edges against min-id rep 1
+    def flood(i: Long) = (Timestamp.valueOf(s"2024-01-01 10:00:0${i - 1}"),
+      i, v.map(_ * i))
+    for ((star, expect) <- Seq(
+        false -> Set((2L, 1L), (3L, 1L), (3L, 2L)),
+        true -> Set((2L, 1L), (3L, 1L), (3L, 2L), (4L, 1L), (5L, 1L), (6L, 1L)))) {
+      val mem2 = MemoryStream[(Timestamp, Long, Array[Double])]
+      val df2 = mem2.toDF().toDF("ts", "vec_id", "embedding")
+      val q2 = EventsStream.embedNearDupStream(df2, "vec_id", "embedding",
+          dim = 4, planes = 8, threshold = 0.95, maxBucket = 2,
+          salvageRep = star)
+        .writeStream.format("memory").queryName(s"embed_neardup_$star").start()
+      mem2.addData((1L to 6L).map(flood): _*)
+      q2.processAllAvailable()
+      val got = spark.table(s"embed_neardup_$star").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).distinct.toSeq
+      q2.stop()
+      assert(got.forall(_._3 == 1.0), s"star=$star: non-1.0 cosine in $got")
+      assert(got.map(p => (p._1, p._2)).toSet == expect,
+        s"star=$star: got $got")
+    }
+  }
+
   test("streaming per-window top-k leaderboard merges state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
