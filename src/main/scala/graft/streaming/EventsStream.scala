@@ -517,6 +517,28 @@ object EventsStream {
       maxBucket = 64, watermark = watermark, tsCol = tsCol,
       salvageRep = salvageRep)
 
+  /** [[mediaNearDupStream]]'s AUDIO sibling — the clip-ingest face of
+    * q_audio_neardup at its batch geometry (36-bit frame-energy
+    * fingerprint, 3 pigeonhole chunks, hamming ≤ 2, maxBucket=64): each
+    * arriving blob walks the real container parse
+    * ([[graft.operators.Multimodal.audioFingerprint]] — PCM frame
+    * energies folded into 36 bits over `frameLen`-sample frames), so a
+    * re-encoded or slightly-edited clip lands within `maxHamming` bits
+    * and is flagged in flight; silence fingerprints to 0 and saturates
+    * the zero bucket instead of sinking it. */
+  def audioNearDupStream(media: DataFrame, idCol: String, contentCol: String,
+                         maxHamming: Int = 2, frameLen: Int = 256,
+                         watermark: String = "1 hour",
+                         tsCol: String = "ts",
+                         salvageRep: Boolean = false): Dataset[HammingMatch] =
+    nearDupStream(
+      media.withColumn("__fp",
+        graft.operators.Multimodal.audioFingerprintUdf(col(contentCol),
+          lit(frameLen))),
+      idCol, "__fp", bits = 36, chunks = 3, maxHamming = maxHamming,
+      maxBucket = 64, watermark = watermark, tsCol = tsCol,
+      salvageRep = salvageRep)
+
   /** [[mediaNearDupStream]]'s VIDEO sibling — the ingest-tier face of
     * q_video_neardup, completing the streaming near-dup modality matrix
     * (text LSH, image dHash, now clips): each arriving blob walks the

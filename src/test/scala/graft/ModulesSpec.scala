@@ -1609,6 +1609,66 @@ class ModulesSpec extends AnyFunSuite {
     assert(capped.toSet == Set((2L, 1L), (3L, 1L), (3L, 2L)), s"got $capped")
   }
 
+  test("streaming audio near-dup: edited clips flagged in-flight, silence saturates and stars") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Dedup, Multimodal}
+    // clip 4 arrives, then its edited re-post (the ±80000 twin contract,
+    // hamming <= 2 at the 36-bit geometry), then an unrelated clip — the
+    // chunk-bucket state must flag exactly the edit pair, matching the
+    // batch verdict through the same real RIFF/PCM parse
+    val mem = MemoryStream[(Timestamp, Long, Array[Byte])]
+    val df = mem.toDF().toDF("ts", "clip_id", "content")
+    val q = EventsStream.audioNearDupStream(df, "clip_id", "content")
+      .writeStream.format("memory").queryName("audio_neardup").start()
+    val arrivals = Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, Multimodal.nearAudioForDoc(4L)),
+      (Timestamp.valueOf("2024-01-01 10:00:01"), 2L, Multimodal.nearAudioForDoc(80004L)),
+      (Timestamp.valueOf("2024-01-01 10:00:02"), 3L, Multimodal.nearAudioForDoc(9L)))
+    mem.addData(arrivals: _*)
+    q.processAllAvailable()
+    val hits = spark.table("audio_neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).distinct.toSeq
+    q.stop()
+    assert(hits.map { case (a, b, _) => (a, b) } == Seq((2L, 1L)) &&
+      hits.head._3 <= 2, s"got $hits")
+    val batchPairs = Dedup.hammingPairs(
+        arrivals.map { case (_, id, b) => (id, Multimodal.audioFingerprint(b, 256)) }
+          .toDF("id", "fp"), "id", "fp", 36, 3, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batchPairs == hits.map { case (a, b, h) =>
+      (math.min(a, b), math.max(a, b), h.toLong) }.toSet)
+    // silence flood (every silent clip fingerprints to 0 through the real
+    // parse): cap 2 saturates the zero bucket — cap mode silences 4..6,
+    // star mode keeps emitting verified edges against min-id rep 1
+    def silentWav(i: Int): Array[Byte] = {
+      val b = Multimodal.encodeWavMix(34 * 256 + i * 256, 8000, i.toLong)
+      java.util.Arrays.fill(b, 44, b.length, 0.toByte)
+      b
+    }
+    for ((star, expect) <- Seq(
+        false -> Set((2L, 1L), (3L, 1L), (3L, 2L)),
+        true -> Set((2L, 1L), (3L, 1L), (3L, 2L), (4L, 1L), (5L, 1L), (6L, 1L)))) {
+      val mem2 = MemoryStream[(Timestamp, Long, Array[Byte])]
+      val df2 = mem2.toDF().toDF("ts", "clip_id", "content")
+      val q2 = EventsStream.nearDupStream(
+          df2.withColumn("__fp",
+            Multimodal.audioFingerprintUdf(col("content"), lit(256))),
+          "clip_id", "__fp", bits = 36, chunks = 3, maxHamming = 2,
+          maxBucket = 2, salvageRep = star)
+        .writeStream.format("memory").queryName(s"audio_neardup_$star").start()
+      mem2.addData((1L to 6L).map(i =>
+        (Timestamp.valueOf(s"2024-01-01 10:00:0${i - 1}"), i,
+          silentWav((i % 3).toInt))): _*)
+      q2.processAllAvailable()
+      val got = spark.table(s"audio_neardup_$star").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).distinct.toSeq
+      q2.stop()
+      assert(got.forall(_._3 == 0), s"star=$star: nonzero hamming in $got")
+      assert(got.map(p => (p._1, p._2)).toSet == expect, s"star=$star: got $got")
+    }
+  }
+
   test("streaming LSH text near-dup: band-mates verified in-flight, boilerplate saturates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
