@@ -167,6 +167,101 @@ object TextQueries {
         .orderBy("a_id", "b_id")
     },
 
+    Q("q_embed_cap_audit",
+      "The measure-before-committing-a-cap step for the EMBEDDING pair " +
+        "face (q_dedup_cap_audit's discipline on the vector family, now " +
+        "that embeddingPairs carries the same maxBucket cap as every " +
+        "other pair face): real embeddings + a planted 100-copy " +
+        "i-rescaled flood of one synthetic vector — cosine 1.0 " +
+        "pairwise, one sign-LSH bucket by scale-invariance, the viral-" +
+        "embedding skew the cap exists for. Reports the bucket census, " +
+        "exactly what cap 64 drops (oversized buckets, docs, the " +
+        "n(n-1)/2 pairs avoided — the flood's quadratic), the surviving " +
+        "capped pair count at >= 0.99, and that the flood bucket was " +
+        "dropped. At 100 TB this census runs over the persisted bucket " +
+        "layout BEFORE any pair join launches.",
+      Some(s"""WITH corpus AS (
+              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings WHERE vec_id < 300
+              |  UNION ALL
+              |  SELECT vec_id + 100000,
+              |    list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
+              |  FROM embeddings WHERE vec_id < 10
+              |  UNION ALL
+              |  SELECT 200000 + i AS vec_id,
+              |    list_transform(generate_series(1, 64), j ->
+              |      (CASE WHEN j % 2 = 0 THEN 1.0 ELSE -0.5 END) * (i + 1))
+              |      AS emb
+              |  FROM (SELECT unnest(generate_series(0, 99)) AS i)),
+              |bucketed AS (SELECT vec_id, emb,
+              |  ${graft.operators.AnnIndex.bucketSqlDuck("emb", 64, 8)} AS bucket,
+              |  sqrt(list_dot_product(emb, emb)) AS nrm
+              |  FROM corpus),
+              |census AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n
+              |  FROM bucketed GROUP BY bucket),
+              |over AS (SELECT * FROM census WHERE n > 64),
+              |small AS (SELECT b.* FROM bucketed b WHERE NOT EXISTS (
+              |  SELECT 1 FROM over WHERE over.bucket = b.bucket)),
+              |capped AS (SELECT CAST(count(*) AS BIGINT) AS n FROM (
+              |  SELECT 1 FROM small a JOIN small b
+              |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              |  WHERE (CASE WHEN a.nrm = 0.0 OR b.nrm = 0.0 THEN 0.0
+              |    ELSE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) END)
+              |    >= 0.99))
+              |SELECT
+              |  (SELECT CAST(count(*) AS BIGINT) FROM census) AS n_buckets,
+              |  (SELECT CAST(count(*) AS BIGINT) FROM over) AS n_oversized,
+              |  (SELECT COALESCE(CAST(sum(n) AS BIGINT), 0) FROM over)
+              |    AS n_docs_dropped,
+              |  (SELECT COALESCE(CAST(sum(n * (n - 1) // 2) AS BIGINT), 0)
+              |    FROM over) AS n_pairs_avoided,
+              |  (SELECT n FROM capped) AS n_capped_pairs,
+              |  EXISTS(SELECT 1 FROM over o JOIN bucketed f
+              |    ON o.bucket = f.bucket AND f.vec_id >= 200000)
+              |    AS flood_dropped""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val e300 = embeddings(s, dir).filter(col("vec_id") < 300)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      // x2-rescale twins (the q_dedup_embed fixture): cosine 1.0 pairs in
+      // SMALL buckets the cap must keep — the audit shows both faces
+      val corpus = e300
+        .unionByName(e300.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            transform(col("emb"), x => x * 2.0).as("emb")))
+        .unionByName(s.range(0, 100)
+          .select((col("id") + 200000).as("vec_id"),
+            expr("transform(sequence(1, 64), j -> " +
+              "(CASE WHEN j % 2 = 0 THEN 1.0D ELSE -0.5D END) * (id + 1))")
+              .as("emb")))
+        .withColumn("bucket",
+          graft.operators.AnnIndex.bucketExpr("emb", 64, 8))
+        .cache()
+      try {
+        val census = corpus.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n")).cache()
+        try {
+          val over = census.filter(col("n") > 64)
+          // cells collected eagerly, the tuning-family shape: the census
+          // cache materializes once and every scalar reads it
+          val nBuckets = census.count()
+          val Array(nOver, nDocs, nAvoided) = over
+            .agg(count(lit(1)), coalesce(sum(col("n")), lit(0L)),
+              coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)))
+            .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+          val nCapped = graft.operators.Dedup.embeddingPairs(
+            corpus, "vec_id", "emb", "bucket", threshold = 0.99,
+            maxBucket = 64).count()
+          val floodDropped = over
+            .join(corpus.filter(col("vec_id") >= 200000)
+              .select(col("bucket")), "bucket", "left_semi")
+            .limit(1).count() > 0
+          Seq((nBuckets, nOver, nDocs, nAvoided, nCapped, floodDropped))
+            .toDF("n_buckets", "n_oversized", "n_docs_dropped",
+              "n_pairs_avoided", "n_capped_pairs", "flood_dropped")
+        } finally census.unpersist()
+      } finally corpus.unpersist()
+    },
+
     Q("q_lang_id",
       "Language-ID by marker-token voting with deterministic argmax " +
         "(n-gram heuristic family; marker sets are demo stand-ins on synthetic text)",
