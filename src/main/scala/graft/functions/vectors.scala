@@ -21,8 +21,11 @@ object vectors {
     * order DuckDB's list_dot_product and a zip_with/aggregate fold use, so
     * all three produce bit-identical doubles. Compiled loop, not a Catalyst
     * HOF: interpreted lambda evaluation made brute-force similarity scans
-    * ~10x slower at bench scale. */
-  private def dotKernel(a: Array[Double], b: Array[Double]): Double = {
+    * ~10x slower at bench scale. `private[graft]` (not `private`): the
+    * streaming face ([[graft.streaming.EventsStream.embedNearDupStream]])
+    * calls this same kernel inside its state machine so its driver-gated
+    * stream/batch cosine parity can never drift at rounding boundaries. */
+  private[graft] def dotKernel(a: Array[Double], b: Array[Double]): Double = {
     var acc = 0.0
     var i = 0
     val n = math.min(a.length, b.length)

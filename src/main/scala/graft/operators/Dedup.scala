@@ -629,12 +629,14 @@ object Dedup {
       explode(expr(
         // 1L << w, not 1 << w: an Int shift wraps at 32 (chunks=1 -> w=60
         // -> 1<<60 is silently 2^28, collapsing the prefilter's key space)
+        // — and a LONG shift wraps at 64 (bits=64, chunks=1 -> mask 0,
+        // every fingerprint silently in ONE bucket), hence chunkMask.
         // & mask, not %: Spark's % keeps the dividend's sign, so a
         // negative fingerprint's low chunk would come out negative and
         // never match the same bits in a positive fingerprint
         s"transform(sequence(0, ${chunks - 1}), j -> " +
           s"struct(j AS chunk_idx, " +
-          s"shiftrightunsigned(fp, j*$w) & ${(1L << w) - 1}L AS chunk_val))"))
+          s"shiftrightunsigned(fp, j*$w) & ${chunkMask(w)}L AS chunk_val))"))
         .as("c"))
       .select(col("id"), col("fp"), col("c.chunk_idx"), col("c.chunk_val"),
         col("chunk_sig"))
@@ -644,6 +646,12 @@ object Dedup {
     * verified by [[hammingIncrementalPairs]]. */
   private def chunkSig(bits: Int, chunks: Int): Long =
     bits.toLong * 100000L + chunks
+
+  /** Low-`w`-bits mask, safe at w=64 where `(1L << 64) - 1` silently
+    * wraps to 0 (a JVM long shift is mod 64) — the full-width chunk of a
+    * chunks=1 geometry must mask to the whole fingerprint, not nothing. */
+  private[graft] def chunkMask(w: Int): Long =
+    if (w >= 64) -1L else (1L << w) - 1L
 
   /** Incremental perceptual near-dup mining: hamming ≤ `maxHamming`
     * pairs INVOLVING a new fingerprint batch — new×corpus and new×new,

@@ -179,6 +179,16 @@ object EventsStream {
   private[streaming] case class SatBucketState[E](entries: List[E],
                                                   saturated: Boolean, lastTsMs: Long)
 
+  /** The star tier's dial for [[stepSatBucket]]: `idOf` orders the greedy
+    * rep selection (min-id first, matching the batch salvage tier's
+    * min-id hubs), `prepOfE` rebuilds a stored entry's compare-side prep
+    * so entries can be matched against each other at saturation, and
+    * `maxReps` bounds the diverse rep set — the in-flight face of the
+    * batch tier's `maxReps` distinct-signature bound. */
+  private[streaming] case class StarDial[P, E](idOf: E => Long,
+                                               prepOfE: E => P,
+                                               maxReps: Int)
+
   /** The saturating-bucket state transition shared by every streaming
     * near-dup variant ([[nearDupStream]]'s hamming buckets,
     * [[lshNearDupStream]]'s band buckets — one state machine, so the
@@ -191,30 +201,40 @@ object EventsStream {
     * the watermark (a timeout AT the watermark would never be registered
     * and the bucket would leak if its key never fired again).
     *
-    * What saturation MEANS is the `repPick` dial — the streaming face of
+    * What saturation MEANS is the `star` dial — the streaming face of
     * the batch cap-vs-salvage choice:
     *  - `None` (the cap): entries drop and the bucket emits nothing
     *    until the watermark passes it — the boilerplate flood costs
     *    nothing, and its pairs are recovered offline by the batch
     *    salvage tier ([[graft.operators.Dedup.hammingSalvageEdges]] /
     *    `minhashSalvageVerifiedPairs`).
-    *  - `Some(pick)` (the in-flight STAR tier): the bucket keeps ONE
-    *    representative — `pick` folded over the entries at saturation,
-    *    min-id at every call site, matching the batch star tier's rep —
-    *    and each later arrival is compared against the rep ONLY and NOT
-    *    stored: O(1) compare cost and one-entry state per saturated
-    *    bucket, while every flood member still links to the rep, so
-    *    connectivity through the mega-bucket survives in flight instead
-    *    of waiting for the offline salvage pass. A rep aged past the
-    *    watermark is replaced by promoting the next arrival (no
-    *    emission — nothing to compare against). Same caveat as the
-    *    batch star tier: a variant that matches flood members but NOT
-    *    the rep goes unflagged while saturated. */
+    *  - `Some(dial)` (the in-flight STAR tier): the bucket keeps a
+    *    DIVERSE set of up to `maxReps` representatives — built at
+    *    saturation by a min-id-first greedy pass keeping each entry
+    *    that matches no rep already kept, the streaming face of the
+    *    batch salvage tier's per-identical-signature reps — and each
+    *    later arrival is compared against the reps ONLY and NOT stored
+    *    unless it matches NONE of them (then it is promoted as a new
+    *    rep, capacity permitting, with no emission): O(maxReps) compare
+    *    cost and ≤ maxReps-entry state per saturated bucket, while
+    *    every flood member still links to its flood's rep. Diversity is
+    *    what keeps the bucket from going BLIND: a sub-threshold variant
+    *    that lands in the bucket (shared band/chunk, no verified match)
+    *    occupies its own rep slot instead of silencing the flood — the
+    *    flood's own signature keeps (or regains, after rep expiry) a
+    *    rep of its own, because a flood member matching no current rep
+    *    is itself promoted. Reps aged past the watermark are pruned;
+    *    the next arrivals re-seed the rep set the same way. Caveat
+    *    (the batch tier's `__n_reps <= maxReps` bail, in-flight): once
+    *    maxReps mutually-non-matching reps are held, an arrival
+    *    matching none of them goes unflagged while saturated — such a
+    *    bucket is not a boilerplate flood, and its pairs belong to the
+    *    offline pass. */
   private def stepSatBucket[T, P, E, M](
       batch: Iterator[T], state: GroupState[SatBucketState[E]],
       tsOf: T => Long, prepOf: T => P, entryOf: T => E, entryTs: E => Long,
       matches: (P, E) => Option[M], maxBucket: Int,
-      repPick: Option[(E, E) => E] = None): Iterator[M] =
+      star: Option[StarDial[P, E]] = None): Iterator[M] =
     if (batch.isEmpty && state.hasTimedOut) {
       state.remove(); Iterator.empty
     } else {
@@ -236,11 +256,30 @@ object EventsStream {
           entries = entryOf(t) :: entries
           if (entries.size > maxBucket) {
             saturated = true
-            entries = repPick.fold(List.empty[E])(pick => List(entries.reduce(pick)))
+            entries = star.fold(List.empty[E]) { d =>
+              // min-id-first greedy diverse set: keep each entry that
+              // matches no rep already kept (pairs among the entries
+              // already emitted on arrival — no emission here)
+              var reps = List.empty[E]
+              entries.sortBy(d.idOf).foreach { e =>
+                if (reps.size < d.maxReps &&
+                    !reps.exists(r => matches(d.prepOfE(e), r).isDefined))
+                  reps = e :: reps
+              }
+              reps.reverse
+            }
           }
-        } else repPick.foreach { _ =>
-          if (entries.isEmpty) entries = List(entryOf(t))
-          else matches(prepOf(t), entries.head).foreach(out += _)
+        } else star.foreach { d =>
+          val p = prepOf(t)
+          var matched = false
+          entries.foreach { r =>
+            matches(p, r).foreach { m => out += m; matched = true }
+          }
+          // a flood member matching no rep re-seeds its flood's rep slot
+          // (promotion emits nothing — there was nothing to verify
+          // against); a matching arrival is NOT stored
+          if (!matched && entries.size < d.maxReps)
+            entries = entries :+ entryOf(t)
         }
       }
       if (entries.isEmpty && !saturated) state.remove()
@@ -275,9 +314,11 @@ object EventsStream {
     *
     * `salvageRep = true` turns saturation from the silent cap into the
     * in-flight STAR tier (see [[stepSatBucket]]): the saturated bucket
-    * keeps its min-id arrival as representative and every later flood
-    * member emits its verified match against that rep — O(1) per
-    * arrival, one-entry state, connectivity kept through the flood. */
+    * keeps a diverse min-id-first rep set (≤ 4) and every later flood
+    * member emits its verified match against the reps — O(1) per
+    * arrival, bounded state, connectivity kept through the flood even
+    * when a non-matching outlier shares the bucket (it occupies its own
+    * rep slot instead of blinding the flood's). */
   def nearDupStream(rows: DataFrame, idCol: String, fpCol: String,
                     bits: Int, chunks: Int, maxHamming: Int,
                     maxBucket: Int = Int.MaxValue,
@@ -293,10 +334,12 @@ object EventsStream {
       .withWatermark(tsCol, watermark)
       .select(col(tsCol).as("ts"), col(idCol).as("id"), col(fpCol).as("fp"))
       .select(col("ts"), col("id"), col("fp"), explode(expr(
-        // same unsigned-shift + mask chunking as Dedup.hammingChunkIndex
+        // same unsigned-shift + mask chunking as Dedup.hammingChunkIndex,
+        // incl. the w=64 wrap-safe mask (chunks=1 would otherwise collapse
+        // every fingerprint into one bucket)
         s"transform(sequence(0, ${chunks - 1}), j -> " +
           s"struct(j AS chunk_idx, " +
-          s"shiftrightunsigned(fp, j*$w) & ${(1L << w) - 1}L AS chunk_val))"))
+          s"shiftrightunsigned(fp, j*$w) & ${graft.operators.Dedup.chunkMask(w)}L AS chunk_val))"))
         .as("c"))
       .select(col("ts"), col("id"), col("fp"),
         col("c.chunk_idx").as("chunk_idx"), col("c.chunk_val").as("chunk_val"))
@@ -320,8 +363,9 @@ object EventsStream {
               else None
             },
             maxBucket = maxBucket,
-            repPick = if (salvageRep)
-              Some((a: BucketEntry, b: BucketEntry) => if (a.id <= b.id) a else b)
+            star = if (salvageRep)
+              Some(StarDial[(Long, Long), BucketEntry](
+                idOf = _.id, prepOfE = e => (e.id, e.fp), maxReps = 4))
             else None)
       }
   }
@@ -355,10 +399,12 @@ object EventsStream {
     * skew the batch cap drops. Bucket state carries shingle-hash sets
     * (needed for the verify), so the cap also bounds state BYTES, not
     * just entry counts. `salvageRep = true` is the in-flight star tier
-    * ([[nearDupStream]]'s dial): the saturated band bucket keeps its
-    * min-id arrival and each flood member exact-Jaccard verifies
-    * against that rep only — here the verification can REJECT the star
-    * edge (signatures collide, sets differ), the same
+    * ([[nearDupStream]]'s dial): the saturated band bucket keeps a
+    * diverse min-id-first rep set and each flood member exact-Jaccard
+    * verifies against those reps only — here the verification can
+    * REJECT a star edge (signatures collide, sets differ), and a
+    * rejected-by-every-rep arrival is promoted as its own rep
+    * (capacity permitting) rather than silencing the bucket — the same
     * no-exactness-theorem caveat as the batch
     * [[graft.operators.Dedup.minhashSalvageVerifiedPairs]]. */
   def lshNearDupStream(rows: DataFrame, idCol: String, textCol: String,
@@ -407,8 +453,9 @@ object EventsStream {
               }
             },
             maxBucket = maxBucket,
-            repPick = if (salvageRep)
-              Some((a: SigEntry, b: SigEntry) => if (a.id <= b.id) a else b)
+            star = if (salvageRep)
+              Some(StarDial[(Long, Set[Long]), SigEntry](
+                idOf = _.id, prepOfE = e => (e.id, e.hs.toSet), maxReps = 4))
             else None)
       }
   }
@@ -441,10 +488,12 @@ object EventsStream {
     * thousands of times) lands in one bucket and would otherwise cost
     * |bucket| dot products per arrival AND |bucket|·dim state doubles;
     * the cap bounds both. `salvageRep = true` is the star tier: the
-    * saturated bucket keeps its min-id arrival and each flood member
-    * verifies against that rep only — verification can REJECT the edge
-    * (sign buckets collide for vectors under the threshold), the LSH
-    * face's no-exactness-theorem caveat. */
+    * saturated bucket keeps a diverse min-id-first rep set and each
+    * flood member verifies against those reps only — verification can
+    * REJECT an edge (sign buckets collide for vectors under the
+    * threshold), and a rejected-by-every-rep arrival claims its own
+    * rep slot instead of blinding the bucket, the LSH face's
+    * no-exactness-theorem caveat. */
   def embedNearDupStream(rows: DataFrame, idCol: String, embCol: String,
                          dim: Int, planes: Int, threshold: Double,
                          maxBucket: Int = Int.MaxValue,
@@ -480,21 +529,19 @@ object EventsStream {
               if (e.id == id) None
               else {
                 // the batch face's zero-norm guard: cosine 0.0, which a
-                // positive threshold drops — no survivor can differ
-                val c = if (nrm == 0.0 || e.nrm == 0.0) 0.0 else {
-                  var acc = 0.0
-                  var i = 0
-                  val n = math.min(emb.length, e.emb.length)
-                  while (i < n) { acc += emb(i) * e.emb(i); i += 1 }
-                  acc / (nrm * e.nrm)
-                }
+                // positive threshold drops — no survivor can differ;
+                // the SAME compiled kernel as the batch face, so the
+                // gated stream/batch round4-cosine parity cannot drift
+                val c = if (nrm == 0.0 || e.nrm == 0.0) 0.0
+                        else vectors.dotKernel(emb, e.emb) / (nrm * e.nrm)
                 if (c >= threshold) Some(CosineMatch(id, e.id, round4(c)))
                 else None
               }
             },
             maxBucket = maxBucket,
-            repPick = if (salvageRep)
-              Some((a: VecEntry, b: VecEntry) => if (a.id <= b.id) a else b)
+            star = if (salvageRep)
+              Some(StarDial[(Long, Array[Double], Double), VecEntry](
+                idOf = _.id, prepOfE = e => (e.id, e.emb, e.nrm), maxReps = 4))
             else None)
       }
   }

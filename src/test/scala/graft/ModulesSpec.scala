@@ -460,6 +460,23 @@ class ModulesSpec extends AnyFunSuite {
       .count() == 40L * 39L / 2L + 1L)
   }
 
+  test("hammingChunkIndex: chunks=1 keys on the whole fingerprint (w=64 mask wrap)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // (1L << 64) - 1 silently wraps to 0 on the JVM, which would collapse
+    // EVERY fingerprint into one (0, 0) bucket at the chunks=1 geometry —
+    // exact-dup blocking degrading to a single global mega-bucket. The
+    // wrap-safe mask must key each row on its full fingerprint instead.
+    val idx = Dedup.hammingChunkIndex(
+      Seq((1L, 0L), (2L, -1L), (3L, Long.MinValue), (4L, 0L))
+        .toDF("id", "fp"), "id", "fp", bits = 64, chunks = 1)
+    val got = idx.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Int]("chunk_idx"),
+        r.getAs[Long]("chunk_val"))).toSet
+    assert(got == Set((1L, 0, 0L), (2L, 0, -1L),
+      (3L, 0, Long.MinValue), (4L, 0, 0L)), s"got $got")
+  }
+
   test("hammingIncrementalPairs: increment == from-scratch on batch-involving pairs") {
     import spark.implicits._
     import graft.operators.Dedup
@@ -1544,6 +1561,65 @@ class ModulesSpec extends AnyFunSuite {
       (4L, 1L, 0), (5L, 1L, 0), (6L, 1L, 0)), s"got $starred")
     assert(promoted.toSet == Set((7L, 1L, 0), (9L, 8L, 0)),
       s"promotion broke: $promoted")
+  }
+
+  test("streaming star tier: a non-matching bucket-mate cannot blind the flood") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The poisoning regression: an OUTLIER that shares chunk buckets with
+    // a flood (pigeonhole collision) but verifies at hamming > maxHamming
+    // against every flood member must NOT silence the flood — neither by
+    // winning the min-id rep election at saturation nor by being promoted
+    // into an expired bucket. The diverse rep set keeps one slot per
+    // mutually-non-matching signature, so the flood always holds (or
+    // regains) a rep of its own. A single-rep tier emits ONLY (3,2,1)
+    // on this fixture.
+    //
+    // Geometry 64/4 (16-bit chunks). The flood lives in chunk 3 with
+    // <= 3 bits set, so every flood pair shares chunks 0-2 — and the
+    // outliers (chunk 3 = 0xFFFF / 0x5555, hamming >= 8 vs everything)
+    // share EXACTLY those buckets, poisoning all three discovery paths
+    // at once; no clean bucket can mask the regression.
+    val mem = MemoryStream[(Timestamp, Long, Long)]
+    val df = mem.toDF().toDF("ts", "id", "fp")
+    val q = EventsStream.nearDupStream(df, "id", "fp",
+        bits = 64, chunks = 4, maxHamming = 3, maxBucket = 2,
+        salvageRep = true)
+      .writeStream.format("memory").queryName("star_poison").start()
+    // batch 1: outlier id 1 is MIN-ID, then two flood members -> the
+    // bucket saturates at [3,2,1]; greedy reps = [1 (outlier), 2 (flood)]
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 0xFFFFL << 48),
+      (Timestamp.valueOf("2024-01-01 10:00:01"), 2L, 0L),
+      (Timestamp.valueOf("2024-01-01 10:00:02"), 3L, 1L << 48))
+    q.processAllAvailable()
+    // batch 2: flood continues — members must star against flood rep 2,
+    // not go silent behind the outlier rep
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:03"), 4L, 2L << 48),
+      (Timestamp.valueOf("2024-01-01 10:00:04"), 5L, 3L << 48))
+    q.processAllAvailable()
+    // batch 3: one flood arrival two hours on — stars against rep 2
+    // under the old watermark AND advances it past both reps
+    mem.addData((Timestamp.valueOf("2024-01-01 12:00:00"), 6L, 6L << 48))
+    q.processAllAvailable()
+    // batch 4: reps pruned; a SECOND outlier arrives first and takes a
+    // rep slot — the flood members behind it must re-seed their own rep
+    // (8 promoted silently, 9 stars against it)
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 12:00:01"), 7L, 0x5555L << 48),
+      (Timestamp.valueOf("2024-01-01 12:00:02"), 8L, 8L << 48),
+      (Timestamp.valueOf("2024-01-01 12:00:03"), 9L, 9L << 48))
+    q.processAllAvailable()
+    val got = spark.table("star_poison").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).distinct.toSet
+    q.stop()
+    assert(got == Set((3L, 2L, 1), (4L, 2L, 1), (5L, 2L, 2),
+      (6L, 2L, 2), (9L, 8L, 1)), s"got $got")
+    // the outliers never verified into the pair graph, and every flood
+    // member except the (documented) silent promotions 2 and 8 linked
+    assert(!got.exists(p => Set(p._1, p._2).exists(Set(1L, 7L))),
+      s"outlier forged an edge: $got")
   }
 
   test("streaming video near-dup: edited clips flagged in-flight, black clips saturate") {
