@@ -339,11 +339,16 @@ object Verify {
     // (cosine exactly 1.0, sign-LSH scale-invariant so each twin shares
     // its original's bucket) + a 150-copy i-rescaled flood of one
     // synthetic vector, all in ONE bucket the healthy fixture is
-    // filtered away from — so the flood's counts are exact whatever the
-    // arrival order: cap mode emits C(65,2) = 2080 flood pairs then
-    // silences, star mode exactly 2165 with every member linked, and the
-    // healthy tier must equal the capped batch embeddingPairs verdict
-    // over the SAME sign-LSH blocking in both modes.
+    // filtered away from, PLUS a planted POISONING OUTLIER: a vector in
+    // the SAME sign-LSH bucket (hyperplane signs agree) whose cosine
+    // against the flood sits strictly under the threshold, carrying the
+    // SMALLEST id in the bucket and arriving first — the adversary for
+    // the star tier's rep election. A single-rep design crowns it at
+    // saturation and the 85+ post-saturation flood arrivals all verify
+    // below threshold against it: the flood goes BLIND and this gate
+    // fails. The diverse rep set must give the flood its own rep slot.
+    // The healthy tier must equal the capped batch embeddingPairs
+    // verdict over the SAME sign-LSH blocking in both modes.
     val embIn = tmp.resolve("emb_in").toString
     val (dimE, planesE, thrE) = (64, 8, 0.99)
     val floodVec = expr("transform(sequence(1, 64), j -> " +
@@ -351,6 +356,38 @@ object Verify {
     val floodBucket = spark.range(1)
       .select(graft.operators.AnnIndex.bucketExprOf(floodVec, dimE, planesE)
         .as("b")).head().getLong(0)
+    // deterministic outlier search: Gaussian perturbations of the flood
+    // direction sized for cosine ≈ 0.95 (far under thrE = 0.99, aligned
+    // enough to usually keep all 8 hyperplane signs); cosine is plain
+    // Scala math, only the bucket needs the engine's hash — one job over
+    // the surviving candidates, smallest seed wins for replayability
+    val floodArr = Array.tabulate(64)(i => if ((i + 1) % 2 == 0) 1.0 else -0.5)
+    def cosScala(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    val nV = math.sqrt(floodArr.map(x => x * x).sum)
+    val cands = (0 until 64).map { seed =>
+      val rnd = new scala.util.Random(seed)
+      val w = Array.fill(64)(rnd.nextGaussian())
+      val nW = math.sqrt(w.map(x => x * x).sum)
+      floodArr.zip(w).map { case (x, y) => x + 0.33 * nV / nW * y }
+    }.filter(u => cosScala(u, floodArr) <= 0.98)
+    val outlierArr = {
+      import spark.implicits._
+      val hit = cands.zipWithIndex.toDF("emb", "seed")
+        .select(col("seed"),
+          graft.operators.AnnIndex.bucketExprOf(col("emb"), dimE, planesE)
+            .as("b"))
+        .where(col("b") === floodBucket).orderBy("seed").limit(1).collect()
+      require(hit.nonEmpty,
+        "no same-bucket sub-threshold outlier among 64 candidate draws — " +
+          "widen the search (the poisoning leg would go vacuous)")
+      cands(hit.head.getInt(0))
+    }
     val healthyEmb = graft.core.Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") < 100)
       .select(col("vec_id").as("id"),
@@ -361,6 +398,11 @@ object Verify {
       .unionByName(healthyEmb.filter(col("id") < 12)
         .select((col("id") + twinBase).as("id"),
           expr("transform(emb, x -> x * 2.0D)").as("emb")))
+      // the poisoning outlier: smallest id in the flood bucket, planted
+      // BEFORE the flood rows so it is in the bucket from the start
+      .unionByName(spark.range(1)
+        .select(lit(boilerBase - 1).as("id"),
+          array(outlierArr.map(lit): _*).cast("array<double>").as("emb")))
       .unionByName(spark.range(0, 150)
         .select((col("id") + boilerBase).as("id"),
           expr("transform(sequence(1, 64), j -> " +
@@ -399,18 +441,36 @@ object Verify {
           s"missing=${(embBatch -- embHealthy).take(3)} " +
           s"extra=${(embHealthy -- embBatch).take(3)}")
       val embFlood = embStreamed -- embHealthy
+      // the outlier (id boilerBase-1) must never verify into ANY pair:
+      // a pair touching it would land here and fail the >= boilerBase
+      // check, or in the healthy tier and break batch parity — loud
+      // either way
       require(embFlood.forall(p =>
           p._1 >= boilerBase && p._2 >= boilerBase && p._3 == 1.0),
-        s"embedding flood emission (star=$star) crossed tiers or " +
-          "verified below 1.0")
-      val expectFlood = if (star) 2165 else 2080
+        s"embedding flood emission (star=$star) crossed tiers, touched " +
+          "the sub-threshold outlier, or verified below 1.0")
+      // exact counts pin the OUTLIER-FIRST layout (union order into one
+      // coalesced file, the same ordering contract the pre-outlier
+      // fixture's exact pins relied on): outlier + 64 flood members
+      // pre-saturation -> C(64,2) = 2016 pairs, then (star) 86 stars
+      // against the flood's own rep = 2102. The exactness is itself the
+      // NON-VACUITY check: had the outlier arrived after saturation the
+      // counts would read 2080/2165 and the poisoning leg would prove
+      // nothing (a single-rep tier also passes that layout) — so a
+      // count drift here means FIX THE FIXTURE ORDERING, not the tier.
+      // A single-rep star tier elects the min-id outlier at saturation
+      // and goes BLIND: star mode reads 2016, disjoint from 2102.
+      val expectFlood = if (star) 2102 else 2016
       require(embFlood.size == expectFlood,
         s"embedding flood emissions (star=$star): ${embFlood.size}, " +
-          s"expected exactly $expectFlood (single bucket — order-free)")
+          s"expected exactly $expectFlood (outlier-first poisoned " +
+          "bucket; 2080/2165 = outlier arrived post-saturation, the " +
+          "poisoning leg went vacuous — fix the fixture ordering)")
       if (star) {
         val embLinked = embFlood.flatMap(p => Seq(p._1, p._2))
         require((boilerBase until boilerBase + 150).forall(embLinked.contains),
-          "embedding star tier left flood members unlinked")
+          "embedding star tier left flood members unlinked — the " +
+            "poisoning outlier blinded the bucket")
       }
     }
     println(s"[verify] streaming_smoke OK: ${gotFps.length} dedup " +
@@ -421,6 +481,7 @@ object Verify {
       s"(+${boilerPairs.size} saturation-bounded boilerplate emissions, " +
       s"star tier ${starBoiler.size} all-linked), " +
       s"${embBatch.size} embedding pairs parity-matched in both modes " +
-      "(flood 2080 capped / 2165 starred, exact)")
+      "(poisoned flood 2016 capped / 2102 starred, exact, outlier " +
+      "unlinked)")
   }
 }
