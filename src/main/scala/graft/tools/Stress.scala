@@ -84,6 +84,16 @@ object Stress {
     lazy val liRows = li.count()
     lazy val docRows = docs.count()
 
+    // one cheap untimed action per scaled input BEFORE the first timed
+    // block: the session's first jobs pay JVM/codegen/parquet-footer
+    // cold-start that the pre-r9 eager row counts used to absorb; without
+    // this the first measured workload — and EVERY workload in a solo
+    // SPARK_GRAFT_STRESS_ONLY run — records cold-start the SCALE.md
+    // history excludes, biasing round-over-round slope comparisons.
+    // limit(1) keeps the warm-up O(1) in M, preserving the lazy-row-count
+    // rationale (no full scans for workloads the filter excludes).
+    Seq(li, ord, docs).foreach(_.limit(1).count())
+
     val results = scala.collection.mutable.LinkedHashMap[String, (Long, Double)]()
     def measure(name: String, rows: => Long)(body: => Any): Unit =
       if (include(name)) {
