@@ -406,7 +406,17 @@ object EventsStream {
     * rejected-by-every-rep arrival is promoted as its own rep
     * (capacity permitting) rather than silencing the bucket — the same
     * no-exactness-theorem caveat as the batch
-    * [[graft.operators.Dedup.minhashSalvageVerifiedPairs]]. */
+    * [[graft.operators.Dedup.minhashSalvageVerifiedPairs]]. Band
+    * redundancy additionally shields this face from rep poisoning
+    * beyond what the diverse rep set already guarantees: an
+    * identical-text flood occupies ALL `bands` band buckets and each
+    * elects its reps independently, while a sub-threshold variant
+    * shares a band only by signature collision (probability ~j^r per
+    * band) — so even a poisoned band leaves the flood's other bands
+    * emitting, unlike the hamming face where a planted outlier can
+    * co-occupy every shared chunk bucket (the ModulesSpec poisoning
+    * fixture) and the embedding face's single sign-LSH bucket (the
+    * Verify smoke's planted outlier). */
   def lshNearDupStream(rows: DataFrame, idCol: String, textCol: String,
                        k: Int, bands: Int, shingleN: Int, threshold: Double,
                        maxBucket: Int = Int.MaxValue,
