@@ -449,15 +449,21 @@ object Verify {
           p._1 >= boilerBase && p._2 >= boilerBase && p._3 == 1.0),
         s"embedding flood emission (star=$star) crossed tiers, touched " +
           "the sub-threshold outlier, or verified below 1.0")
-      // exact counts pin the OUTLIER-FIRST layout (union order into one
-      // coalesced file, the same ordering contract the pre-outlier
-      // fixture's exact pins relied on): outlier + 64 flood members
-      // pre-saturation -> C(64,2) = 2016 pairs, then (star) 86 stars
-      // against the flood's own rep = 2102. The exactness is itself the
-      // NON-VACUITY check: had the outlier arrived after saturation the
-      // counts would read 2080/2165 and the poisoning leg would prove
-      // nothing (a single-rep tier also passes that layout) — so a
-      // count drift here means FIX THE FIXTURE ORDERING, not the tier.
+      // exact counts pin the OUTLIER-FIRST layout: outlier + 64 flood
+      // members pre-saturation -> C(64,2) = 2016 pairs, then (star) 86
+      // stars against the flood's own rep = 2102. The ordering lever is
+      // fixture-owned but rests on an IMPLEMENTATION property, stated
+      // honestly: the single coalesced file is scanned by one task in
+      // union row order, and flatMapGroupsWithState's partition sort is
+      // key-only and stable (TimSort), so the intra-bucket iterator
+      // follows file order. The pre-outlier fixture's exact counts were
+      // genuinely order-FREE (150 interchangeable flood members); these
+      // are not — which is deliberate, because the exactness doubles as
+      // the NON-VACUITY check: had the outlier arrived after saturation
+      // the counts would read 2080/2165 and the poisoning leg would
+      // prove nothing (a single-rep tier also passes that layout). A
+      // drift to 2080/2165 on an engine upgrade therefore means FIX THE
+      // FIXTURE ORDERING (e.g. per-file micro-batching), not the tier.
       // A single-rep star tier elects the min-id outlier at saturation
       // and goes BLIND: star mode reads 2016, disjoint from 2102.
       val expectFlood = if (star) 2102 else 2016

@@ -189,6 +189,14 @@ object EventsStream {
                                                prepOfE: E => P,
                                                maxReps: Int)
 
+  /** The one rep-diversity bound every streaming face uses — documented
+    * as a contract in SCALE.md/COVERAGE.md, so it lives in exactly one
+    * place (the batch tier's `maxReps` stays a per-call parameter; the
+    * streaming faces deliberately don't expose the dial — a saturated
+    * bucket holding this many mutually-non-matching reps is not a
+    * boilerplate flood and belongs to the offline salvage pass). */
+  private[streaming] val StarMaxReps = 4
+
   /** The saturating-bucket state transition shared by every streaming
     * near-dup variant ([[nearDupStream]]'s hamming buckets,
     * [[lshNearDupStream]]'s band buckets — one state machine, so the
@@ -259,12 +267,19 @@ object EventsStream {
             entries = star.fold(List.empty[E]) { d =>
               // min-id-first greedy diverse set: keep each entry that
               // matches no rep already kept (pairs among the entries
-              // already emitted on arrival — no emission here)
+              // already emitted on arrival — no emission here). Same-id
+              // entries count as matching: every face's `matches` maps a
+              // self-compare to None, so without the idOf check a
+              // redelivered row's copies would look mutually diverse and
+              // hoard rep slots
               var reps = List.empty[E]
               entries.sortBy(d.idOf).foreach { e =>
-                if (reps.size < d.maxReps &&
-                    !reps.exists(r => matches(d.prepOfE(e), r).isDefined))
-                  reps = e :: reps
+                if (reps.size < d.maxReps) {
+                  val pe = d.prepOfE(e)
+                  if (!reps.exists(r => d.idOf(r) == d.idOf(e) ||
+                      matches(pe, r).isDefined))
+                    reps = e :: reps
+                }
               }
               reps.reverse
             }
@@ -277,9 +292,15 @@ object EventsStream {
           }
           // a flood member matching no rep re-seeds its flood's rep slot
           // (promotion emits nothing — there was nothing to verify
-          // against); a matching arrival is NOT stored
-          if (!matched && entries.size < d.maxReps)
-            entries = entries :+ entryOf(t)
+          // against); a matching arrival is NOT stored, and neither is a
+          // redelivery of a row that already holds a slot (same id) — an
+          // at-least-once source retrying one outlier must not exhaust
+          // maxReps and blind the flood
+          if (!matched && entries.size < d.maxReps) {
+            val en = entryOf(t)
+            if (!entries.exists(r => d.idOf(r) == d.idOf(en)))
+              entries = entries :+ en
+          }
         }
       }
       if (entries.isEmpty && !saturated) state.remove()
@@ -365,7 +386,7 @@ object EventsStream {
             maxBucket = maxBucket,
             star = if (salvageRep)
               Some(StarDial[(Long, Long), BucketEntry](
-                idOf = _.id, prepOfE = e => (e.id, e.fp), maxReps = 4))
+                idOf = _.id, prepOfE = e => (e.id, e.fp), maxReps = StarMaxReps))
             else None)
       }
   }
@@ -465,7 +486,7 @@ object EventsStream {
             maxBucket = maxBucket,
             star = if (salvageRep)
               Some(StarDial[(Long, Set[Long]), SigEntry](
-                idOf = _.id, prepOfE = e => (e.id, e.hs.toSet), maxReps = 4))
+                idOf = _.id, prepOfE = e => (e.id, e.hs.toSet), maxReps = StarMaxReps))
             else None)
       }
   }
@@ -551,7 +572,7 @@ object EventsStream {
             maxBucket = maxBucket,
             star = if (salvageRep)
               Some(StarDial[(Long, Array[Double], Double), VecEntry](
-                idOf = _.id, prepOfE = e => (e.id, e.emb, e.nrm), maxReps = 4))
+                idOf = _.id, prepOfE = e => (e.id, e.emb, e.nrm), maxReps = StarMaxReps))
             else None)
       }
   }

@@ -1611,15 +1611,65 @@ class ModulesSpec extends AnyFunSuite {
       (Timestamp.valueOf("2024-01-01 12:00:02"), 8L, 8L << 48),
       (Timestamp.valueOf("2024-01-01 12:00:03"), 9L, 9L << 48))
     q.processAllAvailable()
+    // normalized to (min, max): emission direction within a micro-batch
+    // follows the group iterator, which the engine does not contract
     val got = spark.table("star_poison").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).distinct.toSet
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)), r.getInt(2))).distinct.toSet
     q.stop()
-    assert(got == Set((3L, 2L, 1), (4L, 2L, 1), (5L, 2L, 2),
-      (6L, 2L, 2), (9L, 8L, 1)), s"got $got")
+    assert(got == Set((2L, 3L, 1), (2L, 4L, 1), (2L, 5L, 2),
+      (2L, 6L, 2), (8L, 9L, 1)), s"got $got")
     // the outliers never verified into the pair graph, and every flood
     // member except the (documented) silent promotions 2 and 8 linked
     assert(!got.exists(p => Set(p._1, p._2).exists(Set(1L, 7L))),
       s"outlier forged an edge: $got")
+  }
+
+  test("streaming star tier: duplicate redeliveries cannot exhaust the rep slots") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Every face's `matches` maps a self-compare (same id) to None, so
+    // without the same-id guard an at-least-once source retrying ONE
+    // sub-threshold outlier row would make each copy look mutually
+    // diverse, hoard all maxReps slots, and blind the flood behind it —
+    // the exact hole the diverse rep set exists to close. Here the
+    // outlier is redelivered four times into an expired bucket; the
+    // copies must collapse to one slot so the flood members behind them
+    // still re-seed their own rep and link.
+    val mem = MemoryStream[(Timestamp, Long, Long)]
+    val df = mem.toDF().toDF("ts", "id", "fp")
+    val q = EventsStream.nearDupStream(df, "id", "fp",
+        bits = 64, chunks = 4, maxHamming = 3, maxBucket = 2,
+        salvageRep = true)
+      .writeStream.format("memory").queryName("star_dup").start()
+    // flood saturates; rep = min-id flood member 1
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 0L),
+      (Timestamp.valueOf("2024-01-01 10:00:01"), 2L, 1L << 48),
+      (Timestamp.valueOf("2024-01-01 10:00:02"), 3L, 2L << 48))
+    q.processAllAvailable()
+    // stars against rep 1 under the old watermark, advances it past it
+    mem.addData((Timestamp.valueOf("2024-01-01 12:00:00"), 4L, 3L << 48))
+    q.processAllAvailable()
+    // rep pruned; the outlier arrives FOUR times (same id, same fp),
+    // then two flood members — with maxReps = 4, unguarded copies would
+    // fill every slot and silence 6 and 7
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 12:00:01"), 5L, 0xFFFFL << 48),
+      (Timestamp.valueOf("2024-01-01 12:00:02"), 5L, 0xFFFFL << 48),
+      (Timestamp.valueOf("2024-01-01 12:00:03"), 5L, 0xFFFFL << 48),
+      (Timestamp.valueOf("2024-01-01 12:00:04"), 5L, 0xFFFFL << 48),
+      (Timestamp.valueOf("2024-01-01 12:00:05"), 6L, 4L << 48),
+      (Timestamp.valueOf("2024-01-01 12:00:06"), 7L, 5L << 48))
+    q.processAllAvailable()
+    val got = spark.table("star_dup").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)), r.getInt(2))).distinct.toSet
+    q.stop()
+    assert(got == Set((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 2),
+      (1L, 4L, 2), (6L, 7L, 1)), s"got $got")
+    assert(!got.exists(p => Set(p._1, p._2).contains(5L)),
+      s"redelivered outlier forged an edge: $got")
   }
 
   test("streaming video near-dup: edited clips flagged in-flight, black clips saturate") {
