@@ -74,6 +74,50 @@ object AnnIndex {
   def withBucket(df: DataFrame, embCol: String, dim: Int, planes: Int): DataFrame =
     df.withColumn("bucket", bucketExpr(embCol, dim, planes))
 
+  /** `bits`-bit COMPONENT-SIGN sketch of an embedding: bit j set iff
+    * emb[j] > 0 — positive-scale-invariant like [[bucketExpr]] (a
+    * rescaled copy carries the identical sketch), but a DIFFERENT hash
+    * family, which is the point: the hyperplane coefficients
+    * `((i*131 + j*37) % 7) - 3` repeat with period 7 in BOTH indices, so
+    * the family holds at most 7 distinct hyperplanes and asking
+    * [[bucketExpr]] for more planes adds no discrimination — it cannot
+    * refine its own buckets. The sign sketch is the refinement key the
+    * salvage tier ([[Dedup.embeddingSalvageEdges]]) uses to split an
+    * oversized sign-LSH bucket by direction: axis-aligned hyperplanes,
+    * independent of the coef family, trivially replayed by the oracle.
+    * Compiled kernel, not a Catalyst HOF — the usual ladder
+    * ([[graft.functions.TextSig]]): an interpreted aggregate() lambda
+    * re-evaluates per element and dominated the salvage tier's mega
+    * passes at the stress corpus. Zero (and NULL / out-of-range)
+    * components contribute 0 bits — a zero or NULL vector sketches to
+    * 0, matching the DuckDB rendering where an out-of-range list index
+    * is NULL; `bits` ≤ 62 keeps the shift in range. */
+  private val signSketchUdf = udf { (emb: Array[Double], bits: Int) =>
+    if (emb == null) 0L
+    else {
+      var sk = 0L
+      var j = 0
+      val n = math.min(bits, emb.length)
+      while (j < n) {
+        if (emb(j) > 0) sk |= 1L << j
+        j += 1
+      }
+      sk
+    }
+  }
+  def signSketchExpr(embCol: String, bits: Int): Column = {
+    require(bits > 0 && bits <= 62, s"signSketch bits=$bits out of range")
+    signSketchUdf(col(embCol).cast("array<double>"), lit(bits))
+  }
+
+  /** DuckDB rendering of [[signSketchExpr]] for oracle SQL. */
+  def signSketchSqlDuck(embCol: String, bits: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(generate_series(0, ${bits - 1}), j -> " +
+      s"CASE WHEN (CAST($embCol AS DOUBLE[]))[j + 1] > 0 " +
+      s"THEN CAST(pow(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)), " +
+      s"(acc, b) -> acc + b)"
+
   /** ANN top-k: restrict to the query's bucket, then exact cosine re-rank.
     * `query` is a 1-row frame with the query embedding in `queryCol`.
     * Buckets the raw corpus inline — convenient for one-off searches, but

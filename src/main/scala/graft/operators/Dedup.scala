@@ -848,6 +848,129 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Offline SALVAGE for the EMBEDDING pair face's oversized sign-LSH
+    * buckets — [[hammingSalvageEdges]]/[[minhashSalvageVerifiedPairs]]'
+    * discipline on the vector modality, closing the last hole in the
+    * salvage matrix (the streaming star tier recovers floods in flight;
+    * this is the batch corpus path). The grouping key the other tiers
+    * use (identical fingerprint / identical signature) has no
+    * float-safe analog for vectors — a rescaled copy is a DIFFERENT
+    * array with the same direction — and the hyperplane family behind
+    * `blockCol` cannot refine itself (7 distinct planes total, see
+    * [[AnnIndex.signSketchExpr]]). So the oversized bucket is re-split
+    * by the positive-scale-invariant component-SIGN sketch, a second
+    * independent hash family:
+    *
+    *  1. fine sub-buckets ≤ `maxBucket`: the full verified pair join
+    *     keyed on (block, sketch) — the sketch alone does not determine
+    *     the block, it is an independent family, so the pair key is
+    *     always the PAIR; cross-sub-bucket pairs are the rep tier's job;
+    *  2. fine sub-buckets still over `maxBucket` — a genuine
+    *     same-direction flood (positive rescales share the sketch
+    *     exactly) — collapse to verified STARS: each member's cosine
+    *     against the sub-bucket's min-id rep, kept at ≥ `threshold`
+    *     (n−1 verifications, not n(n−1)/2). Like the MinHash tier there
+    *     is NO exactness theorem: a member that landed in the flood's
+    *     sketch without its direction verifies below threshold and is
+    *     dropped — measured, not assumed, by q_embed_cap_recall;
+    *  3. verified REP PAIRS across the block's fine groups — one
+    *     min-id rep per sub-bucket, pair-joined and cosine-verified,
+    *     only for blocks holding ≤ `maxReps` groups (more groups = not
+    *     boilerplate, the other tiers' bail) — so near-dup communities
+    *     the sketch split across sub-buckets stay CONNECTED (member →
+    *     own rep → other rep → member is exactly the 3-hop closure the
+    *     recall queries measure).
+    *
+    * Emits (a_id, b_id, cosine·round4), every edge verified ≥
+    * `threshold` — a SUBSET of the true pair set by construction.
+    * Cost: one census + one sketch pass over oversized-bucket members
+    * only, sub-bucket joins bounded by maxBucket², star verification
+    * linear, rep joins bounded by maxReps². */
+  def embeddingSalvageEdges(df: DataFrame, keyCol: String, embCol: String,
+                            blockCol: String, threshold: Double,
+                            maxBucket: Int, maxReps: Int,
+                            sketchBits: Int = 16): DataFrame = {
+    import graft.functions.vectors
+    import org.apache.spark.sql.expressions.Window
+    val sigs = df.select(col(keyCol).as("id"), col(blockCol).as("block"),
+      col(embCol).cast("array<double>").as("emb"))
+    // the oversized-block census stays a map-side-combined AGGREGATE +
+    // semi join (tiny census, broadcast-able key list) — a window here
+    // would shuffle the whole corpus with its embeddings. AFTER the
+    // restriction, everything is windows over ONE exchange of the mega
+    // set: hash-partitioning by block satisfies the (block, fine)
+    // window's clustering too, so the fine census and the per-group
+    // min-id rep ride the same shuffle with no further joins. (An
+    // aggregate-then-join-back variant was A/B'd and lost ~20x at the
+    // M=30 stress corpus: every tier re-derives mega, and the group
+    // subplan inside each join side re-derived it AGAIN.)
+    val over = sigs.groupBy(col("block"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
+      .select(col("block"))
+    val wFine = Window.partitionBy(col("block"), col("fine"))
+    // sketch and norm staged once per oversized-bucket member; the
+    // sketch alone does NOT determine the block (independent family),
+    // so every sub-bucket key is the PAIR (block, fine)
+    val mega = sigs.join(over, Seq("block"), "left_semi")
+      .withColumn("fine", AnnIndex.signSketchExpr("emb", sketchBits))
+      .withColumn("nrm", vectors.l2Norm(col("emb")))
+      .withColumn("__fn", count(lit(1)).over(wFine))
+      // struct min orders by the leading id; ids are unique, so the
+      // array fields never tie-break
+      .withColumn("__rep",
+        min(struct(col("id"), col("emb"), col("nrm"))).over(wFine))
+    def verified(pairs: DataFrame): DataFrame = pairs
+      .withColumn("cosine",
+        when(col("a_nrm") === 0.0 || col("b_nrm") === 0.0, lit(0.0))
+          .otherwise(vectors.dot(col("a_emb"), col("b_emb")) /
+            (col("a_nrm") * col("b_nrm"))))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cosine"), 4).as("cosine"))
+    // (1) small sub-buckets: the full verified pair join within each
+    val smallPairs = verified(pairJoin(
+      mega.filter(col("__fn") <= maxBucket)
+        .select(col("block"), col("fine"), col("id"), col("emb"), col("nrm")),
+      Seq("block", "fine")))
+    // (2) oversized sub-buckets (same-direction floods): verified stars
+    val stars = mega
+      .filter(col("__fn") > maxBucket && col("id") =!= col("__rep.id"))
+      .withColumn("cosine",
+        when(col("nrm") === 0.0 || col("__rep.nrm") === 0.0, lit(0.0))
+          .otherwise(vectors.dot(col("emb"), col("__rep.emb")) /
+            (col("nrm") * col("__rep.nrm"))))
+      .filter(col("cosine") >= threshold)
+      // the rep is the sub-bucket's min id, so rep.id < id always
+      .select(col("__rep.id").as("a_id"), col("id").as("b_id"),
+        round(col("cosine"), 4).as("cosine"))
+    // (3) verified rep pairs across the block's fine groups — one rep
+    // per group, small groups included (their connectivity rides here),
+    // bounded by maxReps groups per block; the reps frame is tiny, so
+    // its block-count window costs nothing
+    val repPairs = verified(pairJoin(
+      mega.filter(col("id") === col("__rep.id"))
+        .select(col("block"), col("id"), col("emb"), col("nrm"))
+        .withColumn("__nr",
+          count(lit(1)).over(Window.partitionBy(col("block"))))
+        .filter(col("__nr") <= maxReps)
+        .drop("__nr"),
+      Seq("block")))
+    smallPairs.unionByName(stars).unionByName(repPairs).distinct()
+  }
+
+  /** One-shot capped-plus-salvage for the embedding face
+    * ([[minhashLshPairsSalvaged]]/[[hammingPairsSalvaged]]'s shape):
+    * the capped [[embeddingPairs]] union [[embeddingSalvageEdges]],
+    * deduplicated — both tiers round the verified cosine identically,
+    * so a pair found by both collapses. */
+  def embeddingPairsSalvaged(df: DataFrame, keyCol: String, embCol: String,
+                             blockCol: String, threshold: Double,
+                             maxBucket: Int, maxReps: Int,
+                             sketchBits: Int = 16): DataFrame =
+    embeddingPairs(df, keyCol, embCol, blockCol, threshold, maxBucket)
+      .unionByName(embeddingSalvageEdges(df, keyCol, embCol, blockCol,
+        threshold, maxBucket, maxReps, sketchBits))
+      .distinct()
+
   /** Incremental connected components: fold a NEW batch of pairs (e.g.
     * from [[minhashIncrementalPairs]]) into an EXISTING labeling without
     * re-propagating over the old pair graph. Each old cluster collapses to

@@ -664,6 +664,77 @@ class ModulesSpec extends AnyFunSuite {
     }
   }
 
+  test("embeddingSalvageEdges: verified stars + rep pairs reconnect capped vector floods") {
+    import spark.implicits._
+    import graft.operators.{AnnIndex, Dedup}
+    // Four directions sharing ONE coarse 8-plane bucket (margins >= 3 on
+    // every plane dot, so the positive rescales below cannot flip a
+    // sign) with four DISTINCT 16-bit component-sign sketches — the tiny
+    // dims 1/2 carry +-0.1 whose sign is the sketch lever:
+    //   D1 = base            D2 = dim1 -> -0.1   (cos ~0.9995, TRUE pair)
+    //   D4 = dims1,2 -> -0.1 (cos ~0.999 to both)
+    //   E  = dim2 -> -0.1, dims 32..63 halved (cos ~0.949 — under the
+    //        0.99 threshold: rep pairs must verify-REJECT it)
+    val base = Array(-0.5, 0.1, 0.1, 1.0, -1.0, -1.0, 1.0, 0.5, -0.5,
+      -0.5, 1.0, 1.0, 1.0, -0.5, -0.5, -0.5, 1.0, -1.0, -1.0, -0.5, -1.0,
+      0.5, -1.0, 0.5, 1.0, 1.0, 1.0, 1.0, 1.0, -0.5, 0.5, -1.0, -1.0,
+      -0.5, 1.0, -0.5, 0.5, 1.0, 0.5, 1.0, 1.0, 0.5, 1.0, -0.5, 0.5,
+      -1.0, 0.5, -0.5, 0.5, -1.0, -0.5, 0.5, 0.5, -1.0, -1.0, 1.0, 1.0,
+      -1.0, 0.5, -1.0, 1.0, -0.5, -1.0, 0.5)
+    val d2 = base.updated(1, -0.1)
+    val d4 = base.updated(1, -0.1).updated(2, -0.1)
+    val e = base.updated(2, -0.1).zipWithIndex
+      .map { case (x, j) => if (j >= 32) x * 0.5 else x }
+    def flood(idBase: Long, dir: Array[Double], n: Int) =
+      (0 until n).map(i => (idBase + i, dir.map(_ * (i + 1))))
+    val rows = (flood(100, base, 12) ++ flood(200, d2, 12) ++
+        flood(300, e, 12) ++ flood(400, d4, 2) ++
+        (0 until 10).map(i => (500L + i, Array.fill(64)(0.0))))
+      .toDF("id", "emb")
+    val corpus = AnnIndex.withBucket(rows, "emb", 64, 8)
+    // fixture guard: all four directions really share the coarse bucket
+    assert(corpus.filter(col("id").isin(100L, 200L, 300L, 400L))
+      .select(col("bucket")).distinct().count() == 1)
+    def pairSetOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salvage = Dedup.embeddingSalvageEdges(corpus, "id", "emb",
+      "bucket", threshold = 0.99, maxBucket = 8, maxReps = 4)
+    val got = salvage.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // 33 verified stars (rep = min id per flood, rescale cosine exactly
+    // 1.0), ONE small-group pair (D4's two copies), THREE verified rep
+    // pairs (E's rejected); the zero flood (block 0, oversized) emits
+    // nothing — cosine 0 under the zero-norm guard
+    val stars = (1 to 11).flatMap(i => Seq(
+      (100L, 100L + i, 1.0), (200L, 200L + i, 1.0), (300L, 300L + i, 1.0)))
+    assert(got.map(p => (p._1, p._2)) == (stars.map(p => (p._1, p._2)) ++
+        Seq((400L, 401L), (100L, 200L), (100L, 400L), (200L, 400L))).toSet,
+      s"got $got")
+    assert(got.filter(p => stars.exists(s => s._1 == p._1 && s._2 == p._2))
+      .forall(_._3 == 1.0), "star cosines must verify at exactly 1.0")
+    assert(got.find(p => p._1 == 100L && p._2 == 200L).get._3 == 0.9995)
+    // the capped face drops both oversized blocks wholesale, so the
+    // one-shot wrapper is exactly the salvage here
+    assert(Dedup.embeddingPairs(corpus, "id", "emb", "bucket",
+      threshold = 0.99, maxBucket = 8).isEmpty)
+    assert(pairSetOf(Dedup.embeddingPairsSalvaged(corpus, "id", "emb",
+        "bucket", threshold = 0.99, maxBucket = 8, maxReps = 4))
+      == got.map(p => (p._1, p._2)))
+    // connectivity, the thing clusters/dropNearDuplicates consume:
+    // D1+D2+D4 one component (rep pairs bridge the fine groups), E its
+    // own, each zero vector an unlinked singleton
+    val sizes = Dedup.clusters(rows.select(col("id")), "id",
+        salvage.select(col("a_id"), col("b_id")))
+      .groupBy(col("cluster")).count().collect().map(_.getLong(1)).sorted
+    assert(sizes.toSeq == (Seq.fill(10)(1L) ++ Seq(12L, 26L)), s"got ${sizes.toSeq}")
+    // maxReps bail: 4 fine groups > maxReps=2 drops the rep tier (the
+    // block is "not boilerplate"), stars and small pairs survive
+    val starved = Dedup.embeddingSalvageEdges(corpus, "id", "emb",
+      "bucket", threshold = 0.99, maxBucket = 8, maxReps = 2)
+    assert(pairSetOf(starved.select(col("a_id"), col("b_id")))
+      == (stars.map(p => (p._1, p._2)) ++ Seq((400L, 401L))).toSet)
+  }
+
   test("minhashSalvageVerifiedPairs: verified stars + bounded rep pairs on mega band buckets") {
     import spark.implicits._
     import graft.operators.Dedup

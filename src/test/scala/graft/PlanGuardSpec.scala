@@ -365,6 +365,40 @@ class PlanGuardSpec extends AnyFunSuite {
       "salvage tier planned a cartesian product")
   }
 
+  test("embedding salvage tier keeps its scale-critical plan shapes") {
+    // q_embed_cap_recall collects eagerly like its trilogy siblings, so
+    // the tier is pinned at the OPERATOR level: the oversized-block
+    // census must gate through a broadcast semi (tiny key list — a
+    // window THERE would shuffle the whole corpus with its embeddings),
+    // the post-census fine census/rep rides WINDOWS over one exchange
+    // of the restricted mega set (the aggregate-then-join-back variant
+    // A/B'd ~20x slower — every join side re-derived the mega subplan),
+    // and the pair joins inherit pairJoin's shuffle_hash discipline
+    import org.apache.spark.sql.execution.joins._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{AnnIndex, Dedup}
+    val embs = AnnIndex.withBucket(
+      graft.core.Tables.embeddings(spark, sf)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("emb")),
+      "emb", 64, 8)
+    val ps = walk(Dedup.embeddingSalvageEdges(embs, "id", "emb", "bucket",
+        threshold = 0.99, maxBucket = 8, maxReps = 8)
+      .queryExecution.executedPlan)
+    assert(ps.exists {
+      case b: BroadcastHashJoinExec =>
+        b.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi
+      case _ => false
+    }, "oversized-block census is not a broadcast semi gate")
+    assert(ps.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.window.WindowExec]),
+      "fine census/rep must ride a window over the mega exchange")
+    assert(ps.exists(_.isInstanceOf[ShuffledHashJoinExec]),
+      "sub-bucket pairJoin is not shuffle_hash")
+    assert(!ps.exists(_.isInstanceOf[CartesianProductExec]),
+      "embedding salvage planned a cartesian product")
+  }
+
   test("partitioned parquet layout prunes partitions at the scan") {
     // S10's other half: the 'index build' at 100 TB is a partitioned
     // layout; a filter on the partition column must plan a pruned scan
