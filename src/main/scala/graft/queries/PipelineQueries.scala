@@ -213,7 +213,7 @@ object PipelineQueries {
     * and the single distinct at the end bounds the path enumeration
     * (intermediate distincts would each cost a full AQE-wide exchange
     * for nothing at this size). */
-  private def threeHopClosure(pairs: org.apache.spark.sql.DataFrame)
+  private[queries] def threeHopClosure(pairs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val e1 = pairs
       .select(col("a_id").as("s"), col("b_id").as("d"))

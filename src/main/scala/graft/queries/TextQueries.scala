@@ -20,6 +20,30 @@ import graft.operators.Dedup
   */
 object TextQueries {
 
+  /** Fixture directions for q_embed_cap_recall — three directions sharing
+    * ONE coarse 8-plane bucket (every plane dot's |margin| ≥ 3, so the
+    * positive integer rescales cannot flip a sign) with DISTINCT 16-bit
+    * component-sign sketches; the ±0.1 at dims 1/2 is the sketch lever.
+    * cos(D1, D2) ≈ 0.9995 (a true pair the salvage rep tier must
+    * recover); cos(·, E) ≈ 0.949 (under the 0.99 threshold — the rep
+    * tier must verify-reject it). Verified numerically at construction;
+    * the oracle replays the same literals, so drift fails loudly. */
+  private val capRecallBase: Array[Double] = Array(-0.5, 0.1, 0.1, 1.0,
+    -1.0, -1.0, 1.0, 0.5, -0.5, -0.5, 1.0, 1.0, 1.0, -0.5, -0.5, -0.5,
+    1.0, -1.0, -1.0, -0.5, -1.0, 0.5, -1.0, 0.5, 1.0, 1.0, 1.0, 1.0,
+    1.0, -0.5, 0.5, -1.0, -1.0, -0.5, 1.0, -0.5, 0.5, 1.0, 0.5, 1.0,
+    1.0, 0.5, 1.0, -0.5, 0.5, -1.0, 0.5, -0.5, 0.5, -1.0, -0.5, 0.5,
+    0.5, -1.0, -1.0, 1.0, 1.0, -1.0, 0.5, -1.0, 1.0, -0.5, -1.0, 0.5)
+  private val capRecallD2 = capRecallBase.updated(1, -0.1)
+  private val capRecallE = capRecallBase.updated(2, -0.1).zipWithIndex
+    .map { case (x, j) => if (j >= 32) x * 0.5 else x }
+  /** Spark SQL array literal (D suffix: bare -0.5 parses as DECIMAL). */
+  private def arrSpark(v: Array[Double]): String =
+    v.map(x => s"${x}D").mkString("array(", ", ", ")")
+  /** DuckDB list literal. */
+  private def arrDuck(v: Array[Double]): String =
+    v.mkString("[", ", ", "]::DOUBLE[]")
+
   /** near-dup text corpus: (doc_id, text, lang) ∪ (doc_id+10000, text+' xq', lang) */
   private def nearDupCorpus(df: DataFrame): DataFrame = {
     val base = df.select(col("doc_id"), col("text"), col("lang"))
@@ -260,6 +284,181 @@ object TextQueries {
               "n_pairs_avoided", "n_capped_pairs", "flood_dropped")
         } finally census.unpersist()
       } finally corpus.unpersist()
+    },
+
+    Q("q_embed_cap_recall",
+      "TRUE-PAIR RECALL under the embedding face's maxBucket cap, and " +
+        "the salvage tier that closes the loss — completing the recall " +
+        "trilogy (q_dedup_cap_recall: hamming, q_dedup_lsh_recall: " +
+        "MinHash, now vectors). The grouping key the other salvage " +
+        "tiers use (identical fingerprint/signature) has no float-safe " +
+        "analog for vectors — a rescaled copy is a DIFFERENT array with " +
+        "the same direction — and the sign-LSH hyperplane family cannot " +
+        "refine its own buckets (7 distinct planes total), so " +
+        "Dedup.embeddingSalvageEdges re-splits oversized buckets by the " +
+        "scale-invariant component-SIGN sketch (an independent family): " +
+        "verified pairs inside small sub-buckets, verified min-id STARS " +
+        "inside still-oversized ones (same-direction floods, n-1 " +
+        "verifications), verified REP PAIRS across <= maxReps groups. " +
+        "Fixture: three 80-copy rescale floods sharing ONE coarse " +
+        "bucket with distinct sketches — two at cosine 0.9995 of each " +
+        "other (their cross pairs are TRUE pairs only the rep tier can " +
+        "reconnect: member-rep-rep-member is exactly the 3-hop bound) " +
+        "and one at 0.949 (the rep tier must verify-REJECT it). The " +
+        "plain cap drops all 15 880 flood true pairs SILENTLY; the " +
+        "salvage graph reconnects 100% of them. Healthy rows are " +
+        "filtered away from the flood bucket so the oversized block is " +
+        "exactly the planted skew.",
+      Some(s"""WITH corpus AS (
+              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings WHERE vec_id < 120
+              |  UNION ALL
+              |  SELECT vec_id + 100000,
+              |    list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
+              |  FROM embeddings WHERE vec_id < 10
+              |  UNION ALL
+              |  SELECT 200000 + i, list_transform(${arrDuck(capRecallBase)},
+              |    x -> x * (i + 1))
+              |  FROM (SELECT unnest(generate_series(0, 79)) AS i)
+              |  UNION ALL
+              |  SELECT 210000 + i, list_transform(${arrDuck(capRecallD2)},
+              |    x -> x * (i + 1))
+              |  FROM (SELECT unnest(generate_series(0, 79)) AS i)
+              |  UNION ALL
+              |  SELECT 220000 + i, list_transform(${arrDuck(capRecallE)},
+              |    x -> x * (i + 1))
+              |  FROM (SELECT unnest(generate_series(0, 79)) AS i)),
+              |bucketed0 AS (SELECT vec_id, emb,
+              |  ${graft.operators.AnnIndex.bucketSqlDuck("emb", 64, 8)} AS bucket,
+              |  sqrt(list_dot_product(emb, emb)) AS nrm
+              |  FROM corpus),
+              |floodb AS (SELECT bucket AS b FROM bucketed0 WHERE vec_id = 200000),
+              |bucketed AS (SELECT * FROM bucketed0
+              |  WHERE vec_id >= 200000 OR bucket <> (SELECT b FROM floodb)),
+              |tp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+              |  FROM bucketed a JOIN bucketed b
+              |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              |  WHERE (CASE WHEN a.nrm = 0.0 OR b.nrm = 0.0 THEN 0.0
+              |    ELSE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) END)
+              |    >= 0.99),
+              |over AS (SELECT bucket FROM bucketed GROUP BY bucket
+              |  HAVING count(*) > 64),
+              |sm AS (SELECT * FROM bucketed WHERE NOT EXISTS (
+              |  SELECT 1 FROM over WHERE over.bucket = bucketed.bucket)),
+              |capped AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+              |  FROM sm a JOIN sm b
+              |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              |  WHERE (CASE WHEN a.nrm = 0.0 OR b.nrm = 0.0 THEN 0.0
+              |    ELSE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) END)
+              |    >= 0.99),
+              |mega AS (SELECT b.*,
+              |  ${graft.operators.AnnIndex.signSketchSqlDuck("emb", 16)} AS fine
+              |  FROM bucketed b WHERE EXISTS (
+              |    SELECT 1 FROM over WHERE over.bucket = b.bucket)),
+              |fc AS (SELECT bucket, fine, count(*) AS fn
+              |  FROM mega GROUP BY bucket, fine),
+              |smf AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+              |  FROM mega a JOIN mega b
+              |    ON a.bucket = b.bucket AND a.fine = b.fine
+              |      AND a.vec_id < b.vec_id
+              |  WHERE EXISTS (SELECT 1 FROM fc WHERE fc.bucket = a.bucket
+              |      AND fc.fine = a.fine AND fc.fn <= 64)
+              |    AND (CASE WHEN a.nrm = 0.0 OR b.nrm = 0.0 THEN 0.0
+              |      ELSE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) END)
+              |    >= 0.99),
+              |rep AS (SELECT m.* FROM mega m JOIN (
+              |    SELECT bucket, fine, min(vec_id) AS mid
+              |    FROM mega GROUP BY bucket, fine) g
+              |  ON m.bucket = g.bucket AND m.fine = g.fine
+              |    AND m.vec_id = g.mid),
+              |stars AS (SELECT r.vec_id AS a_id, m.vec_id AS b_id
+              |  FROM mega m JOIN rep r
+              |    ON m.bucket = r.bucket AND m.fine = r.fine
+              |      AND m.vec_id <> r.vec_id
+              |  WHERE EXISTS (SELECT 1 FROM fc WHERE fc.bucket = m.bucket
+              |      AND fc.fine = m.fine AND fc.fn > 64)
+              |    AND (CASE WHEN m.nrm = 0.0 OR r.nrm = 0.0 THEN 0.0
+              |      ELSE list_dot_product(m.emb, r.emb) / (m.nrm * r.nrm) END)
+              |    >= 0.99),
+              |pairable AS (SELECT bucket FROM rep GROUP BY bucket
+              |  HAVING count(*) <= 8),
+              |reppairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+              |  FROM rep a JOIN rep b
+              |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              |  WHERE EXISTS (SELECT 1 FROM pairable p
+              |      WHERE p.bucket = a.bucket)
+              |    AND (CASE WHEN a.nrm = 0.0 OR b.nrm = 0.0 THEN 0.0
+              |      ELSE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) END)
+              |    >= 0.99),
+              |salv AS (SELECT a_id, b_id FROM capped
+              |  UNION SELECT a_id, b_id FROM smf
+              |  UNION SELECT a_id, b_id FROM stars
+              |  UNION SELECT a_id, b_id FROM reppairs),
+              |e1 AS (SELECT a_id AS s, b_id AS d FROM salv
+              |  UNION SELECT b_id, a_id FROM salv),
+              |r2 AS (SELECT s, d FROM e1
+              |  UNION SELECT a.s, b.d FROM e1 a JOIN e1 b ON a.d = b.s),
+              |r3 AS (SELECT s, d FROM r2
+              |  UNION SELECT r2.s, e1.d FROM r2 JOIN e1 ON r2.d = e1.s)
+              |SELECT
+              |  (SELECT count(*) FROM tp) AS n_true_pairs,
+              |  (SELECT count(*) FROM capped) AS n_capped_pairs,
+              |  (SELECT count(*) FROM salv) AS n_salvage_pairs,
+              |  (SELECT count(*) FROM tp WHERE EXISTS (SELECT 1 FROM r3
+              |     WHERE r3.s = tp.a_id AND r3.d = tp.b_id))
+              |    AS n_true_connected_salvaged,
+              |  (SELECT count(*) FROM tp) = (SELECT count(*) FROM tp
+              |     WHERE EXISTS (SELECT 1 FROM r3
+              |       WHERE r3.s = tp.a_id AND r3.d = tp.b_id))
+              |    AS salvage_full_recall""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      import graft.operators.{AnnIndex, Dedup}
+      val e120 = embeddings(s, dir).filter(col("vec_id") < 120)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      def flood(idBase: Long, v: Array[Double]) = s.range(0, 80)
+        .select((col("id") + idBase).as("vec_id"),
+          expr(s"transform(${arrSpark(v)}, x -> x * (id + 1))").as("emb"))
+      val floodBucket = s.range(1)
+        .select(AnnIndex.bucketExprOf(expr(arrSpark(capRecallBase)), 64, 8)
+          .as("b")).head().getLong(0)
+      val filtered = e120
+        .unionByName(e120.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            transform(col("emb"), x => x * 2.0).as("emb")))
+        .unionByName(flood(200000, capRecallBase))
+        .unionByName(flood(210000, capRecallD2))
+        .unionByName(flood(220000, capRecallE))
+        .withColumn("bucket", AnnIndex.bucketExpr("emb", 64, 8))
+        .filter(col("vec_id") >= 200000 || col("bucket") =!= floodBucket)
+        .cache()
+      // the q_dedup_cap_recall shape: cached pair frames, eager cells in
+      // dependency order, every cache unpersisted in finally
+      val truePairs = Dedup.embeddingPairs(filtered, "vec_id", "emb",
+        "bucket", threshold = 0.99).select(col("a_id"), col("b_id")).cache()
+      val capped = Dedup.embeddingPairs(filtered, "vec_id", "emb",
+          "bucket", threshold = 0.99, maxBucket = 64)
+        .select(col("a_id"), col("b_id")).cache()
+      val salvaged = capped.unionByName(
+          Dedup.embeddingSalvageEdges(filtered, "vec_id", "emb", "bucket",
+            threshold = 0.99, maxBucket = 64, maxReps = 8)
+            .select(col("a_id"), col("b_id")))
+        .distinct().cache()
+      try {
+        val r3 = PipelineQueries.threeHopClosure(salvaged)
+        val nTrue = truePairs.count()
+        val nCapped = capped.count()
+        val nSalv = salvaged.count()
+        val nConn = truePairs.join(broadcast(r3),
+            col("a_id") === col("s") && col("b_id") === col("d"),
+            "left_semi").count()
+        Seq((nTrue, nCapped, nSalv, nConn))
+          .toDF("n_true_pairs", "n_capped_pairs", "n_salvage_pairs",
+            "n_true_connected_salvaged")
+          .withColumn("salvage_full_recall", lit(nConn == nTrue))
+      } finally {
+        salvaged.unpersist(); capped.unpersist(); truePairs.unpersist()
+        filtered.unpersist()
+      }
     },
 
     Q("q_lang_id",
