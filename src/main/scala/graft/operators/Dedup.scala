@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{text, TextSig, SparkDialect => S}
@@ -833,6 +833,16 @@ object Dedup {
     * no more information than the flood's star — cap it and salvage
     * connectivity in flight via
     * [[graft.streaming.EventsStream.embedNearDupStream]]'s star tier. */
+  /** The when-guarded staged-norm cosine EVERY embedding face shares —
+    * one definition, so the capped face and each salvage tier compute
+    * bit-identical values and [[embeddingPairsSalvaged]]'s union
+    * `.distinct()` collapses a pair found by several tiers. Zero norms
+    * yield 0.0, which any positive threshold drops. */
+  private def stagedCosine(aEmb: Column, bEmb: Column,
+                           aNrm: Column, bNrm: Column): Column =
+    when(aNrm === 0.0 || bNrm === 0.0, lit(0.0))
+      .otherwise(graft.functions.vectors.dot(aEmb, bEmb) / (aNrm * bNrm))
+
   def embeddingPairs(df: DataFrame, keyCol: String, embCol: String,
                      blockCol: String, threshold: Double,
                      maxBucket: Int = Int.MaxValue): DataFrame = {
@@ -841,9 +851,8 @@ object Dedup {
       col(embCol).as("emb"),
       vectors.l2Norm(col(embCol)).as("nrm"))
     pairJoin(sigs, Seq("block"), maxBucket)
-      .withColumn("cosine",
-        when(col("a_nrm") === 0.0 || col("b_nrm") === 0.0, lit(0.0))
-          .otherwise(vectors.dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))))
+      .withColumn("cosine", stagedCosine(col("a_emb"), col("b_emb"),
+        col("a_nrm"), col("b_nrm")))
       .filter(col("cosine") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cosine"), 4).as("cosine"))
   }
@@ -904,14 +913,22 @@ object Dedup {
     // aggregate-then-join-back variant was A/B'd and lost ~20x at the
     // M=30 stress corpus: every tier re-derives mega, and the group
     // subplan inside each join side re-derived it AGAIN.)
-    val over = sigs.groupBy(col("block"))
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
-      .select(col("block"))
+    // the sibling tiers' census discipline verbatim ([[oversizedKeys]] +
+    // explicit broadcast + null-safe <=>): the hint holds at real-corpus
+    // stats where the estimate would otherwise shuffle the members WITH
+    // their embeddings, and `=` would infer isnotnull(block) pushed
+    // below a lazily-computed bucket projection — the measured
+    // UDF-re-evaluation trap [[pairJoin]] documents
+    val over = oversizedKeys(sigs, Seq("block"), maxBucket)
+      .select(col("block").as("__over_block"))
     val wFine = Window.partitionBy(col("block"), col("fine"))
-    // sketch and norm staged once per oversized-bucket member; the
-    // sketch alone does NOT determine the block (independent family),
-    // so every sub-bucket key is the PAIR (block, fine)
-    val mega = sigs.join(over, Seq("block"), "left_semi")
+    // sketch and norm staged once per oversized-bucket member; NULL
+    // embeddings drop here like the siblings' null fingerprints — a
+    // null row winning a sub-bucket's min-id rep election would NULL
+    // every cosine in the group and silently disconnect it
+    val mega = sigs
+      .join(broadcast(over), col("block") <=> col("__over_block"), "left_semi")
+      .filter(col("emb").isNotNull)
       .withColumn("fine", AnnIndex.signSketchExpr("emb", sketchBits))
       .withColumn("nrm", vectors.l2Norm(col("emb")))
       .withColumn("__fn", count(lit(1)).over(wFine))
@@ -920,10 +937,8 @@ object Dedup {
       .withColumn("__rep",
         min(struct(col("id"), col("emb"), col("nrm"))).over(wFine))
     def verified(pairs: DataFrame): DataFrame = pairs
-      .withColumn("cosine",
-        when(col("a_nrm") === 0.0 || col("b_nrm") === 0.0, lit(0.0))
-          .otherwise(vectors.dot(col("a_emb"), col("b_emb")) /
-            (col("a_nrm") * col("b_nrm"))))
+      .withColumn("cosine", stagedCosine(col("a_emb"), col("b_emb"),
+        col("a_nrm"), col("b_nrm")))
       .filter(col("cosine") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cosine"), 4).as("cosine"))
     // (1) small sub-buckets: the full verified pair join within each
@@ -934,10 +949,8 @@ object Dedup {
     // (2) oversized sub-buckets (same-direction floods): verified stars
     val stars = mega
       .filter(col("__fn") > maxBucket && col("id") =!= col("__rep.id"))
-      .withColumn("cosine",
-        when(col("nrm") === 0.0 || col("__rep.nrm") === 0.0, lit(0.0))
-          .otherwise(vectors.dot(col("emb"), col("__rep.emb")) /
-            (col("nrm") * col("__rep.nrm"))))
+      .withColumn("cosine", stagedCosine(col("emb"), col("__rep.emb"),
+        col("nrm"), col("__rep.nrm")))
       .filter(col("cosine") >= threshold)
       // the rep is the sub-bucket's min id, so rep.id < id always
       .select(col("__rep.id").as("a_id"), col("id").as("b_id"),

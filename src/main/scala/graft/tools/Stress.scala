@@ -235,8 +235,10 @@ object Stress {
     // fits the cap (quadratic in M by DESIGN: those C(M,2) exact-dup
     // pairs are the information), verified min-id stars once the group
     // itself oversizes (M > maxBucket flips the regime to linear)
+    var embDir: Option[String] = None
     lazy val embB = {
       val dir = java.nio.file.Files.createTempDirectory("graft_embB").toString
+      embDir = Some(dir)
       graft.operators.AnnIndex.withBucket(
           emb.select(col("vec_id"),
             col("embedding").cast("array<double>").as("emb")),
@@ -256,6 +258,14 @@ object Stress {
     measure("dedup_embed_salvaged", emb.count()) {
       graft.operators.Dedup.embeddingPairsSalvaged(embB, "vec_id", "emb",
         "bucket", threshold = 0.99, maxBucket = 64, maxReps = 16).count()
+    }
+    // the layout is a full M-duplicated corpus copy — delete it now
+    // (both consumers above have run) instead of leaking a
+    // multi-hundred-MB graft_embB* directory per stress run
+    embDir.foreach { d =>
+      org.apache.hadoop.fs.FileSystem
+        .get(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(d), true)
     }
 
     // stage-zero scrub kernels (round-6 family): NFC normalize + HTML
