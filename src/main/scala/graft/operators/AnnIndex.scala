@@ -18,7 +18,11 @@ import graft.functions.{text, vectors}
   *
   * Hyperplane coefficients are deterministic integers
   * `((i*131 + j*37) % 7) - 3` (i = plane, j = dimension): identical in any
-  * engine, no RNG, no seed drift between driver and executors.
+  * engine, no RNG, no seed drift between driver and executors. The mod-7
+  * mix makes this LEGACY family periodic in both indices — at most 7
+  * distinct planes, a 128-bucket selectivity ceiling; see
+  * [[wideCoefSql]] for the prime-modulus family new stores should use
+  * when they need finer blocking.
   */
 object AnnIndex {
 
@@ -108,6 +112,62 @@ object AnnIndex {
   def signSketchExpr(embCol: String, bits: Int): Column = {
     require(bits > 0 && bits <= 62, s"signSketch bits=$bits out of range")
     signSketchUdf(col(embCol).cast("array<double>"), lit(bits))
+  }
+
+  /** Coefficient of WIDE-family plane i, dimension j (both engines).
+    * The legacy [[coefSql]] family is periodic mod 7 in BOTH indices —
+    * at most 7 distinct hyperplanes no matter how many planes are
+    * requested, so the legacy bucket id caps at 2^7 = 128 effective
+    * buckets (plane 7 mirrors plane 0, bit 7 always equals bit 0).
+    * That ceiling is a real selectivity limit at corpus scale: a probe
+    * can never touch less than ~1/128 of the data. This family uses a
+    * prime modulus 2003 with multipliers coprime to it, so every plane
+    * i < 2003 is a genuinely distinct hyperplane and selectivity scales
+    * as 2^planes. Legacy stays the default everywhere it is already
+    * oracle-pinned; NEW stores that need more than 128-way blocking
+    * should build on [[wideBucketExpr]] (q_ann_plane_family measures
+    * the two families side by side). */
+  def wideCoefSql(i: String, j: String): String =
+    s"((($i) * 7919 + ($j) * 104729) % 2003 - 1001)"
+
+  /** [[bucketExpr]] on the wide coefficient family — same sign-LSH
+    * semantics (positive-scale-invariant, compiled kernel, left-to-right
+    * accumulation matching the DuckDB rendering bit for bit). */
+  private val wideBucketUdf = udf { (emb: Array[Double], dim: Int, planes: Int) =>
+    if (emb == null) null
+    else {
+      var bucket = 0L
+      var i = 0
+      while (i < planes) {
+        var acc = 0.0
+        var j = 0
+        while (j < dim) {
+          acc += ((i * 7919 + j * 104729) % 2003 - 1001) * emb(j)
+          j += 1
+        }
+        if (acc > 0) bucket |= 1L << i
+        i += 1
+      }
+      java.lang.Long.valueOf(bucket)
+    }
+  }
+
+  def wideBucketExpr(embCol: String, dim: Int, planes: Int): Column =
+    wideBucketExprOf(col(embCol), dim, planes)
+
+  def wideBucketExprOf(emb: Column, dim: Int, planes: Int): Column =
+    wideBucketUdf(emb.cast("array<double>"), lit(dim), lit(planes))
+
+  /** DuckDB rendering of [[wideBucketExpr]] for oracle SQL. */
+  def wideBucketSqlDuck(embCol: String, dim: Int, planes: Int): String = {
+    val dot = (i: String) =>
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(generate_series(0, ${dim - 1}), j -> " +
+        s"${wideCoefSql(i, "j")} * (CAST($embCol AS DOUBLE[]))[j + 1])), (acc, x) -> acc + x)"
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(generate_series(0, ${planes - 1}), i -> " +
+      s"CASE WHEN ${dot("i")} > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE CAST(0 AS BIGINT) END)), " +
+      s"(acc, b) -> acc + b)"
   }
 
   /** DuckDB rendering of [[signSketchExpr]] for oracle SQL. */

@@ -178,6 +178,50 @@ object AnalyticsQueries {
           expr(text.fixedPoint("similarity", 4)).as("sim_x10k"))
     },
 
+    Q("q_ann_plane_family",
+      "SELECTIVITY CENSUS of the two sign-LSH coefficient families — " +
+        "the measure-before-building step for an ANN bucket layout: the " +
+        "legacy family's mod-7 mix is periodic in BOTH indices, so it " +
+        "holds at most 7 distinct hyperplanes and its bucket id caps at " +
+        "2^7 = 128 effective buckets NO MATTER how many planes are " +
+        "requested (bit 7 always mirrors bit 0) — at corpus scale a " +
+        "probe can never touch less than ~1/128 of the data. The WIDE " +
+        "family (prime modulus 2003, coprime multipliers) makes every " +
+        "requested plane a genuinely distinct hyperplane. Both families " +
+        "at planes=16 over the real embeddings: the legacy census must " +
+        "sit at or under its ceiling while the wide one exceeds it — " +
+        "legacy stays the default where it is already oracle-pinned; " +
+        "new stores needing finer than 128-way blocking build wide.",
+      Some(s"""WITH b AS (
+              |  SELECT
+              |    ${AnnIndex.bucketSqlDuck("CAST(embedding AS DOUBLE[])", 64, 16)} AS lb,
+              |    ${AnnIndex.wideBucketSqlDuck("CAST(embedding AS DOUBLE[])", 64, 16)} AS wb
+              |  FROM embeddings),
+              |l AS (SELECT lb, count(*) AS n FROM b GROUP BY lb),
+              |w AS (SELECT wb, count(*) AS n FROM b GROUP BY wb)
+              |SELECT
+              |  (SELECT CAST(count(*) AS BIGINT) FROM l) AS n_legacy_buckets,
+              |  (SELECT CAST(max(n) AS BIGINT) FROM l) AS max_legacy_bucket,
+              |  (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wide_buckets,
+              |  (SELECT CAST(max(n) AS BIGINT) FROM w) AS max_wide_bucket,
+              |  (SELECT count(*) FROM l) <= 128 AS legacy_ceiling_hit,
+              |  (SELECT count(*) FROM w) > (SELECT count(*) FROM l)
+              |    AS wide_beats_legacy""".stripMargin)) { (s, dir) =>
+      val b = embeddings(s, dir).select(
+        AnnIndex.bucketExpr("embedding", 64, 16).as("lb"),
+        AnnIndex.wideBucketExpr("embedding", 64, 16).as("wb"))
+      val l = b.groupBy(col("lb")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_legacy_buckets"),
+          max(col("n")).as("max_legacy_bucket"))
+      val w = b.groupBy(col("wb")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_wide_buckets"),
+          max(col("n")).as("max_wide_bucket"))
+      l.crossJoin(w)
+        .withColumn("legacy_ceiling_hit", col("n_legacy_buckets") <= 128)
+        .withColumn("wide_beats_legacy",
+          col("n_wide_buckets") > col("n_legacy_buckets"))
+    },
+
     Q("q_knn_join",
       "ANN KNN JOIN (AnnIndex.annJoin): top-3 bucket-mates per query for 20 " +
         "query vectors in ONE plan — the batch form of q_ann_topk, and the " +

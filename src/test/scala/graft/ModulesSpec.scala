@@ -735,6 +735,34 @@ class ModulesSpec extends AnyFunSuite {
       == (stars.map(p => (p._1, p._2)) ++ Seq((400L, 401L))).toSet)
   }
 
+  test("wideBucketExpr: genuinely distinct planes past the legacy 7-plane ceiling") {
+    import graft.operators.AnnIndex
+    val embs = graft.core.Tables.embeddings(spark, sf)
+      .select(col("embedding").cast("array<double>").as("emb"))
+    val rows = embs.select(
+        AnnIndex.bucketExpr("emb", 64, 16).as("lb"),
+        AnnIndex.wideBucketExpr("emb", 64, 16).as("wb"),
+        AnnIndex.wideBucketExprOf(transform(col("emb"), x => x * 3.0),
+          64, 16).as("wb3"))
+      .collect()
+    // the legacy family's mod-7 period: plane 7 IS plane 0 and plane 8
+    // IS plane 1, for every vector — the structural fact behind the
+    // 128-effective-bucket ceiling q_ann_plane_family measures
+    assert(rows.forall { r =>
+      val lb = r.getLong(0)
+      ((lb >> 7) & 1L) == (lb & 1L) && ((lb >> 8) & 1L) == ((lb >> 1) & 1L)
+    }, "legacy planes 7/8 stopped mirroring 0/1 — the coef family changed")
+    // the wide family is positive-scale-invariant like every sign-LSH
+    // blocker (a rescaled copy must land in its original's bucket)
+    assert(rows.forall(r => r.getLong(1) == r.getLong(2)),
+      "wide bucket not scale-invariant")
+    // and it actually buys selectivity on the real corpus
+    val nLegacy = rows.map(_.getLong(0)).distinct.length
+    val nWide = rows.map(_.getLong(1)).distinct.length
+    assert(nLegacy <= 128 && nWide > nLegacy,
+      s"legacy $nLegacy (ceiling 128) vs wide $nWide")
+  }
+
   test("minhashSalvageVerifiedPairs: verified stars + bounded rep pairs on mega band buckets") {
     import spark.implicits._
     import graft.operators.Dedup
