@@ -29,49 +29,68 @@ object AnnIndex {
   /** SQL for the coefficient of plane i, dimension j (both engines). */
   def coefSql(i: String, j: String): String = s"((($i) * 131 + ($j) * 37) % 7 - 3)"
 
+  /** ONE sign-LSH kernel body per engine, parameterized by the
+    * coefficient function — both families (legacy and wide) derive
+    * their Scala kernel AND their DuckDB rendering from here, so the
+    * bit-parity contract (left-to-right double accumulation, identical
+    * coefficients) lives in exactly two bodies instead of four copies
+    * whose constants could drift independently. `coef` does its
+    * arithmetic in Long, matching DuckDB's BIGINT semantics even at
+    * dimensions where an Int product would wrap. */
+  private def bucketUdfFor(coef: (Int, Int) => Int) =
+    udf { (emb: Array[Double], dim: Int, planes: Int) =>
+      if (emb == null) null // NULL embeddings never join a bucket
+      else {
+        var bucket = 0L
+        var i = 0
+        while (i < planes) {
+          var acc = 0.0
+          var j = 0
+          while (j < dim) {
+            acc += coef(i, j) * emb(j)
+            j += 1
+          }
+          if (acc > 0) bucket |= 1L << i
+          i += 1
+        }
+        java.lang.Long.valueOf(bucket)
+      }
+    }
+
+  private def bucketSqlFor(coefOf: (String, String) => String,
+                           embCol: String, dim: Int, planes: Int): String = {
+    val dot = (i: String) =>
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(generate_series(0, ${dim - 1}), j -> " +
+        s"${coefOf(i, "j")} * (CAST($embCol AS DOUBLE[]))[j + 1])), (acc, x) -> acc + x)"
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(generate_series(0, ${planes - 1}), i -> " +
+      s"CASE WHEN ${dot("i")} > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE CAST(0 AS BIGINT) END)), " +
+      s"(acc, b) -> acc + b)"
+  }
+
   /** `planes`-bit LSH bucket id for an embedding column. Compiled kernel
     * (interpreted HOF lambdas cost ~planes × dim evals per row; see
     * [[graft.functions.TextSig]] for the rationale). The j-loop accumulates
-    * doubles left-to-right — the same order as the DuckDB rendering below,
-    * so every sign, and therefore every bucket id, matches exactly. */
-  private val bucketUdf = udf { (emb: Array[Double], dim: Int, planes: Int) =>
-    if (emb == null) null // NULL embeddings never join a bucket
-    else {
-      var bucket = 0L
-      var i = 0
-      while (i < planes) {
-        var acc = 0.0
-        var j = 0
-        while (j < dim) {
-          acc += ((i * 131 + j * 37) % 7 - 3) * emb(j)
-          j += 1
-        }
-        if (acc > 0) bucket |= 1L << i
-        i += 1
-      }
-      java.lang.Long.valueOf(bucket)
-    }
-  }
+    * doubles left-to-right — the same order as the DuckDB rendering, so
+    * every sign, and therefore every bucket id, matches exactly. */
+  private val bucketUdf = bucketUdfFor((i, j) =>
+    ((i.toLong * 131 + j.toLong * 37) % 7 - 3).toInt)
 
   def bucketExpr(embCol: String, dim: Int, planes: Int): Column =
     bucketExprOf(col(embCol), dim, planes)
 
   /** [[bucketExpr]] over an arbitrary embedding Column (a literal vector,
     * a transform result) rather than a named input column. */
-  def bucketExprOf(emb: Column, dim: Int, planes: Int): Column =
+  def bucketExprOf(emb: Column, dim: Int, planes: Int): Column = {
+    require(planes > 0 && planes <= 62, s"planes=$planes out of range " +
+      "(one Long bucket id; 1L << 63+ would wrap planes onto each other)")
     bucketUdf(emb.cast("array<double>"), lit(dim), lit(planes))
+  }
 
   /** DuckDB rendering of [[bucketExpr]] for oracle SQL. */
-  def bucketSqlDuck(embCol: String, dim: Int, planes: Int): String = {
-    val dot = (i: String) =>
-      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-        s"list_transform(generate_series(0, ${dim - 1}), j -> " +
-        s"${coefSql(i, "j")} * (CAST($embCol AS DOUBLE[]))[j + 1])), (acc, x) -> acc + x)"
-    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      s"list_transform(generate_series(0, ${planes - 1}), i -> " +
-      s"CASE WHEN ${dot("i")} > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE CAST(0 AS BIGINT) END)), " +
-      s"(acc, b) -> acc + b)"
-  }
+  def bucketSqlDuck(embCol: String, dim: Int, planes: Int): String =
+    bucketSqlFor(coefSql, embCol, dim, planes)
 
   /** Corpus with an LSH `bucket` column appended — persist this (partitioned
     * by bucket) as the "index build". */
@@ -122,53 +141,35 @@ object AnnIndex {
     * That ceiling is a real selectivity limit at corpus scale: a probe
     * can never touch less than ~1/128 of the data. This family uses a
     * prime modulus 2003 with multipliers coprime to it, so every plane
-    * i < 2003 is a genuinely distinct hyperplane and selectivity scales
-    * as 2^planes. Legacy stays the default everywhere it is already
-    * oracle-pinned; NEW stores that need more than 128-way blocking
-    * should build on [[wideBucketExpr]] (q_ann_plane_family measures
-    * the two families side by side). */
+    * below the (guarded) planes ≤ 62 bound is a genuinely distinct
+    * hyperplane and selectivity scales as 2^planes up to the Long
+    * bucket id's width. Legacy stays the default everywhere it is
+    * already oracle-pinned; NEW stores that need more than 128-way
+    * blocking should build on [[wideBucketExpr]] (q_ann_plane_family
+    * measures the two families side by side). */
   def wideCoefSql(i: String, j: String): String =
     s"((($i) * 7919 + ($j) * 104729) % 2003 - 1001)"
 
   /** [[bucketExpr]] on the wide coefficient family — same sign-LSH
     * semantics (positive-scale-invariant, compiled kernel, left-to-right
-    * accumulation matching the DuckDB rendering bit for bit). */
-  private val wideBucketUdf = udf { (emb: Array[Double], dim: Int, planes: Int) =>
-    if (emb == null) null
-    else {
-      var bucket = 0L
-      var i = 0
-      while (i < planes) {
-        var acc = 0.0
-        var j = 0
-        while (j < dim) {
-          acc += ((i * 7919 + j * 104729) % 2003 - 1001) * emb(j)
-          j += 1
-        }
-        if (acc > 0) bucket |= 1L << i
-        i += 1
-      }
-      java.lang.Long.valueOf(bucket)
-    }
-  }
+    * accumulation matching the DuckDB rendering bit for bit — BOTH
+    * bodies derive from [[bucketUdfFor]]/[[bucketSqlFor]], so the
+    * families cannot drift constant by constant). */
+  private val wideBucketUdf = bucketUdfFor((i, j) =>
+    ((i.toLong * 7919 + j.toLong * 104729) % 2003 - 1001).toInt)
 
   def wideBucketExpr(embCol: String, dim: Int, planes: Int): Column =
     wideBucketExprOf(col(embCol), dim, planes)
 
-  def wideBucketExprOf(emb: Column, dim: Int, planes: Int): Column =
+  def wideBucketExprOf(emb: Column, dim: Int, planes: Int): Column = {
+    require(planes > 0 && planes <= 62, s"planes=$planes out of range " +
+      "(one Long bucket id; 1L << 63+ would wrap planes onto each other)")
     wideBucketUdf(emb.cast("array<double>"), lit(dim), lit(planes))
+  }
 
   /** DuckDB rendering of [[wideBucketExpr]] for oracle SQL. */
-  def wideBucketSqlDuck(embCol: String, dim: Int, planes: Int): String = {
-    val dot = (i: String) =>
-      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-        s"list_transform(generate_series(0, ${dim - 1}), j -> " +
-        s"${wideCoefSql(i, "j")} * (CAST($embCol AS DOUBLE[]))[j + 1])), (acc, x) -> acc + x)"
-    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      s"list_transform(generate_series(0, ${planes - 1}), i -> " +
-      s"CASE WHEN ${dot("i")} > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE CAST(0 AS BIGINT) END)), " +
-      s"(acc, b) -> acc + b)"
-  }
+  def wideBucketSqlDuck(embCol: String, dim: Int, planes: Int): String =
+    bucketSqlFor(wideCoefSql, embCol, dim, planes)
 
   /** DuckDB rendering of [[signSketchExpr]] for oracle SQL. */
   def signSketchSqlDuck(embCol: String, bits: Int): String =

@@ -824,15 +824,6 @@ object Dedup {
     connected.unionByName(singletons)
   }
 
-  /** Near-duplicate pairs by embedding cosine ≥ `threshold`, compared within
-    * equal `blockCol` (e.g. an LSH bucket from [[AnnIndex.withBucket]]).
-    * L2 norms are staged per row, so each pair costs one dot product instead
-    * of three. `maxBucket` is the same mega-bucket cap as every other pair
-    * face ([[pairJoin]]): a viral embedding arriving as thousands of
-    * near-identical copies lands one block key, and its quadratic carries
-    * no more information than the flood's star — cap it and salvage
-    * connectivity in flight via
-    * [[graft.streaming.EventsStream.embedNearDupStream]]'s star tier. */
   /** The when-guarded staged-norm cosine EVERY embedding face shares —
     * one definition, so the capped face and each salvage tier compute
     * bit-identical values and [[embeddingPairsSalvaged]]'s union
@@ -843,6 +834,15 @@ object Dedup {
     when(aNrm === 0.0 || bNrm === 0.0, lit(0.0))
       .otherwise(graft.functions.vectors.dot(aEmb, bEmb) / (aNrm * bNrm))
 
+  /** Near-duplicate pairs by embedding cosine ≥ `threshold`, compared within
+    * equal `blockCol` (e.g. an LSH bucket from [[AnnIndex.withBucket]]).
+    * L2 norms are staged per row, so each pair costs one dot product instead
+    * of three. `maxBucket` is the same mega-bucket cap as every other pair
+    * face ([[pairJoin]]): a viral embedding arriving as thousands of
+    * near-identical copies lands one block key, and its quadratic carries
+    * no more information than the flood's star — cap it and salvage
+    * connectivity in flight via
+    * [[graft.streaming.EventsStream.embedNearDupStream]]'s star tier. */
   def embeddingPairs(df: DataFrame, keyCol: String, embCol: String,
                      blockCol: String, threshold: Double,
                      maxBucket: Int = Int.MaxValue): DataFrame = {
