@@ -465,11 +465,9 @@ object Dedup {
                             maxBucket: Int = Int.MaxValue): DataFrame = {
     pairJoin(requireSigned(index, maxHamming),
         Seq("chunk_idx", "chunk_val"), maxBucket)
-      .select(col("a_id"), col("b_id"), col("a_fp"), col("b_fp"),
-        col("a_chunk_sig")).distinct()
+      .select(col("a_id"), col("b_id"), col("a_fp"), col("b_fp")).distinct()
       .withColumn("hamming",
-        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long") +
-          pigeonholeGuard(col("a_chunk_sig"), maxHamming))
+        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
@@ -477,13 +475,22 @@ object Dedup {
   /** Loud-failure plumbing for the index-accepting entry points: the
     * presence require (a legacy index without the token cannot be
     * geometry-checked at all) plus the row-level pigeonhole assert,
-    * folded into a load-bearing column the [[hammingIncrementalPairs]]
-    * way — a standalone check column would be pruned. */
+    * folded into the load-bearing `chunk_val` JOIN KEY itself — so it
+    * evaluates once per INDEX row (the key is hashed on every row of
+    * both join sides), not per candidate-pair row. An earlier version
+    * guarded only the joined pairs, and a too-coarse index whose
+    * fingerprints happened to share no chunk value produced ZERO
+    * candidate rows, never fired the assert, and silently returned
+    * empty — exactly the silent-recall-loss class this guard exists to
+    * refuse (ADVICE r9). A standalone check column would be
+    * optimizer-pruned; riding the key cannot be. */
   private def requireSigned(index: DataFrame, maxHamming: Int): DataFrame = {
     require(index.columns.contains("chunk_sig"),
       "hamming index carries no chunk_sig token — rebuild it with " +
         "hammingChunkIndex before mining pairs from it")
-    index.select(col("id"), col("fp"), col("chunk_idx"), col("chunk_val"),
+    index.select(col("id"), col("fp"), col("chunk_idx"),
+      (col("chunk_val") + pigeonholeGuard(col("chunk_sig"), maxHamming))
+        .as("chunk_val"),
       col("chunk_sig"))
   }
 
@@ -553,12 +560,12 @@ object Dedup {
           col("chunk_val") <=> col("__g_val") && col("fp") <=> col("__g_fp"))
       .filter(col("id") =!= col("rep"))
       // star hamming is 0 by construction (identical fps); the pigeonhole
-      // guard rides the column so a standalone call over a too-coarse
-      // index fails loudly instead of quietly under-salvaging
+      // guard already rides every index row's chunk_val (requireSigned),
+      // so a standalone call over a too-coarse index fails loudly even
+      // when it would salvage nothing
       .select(least(col("id"), col("rep")).as("a_id"),
         greatest(col("id"), col("rep")).as("b_id"),
-        (lit(0L) + pigeonholeGuard(col("chunk_sig"), maxHamming))
-          .as("hamming"))
+        lit(0L).as("hamming"))
     // rep pairing only where the bucket's fingerprint diversity is
     // bounded: > maxReps distinct fps means the bucket is not boilerplate
     // but genuinely diverse — rep pairs there would re-grow the quadratic
@@ -677,8 +684,18 @@ object Dedup {
       "hamming index carries no chunk_sig token — rebuild it with " +
         "hammingChunkIndex before mining increments against it")
     val nb = hammingChunkIndex(newDf, idCol, hashCol, bits, chunks)
+    // the geometry assert rides the load-bearing chunk_val JOIN KEY, so
+    // it evaluates once per corpus row at key-hash time — an earlier
+    // per-candidate-pair form went silent exactly when the mismatch
+    // mattered most (foreign chunk_vals never match → zero pairs → zero
+    // assert evaluations; ADVICE r9, the requireSigned fix's sibling)
     val all = corpusIndex.unionByName(nb)
-      .select(col("id"), col("fp"), col("chunk_idx"), col("chunk_val"),
+      .select(col("id"), col("fp"), col("chunk_idx"),
+        (col("chunk_val") +
+          coalesce(assert_true(col("chunk_sig") === lit(chunkSig(bits, chunks)),
+            lit(s"stale hamming index: chunk_sig does not match " +
+              s"bits=$bits/chunks=$chunks — the chunk geometry changed; " +
+              "rebuild the index")).cast("long"), lit(0L))).as("chunk_val"),
         col("chunk_sig"))
     // null-safe key comparisons throughout, same rationale as [[pairJoin]]
     val keys = Seq("chunk_idx", "chunk_val")
@@ -698,23 +715,15 @@ object Dedup {
     val b = bound(all)
       .select(col("id").as("b_id"), col("fp").as("b_fp"),
         col("chunk_idx").as("__b_chunk_idx"),
-        col("chunk_val").as("__b_chunk_val"), col("chunk_sig").as("__b_sig"))
+        col("chunk_val").as("__b_chunk_val"))
       .hint("shuffle_hash")
     a.join(b, col("chunk_idx") <=> col("__b_chunk_idx") &&
         col("chunk_val") <=> col("__b_chunk_val"))
       .filter(col("a_id") =!= col("b_id"))
       // hamming before the orientation swap: it is symmetric, so the
-      // normalized pair carries the same distance from either side.
-      // The geometry assert folds into the load-bearing column (the
-      // ivfStore recipe — a standalone check column would be pruned):
-      // an index chunked under different (bits, chunks) fails the job
-      // loudly instead of silently missing every cross pair
+      // normalized pair carries the same distance from either side
       .withColumn("hamming",
-        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long") +
-          coalesce(assert_true(col("__b_sig") === lit(chunkSig(bits, chunks)),
-            lit(s"stale hamming index: chunk_sig does not match " +
-              s"bits=$bits/chunks=$chunks — the chunk geometry changed; " +
-              "rebuild the index")).cast("long"), lit(0L)))
+        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(least(col("a_id"), col("b_id")).as("a_id"),
         greatest(col("a_id"), col("b_id")).as("b_id"), col("hamming"))

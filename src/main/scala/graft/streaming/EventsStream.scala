@@ -534,7 +534,13 @@ object EventsStream {
     val session = rows.sparkSession
     import session.implicits._
     import graft.functions.vectors
+    // NULL embeddings drop at ingest, matching the batch face's null
+    // discipline (null block keys pair harmlessly, the threshold drops
+    // null cosines): here a null would reach the NON-NULLABLE Long/Double
+    // tuple encoder below (bucketExpr and l2Norm both yield null) and NPE
+    // the whole streaming query — one dirty row must not kill the stream.
     val keyed = rows
+      .filter(col(embCol).isNotNull)
       .withWatermark(tsCol, watermark)
       .select(col(tsCol).as("ts"), col(idCol).as("id"),
         col(embCol).cast("array<double>").as("emb"),

@@ -523,6 +523,22 @@ class ModulesSpec extends AnyFunSuite {
     assert(Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
       .take(5).exists(e => Option(e.getMessage)
         .exists(_.contains("stale hamming index"))), s"wrong error: $err")
+    // the ADVICE r9 sibling hole: a mismatched geometry whose foreign
+    // chunk_vals happen to NEVER collide with the batch's produces zero
+    // candidate pairs — a per-pair assert never evaluates and the mine
+    // silently returns empty. The assert rides the corpus-side chunk_val
+    // key (per row), so it must fire even with zero joinable pairs.
+    val silent = intercept[Exception] {
+      Dedup.hammingIncrementalPairs(
+        Seq((999L, 0L)).toDF("id", "fp"),
+        Dedup.hammingChunkIndex(Seq((1L, 0x0123456789ABCDEFL)).toDF("id", "fp"),
+          "id", "fp", 64, 2),
+        "id", "fp", 64, 4, 3).collect()
+    }
+    assert(Iterator.iterate(silent: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(5).exists(e => Option(e.getMessage)
+        .exists(_.contains("stale hamming index"))),
+      s"zero-match stale index went silent: $silent")
     // RANDOMIZED equivalence: over random fingerprint corpora, batches,
     // and caps, increment == capped from-scratch restricted to pairs
     // involving the batch — the fixed cases above are instances of this
@@ -633,6 +649,24 @@ class ModulesSpec extends AnyFunSuite {
     assert(Iterator.iterate(geomErr: Throwable)(_.getCause)
       .takeWhile(_ != null).take(5).exists(e => Option(e.getMessage)
         .exists(_.contains("chunked too coarsely"))), s"wrong error: $geomErr")
+    // the ADVICE r9 hole: a too-coarse index whose fingerprints share NO
+    // chunk value produces ZERO candidate rows — a guard riding only the
+    // joined pairs never evaluates and the call silently returns empty,
+    // the exact silent-recall-loss class it promises to refuse. The
+    // guard rides the chunk_val join key (per INDEX row) and must fire
+    // here too, for both the pair join and the salvage tier.
+    val disjoint = Dedup.hammingChunkIndex(
+      Seq((1L, 0x0000000100000001L), (2L, 0x0000000200000002L))
+        .toDF("id", "fp"), "id", "fp", 64, 2)
+    for (call <- Seq(
+        () => Dedup.hammingPairsFromIndex(disjoint, 3).collect(),
+        () => Dedup.hammingSalvageEdges(disjoint, 3, 1, 16).collect())) {
+      val e0 = intercept[Exception] { call() }
+      assert(Iterator.iterate(e0: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(5).exists(e => Option(e.getMessage)
+          .exists(_.contains("chunked too coarsely"))),
+        s"zero-candidate coarse index went silent: $e0")
+    }
     // RANDOMIZED battery: salvage ⊇ capped, sound, and (at unbounded
     // maxReps) component-EQUAL to the uncapped run — arbitrary skew
     val rnd = new scala.util.Random(99)
@@ -1983,7 +2017,12 @@ class ModulesSpec extends AnyFunSuite {
     val arrivals = Seq(
       (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, v),
       (Timestamp.valueOf("2024-01-01 10:00:01"), 2L, v.map(_ * 2)),
-      (Timestamp.valueOf("2024-01-01 10:00:02"), 3L, Array(-4.0, 3.0, -2.0, 1.0)))
+      (Timestamp.valueOf("2024-01-01 10:00:02"), 3L, Array(-4.0, 3.0, -2.0, 1.0)),
+      // one dirty row (ADVICE r9): a NULL embedding used to reach the
+      // non-nullable tuple encoder (null bucket/norm) and NPE the whole
+      // streaming query — it must be dropped at ingest like the batch
+      // face drops null-similarity pairs, not kill the stream
+      (Timestamp.valueOf("2024-01-01 10:00:03"), 4L, null: Array[Double]))
     val mem = MemoryStream[(Timestamp, Long, Array[Double])]
     val df = mem.toDF().toDF("ts", "vec_id", "embedding")
     val q = EventsStream.embedNearDupStream(df, "vec_id", "embedding",
