@@ -479,6 +479,81 @@ object Verify {
             "poisoning outlier blinded the bucket")
       }
     }
+    // 7) VIDEO near-dup stream — the newest decode path folded under the
+    // driver gate (its image/LSH/embedding siblings are gated above; the
+    // audio face shares this exact wrapper shape and stays spec-pinned):
+    // one availableNow pass of real Y4M clips through videoNearDupStream
+    // (real codec walk → 64-bit temporal-mean dHash → chunk-keyed
+    // saturating buckets), parity-asserted against the capped batch
+    // hammingPairs verdict. Fixture tiers mirror (3): 40 hash-mixed
+    // clips + 20 single-pixel-edited re-posts (bounded-hamming twins the
+    // stream must flag), plus 120 BLACK clips (all-zero planes through
+    // the real Y4M walk fingerprint to exactly 0) that make every (j, 0)
+    // chunk bucket a mega-bucket — the batch cap drops them wholesale,
+    // the stream SATURATES them, and every streamed pair re-verifies
+    // against recomputed fingerprints.
+    val vidIn = tmp.resolve("vid_in").toString
+    val blackBase = 300000L
+    val blackY4mUdf = udf { (i: Long) =>
+      val (w, h, nf) = ((10 + 2 * (i % 2)).toInt, 8, 3)
+      val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n".getBytes("US-ASCII")
+      val fb = w * h + 2 * (w / 2) * (h / 2)
+      val marker = "FRAME\n".getBytes("US-ASCII")
+      header ++ (1 to nf).flatMap(_ => marker ++ new Array[Byte](fb))
+    }
+    spark.range(0, 40).select(col("id"),
+        Multimodal.nearVideoForDocUdf(col("id")).as("content"))
+      .unionByName(spark.range(0, 40).filter(col("id") % 2 === 0)
+        .select((col("id") + 80000L).as("id"),
+          Multimodal.nearVideoForDocUdf(col("id") + 80000L).as("content")))
+      .unionByName(spark.range(0, 120)
+        .select((col("id") + blackBase).as("id"),
+          blackY4mUdf(col("id")).as("content")))
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .coalesce(1).write.mode("overwrite").parquet(vidIn)
+    val vidSchema = spark.read.parquet(vidIn).schema
+    val q7 = graft.streaming.EventsStream
+      .videoNearDupStream(
+        spark.readStream.schema(vidSchema).parquet(vidIn), "id", "content")
+      .writeStream.format("memory").queryName("smoke_video")
+      .option("checkpointLocation", tmp.resolve("ck7").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q7.awaitTermination()
+    val vidStreamed = spark.table("smoke_video")
+      .select(least(col("id"), col("matched_id")).as("a_id"),
+        greatest(col("id"), col("matched_id")).as("b_id"), col("hamming"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    val vidFps = spark.read.parquet(vidIn)
+      .select(col("id"),
+        Multimodal.videoFingerprintUdf(col("content"), lit(2)).as("fp"))
+    val vidFpMap = vidFps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vidStreamed.foreach { case (a, b, hd) =>
+      val real = java.lang.Long.bitCount(vidFpMap(a) ^ vidFpMap(b)).toLong
+      require(real == hd && real <= 3,
+        s"streaming video near-dup false positive: ($a, $b) reported " +
+          s"hamming $hd, recomputed $real") }
+    val vidBatch = Dedup.hammingPairs(vidFps, "id", "fp",
+        bits = 64, chunks = 4, maxHamming = 3, maxBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    require(vidBatch.forall(p => p._1 < blackBase && p._2 < blackBase),
+      "batch cap failed to drop the black-clip mega-buckets — fixture broken")
+    require(vidBatch.size >= 15,
+      s"planted edited-twin fixture yielded only ${vidBatch.size} capped " +
+        "batch pairs — the video parity leg went vacuous")
+    val vidHealthy = vidStreamed.filter(p => p._1 < blackBase && p._2 < blackBase)
+    require(vidHealthy == vidBatch,
+      s"streaming video parity: ${vidHealthy.size} healthy streamed pairs " +
+        s"vs ${vidBatch.size} capped batch pairs; " +
+        s"missing=${(vidBatch -- vidHealthy).take(3)} " +
+        s"extra=${(vidHealthy -- vidBatch).take(3)}")
+    val blackPairs = vidStreamed.filter(p => p._1 >= blackBase && p._2 >= blackBase)
+    require(blackPairs.forall(_._3 == 0L),
+      "black-clip near-dup pair with nonzero hamming — decode broken")
+    require(blackPairs.size >= 1900 && blackPairs.size <= capEnv,
+      s"streaming video saturation envelope: ${blackPairs.size} black " +
+        s"pairs, expected [1900, $capEnv] (120 unsaturated arrivals would " +
+        "emit 7140)")
     println(s"[verify] streaming_smoke OK: ${gotFps.length} dedup " +
       s"survivors, ${got.length} daily-window rows, " +
       s"${streamedHealthy.size} near-dup pairs parity-matched " +
@@ -488,6 +563,7 @@ object Verify {
       s"star tier ${starBoiler.size} all-linked), " +
       s"${embBatch.size} embedding pairs parity-matched in both modes " +
       "(poisoned flood 2016 capped / 2102 starred, exact, outlier " +
-      "unlinked)")
+      s"unlinked), ${vidHealthy.size} video pairs parity-matched " +
+      s"(+${blackPairs.size} saturation-bounded black-clip emissions)")
   }
 }

@@ -252,6 +252,77 @@ object AnnIndex {
       .select(col("query_id"), col("neighbor_id"), col("similarity"), col("rank"))
   }
 
+  /** WIDE-family sign-LSH dial sweep — [[ivfTuning]]'s measure-before-
+    * committing discipline applied to the hyperplane serving path: for
+    * each (planes, probeBits) cell, the candidate volume a probe touches
+    * (rows in the probed buckets — the partition-pruned read of a
+    * persisted wide-bucket store at 100 TB) and recall@k against the
+    * exact cosine top-k, over ONE shared corpus. The selectivity formula
+    * says what a cell COSTS (≈ (1 + probeBits·planes)/2^planes of the
+    * corpus); only the sweep says what recall it BUYS on your vectors —
+    * without it a new store gets planes from folklore, exactly the
+    * unmeasured-default class the legacy family's 128-bucket ceiling
+    * turned out to be. `probeBits` is [[annJoin]]'s multi-probe radius
+    * (0 = own bucket, 1 = plus every one-sign-flip neighbor — planes+1
+    * buckets); at fixed planes the probe sets are NESTED, so both
+    * n_candidates and n_hits are non-decreasing in probeBits (the
+    * ModulesSpec-pinned property), while ACROSS planes nothing is
+    * ordered — that trade-off surface is the measurement. One row per
+    * cell: (planes, probe_bits, n_candidates, n_corpus, n_hits,
+    * recall_x10k, cand_frac_x10k). Scale shape: the exact top-k
+    * baseline is computed once; each cell is one bucket pass over the
+    * corpus plus a broadcast probe join and a k-row intersection. */
+  def annTuning(corpus: DataFrame, embCol: String, idCol: String,
+                query: DataFrame, queryCol: String, dim: Int, k: Int,
+                cells: Seq[(Int, Int)]): DataFrame = {
+    import graft.functions.{text, vectors}
+    val exactIds = corpus
+      .crossJoin(broadcast(query.select(col(queryCol))))
+      .withColumn("__sim", vectors.cosineSim(col(embCol), col(queryCol)))
+      .orderBy(desc("__sim"), col(idCol))
+      .limit(k)
+      .select(col(idCol))
+    val nCorpus = corpus.agg(count(lit(1)).as("n_corpus"))
+    val stats = cells.map { case (planes, probeBits) =>
+      require(probeBits >= 0 && probeBits <= 1, "probeBits 0 or 1 supported")
+      val assigned = corpus
+        .withColumn("__cb", wideBucketExpr(embCol, dim, planes))
+      val q0 = query.select(col(queryCol).as("__qe"),
+        wideBucketExprOf(col(queryCol), dim, planes).as("__qb0"))
+      // probed buckets are distinct per query (a flip never equals the
+      // origin), so a corpus row lands in at most one candidate row
+      val probes =
+        if (probeBits == 0) q0.select(col("__qe"), col("__qb0").as("__qb"))
+        else q0.select(col("__qe"), explode(expr(
+            s"array_union(array(__qb0), transform(sequence(0, ${planes - 1}), " +
+              s"i -> __qb0 ^ CAST(pow(2, i) AS BIGINT)))")).as("__qb"))
+      val cand = assigned.join(broadcast(probes), col("__cb") === col("__qb"))
+      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      val nHits = cand
+        .withColumn("__sim", vectors.cosineSim(col(embCol), col("__qe")))
+        .orderBy(desc("__sim"), col(idCol))
+        .limit(k)
+        .select(col(idCol))
+        .join(broadcast(exactIds), Seq(idCol), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      nCand.crossJoin(nHits).select(
+        lit(planes).cast("long").as("planes"),
+        lit(probeBits).cast("long").as("probe_bits"),
+        col("n_candidates").cast("long").as("n_candidates"),
+        col("n_hits").cast("long").as("n_hits"))
+    }
+    stats.reduce(_.unionByName(_))
+      .crossJoin(broadcast(nCorpus))
+      .select(col("planes"), col("probe_bits"), col("n_candidates"),
+        col("n_corpus").cast("long").as("n_corpus"), col("n_hits"),
+        expr(text.fixedPoint(s"CAST(n_hits AS DOUBLE) / $k", 4))
+          .as("recall_x10k"),
+        expr(text.fixedPoint(
+          "CAST(n_candidates AS DOUBLE) / greatest(n_corpus, 1)", 4))
+          .as("cand_frac_x10k"))
+      .orderBy("planes", "probe_bits")
+  }
+
   // --- IVF (inverted-file) variant -----------------------------------------
   //
   // The centroid-routed alternative to the sign-LSH buckets above, the other

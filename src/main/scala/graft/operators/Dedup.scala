@@ -993,6 +993,108 @@ object Dedup {
         threshold, maxBucket, maxReps, sketchBits))
       .distinct()
 
+  /** The persistable sign-bucket store of an embedding corpus — (id,
+    * emb, nrm, bucket, emb_sig): the vector modality's analog of
+    * [[minhashBandIndex]]/[[hammingChunkIndex]], completing the
+    * persisted-index matrix. Buckets come from the WIDE prime-modulus
+    * plane family ([[AnnIndex.wideBucketExpr]]), NOT the legacy
+    * coefficients: the legacy family holds at most 7 distinct
+    * hyperplanes (q_ann_plane_family's census — a 128-bucket
+    * selectivity ceiling), so at corpus scale every legacy block is a
+    * guaranteed mega-bucket and all pair work lands on cap+salvage; the
+    * wide family gives 2^planes genuine selectivity, so a persisted
+    * store can be bucketed finely enough that blocks stay small. L2
+    * norms are staged per row at BUILD time, so every later increment
+    * pays exactly one dot product per candidate pair. `emb_sig` is the
+    * freshness token ([[hammingChunkIndex]]'s `chunk_sig` recipe,
+    * tagged with the family's prime 2003): a store bucketed under
+    * different (dim, planes) — or under the legacy family — joins
+    * cleanly and silently yields zero cross pairs, so
+    * [[embeddingIncrementalPairs]] refuses it loudly instead. At 100 TB
+    * write this partitioned by `bucket` and every ingest batch joins
+    * against it rather than re-bucketing the corpus. */
+  def embeddingBucketIndex(df: DataFrame, keyCol: String, embCol: String,
+                           dim: Int, planes: Int): DataFrame =
+    df.select(col(keyCol).as("id"),
+        col(embCol).cast("array<double>").as("emb"))
+      .withColumn("nrm", graft.functions.vectors.l2Norm(col("emb")))
+      .withColumn("bucket", AnnIndex.wideBucketExpr("emb", dim, planes))
+      .withColumn("emb_sig", lit(embSig(dim, planes)))
+
+  /** The bucket-geometry token stamped by [[embeddingBucketIndex]] and
+    * verified by [[embeddingIncrementalPairs]]: 2003 (the wide family's
+    * prime modulus) tags the hash family, so a hypothetical legacy-family
+    * store can never masquerade as a wide one. */
+  private def embSig(dim: Int, planes: Int): Long =
+    2003L * 100000000L + dim.toLong * 1000L + planes
+
+  /** Incremental embedding near-dup mining: cosine ≥ `threshold` pairs
+    * INVOLVING a new vector batch — new×corpus and new×new, never
+    * corpus×corpus — against a prebuilt [[embeddingBucketIndex]],
+    * completing the incremental matrix ([[minhashIncrementalPairs]] for
+    * text bands, [[hammingIncrementalPairs]] for fingerprint chunks,
+    * now the vector face): a daily embedding ingest costs
+    * |batch| × bucket-mates, independent of corpus size, where a full
+    * [[embeddingPairs]] re-run grows with the corpus square. The
+    * `maxBucket` cap population is the FULL post-batch bucket
+    * (index ∪ batch), so a bucket the batch pushes over the cap drops
+    * from both sides — exactly what a capped from-scratch run over
+    * old+new would do (asserted in ModulesSpec). The geometry assert
+    * rides the load-bearing `bucket` join key, evaluated once per
+    * corpus row at key-hash time — a mismatched store (different
+    * planes, or a legacy-family bucketing) would otherwise just never
+    * match and silently miss every cross pair. Null embeddings carry
+    * null buckets, pair only with each other under the null-safe key,
+    * and their null cosine never clears a positive threshold — the
+    * [[embeddingPairs]] discipline. Pair ids are normalized
+    * (a_id < b_id); cosine is symmetric, so the distinct collapses
+    * both orientations of a new×new pair. */
+  def embeddingIncrementalPairs(newDf: DataFrame, corpusIndex: DataFrame,
+                                keyCol: String, embCol: String,
+                                dim: Int, planes: Int, threshold: Double,
+                                maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(corpusIndex.columns.contains("emb_sig"),
+      "embedding bucket index carries no emb_sig token — rebuild it with " +
+        "embeddingBucketIndex before mining increments against it")
+    val nb = embeddingBucketIndex(newDf, keyCol, embCol, dim, planes)
+    val all = corpusIndex.unionByName(nb)
+      .select(col("id"), col("emb"), col("nrm"),
+        (col("bucket") +
+          coalesce(assert_true(col("emb_sig") === lit(embSig(dim, planes)),
+            lit(s"stale embedding bucket index: emb_sig does not match the " +
+              s"wide plane family at dim=$dim/planes=$planes — the bucket " +
+              "geometry changed; rebuild the index")).cast("long"),
+            lit(0L))).as("bucket"))
+    // null-safe key comparisons throughout, same rationale as [[pairJoin]]
+    def bound(df: DataFrame): DataFrame =
+      if (maxBucket == Int.MaxValue) df
+      else {
+        val over = oversizedKeys(all, Seq("bucket"), maxBucket)
+          .select(col("bucket").as("__over_bucket"))
+        df.join(broadcast(over), col("bucket") <=> col("__over_bucket"),
+          "left_anti")
+      }
+    val a = bound(nb.select(col("id"), col("emb"), col("nrm"), col("bucket")))
+      .select(col("id").as("a_id"), col("emb").as("a_emb"),
+        col("nrm").as("a_nrm"), col("bucket"))
+      .hint("shuffle_hash")
+    val b = bound(all)
+      .select(col("id").as("b_id"), col("emb").as("b_emb"),
+        col("nrm").as("b_nrm"), col("bucket").as("__b_bucket"))
+      .hint("shuffle_hash")
+    a.join(b, col("bucket") <=> col("__b_bucket"))
+      .filter(col("a_id") =!= col("b_id"))
+      // cosine before the orientation swap: symmetric, so the normalized
+      // pair carries the same value from either side
+      .withColumn("cosine", stagedCosine(col("a_emb"), col("b_emb"),
+        col("a_nrm"), col("b_nrm")))
+      .filter(col("cosine") >= threshold)
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"),
+        round(col("cosine"), 4).as("cosine"))
+      .distinct()
+  }
+
   /** Incremental connected components: fold a NEW batch of pairs (e.g.
     * from [[minhashIncrementalPairs]]) into an EXISTING labeling without
     * re-propagating over the old pair graph. Each old cluster collapses to

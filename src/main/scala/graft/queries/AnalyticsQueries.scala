@@ -254,6 +254,73 @@ object AnalyticsQueries {
         .orderBy("query_id", "rank")
     },
 
+    Q("q_ann_wide_tuning",
+      "WIDE-family ANN dial sweep (AnnIndex.annTuning) — the " +
+        "q_ivf_tuning measure-before-committing discipline for the " +
+        "sign-LSH serving path, so a NEW store gets its (planes, " +
+        "probeBits) dial from a measurement instead of folklore: per " +
+        "cell, the candidate volume the probe touches (the partition-" +
+        "pruned read of a persisted wide-bucket store at 100 TB) and " +
+        "recall@5 against the exact cosine top-5. At fixed planes the " +
+        "probe sets are NESTED (probe 1 adds every one-sign-flip " +
+        "bucket), so candidates and hits are non-decreasing in " +
+        "probeBits — the theorem the oracle pins — while across planes " +
+        "the cost/recall trade-off is the measurement itself. " +
+        "The selectivity lever the legacy family lacks: at planes=12 a " +
+        "probe-0 cell touches ~1/4096 of the corpus, finer than the " +
+        "legacy family's hard 1/128 ceiling (q_ann_plane_family)",
+      Some {
+        def cos(a: String, b: String) = vectors.cosineSimSql(a, b)
+        def cell(p: Int, pb: Int): String = {
+          val probes =
+            if (pb == 0) "[qb]"
+            else s"list_append(list_transform(generate_series(0, ${p - 1}), " +
+              s"i -> xor(qb, CAST(pow(2, i) AS BIGINT))), qb)"
+          s"""(WITH bp AS (SELECT vec_id, emb,
+             |    ${AnnIndex.wideBucketSqlDuck("emb", 64, p)} AS bk FROM c),
+             |  qp AS (SELECT qe, $probes AS pr FROM (
+             |    SELECT qe, ${AnnIndex.wideBucketSqlDuck("qe", 64, p)} AS qb
+             |    FROM q)),
+             |  cd AS (SELECT b.vec_id, b.emb, q.qe FROM bp b JOIN qp q
+             |    ON list_contains(q.pr, b.bk)),
+             |  tk AS (SELECT vec_id FROM (
+             |    SELECT vec_id, ${cos("emb", "qe")} AS s FROM cd
+             |    ORDER BY s DESC, vec_id LIMIT 5))
+             |  SELECT CAST($p AS BIGINT) AS planes,
+             |    CAST($pb AS BIGINT) AS probe_bits,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM cd) AS n_candidates,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM tk
+             |       WHERE EXISTS (SELECT 1 FROM ex WHERE ex.vec_id = tk.vec_id))
+             |      AS n_hits)""".stripMargin
+        }
+        s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           |  FROM embeddings WHERE vec_id <> 0),
+           |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+           |  FROM embeddings WHERE vec_id = 0),
+           |n AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM c),
+           |ex AS (SELECT vec_id FROM (
+           |  SELECT c.vec_id, ${cos("c.emb", "q.qe")} AS s
+           |  FROM c CROSS JOIN q
+           |  ORDER BY s DESC, vec_id LIMIT 5)),
+           |cells AS (
+           |  ${Seq((6, 0), (6, 1), (12, 0), (12, 1)).map { case (p, pb) =>
+               cell(p, pb) }.mkString("\n  UNION ALL\n  ")})
+           |SELECT planes, probe_bits, n_candidates, n_corpus, n_hits,
+           |  ${text.fixedPoint("CAST(n_hits AS DOUBLE) / 5", 4)}
+           |    AS recall_x10k,
+           |  ${text.fixedPoint(
+                "CAST(n_candidates AS DOUBLE) / greatest(n_corpus, 1)", 4)}
+           |    AS cand_frac_x10k
+           |FROM cells CROSS JOIN n
+           |ORDER BY planes, probe_bits""".stripMargin
+      }) { (s, dir) =>
+      val e = embeddings(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      AnnIndex.annTuning(e.filter(col("vec_id") =!= 0), "emb", "vec_id",
+        e.filter(col("vec_id") === 0).select(col("emb").as("qe")), "qe",
+        dim = 64, k = 5, cells = Seq((6, 0), (6, 1), (12, 0), (12, 1)))
+    },
+
     Q("q_pq_topk",
       "PQ ADC two-stage top-5 (Quantize.pqTopK, m=8 subspaces x 32 " +
         "centroids over the 64-dim corpus): codes are 8 bytes/vector (64x " +

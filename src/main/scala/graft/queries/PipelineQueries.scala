@@ -1771,6 +1771,115 @@ object PipelineQueries {
       }
     },
 
+    Q("q_dedup_apply_salvaged",
+      "The salvage tier wired into the operator users actually run — " +
+        "capped pairs ∪ salvage edges → Dedup.clusters → survivors: the " +
+        "recall trilogy MEASURES what the cap loses and salvage " +
+        "recovers; this query proves the recovered connectivity reaches " +
+        "the dedup verdict end-to-end. Fixture: 50 healthy docs with " +
+        "well-spread hash fingerprints (singletons — nothing may " +
+        "disturb them), 100 genuinely decoded monochrome thumbnails " +
+        "(dHash exactly 0, every chunk bucket a mega-bucket at cap 64) " +
+        "and 40 single-bright-pixel edits one bit away — the " +
+        "q_dedup_cap_recall corpus. Under the plain cap the verdict is " +
+        "WRONG: 100 mono singletons + 8 five-member edit clusters " +
+        "survive separately; with salvage edges unioned in, min-label " +
+        "propagation folds all 140 into ONE cluster with one survivor. " +
+        "Output: one row per cluster (survivor = min id, the " +
+        "q_dedup_apply policy, + member count) — 50 healthy singletons " +
+        "and the 140-member salvaged component. Oracle replays " +
+        "fingerprints closed-form, mirrors cap + salvage exactly as " +
+        "q_dedup_cap_recall, then runs the WITH RECURSIVE closure of " +
+        "q_dedup_clusters over the union",
+      Some("""WITH RECURSIVE corpus AS (
+             |  SELECT doc_id AS id,
+             |    (doc_id + 11) * 2654435761 % 1000000007 AS fp
+             |  FROM documents WHERE doc_id < 50
+             |  UNION ALL
+             |  SELECT doc_id + 100000, CAST(0 AS BIGINT)
+             |  FROM documents WHERE doc_id < 100
+             |  UNION ALL
+             |  SELECT doc_id + 200000,
+             |    CASE WHEN doc_id % 8 = 7 THEN (-9223372036854775807 - 1)
+             |         ELSE (1::BIGINT << CAST((doc_id % 8) * 8 + 7 AS INT))
+             |    END
+             |  FROM documents WHERE doc_id < 40),
+             |ch AS (SELECT id, fp, j, (fp >> (j * 16)) & 65535 AS cv
+             |  FROM corpus, (SELECT unnest(generate_series(0, 3)) AS j)),
+             |big AS (SELECT j, cv FROM ch GROUP BY j, cv HAVING count(*) > 64),
+             |ch2 AS (SELECT * FROM ch WHERE NOT EXISTS (
+             |  SELECT 1 FROM big WHERE big.j = ch.j AND big.cv = ch.cv)),
+             |capped AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
+             |  FROM ch2 a JOIN ch2 b
+             |    ON a.j = b.j AND a.cv = b.cv AND a.id < b.id
+             |  WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+             |mega AS (SELECT ch.* FROM ch WHERE EXISTS (
+             |  SELECT 1 FROM big WHERE big.j = ch.j AND big.cv = ch.cv)),
+             |grp AS (SELECT j, cv, fp, min(id) AS rep
+             |  FROM mega GROUP BY j, cv, fp),
+             |stars AS (SELECT DISTINCT least(m.id, g.rep) AS a_id,
+             |    greatest(m.id, g.rep) AS b_id
+             |  FROM mega m JOIN grp g
+             |    ON m.j = g.j AND m.cv = g.cv AND m.fp = g.fp
+             |  WHERE m.id <> g.rep),
+             |pairable AS (SELECT j, cv FROM grp GROUP BY j, cv
+             |  HAVING count(*) <= 16),
+             |reppairs AS (SELECT DISTINCT a.rep AS a_id, b.rep AS b_id
+             |  FROM grp a JOIN grp b
+             |    ON a.j = b.j AND a.cv = b.cv AND a.rep < b.rep
+             |  WHERE EXISTS (SELECT 1 FROM pairable p
+             |                WHERE p.j = a.j AND p.cv = a.cv)
+             |    AND bit_count(xor(a.fp, b.fp)) <= 3),
+             |salv AS (SELECT a_id, b_id FROM capped
+             |  UNION SELECT a_id, b_id FROM stars
+             |  UNION SELECT a_id, b_id FROM reppairs),
+             |edges AS (SELECT a_id AS src, b_id AS dst FROM salv
+             |  UNION SELECT b_id, a_id FROM salv),
+             |reach(id, r) AS (
+             |  SELECT id, id FROM corpus
+             |  UNION
+             |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+             |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+             |SELECT cluster AS survivor_id,
+             |  CAST(count(*) AS BIGINT) AS n_members
+             |FROM comp GROUP BY cluster
+             |ORDER BY survivor_id""".stripMargin)) { (s, dir) =>
+      import graft.operators.{Dedup, Multimodal}
+      val docs = documents(s, dir)
+      // healthy fingerprints are a pure hash-mix expression (this query
+      // pins the pairs→clusters→survivor PLUMBING; the decode path is
+      // pinned by q_image_neardup and the recall trilogy); the mono and
+      // edit tiers walk the REAL decode, and only the oracle replays
+      // their closed forms — the q_dedup_cap_recall contract
+      val fps = docs.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("id"),
+          expr("(doc_id + 11) * 2654435761 % 1000000007").as("fp"))
+        .unionByName(docs.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 100000).as("id"),
+            Multimodal.dHash64Udf(
+              Multimodal.monoImageForDocUdf(col("doc_id"))).as("fp")))
+        .unionByName(docs.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 200000).as("id"),
+            Multimodal.dHash64Udf(
+              Multimodal.monoEditImageForDocUdf(col("doc_id"))).as("fp")))
+      val index = Dedup.hammingChunkIndex(fps, "id", "fp",
+        bits = 64, chunks = 4)
+      // capped + salvage over ONE index — the persisted-store shape the
+      // recall queries document; clusters caches the pair union itself,
+      // so the decode+index plan runs once per propagation round's need
+      val pairs = Dedup.hammingPairsFromIndex(index, maxHamming = 3,
+          maxBucket = 64)
+        .select(col("a_id"), col("b_id"))
+        .unionByName(Dedup.hammingSalvageEdges(index, maxHamming = 3,
+            maxBucket = 64, maxReps = 16)
+          .select(col("a_id"), col("b_id")))
+        .distinct()
+      Dedup.clusters(fps.select(col("id")), "id", pairs)
+        .filter(col("id") === col("cluster"))
+        .select(col("cluster").as("survivor_id"), col("n_members"))
+        .orderBy("survivor_id")
+    },
+
     Q("q_crossmodal_match",
       "Cross-modal retrieval (the LAION/CLIP-style caption-to-image " +
         "matcher, machinery-real / encoders-stubbed): captions and " +

@@ -191,6 +191,103 @@ object TextQueries {
         .orderBy("a_id", "b_id")
     },
 
+    Q("q_dedup_embed_wide",
+      "q_dedup_embed on the WIDE prime-modulus plane family " +
+        "(AnnIndex.wideBucketExpr, 20 planes): the engine's own census " +
+        "(q_ann_plane_family) proves the legacy blocking family holds " +
+        "at most 7 distinct hyperplanes — a selectivity ceiling the " +
+        "corpus census confirms directly (sf0.1 doubled corpus, 4000 " +
+        "rows: legacy occupies 116 buckets whether 8, 12 or 16 planes " +
+        "are requested, max block 168, 118k pairs inside oversized " +
+        "blocks; wide at 20 planes occupies 847, max block 98, 46k — " +
+        "SCALE.md), so asking legacy for more planes adds nothing " +
+        "while wide keeps splitting down to the same-SIGN mass no " +
+        "hyperplane family can separate (the salvage tier's job, " +
+        "q_embed_cap_recall). Positive rescales still share their " +
+        "original's bucket (sign-LSH scale-invariance holds for ANY " +
+        "coefficient family), so the x2-rescaled twins are always " +
+        "found. This is the blocking NEW embedding stores should use; " +
+        "q_dedup_embed stays oracle-pinned on the legacy default",
+      Some(s"""WITH corpus AS (
+              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+              |  UNION ALL
+              |  SELECT vec_id + 10000,
+              |         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
+              |  FROM embeddings),
+              |bucketed AS (SELECT vec_id, emb,
+              |  ${graft.operators.AnnIndex.wideBucketSqlDuck("emb", 64, 20)} AS bucket,
+              |  sqrt(list_dot_product(emb, emb)) AS nrm
+              |  FROM corpus)
+              |SELECT a_id, b_id, round(cosine, 4) AS cosine FROM (
+              |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+              |    CASE WHEN a.nrm = 0.0 OR b.nrm = 0.0 THEN 0.0
+              |         ELSE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) END AS cosine
+              |  FROM bucketed a JOIN bucketed b
+              |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+              |WHERE cosine >= 0.99
+              |ORDER BY a_id, b_id""".stripMargin)) { (s, dir) =>
+      val e = embeddings(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      val corpus = e.unionByName(e.select(
+        (col("vec_id") + 10000).as("vec_id"),
+        transform(col("emb"), x => x * 2.0).as("emb")))
+        .withColumn("bucket",
+          graft.operators.AnnIndex.wideBucketExpr("emb", 64, 20))
+      Dedup.embeddingPairs(corpus, "vec_id", "emb", "bucket", threshold = 0.99)
+        .orderBy("a_id", "b_id")
+    },
+
+    Q("q_embed_neardup_incremental",
+      "Incremental embedding near-dup mining " +
+        "(Dedup.embeddingIncrementalPairs), completing the incremental " +
+        "matrix — MinHash bands (q_dedup_incremental), hamming chunks " +
+        "(q_image/audio/video_neardup_incremental), now the vector " +
+        "face: the x2-rescaled copies arrive as a NEW batch and pair " +
+        "against the base corpus's prebuilt wide-family sign-bucket " +
+        "store (Dedup.embeddingBucketIndex: buckets + staged norms + " +
+        "the emb_sig geometry token) — new×corpus and new×new pairs " +
+        "only, never corpus×corpus, so per-batch cost is independent " +
+        "of corpus size where a full re-pair grows with its square. " +
+        "The maxBucket=64 cap is ENGAGED with its population taken " +
+        "over the full post-batch bucket. Oracle = the from-scratch " +
+        "capped wide-bucket pair run restricted to pairs touching the " +
+        "new batch: the incremental path must find EXACTLY what a " +
+        "from-scratch run would",
+      Some(s"""WITH corpus AS (
+              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+              |  UNION ALL
+              |  SELECT vec_id + 10000,
+              |         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
+              |  FROM embeddings),
+              |bucketed AS (SELECT vec_id, emb,
+              |  ${graft.operators.AnnIndex.wideBucketSqlDuck("emb", 64, 20)} AS bucket,
+              |  sqrt(list_dot_product(emb, emb)) AS nrm
+              |  FROM corpus),
+              |big AS (SELECT bucket FROM bucketed GROUP BY bucket
+              |  HAVING count(*) > 64),
+              |sm AS (SELECT * FROM bucketed WHERE NOT EXISTS (
+              |  SELECT 1 FROM big WHERE big.bucket = bucketed.bucket))
+              |SELECT a_id, b_id, round(cosine, 4) AS cosine FROM (
+              |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+              |    CASE WHEN a.nrm = 0.0 OR b.nrm = 0.0 THEN 0.0
+              |         ELSE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) END AS cosine
+              |  FROM sm a JOIN sm b
+              |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+              |WHERE cosine >= 0.99
+              |  AND (a_id >= 10000 OR b_id >= 10000)
+              |ORDER BY a_id, b_id""".stripMargin)) { (s, dir) =>
+      import graft.operators.Dedup
+      val base = embeddings(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      val newBatch = base.select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("emb"), x => x * 2.0).as("emb"))
+      val index = Dedup.embeddingBucketIndex(base, "vec_id", "emb",
+        dim = 64, planes = 20)
+      Dedup.embeddingIncrementalPairs(newBatch, index, "vec_id", "emb",
+          dim = 64, planes = 20, threshold = 0.99, maxBucket = 64)
+        .orderBy("a_id", "b_id")
+    },
+
     Q("q_embed_cap_audit",
       "The measure-before-committing-a-cap step for the EMBEDDING pair " +
         "face (q_dedup_cap_audit's discipline on the vector family, now " +

@@ -3298,4 +3298,134 @@ class ModulesSpec extends AnyFunSuite {
     assert(TextNorm.extractLinks(html).toSeq == Seq("u1", "u2", "u1"))
     assert(TextNorm.extractLinks("no links").isEmpty)
   }
+
+  test("embeddingIncrementalPairs: increment equals capped from-scratch restricted to the batch") {
+    import spark.implicits._
+    import graft.operators.{AnnIndex, Dedup}
+    val (dim, planes, thr) = (8, 10, 0.99)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the from-scratch comparator: capped wide-bucket embeddingPairs over
+    // old ∪ new, restricted to pairs involving the batch
+    def scratch(all: org.apache.spark.sql.DataFrame, cap: Int,
+                batchMin: Long) =
+      run(Dedup.embeddingPairs(
+          all.withColumn("bucket", AnnIndex.wideBucketExpr("emb", dim, planes)),
+          "id", "emb", "bucket", threshold = thr, maxBucket = cap))
+        .filter { case (a, b, _) => a >= batchMin || b >= batchMin }
+    // four well-separated directions; positive rescales share the bucket
+    // (sign-LSH scale-invariance) and sit at cosine exactly 1.0
+    val anchors = Array(
+      Array(1.0, -2.0, 3.0, -1.0, 2.0, -3.0, 1.5, -0.5),
+      Array(-1.0, 1.0, -1.0, 1.0, -2.0, 2.0, -2.0, 2.0),
+      Array(3.0, 1.0, -0.5, -2.0, 1.0, 0.5, -1.0, 2.5),
+      Array(-2.0, -1.0, 1.0, 3.0, -0.5, 1.5, 2.0, -1.0))
+    def copies(aIdx: Int, idBase: Long, n: Int) = (0 until n).map(i =>
+      (idBase + i, anchors(aIdx).map(_ * (i + 2))))
+    // old: 10 copies each of anchors 0-2; batch: 10 MORE copies of anchor
+    // 0 (pushing its bucket from 10 to 20), 3 copies of the unseen anchor
+    // 3 (new×new only), one null embedding (must pair with nothing)
+    val old = (copies(0, 1L, 10) ++ copies(1, 21L, 10) ++ copies(2, 41L, 10))
+      .toDF("id", "emb")
+    val batch = (copies(0, 101L, 10) ++ copies(3, 121L, 3))
+      .toDF("id", "emb")
+      .unionByName(Seq((131L, null: Array[Double])).toDF("id", "emb"))
+    val index = Dedup.embeddingBucketIndex(old, "id", "emb", dim, planes)
+    val all = old.unionByName(batch)
+    // uncapped, and capped at 15: anchor 0's bucket is 10 old + 10 new =
+    // 20 rows — UNDER no cap, OVER cap 15 only because of the batch, so
+    // the post-batch cap population must drop it from both sides
+    for (cap <- Seq(Int.MaxValue, 15)) {
+      val incr = run(Dedup.embeddingIncrementalPairs(batch, index,
+        "id", "emb", dim, planes, thr, maxBucket = cap))
+      assert(incr == scratch(all, cap, 101L),
+        s"cap=$cap: increment != from-scratch-restricted")
+      assert(incr.forall { case (a, b, _) => a != 131L && b != 131L },
+        "null embedding forged a pair")
+    }
+    // non-vacuity: uncapped finds the 10x10 cross + C(10,2) new×new on
+    // anchor 0 plus C(3,2) on anchor 3; capped-at-15 keeps only anchor 3
+    assert(run(Dedup.embeddingIncrementalPairs(batch, index,
+      "id", "emb", dim, planes, thr)).size == 100 + 45 + 3)
+    assert(run(Dedup.embeddingIncrementalPairs(batch, index,
+      "id", "emb", dim, planes, thr, maxBucket = 15)).size == 3)
+    // RANDOMIZED equivalence battery, the hamming test's discipline
+    val rnd = new scala.util.Random(53)
+    for (trial <- 1 to 3) {
+      val cap2 = Seq(4, 12, Int.MaxValue)(trial - 1)
+      def near(aIdx: Int) = anchors(aIdx).map(x =>
+        x * (1 + rnd.nextInt(9)) + rnd.nextGaussian() * 0.01)
+      val oldR = (1L to 30L).map(i => (i, near(rnd.nextInt(4))))
+      val newR = (101L to 112L).map(i => (i, near(rnd.nextInt(4))))
+      val oldDf = oldR.toDF("id", "emb"); val newDf = newR.toDF("id", "emb")
+      val incr2 = run(Dedup.embeddingIncrementalPairs(newDf,
+        Dedup.embeddingBucketIndex(oldDf, "id", "emb", dim, planes),
+        "id", "emb", dim, planes, thr, maxBucket = cap2))
+      assert(incr2 == scratch(oldDf.unionByName(newDf), cap2, 101L),
+        s"trial $trial cap=$cap2: increment != from-scratch")
+    }
+    // the persistence claim: the store written to parquet PARTITIONED BY
+    // bucket (the documented 100 TB layout) mines the same pairs
+    val dir = java.nio.file.Files.createTempDirectory("graft_eidx")
+      .toString + "/idx"
+    index.write.partitionBy("bucket").parquet(dir)
+    val viaStore = run(Dedup.embeddingIncrementalPairs(batch,
+      spark.read.parquet(dir), "id", "emb", dim, planes, thr))
+    assert(viaStore == run(Dedup.embeddingIncrementalPairs(batch, index,
+      "id", "emb", dim, planes, thr)),
+      "parquet round-trip changed pairs")
+    // refusals: a store without the token cannot be geometry-checked; a
+    // geometry-mismatched store fails LOUDLY per corpus row even when no
+    // bucket value would ever join (the silent-zero-pairs class)
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingIncrementalPairs(batch, index.drop("emb_sig"),
+        "id", "emb", dim, planes, thr)
+    }
+    val stale = intercept[Exception] {
+      Dedup.embeddingIncrementalPairs(batch,
+        Dedup.embeddingBucketIndex(old, "id", "emb", dim, planes = 6),
+        "id", "emb", dim, planes, thr).collect()
+    }
+    assert(Iterator.iterate(stale: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(5).exists(e => Option(e.getMessage)
+        .exists(_.contains("stale embedding bucket index"))),
+      s"wrong error: $stale")
+  }
+
+  test("annTuning: nested probes are monotone and the full-probe cell is brute force") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.AnnIndex
+    val e = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val corpus = e.filter(col("vec_id") =!= 0)
+    val q = e.filter(col("vec_id") === 0).select(col("emb").as("qe"))
+    val rows = AnnIndex.annTuning(corpus, "emb", "vec_id", q, "qe",
+        dim = 64, k = 5, cells = Seq((1, 0), (1, 1), (4, 0), (4, 1), (12, 1)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val byCell = rows.map(r => (r._1, r._2) -> r).toMap
+    val nCorpus = rows.head._4
+    // planes=1, probe=1 probes BOTH buckets of the single hyperplane —
+    // brute force by construction: every corpus row is a candidate and
+    // recall is exactly 1
+    val full = byCell((1L, 1L))
+    assert(full._3 == nCorpus, s"full probe missed rows: $full")
+    assert(full._5 == 5L && full._6 == 10000L, s"full probe recall != 1: $full")
+    // nested-prefix monotonicity at fixed planes: probe 1 can only add
+    // candidates, and the top-k of a candidate superset can only gain
+    // true-top-k members
+    for (p <- Seq(1L, 4L)) {
+      assert(byCell((p, 1L))._3 >= byCell((p, 0L))._3, s"candidates shrank at planes=$p")
+      assert(byCell((p, 1L))._5 >= byCell((p, 0L))._5, s"hits shrank at planes=$p")
+    }
+    // the recall floor this corpus measures for the serving default
+    // (planes=12, probe=1): multi-probe must recover at least 2 of the
+    // exact top-5 here — the dial a new store starts from (measured 3/5
+    // at sf0.001; the cell exists so the number is MEASURED, not assumed)
+    assert(byCell((12L, 1L))._5 >= 2L,
+      s"planes=12 probe=1 recall floor broke: ${byCell((12L, 1L))}")
+    // candidate fractions never exceed the corpus
+    assert(rows.forall(r => r._3 <= nCorpus))
+  }
 }

@@ -337,6 +337,41 @@ class PlanGuardSpec extends AnyFunSuite {
     // the round-8 test, and ModulesSpec pins salvage semantics.
   }
 
+  test("round-10 queries keep their scale-critical plan shapes") {
+    import org.apache.spark.sql.execution.joins._
+    // wide-family embedding pair face: the blocked self-join must stay
+    // shuffle_hash (pairJoin's discipline — both sides are the corpus
+    // behind a bucket UDF projection; a broadcast build can't exist at
+    // 100 TB), exactly like the legacy-family q_dedup_embed
+    assert(plans("q_dedup_embed_wide").exists(_.isInstanceOf[ShuffledHashJoinExec]),
+      "q_dedup_embed_wide: pair join is not shuffle_hash")
+    // incremental embedding mine: the batch×(store ∪ batch) join shuffles
+    // on the wide bucket key; the engaged post-batch cap anti-joins
+    // broadcast — the q_image_neardup_incremental shapes on the vector face
+    val incr = plans("q_embed_neardup_incremental")
+    assert(incr.exists(_.isInstanceOf[ShuffledHashJoinExec]),
+      "q_embed_neardup_incremental: batch×store join is not shuffle_hash")
+    assert(incr.exists {
+      case b: BroadcastHashJoinExec =>
+        b.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti
+      case _ => false
+    }, "q_embed_neardup_incremental: cap anti-join missing — the cap " +
+      "stopped being engaged")
+    // wide ANN dial sweep: every join rides a broadcast (probe page,
+    // exact-top-k intersection, 1-row census) — a shuffled join would
+    // mean the corpus started moving for a tuning measurement
+    val tun = plans("q_ann_wide_tuning").filter { p =>
+      p.isInstanceOf[SortMergeJoinExec] || p.isInstanceOf[ShuffledHashJoinExec]
+    }
+    assert(tun.isEmpty,
+      s"q_ann_wide_tuning: shuffled join planned:\n${tun.mkString("\n")}")
+    // q_dedup_apply_salvaged consumes hammingPairsFromIndex +
+    // hammingSalvageEdges (their shuffle_hash + broadcast-anti/semi
+    // shapes are pinned in the round-8 test and the salvage-tier tests)
+    // through Dedup.clusters, whose vertex-set-only propagation is
+    // pinned semantically in ModulesSpec — no new plan shape to pin here.
+  }
+
   test("minhash salvage tier keeps its scale-critical plan shapes") {
     // q_dedup_lsh_recall also collects eagerly, so the tier is pinned at
     // the OPERATOR level: the two key gates (oversized buckets, rep-
