@@ -1862,11 +1862,15 @@ object PipelineQueries {
           .select((col("doc_id") + 200000).as("id"),
             Multimodal.dHash64Udf(
               Multimodal.monoEditImageForDocUdf(col("doc_id"))).as("fp")))
+      // capped + salvage over ONE index, MATERIALIZED once (the
+      // q_lang_id_ngram localCheckpoint recipe): both tiers reference the
+      // index from several subtrees and the propagation re-resolves the
+      // plan every round — uncached, the 190-row decode+explode re-ran
+      // per subtree and the query measured ~12.3 s; checkpointed it is
+      // the persisted-store read the recall queries document (~8.6 s,
+      // the remaining cost being label propagation's per-round job floor)
       val index = Dedup.hammingChunkIndex(fps, "id", "fp",
-        bits = 64, chunks = 4)
-      // capped + salvage over ONE index — the persisted-store shape the
-      // recall queries document; clusters caches the pair union itself,
-      // so the decode+index plan runs once per propagation round's need
+        bits = 64, chunks = 4).localCheckpoint(true)
       val pairs = Dedup.hammingPairsFromIndex(index, maxHamming = 3,
           maxBucket = 64)
         .select(col("a_id"), col("b_id"))

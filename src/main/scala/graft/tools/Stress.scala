@@ -65,7 +65,8 @@ object Stress {
       "containment_capped", "image_fingerprint_dedup",
       "audio_fingerprint_dedup", "video_fingerprint_dedup",
       "hamming_capped_megabucket", "hamming_salvaged_megabucket",
-      "hamming_index_build", "hamming_incremental_batch")
+      "hamming_index_build", "hamming_incremental_batch",
+      "embed_index_build", "embed_incremental_batch")
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
@@ -419,6 +420,45 @@ object Stress {
             bits = 64, chunks = 4, maxHamming = 3, maxBucket = 64).count()
         }
         results += "hamming_incremental_batch" -> (batchRows, incrS)
+      }
+    }
+
+    // incremental embedding mine (r10): the hamming rows' discipline on
+    // the vector face — the WIDE-family sign-bucket store over the
+    // M-scaled corpus is built (and checkpointed) once at the
+    // q_embed_neardup_incremental geometry (64 dims, 20 planes), and a
+    // CONSTANT-sized batch (the unscaled embeddings, x2-rescaled so each
+    // batch vector is cosine 1.0 to every copy of its original and
+    // shares their bucket by scale-invariance, ids offset past every
+    // copy) mines its pairs against it at the engaged cap 64. Store
+    // build tracks the corpus ~linearly; the batch mine's join work is
+    // batch × bucket-mates — the cap bounds the hot buckets the copies
+    // inflate, so the batch cost must stay far below a from-scratch
+    // re-pair's as M grows (the index scan is the linear floor).
+    if (include("embed_index_build") || include("embed_incremental_batch")) {
+      val embs = scaled(Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("emb")),
+        m, stride, Seq("vec_id"))
+      val embRows = embs.count()
+      val (eidx, eIdxS) = time {
+        graft.operators.Dedup.embeddingBucketIndex(embs, "vec_id", "emb",
+          dim = 64, planes = 20).localCheckpoint(true)
+      }
+      if (include("embed_index_build"))
+        results += "embed_index_build" -> (embRows, eIdxS)
+      if (include("embed_incremental_batch")) {
+        val batch = Tables.embeddings(spark, sfDir)
+          .select((col("vec_id") + m.toLong * stride).as("vec_id"),
+            transform(col("embedding").cast("array<double>"),
+              x => x * 2.0).as("emb"))
+        val batchRows = batch.count()
+        val (_, incrS) = time {
+          graft.operators.Dedup.embeddingIncrementalPairs(batch, eidx,
+            "vec_id", "emb", dim = 64, planes = 20, threshold = 0.99,
+            maxBucket = 64).count()
+        }
+        results += "embed_incremental_batch" -> (batchRows, incrS)
       }
     }
 
