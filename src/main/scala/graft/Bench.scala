@@ -116,14 +116,25 @@ object Bench {
     //    isolated median — the number rounds should be compared on when
     //    the host was loaded.
     // Skipped in the SPARK_GRAFT_ONLY dev loop, already isolated.
-    def timeOnce(name: String): Double = {
+    // a FAILED isolated re-run must never enter the record: its near-zero
+    // failure latency would trip the 3x ratio and silently substitute a
+    // bogus tiny "median" into total_adjusted, masking a real regression
+    // behind what reads as a clean contention adjudication — so timeOnce
+    // returns None on any error and a failed query keeps its in-suite
+    // number, unflagged
+    def timeOnce(name: String): Option[Double] = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] isolated re-time of $name failed: " +
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
+        None
+      }
     }
-    val isolatedRaw: Seq[(String, Double, Double)] =
+    val isolatedRaw: Seq[(String, Double, Option[Double])] =
       if (only.isDefined) Seq.empty
       else {
         val bySlow = results.filter(_._3.isEmpty).sortBy(-_._2)
@@ -131,12 +142,14 @@ object Bench {
           case (name, suite, _) => (name, suite, timeOnce(name))
         }
       }
-    val isolated: Seq[(String, Double, Boolean)] = isolatedRaw.map {
-      case (name, suite, iso1) =>
+    val isolated: Seq[(String, Double, Boolean)] = isolatedRaw.flatMap {
+      case (_, _, None) => None
+      case (name, suite, Some(iso1)) =>
         if (suite > 3.0 * math.max(iso1, 1e-9)) {
-          val med = (iso1 +: Seq.fill(2)(timeOnce(name))).sorted.apply(1)
-          (name, med, true)
-        } else (name, iso1, false)
+          // median over however many of the 3 reps succeeded (>= 1: iso1)
+          val reps = (iso1 +: Seq.fill(2)(timeOnce(name)).flatten).sorted
+          Some((name, reps(reps.length / 2), true))
+        } else Some((name, iso1, false))
     }
     val flagged = isolated.collect { case (n, _, true) => n }
     val adjTotal = {

@@ -195,11 +195,22 @@ object AnnIndex {
     * only the query embedding is hashed at search time, and when the
     * corpus is stored partitioned by `bucketCol` the bucket-equality join
     * becomes a partition-pruned read — this is the entry point where
-    * "search touches only the query's bucket" actually holds. */
+    * "search touches only the query's bucket" actually holds.
+    *
+    * LEGACY-family stores only: a store stamped with `emb_sig` was
+    * bucketed by the WIDE family ([[graft.operators.Dedup.embeddingBucketIndex]]),
+    * and hashing the query with the legacy coefficients against it would
+    * simply never match a bucket — every search would silently return
+    * empty, the exact silent-family-mismatch class the token exists to
+    * refuse. Serve those stores through [[annTopKWideIndexed]]. */
   def annTopKIndexed(indexed: DataFrame, embCol: String, bucketCol: String,
                      dim: Int, planes: Int,
                      query: DataFrame, queryCol: String, k: Int,
                      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(!indexed.columns.contains("emb_sig"),
+      "this store carries an emb_sig token — it was bucketed by the WIDE " +
+        "plane family and a legacy-family query hash would silently match " +
+        "nothing; serve it through annTopKWideIndexed")
     val q = withBucket(query.select(col(queryCol)), queryCol, dim, planes)
       .withColumnRenamed("bucket", "q_bucket")
     indexed
@@ -207,6 +218,49 @@ object AnnIndex {
       .withColumn("similarity", vectors.cosineSim(col(embCol), col(queryCol)))
       .orderBy(desc("similarity") +: tieBreak.map(col): _*)
       .limit(k)
+  }
+
+  /** The bucket-geometry token stamped on WIDE-family stores
+    * ([[graft.operators.Dedup.embeddingBucketIndex]]) and verified by
+    * every consumer: 2003 (the family's prime modulus) tags the hash
+    * family itself, so a legacy-family store can never masquerade as
+    * wide or vice versa. */
+  private[operators] def wideStoreSig(dim: Int, planes: Int): Long =
+    2003L * 100000000L + dim.toLong * 1000L + planes
+
+  /** [[annTopKIndexed]] for a persisted WIDE-family store
+    * (`Dedup.embeddingBucketIndex` output, written partitioned by
+    * `bucket`): the query is hashed with [[wideBucketExpr]] at the
+    * store's geometry, and the store's `emb_sig` token is verified
+    * AT CALL TIME by one stats-pruned min/max aggregate (the
+    * [[ivfRefresh]] stance) — NOT by an assert riding the candidate
+    * page: a mismatched geometry's buckets may simply never join, so a
+    * row-level assert there would never evaluate and the search would
+    * silently return empty, the exact failure the token exists to make
+    * loud. And folding the assert into the join key would break the
+    * dynamic-partition-pruned read that makes the store a store. An
+    * EMPTY store skips the check (its top-k is legitimately empty). */
+  def annTopKWideIndexed(store: DataFrame, embCol: String,
+                         dim: Int, planes: Int,
+                         query: DataFrame, queryCol: String, k: Int,
+                         tieBreak: Seq[String] = Nil): DataFrame = {
+    require(store.columns.contains("emb_sig"),
+      "store carries no emb_sig token — rebuild it with " +
+        "Dedup.embeddingBucketIndex before serving from it")
+    val sig = wideStoreSig(dim, planes)
+    val range = store.agg(min(col("emb_sig")), max(col("emb_sig"))).head()
+    require(range.isNullAt(0) ||
+        (range.getLong(0) == sig && range.getLong(1) == sig),
+      s"stale wide-family store: emb_sig does not match dim=$dim/" +
+        s"planes=$planes — the bucket geometry changed; rebuild the store")
+    val q = query.select(col(queryCol),
+      wideBucketExprOf(col(queryCol), dim, planes).as("q_bucket"))
+    store
+      .join(broadcast(q), col("bucket") === col("q_bucket"))
+      .withColumn("similarity", vectors.cosineSim(col(embCol), col(queryCol)))
+      .orderBy(desc("similarity") +: tieBreak.map(col): _*)
+      .limit(k)
+      .drop("emb_sig", "q_bucket")
   }
 
   /** ANN KNN JOIN: for EVERY query row, the k most-cosine-similar corpus
@@ -276,6 +330,15 @@ object AnnIndex {
                 query: DataFrame, queryCol: String, dim: Int, k: Int,
                 cells: Seq[(Int, Int)]): DataFrame = {
     import graft.functions.{text, vectors}
+    // ONE query row, the annTopK/ivfTopK contract — but checked loudly
+    // here instead of documented-only: the exact baseline, candidate
+    // counts and candidate top-k are all per-ONE-query globals, so a
+    // multi-row frame would merge every query's probes into one ranking
+    // and return garbage that LOOKS like a measurement, feeding a wrong
+    // production dial. Tuning is run-once; one tiny job is free.
+    require(query.limit(2).count() == 1,
+      "annTuning expects exactly ONE query row — a multi-row frame would " +
+        "merge every query's probes and top-k into one meaningless ranking")
     val exactIds = corpus
       .crossJoin(broadcast(query.select(col(queryCol))))
       .withColumn("__sim", vectors.cosineSim(col(embCol), col(queryCol)))

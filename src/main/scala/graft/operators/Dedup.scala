@@ -1022,11 +1022,12 @@ object Dedup {
       .withColumn("emb_sig", lit(embSig(dim, planes)))
 
   /** The bucket-geometry token stamped by [[embeddingBucketIndex]] and
-    * verified by [[embeddingIncrementalPairs]]: 2003 (the wide family's
-    * prime modulus) tags the hash family, so a hypothetical legacy-family
-    * store can never masquerade as a wide one. */
+    * verified by [[embeddingIncrementalPairs]] and the serving path
+    * ([[AnnIndex.annTopKWideIndexed]]) — one definition
+    * ([[AnnIndex.wideStoreSig]]), so builder and every consumer can
+    * never disagree on the encoding. */
   private def embSig(dim: Int, planes: Int): Long =
-    2003L * 100000000L + dim.toLong * 1000L + planes
+    AnnIndex.wideStoreSig(dim, planes)
 
   /** Incremental embedding near-dup mining: cosine ≥ `threshold` pairs
     * INVOLVING a new vector batch — new×corpus and new×new, never

@@ -351,7 +351,13 @@ object EventsStream {
     val session = rows.sparkSession
     import session.implicits._
     val w = bits / chunks
+    // NULL fingerprints drop at ingest (the embedNearDupStream ADVICE-r9
+    // discipline applied to the shared hamming face): a null fp — e.g. a
+    // wrapper's decode UDF mapping a dirty blob to null — would reach the
+    // non-nullable Long tuple encoder below and NPE the whole streaming
+    // query; the batch faces drop null fingerprints the same way.
     val chunked = rows
+      .filter(col(fpCol).isNotNull)
       .withWatermark(tsCol, watermark)
       .select(col(tsCol).as("ts"), col(idCol).as("id"), col(fpCol).as("fp"))
       .select(col("ts"), col("id"), col("fp"), explode(expr(
@@ -449,7 +455,10 @@ object EventsStream {
     import session.implicits._
     import graft.functions.TextSig
     val r = k / bands
+    // null documents drop at ingest, the same one-dirty-row discipline
+    // as the hamming and embedding faces
     val banded = rows
+      .filter(col(textCol).isNotNull)
       .withWatermark(tsCol, watermark)
       .select(col(tsCol).as("ts"), col(idCol).as("id"),
         TextSig.shingleHashesUdf(col(textCol), lit(shingleN)).as("hs"),
@@ -595,7 +604,8 @@ object EventsStream {
                          tsCol: String = "ts",
                          salvageRep: Boolean = false): Dataset[HammingMatch] =
     nearDupStream(
-      media.withColumn("__fp",
+      // null blobs drop BEFORE the decode UDF (which would NPE on null)
+      media.filter(col(contentCol).isNotNull).withColumn("__fp",
         graft.operators.Multimodal.dHash64Udf(col(contentCol))),
       idCol, "__fp", bits = 64, chunks = 4, maxHamming = maxHamming,
       maxBucket = 64, watermark = watermark, tsCol = tsCol,
@@ -616,7 +626,8 @@ object EventsStream {
                          tsCol: String = "ts",
                          salvageRep: Boolean = false): Dataset[HammingMatch] =
     nearDupStream(
-      media.withColumn("__fp",
+      // null blobs drop BEFORE the decode UDF (which would NPE on null)
+      media.filter(col(contentCol).isNotNull).withColumn("__fp",
         graft.operators.Multimodal.audioFingerprintUdf(col(contentCol),
           lit(frameLen))),
       idCol, "__fp", bits = 36, chunks = 3, maxHamming = maxHamming,
@@ -640,7 +651,8 @@ object EventsStream {
                          tsCol: String = "ts",
                          salvageRep: Boolean = false): Dataset[HammingMatch] =
     nearDupStream(
-      media.withColumn("__fp",
+      // null blobs drop BEFORE the decode UDF (which would NPE on null)
+      media.filter(col(contentCol).isNotNull).withColumn("__fp",
         graft.operators.Multimodal.videoFingerprintUdf(col(contentCol),
           lit(stride))),
       idCol, "__fp", bits = 64, chunks = 4, maxHamming = maxHamming,

@@ -1821,7 +1821,11 @@ class ModulesSpec extends AnyFunSuite {
       (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, Multimodal.nearVideoForDoc(6L)),
       (Timestamp.valueOf("2024-01-01 10:00:01"), 2L, Multimodal.nearVideoForDoc(80006L)),
       (Timestamp.valueOf("2024-01-01 10:00:02"), 3L, Multimodal.nearVideoForDoc(9L)))
-    mem.addData(arrivals: _*)
+    // one dirty row: a NULL blob used to NPE the decode UDF (and a null
+    // fp the non-nullable tuple encoder) and kill the whole stream — it
+    // must drop at ingest, the embedNearDupStream null discipline
+    mem.addData(arrivals :+
+      ((Timestamp.valueOf("2024-01-01 10:00:03"), 4L, null: Array[Byte])): _*)
     q.processAllAvailable()
     val hits = spark.table("video_neardup").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).distinct.toSeq
@@ -3392,6 +3396,49 @@ class ModulesSpec extends AnyFunSuite {
       s"wrong error: $stale")
   }
 
+  test("wide-family store serving: token-checked top-k, loud refusals on both mismatches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.{AnnIndex, Dedup}
+    val (dim, planes) = (8, 10)
+    // anchor + an x2-rescale twin (cosine 1.0, same wide bucket) + a
+    // far direction — the twin must be the top hit for the anchor query
+    val corpus = Seq(
+      (1L, Array(1.0, -2.0, 3.0, -1.0, 2.0, -3.0, 1.5, -0.5)),
+      (2L, Array(2.0, -4.0, 6.0, -2.0, 4.0, -6.0, 3.0, -1.0)),
+      (3L, Array(-1.0, 1.0, -1.0, 1.0, -2.0, 2.0, -2.0, 2.0))
+    ).toDF("id", "emb")
+    val store = Dedup.embeddingBucketIndex(corpus, "id", "emb", dim, planes)
+    val q = Seq(Tuple1(Array(1.0, -2.0, 3.0, -1.0, 2.0, -3.0, 1.5, -0.5)))
+      .toDF("qe")
+    val top = AnnIndex.annTopKWideIndexed(store, "emb", dim, planes,
+        q, "qe", k = 2, tieBreak = Seq("id"))
+      .select(col("id"), round(col("similarity"), 4).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top == Seq((1L, 1.0), (2L, 1.0)), s"got $top")
+    // a wide store served through the LEGACY entry point would silently
+    // match nothing — annTopKIndexed must refuse it loudly
+    intercept[IllegalArgumentException] {
+      AnnIndex.annTopKIndexed(store, "emb", "bucket", dim, planes,
+        q, "qe", k = 2)
+    }
+    // a store without the token cannot be geometry-checked
+    intercept[IllegalArgumentException] {
+      AnnIndex.annTopKWideIndexed(store.drop("emb_sig"), "emb", dim, planes,
+        q, "qe", k = 2)
+    }
+    // a geometry mismatch (store built at other planes) fails the JOB
+    // loudly on the probe page instead of returning wrong/no neighbors
+    val stale = intercept[Exception] {
+      AnnIndex.annTopKWideIndexed(
+        Dedup.embeddingBucketIndex(corpus, "id", "emb", dim, planes = 6),
+        "emb", dim, planes, q, "qe", k = 2).collect()
+    }
+    assert(Iterator.iterate(stale: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(5).exists(e => Option(e.getMessage)
+        .exists(_.contains("stale wide-family store"))), s"wrong error: $stale")
+  }
+
   test("annTuning: nested probes are monotone and the full-probe cell is brute force") {
     import org.apache.spark.sql.functions._
     import graft.operators.AnnIndex
@@ -3427,5 +3474,13 @@ class ModulesSpec extends AnyFunSuite {
       s"planes=12 probe=1 recall floor broke: ${byCell((12L, 1L))}")
     // candidate fractions never exceed the corpus
     assert(rows.forall(r => r._3 <= nCorpus))
+    // the 1-row query contract is CHECKED, not documented-only: a
+    // multi-row frame would merge every query's probes into one ranking
+    // and return garbage that looks like a measurement
+    intercept[IllegalArgumentException] {
+      AnnIndex.annTuning(corpus, "emb", "vec_id",
+        e.limit(2).select(col("emb").as("qe")), "qe",
+        dim = 64, k = 5, cells = Seq((4, 0)))
+    }
   }
 }
