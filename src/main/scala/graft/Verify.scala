@@ -554,6 +554,84 @@ object Verify {
       s"streaming video saturation envelope: ${blackPairs.size} black " +
         s"pairs, expected [1900, $capEnv] (120 unsaturated arrivals would " +
         "emit 7140)")
+    // 8) AUDIO near-dup stream — the last streaming face folded under the
+    // gate (its image/LSH/embedding/video siblings are gated above), at
+    // the batch q_audio_neardup geometry: 36-bit frame-energy fingerprint,
+    // 3 pigeonhole chunks, hamming ≤ 2, maxBucket=64. Fixture tiers
+    // mirror (7): hash-mixed WAV clips + sample-edited twins through the
+    // REAL PCM parse, plus a SILENCE run (all-zero samples fingerprint to
+    // exactly 0) that makes every (j, 0) chunk bucket a mega-bucket — the
+    // batch cap drops those wholesale, the stream SATURATES them, and
+    // every streamed pair re-verifies against recomputed fingerprints.
+    val audIn = tmp.resolve("aud_in").toString
+    val silenceWavUdf = udf { (i: Long) =>
+      // minimal PCM16 mono WAV, all-zero samples, length varies per clip
+      // (>= the fingerprint's 34-frame minimum of 34*256 samples)
+      val n = 34 * 256 + 64 * (i % 4).toInt
+      val data = new Array[Byte](n * 2)
+      val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+        .put("WAVEfmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+      bb.array()
+    }
+    spark.range(0, 40).select(col("id"),
+        Multimodal.nearAudioForDocUdf(col("id")).as("content"))
+      .unionByName(spark.range(0, 40).filter(col("id") % 2 === 0)
+        .select((col("id") + 80000L).as("id"),
+          Multimodal.nearAudioForDocUdf(col("id") + 80000L).as("content")))
+      .unionByName(spark.range(0, 120)
+        .select((col("id") + blackBase).as("id"),
+          silenceWavUdf(col("id")).as("content")))
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .coalesce(1).write.mode("overwrite").parquet(audIn)
+    val audSchema = spark.read.parquet(audIn).schema
+    val q8 = graft.streaming.EventsStream
+      .audioNearDupStream(
+        spark.readStream.schema(audSchema).parquet(audIn), "id", "content")
+      .writeStream.format("memory").queryName("smoke_audio")
+      .option("checkpointLocation", tmp.resolve("ck8").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q8.awaitTermination()
+    val audStreamed = spark.table("smoke_audio")
+      .select(least(col("id"), col("matched_id")).as("a_id"),
+        greatest(col("id"), col("matched_id")).as("b_id"), col("hamming"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    val audFps = spark.read.parquet(audIn)
+      .select(col("id"),
+        Multimodal.audioFingerprintUdf(col("content"), lit(256)).as("fp"))
+    val audFpMap = audFps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    audStreamed.foreach { case (a, b, hd) =>
+      val real = java.lang.Long.bitCount(audFpMap(a) ^ audFpMap(b)).toLong
+      require(real == hd && real <= 2,
+        s"streaming audio near-dup false positive: ($a, $b) reported " +
+          s"hamming $hd, recomputed $real") }
+    val audBatch = Dedup.hammingPairs(audFps, "id", "fp",
+        bits = 36, chunks = 3, maxHamming = 2, maxBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    require(audBatch.forall(p => p._1 < blackBase && p._2 < blackBase),
+      "batch cap failed to drop the silence mega-buckets — fixture broken")
+    require(audBatch.size >= 15,
+      s"planted edited-twin fixture yielded only ${audBatch.size} capped " +
+        "batch pairs — the audio parity leg went vacuous")
+    val audHealthy = audStreamed.filter(p => p._1 < blackBase && p._2 < blackBase)
+    require(audHealthy == audBatch,
+      s"streaming audio parity: ${audHealthy.size} healthy streamed pairs " +
+        s"vs ${audBatch.size} capped batch pairs; " +
+        s"missing=${(audBatch -- audHealthy).take(3)} " +
+        s"extra=${(audHealthy -- audBatch).take(3)}")
+    val silencePairs = audStreamed.filter(p => p._1 >= blackBase && p._2 >= blackBase)
+    require(silencePairs.forall(_._3 == 0L),
+      "silence near-dup pair with nonzero hamming — decode broken")
+    // 3 chunk buckets (36/3), not 4: envelope tops out at 3·C(65,2)
+    require(silencePairs.size >= 1900 && silencePairs.size <= 3 * (65 * 64 / 2),
+      s"streaming audio saturation envelope: ${silencePairs.size} silence " +
+        s"pairs, expected [1900, ${3 * (65 * 64 / 2)}] (120 unsaturated " +
+        "arrivals would emit 7140)")
     println(s"[verify] streaming_smoke OK: ${gotFps.length} dedup " +
       s"survivors, ${got.length} daily-window rows, " +
       s"${streamedHealthy.size} near-dup pairs parity-matched " +
@@ -564,6 +642,8 @@ object Verify {
       s"${embBatch.size} embedding pairs parity-matched in both modes " +
       "(poisoned flood 2016 capped / 2102 starred, exact, outlier " +
       s"unlinked), ${vidHealthy.size} video pairs parity-matched " +
-      s"(+${blackPairs.size} saturation-bounded black-clip emissions)")
+      s"(+${blackPairs.size} saturation-bounded black-clip emissions), " +
+      s"${audHealthy.size} audio pairs parity-matched " +
+      s"(+${silencePairs.size} saturation-bounded silence emissions)")
   }
 }

@@ -273,27 +273,53 @@ object AnnIndex {
     * partition-parallel at any corpus size. Approximate exactly like
     * [[annTopK]]: a true neighbor hashed to another bucket is missed;
     * raise recall with fewer planes or multi-probe. */
+  /** The multi-probe bucket set over a `__qb0` query-bucket column: the
+    * origin bucket, plus every single-sign-flip neighbor at probeBits ≥ 1,
+    * plus every DOUBLE-flip neighbor at probeBits = 2 — 1, planes+1, or
+    * 1 + planes + C(planes, 2) distinct buckets. All flips of the origin
+    * are distinct by construction, so no array_distinct pass is needed
+    * beyond the origin union and a corpus row meets a query at most once.
+    * Shared by [[annJoin]] and [[annTuning]], so the probe geometry (and
+    * therefore the tuning measurement) can never drift from the serving
+    * join. */
+  private def probeSetExpr(planes: Int, probeBits: Int): String = {
+    require(probeBits >= 0 && probeBits <= 2, "probeBits 0, 1 or 2 supported")
+    val flip = (b: String) => s"CAST(pow(2, $b) AS BIGINT)"
+    val f1 = s"transform(sequence(0, ${planes - 1}), i -> __qb0 ^ ${flip("i")})"
+    // sequence(i+1, planes-1) is never descending: i tops out at planes-2
+    val f2 = s"flatten(transform(sequence(0, ${planes - 2}), i -> " +
+      s"transform(sequence(i + 1, ${planes - 1}), j -> " +
+      s"__qb0 ^ ${flip("i")} ^ ${flip("j")})))"
+    probeBits match {
+      case 0 => "array(__qb0)"
+      case 1 => s"array_union(array(__qb0), $f1)"
+      case 2 => s"array_union(array(__qb0), array_union($f1, $f2))"
+    }
+  }
+
   /** `probeBits` is the multi-probe radius: 0 probes only the query's own
     * bucket (cheapest, weakest recall — measured ~0.17 top-3 recall on the
     * near-random test embeddings at 4 planes), 1 additionally probes every
     * bucket one sign-flip away (planes+1 buckets; recall floor asserted in
-    * ModulesSpec). The standard LSH trade: each extra bit multiplies probed
-    * buckets, touching C(planes, ≤probeBits) of the 2^planes partitions —
-    * still partition-pruned reads of a persisted index, never a full scan.
-    * Queries replicate (the small side); a (query, neighbor) pair meets at
-    * most once since probed buckets are distinct per query. */
+    * ModulesSpec), 2 adds the C(planes, 2) double-flip buckets — the dial
+    * that makes HIGH plane counts servable (at wide-family planes=20, probe
+    * 2 touches 211 of 2^20 partitions ≈ 0.02% of the corpus; q_ann_wide_tuning
+    * measures what recall that buys). The standard LSH trade: each extra
+    * bit multiplies probed buckets, touching C(planes, ≤probeBits) of the
+    * 2^planes partitions — still partition-pruned reads of a persisted
+    * index, never a full scan. Queries replicate (the small side); a
+    * (query, neighbor) pair meets at most once since probed buckets are
+    * distinct per query. */
   def annJoin(queries: DataFrame, qIdCol: String, qEmbCol: String,
               corpus: DataFrame, cIdCol: String, cEmbCol: String,
               dim: Int, planes: Int, k: Int, probeBits: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(probeBits >= 0 && probeBits <= 1, "probeBits 0 or 1 supported")
     val q0 = queries.select(col(qIdCol).as("query_id"), col(qEmbCol).as("__qe"),
       bucketExpr(qEmbCol, dim, planes).as("__qb0"))
     val q =
       if (probeBits == 0) q0.withColumn("__qb", col("__qb0")).drop("__qb0")
-      else q0.withColumn("__qb", explode(expr(
-          s"array_union(array(__qb0), transform(sequence(0, ${planes - 1}), " +
-            s"i -> __qb0 ^ CAST(pow(2, i) AS BIGINT)))")))
+      else q0.withColumn("__qb",
+          explode(expr(probeSetExpr(planes, probeBits))))
         .drop("__qb0")
     val c = corpus.select(col(cIdCol).as("neighbor_id"), col(cEmbCol).as("__ce"),
       bucketExpr(cEmbCol, dim, planes).as("__cb"))
@@ -347,18 +373,16 @@ object AnnIndex {
       .select(col(idCol))
     val nCorpus = corpus.agg(count(lit(1)).as("n_corpus"))
     val stats = cells.map { case (planes, probeBits) =>
-      require(probeBits >= 0 && probeBits <= 1, "probeBits 0 or 1 supported")
       val assigned = corpus
         .withColumn("__cb", wideBucketExpr(embCol, dim, planes))
       val q0 = query.select(col(queryCol).as("__qe"),
         wideBucketExprOf(col(queryCol), dim, planes).as("__qb0"))
-      // probed buckets are distinct per query (a flip never equals the
-      // origin), so a corpus row lands in at most one candidate row
-      val probes =
-        if (probeBits == 0) q0.select(col("__qe"), col("__qb0").as("__qb"))
-        else q0.select(col("__qe"), explode(expr(
-            s"array_union(array(__qb0), transform(sequence(0, ${planes - 1}), " +
-              s"i -> __qb0 ^ CAST(pow(2, i) AS BIGINT)))")).as("__qb"))
+      // probed buckets are distinct per query ([[probeSetExpr]] — the
+      // SAME builder annJoin serves with, so the measurement cannot
+      // drift from the join), so a corpus row lands in at most one
+      // candidate row
+      val probes = q0.select(col("__qe"),
+        explode(expr(probeSetExpr(planes, probeBits))).as("__qb"))
       val cand = assigned.join(broadcast(probes), col("__cb") === col("__qb"))
       val nCand = cand.agg(count(lit(1)).as("n_candidates"))
       val nHits = cand

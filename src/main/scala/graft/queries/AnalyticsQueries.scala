@@ -263,19 +263,29 @@ object AnalyticsQueries {
         "pruned read of a persisted wide-bucket store at 100 TB) and " +
         "recall@5 against the exact cosine top-5. At fixed planes the " +
         "probe sets are NESTED (probe 1 adds every one-sign-flip " +
-        "bucket), so candidates and hits are non-decreasing in " +
-        "probeBits — the theorem the oracle pins — while across planes " +
-        "the cost/recall trade-off is the measurement itself. " +
-        "The selectivity lever the legacy family lacks: at planes=12 a " +
-        "probe-0 cell touches ~1/4096 of the corpus, finer than the " +
-        "legacy family's hard 1/128 ceiling (q_ann_plane_family)",
+        "bucket, probe 2 the C(planes,2) double flips — the dial that " +
+        "makes HIGH plane counts servable), so candidates and hits are " +
+        "non-decreasing in probeBits — the theorem the oracle pins — " +
+        "while across planes the cost/recall trade-off is the " +
+        "measurement itself. The selectivity lever the legacy family " +
+        "lacks: at planes=12 a probe-0 cell touches ~1/4096 of the " +
+        "corpus, finer than the legacy family's hard 1/128 ceiling " +
+        "(q_ann_plane_family); the (20, 2) cell probes 211 of 2^20 " +
+        "buckets — the store geometry q_dedup_embed_wide blocks on, " +
+        "priced for serving",
       Some {
         def cos(a: String, b: String) = vectors.cosineSimSql(a, b)
         def cell(p: Int, pb: Int): String = {
+          val f1 = s"list_transform(generate_series(0, ${p - 1}), " +
+            s"i -> xor(qb, CAST(pow(2, i) AS BIGINT)))"
+          val f2 = s"flatten(list_transform(generate_series(0, ${p - 2}), " +
+            s"i -> list_transform(generate_series(i + 1, ${p - 1}), " +
+            s"j -> xor(xor(qb, CAST(pow(2, i) AS BIGINT)), " +
+            s"CAST(pow(2, j) AS BIGINT)))))"
           val probes =
             if (pb == 0) "[qb]"
-            else s"list_append(list_transform(generate_series(0, ${p - 1}), " +
-              s"i -> xor(qb, CAST(pow(2, i) AS BIGINT))), qb)"
+            else if (pb == 1) s"list_append($f1, qb)"
+            else s"list_append(list_concat($f1, $f2), qb)"
           s"""(WITH bp AS (SELECT vec_id, emb,
              |    ${AnnIndex.wideBucketSqlDuck("emb", 64, p)} AS bk FROM c),
              |  qp AS (SELECT qe, $probes AS pr FROM (
@@ -303,8 +313,9 @@ object AnalyticsQueries {
            |  FROM c CROSS JOIN q
            |  ORDER BY s DESC, vec_id LIMIT 5)),
            |cells AS (
-           |  ${Seq((6, 0), (6, 1), (12, 0), (12, 1)).map { case (p, pb) =>
-               cell(p, pb) }.mkString("\n  UNION ALL\n  ")})
+           |  ${Seq((6, 0), (6, 1), (12, 0), (12, 1), (12, 2), (20, 2))
+               .map { case (p, pb) => cell(p, pb) }
+               .mkString("\n  UNION ALL\n  ")})
            |SELECT planes, probe_bits, n_candidates, n_corpus, n_hits,
            |  ${text.fixedPoint("CAST(n_hits AS DOUBLE) / 5", 4)}
            |    AS recall_x10k,
@@ -318,7 +329,8 @@ object AnalyticsQueries {
         col("embedding").cast("array<double>").as("emb"))
       AnnIndex.annTuning(e.filter(col("vec_id") =!= 0), "emb", "vec_id",
         e.filter(col("vec_id") === 0).select(col("emb").as("qe")), "qe",
-        dim = 64, k = 5, cells = Seq((6, 0), (6, 1), (12, 0), (12, 1)))
+        dim = 64, k = 5,
+        cells = Seq((6, 0), (6, 1), (12, 0), (12, 1), (12, 2), (20, 2)))
     },
 
     Q("q_pq_topk",

@@ -534,15 +534,29 @@ object EventsStream {
     * threshold), and a rejected-by-every-rep arrival claims its own
     * rep slot instead of blinding the bucket, the LSH face's
     * no-exactness-theorem caveat. */
+  /** `wide = true` keys the stream by the WIDE prime-modulus plane
+    * family ([[graft.operators.AnnIndex.wideBucketExpr]]) instead of the
+    * legacy default — use it when the batch side is a persisted
+    * wide-family store ([[graft.operators.Dedup.embeddingBucketIndex]]),
+    * so stream and store agree on blocking, AND whenever planes > 7
+    * should actually buy selectivity: the legacy family's 128-bucket
+    * ceiling (q_ann_plane_family) applies in flight too — at stream
+    * scale it guarantees hot buckets that saturate and lean on the star
+    * tier for work finer blocking avoids. Legacy stays the default for
+    * the driver-gated parity legs. */
   def embedNearDupStream(rows: DataFrame, idCol: String, embCol: String,
                          dim: Int, planes: Int, threshold: Double,
                          maxBucket: Int = Int.MaxValue,
                          watermark: String = "1 hour",
                          tsCol: String = "ts",
-                         salvageRep: Boolean = false): Dataset[CosineMatch] = {
+                         salvageRep: Boolean = false,
+                         wide: Boolean = false): Dataset[CosineMatch] = {
     val session = rows.sparkSession
     import session.implicits._
     import graft.functions.vectors
+    val bucketOf =
+      if (wide) graft.operators.AnnIndex.wideBucketExpr(embCol, dim, planes)
+      else graft.operators.AnnIndex.bucketExpr(embCol, dim, planes)
     // NULL embeddings drop at ingest, matching the batch face's null
     // discipline (null block keys pair harmlessly, the threshold drops
     // null cosines): here a null would reach the NON-NULLABLE Long/Double
@@ -553,7 +567,7 @@ object EventsStream {
       .withWatermark(tsCol, watermark)
       .select(col(tsCol).as("ts"), col(idCol).as("id"),
         col(embCol).cast("array<double>").as("emb"),
-        graft.operators.AnnIndex.bucketExpr(embCol, dim, planes).as("bucket"),
+        bucketOf.as("bucket"),
         vectors.l2Norm(col(embCol)).as("nrm"))
       .as[(Timestamp, Long, Array[Double], Long, Double)]
     def round4(c: Double): Double =

@@ -2047,6 +2047,31 @@ class ModulesSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(batchPairs == hits.map { case (a, b, c) =>
       (math.min(a, b), math.max(a, b), c) }.toSet)
+    // wide = true keys the stream by the WIDE plane family — the twin is
+    // still flagged (positive-scale invariance holds for ANY sign-LSH
+    // family) and the streamed verdict equals the batch embeddingPairs
+    // verdict over the SAME wide blocking, so a stream can pair with a
+    // persisted embeddingBucketIndex store without re-blocking
+    val memW = MemoryStream[(Timestamp, Long, Array[Double])]
+    val dfW = memW.toDF().toDF("ts", "vec_id", "embedding")
+    val qW = EventsStream.embedNearDupStream(dfW, "vec_id", "embedding",
+        dim = 4, planes = 10, threshold = 0.95, wide = true)
+      .writeStream.format("memory").queryName("embed_neardup_wide").start()
+    memW.addData(arrivals: _*)
+    qW.processAllAvailable()
+    val hitsW = spark.table("embed_neardup_wide").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).distinct.toSeq
+    qW.stop()
+    val batchWide = Dedup.embeddingPairs(
+        arrivals.filter(_._3 != null).map { case (_, id, e) => (id, e) }
+          .toDF("vec_id", "embedding")
+          .withColumn("bucket",
+            AnnIndex.wideBucketExpr("embedding", dim = 4, planes = 10)),
+        "vec_id", "embedding", "bucket", threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(hitsW.map { case (a, b, c) =>
+      (math.min(a, b), math.max(a, b), c) }.toSet == batchWide &&
+      batchWide.contains((1L, 2L, 1.0)), s"wide parity: $hitsW vs $batchWide")
     // flood saturation + the star tier: i-rescaled copies of one vector
     // (all cosine 1.0, one bucket) at cap 2 — cap mode silences 4..6,
     // star mode keeps emitting verified edges against min-id rep 1
@@ -3447,7 +3472,8 @@ class ModulesSpec extends AnyFunSuite {
     val corpus = e.filter(col("vec_id") =!= 0)
     val q = e.filter(col("vec_id") === 0).select(col("emb").as("qe"))
     val rows = AnnIndex.annTuning(corpus, "emb", "vec_id", q, "qe",
-        dim = 64, k = 5, cells = Seq((1, 0), (1, 1), (4, 0), (4, 1), (12, 1)))
+        dim = 64, k = 5,
+        cells = Seq((1, 0), (1, 1), (4, 0), (4, 1), (4, 2), (12, 1), (12, 2)))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5)))
@@ -3459,13 +3485,18 @@ class ModulesSpec extends AnyFunSuite {
     val full = byCell((1L, 1L))
     assert(full._3 == nCorpus, s"full probe missed rows: $full")
     assert(full._5 == 5L && full._6 == 10000L, s"full probe recall != 1: $full")
-    // nested-prefix monotonicity at fixed planes: probe 1 can only add
-    // candidates, and the top-k of a candidate superset can only gain
-    // true-top-k members
+    // nested-prefix monotonicity at fixed planes: each extra probe bit
+    // can only add candidates, and the top-k of a candidate superset can
+    // only gain true-top-k members
     for (p <- Seq(1L, 4L)) {
       assert(byCell((p, 1L))._3 >= byCell((p, 0L))._3, s"candidates shrank at planes=$p")
       assert(byCell((p, 1L))._5 >= byCell((p, 0L))._5, s"hits shrank at planes=$p")
     }
+    assert(byCell((4L, 2L))._3 >= byCell((4L, 1L))._3 &&
+      byCell((4L, 2L))._5 >= byCell((4L, 1L))._5 &&
+      byCell((12L, 2L))._3 >= byCell((12L, 1L))._3 &&
+      byCell((12L, 2L))._5 >= byCell((12L, 1L))._5,
+      "probe-2 cells are not supersets of probe-1")
     // the recall floor this corpus measures for the serving default
     // (planes=12, probe=1): multi-probe must recover at least 2 of the
     // exact top-5 here — the dial a new store starts from (measured 3/5
