@@ -254,6 +254,42 @@ object AnalyticsQueries {
         .orderBy("query_id", "rank")
     },
 
+    Q("q_ann_wide_topk",
+      "ANN top-5 served from the WIDE-family persisted store " +
+        "(Dedup.embeddingBucketIndex at 12 planes through " +
+        "AnnIndex.annTopKWideIndexed): the query is hashed with the wide " +
+        "family and the store's emb_sig geometry token is verified at " +
+        "call time by one stats-pruned min/max — q_ann_topk's serving " +
+        "shape on the blocking new stores actually use, where the " +
+        "legacy family's 128-bucket ceiling cannot reach (2^12 genuine " +
+        "buckets here; at scale the bucket join is the DPP-pruned read " +
+        "of the store partitioned by bucket, PlanGuardSpec's " +
+        "annTopKIndexed pin's geometry)",
+      Some(s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings WHERE vec_id <> 0),
+              |q AS (SELECT qe,
+              |  ${AnnIndex.wideBucketSqlDuck("qe", 64, 12)} AS qb FROM (
+              |  SELECT CAST(embedding AS DOUBLE[]) AS qe
+              |  FROM embeddings WHERE vec_id = 0)),
+              |b AS (SELECT vec_id, emb,
+              |  ${AnnIndex.wideBucketSqlDuck("emb", 64, 12)} AS bucket FROM c)
+              |SELECT vec_id, ${text.fixedPoint("sim", 4)} AS sim_x10k FROM (
+              |  SELECT b.vec_id, ${vectors.cosineSimSql("b.emb", "q.qe")} AS sim
+              |  FROM b JOIN q ON b.bucket = q.qb)
+              |ORDER BY sim DESC, vec_id
+              |LIMIT 5""".stripMargin)) { (s, dir) =>
+      import graft.operators.Dedup
+      val e = embeddings(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      val store = Dedup.embeddingBucketIndex(e.filter(col("vec_id") =!= 0),
+        "vec_id", "emb", dim = 64, planes = 12)
+      AnnIndex.annTopKWideIndexed(store, "emb", dim = 64, planes = 12,
+          e.filter(col("vec_id") === 0).select(col("emb").as("qe")), "qe",
+          k = 5, tieBreak = Seq("id"))
+        .select(col("id").as("vec_id"),
+          expr(text.fixedPoint("similarity", 4)).as("sim_x10k"))
+    },
+
     Q("q_ann_wide_tuning",
       "WIDE-family ANN dial sweep (AnnIndex.annTuning) — the " +
         "q_ivf_tuning measure-before-committing discipline for the " +

@@ -357,14 +357,17 @@ class PlanGuardSpec extends AnyFunSuite {
       case _ => false
     }, "q_embed_neardup_incremental: cap anti-join missing — the cap " +
       "stopped being engaged")
-    // wide ANN dial sweep: every join rides a broadcast (probe page,
-    // exact-top-k intersection, 1-row census) — a shuffled join would
-    // mean the corpus started moving for a tuning measurement
-    val tun = plans("q_ann_wide_tuning").filter { p =>
-      p.isInstanceOf[SortMergeJoinExec] || p.isInstanceOf[ShuffledHashJoinExec]
+    // wide ANN dial sweep + wide-store serving: every join rides a
+    // broadcast (probe page, exact-top-k intersection, 1-row census) —
+    // a shuffled join would mean the corpus started moving for a tuning
+    // measurement / a top-5 probe
+    for (name <- Seq("q_ann_wide_tuning", "q_ann_wide_topk")) {
+      val tun = plans(name).filter { p =>
+        p.isInstanceOf[SortMergeJoinExec] || p.isInstanceOf[ShuffledHashJoinExec]
+      }
+      assert(tun.isEmpty,
+        s"$name: shuffled join planned:\n${tun.mkString("\n")}")
     }
-    assert(tun.isEmpty,
-      s"q_ann_wide_tuning: shuffled join planned:\n${tun.mkString("\n")}")
     // q_dedup_apply_salvaged consumes hammingPairsFromIndex +
     // hammingSalvageEdges (their shuffle_hash + broadcast-anti/semi
     // shapes are pinned in the round-8 test and the salvage-tier tests)
