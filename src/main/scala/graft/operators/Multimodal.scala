@@ -1352,6 +1352,30 @@ object Multimodal {
   val audioVariantForDocUdf = udf((clipId: Long) => audioVariantForDoc(clipId))
   val audioFingerprintUdf =
     udf((b: Array[Byte], frameLen: Int) => audioFingerprint(b, frameLen))
+  /** FAULT-TOLERANT fingerprint UDFs for STREAMING ingest: a corrupt
+    * blob (truncated container, wrong magic, garbage bytes) maps to
+    * NULL instead of throwing — the strict UDFs above fail the task and
+    * a single undecodable row would terminate the whole streaming query
+    * (the one-dirty-row class ADVICE r9 flagged for null embeddings;
+    * corruption is the non-null half of it, and at continuous-ingest
+    * scale corrupt blobs are routine, not exceptional). The streaming
+    * near-dup wrappers pair these with their fp-null ingest filter, so
+    * dirty rows drop silently IN FLIGHT; batch pipelines keep the STRICT
+    * UDFs — offline, a decode failure should stop the job loudly so the
+    * corrupt partition is quarantined, not silently under-fingerprinted
+    * (count dropped rows with `…SafeUdf IS NULL` when triage needs it). */
+  private def nullOnError(f: Array[Byte] => Long): Array[Byte] => java.lang.Long =
+    b => if (b == null) null
+         else try java.lang.Long.valueOf(f(b))
+         catch { case scala.util.control.NonFatal(_) => null }
+  val dHash64SafeUdf = udf(nullOnError(dHash64))
+  val audioFingerprintSafeUdf =
+    udf((b: Array[Byte], frameLen: Int) =>
+      nullOnError(audioFingerprint(_, frameLen))(b))
+  val videoFingerprintSafeUdf =
+    udf((b: Array[Byte], stride: Int) =>
+      nullOnError(videoFingerprint(_, stride))(b))
+
   val metaUdf = udf((b: Array[Byte]) => decodeMeta(b))
   val resizeBmpUdf = udf((b: Array[Byte], w: Int, h: Int) => resizeBmp(b, w, h))
   val weightedPixelSumUdf = udf((b: Array[Byte]) => weightedPixelSum(b))

@@ -618,9 +618,12 @@ object EventsStream {
                          tsCol: String = "ts",
                          salvageRep: Boolean = false): Dataset[HammingMatch] =
     nearDupStream(
-      // null blobs drop BEFORE the decode UDF (which would NPE on null)
-      media.filter(col(contentCol).isNotNull).withColumn("__fp",
-        graft.operators.Multimodal.dHash64Udf(col(contentCol))),
+      // dirty blobs (null OR corrupt/undecodable) must not kill the
+      // stream: the SAFE decode maps them to a null fp, which the shared
+      // ingest filter drops — batch pipelines keep the strict UDF so an
+      // offline decode failure stays loud
+      media.withColumn("__fp",
+        graft.operators.Multimodal.dHash64SafeUdf(col(contentCol))),
       idCol, "__fp", bits = 64, chunks = 4, maxHamming = maxHamming,
       maxBucket = 64, watermark = watermark, tsCol = tsCol,
       salvageRep = salvageRep)
@@ -640,9 +643,10 @@ object EventsStream {
                          tsCol: String = "ts",
                          salvageRep: Boolean = false): Dataset[HammingMatch] =
     nearDupStream(
-      // null blobs drop BEFORE the decode UDF (which would NPE on null)
-      media.filter(col(contentCol).isNotNull).withColumn("__fp",
-        graft.operators.Multimodal.audioFingerprintUdf(col(contentCol),
+      // dirty blobs (null OR corrupt) map to a null fp via the SAFE
+      // decode and drop at the shared ingest filter (see mediaNearDupStream)
+      media.withColumn("__fp",
+        graft.operators.Multimodal.audioFingerprintSafeUdf(col(contentCol),
           lit(frameLen))),
       idCol, "__fp", bits = 36, chunks = 3, maxHamming = maxHamming,
       maxBucket = 64, watermark = watermark, tsCol = tsCol,
@@ -665,9 +669,10 @@ object EventsStream {
                          tsCol: String = "ts",
                          salvageRep: Boolean = false): Dataset[HammingMatch] =
     nearDupStream(
-      // null blobs drop BEFORE the decode UDF (which would NPE on null)
-      media.filter(col(contentCol).isNotNull).withColumn("__fp",
-        graft.operators.Multimodal.videoFingerprintUdf(col(contentCol),
+      // dirty blobs (null OR corrupt) map to a null fp via the SAFE
+      // decode and drop at the shared ingest filter (see mediaNearDupStream)
+      media.withColumn("__fp",
+        graft.operators.Multimodal.videoFingerprintSafeUdf(col(contentCol),
           lit(stride))),
       idCol, "__fp", bits = 64, chunks = 4, maxHamming = maxHamming,
       maxBucket = 64, watermark = watermark, tsCol = tsCol,

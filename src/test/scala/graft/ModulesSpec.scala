@@ -1821,11 +1821,15 @@ class ModulesSpec extends AnyFunSuite {
       (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, Multimodal.nearVideoForDoc(6L)),
       (Timestamp.valueOf("2024-01-01 10:00:01"), 2L, Multimodal.nearVideoForDoc(80006L)),
       (Timestamp.valueOf("2024-01-01 10:00:02"), 3L, Multimodal.nearVideoForDoc(9L)))
-    // one dirty row: a NULL blob used to NPE the decode UDF (and a null
-    // fp the non-nullable tuple encoder) and kill the whole stream — it
-    // must drop at ingest, the embedNearDupStream null discipline
-    mem.addData(arrivals :+
-      ((Timestamp.valueOf("2024-01-01 10:00:03"), 4L, null: Array[Byte])): _*)
+    // two dirty rows: a NULL blob used to NPE the decode UDF (and a null
+    // fp the non-nullable tuple encoder), and a CORRUPT blob used to
+    // throw inside the strict decode and fail the task — either one
+    // killed the whole stream; the SAFE decode maps both to a null fp
+    // that drops at ingest, the embedNearDupStream null discipline
+    mem.addData(arrivals ++ Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:03"), 4L, null: Array[Byte]),
+      (Timestamp.valueOf("2024-01-01 10:00:04"), 5L,
+        "definitely not a Y4M container".getBytes("US-ASCII"))): _*)
     q.processAllAvailable()
     val hits = spark.table("video_neardup").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).distinct.toSeq
