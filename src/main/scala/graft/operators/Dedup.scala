@@ -1049,7 +1049,17 @@ object Dedup {
     * and their null cosine never clears a positive threshold — the
     * [[embeddingPairs]] discipline. Pair ids are normalized
     * (a_id < b_id); cosine is symmetric, so the distinct collapses
-    * both orientations of a new×new pair. */
+    * both orientations of a new×new pair.
+    *
+    * Cap-dropped increments are NOT lost forever: like its minhash and
+    * hamming siblings, the incremental mine applies the cap only (the
+    * flat per-batch cost bound is the whole point); a batch row landing
+    * in a mega-bucket recovers its connectivity from the PERIODIC
+    * offline salvage sweep over the full store
+    * ([[embeddingSalvageEdges]] — run on the audit cadence, not per
+    * batch) or, in flight, from the streaming star tier. Capped
+    * increments per batch + salvage on a slow cadence is the documented
+    * continuous-ingest architecture (SCALE.md item 3b). */
   def embeddingIncrementalPairs(newDf: DataFrame, corpusIndex: DataFrame,
                                 keyCol: String, embCol: String,
                                 dim: Int, planes: Int, threshold: Double,
