@@ -146,9 +146,14 @@ object Bench {
       case (_, _, None) => None
       case (name, suite, Some(iso1)) =>
         if (suite > 3.0 * math.max(iso1, 1e-9)) {
-          // median over however many of the 3 reps succeeded (>= 1: iso1)
+          // median over however many of the 3 reps succeeded (>= 1:
+          // iso1). LOWER median on an even count: with 2 survivors the
+          // upper element may be the very outlier the re-time exists to
+          // damp, and archiving it as the "median" would overstate the
+          // query's isolated cost in total_adjusted (1 or 3 survivors
+          // give the true median either way)
           val reps = (iso1 +: Seq.fill(2)(timeOnce(name)).flatten).sorted
-          Some((name, reps(reps.length / 2), true))
+          Some((name, reps((reps.length - 1) / 2), true))
         } else Some((name, iso1, false))
     }
     val flagged = isolated.collect { case (n, _, true) => n }

@@ -247,6 +247,13 @@ object AnnIndex {
     require(store.columns.contains("emb_sig"),
       "store carries no emb_sig token — rebuild it with " +
         "Dedup.embeddingBucketIndex before serving from it")
+    // ONE query row, checked loudly like annTuning's: a multi-row frame
+    // would blend every query's candidates into one global top-k —
+    // plausible-looking garbage with no error. The call already pays a
+    // token-check job, so the 1-row probe adds nothing material.
+    require(query.limit(2).count() == 1,
+      "annTopKWideIndexed expects exactly ONE query row — a multi-row " +
+        "frame would blend every query's candidates into one global top-k")
     val sig = wideStoreSig(dim, planes)
     val range = store.agg(min(col("emb_sig")), max(col("emb_sig"))).head()
     require(range.isNullAt(0) ||

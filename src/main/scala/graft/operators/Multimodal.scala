@@ -177,13 +177,46 @@ object Multimodal {
   def encodeJpeg(w: Int, h: Int, seed: Long): Array[Byte] =
     writeImage(srcImage(w, h, seed), "jpg")
 
+  /** Decode-allocation guard for every ImageIO path: 16 megapixels.
+    * A corrupt-but-plausible header can DECLARE absurd dimensions and
+    * make the decoder allocate a multi-GB raster before any pixel data
+    * is validated — an OutOfMemoryError, which is FATAL and escapes the
+    * streaming tier's null-on-error wrappers (they catch NonFatal only),
+    * so without this bound a crafted header still kills the query the
+    * SAFE UDFs promise to protect. 16 MP covers every sane frame (4K is
+    * 8.3 MP) at a ≤ 64 MB raster; genuinely larger media should be
+    * tiled upstream, not decoded whole on an executor. */
+  private val MaxDecodePixels = 16L * 1024 * 1024
+
+  /** [[javax.imageio.ImageIO.read]] with the declared dimensions checked
+    * BEFORE the raster is allocated (reader.getWidth/getHeight are
+    * header reads): oversized or undecodable input throws an ordinary
+    * (NonFatal, catchable) exception instead of OOMing the executor. */
+  private def boundedImageIoRead(b: Array[Byte],
+                                 what: String): java.awt.image.BufferedImage = {
+    imageIoInit
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, s"$what: ImageIO could not decode the blob")
+      val rd = readers.next()
+      try {
+        rd.setInput(iis, false)
+        val (w, h) = (rd.getWidth(0), rd.getHeight(0))
+        require(w > 0 && h > 0 && w.toLong * h <= MaxDecodePixels,
+          s"$what: declared raster ${w}x$h exceeds the " +
+            s"$MaxDecodePixels-pixel decode guard")
+        rd.read(0)
+      } finally rd.dispose()
+    } finally iis.close()
+  }
+
   /** ImageIO decode path shared by PNG/JPEG: real dims + checksum over the
     * DECODED RGB raster. Malformed input throws (same policy as the
     * pure-JVM parsers). */
   private def decodeImageIo(b: Array[Byte], kind: String): MediaMeta = {
-    imageIoInit
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-    require(img != null, s"$kind: ImageIO could not decode the blob")
+    val img = boundedImageIoRead(b, kind)
     var sum = 0L; var y = 0
     while (y < img.getHeight) {
       var x = 0
@@ -208,8 +241,7 @@ object Multimodal {
       if (b.length >= 4 && b(0) == 0x89.toByte && b(1) == 'P') "png"
       else if (b.length >= 3 && b(0) == 0xff.toByte && b(1) == 0xd8.toByte) "jpg"
       else sys.error("resizeImage handles PNG/JPEG blobs only")
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-    require(img != null, s"$fmt: ImageIO could not decode the blob")
+    val img = boundedImageIoRead(b, fmt)
     val out = new java.awt.image.BufferedImage(
       dstW, dstH, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
     var r = 0
@@ -230,9 +262,7 @@ object Multimodal {
     * [[weightedPixelSum]] computes for BMP payloads, here for codec
     * formats. No modulus: raster sizes here keep the sum ≪ 2^63. */
   def rasterWeightedSum(b: Array[Byte]): Long = {
-    imageIoInit
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-    require(img != null, "rasterWeightedSum: ImageIO could not decode")
+    val img = boundedImageIoRead(b, "rasterWeightedSum")
     var sum = 0L; var j = 1L; var y = 0
     while (y < img.getHeight) {
       var x = 0
@@ -381,6 +411,12 @@ object Multimodal {
       var f = 0
       while (f < n) {
         if (f % stride == 0) {
+          // dims are header reads — guard BEFORE the raster allocation
+          // (see boundedImageIoRead: a corrupt header OOM is fatal and
+          // escapes the streaming tier's NonFatal wrappers)
+          val (gw, gh) = (rd.getWidth(f), rd.getHeight(f))
+          require(gw > 0 && gh > 0 && gw.toLong * gh <= MaxDecodePixels,
+            s"gif frame $f: declared ${gw}x$gh exceeds the decode guard")
           val img = rd.read(f)
           var s = 0L; var y = 0
           while (y < img.getHeight) {
@@ -505,9 +541,7 @@ object Multimodal {
           (b(q) & 0xff) + (b(q + 1) & 0xff) + (b(q + 2) & 0xff)
         })
       } else if (isImageIoMagic(b)) {
-        imageIoInit
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-        require(img != null, "grayRaster: ImageIO could not decode the blob")
+        val img = boundedImageIoRead(b, "grayRaster")
         (img.getWidth, img.getHeight, (x, y) => {
           val rgb = img.getRGB(x, y)
           ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
@@ -852,6 +886,15 @@ object Multimodal {
     var dataOff = -1; var dataLen = -1
     while (p + 8 <= b.length) {
       val sz = rdLE(b, p + 4, 4).toInt
+      // corrupt chunk sizes: sz = -8 (or -9) would make the cursor
+      // advance by ZERO and hang the walk forever — non-termination is
+      // not an exception and escapes the streaming tier's null-on-error
+      // wrappers; sz near Int.MaxValue would overflow the data-chunk
+      // bound check below and drive a multi-GB allocation (a FATAL OOM,
+      // same escape). Any chunk claiming to be negative or larger than
+      // the file is corrupt: throw, which the SAFE UDFs map to null.
+      require(sz >= 0 && sz <= b.length,
+        s"wav: corrupt chunk size $sz at byte $p (file is ${b.length} bytes)")
       val id = new String(b, p, 4, "US-ASCII")
       if (id == "fmt ") {
         require(rdLE(b, p + 8, 2) == 1, "wav: only PCM (format tag 1)")
@@ -1106,6 +1149,10 @@ object Multimodal {
       var f = 0
       while (f < n) {
         if (f % stride == 0) {
+          // same pre-allocation dim guard as gifFrameStats
+          val (gw, gh) = (rd.getWidth(f), rd.getHeight(f))
+          require(gw > 0 && gh > 0 && gw.toLong * gh <= MaxDecodePixels,
+            s"gif frame $f: declared ${gw}x$gh exceeds the decode guard")
           val img = rd.read(f)
           val w = img.getWidth; val h = img.getHeight
           var r = 0
@@ -1413,9 +1460,7 @@ object Multimodal {
     * a fixed, deterministic featurizer running on genuinely decoded
     * pixels. Empty buckets (fewer pixels than dim) stay 0. */
   private[operators] def imageFeatures(content: Array[Byte], dim: Int): Array[Float] = {
-    imageIoInit
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
-    require(img != null, "imageFeatures: ImageIO could not decode the blob")
+    val img = boundedImageIoRead(content, "imageFeatures")
     val out = new Array[Float](dim)
     val cnt = new Array[Int](dim)
     val total = img.getWidth * img.getHeight

@@ -164,8 +164,14 @@ object EventsStream {
                        watermark: String = "1 hour",
                        tsCol: String = "ts"): DataFrame =
     media
+      // SAFE decode + null drop, the one-dirty-row discipline of the
+      // near-dup wrappers: the strict UDF would fail the task on a null
+      // or corrupt blob and terminate the query — and a null fp left in
+      // place would make dropDuplicates keep exactly ONE undecodable
+      // row (null is a distinct key), silently shipping garbage
       .withColumn("__fp",
-        graft.operators.Multimodal.dHash64Udf(col(contentCol)))
+        graft.operators.Multimodal.dHash64SafeUdf(col(contentCol)))
+      .filter(col("__fp").isNotNull)
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")

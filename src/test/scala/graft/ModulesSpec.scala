@@ -1591,13 +1591,21 @@ class ModulesSpec extends AnyFunSuite {
       (Timestamp.valueOf("2024-01-01 10:00:01"), 2L, Multimodal.imageVariantForDoc(3L + 20000)),
       (Timestamp.valueOf("2024-01-01 10:00:02"), 3L, Multimodal.imageVariantForDoc(3L + 40000)),
       (Timestamp.valueOf("2024-01-01 10:00:03"), 4L, Multimodal.imageVariantForDoc(3L + 60000)),
-      (Timestamp.valueOf("2024-01-01 10:00:04"), 5L, Multimodal.imageVariantForDoc(7L)))
+      (Timestamp.valueOf("2024-01-01 10:00:04"), 5L, Multimodal.imageVariantForDoc(7L)),
+      // dirty rows — null and corrupt blobs — must neither kill the
+      // query (the safe decode) nor ship through as one "deduped"
+      // garbage survivor (a null fp is a distinct dropDuplicates key,
+      // so without the null filter exactly one would survive)
+      (Timestamp.valueOf("2024-01-01 10:00:05"), 6L, null: Array[Byte]),
+      (Timestamp.valueOf("2024-01-01 10:00:06"), 7L,
+        "not an image".getBytes("US-ASCII")))
     q.processAllAvailable()
     val survivors = spark.table("media_dedup").collect()
       .map(_.getLong(1)).sorted.toSeq
     q.stop()
     // first arrival of picture 3 survives; the three re-encodes are
-    // suppressed by the in-flight state; picture 7 passes
+    // suppressed by the in-flight state; picture 7 passes; the dirty
+    // rows vanish
     assert(survivors == Seq(1L, 5L), s"got $survivors")
   }
 
@@ -3466,6 +3474,70 @@ class ModulesSpec extends AnyFunSuite {
     assert(Iterator.iterate(stale: Throwable)(_.getCause).takeWhile(_ != null)
       .take(5).exists(e => Option(e.getMessage)
         .exists(_.contains("stale wide-family store"))), s"wrong error: $stale")
+    // a multi-row query frame would blend every query's candidates into
+    // one global top-k — refused loudly, the annTuning contract
+    intercept[IllegalArgumentException] {
+      AnnIndex.annTopKWideIndexed(store, "emb", dim, planes,
+        corpus.select(col("emb").as("qe")), "qe", k = 2)
+    }
+  }
+
+  test("corrupt-media guards: chunk-walk hang, oversized-raster OOM, safe-null mapping") {
+    import graft.operators.Multimodal
+    // (1) WAV whose data-chunk size field reads -8: the RIFF walk's
+    // cursor `p += 8 + sz + (sz & 1)` advances by ZERO — before the
+    // guard this was an INFINITE LOOP, which no exception handler (and
+    // no null-on-error wrapper) can catch; it must throw instead
+    val hang = {
+      val bb = java.nio.ByteBuffer.allocate(28)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(20)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("data".getBytes("US-ASCII")).putInt(-8)
+        .putInt(0).putInt(0)
+      bb.array()
+    }
+    val e1 = intercept[IllegalArgumentException] {
+      Multimodal.audioFingerprint(hang, 256)
+    }
+    assert(e1.getMessage.contains("corrupt chunk size"), e1.getMessage)
+    // (2) PNG whose IHDR DECLARES a 100000x100000 raster: the decoder
+    // would allocate ~40 GB before touching pixel data — a FATAL
+    // OutOfMemoryError that escapes NonFatal wrappers; the dim guard
+    // must throw an ordinary exception BEFORE the allocation
+    val hugePng = {
+      val ihdr = java.nio.ByteBuffer.allocate(17)
+      ihdr.put("IHDR".getBytes("US-ASCII")).putInt(100000).putInt(100000)
+        .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      val crc = new java.util.zip.CRC32(); crc.update(ihdr.array())
+      val bb = java.nio.ByteBuffer.allocate(8 + 4 + 17 + 4)
+      bb.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+        .putInt(13).put(ihdr.array()).putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val e2 = intercept[Exception] { Multimodal.dHash64(hugePng) }
+    assert(Option(e2.getMessage).exists(_.contains("decode guard")),
+      s"expected the pre-allocation dim guard, got: $e2")
+    // (3) the SAFE kernels map all of it — null, garbage, the hang blob,
+    // the OOM header — to null, never an error (the streaming contract)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dirty = Seq(
+      (1L, null: Array[Byte]),
+      (2L, "garbage".getBytes("US-ASCII")),
+      (3L, hang),
+      (4L, hugePng)).toDF("id", "content")
+    val fps = dirty.select(
+        Multimodal.dHash64SafeUdf(col("content")).as("d"),
+        Multimodal.audioFingerprintSafeUdf(col("content"), lit(256)).as("a"),
+        Multimodal.videoFingerprintSafeUdf(col("content"), lit(2)).as("v"))
+      .collect()
+    assert(fps.forall(r => r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2)),
+      s"safe kernels leaked a non-null fingerprint: ${fps.mkString(";")}")
+    // healthy blobs still fingerprint identically through the safe path
+    val good = Multimodal.nearImageForDoc(5L)
+    assert(Multimodal.dHash64(good) == Seq((1L, good)).toDF("id", "content")
+      .select(Multimodal.dHash64SafeUdf(col("content"))).head().getLong(0))
   }
 
   test("annTuning: nested probes are monotone and the full-probe cell is brute force") {
