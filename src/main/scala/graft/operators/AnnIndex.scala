@@ -317,19 +317,30 @@ object AnnIndex {
     * index, never a full scan. Queries replicate (the small side); a
     * (query, neighbor) pair meets at most once since probed buckets are
     * distinct per query. */
+  /** `wide = true` blocks both sides on the WIDE prime-modulus family
+    * ([[wideBucketExpr]]) instead of the legacy default — the batch-join
+    * face of the q_dedup_embed_wide story: planes > 7 only buy
+    * selectivity on the wide family (the legacy census caps at 128
+    * buckets), and a join against a persisted
+    * [[graft.operators.Dedup.embeddingBucketIndex]] store must agree
+    * with its blocking. The probe set is family-agnostic (bit flips of
+    * whatever bucket id the family produced). */
   def annJoin(queries: DataFrame, qIdCol: String, qEmbCol: String,
               corpus: DataFrame, cIdCol: String, cEmbCol: String,
-              dim: Int, planes: Int, k: Int, probeBits: Int = 0): DataFrame = {
+              dim: Int, planes: Int, k: Int, probeBits: Int = 0,
+              wide: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    def bucketOf(c: String): Column =
+      if (wide) wideBucketExpr(c, dim, planes) else bucketExpr(c, dim, planes)
     val q0 = queries.select(col(qIdCol).as("query_id"), col(qEmbCol).as("__qe"),
-      bucketExpr(qEmbCol, dim, planes).as("__qb0"))
+      bucketOf(qEmbCol).as("__qb0"))
     val q =
       if (probeBits == 0) q0.withColumn("__qb", col("__qb0")).drop("__qb0")
       else q0.withColumn("__qb",
           explode(expr(probeSetExpr(planes, probeBits))))
         .drop("__qb0")
     val c = corpus.select(col(cIdCol).as("neighbor_id"), col(cEmbCol).as("__ce"),
-      bucketExpr(cEmbCol, dim, planes).as("__cb"))
+      bucketOf(cEmbCol).as("__cb"))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("similarity"), col("neighbor_id"))
     q.join(c, col("__qb") === col("__cb"))

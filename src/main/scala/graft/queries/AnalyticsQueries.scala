@@ -369,6 +369,45 @@ object AnalyticsQueries {
         cells = Seq((6, 0), (6, 1), (12, 0), (12, 1), (12, 2), (20, 2)))
     },
 
+    Q("q_knn_join_wide",
+      "q_knn_join on the WIDE plane family at 12 planes with 1-bit " +
+        "multi-probe (AnnIndex.annJoin wide=true): the batch " +
+        "similarity-join face of the wide-family story — blocking a " +
+        "corpus-vs-corpus join finer than the legacy family's 128-bucket " +
+        "ceiling allows, with the probe radius buying back recall " +
+        "(q_ann_wide_tuning prices the dial). Same one-plan shape: " +
+        "shuffle keyed by bucket, per-query window, no per-query jobs",
+      Some(s"""WITH all_v AS (
+              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+              |    ${AnnIndex.wideBucketSqlDuck("CAST(embedding AS DOUBLE[])", 64, 12)} AS bucket
+              |  FROM embeddings),
+              |q AS (SELECT vec_id AS query_id, emb AS qe,
+              |  list_append(list_transform(generate_series(0, 11),
+              |    i -> xor(bucket, CAST(pow(2, i) AS BIGINT))), bucket) AS pr
+              |  FROM all_v WHERE vec_id < 20),
+              |c AS (SELECT vec_id AS neighbor_id, emb AS ce, bucket
+              |  FROM all_v WHERE vec_id >= 20)
+              |SELECT query_id, neighbor_id, ${text.fixedPoint("similarity", 4)} AS sim_x10k, rank
+              |FROM (
+              |  SELECT query_id, neighbor_id,
+              |    ${vectors.cosineSimSql("ce", "qe")} AS similarity,
+              |    row_number() OVER (PARTITION BY query_id
+              |      ORDER BY ${vectors.cosineSimSql("ce", "qe")} DESC, neighbor_id) AS rank
+              |  FROM q JOIN c ON list_contains(q.pr, c.bucket))
+              |WHERE rank <= 3
+              |ORDER BY query_id, rank""".stripMargin)) { (s, dir) =>
+      val all = embeddings(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      AnnIndex.annJoin(
+          all.filter(col("vec_id") < 20), "vec_id", "emb",
+          all.filter(col("vec_id") >= 20), "vec_id", "emb",
+          dim = 64, planes = 12, k = 3, probeBits = 1, wide = true)
+        .select(col("query_id"), col("neighbor_id"),
+          expr(text.fixedPoint("similarity", 4)).as("sim_x10k"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    },
+
     Q("q_pq_topk",
       "PQ ADC two-stage top-5 (Quantize.pqTopK, m=8 subspaces x 32 " +
         "centroids over the 64-dim corpus): codes are 8 bytes/vector (64x " +

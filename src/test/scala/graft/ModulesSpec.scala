@@ -3480,6 +3480,18 @@ class ModulesSpec extends AnyFunSuite {
       AnnIndex.annTopKWideIndexed(store, "emb", dim, planes,
         corpus.select(col("emb").as("qe")), "qe", k = 2)
     }
+    // the batch-join face: annJoin(wide = true) blocks on the same
+    // family, so the rescale twin (same wide bucket by scale
+    // invariance) is the rank-1 neighbor with cosine exactly 1.0
+    // similarity is unrounded in annJoin (call sites quantize), so pin
+    // the x10k fixed point, not the raw double
+    val aj = AnnIndex.annJoin(
+        corpus.filter(col("id") === 1L), "id", "emb",
+        corpus.filter(col("id") =!= 1L), "id", "emb",
+        dim = dim, planes = planes, k = 1, wide = true)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e4)))
+    assert(aj.toSeq == Seq((1L, 2L, 10000L)), s"got ${aj.toSeq}")
   }
 
   test("corrupt-media guards: chunk-walk hang, oversized-raster OOM, safe-null mapping") {
