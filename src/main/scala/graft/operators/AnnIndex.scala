@@ -304,6 +304,27 @@ object AnnIndex {
     }
   }
 
+  /** DuckDB rendering of [[probeSetExpr]] over a query-bucket column —
+    * the oracle twin, defined NEXT TO the Spark builder (the
+    * [[bucketUdfFor]]/[[bucketSqlFor]] discipline) so the probe
+    * geometry can never drift between the serving join, the tuning
+    * sweep, and their oracles: a probe-set change edits exactly two
+    * adjacent bodies, not N inline oracle strings. */
+  def probeSetSqlDuck(qbCol: String, planes: Int, probeBits: Int): String = {
+    require(probeBits >= 0 && probeBits <= 2, "probeBits 0, 1 or 2 supported")
+    val f1 = s"list_transform(generate_series(0, ${planes - 1}), " +
+      s"i -> xor($qbCol, CAST(pow(2, i) AS BIGINT)))"
+    val f2 = s"flatten(list_transform(generate_series(0, ${planes - 2}), " +
+      s"i -> list_transform(generate_series(i + 1, ${planes - 1}), " +
+      s"j -> xor(xor($qbCol, CAST(pow(2, i) AS BIGINT)), " +
+      s"CAST(pow(2, j) AS BIGINT)))))"
+    probeBits match {
+      case 0 => s"[$qbCol]"
+      case 1 => s"list_append($f1, $qbCol)"
+      case 2 => s"list_append(list_concat($f1, $f2), $qbCol)"
+    }
+  }
+
   /** `probeBits` is the multi-probe radius: 0 probes only the query's own
     * bucket (cheapest, weakest recall — measured ~0.17 top-3 recall on the
     * near-random test embeddings at 4 planes), 1 additionally probes every
@@ -316,15 +337,26 @@ object AnnIndex {
     * 2^planes partitions — still partition-pruned reads of a persisted
     * index, never a full scan. Queries replicate (the small side); a
     * (query, neighbor) pair meets at most once since probed buckets are
-    * distinct per query. */
-  /** `wide = true` blocks both sides on the WIDE prime-modulus family
-    * ([[wideBucketExpr]]) instead of the legacy default — the batch-join
-    * face of the q_dedup_embed_wide story: planes > 7 only buy
-    * selectivity on the wide family (the legacy census caps at 128
-    * buckets), and a join against a persisted
-    * [[graft.operators.Dedup.embeddingBucketIndex]] store must agree
-    * with its blocking. The probe set is family-agnostic (bit flips of
-    * whatever bucket id the family produced). */
+    * distinct per query.
+    *
+    * `wide = true` blocks both sides on the WIDE prime-modulus family
+    * ([[wideBucketExpr]]) instead of the legacy default — planes > 7
+    * only buy selectivity on the wide family (the legacy census caps at
+    * 128 buckets), and a wide join uses the same bucketing a persisted
+    * [[graft.operators.Dedup.embeddingBucketIndex]] store was built
+    * with. Note annJoin itself always re-hashes the raw embeddings
+    * INLINE on both sides — the store-consuming, emb_sig-checked,
+    * partition-pruned serving path is [[annTopKWideIndexed]]. The probe
+    * set is family-agnostic (bit flips of whatever bucket id the family
+    * produced).
+    *
+    * NULL embeddings are dropped on both sides up front, and the bucket
+    * keys compare NULL-SAFELY (`<=>`): plain `=` makes Catalyst infer
+    * `isnotnull(bucket)` and push it below the projection, re-running
+    * the whole bucket UDF once per key per branch — the measured
+    * [[graft.operators.Dedup.pairJoin]] trap (planes × dim multiplies
+    * per row, paid twice per side). Dropping nulls first preserves
+    * `=`'s semantics exactly: a null embedding never joined anyway. */
   def annJoin(queries: DataFrame, qIdCol: String, qEmbCol: String,
               corpus: DataFrame, cIdCol: String, cEmbCol: String,
               dim: Int, planes: Int, k: Int, probeBits: Int = 0,
@@ -332,18 +364,20 @@ object AnnIndex {
     import org.apache.spark.sql.expressions.Window
     def bucketOf(c: String): Column =
       if (wide) wideBucketExpr(c, dim, planes) else bucketExpr(c, dim, planes)
-    val q0 = queries.select(col(qIdCol).as("query_id"), col(qEmbCol).as("__qe"),
-      bucketOf(qEmbCol).as("__qb0"))
+    val q0 = queries.filter(col(qEmbCol).isNotNull)
+      .select(col(qIdCol).as("query_id"), col(qEmbCol).as("__qe"),
+        bucketOf(qEmbCol).as("__qb0"))
     val q =
       if (probeBits == 0) q0.withColumn("__qb", col("__qb0")).drop("__qb0")
       else q0.withColumn("__qb",
           explode(expr(probeSetExpr(planes, probeBits))))
         .drop("__qb0")
-    val c = corpus.select(col(cIdCol).as("neighbor_id"), col(cEmbCol).as("__ce"),
-      bucketOf(cEmbCol).as("__cb"))
+    val c = corpus.filter(col(cEmbCol).isNotNull)
+      .select(col(cIdCol).as("neighbor_id"), col(cEmbCol).as("__ce"),
+        bucketOf(cEmbCol).as("__cb"))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("similarity"), col("neighbor_id"))
-    q.join(c, col("__qb") === col("__cb"))
+    q.join(c, col("__qb") <=> col("__cb"))
       .withColumn("similarity", vectors.cosineSim(col("__ce"), col("__qe")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -312,16 +312,7 @@ object AnalyticsQueries {
       Some {
         def cos(a: String, b: String) = vectors.cosineSimSql(a, b)
         def cell(p: Int, pb: Int): String = {
-          val f1 = s"list_transform(generate_series(0, ${p - 1}), " +
-            s"i -> xor(qb, CAST(pow(2, i) AS BIGINT)))"
-          val f2 = s"flatten(list_transform(generate_series(0, ${p - 2}), " +
-            s"i -> list_transform(generate_series(i + 1, ${p - 1}), " +
-            s"j -> xor(xor(qb, CAST(pow(2, i) AS BIGINT)), " +
-            s"CAST(pow(2, j) AS BIGINT)))))"
-          val probes =
-            if (pb == 0) "[qb]"
-            else if (pb == 1) s"list_append($f1, qb)"
-            else s"list_append(list_concat($f1, $f2), qb)"
+          val probes = AnnIndex.probeSetSqlDuck("qb", p, pb)
           s"""(WITH bp AS (SELECT vec_id, emb,
              |    ${AnnIndex.wideBucketSqlDuck("emb", 64, p)} AS bk FROM c),
              |  qp AS (SELECT qe, $probes AS pr FROM (
@@ -382,8 +373,7 @@ object AnalyticsQueries {
               |    ${AnnIndex.wideBucketSqlDuck("CAST(embedding AS DOUBLE[])", 64, 12)} AS bucket
               |  FROM embeddings),
               |q AS (SELECT vec_id AS query_id, emb AS qe,
-              |  list_append(list_transform(generate_series(0, 11),
-              |    i -> xor(bucket, CAST(pow(2, i) AS BIGINT))), bucket) AS pr
+              |  ${AnnIndex.probeSetSqlDuck("bucket", 12, 1)} AS pr
               |  FROM all_v WHERE vec_id < 20),
               |c AS (SELECT vec_id AS neighbor_id, emb AS ce, bucket
               |  FROM all_v WHERE vec_id >= 20)
