@@ -237,37 +237,73 @@ object AnnIndex {
     * page: a mismatched geometry's buckets may simply never join, so a
     * row-level assert there would never evaluate and the search would
     * silently return empty, the exact failure the token exists to make
-    * loud. And folding the assert into the join key would break the
-    * dynamic-partition-pruned read that makes the store a store. An
-    * EMPTY store skips the check (its top-k is legitimately empty). */
+    * loud. The same aggregate counts NULL tokens (min/max skip nulls, so
+    * a careless union of stamped and raw rows would otherwise pass while
+    * the raw rows sit in wrong-family buckets). An EMPTY store skips the
+    * check (its top-k is legitimately empty).
+    *
+    * `probeBits` is [[annJoin]]'s multi-probe radius — the dial
+    * [[annTuning]] prices: 0 reads only the query's own bucket, 1 adds
+    * every one-sign-flip neighbor, 2 the C(planes, 2) double flips. The
+    * probed bucket ids are computed ONCE through the shared
+    * [[probeSetExpr]] builder (one tiny 1-row job — the call already
+    * pays two driver jobs for the contracts below) and applied as a
+    * STATIC `bucket IN (...)` filter, so on a store written partitioned
+    * by `bucket` the scan carries literal partition filters — pruned at
+    * planning, visible in the plan, no dynamic-pruning machinery to
+    * trust — and the candidate page needs no bucket join at all: every
+    * surviving row belongs to this one query (ModulesSpec pins the
+    * pruned-scan shape and that probed serving recall EQUALS the tuning
+    * sweep's measured cell). On an unpersisted store the same IN filter
+    * evaluates the bucket kernel exactly once per row (the projection
+    * that would re-run it is pruned away with the dropped column), so
+    * the [[graft.operators.Dedup.pairJoin]] re-evaluation trap cannot
+    * apply here.
+    *
+    * The query embedding must be NON-NULL: a null would hash to a null
+    * bucket and silently match nothing — the silent-empty class this
+    * entry point exists to refuse (the check rides the same collected
+    * 1-row probe, so it costs nothing extra). */
   def annTopKWideIndexed(store: DataFrame, embCol: String,
                          dim: Int, planes: Int,
                          query: DataFrame, queryCol: String, k: Int,
-                         tieBreak: Seq[String] = Nil): DataFrame = {
+                         tieBreak: Seq[String] = Nil,
+                         probeBits: Int = 0): DataFrame = {
     require(store.columns.contains("emb_sig"),
       "store carries no emb_sig token — rebuild it with " +
         "Dedup.embeddingBucketIndex before serving from it")
     // ONE query row, checked loudly like annTuning's: a multi-row frame
     // would blend every query's candidates into one global top-k —
-    // plausible-looking garbage with no error. The call already pays a
-    // token-check job, so the 1-row probe adds nothing material.
-    require(query.limit(2).count() == 1,
+    // plausible-looking garbage with no error.
+    val qRows = query.select(col(queryCol)).limit(2).collect()
+    require(qRows.length == 1,
       "annTopKWideIndexed expects exactly ONE query row — a multi-row " +
         "frame would blend every query's candidates into one global top-k")
+    require(!qRows(0).isNullAt(0),
+      "annTopKWideIndexed query embedding is NULL — it would hash to a " +
+        "null bucket and every search would silently return empty")
     val sig = wideStoreSig(dim, planes)
-    val range = store.agg(min(col("emb_sig")), max(col("emb_sig"))).head()
+    val range = store.agg(min(col("emb_sig")), max(col("emb_sig")),
+      count(when(col("emb_sig").isNull, lit(1))).as("n_null")).head()
     require(range.isNullAt(0) ||
         (range.getLong(0) == sig && range.getLong(1) == sig),
       s"stale wide-family store: emb_sig does not match dim=$dim/" +
         s"planes=$planes — the bucket geometry changed; rebuild the store")
-    val q = query.select(col(queryCol),
-      wideBucketExprOf(col(queryCol), dim, planes).as("q_bucket"))
+    require(range.isNullAt(0) || range.getLong(2) == 0L,
+      "wide-family store carries rows with a NULL emb_sig token — a " +
+        "union of stamped and raw rows; the raw rows may sit in " +
+        "wrong-family buckets, rebuild the store")
+    val probes: Seq[Long] = query
+      .select(wideBucketExprOf(col(queryCol), dim, planes).as("__qb0"))
+      .selectExpr(s"${probeSetExpr(planes, probeBits)} AS __probes")
+      .head().getSeq[Long](0)
     store
-      .join(broadcast(q), col("bucket") === col("q_bucket"))
+      .filter(col("bucket").isin(probes: _*))
+      .crossJoin(broadcast(query.select(col(queryCol))))
       .withColumn("similarity", vectors.cosineSim(col(embCol), col(queryCol)))
       .orderBy(desc("similarity") +: tieBreak.map(col): _*)
       .limit(k)
-      .drop("emb_sig", "q_bucket")
+      .drop("emb_sig", "bucket")
   }
 
   /** ANN KNN JOIN: for EVERY query row, the k most-cosine-similar corpus
@@ -291,6 +327,12 @@ object AnnIndex {
     * join. */
   private def probeSetExpr(planes: Int, probeBits: Int): String = {
     require(probeBits >= 0 && probeBits <= 2, "probeBits 0, 1 or 2 supported")
+    require(probeBits < 2 || planes >= 2,
+      s"probeBits=2 needs planes >= 2 (got $planes): there is no double " +
+        "sign flip in a 1-plane family — and Spark would evaluate the " +
+        "empty flip range sequence(0, -1) as a DESCENDING [0, -1], " +
+        "emitting a probe bucket outside the 2^1 bucket space where the " +
+        "DuckDB twin's generate_series(0, -1) is empty")
     val flip = (b: String) => s"CAST(pow(2, $b) AS BIGINT)"
     val f1 = s"transform(sequence(0, ${planes - 1}), i -> __qb0 ^ ${flip("i")})"
     // sequence(i+1, planes-1) is never descending: i tops out at planes-2
@@ -312,6 +354,10 @@ object AnnIndex {
     * adjacent bodies, not N inline oracle strings. */
   def probeSetSqlDuck(qbCol: String, planes: Int, probeBits: Int): String = {
     require(probeBits >= 0 && probeBits <= 2, "probeBits 0, 1 or 2 supported")
+    require(probeBits < 2 || planes >= 2,
+      s"probeBits=2 needs planes >= 2 (got $planes) — the same guard as " +
+        "probeSetExpr, so Spark and the oracle refuse the degenerate " +
+        "geometry identically instead of diverging on it")
     val f1 = s"list_transform(generate_series(0, ${planes - 1}), " +
       s"i -> xor($qbCol, CAST(pow(2, i) AS BIGINT)))"
     val f2 = s"flatten(list_transform(generate_series(0, ${planes - 2}), " +
@@ -384,6 +430,65 @@ object AnnIndex {
       .select(col("query_id"), col("neighbor_id"), col("similarity"), col("rank"))
   }
 
+  /** [[annJoin]]'s batch face over a PERSISTED wide-family store — the
+    * serving path a query TABLE takes against a
+    * [[graft.operators.Dedup.embeddingBucketIndex]] build (columns
+    * `id, emb, nrm, bucket, emb_sig`, written partitioned by `bucket`):
+    * the corpus is NEVER re-bucketed — only the query side hashes, at
+    * the store's geometry, verified at call time by the
+    * [[annTopKWideIndexed]] min/max + null-count aggregate (the
+    * [[ivfRefresh]] stance; a mismatched family would join cleanly and
+    * silently return nothing). Queries drop null embeddings up front,
+    * hash with [[wideBucketExpr]], explode the [[probeSetExpr]] probe
+    * set (the SAME builder [[annJoin]] and [[annTuning]] use, so the
+    * batch path's geometry cannot drift from the tuning measurement),
+    * and BROADCAST: the store side stays in place — no shuffle touches
+    * it (PlanGuardSpec pins that), and the broadcast equality on the
+    * partition column keeps the scan prunable (dynamic partition
+    * pruning on a partitioned store; the store-side `bucket` is a DATA
+    * column here, so the `isnotnull` Catalyst infers from `=` lands on
+    * the scan — the [[graft.operators.Dedup.pairJoin]] UDF re-evaluation
+    * trap needs a bucket-kernel projection on the join side, which a
+    * persisted store doesn't have; an INLINE-built store should join
+    * through [[annJoin]] instead). Per-query ranking is one window keyed
+    * by query id, exactly [[annJoin]]'s shape. */
+  def annJoinIndexed(queries: DataFrame, qIdCol: String, qEmbCol: String,
+                     store: DataFrame, dim: Int, planes: Int, k: Int,
+                     probeBits: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(store.columns.contains("emb_sig"),
+      "store carries no emb_sig token — rebuild it with " +
+        "Dedup.embeddingBucketIndex before serving from it")
+    val sig = wideStoreSig(dim, planes)
+    val range = store.agg(min(col("emb_sig")), max(col("emb_sig")),
+      count(when(col("emb_sig").isNull, lit(1))).as("n_null")).head()
+    require(range.isNullAt(0) ||
+        (range.getLong(0) == sig && range.getLong(1) == sig),
+      s"stale wide-family store: emb_sig does not match dim=$dim/" +
+        s"planes=$planes — the bucket geometry changed; rebuild the store")
+    require(range.isNullAt(0) || range.getLong(2) == 0L,
+      "wide-family store carries rows with a NULL emb_sig token — a " +
+        "union of stamped and raw rows; the raw rows may sit in " +
+        "wrong-family buckets, rebuild the store")
+    val q0 = queries.filter(col(qEmbCol).isNotNull)
+      .select(col(qIdCol).as("query_id"), col(qEmbCol).as("__qe"),
+        wideBucketExprOf(col(qEmbCol), dim, planes).as("__qb0"))
+    val q =
+      if (probeBits == 0) q0.withColumn("__qb", col("__qb0")).drop("__qb0")
+      else q0.withColumn("__qb",
+          explode(expr(probeSetExpr(planes, probeBits))))
+        .drop("__qb0")
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("similarity"), col("id"))
+    store
+      .join(broadcast(q), col("bucket") === col("__qb"))
+      .withColumn("similarity", vectors.cosineSim(col("emb"), col("__qe")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        col("similarity"), col("rank"))
+  }
+
   /** WIDE-family sign-LSH dial sweep — [[ivfTuning]]'s measure-before-
     * committing discipline applied to the hyperplane serving path: for
     * each (planes, probeBits) cell, the candidate volume a probe touches
@@ -425,7 +530,14 @@ object AnnIndex {
       .select(col(idCol))
     val nCorpus = corpus.agg(count(lit(1)).as("n_corpus"))
     val stats = cells.map { case (planes, probeBits) =>
-      val assigned = corpus
+      // null embeddings are dropped BEFORE the bucket projection and the
+      // probe keys compare null-safely — plain `=` would make Catalyst
+      // infer isnotnull(__cb) and push it below the projection,
+      // re-running the planes × dim bucket kernel a second time per
+      // corpus row per cell (the measured [[Dedup.pairJoin]] trap
+      // [[annJoin]] avoids the same way). Dropping nulls first preserves
+      // `=`'s semantics exactly: a null embedding never joined a probe.
+      val assigned = corpus.filter(col(embCol).isNotNull)
         .withColumn("__cb", wideBucketExpr(embCol, dim, planes))
       val q0 = query.select(col(queryCol).as("__qe"),
         wideBucketExprOf(col(queryCol), dim, planes).as("__qb0"))
@@ -435,7 +547,7 @@ object AnnIndex {
       // candidate row
       val probes = q0.select(col("__qe"),
         explode(expr(probeSetExpr(planes, probeBits))).as("__qb"))
-      val cand = assigned.join(broadcast(probes), col("__cb") === col("__qb"))
+      val cand = assigned.join(broadcast(probes), col("__cb") <=> col("__qb"))
       val nCand = cand.agg(count(lit(1)).as("n_candidates"))
       val nHits = cand
         .withColumn("__sim", vectors.cosineSim(col(embCol), col("__qe")))

@@ -197,6 +197,11 @@ object Multimodal {
     imageIoInit
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(b))
+    // createImageInputStream can return NULL (no suitable SPI, cache-dir
+    // failure) — getImageReaders(null) would throw IllegalArgumentException
+    // and the finally block would NPE on close; both still NonFatal, but a
+    // clean "could not decode" beats a confusing NPE in the quarantine log
+    require(iis != null, s"$what: ImageIO could not open the blob")
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       require(readers.hasNext, s"$what: ImageIO could not decode the blob")

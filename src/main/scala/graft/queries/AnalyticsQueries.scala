@@ -398,6 +398,88 @@ object AnalyticsQueries {
         .orderBy("query_id", "rank")
     },
 
+    Q("q_ann_wide_topk_probed",
+      "q_ann_wide_topk with the multi-probe dial ENGAGED (AnnIndex." +
+        "annTopKWideIndexed probeBits=2 at 12 planes): the serving gap " +
+        "q_ann_wide_tuning exposed, closed — the sweep prices (12, 2) " +
+        "but a probe-0 store read could not buy that recall without " +
+        "abandoning the store for inline re-hashing. The probed bucket " +
+        "ids come from the SAME probeSetExpr builder the tuning sweep " +
+        "and annJoin use (one 1-row job) and land as a STATIC bucket IN " +
+        "(...) filter, so a store partitioned by bucket is pruned at " +
+        "planning — 79 of 2^12 partitions here, literal PartitionFilters " +
+        "in the plan, no dynamic-pruning machinery to trust — and the " +
+        "candidate page needs no bucket join at all (every surviving " +
+        "row belongs to the one query). ModulesSpec pins that this " +
+        "path's recall EQUALS the tuning sweep's (12, 2) cell",
+      Some(s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings WHERE vec_id <> 0),
+              |q AS (SELECT qe, ${AnnIndex.probeSetSqlDuck("qb", 12, 2)} AS pr
+              |  FROM (SELECT qe, ${AnnIndex.wideBucketSqlDuck("qe", 64, 12)} AS qb
+              |    FROM (SELECT CAST(embedding AS DOUBLE[]) AS qe
+              |      FROM embeddings WHERE vec_id = 0))),
+              |b AS (SELECT vec_id, emb,
+              |  ${AnnIndex.wideBucketSqlDuck("emb", 64, 12)} AS bucket FROM c)
+              |SELECT vec_id, ${text.fixedPoint("sim", 4)} AS sim_x10k FROM (
+              |  SELECT b.vec_id, ${vectors.cosineSimSql("b.emb", "q.qe")} AS sim
+              |  FROM b JOIN q ON list_contains(q.pr, b.bucket))
+              |ORDER BY sim DESC, vec_id
+              |LIMIT 5""".stripMargin)) { (s, dir) =>
+      import graft.operators.Dedup
+      val e = embeddings(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      val store = Dedup.embeddingBucketIndex(e.filter(col("vec_id") =!= 0),
+        "vec_id", "emb", dim = 64, planes = 12)
+      AnnIndex.annTopKWideIndexed(store, "emb", dim = 64, planes = 12,
+          e.filter(col("vec_id") === 0).select(col("emb").as("qe")), "qe",
+          k = 5, tieBreak = Seq("id"), probeBits = 2)
+        .select(col("id").as("vec_id"),
+          expr(text.fixedPoint("similarity", 4)).as("sim_x10k"))
+    },
+
+    Q("q_knn_join_indexed",
+      "Batch KNN join served FROM the persisted wide-family store " +
+        "(AnnIndex.annJoinIndexed at 12 planes, probe 2): q_knn_join_wide's " +
+        "one-plan shape, but the corpus side is a Dedup.embeddingBucketIndex " +
+        "build consumed AS-IS — never re-bucketed (annJoin re-hashes both " +
+        "sides inline every call; here only the 20 queries hash), its " +
+        "emb_sig geometry verified by the call-time min/max + null-count " +
+        "aggregate. The exploded probe set BROADCASTS, so the store never " +
+        "moves through a shuffle (PlanGuardSpec pins it) and the bucket " +
+        "equality stays prunable on a bucket-partitioned store; per-query " +
+        "ranking is one window keyed by query id",
+      Some(s"""WITH all_v AS (
+              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+              |    ${AnnIndex.wideBucketSqlDuck("CAST(embedding AS DOUBLE[])", 64, 12)} AS bucket
+              |  FROM embeddings),
+              |q AS (SELECT vec_id AS query_id, emb AS qe,
+              |  ${AnnIndex.probeSetSqlDuck("bucket", 12, 2)} AS pr
+              |  FROM all_v WHERE vec_id < 20),
+              |c AS (SELECT vec_id AS neighbor_id, emb AS ce, bucket
+              |  FROM all_v WHERE vec_id >= 20)
+              |SELECT query_id, neighbor_id, ${text.fixedPoint("similarity", 4)} AS sim_x10k, rank
+              |FROM (
+              |  SELECT query_id, neighbor_id,
+              |    ${vectors.cosineSimSql("ce", "qe")} AS similarity,
+              |    row_number() OVER (PARTITION BY query_id
+              |      ORDER BY ${vectors.cosineSimSql("ce", "qe")} DESC, neighbor_id) AS rank
+              |  FROM q JOIN c ON list_contains(q.pr, c.bucket))
+              |WHERE rank <= 3
+              |ORDER BY query_id, rank""".stripMargin)) { (s, dir) =>
+      import graft.operators.Dedup
+      val all = embeddings(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      val store = Dedup.embeddingBucketIndex(all.filter(col("vec_id") >= 20),
+        "vec_id", "emb", dim = 64, planes = 12)
+      AnnIndex.annJoinIndexed(
+          all.filter(col("vec_id") < 20), "vec_id", "emb",
+          store, dim = 64, planes = 12, k = 3, probeBits = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          expr(text.fixedPoint("similarity", 4)).as("sim_x10k"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    },
+
     Q("q_pq_topk",
       "PQ ADC two-stage top-5 (Quantize.pqTopK, m=8 subspaces x 32 " +
         "centroids over the 64-dim corpus): codes are 8 bytes/vector (64x " +

@@ -3602,4 +3602,129 @@ class ModulesSpec extends AnyFunSuite {
         dim = 64, k = 5, cells = Seq((4, 0)))
     }
   }
+
+  test("multi-probe wide-store serving: pruned scan, tuning-cell recall parity, indexed batch join") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{AnnIndex, Dedup}
+    import graft.sources.Maintenance
+    val e = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val corpus = e.filter(col("vec_id") =!= 0)
+    val q = e.filter(col("vec_id") === 0).select(col("emb").as("qe"))
+    val (dim, planes) = (64, 12)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_wstore").toString + "/store"
+    Maintenance.writePartitioned(
+      Dedup.embeddingBucketIndex(corpus, "vec_id", "emb", dim, planes),
+      dir, Seq("bucket"))
+    val store = spark.read.parquet(dir)
+    val nBuckets = store.select("bucket").distinct().count()
+    assert(nBuckets > 80, s"fixture too coarse to witness pruning: $nBuckets")
+    val exact = corpus
+      .crossJoin(broadcast(q))
+      .withColumn("__s", graft.functions.vectors.cosineSim(col("emb"), col("qe")))
+      .orderBy(desc("__s"), col("vec_id")).limit(5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // the tuning sweep's measured cells at the store's exact geometry —
+    // probed serving must deliver the recall the sweep priced, not less:
+    // identical probe sets (the shared probeSetExpr builder) make the
+    // candidate pages equal, so the hit counts must be EQUAL, not just >=
+    val cells = AnnIndex.annTuning(corpus, "emb", "vec_id", q, "qe",
+        dim, k = 5, cells = Seq((planes, 1), (planes, 2)))
+      .collect().map(r => r.getLong(1) -> r.getLong(4)).toMap
+    for (pb <- Seq(1, 2)) {
+      val maxProbed = 1 + (if (pb >= 1) planes else 0) +
+        (if (pb == 2) planes * (planes - 1) / 2 else 0)
+      val served = AnnIndex.annTopKWideIndexed(store, "emb", dim, planes,
+        q, "qe", k = 5, tieBreak = Seq("id"), probeBits = pb)
+      val ids = served.collect().map(_.getAs[Long]("id"))
+      assert(ids.count(exact) == cells(pb.toLong),
+        s"probe-$pb serving recall ${ids.count(exact)} != tuning cell ${cells(pb.toLong)}")
+      // the probed IN-set must surface as a LITERAL partition filter on
+      // the store scan (pruned at planning — no dynamic-pruning machinery
+      // to trust), and the scan's own metrics must show it read at most
+      // the probe set's partitions, strictly fewer than the store holds.
+      // The broadcast exchange makes the plan ADAPTIVE, so the walk must
+      // descend through AdaptiveSparkPlanExec/QueryStageExec wrappers
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+        import org.apache.spark.sql.execution.adaptive._
+        val here = p match {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+          case _ => Nil
+        }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case s: QueryStageExec => Seq(s.plan)
+          case o => o.children
+        }
+        here ++ kids.flatMap(scans)
+      }
+      val scan = scans(served.queryExecution.executedPlan).headOption
+        .getOrElse(fail("no FileSourceScanExec under the serving plan"))
+      assert(scan.partitionFilters.exists(_.toString.contains("bucket")),
+        s"probe set not a partition filter: ${scan.partitionFilters}")
+      val nRead = scan.metrics("numPartitions").value
+      assert(nRead <= maxProbed && nRead < nBuckets,
+        s"probe-$pb read $nRead partitions (probe set $maxProbed, store $nBuckets)")
+    }
+    // the batch face: annJoinIndexed over the persisted store must equal
+    // annJoin(wide = true) re-hashing the corpus inline at the same dial —
+    // the store path buys "never re-bucket the corpus", not different math
+    val queries = e.filter(col("vec_id") < 20)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+      .toSeq
+    val viaStore = canon(AnnIndex.annJoinIndexed(queries, "vec_id", "emb",
+      store, dim, planes, k = 3, probeBits = 1))
+    val inline = canon(AnnIndex.annJoin(queries, "vec_id", "emb",
+      corpus, "vec_id", "emb", dim, planes, k = 3, probeBits = 1,
+      wide = true))
+    assert(viaStore == inline,
+      s"store-served batch join diverged from inline annJoin:\n$viaStore\nvs\n$inline")
+    // refusals: no token, stale geometry, and the min/max-skips-nulls hole
+    // (a careless union of stamped and raw rows must be refused, not
+    // silently served with raw rows sitting in wrong-family buckets)
+    intercept[IllegalArgumentException] {
+      AnnIndex.annJoinIndexed(queries, "vec_id", "emb",
+        store.drop("emb_sig"), dim, planes, k = 3)
+    }
+    intercept[IllegalArgumentException] {
+      AnnIndex.annJoinIndexed(queries, "vec_id", "emb",
+        store, dim, planes = 6, k = 3)
+    }
+    val poisoned = store.unionByName(
+      store.limit(1).withColumn("emb_sig", lit(null).cast("long")))
+    val e1 = intercept[IllegalArgumentException] {
+      AnnIndex.annJoinIndexed(queries, "vec_id", "emb",
+        poisoned, dim, planes, k = 3)
+    }
+    assert(e1.getMessage.contains("NULL emb_sig"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      AnnIndex.annTopKWideIndexed(poisoned, "emb", dim, planes,
+        q, "qe", k = 5)
+    }
+    assert(e2.getMessage.contains("NULL emb_sig"), e2.getMessage)
+    // a NULL query embedding would hash to a null bucket and silently
+    // return empty — refused loudly at call time
+    import spark.implicits._
+    val e3 = intercept[IllegalArgumentException] {
+      AnnIndex.annTopKWideIndexed(store, "emb", dim, planes,
+        Seq(Tuple1(null: Array[Double])).toDF("qe"), "qe", k = 5)
+    }
+    assert(e3.getMessage.contains("NULL"), e3.getMessage)
+    // the degenerate probe geometry (double flips in a 1-plane family)
+    // is refused identically by the Spark builder and the oracle twin
+    // instead of diverging on it (Spark's sequence(0, -1) is DESCENDING)
+    intercept[IllegalArgumentException] {
+      AnnIndex.annJoin(queries, "vec_id", "emb", corpus, "vec_id", "emb",
+        dim, planes = 1, k = 3, probeBits = 2, wide = true)
+    }
+    intercept[IllegalArgumentException] {
+      AnnIndex.probeSetSqlDuck("qb", planes = 1, probeBits = 2)
+    }
+  }
 }

@@ -375,6 +375,36 @@ class PlanGuardSpec extends AnyFunSuite {
     // pinned semantically in ModulesSpec — no new plan shape to pin here.
   }
 
+  test("round-11 queries keep their scale-critical plan shapes") {
+    import org.apache.spark.sql.execution.joins._
+    // multi-probe store serving: the probed bucket IN-set is a STATIC
+    // filter on the store side, so the candidate page joins NOTHING but
+    // the broadcast 1-row query — a shuffled join here would mean the
+    // store started moving for a top-5 probe (the partition-pruning half
+    // of the claim is pinned against a PERSISTED store in ModulesSpec;
+    // catalog queries build the store inline, where only the plan shape
+    // is observable)
+    val probed = plans("q_ann_wide_topk_probed").filter { p =>
+      p.isInstanceOf[SortMergeJoinExec] || p.isInstanceOf[ShuffledHashJoinExec]
+    }
+    assert(probed.isEmpty,
+      s"q_ann_wide_topk_probed: shuffled join planned:\n${probed.mkString("\n")}")
+    // batch serving from the persisted store: the exploded probe set
+    // BROADCASTS against the store — the store side must never move
+    // through a shuffle (queries replicate; the corpus stays in place,
+    // which is what makes the store consumable at 100 TB)
+    val idx = plans("q_knn_join_indexed")
+    val idxShuffled = idx.filter { p =>
+      p.isInstanceOf[SortMergeJoinExec] || p.isInstanceOf[ShuffledHashJoinExec]
+    }
+    assert(idxShuffled.isEmpty,
+      s"q_knn_join_indexed: store moved through a shuffled join:\n${idxShuffled.mkString("\n")}")
+    assert(idx.exists {
+      case b: BroadcastHashJoinExec => true
+      case _ => false
+    }, "q_knn_join_indexed: probe join is not a broadcast")
+  }
+
   test("minhash salvage tier keeps its scale-critical plan shapes") {
     // q_dedup_lsh_recall also collects eagerly, so the tier is pinned at
     // the OPERATOR level: the two key gates (oversized buckets, rep-
