@@ -446,7 +446,14 @@ object Dedup {
                    bits: Int, chunks: Int, maxHamming: Int,
                    maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
-    hammingPairsFromIndex(
+    // from-scratch face: the index is built THIS call under the require
+    // above, so pigeonhole is proven at the driver and the row-level
+    // key-folded guard would be pure tax — the A/B on the r10 quiet-map
+    // drift measured it at ~10-40% of the hamming-family fixture queries
+    // (q_dedup_cap_recall 14.1 -> 12.7 s, q_image_clusters 4.5 -> 3.2 s,
+    // REPS=5 medians); the fold is reserved for the index-ACCEPTING
+    // entry points where a stale/foreign index is actually possible
+    hammingPairsOverTrusted(
       hammingChunkIndex(df, idCol, hashCol, bits, chunks),
       maxHamming, maxBucket)
   }
@@ -462,15 +469,24 @@ object Dedup {
     * silent-recall-loss class [[hammingIncrementalPairs]] refuses
     * loudly, so this refuses too. */
   def hammingPairsFromIndex(index: DataFrame, maxHamming: Int,
-                            maxBucket: Int = Int.MaxValue): DataFrame = {
-    pairJoin(requireSigned(index, maxHamming),
-        Seq("chunk_idx", "chunk_val"), maxBucket)
+                            maxBucket: Int = Int.MaxValue): DataFrame =
+    hammingPairsOverTrusted(requireSigned(index, maxHamming),
+      maxHamming, maxBucket)
+
+  /** The pigeonhole pair join over index rows whose geometry has ALREADY
+    * been established — either by [[requireSigned]]'s key-folded guard
+    * (the index-accepting faces) or by the driver-side
+    * `maxHamming < chunks` require of a from-scratch build in the same
+    * plan ([[hammingPairs]], [[hammingPairsSalvaged]]), where the fold
+    * would only re-prove a fact the caller just proved for free. */
+  private def hammingPairsOverTrusted(rows: DataFrame, maxHamming: Int,
+                                      maxBucket: Int): DataFrame =
+    pairJoin(rows, Seq("chunk_idx", "chunk_val"), maxBucket)
       .select(col("a_id"), col("b_id"), col("a_fp"), col("b_fp")).distinct()
       .withColumn("hamming",
         bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
-  }
 
   /** Loud-failure plumbing for the index-accepting entry points: the
     * presence require (a legacy index without the token cannot be
@@ -532,9 +548,19 @@ object Dedup {
     * similarity never clears a caller's threshold). Output
     * (a_id, b_id, hamming), normalized a_id < b_id. */
   def hammingSalvageEdges(index: DataFrame, maxHamming: Int,
-                          maxBucket: Int, maxReps: Int): DataFrame = {
+                          maxBucket: Int, maxReps: Int): DataFrame =
+    hammingSalvageEdgesOverTrusted(requireSigned(index, maxHamming),
+      maxHamming, maxBucket, maxReps)
+
+  /** [[hammingSalvageEdges]] over rows whose geometry is already proven —
+    * the [[hammingPairsOverTrusted]] split: [[hammingPairsSalvaged]]
+    * builds its index in the same plan under a driver-side pigeonhole
+    * require, so the key-folded guard would re-prove a proven fact on
+    * every row. */
+  private def hammingSalvageEdgesOverTrusted(
+      rows: DataFrame, maxHamming: Int,
+      maxBucket: Int, maxReps: Int): DataFrame = {
     val keys = Seq("chunk_idx", "chunk_val")
-    val rows = requireSigned(index, maxHamming)
     val over = oversizedKeys(rows, keys, maxBucket)
       .select(keys.map(c => col(c).as(s"__over_$c")): _*)
     val overCond = keys.map(c => col(c) <=> col(s"__over_$c")).reduce(_ && _)
@@ -607,9 +633,13 @@ object Dedup {
                            bits: Int, chunks: Int, maxHamming: Int,
                            maxBucket: Int, maxReps: Int): DataFrame = {
     require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
+    // the from-scratch trusted split ([[hammingPairs]]): geometry is
+    // proven by the require above on the index built THIS call, so
+    // neither tier re-pays the key-folded guard per row
     val index = hammingChunkIndex(df, idCol, hashCol, bits, chunks)
-    hammingPairsFromIndex(index, maxHamming, maxBucket)
-      .unionByName(hammingSalvageEdges(index, maxHamming, maxBucket, maxReps))
+    hammingPairsOverTrusted(index, maxHamming, maxBucket)
+      .unionByName(hammingSalvageEdgesOverTrusted(index, maxHamming,
+        maxBucket, maxReps))
       .distinct()
   }
 
