@@ -47,6 +47,19 @@ object Verify {
         failures("streaming_smoke") =
           Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
       }
+      // the persisted-store two-cadence lifecycle as ONE gated scenario
+      // (SCALE.md 3b): build store -> 3 capped incremental ingest batches
+      // (each appending partitioned files) -> small-file compaction ->
+      // audit-cadence salvage sweep -> clustersIncremental folds both ->
+      // the verdict must EQUAL the one-shot capped+salvaged run. Every
+      // piece is individually green elsewhere; this gate drives the
+      // COMPOSITION a continuous-ingest user actually runs.
+      try ingestLifecycleSmoke(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] ingest_lifecycle failed: ${e.getMessage}")
+        failures("ingest_lifecycle") =
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -645,5 +658,146 @@ object Verify {
       s"(+${blackPairs.size} saturation-bounded black-clip emissions), " +
       s"${audHealthy.size} audio pairs parity-matched " +
       s"(+${silencePairs.size} saturation-bounded silence emissions)")
+  }
+
+  /** The continuous-ingest lifecycle gate: persisted wide-bucket store →
+    * N capped incremental mines + appends → compaction → audit-cadence
+    * salvage → incremental cluster fold, asserted EQUAL to the one-shot
+    * capped+salvaged verdict over the same corpus. Fixture: the real
+    * embeddings rows plus planted positive rescales (same wide bucket by
+    * sign-LSH scale invariance, cosine exactly 1.0) — a flood on one
+    * real anchor that is over the cap from the initial build (so every
+    * batch's flood additions are provably cap-dropped until salvage),
+    * and one fresh 3-copy community per batch on an untouched real
+    * anchor (so every increment provably mines). The equality is a
+    * theorem ONLY while no bucket crosses the cap mid-run (an increment
+    * mined while a bucket was small keeps pairs the final one-shot cap
+    * would drop), so the gate CHECKS that precondition over the store's
+    * own censuses and fails loudly on fixture drift instead of going
+    * flaky. Throws on any divergence; the caller records a gate failure. */
+  private def ingestLifecycleSmoke(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.DataFrame
+    import graft.operators.{AnnIndex, Dedup}
+    import spark.implicits._
+    // cap=32 sits ABOVE the biggest organic bucket the embeddings fixture
+    // produces at this geometry (measured 13/20/11 members at the three
+    // SFs — the fixture's planted near-dup groups share buckets) and WELL
+    // BELOW the planted 40-copy flood, so exactly one bucket is ever over
+    // the cap and its status never flips — the precondition the over-set
+    // census below re-checks on every run
+    val (dim, planes, thr, cap, maxReps) = (64, 12, 0.9, 32, 16)
+    val e = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .filter(col("id") < 200)
+    val anchorIds = Seq(1L, 2L, 3L, 4L, 5L)
+    val anchors = e.filter(col("id").isin(anchorIds: _*)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    require(anchors.size == 5 && anchors.values.forall(_ != null),
+      "embeddings fixture lost the anchor rows (vec_id 1-5)")
+    def copies(anchor: Long, idBase: Long, n: Int): DataFrame =
+      (0 until n).map(i => (idBase + i, anchors(anchor).map(_ * (i + 2.0))))
+        .toDF("id", "emb")
+    // initial corpus: real rows + a 40-copy flood on anchor 1 — its
+    // bucket is over the cap from day one, so its status never flips
+    val initial = e.unionByName(copies(1L, 500000L, 40))
+    // three ingest batches: 3 flood rescales (cap-dropped every batch) +
+    // a fresh community on anchors 3/4/5 (fully mined); batch 2 also
+    // carries a null embedding, which must ride through as a singleton
+    val batches = (1 to 3).map { b =>
+      val rows = copies(Seq(3L, 4L, 5L)(b - 1), 600000L + b * 1000L, 3)
+        .unionByName(copies(1L, 510000L + b * 1000L, 3))
+      if (b == 2)
+        rows.unionByName(Seq((700000L, null: Array[Double])).toDF("id", "emb"))
+      else rows
+    }
+    val base = Files.createTempDirectory("graft_ingest").toString
+    val dir = s"$base/store"
+    Dedup.embeddingBucketIndex(initial, "id", "emb", dim, planes)
+      .write.partitionBy("bucket").parquet(dir)
+    def overCapSet(store: DataFrame): Set[String] = store
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > cap)
+      .collect().map(r => String.valueOf(r.get(0))).toSet
+    val overInitial = overCapSet(spark.read.parquet(dir))
+    require(overInitial.nonEmpty, "planted flood bucket is not over the cap")
+    def withB(df: DataFrame): DataFrame =
+      df.withColumn("bucket", AnnIndex.wideBucketExpr("emb", dim, planes))
+    // ingest cadence: capped pairs + labels, then fold each batch
+    var labels = Dedup.clusters(initial.select(col("id")), "id",
+      Dedup.embeddingPairs(withB(initial), "id", "emb", "bucket", thr, cap))
+      .localCheckpoint()
+    var ids = initial.select(col("id"))
+    val mined = scala.collection.mutable.ListBuffer.empty[Long]
+    for (batch <- batches) {
+      // materialize the increment BEFORE the append: the mine is lazy,
+      // and re-evaluating it against the already-appended store would
+      // silently mine the batch against itself
+      val inc = Dedup.embeddingIncrementalPairs(batch,
+        spark.read.parquet(dir), "id", "emb", dim, planes, thr, cap)
+        .localCheckpoint()
+      mined += inc.count()
+      Dedup.embeddingIndexRefresh(spark, dir, batch, "id", "emb", dim, planes)
+      ids = ids.unionByName(batch.select(col("id")))
+      labels = Dedup.clustersIncremental(ids, "id", labels, inc)
+        .localCheckpoint()
+    }
+    require(mined.forall(_ >= 3L),
+      s"an ingest batch mined ${mined.mkString(",")} pairs — the planted " +
+        "community went vacuous")
+    // the capped-only verdict must be provably WRONG on the flood (the
+    // q_dedup_apply_salvaged stance: salvage is load-bearing, not decor)
+    val floodIds = (Seq(1L) ++ (0 until 40).map(500000L + _) ++
+      (1 to 3).flatMap(b => (0 until 3).map(510000L + b * 1000L + _))).toSet
+    val preSalvage = labels.filter(col("id").isin(floodIds.toSeq: _*))
+      .select(col("cluster")).distinct().count()
+    require(preSalvage > 1,
+      "flood already connected before salvage — the cap stopped engaging")
+    // audit cadence: compact the accumulated small files (the layout must
+    // survive: partition dirs, geometry token), then ONE salvage sweep
+    // over the compacted store feeds the same incremental fold
+    val dir2 = s"$base/store_compacted"
+    graft.sources.Maintenance.compactPartitionedTo(spark, dir, dir2, Seq("bucket"))
+    def parquetFiles(d: String): Long = {
+      val it = Files.walk(Paths.get(d))
+      try it.filter(p => p.toString.endsWith(".parquet")).count()
+      finally it.close()
+    }
+    require(parquetFiles(dir2) < parquetFiles(dir),
+      s"compaction did not shrink the file count: ${parquetFiles(dir)} -> " +
+        s"${parquetFiles(dir2)}")
+    val full = spark.read.parquet(dir2)
+    val overFinal = overCapSet(full)
+    require(overInitial == overFinal,
+      s"a bucket crossed the cap mid-run (initial over-set $overInitial " +
+        s"vs final $overFinal) — the equality precondition broke; re-pin " +
+        "the fixture")
+    val salvage = Dedup.embeddingSalvageEdges(full, "id", "emb", "bucket",
+      thr, cap, maxReps)
+    val got = Dedup.clustersIncremental(ids, "id", labels, salvage)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the one-shot comparator a from-scratch user runs
+    val all = batches.foldLeft(initial)(_ unionByName _)
+    val want = Dedup.clusters(all.select(col("id")), "id",
+        Dedup.embeddingPairsSalvaged(withB(all), "id", "emb", "bucket",
+          thr, cap, maxReps))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    require(got == want,
+      s"ingest lifecycle diverged from the one-shot run: ${got.size} vs " +
+        s"${want.size} label rows; missing=${(want -- got).take(3)} " +
+        s"extra=${(got -- want).take(3)}")
+    // post-salvage the flood is ONE cluster, and the null row a singleton
+    val floodRows = got.filter(t => floodIds(t._1))
+    require(floodRows.size == floodIds.size && floodRows.map(_._2).size == 1,
+      "salvage did not reconnect the cap-dropped flood")
+    require(got.exists(t => t._1 == 700000L && t._3 == 1L),
+      "null-embedding row did not survive as a singleton")
+    println(s"[verify] ingest_lifecycle OK: ${batches.size} capped " +
+      s"increments (${mined.mkString("/")} pairs) + compaction " +
+      s"(${parquetFiles(dir)} -> ${parquetFiles(dir2)} files) + salvage " +
+      s"sweep == one-shot capped+salvaged verdict over ${want.size} rows " +
+      s"(flood of ${floodIds.size} fragmented ${preSalvage}-way under the " +
+      "cap alone, single cluster after the sweep)")
   }
 }

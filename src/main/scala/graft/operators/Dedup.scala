@@ -1136,6 +1136,47 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental EMBEDDING index maintenance — [[AnnIndex.ivfRefresh]]'s
+    * stance on the wide-bucket store: bucket ONLY the new batch at the
+    * store's geometry and APPEND it to the persisted
+    * [[embeddingBucketIndex]] layout (partitioned by `bucket`); the
+    * existing buckets are never rescanned or rewritten. Refuses loudly —
+    * BEFORE writing a row — a store with no `emb_sig` token, with a
+    * token from another (dim, planes) geometry or the legacy family, or
+    * with NULL-token rows (min/max skip nulls, so a careless union of
+    * stamped and raw rows would otherwise pass); an append under the
+    * wrong geometry would put every batch row in a foreign bucket space
+    * where it silently pairs with and serves nothing. An EMPTY store is
+    * refused too: rebuild it with [[embeddingBucketIndex]] rather than
+    * growing a store whose geometry nothing witnesses. The accumulating
+    * one-file-per-batch-per-task small files are the audit-cadence job
+    * of [[graft.sources.Maintenance.compactPartitionedTo]]. */
+  def embeddingIndexRefresh(spark: org.apache.spark.sql.SparkSession,
+                            storeDir: String, newBatch: DataFrame,
+                            keyCol: String, embCol: String,
+                            dim: Int, planes: Int): Unit = {
+    val stored = spark.read.parquet(storeDir)
+    require(stored.columns.contains("emb_sig"),
+      s"embedding store at $storeDir carries no emb_sig token — rebuild " +
+        "it with embeddingBucketIndex before appending increments")
+    val sig = embSig(dim, planes)
+    val range = stored.agg(min(col("emb_sig")), max(col("emb_sig")),
+      count(when(col("emb_sig").isNull, lit(1)))).head()
+    require(!range.isNullAt(0) && !range.isNullAt(1),
+      s"embedding store at $storeDir is empty — rebuild it with " +
+        "embeddingBucketIndex before appending increments")
+    require(range.getLong(0) == sig && range.getLong(1) == sig,
+      s"stale embedding store at $storeDir: emb_sig does not match " +
+        s"dim=$dim/planes=$planes — the bucket geometry changed; rebuild " +
+        "the store instead of appending to it")
+    require(range.getLong(2) == 0L,
+      s"embedding store at $storeDir carries rows with a NULL emb_sig " +
+        "token — a union of stamped and raw rows; rebuild the store")
+    embeddingBucketIndex(newBatch, keyCol, embCol, dim, planes)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("bucket").parquet(storeDir)
+  }
+
   /** Incremental connected components: fold a NEW batch of pairs (e.g.
     * from [[minhashIncrementalPairs]]) into an EXISTING labeling without
     * re-propagating over the old pair graph. Each old cluster collapses to

@@ -30,6 +30,34 @@ object Maintenance {
     n
   }
 
+  /** [[compactTo]] for a HIVE-PARTITIONED layout (an incremental index
+    * store like `Dedup.embeddingBucketIndex` / `hammingChunkIndex`
+    * written partitioned by bucket, appended to every ingest batch):
+    * plain [[compactTo]] would read the partition column back as data
+    * and rewrite WITHOUT the directory layout — the store would stop
+    * partition-pruning, which is the property that makes it a store.
+    * This rewrite hash-clusters rows by the partition columns before the
+    * partitioned write, so every partition directory lands in exactly
+    * one task and is rewritten as ONE file (vs the one-file-per-batch-
+    * per-task accumulation ingest leaves behind); data columns — the
+    * geometry token included — pass through untouched. Same
+    * new-directory + atomic-swap contract as [[compactTo]]. Returns the
+    * task count used. */
+  def compactPartitionedTo(spark: SparkSession, srcDir: String,
+                           dstDir: String, partitionCols: Seq[String],
+                           targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    require(srcDir != dstDir, "compaction rewrites to a NEW directory (atomic swap)")
+    require(partitionCols.nonEmpty, "partitioned compaction needs partition columns")
+    val df = spark.read.parquet(srcDir)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = ((bytes + targetFileBytes - 1) / targetFileBytes).toLong
+      .max(spark.sparkContext.defaultParallelism.toLong)
+    df.repartition(n.toInt, partitionCols.map(col): _*)
+      .write.partitionBy(partitionCols: _*)
+      .mode(SaveMode.Overwrite).parquet(dstDir)
+    n
+  }
+
   /** Morton (Z-order) key over two coordinates: quantize each to `bits`
     * bits of its global range, then interleave the bits, so records close
     * in BOTH dimensions are close in ONE sort order. A single-column sort

@@ -3727,4 +3727,111 @@ class ModulesSpec extends AnyFunSuite {
       AnnIndex.probeSetSqlDuck("qb", planes = 1, probeBits = 2)
     }
   }
+
+  test("embedding store lifecycle: token-checked appends, compaction keeps layout + serving") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{AnnIndex, Dedup}
+    import graft.sources.Maintenance
+    val e = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("emb"))
+    val (dim, planes) = (64, 12)
+    val base = java.nio.file.Files.createTempDirectory("graft_elc").toString
+    val dir = s"$base/store"
+    Dedup.embeddingBucketIndex(e.filter(col("id") >= 100), "id", "emb",
+      dim, planes).write.partitionBy("bucket").parquet(dir)
+    // two token-checked ingest appends — the store read back must hold
+    // every row exactly once (Append, never Overwrite)
+    Dedup.embeddingIndexRefresh(spark, dir,
+      e.filter(col("id") >= 50 && col("id") < 100), "id", "emb", dim, planes)
+    Dedup.embeddingIndexRefresh(spark, dir,
+      e.filter(col("id") > 0 && col("id") < 50), "id", "emb", dim, planes)
+    val grown = spark.read.parquet(dir)
+    assert(grown.count() == e.filter(col("id") > 0).count())
+    assert(grown.groupBy("id").count().filter(col("count") > 1).isEmpty,
+      "an append duplicated store rows")
+    // refusals BEFORE any row is written: stale geometry, no token,
+    // NULL-token rows, empty store
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingIndexRefresh(spark, dir, e.limit(1), "id", "emb",
+        dim, planes = 6)
+    }
+    val rawDir = s"$base/raw"
+    Dedup.embeddingBucketIndex(e.limit(5), "id", "emb", dim, planes)
+      .drop("emb_sig").write.parquet(rawDir)
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingIndexRefresh(spark, rawDir, e.limit(1), "id", "emb",
+        dim, planes)
+    }
+    val nullDir = s"$base/nulltoken"
+    Dedup.embeddingBucketIndex(e.limit(5), "id", "emb", dim, planes)
+      .unionByName(Dedup.embeddingBucketIndex(e.limit(1), "id", "emb",
+        dim, planes).withColumn("emb_sig", lit(null).cast("long")))
+      .write.parquet(nullDir)
+    val eNull = intercept[IllegalArgumentException] {
+      Dedup.embeddingIndexRefresh(spark, nullDir, e.limit(1), "id", "emb",
+        dim, planes)
+    }
+    assert(eNull.getMessage.contains("NULL emb_sig"), eNull.getMessage)
+    val emptyDir = s"$base/empty"
+    Dedup.embeddingBucketIndex(e.limit(0), "id", "emb", dim, planes)
+      .write.parquet(emptyDir)
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingIndexRefresh(spark, emptyDir, e.limit(1), "id", "emb",
+        dim, planes)
+    }
+    // audit-cadence compaction: fewer files, identical rows, the token
+    // and the PARTITIONED layout both survive — plain compactTo would
+    // flatten bucket into a data column and the store would stop pruning
+    def parquetFiles(d: String): Long = {
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+      try it.filter(p => p.toString.endsWith(".parquet")).count()
+      finally it.close()
+    }
+    val dir2 = s"$base/compacted"
+    Maintenance.compactPartitionedTo(spark, dir, dir2, Seq("bucket"))
+    assert(parquetFiles(dir2) < parquetFiles(dir),
+      s"compaction did not shrink files: ${parquetFiles(dir)} -> ${parquetFiles(dir2)}")
+    val compacted = spark.read.parquet(dir2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), col("emb_sig"), col("bucket").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(compacted) == rows(grown),
+      "compaction changed store rows or dropped the token")
+    // serving from the compacted store: identical top-k, and the probed
+    // IN-set still prunes partitions (the layout-survival claim that
+    // makes compaction safe to run on a live store)
+    val q = e.filter(col("id") === 0).select(col("emb").as("qe"))
+    def canonTop(store: org.apache.spark.sql.DataFrame) =
+      AnnIndex.annTopKWideIndexed(store, "emb", dim, planes, q, "qe",
+          k = 5, tieBreak = Seq("id"), probeBits = 1)
+        .collect().map(r => (r.getAs[Long]("id"),
+          math.round(r.getAs[Double]("similarity") * 1e6))).toSeq
+    val served = AnnIndex.annTopKWideIndexed(compacted, "emb", dim, planes,
+      q, "qe", k = 5, tieBreak = Seq("id"), probeBits = 1)
+    assert(canonTop(compacted) == canonTop(grown),
+      "compacted store serves different neighbors")
+    served.collect()
+    val scan = {
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+        import org.apache.spark.sql.execution.adaptive._
+        val here = p match {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+          case _ => Nil
+        }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case s: QueryStageExec => Seq(s.plan)
+          case o => o.children
+        }
+        here ++ kids.flatMap(scans)
+      }
+      scans(served.queryExecution.executedPlan).headOption
+        .getOrElse(fail("no FileSourceScanExec under the compacted serving plan"))
+    }
+    assert(scan.partitionFilters.exists(_.toString.contains("bucket")),
+      s"compacted store lost partition pruning: ${scan.partitionFilters}")
+    assert(scan.metrics("numPartitions").value <= 1 + planes,
+      s"compacted probe read ${scan.metrics("numPartitions").value} partitions")
+  }
 }
