@@ -436,10 +436,12 @@ object Verify {
         "batch pairs — the embedding parity leg went vacuous")
     for (star <- Seq(false, true)) {
       val qe = graft.streaming.EventsStream
+        // wide = false: this parity leg's batch comparator blocks on the
+        // legacy family (embeddingPairs over AnnIndex.withBucket above)
         .embedNearDupStream(
           spark.readStream.schema(embSchema).parquet(embIn), "id", "emb",
           dim = dimE, planes = planesE, threshold = thrE, maxBucket = 64,
-          salvageRep = star)
+          salvageRep = star, wide = false)
         .writeStream.format("memory").queryName(s"smoke_emb_$star")
         .option("checkpointLocation", tmp.resolve(s"ck6_$star").toString)
         .trigger(Trigger.AvailableNow()).start()

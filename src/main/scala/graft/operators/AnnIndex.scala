@@ -385,15 +385,20 @@ object AnnIndex {
     * (query, neighbor) pair meets at most once since probed buckets are
     * distinct per query.
     *
-    * `wide = true` blocks both sides on the WIDE prime-modulus family
-    * ([[wideBucketExpr]]) instead of the legacy default — planes > 7
-    * only buy selectivity on the wide family (the legacy census caps at
-    * 128 buckets), and a wide join uses the same bucketing a persisted
+    * The WIDE prime-modulus family ([[wideBucketExpr]]) is the DEFAULT
+    * (r11 — the documented new-store guidance, now the path of least
+    * resistance): planes > 7 only buy selectivity on the wide family
+    * (the legacy census caps at 128 buckets), and a wide join uses the
+    * same bucketing a persisted
     * [[graft.operators.Dedup.embeddingBucketIndex]] store was built
-    * with. Note annJoin itself always re-hashes the raw embeddings
-    * INLINE on both sides — the store-consuming, emb_sig-checked,
-    * partition-pruned serving path is [[annTopKWideIndexed]]. The probe
-    * set is family-agnostic (bit flips of whatever bucket id the family
+    * with. `wide = false` selects the LEGACY coefficient family and
+    * exists for the callers whose oracles/fixtures pin that geometry
+    * (q_knn_join, the measured legacy recall floor) — a NEW caller
+    * passing it should be able to say why. Note annJoin itself always
+    * re-hashes the raw embeddings INLINE on both sides — the
+    * store-consuming, emb_sig-checked, partition-pruned serving paths
+    * are [[annTopKWideIndexed]] and [[annJoinIndexed]]. The probe set
+    * is family-agnostic (bit flips of whatever bucket id the family
     * produced).
     *
     * NULL embeddings are dropped on both sides up front, and the bucket
@@ -406,7 +411,7 @@ object AnnIndex {
   def annJoin(queries: DataFrame, qIdCol: String, qEmbCol: String,
               corpus: DataFrame, cIdCol: String, cEmbCol: String,
               dim: Int, planes: Int, k: Int, probeBits: Int = 0,
-              wide: Boolean = false): DataFrame = {
+              wide: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def bucketOf(c: String): Column =
       if (wide) wideBucketExpr(c, dim, planes) else bucketExpr(c, dim, planes)

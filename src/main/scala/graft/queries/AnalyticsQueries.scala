@@ -247,7 +247,9 @@ object AnalyticsQueries {
       AnnIndex.annJoin(
           all.filter(col("vec_id") < 20), "vec_id", "emb",
           all.filter(col("vec_id") >= 20), "vec_id", "emb",
-          dim = 64, planes = 4, k = 3)
+          // the deliberate LEGACY-family face (q_knn_join_wide covers the
+          // wide default); this oracle pins the legacy coefficients
+          dim = 64, planes = 4, k = 3, wide = false)
         .select(col("query_id"), col("neighbor_id"),
           expr(text.fixedPoint("similarity", 4)).as("sim_x10k"),
           col("rank").cast("long").as("rank"))

@@ -540,23 +540,26 @@ object EventsStream {
     * threshold), and a rejected-by-every-rep arrival claims its own
     * rep slot instead of blinding the bucket, the LSH face's
     * no-exactness-theorem caveat. */
-  /** `wide = true` keys the stream by the WIDE prime-modulus plane
-    * family ([[graft.operators.AnnIndex.wideBucketExpr]]) instead of the
-    * legacy default — use it when the batch side is a persisted
+  /** The WIDE prime-modulus plane family
+    * ([[graft.operators.AnnIndex.wideBucketExpr]]) is the DEFAULT
+    * stream key (r11 — the documented new-store guidance, now the path
+    * of least resistance): it matches the blocking of a persisted
     * wide-family store ([[graft.operators.Dedup.embeddingBucketIndex]]),
-    * so stream and store agree on blocking, AND whenever planes > 7
-    * should actually buy selectivity: the legacy family's 128-bucket
-    * ceiling (q_ann_plane_family) applies in flight too — at stream
-    * scale it guarantees hot buckets that saturate and lean on the star
-    * tier for work finer blocking avoids. Legacy stays the default for
-    * the driver-gated parity legs. */
+    * so stream and store agree without re-blocking, and planes > 7
+    * actually buy selectivity — the legacy family's 128-bucket ceiling
+    * (q_ann_plane_family) applies in flight too, where at stream scale
+    * it guarantees hot buckets that saturate and lean on the star tier
+    * for work finer blocking avoids. `wide = false` selects the legacy
+    * family and exists for the driver-gated parity legs whose batch
+    * comparators pin that geometry; a NEW caller passing it should be
+    * able to say why. */
   def embedNearDupStream(rows: DataFrame, idCol: String, embCol: String,
                          dim: Int, planes: Int, threshold: Double,
                          maxBucket: Int = Int.MaxValue,
                          watermark: String = "1 hour",
                          tsCol: String = "ts",
                          salvageRep: Boolean = false,
-                         wide: Boolean = false): Dataset[CosineMatch] = {
+                         wide: Boolean = true): Dataset[CosineMatch] = {
     val session = rows.sparkSession
     import session.implicits._
     import graft.functions.vectors

@@ -1229,8 +1229,10 @@ class ModulesSpec extends AnyFunSuite {
     val corpus = all.filter(col("vec_id") >= 20)
     def recallAt(probeBits: Int): Double = {
       val approx = graft.operators.AnnIndex
+        // wide = false: this floor was MEASURED on the legacy family and
+        // guards the oracle-gated q_knn_join, which pins that geometry
         .annJoin(queries, "vec_id", "emb", corpus, "vec_id", "emb",
-          dim = 64, planes = 4, k = 3, probeBits = probeBits)
+          dim = 64, planes = 4, k = 3, probeBits = probeBits, wide = false)
         .select("query_id", "neighbor_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val w = Window.partitionBy("query_id")
@@ -2042,7 +2044,7 @@ class ModulesSpec extends AnyFunSuite {
     val mem = MemoryStream[(Timestamp, Long, Array[Double])]
     val df = mem.toDF().toDF("ts", "vec_id", "embedding")
     val q = EventsStream.embedNearDupStream(df, "vec_id", "embedding",
-        dim = 4, planes = 8, threshold = 0.95)
+        dim = 4, planes = 8, threshold = 0.95, wide = false)
       .writeStream.format("memory").queryName("embed_neardup").start()
     mem.addData(arrivals: _*)
     q.processAllAvailable()
@@ -2096,7 +2098,7 @@ class ModulesSpec extends AnyFunSuite {
       val df2 = mem2.toDF().toDF("ts", "vec_id", "embedding")
       val q2 = EventsStream.embedNearDupStream(df2, "vec_id", "embedding",
           dim = 4, planes = 8, threshold = 0.95, maxBucket = 2,
-          salvageRep = star)
+          salvageRep = star, wide = false)
         .writeStream.format("memory").queryName(s"embed_neardup_$star").start()
       mem2.addData((1L to 6L).map(flood): _*)
       q2.processAllAvailable()
