@@ -694,8 +694,11 @@ object Verify {
         col("embedding").cast("array<double>").as("emb"))
       .filter(col("id") < 200)
     val anchorIds = Seq(1L, 2L, 3L, 4L, 5L)
+    // null-check BEFORE .toArray: a null embedding would NPE one line
+    // ahead of the require meant to diagnose exactly that fixture drift
     val anchors = e.filter(col("id").isin(anchorIds: _*)).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Double](1).toArray)).toMap
     require(anchors.size == 5 && anchors.values.forall(_ != null),
       "embeddings fixture lost the anchor rows (vec_id 1-5)")
     def copies(anchor: Long, idBase: Long, n: Int): DataFrame =

@@ -228,6 +228,43 @@ object AnnIndex {
   private[operators] def wideStoreSig(dim: Int, planes: Int): Long =
     2003L * 100000000L + dim.toLong * 1000L + planes
 
+  /** The ONE wide-store token check every consumer runs ([[annTopKWideIndexed]],
+    * [[annJoinIndexed]], `Dedup.embeddingIndexRefresh`) — a single body so
+    * the three faces can never drift guard by guard: presence of the
+    * `emb_sig` column, then one stats-pruned aggregate over (row count,
+    * min, max, null-token count). The row count is what closes the
+    * ALL-null hole: min/max over a store whose every token is null come
+    * back null exactly like an empty store's, and a skip keyed on
+    * min-is-null alone would silently serve a non-empty all-raw store —
+    * the class the token exists to refuse. `allowEmpty = true` is the
+    * serving stance (an empty store's top-k is legitimately empty);
+    * maintenance appends refuse empty stores outright. */
+  private[operators] def requireWideStoreSig(store: DataFrame,
+                                             dim: Int, planes: Int,
+                                             allowEmpty: Boolean,
+                                             what: String): Unit = {
+    require(store.columns.contains("emb_sig"),
+      s"$what: store carries no emb_sig token — rebuild it with " +
+        "Dedup.embeddingBucketIndex before using it")
+    val sig = wideStoreSig(dim, planes)
+    val r = store.agg(count(lit(1)), min(col("emb_sig")),
+      max(col("emb_sig")), count(when(col("emb_sig").isNull, lit(1)))).head()
+    val n = r.getLong(0)
+    if (n == 0L)
+      require(allowEmpty, s"$what: store is empty — rebuild it with " +
+        "embeddingBucketIndex before appending increments")
+    else {
+      require(r.getLong(3) == 0L,
+        s"$what: store carries rows with a NULL emb_sig token — a union " +
+          "of stamped and raw rows; the raw rows may sit in wrong-family " +
+          "buckets, rebuild the store")
+      require(r.getLong(1) == sig && r.getLong(2) == sig,
+        s"$what: stale wide-family store — emb_sig does not match " +
+          s"dim=$dim/planes=$planes; the bucket geometry changed, rebuild " +
+          "the store")
+    }
+  }
+
   /** [[annTopKIndexed]] for a persisted WIDE-family store
     * (`Dedup.embeddingBucketIndex` output, written partitioned by
     * `bucket`): the query is hashed with [[wideBucketExpr]] at the
@@ -269,9 +306,6 @@ object AnnIndex {
                          query: DataFrame, queryCol: String, k: Int,
                          tieBreak: Seq[String] = Nil,
                          probeBits: Int = 0): DataFrame = {
-    require(store.columns.contains("emb_sig"),
-      "store carries no emb_sig token — rebuild it with " +
-        "Dedup.embeddingBucketIndex before serving from it")
     // ONE query row, checked loudly like annTuning's: a multi-row frame
     // would blend every query's candidates into one global top-k —
     // plausible-looking garbage with no error.
@@ -282,17 +316,8 @@ object AnnIndex {
     require(!qRows(0).isNullAt(0),
       "annTopKWideIndexed query embedding is NULL — it would hash to a " +
         "null bucket and every search would silently return empty")
-    val sig = wideStoreSig(dim, planes)
-    val range = store.agg(min(col("emb_sig")), max(col("emb_sig")),
-      count(when(col("emb_sig").isNull, lit(1))).as("n_null")).head()
-    require(range.isNullAt(0) ||
-        (range.getLong(0) == sig && range.getLong(1) == sig),
-      s"stale wide-family store: emb_sig does not match dim=$dim/" +
-        s"planes=$planes — the bucket geometry changed; rebuild the store")
-    require(range.isNullAt(0) || range.getLong(2) == 0L,
-      "wide-family store carries rows with a NULL emb_sig token — a " +
-        "union of stamped and raw rows; the raw rows may sit in " +
-        "wrong-family buckets, rebuild the store")
+    requireWideStoreSig(store, dim, planes, allowEmpty = true,
+      what = "annTopKWideIndexed")
     val probes: Seq[Long] = query
       .select(wideBucketExprOf(col(queryCol), dim, planes).as("__qb0"))
       .selectExpr(s"${probeSetExpr(planes, probeBits)} AS __probes")
@@ -461,20 +486,8 @@ object AnnIndex {
                      store: DataFrame, dim: Int, planes: Int, k: Int,
                      probeBits: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(store.columns.contains("emb_sig"),
-      "store carries no emb_sig token — rebuild it with " +
-        "Dedup.embeddingBucketIndex before serving from it")
-    val sig = wideStoreSig(dim, planes)
-    val range = store.agg(min(col("emb_sig")), max(col("emb_sig")),
-      count(when(col("emb_sig").isNull, lit(1))).as("n_null")).head()
-    require(range.isNullAt(0) ||
-        (range.getLong(0) == sig && range.getLong(1) == sig),
-      s"stale wide-family store: emb_sig does not match dim=$dim/" +
-        s"planes=$planes — the bucket geometry changed; rebuild the store")
-    require(range.isNullAt(0) || range.getLong(2) == 0L,
-      "wide-family store carries rows with a NULL emb_sig token — a " +
-        "union of stamped and raw rows; the raw rows may sit in " +
-        "wrong-family buckets, rebuild the store")
+    requireWideStoreSig(store, dim, planes, allowEmpty = true,
+      what = "annJoinIndexed")
     val q0 = queries.filter(col(qEmbCol).isNotNull)
       .select(col(qIdCol).as("query_id"), col(qEmbCol).as("__qe"),
         wideBucketExprOf(col(qEmbCol), dim, planes).as("__qb0"))

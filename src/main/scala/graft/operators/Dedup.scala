@@ -1155,23 +1155,8 @@ object Dedup {
                             storeDir: String, newBatch: DataFrame,
                             keyCol: String, embCol: String,
                             dim: Int, planes: Int): Unit = {
-    val stored = spark.read.parquet(storeDir)
-    require(stored.columns.contains("emb_sig"),
-      s"embedding store at $storeDir carries no emb_sig token — rebuild " +
-        "it with embeddingBucketIndex before appending increments")
-    val sig = embSig(dim, planes)
-    val range = stored.agg(min(col("emb_sig")), max(col("emb_sig")),
-      count(when(col("emb_sig").isNull, lit(1)))).head()
-    require(!range.isNullAt(0) && !range.isNullAt(1),
-      s"embedding store at $storeDir is empty — rebuild it with " +
-        "embeddingBucketIndex before appending increments")
-    require(range.getLong(0) == sig && range.getLong(1) == sig,
-      s"stale embedding store at $storeDir: emb_sig does not match " +
-        s"dim=$dim/planes=$planes — the bucket geometry changed; rebuild " +
-        "the store instead of appending to it")
-    require(range.getLong(2) == 0L,
-      s"embedding store at $storeDir carries rows with a NULL emb_sig " +
-        "token — a union of stamped and raw rows; rebuild the store")
+    AnnIndex.requireWideStoreSig(spark.read.parquet(storeDir), dim, planes,
+      allowEmpty = false, what = s"embeddingIndexRefresh($storeDir)")
     embeddingBucketIndex(newBatch, keyCol, embCol, dim, planes)
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("bucket").parquet(storeDir)

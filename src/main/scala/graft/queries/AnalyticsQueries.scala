@@ -471,8 +471,14 @@ object AnalyticsQueries {
       import graft.operators.Dedup
       val all = embeddings(s, dir).select(col("vec_id"),
         col("embedding").cast("array<double>").as("emb"))
+      // localCheckpoint = the in-session stand-in for the PERSISTED store
+      // this entry point serves: it materializes the bucket column, so the
+      // isnotnull(bucket) Catalyst infers from the join lands on the
+      // checkpointed rows instead of being pushed below a live bucket-UDF
+      // projection and re-running the kernel per corpus row (the pairJoin
+      // trap annJoinIndexed's scaladoc warns inline builds about)
       val store = Dedup.embeddingBucketIndex(all.filter(col("vec_id") >= 20),
-        "vec_id", "emb", dim = 64, planes = 12)
+        "vec_id", "emb", dim = 64, planes = 12).localCheckpoint()
       AnnIndex.annJoinIndexed(
           all.filter(col("vec_id") < 20), "vec_id", "emb",
           store, dim = 64, planes = 12, k = 3, probeBits = 2)

@@ -36,13 +36,23 @@ object Maintenance {
     * plain [[compactTo]] would read the partition column back as data
     * and rewrite WITHOUT the directory layout — the store would stop
     * partition-pruning, which is the property that makes it a store.
-    * This rewrite hash-clusters rows by the partition columns before the
-    * partitioned write, so every partition directory lands in exactly
-    * one task and is rewritten as ONE file (vs the one-file-per-batch-
-    * per-task accumulation ingest leaves behind); data columns — the
-    * geometry token included — pass through untouched. Same
-    * new-directory + atomic-swap contract as [[compactTo]]. Returns the
-    * task count used. */
+    *
+    * Rows are hash-clustered on (partition columns, bounded salt) before
+    * the partitioned write. The salt is sized PER PARTITION VALUE from a
+    * cheap census (one count-star aggregate, broadcast back — bounded by
+    * the layout's cardinality, which a sane Hive partitioning keeps low):
+    * a cold bucket gets salt range 1 and compacts to exactly ONE file
+    * (vs the one-file-per-batch-per-task accumulation ingest leaves
+    * behind), while a MEGA bucket — the skewed regime the pair caps
+    * exist for, where one boilerplate key can hold a large corpus
+    * fraction — splits into ceil(size/targetFileBytes) salt groups, each
+    * its own task and file. Clustering on the partition columns alone
+    * would funnel an entire hot partition through ONE task as ONE
+    * arbitrarily large file: a straggler/OOM at exactly the scale this
+    * job is for. The salt is a deterministic hash of the data columns
+    * (replays identically on retry); data columns — the geometry token
+    * included — pass through untouched. Same new-directory + atomic-swap
+    * contract as [[compactTo]]. Returns the shuffle task count used. */
   def compactPartitionedTo(spark: SparkSession, srcDir: String,
                            dstDir: String, partitionCols: Seq[String],
                            targetFileBytes: Long = 128L * 1024 * 1024): Long = {
@@ -50,9 +60,25 @@ object Maintenance {
     require(partitionCols.nonEmpty, "partitioned compaction needs partition columns")
     val df = spark.read.parquet(srcDir)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // parquet count-star is footer-only — the census costs metadata reads
+    val totalRows = df.count().max(1L)
+    val rowsPerFile = (targetFileBytes /
+      (bytes / totalRows).toLong.max(1L)).max(1L)
+    val pcols = partitionCols.map(col)
+    val files = df.groupBy(pcols: _*).agg(count(lit(1)).as("__n"))
+      .select(partitionCols.map(c => col(c).as(s"__k_$c")) :+
+        greatest(lit(1L), ceil(col("__n").cast("double") / rowsPerFile))
+          .cast("int").as("__files"): _*)
+    val joinCond = partitionCols.map(c => col(c) <=> col(s"__k_$c"))
+      .reduce(_ && _)
+    val dataCols = df.columns.filterNot(partitionCols.contains).map(col)
     val n = ((bytes + targetFileBytes - 1) / targetFileBytes).toLong
       .max(spark.sparkContext.defaultParallelism.toLong)
-    df.repartition(n.toInt, partitionCols.map(col): _*)
+    df.join(broadcast(files), joinCond)
+      .withColumn("__salt", pmod(hash(dataCols: _*), col("__files")))
+      .repartition(n.toInt, pcols :+ col("__salt"): _*)
+      .drop("__salt", "__files")
+      .drop(partitionCols.map(c => s"__k_$c"): _*)
       .write.partitionBy(partitionCols: _*)
       .mode(SaveMode.Overwrite).parquet(dstDir)
     n

@@ -18,6 +18,31 @@ import graft.streaming.EventsStream
 class ModulesSpec extends AnyFunSuite {
   import TestSpark._
 
+  /** Every FileSourceScanExec under a plan, descending through the
+    * AdaptiveSparkPlanExec/QueryStageExec wrappers a broadcast exchange
+    * introduces — one body, so a Spark version bump that changes AQE
+    * traversal is fixed once, not per test. */
+  private def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.adaptive._
+    val here = p match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case _ => Nil
+    }
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec => Seq(s.plan)
+      case o => o.children
+    }
+    here ++ kids.flatMap(fileScans)
+  }
+
+  private def parquetFiles(d: String): Long = {
+    val it = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+    try it.filter(p => p.toString.endsWith(".parquet")).count()
+    finally it.close()
+  }
+
   val refCsv =
     "/root/reference/backend/datasets/Behavioral_Health_Services_San_Diego_County_1657686067853346365.csv"
   val refJson = "/root/reference/backend/datasets/healthcare_resources.json"
@@ -3645,24 +3670,8 @@ class ModulesSpec extends AnyFunSuite {
       // the probed IN-set must surface as a LITERAL partition filter on
       // the store scan (pruned at planning — no dynamic-pruning machinery
       // to trust), and the scan's own metrics must show it read at most
-      // the probe set's partitions, strictly fewer than the store holds.
-      // The broadcast exchange makes the plan ADAPTIVE, so the walk must
-      // descend through AdaptiveSparkPlanExec/QueryStageExec wrappers
-      def scans(p: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
-        import org.apache.spark.sql.execution.adaptive._
-        val here = p match {
-          case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-          case _ => Nil
-        }
-        val kids = p match {
-          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-          case s: QueryStageExec => Seq(s.plan)
-          case o => o.children
-        }
-        here ++ kids.flatMap(scans)
-      }
-      val scan = scans(served.queryExecution.executedPlan).headOption
+      // the probe set's partitions, strictly fewer than the store holds
+      val scan = fileScans(served.queryExecution.executedPlan).headOption
         .getOrElse(fail("no FileSourceScanExec under the serving plan"))
       assert(scan.partitionFilters.exists(_.toString.contains("bucket")),
         s"probe set not a partition filter: ${scan.partitionFilters}")
@@ -3784,11 +3793,6 @@ class ModulesSpec extends AnyFunSuite {
     // audit-cadence compaction: fewer files, identical rows, the token
     // and the PARTITIONED layout both survive — plain compactTo would
     // flatten bucket into a data column and the store would stop pruning
-    def parquetFiles(d: String): Long = {
-      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
-      try it.filter(p => p.toString.endsWith(".parquet")).count()
-      finally it.close()
-    }
     val dir2 = s"$base/compacted"
     Maintenance.compactPartitionedTo(spark, dir, dir2, Seq("bucket"))
     assert(parquetFiles(dir2) < parquetFiles(dir),
@@ -3813,27 +3817,41 @@ class ModulesSpec extends AnyFunSuite {
     assert(canonTop(compacted) == canonTop(grown),
       "compacted store serves different neighbors")
     served.collect()
-    val scan = {
-      def scans(p: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
-        import org.apache.spark.sql.execution.adaptive._
-        val here = p match {
-          case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-          case _ => Nil
-        }
-        val kids = p match {
-          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-          case s: QueryStageExec => Seq(s.plan)
-          case o => o.children
-        }
-        here ++ kids.flatMap(scans)
-      }
-      scans(served.queryExecution.executedPlan).headOption
-        .getOrElse(fail("no FileSourceScanExec under the compacted serving plan"))
-    }
+    val scan = fileScans(served.queryExecution.executedPlan).headOption
+      .getOrElse(fail("no FileSourceScanExec under the compacted serving plan"))
     assert(scan.partitionFilters.exists(_.toString.contains("bucket")),
       s"compacted store lost partition pruning: ${scan.partitionFilters}")
     assert(scan.metrics("numPartitions").value <= 1 + planes,
       s"compacted probe read ${scan.metrics("numPartitions").value} partitions")
+    // skew: a MEGA bucket must SPLIT across ceil(size/target) salted
+    // files instead of funneling through one task as one arbitrarily
+    // large file (the straggler/OOM the pair caps exist for), while cold
+    // buckets still collapse to exactly one file
+    import spark.implicits._
+    val anchor = e.filter(col("id") === 1L).head().getSeq[Double](1).toArray
+    val flood = (0 until 300).map(i => (800000L + i, anchor.map(_ * (i + 2.0))))
+      .toDF("id", "emb")
+    val skewDir = s"$base/skew"
+    Dedup.embeddingBucketIndex(
+        flood.unionByName(e.filter(col("id") >= 10 && col("id") < 15)),
+        "id", "emb", dim, planes)
+      .write.partitionBy("bucket").parquet(skewDir)
+    val skewOut = s"$base/skew_compacted"
+    Maintenance.compactPartitionedTo(spark, skewDir, skewOut, Seq("bucket"),
+      targetFileBytes = 16L * 1024)
+    val floodBucket = spark.read.parquet(skewDir)
+      .filter(col("id") === 800000L).select(col("bucket").cast("long"))
+      .head().getLong(0)
+    assert(parquetFiles(s"$skewOut/bucket=$floodBucket") > 1,
+      "mega bucket compacted into a single file — the salt never engaged")
+    val coldDirs = spark.read.parquet(skewDir)
+      .filter(col("id") >= 10 && col("id") < 15)
+      .select(col("bucket").cast("long")).distinct()
+      .collect().map(_.getLong(0)).filter(_ != floodBucket)
+    assert(coldDirs.nonEmpty &&
+      coldDirs.forall(b => parquetFiles(s"$skewOut/bucket=$b") == 1),
+      "a cold bucket did not collapse to one file")
+    assert(rows(spark.read.parquet(skewOut)) == rows(spark.read.parquet(skewDir)),
+      "skew compaction changed store rows")
   }
 }
