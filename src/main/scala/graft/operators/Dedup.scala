@@ -352,13 +352,25 @@ object Dedup {
       .orderBy(desc("n_docs"), col("band_idx"), col("band_key"))
 
   /** The persistable LSH band index of a corpus — one (id, band_idx,
-    * band_key) row per doc per band, i.e. exactly what [[minhashLshPairs]]
-    * self-joins. At 100 TB this frame is written to parquet partitioned by
-    * band_idx once, and every later increment joins against it instead of
-    * re-signaturing the corpus ([[minhashIncrementalPairs]]). */
+    * band_key, band_sig) row per doc per band, i.e. exactly what
+    * [[minhashLshPairs]] self-joins. At 100 TB this frame is written to
+    * parquet partitioned by band_idx once, and every later increment
+    * joins against it instead of re-signaturing the corpus
+    * ([[minhashIncrementalPairs]]). `band_sig` is the geometry/freshness
+    * token ([[hammingChunkIndex]]'s `chunk_sig` recipe, r11 — this was
+    * the ONE persisted blocking index without one): it encodes
+    * (k, bands, shingleN), and the incremental mine refuses an index
+    * banded under different geometry — whose band keys would simply
+    * never match the new batch's, silently missing every cross pair. */
   def minhashBandIndex(df: DataFrame, keyCol: String, textCol: String,
                        k: Int, bands: Int, shingleN: Int): DataFrame =
     minhashBanded(df, keyCol, textCol, k, bands, shingleN, carryHashes = false)
+      .withColumn("band_sig", lit(bandSig(k, bands, shingleN)))
+
+  /** The band-geometry token stamped by [[minhashBandIndex]] and
+    * verified by [[minhashIncrementalPairs]] / [[minhashIndexRefresh]]. */
+  private def bandSig(k: Int, bands: Int, shingleN: Int): Long =
+    k.toLong * 1000000L + bands.toLong * 1000L + shingleN
 
   /** Incremental near-dup mining: candidate pairs INVOLVING a new batch —
     * new×corpus and new×new, never corpus×corpus — against a prebuilt
@@ -373,13 +385,32 @@ object Dedup {
                               keyCol: String, textCol: String,
                               k: Int, bands: Int, shingleN: Int,
                               maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(corpusIndex.columns.contains("band_sig"),
+      "minhash band index carries no band_sig token — rebuild it with " +
+        "minhashBandIndex before mining increments against it")
     val nb = minhashBanded(newDocs, keyCol, textCol, k, bands, shingleN,
       carryHashes = false)
+    // the geometry assert rides the load-bearing band_key JOIN KEY,
+    // evaluated once per index row at key-hash time (the
+    // [[embeddingIncrementalPairs]]/[[requireSigned]] discipline): an
+    // index banded under different (k, bands, shingleN) would otherwise
+    // just never match and silently miss every cross pair — a
+    // candidate-page assert never fires when the keys never join.
+    // band_key is a string, so the zero-or-throw guard concatenates an
+    // empty string instead of adding zero
+    val checked = corpusIndex.select(col("id"), col("band_idx"),
+      concat(col("band_key"),
+        coalesce(assert_true(
+          col("band_sig") === lit(bandSig(k, bands, shingleN)),
+          lit(s"stale minhash band index: band_sig does not match " +
+            s"k=$k/bands=$bands/shingleN=$shingleN — the band geometry " +
+            "changed; rebuild the index")).cast("string"),
+          lit(""))).as("band_key"))
     // the cap population is the FULL post-batch bucket (index ∪ batch):
     // a bucket pushed over the cap by this batch is dropped from both
     // sides, matching what a from-scratch capped run over old+new would do
-    val all = corpusIndex.unionByName(nb)
-      .select(col("id"), col("band_idx"), col("band_key"))
+    val all = checked.unionByName(
+      nb.select(col("id"), col("band_idx"), col("band_key")))
     // null-safe key comparisons throughout, same rationale as [[pairJoin]]:
     // `=` (or a name-based join) makes Spark push inferred isnotnull(key)
     // below the banding projection and re-evaluate the signature UDF chain
@@ -1161,6 +1192,69 @@ object Dedup {
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("bucket").parquet(storeDir)
   }
+
+  /** The shared maintenance-time token gate + append behind
+    * [[hammingIndexRefresh]] and [[minhashIndexRefresh]] — ONE body for
+    * the contract all the store refreshes share ([[AnnIndex.ivfRefresh]]
+    * stance): refuse BEFORE writing a row when the persisted store has
+    * no token column, is empty (rebuild, don't grow an unwitnessed
+    * geometry), carries NULL-token rows (min/max skip nulls — a
+    * stamped ∪ raw union would otherwise pass), or was built under a
+    * different geometry. The token scan is one stats-pruned aggregate —
+    * maintenance-time, never on the search path. */
+  private def refreshStore(spark: org.apache.spark.sql.SparkSession,
+                           storeDir: String, sigCol: String, sig: Long,
+                           what: String, newRows: DataFrame,
+                           partitionCol: String): Unit = {
+    val stored = spark.read.parquet(storeDir)
+    require(stored.columns.contains(sigCol),
+      s"$what: store at $storeDir carries no $sigCol token — rebuild it " +
+        "before appending increments")
+    val r = stored.agg(count(lit(1)), min(col(sigCol)), max(col(sigCol)),
+      count(when(col(sigCol).isNull, lit(1)))).head()
+    require(r.getLong(0) > 0L,
+      s"$what: store at $storeDir is empty — rebuild it before appending " +
+        "increments")
+    require(r.getLong(3) == 0L,
+      s"$what: store at $storeDir carries rows with a NULL $sigCol " +
+        "token — a union of stamped and raw rows; rebuild the store")
+    require(r.getLong(1) == sig && r.getLong(2) == sig,
+      s"$what: stale store at $storeDir — $sigCol does not match this " +
+        "geometry; the index layout changed, rebuild the store instead " +
+        "of appending to it")
+    newRows.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy(partitionCol).parquet(storeDir)
+  }
+
+  /** Incremental HAMMING index maintenance — [[embeddingIndexRefresh]]'s
+    * twin for the [[hammingChunkIndex]] store (written partitioned by
+    * `chunk_idx`): chunk ONLY the new fingerprint batch at the store's
+    * geometry and APPEND it; the existing chunks are never rescanned or
+    * rewritten, and because chunking is a pure per-row function of
+    * (fingerprint, bits, chunks), append-then-mine equals a from-scratch
+    * rebuild exactly (ModulesSpec). Completes the refresh matrix: every
+    * persisted blocking index now has a token-gated append
+    * (ivf/pq/int8 in [[AnnIndex]]/[[Quantize]], embedding buckets,
+    * hamming chunks, minhash bands). */
+  def hammingIndexRefresh(spark: org.apache.spark.sql.SparkSession,
+                          storeDir: String, newBatch: DataFrame,
+                          idCol: String, hashCol: String,
+                          bits: Int, chunks: Int): Unit =
+    refreshStore(spark, storeDir, "chunk_sig", chunkSig(bits, chunks),
+      s"hammingIndexRefresh", hammingChunkIndex(newBatch, idCol, hashCol,
+        bits, chunks), "chunk_idx")
+
+  /** Incremental MINHASH BAND index maintenance — the text face's
+    * token-gated append onto a persisted [[minhashBandIndex]] (written
+    * partitioned by `band_idx`): only the new document batch is
+    * shingled/signatured/banded. */
+  def minhashIndexRefresh(spark: org.apache.spark.sql.SparkSession,
+                          storeDir: String, newDocs: DataFrame,
+                          keyCol: String, textCol: String,
+                          k: Int, bands: Int, shingleN: Int): Unit =
+    refreshStore(spark, storeDir, "band_sig", bandSig(k, bands, shingleN),
+      s"minhashIndexRefresh", minhashBandIndex(newDocs, keyCol, textCol,
+        k, bands, shingleN), "band_idx")
 
   /** Incremental connected components: fold a NEW batch of pairs (e.g.
     * from [[minhashIncrementalPairs]]) into an EXISTING labeling without

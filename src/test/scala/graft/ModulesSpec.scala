@@ -3854,4 +3854,96 @@ class ModulesSpec extends AnyFunSuite {
     assert(rows(spark.read.parquet(skewOut)) == rows(spark.read.parquet(skewDir)),
       "skew compaction changed store rows")
   }
+
+  test("band/chunk store refresh: token-gated appends close the refresh matrix") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    import graft.sources.Maintenance
+    val docs = graft.core.Tables.documents(spark, sf).limit(60)
+      .select(col("doc_id"), col("text"))
+    val (k, bands, n) = (16, 4, 3)
+    val base = java.nio.file.Files.createTempDirectory("graft_ref").toString
+    // ---- minhash band store: r11 gave it the band_sig geometry token
+    // (the ONE persisted blocking index that had none — a mismatched
+    // geometry's band keys simply never match and every cross pair
+    // silently vanishes)
+    val bandDir = s"$base/bands"
+    Dedup.minhashBandIndex(docs.filter(col("doc_id") < 40), "doc_id",
+      "text", k, bands, n).write.partitionBy("band_idx").parquet(bandDir)
+    Dedup.minhashIndexRefresh(spark, bandDir,
+      docs.filter(col("doc_id") >= 40), "doc_id", "text", k, bands, n)
+    def bandRows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), col("band_idx").cast("int"), col("band_key"),
+        col("band_sig"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3))).toSet
+    // append-then-read equals a from-scratch build exactly (banding is a
+    // pure per-row function of (text, geometry))
+    assert(bandRows(spark.read.parquet(bandDir)) ==
+      bandRows(Dedup.minhashBandIndex(docs, "doc_id", "text", k, bands, n)),
+      "band refresh diverged from the from-scratch index")
+    // refresh refusals: stale geometry, raw store, empty store
+    intercept[IllegalArgumentException] {
+      Dedup.minhashIndexRefresh(spark, bandDir, docs.limit(1), "doc_id",
+        "text", k, bands, shingleN = 4)
+    }
+    val rawBand = s"$base/bands_raw"
+    Dedup.minhashBandIndex(docs.limit(3), "doc_id", "text", k, bands, n)
+      .drop("band_sig").write.parquet(rawBand)
+    intercept[IllegalArgumentException] {
+      Dedup.minhashIndexRefresh(spark, rawBand, docs.limit(1), "doc_id",
+        "text", k, bands, n)
+    }
+    val emptyBand = s"$base/bands_empty"
+    Dedup.minhashBandIndex(docs.limit(0), "doc_id", "text", k, bands, n)
+      .write.parquet(emptyBand)
+    intercept[IllegalArgumentException] {
+      Dedup.minhashIndexRefresh(spark, emptyBand, docs.limit(1), "doc_id",
+        "text", k, bands, n)
+    }
+    // the MINING face refuses a stale/raw index loudly even when no band
+    // key would ever join (the silent-zero-pairs class): the assert rides
+    // the band_key join key, once per index row
+    val idx = Dedup.minhashBandIndex(docs, "doc_id", "text", k, bands, n)
+    val stale = intercept[Exception] {
+      Dedup.minhashIncrementalPairs(docs.limit(3), idx, "doc_id", "text",
+        k, bands, shingleN = 4).collect()
+    }
+    assert(Iterator.iterate(stale: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(5).exists(e => Option(e.getMessage)
+        .exists(_.contains("stale minhash band index"))), s"wrong error: $stale")
+    intercept[IllegalArgumentException] {
+      Dedup.minhashIncrementalPairs(docs.limit(3), idx.drop("band_sig"),
+        "doc_id", "text", k, bands, n)
+    }
+    // ---- hamming chunk store: refresh + compaction over the chunk_idx
+    // layout (the other incremental store layout the audit cadence owns)
+    val fps = (1L to 80L).map(i => (i, 0x0123456789abcdefL ^ (1L << (i % 60))))
+      .toDF("id", "fp")
+    val hamDir = s"$base/chunks"
+    Dedup.hammingChunkIndex(fps.filter(col("id") <= 50), "id", "fp",
+      bits = 64, chunks = 4).write.partitionBy("chunk_idx").parquet(hamDir)
+    Dedup.hammingIndexRefresh(spark, hamDir, fps.filter(col("id") > 50),
+      "id", "fp", bits = 64, chunks = 4)
+    intercept[IllegalArgumentException] {
+      Dedup.hammingIndexRefresh(spark, hamDir, fps.limit(1), "id", "fp",
+        bits = 64, chunks = 2)
+    }
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fromStore = pairs(Dedup.hammingPairsFromIndex(
+      spark.read.parquet(hamDir), maxHamming = 3))
+    assert(fromStore == pairs(Dedup.hammingPairs(fps, "id", "fp",
+      bits = 64, chunks = 4, maxHamming = 3)),
+      "refreshed chunk store mines different pairs than from-scratch")
+    assert(fromStore.nonEmpty, "hamming fixture went vacuous")
+    val hamOut = s"$base/chunks_compacted"
+    Maintenance.compactPartitionedTo(spark, hamDir, hamOut, Seq("chunk_idx"))
+    assert(parquetFiles(hamOut) < parquetFiles(hamDir),
+      s"chunk compaction did not shrink files: ${parquetFiles(hamDir)} -> " +
+        s"${parquetFiles(hamOut)}")
+    assert(pairs(Dedup.hammingPairsFromIndex(spark.read.parquet(hamOut),
+      maxHamming = 3)) == fromStore,
+      "compacted chunk store mines different pairs")
+  }
 }
