@@ -228,42 +228,51 @@ object AnnIndex {
   private[operators] def wideStoreSig(dim: Int, planes: Int): Long =
     2003L * 100000000L + dim.toLong * 1000L + planes
 
-  /** The ONE wide-store token check every consumer runs ([[annTopKWideIndexed]],
-    * [[annJoinIndexed]], `Dedup.embeddingIndexRefresh`) — a single body so
-    * the three faces can never drift guard by guard: presence of the
-    * `emb_sig` column, then one stats-pruned aggregate over (row count,
-    * min, max, null-token count). The row count is what closes the
-    * ALL-null hole: min/max over a store whose every token is null come
-    * back null exactly like an empty store's, and a skip keyed on
-    * min-is-null alone would silently serve a non-empty all-raw store —
-    * the class the token exists to refuse. `allowEmpty = true` is the
-    * serving stance (an empty store's top-k is legitimately empty);
-    * maintenance appends refuse empty stores outright. */
+  /** The ONE persisted-store token gate behind EVERY consumer — the
+    * serving faces ([[annTopKWideIndexed]], [[annJoinIndexed]] via
+    * [[requireWideStoreSig]]) and every token-gated refresh
+    * (`Dedup.refreshStore` behind embedding/hamming/minhash appends) —
+    * a single body so the faces can never drift guard by guard:
+    * presence of the token column, then one stats-pruned aggregate over
+    * (row count, min, max, null-token count). The row count is what
+    * closes the ALL-null hole: min/max over a store whose every token
+    * is null come back null exactly like an empty store's, and a skip
+    * keyed on min-is-null alone would silently serve a non-empty
+    * all-raw store — the class the token exists to refuse.
+    * `allowEmpty = true` is the serving stance (an empty store's top-k
+    * is legitimately empty); maintenance appends refuse empty stores
+    * outright. `staleDesc` names the geometry in the mismatch message
+    * so the operator chases the right rebuild. */
+  private[operators] def requireStoreSig(store: DataFrame, sigCol: String,
+                                         sig: Long, allowEmpty: Boolean,
+                                         what: String,
+                                         staleDesc: String): Unit = {
+    require(store.columns.contains(sigCol),
+      s"$what: store carries no $sigCol token — rebuild it before " +
+        "using it")
+    val r = store.agg(count(lit(1)), min(col(sigCol)),
+      max(col(sigCol)), count(when(col(sigCol).isNull, lit(1)))).head()
+    if (r.getLong(0) == 0L)
+      require(allowEmpty, s"$what: store is empty — rebuild it before " +
+        "appending increments")
+    else {
+      require(r.getLong(3) == 0L,
+        s"$what: store carries rows with a NULL $sigCol token — a union " +
+          "of stamped and raw rows; rebuild the store")
+      require(r.getLong(1) == sig && r.getLong(2) == sig,
+        s"$what: stale $staleDesc; the index geometry changed, rebuild " +
+          "the store instead of using it")
+    }
+  }
+
+  /** [[requireStoreSig]] bound to the wide-family `emb_sig` token. */
   private[operators] def requireWideStoreSig(store: DataFrame,
                                              dim: Int, planes: Int,
                                              allowEmpty: Boolean,
-                                             what: String): Unit = {
-    require(store.columns.contains("emb_sig"),
-      s"$what: store carries no emb_sig token — rebuild it with " +
-        "Dedup.embeddingBucketIndex before using it")
-    val sig = wideStoreSig(dim, planes)
-    val r = store.agg(count(lit(1)), min(col("emb_sig")),
-      max(col("emb_sig")), count(when(col("emb_sig").isNull, lit(1)))).head()
-    val n = r.getLong(0)
-    if (n == 0L)
-      require(allowEmpty, s"$what: store is empty — rebuild it with " +
-        "embeddingBucketIndex before appending increments")
-    else {
-      require(r.getLong(3) == 0L,
-        s"$what: store carries rows with a NULL emb_sig token — a union " +
-          "of stamped and raw rows; the raw rows may sit in wrong-family " +
-          "buckets, rebuild the store")
-      require(r.getLong(1) == sig && r.getLong(2) == sig,
-        s"$what: stale wide-family store — emb_sig does not match " +
-          s"dim=$dim/planes=$planes; the bucket geometry changed, rebuild " +
-          "the store")
-    }
-  }
+                                             what: String): Unit =
+    requireStoreSig(store, "emb_sig", wideStoreSig(dim, planes), allowEmpty,
+      what, staleDesc = "wide-family store — emb_sig does not match " +
+        s"dim=$dim/planes=$planes")
 
   /** [[annTopKIndexed]] for a persisted WIDE-family store
     * (`Dedup.embeddingBucketIndex` output, written partitioned by

@@ -397,14 +397,17 @@ object Dedup {
     // just never match and silently miss every cross pair — a
     // candidate-page assert never fires when the keys never join.
     // band_key is a string, so the zero-or-throw guard concatenates an
-    // empty string instead of adding zero
+    // empty string instead of adding zero. The <=> equality makes a NULL
+    // band_sig (a stamped ∪ raw union) fail the SAME assert — named in
+    // the message so the operator chases the right rebuild cause
     val checked = corpusIndex.select(col("id"), col("band_idx"),
       concat(col("band_key"),
         coalesce(assert_true(
-          col("band_sig") === lit(bandSig(k, bands, shingleN)),
-          lit(s"stale minhash band index: band_sig does not match " +
-            s"k=$k/bands=$bands/shingleN=$shingleN — the band geometry " +
-            "changed; rebuild the index")).cast("string"),
+          col("band_sig") <=> lit(bandSig(k, bands, shingleN)),
+          lit(s"stale minhash band index (or unstamped rows — a NULL " +
+            s"band_sig from a stamped ∪ raw union): band_sig does not " +
+            s"match k=$k/bands=$bands/shingleN=$shingleN; rebuild the " +
+            "index")).cast("string"),
           lit(""))).as("band_key"))
     // the cap population is the FULL post-batch bucket (index ∪ batch):
     // a bucket pushed over the cap by this batch is dropped from both
@@ -1186,42 +1189,27 @@ object Dedup {
                             storeDir: String, newBatch: DataFrame,
                             keyCol: String, embCol: String,
                             dim: Int, planes: Int): Unit = {
-    AnnIndex.requireWideStoreSig(spark.read.parquet(storeDir), dim, planes,
-      allowEmpty = false, what = s"embeddingIndexRefresh($storeDir)")
-    embeddingBucketIndex(newBatch, keyCol, embCol, dim, planes)
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .partitionBy("bucket").parquet(storeDir)
+    refreshStore(spark, storeDir, "emb_sig", embSig(dim, planes),
+      "embeddingIndexRefresh",
+      staleDesc = "wide-family store — emb_sig does not match " +
+        s"dim=$dim/planes=$planes",
+      embeddingBucketIndex(newBatch, keyCol, embCol, dim, planes), "bucket")
   }
 
-  /** The shared maintenance-time token gate + append behind
-    * [[hammingIndexRefresh]] and [[minhashIndexRefresh]] — ONE body for
-    * the contract all the store refreshes share ([[AnnIndex.ivfRefresh]]
-    * stance): refuse BEFORE writing a row when the persisted store has
-    * no token column, is empty (rebuild, don't grow an unwitnessed
-    * geometry), carries NULL-token rows (min/max skip nulls — a
-    * stamped ∪ raw union would otherwise pass), or was built under a
-    * different geometry. The token scan is one stats-pruned aggregate —
-    * maintenance-time, never on the search path. */
+  /** The shared maintenance-time token gate + append behind every store
+    * refresh ([[embeddingIndexRefresh]], [[hammingIndexRefresh]],
+    * [[minhashIndexRefresh]]) — the gate itself is
+    * [[AnnIndex.requireStoreSig]], the SAME body the serving faces run,
+    * so a new check lands in one place for all five consumers; this
+    * wrapper only adds the refuse-empty stance (rebuild, don't grow an
+    * unwitnessed geometry) and the append. Refusal happens BEFORE a row
+    * is written. */
   private def refreshStore(spark: org.apache.spark.sql.SparkSession,
                            storeDir: String, sigCol: String, sig: Long,
-                           what: String, newRows: DataFrame,
-                           partitionCol: String): Unit = {
-    val stored = spark.read.parquet(storeDir)
-    require(stored.columns.contains(sigCol),
-      s"$what: store at $storeDir carries no $sigCol token — rebuild it " +
-        "before appending increments")
-    val r = stored.agg(count(lit(1)), min(col(sigCol)), max(col(sigCol)),
-      count(when(col(sigCol).isNull, lit(1)))).head()
-    require(r.getLong(0) > 0L,
-      s"$what: store at $storeDir is empty — rebuild it before appending " +
-        "increments")
-    require(r.getLong(3) == 0L,
-      s"$what: store at $storeDir carries rows with a NULL $sigCol " +
-        "token — a union of stamped and raw rows; rebuild the store")
-    require(r.getLong(1) == sig && r.getLong(2) == sig,
-      s"$what: stale store at $storeDir — $sigCol does not match this " +
-        "geometry; the index layout changed, rebuild the store instead " +
-        "of appending to it")
+                           what: String, staleDesc: String,
+                           newRows: DataFrame, partitionCol: String): Unit = {
+    AnnIndex.requireStoreSig(spark.read.parquet(storeDir), sigCol, sig,
+      allowEmpty = false, what = s"$what($storeDir)", staleDesc = staleDesc)
     newRows.write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy(partitionCol).parquet(storeDir)
   }
@@ -1241,8 +1229,10 @@ object Dedup {
                           idCol: String, hashCol: String,
                           bits: Int, chunks: Int): Unit =
     refreshStore(spark, storeDir, "chunk_sig", chunkSig(bits, chunks),
-      s"hammingIndexRefresh", hammingChunkIndex(newBatch, idCol, hashCol,
-        bits, chunks), "chunk_idx")
+      "hammingIndexRefresh",
+      staleDesc = s"hamming chunk index — chunk_sig does not match " +
+        s"bits=$bits/chunks=$chunks",
+      hammingChunkIndex(newBatch, idCol, hashCol, bits, chunks), "chunk_idx")
 
   /** Incremental MINHASH BAND index maintenance — the text face's
     * token-gated append onto a persisted [[minhashBandIndex]] (written
@@ -1253,8 +1243,11 @@ object Dedup {
                           keyCol: String, textCol: String,
                           k: Int, bands: Int, shingleN: Int): Unit =
     refreshStore(spark, storeDir, "band_sig", bandSig(k, bands, shingleN),
-      s"minhashIndexRefresh", minhashBandIndex(newDocs, keyCol, textCol,
-        k, bands, shingleN), "band_idx")
+      "minhashIndexRefresh",
+      staleDesc = s"minhash band index — band_sig does not match " +
+        s"k=$k/bands=$bands/shingleN=$shingleN",
+      minhashBandIndex(newDocs, keyCol, textCol, k, bands, shingleN),
+      "band_idx")
 
   /** Incremental connected components: fold a NEW batch of pairs (e.g.
     * from [[minhashIncrementalPairs]]) into an EXISTING labeling without

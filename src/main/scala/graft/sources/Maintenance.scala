@@ -39,20 +39,28 @@ object Maintenance {
     *
     * Rows are hash-clustered on (partition columns, bounded salt) before
     * the partitioned write. The salt is sized PER PARTITION VALUE from a
-    * cheap census (one count-star aggregate, broadcast back — bounded by
-    * the layout's cardinality, which a sane Hive partitioning keeps low):
-    * a cold bucket gets salt range 1 and compacts to exactly ONE file
-    * (vs the one-file-per-batch-per-task accumulation ingest leaves
-    * behind), while a MEGA bucket — the skewed regime the pair caps
-    * exist for, where one boilerplate key can hold a large corpus
-    * fraction — splits into ceil(size/targetFileBytes) salt groups, each
-    * its own task and file. Clustering on the partition columns alone
-    * would funnel an entire hot partition through ONE task as ONE
-    * arbitrarily large file: a straggler/OOM at exactly the scale this
-    * job is for. The salt is a deterministic hash of the data columns
-    * (replays identically on retry); data columns — the geometry token
-    * included — pass through untouched. Same new-directory + atomic-swap
-    * contract as [[compactTo]]. Returns the shuffle task count used. */
+    * cheap census (one cached count aggregate, broadcast back — bounded
+    * by the layout's cardinality, which a sane Hive partitioning keeps
+    * low; the census also supplies the total row count, so no separate
+    * counting pass runs): a cold bucket gets salt range 1 and compacts
+    * to ONE file (vs the one-file-per-batch-per-task accumulation ingest
+    * leaves behind), while a MEGA bucket — the skewed regime the pair
+    * caps exist for, where one boilerplate key can hold a large corpus
+    * fraction — splits into ~ceil(size/targetFileBytes) salt groups
+    * (hash collisions can merge a few groups into one task/file; the
+    * bound is statistical, not exact). Clustering on the partition
+    * columns alone would funnel an entire hot partition through ONE task
+    * as ONE arbitrarily large file: a straggler/OOM at exactly the scale
+    * this job is for. The salt is a deterministic hash of the HASHABLE
+    * data columns (replays identically on retry; MapType columns are
+    * unhashable in Spark and are skipped) — two limits follow: a table
+    * whose rows are IDENTICAL across those columns, or whose only
+    * non-partition columns are maps, keeps one salt group per key and
+    * degrades to the pre-salt single-file behavior (the index stores
+    * this job exists for always carry a unique id, so their floods
+    * always split). Data columns — the geometry token included — pass
+    * through untouched. Same new-directory + atomic-swap contract as
+    * [[compactTo]]. Returns the shuffle task count used. */
   def compactPartitionedTo(spark: SparkSession, srcDir: String,
                            dstDir: String, partitionCols: Seq[String],
                            targetFileBytes: Long = 128L * 1024 * 1024): Long = {
@@ -60,28 +68,45 @@ object Maintenance {
     require(partitionCols.nonEmpty, "partitioned compaction needs partition columns")
     val df = spark.read.parquet(srcDir)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    // parquet count-star is footer-only — the census costs metadata reads
-    val totalRows = df.count().max(1L)
-    val rowsPerFile = (targetFileBytes /
-      (bytes / totalRows).toLong.max(1L)).max(1L)
     val pcols = partitionCols.map(col)
-    val files = df.groupBy(pcols: _*).agg(count(lit(1)).as("__n"))
-      .select(partitionCols.map(c => col(c).as(s"__k_$c")) :+
-        greatest(lit(1L), ceil(col("__n").cast("double") / rowsPerFile))
-          .cast("int").as("__files"): _*)
-    val joinCond = partitionCols.map(c => col(c) <=> col(s"__k_$c"))
-      .reduce(_ && _)
-    val dataCols = df.columns.filterNot(partitionCols.contains).map(col)
-    val n = ((bytes + targetFileBytes - 1) / targetFileBytes).toLong
-      .max(spark.sparkContext.defaultParallelism.toLong)
-    df.join(broadcast(files), joinCond)
-      .withColumn("__salt", pmod(hash(dataCols: _*), col("__files")))
-      .repartition(n.toInt, pcols :+ col("__salt"): _*)
-      .drop("__salt", "__files")
-      .drop(partitionCols.map(c => s"__k_$c"): _*)
-      .write.partitionBy(partitionCols: _*)
-      .mode(SaveMode.Overwrite).parquet(dstDir)
-    n
+    val counts = df.groupBy(pcols: _*).agg(count(lit(1)).as("__n")).persist()
+    try {
+      val totalRows = counts.agg(coalesce(sum(col("__n")), lit(0L)))
+        .head().getLong(0).max(1L)
+      val rowsPerFile = (targetFileBytes /
+        (bytes / totalRows).toLong.max(1L)).max(1L)
+      val files = counts
+        .select(partitionCols.map(c => col(c).as(s"__k_$c")) :+
+          greatest(lit(1L), ceil(col("__n").cast("double") / rowsPerFile))
+            .cast("int").as("__files"): _*)
+      val joinCond = partitionCols.map(c => col(c) <=> col(s"__k_$c"))
+        .reduce(_ && _)
+      // MapType is unhashable in Spark; a table with no hashable data
+      // columns falls back to one salt group (the pre-salt behavior)
+      import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+      def hasMap(dt: DataType): Boolean = dt match {
+        case _: MapType => true
+        case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+        case a: ArrayType => hasMap(a.elementType)
+        case _ => false
+      }
+      val saltCols = df.schema.fields
+        .filterNot(f => partitionCols.contains(f.name))
+        .filterNot(f => hasMap(f.dataType))
+        .map(f => col(f.name)).toSeq
+      val salt = if (saltCols.isEmpty) lit(0)
+                 else pmod(hash(saltCols: _*), col("__files"))
+      val n = ((bytes + targetFileBytes - 1) / targetFileBytes).toLong
+        .max(spark.sparkContext.defaultParallelism.toLong)
+      df.join(broadcast(files), joinCond)
+        .withColumn("__salt", salt)
+        .repartition(n.toInt, pcols :+ col("__salt"): _*)
+        .drop("__salt", "__files")
+        .drop(partitionCols.map(c => s"__k_$c"): _*)
+        .write.partitionBy(partitionCols: _*)
+        .mode(SaveMode.Overwrite).parquet(dstDir)
+      n
+    } finally counts.unpersist()
   }
 
   /** Morton (Z-order) key over two coordinates: quantize each to `bits`
