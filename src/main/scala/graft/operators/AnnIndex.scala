@@ -242,11 +242,13 @@ object AnnIndex {
     * `allowEmpty = true` is the serving stance (an empty store's top-k
     * is legitimately empty); maintenance appends refuse empty stores
     * outright. `staleDesc` names the geometry in the mismatch message
-    * so the operator chases the right rebuild. */
+    * so the operator chases the right rebuild. Returns the row count it
+    * measured, so a caller checking a PRUNED slice can tell "verified
+    * nonempty" from "empty — ambiguous, escalate to the full store". */
   private[operators] def requireStoreSig(store: DataFrame, sigCol: String,
                                          sig: Long, allowEmpty: Boolean,
                                          what: String,
-                                         staleDesc: String): Unit = {
+                                         staleDesc: String): Long = {
     require(store.columns.contains(sigCol),
       s"$what: store carries no $sigCol token — rebuild it before " +
         "using it")
@@ -263,13 +265,14 @@ object AnnIndex {
         s"$what: stale $staleDesc; the index geometry changed, rebuild " +
           "the store instead of using it")
     }
+    r.getLong(0)
   }
 
   /** [[requireStoreSig]] bound to the wide-family `emb_sig` token. */
   private[operators] def requireWideStoreSig(store: DataFrame,
                                              dim: Int, planes: Int,
                                              allowEmpty: Boolean,
-                                             what: String): Unit =
+                                             what: String): Long =
     requireStoreSig(store, "emb_sig", wideStoreSig(dim, planes), allowEmpty,
       what, staleDesc = "wide-family store — emb_sig does not match " +
         s"dim=$dim/planes=$planes")
@@ -277,16 +280,22 @@ object AnnIndex {
   /** [[annTopKIndexed]] for a persisted WIDE-family store
     * (`Dedup.embeddingBucketIndex` output, written partitioned by
     * `bucket`): the query is hashed with [[wideBucketExpr]] at the
-    * store's geometry, and the store's `emb_sig` token is verified
-    * AT CALL TIME by one stats-pruned min/max aggregate (the
-    * [[ivfRefresh]] stance) — NOT by an assert riding the candidate
-    * page: a mismatched geometry's buckets may simply never join, so a
-    * row-level assert there would never evaluate and the search would
-    * silently return empty, the exact failure the token exists to make
-    * loud. The same aggregate counts NULL tokens (min/max skip nulls, so
-    * a careless union of stamped and raw rows would otherwise pass while
-    * the raw rows sit in wrong-family buckets). An EMPTY store skips the
-    * check (its top-k is legitimately empty).
+    * store's geometry, and the store's `emb_sig` token is verified AT
+    * CALL TIME over the PROBED SLICE — the partition-pruned rows this
+    * query reads anyway, so the check costs the probed fraction, not a
+    * full-store column scan per query (the r11 stress measurement
+    * caught the full check dominating the serve and growing with the
+    * corpus). NOT an assert riding the candidate page: a mismatched
+    * geometry's buckets may simply never join, so a row-level assert
+    * there would never evaluate and the search would silently return
+    * empty — which is why an EMPTY probed slice (ambiguous: legitimately
+    * empty buckets, or a foreign-family store) escalates to one
+    * full-store check that ends in the loud verdict. The aggregate also
+    * counts NULL tokens (min/max skip nulls, so a careless union of
+    * stamped and raw rows would otherwise pass while the raw rows sit in
+    * wrong-family buckets). An EMPTY store passes (its top-k is
+    * legitimately empty); rows outside the probed buckets are the
+    * maintenance gate's job ([[graft.operators.Dedup.embeddingIndexRefresh]]).
     *
     * `probeBits` is [[annJoin]]'s multi-probe radius — the dial
     * [[annTuning]] prices: 0 reads only the query's own bucket, 1 adds
@@ -325,14 +334,25 @@ object AnnIndex {
     require(!qRows(0).isNullAt(0),
       "annTopKWideIndexed query embedding is NULL — it would hash to a " +
         "null bucket and every search would silently return empty")
-    requireWideStoreSig(store, dim, planes, allowEmpty = true,
-      what = "annTopKWideIndexed")
     val probes: Seq[Long] = query
       .select(wideBucketExprOf(col(queryCol), dim, planes).as("__qb0"))
       .selectExpr(s"${probeSetExpr(planes, probeBits)} AS __probes")
       .head().getSeq[Long](0)
-    store
-      .filter(col("bucket").isin(probes: _*))
+    val pruned = store.filter(col("bucket").isin(probes: _*))
+    // token check over the PROBED slice — the rows this query reads
+    // anyway, so serving cost stays the probed fraction instead of a
+    // full-store column scan per query (the r11 stress row measured the
+    // full check DOMINATING the serve and growing with the corpus). An
+    // EMPTY slice is ambiguous — legitimately empty buckets, or a
+    // foreign-family store whose buckets never match — so only then pay
+    // the full-store check to produce the loud verdict; rows outside the
+    // probed buckets are the maintenance gate's job (refreshStore), not
+    // this query's.
+    if (requireWideStoreSig(pruned, dim, planes, allowEmpty = true,
+        what = "annTopKWideIndexed") == 0L)
+      requireWideStoreSig(store, dim, planes, allowEmpty = true,
+        what = "annTopKWideIndexed")
+    pruned
       .crossJoin(broadcast(query.select(col(queryCol))))
       .withColumn("similarity", vectors.cosineSim(col(embCol), col(queryCol)))
       .orderBy(desc("similarity") +: tieBreak.map(col): _*)

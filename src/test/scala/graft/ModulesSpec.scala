@@ -3714,11 +3714,31 @@ class ModulesSpec extends AnyFunSuite {
         poisoned, dim, planes, k = 3)
     }
     assert(e1.getMessage.contains("NULL emb_sig"), e1.getMessage)
+    // serving checks the token over the PROBED SLICE (the rows the query
+    // actually reads): a null-token row INSIDE the probed buckets is
+    // refused loudly...
+    val qbVal = e.filter(col("vec_id") === 0)
+      .select(AnnIndex.wideBucketExpr("emb", dim, planes)).head().getLong(0)
+    val poisonedInSlice = store.unionByName(store.limit(1)
+      .withColumn("bucket", lit(qbVal))
+      .withColumn("emb_sig", lit(null).cast("long")))
     val e2 = intercept[IllegalArgumentException] {
-      AnnIndex.annTopKWideIndexed(poisoned, "emb", dim, planes,
+      AnnIndex.annTopKWideIndexed(poisonedInSlice, "emb", dim, planes,
         q, "qe", k = 5)
     }
     assert(e2.getMessage.contains("NULL emb_sig"), e2.getMessage)
+    // ...while a null-token row OUTSIDE them does not fail THIS query —
+    // the served rows are all verified; whole-store hygiene is the
+    // maintenance gate's job (embeddingIndexRefresh refuses the same
+    // store above). Query = a corpus row's own embedding, so the probed
+    // slice is provably nonempty and no full-store escalation runs.
+    val q2 = store.orderBy(col("id")).limit(1).select(col("emb").as("qe"))
+    val elsewhere = store.unionByName(store.limit(1)
+      .withColumn("bucket", lit(-1L))
+      .withColumn("emb_sig", lit(null).cast("long")))
+    assert(AnnIndex.annTopKWideIndexed(elsewhere, "emb", dim, planes,
+        q2, "qe", k = 3).collect().nonEmpty,
+      "a null-token row outside the probed slice wrongly failed the serve")
     // a NULL query embedding would hash to a null bucket and silently
     // return empty — refused loudly at call time
     import spark.implicits._
