@@ -261,7 +261,9 @@ object AnalyticsQueries {
         "(Dedup.embeddingBucketIndex at 12 planes through " +
         "AnnIndex.annTopKWideIndexed): the query is hashed with the wide " +
         "family and the store's emb_sig geometry token is verified at " +
-        "call time by one stats-pruned min/max — q_ann_topk's serving " +
+        "call time over the PROBED SLICE the query reads anyway (an " +
+        "empty slice escalates to one full-store check — the loud " +
+        "verdict on a foreign-family store) — q_ann_topk's serving " +
         "shape on the blocking new stores actually use, where the " +
         "legacy family's 128-bucket ceiling cannot reach (2^12 genuine " +
         "buckets here; at scale the bucket join is the DPP-pruned read " +
