@@ -289,8 +289,8 @@ object AnnIndex {
     * geometry's buckets may simply never join, so a row-level assert
     * there would never evaluate and the search would silently return
     * empty — which is why an EMPTY probed slice (ambiguous: legitimately
-    * empty buckets, or a foreign-family store) escalates to one
-    * full-store check that ends in the loud verdict. The aggregate also
+    * empty buckets, or a foreign-family store) is disambiguated by one
+    * O(1) sampled token row that ends in the loud verdict. The aggregate also
     * counts NULL tokens (min/max skip nulls, so a careless union of
     * stamped and raw rows would otherwise pass while the raw rows sit in
     * wrong-family buckets). An EMPTY store passes (its top-k is
@@ -343,15 +343,29 @@ object AnnIndex {
     // anyway, so serving cost stays the probed fraction instead of a
     // full-store column scan per query (the r11 stress row measured the
     // full check DOMINATING the serve and growing with the corpus). An
-    // EMPTY slice is ambiguous — legitimately empty buckets, or a
-    // foreign-family store whose buckets never match — so only then pay
-    // the full-store check to produce the loud verdict; rows outside the
-    // probed buckets are the maintenance gate's job (refreshStore), not
-    // this query's.
+    // EMPTY slice is ambiguous — legitimately empty buckets (the COMMON
+    // case for a novel query on a sparse geometry: the 20-plane census
+    // occupies ~847 of 2^20 buckets, so most probe sets hit nothing), or
+    // a foreign-family store whose buckets never match — disambiguated
+    // by ONE sampled row's token, O(1), never a full-store scan per
+    // query: a sampled mismatch is a definite loud verdict, a sampled
+    // match means this store answers to this geometry and its probed
+    // buckets are genuinely empty. (A mixed-token store could pass the
+    // sample while its foreign half hides the query's true buckets —
+    // but a mixed store is already a rebuild-worthy corruption the
+    // maintenance gate [[graft.operators.Dedup.embeddingIndexRefresh]]
+    // refuses to create, and the rows this query DID read were all
+    // verified.)
     if (requireWideStoreSig(pruned, dim, planes, allowEmpty = true,
-        what = "annTopKWideIndexed") == 0L)
-      requireWideStoreSig(store, dim, planes, allowEmpty = true,
-        what = "annTopKWideIndexed")
+        what = "annTopKWideIndexed") == 0L) {
+      val sample = store.select(col("emb_sig")).limit(1).collect()
+      require(sample.isEmpty || (!sample(0).isNullAt(0) &&
+          sample(0).getLong(0) == wideStoreSig(dim, planes)),
+        "annTopKWideIndexed: stale wide-family store — a sampled emb_sig " +
+          s"does not match dim=$dim/planes=$planes (or is NULL); the " +
+          "bucket geometry changed or the store carries raw rows, rebuild " +
+          "it")
+    }
     pruned
       .crossJoin(broadcast(query.select(col(queryCol))))
       .withColumn("similarity", vectors.cosineSim(col(embCol), col(queryCol)))
@@ -510,7 +524,13 @@ object AnnIndex {
     * trap needs a bucket-kernel projection on the join side, which a
     * persisted store doesn't have; an INLINE-built store should join
     * through [[annJoin]] instead). Per-query ranking is one window keyed
-    * by query id, exactly [[annJoin]]'s shape. */
+    * by query id, exactly [[annJoin]]'s shape. The token check here is
+    * the FULL-store aggregate, unlike [[annTopKWideIndexed]]'s
+    * probed-slice check: a batch join's queries probe a data-dependent
+    * bucket set that is not knowable driver-side, and the join itself
+    * already scans every matched bucket — one extra single-column pass
+    * amortized over the whole batch is noise where the same scan per
+    * single query dominated (the r11 stress measurement). */
   def annJoinIndexed(queries: DataFrame, qIdCol: String, qEmbCol: String,
                      store: DataFrame, dim: Int, planes: Int, k: Int,
                      probeBits: Int = 0): DataFrame = {

@@ -496,6 +496,12 @@ object Stress {
             probeBits = 2).count()
         }
         results += "ann_serve_indexed" -> (corpusRows, s)
+        // a full M-duplicated corpus copy across up to 4096 bucket dirs —
+        // delete it now (the embDir discipline above) instead of leaking
+        // a graft_stress_ann* tree per stress run
+        org.apache.hadoop.fs.FileSystem
+          .get(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(dir), true)
       }
       measure("ann_serve_brute", corpusRows) {
         corpus.crossJoin(broadcast(q))
