@@ -60,6 +60,17 @@ object Verify {
         failures("ingest_lifecycle") =
           Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
       }
+      // the same two-cadence composition on the HAMMING face — a second
+      // modality with a different index geometry (chunk pigeonhole vs
+      // sign buckets), driving hammingIndexRefresh + chunk-layout
+      // compaction + the salvage sweep through clustersIncremental
+      try ingestLifecycleSmokeHamming(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(
+          s"[verify] ingest_lifecycle_hamming failed: ${e.getMessage}")
+        failures("ingest_lifecycle_hamming") =
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -764,11 +775,6 @@ object Verify {
     // over the compacted store feeds the same incremental fold
     val dir2 = s"$base/store_compacted"
     graft.sources.Maintenance.compactPartitionedTo(spark, dir, dir2, Seq("bucket"))
-    def parquetFiles(d: String): Long = {
-      val it = Files.walk(Paths.get(d))
-      try it.filter(p => p.toString.endsWith(".parquet")).count()
-      finally it.close()
-    }
     require(parquetFiles(dir2) < parquetFiles(dir),
       s"compaction did not shrink the file count: ${parquetFiles(dir)} -> " +
         s"${parquetFiles(dir2)}")
@@ -799,6 +805,135 @@ object Verify {
     require(got.exists(t => t._1 == 700000L && t._3 == 1L),
       "null-embedding row did not survive as a singleton")
     println(s"[verify] ingest_lifecycle OK: ${batches.size} capped " +
+      s"increments (${mined.mkString("/")} pairs) + compaction " +
+      s"(${parquetFiles(dir)} -> ${parquetFiles(dir2)} files) + salvage " +
+      s"sweep == one-shot capped+salvaged verdict over ${want.size} rows " +
+      s"(flood of ${floodIds.size} fragmented ${preSalvage}-way under the " +
+      "cap alone, single cluster after the sweep)")
+  }
+
+  private def parquetFiles(d: String): Long = {
+    val it = Files.walk(Paths.get(d))
+    try it.filter(p => p.toString.endsWith(".parquet")).count()
+    finally it.close()
+  }
+
+  /** [[ingestLifecycleSmoke]] on the HAMMING face: persisted
+    * [[graft.operators.Dedup.hammingChunkIndex]] store → 3 capped
+    * [[graft.operators.Dedup.hammingIncrementalPairs]] batches appended
+    * through the token-gated [[graft.operators.Dedup.hammingIndexRefresh]]
+    * → chunk-layout compaction → audit-cadence
+    * [[graft.operators.Dedup.hammingSalvageEdges]] sweep →
+    * [[graft.operators.Dedup.clustersIncremental]], asserted EQUAL to the
+    * one-shot [[graft.operators.Dedup.hammingPairsSalvaged]] verdict.
+    * Fingerprints are fully synthetic and deterministic: the base corpus
+    * derives per-id distinct fingerprints from the documents table's
+    * ids, the planted flood is one IDENTICAL fingerprint on 40 rows
+    * (every chunk bucket it occupies is over the cap from day one), and
+    * each batch plants a 3-copy hamming-1 community around a fresh base
+    * row (mined fully: the twins share 3 of 4 chunks). Same equality
+    * precondition, self-checked over the store's own chunk-bucket
+    * censuses. */
+  private def ingestLifecycleSmokeHamming(spark: SparkSession,
+                                          sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.DataFrame
+    import graft.operators.Dedup
+    import spark.implicits._
+    val (bits, chunks, maxHamming, cap, maxReps) = (64, 4, 3, 32, 16)
+    val base = graft.core.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id").as("id"), xxhash64(col("doc_id")).as("fp"))
+    val floodFp = 0x0123456789abcdefL
+    def floodRows(idBase: Long, n: Int): DataFrame =
+      (0 until n).map(i => (idBase + i, floodFp)).toDF("id", "fp")
+    // anchors for the per-batch communities: real corpus rows' EXACT
+    // fingerprints, collected once (tiny)
+    val anchorFps = base.filter(col("id").isin(3L, 4L, 5L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(anchorFps.size == 3, "documents fixture lost the anchor ids")
+    val initial = base.unionByName(floodRows(500000L, 40))
+    val batches = (1 to 3).map { b =>
+      val a = anchorFps(Seq(3L, 4L, 5L)(b - 1))
+      // 3 hamming-1 twins of the anchor (flip one bit in chunk 0 at a
+      // per-copy position, so the twins also sit within hamming 2 of
+      // each other and all pairs verify <= maxHamming)
+      val comm = (0 until 3).map(i =>
+        (600000L + b * 1000L + i, a ^ (1L << i))).toDF("id", "fp")
+      val rows = comm.unionByName(floodRows(510000L + b * 1000L, 3))
+      if (b == 2)
+        rows.unionByName(Seq((700000L, null.asInstanceOf[java.lang.Long]))
+          .toDF("id", "fp"))
+      else rows
+    }
+    val baseDir = Files.createTempDirectory("graft_ingest_ham").toString
+    val dir = s"$baseDir/store"
+    Dedup.hammingChunkIndex(initial, "id", "fp", bits, chunks)
+      .write.partitionBy("chunk_idx").parquet(dir)
+    def overCapSet(store: DataFrame): Set[String] = store
+      .groupBy(col("chunk_idx"), col("chunk_val"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > cap)
+      .collect()
+      .map(r => s"${String.valueOf(r.get(0))}:${String.valueOf(r.get(1))}")
+      .toSet
+    val overInitial = overCapSet(spark.read.parquet(dir))
+    require(overInitial.size >= chunks,
+      s"planted flood buckets not over the cap: $overInitial")
+    var labels = Dedup.clusters(initial.select(col("id")), "id",
+      Dedup.hammingPairs(initial, "id", "fp", bits, chunks, maxHamming,
+        maxBucket = cap)).localCheckpoint()
+    var ids = initial.select(col("id"))
+    val mined = scala.collection.mutable.ListBuffer.empty[Long]
+    for (batch <- batches) {
+      val inc = Dedup.hammingIncrementalPairs(batch,
+        spark.read.parquet(dir), "id", "fp", bits, chunks, maxHamming,
+        maxBucket = cap).localCheckpoint()
+      mined += inc.count()
+      Dedup.hammingIndexRefresh(spark, dir, batch, "id", "fp", bits, chunks)
+      ids = ids.unionByName(batch.select(col("id")))
+      labels = Dedup.clustersIncremental(ids, "id", labels, inc)
+        .localCheckpoint()
+    }
+    require(mined.forall(_ >= 3L),
+      s"a hamming ingest batch mined ${mined.mkString(",")} pairs — the " +
+        "planted community went vacuous")
+    val floodIds = ((0 until 40).map(500000L + _) ++
+      (1 to 3).flatMap(b => (0 until 3).map(510000L + b * 1000L + _))).toSet
+    val preSalvage = labels.filter(col("id").isin(floodIds.toSeq: _*))
+      .select(col("cluster")).distinct().count()
+    require(preSalvage > 1,
+      "hamming flood already connected before salvage — the cap stopped " +
+        "engaging")
+    val dir2 = s"$baseDir/store_compacted"
+    graft.sources.Maintenance.compactPartitionedTo(spark, dir, dir2,
+      Seq("chunk_idx"))
+    require(parquetFiles(dir2) < parquetFiles(dir),
+      s"chunk compaction did not shrink the file count: " +
+        s"${parquetFiles(dir)} -> ${parquetFiles(dir2)}")
+    val full = spark.read.parquet(dir2)
+    val overFinal = overCapSet(full)
+    require(overInitial == overFinal,
+      s"a chunk bucket crossed the cap mid-run ($overInitial vs " +
+        s"$overFinal) — the equality precondition broke; re-pin the fixture")
+    val salvage = Dedup.hammingSalvageEdges(full, maxHamming, cap, maxReps)
+    val got = Dedup.clustersIncremental(ids, "id", labels, salvage)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val all = batches.foldLeft(initial)(_ unionByName _)
+    val want = Dedup.clusters(all.select(col("id")), "id",
+        Dedup.hammingPairsSalvaged(all, "id", "fp", bits, chunks,
+          maxHamming, maxBucket = cap, maxReps = maxReps))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    require(got == want,
+      s"hamming ingest lifecycle diverged from the one-shot run: " +
+        s"${got.size} vs ${want.size} rows; " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    val floodRowsGot = got.filter(t => floodIds(t._1))
+    require(floodRowsGot.size == floodIds.size &&
+        floodRowsGot.map(_._2).size == 1,
+      "hamming salvage did not reconnect the cap-dropped flood")
+    require(got.exists(t => t._1 == 700000L && t._3 == 1L),
+      "null-fingerprint row did not survive as a singleton")
+    println(s"[verify] ingest_lifecycle_hamming OK: ${batches.size} capped " +
       s"increments (${mined.mkString("/")} pairs) + compaction " +
       s"(${parquetFiles(dir)} -> ${parquetFiles(dir2)} files) + salvage " +
       s"sweep == one-shot capped+salvaged verdict over ${want.size} rows " +
