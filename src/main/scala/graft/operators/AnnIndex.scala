@@ -393,7 +393,7 @@ object AnnIndex {
     * Shared by [[annJoin]] and [[annTuning]], so the probe geometry (and
     * therefore the tuning measurement) can never drift from the serving
     * join. */
-  private def probeSetExpr(planes: Int, probeBits: Int): String = {
+  private[graft] def probeSetExpr(planes: Int, probeBits: Int): String = {
     require(probeBits >= 0 && probeBits <= 2, "probeBits 0, 1 or 2 supported")
     require(probeBits < 2 || planes >= 2,
       s"probeBits=2 needs planes >= 2 (got $planes): there is no double " +

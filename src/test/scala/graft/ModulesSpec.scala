@@ -3875,6 +3875,39 @@ class ModulesSpec extends AnyFunSuite {
       "skew compaction changed store rows")
   }
 
+  test("probe sets: exact size, distinct, radius-bounded, plane-confined over random geometries") {
+    // the geometry every wide-serving face rests on (annJoin,
+    // annJoinIndexed, annTopKWideIndexed's static IN set, annTuning's
+    // cells, and their DuckDB twins): the probe set of (planes, probeBits)
+    // is EXACTLY the Hamming ball of radius probeBits around the origin
+    // bucket within the plane bits — right size, no duplicates (a corpus
+    // row must meet a query at most once), no probe outside the 2^planes
+    // bucket space (the ADVICE planes=1/probe=2 escape, generalized)
+    import org.apache.spark.sql.functions._
+    import graft.operators.AnnIndex
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 25) {
+      val planes = 2 + rnd.nextInt(30)
+      val pb = rnd.nextInt(3)
+      val qb0 = rnd.nextLong() & ((1L << planes) - 1)
+      val probes = spark.range(1).select(lit(qb0).as("__qb0"))
+        .selectExpr(s"${AnnIndex.probeSetExpr(planes, pb)} AS p")
+        .head().getSeq[Long](0)
+      val expected = 1 + (if (pb >= 1) planes else 0) +
+        (if (pb == 2) planes * (planes - 1) / 2 else 0)
+      assert(probes.size == expected,
+        s"planes=$planes probe=$pb: ${probes.size} probes, want $expected")
+      assert(probes.distinct.size == probes.size,
+        s"planes=$planes probe=$pb: duplicate probes")
+      assert(probes.contains(qb0), "origin bucket missing from its probe set")
+      assert(probes.forall(p => java.lang.Long.bitCount(p ^ qb0) <= pb),
+        s"planes=$planes probe=$pb: a probe exceeds the flip radius")
+      assert(probes.forall(p => (p ^ qb0) >>> planes == 0L),
+        s"planes=$planes probe=$pb: a probe flipped a bit outside the " +
+          "plane space")
+    }
+  }
+
   test("band/chunk store refresh: token-gated appends close the refresh matrix") {
     import spark.implicits._
     import graft.operators.Dedup
