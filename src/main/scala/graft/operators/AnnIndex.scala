@@ -225,13 +225,25 @@ object AnnIndex {
     * every consumer: 2003 (the family's prime modulus) tags the hash
     * family itself, so a legacy-family store can never masquerade as
     * wide or vice versa. */
-  private[operators] def wideStoreSig(dim: Int, planes: Int): Long =
+  private[graft] def wideStoreSig(dim: Int, planes: Int): Long =
     2003L * 100000000L + dim.toLong * 1000L + planes
+
+  /** Geometry token for the LEGACY coefficient plane family. No
+    * persisted store stamps it (only wide-family stores are built);
+    * its one consumer is [[graft.streaming.EventsStream.embedNearDupStream]]'s
+    * state KEY, where it keeps legacy-keyed and wide-keyed streaming
+    * state in provably disjoint keyspaces — the two families emit
+    * overlapping small bucket ids (legacy censuses at ≤128 buckets), so
+    * a bare-bucket key would silently mix their state across a config
+    * flip. Distinct leading constant from [[wideStoreSig]]'s 2003. */
+  private[graft] def legacyStreamSig(dim: Int, planes: Int): Long =
+    2002L * 100000000L + dim.toLong * 1000L + planes
 
   /** The ONE persisted-store token gate behind EVERY consumer — the
     * serving faces ([[annTopKWideIndexed]], [[annJoinIndexed]] via
-    * [[requireWideStoreSig]]) and every token-gated refresh
-    * (`Dedup.refreshStore` behind embedding/hamming/minhash appends) —
+    * [[requireWideStoreSig]], [[ivfJoinIndexed]]) and every token-gated
+    * refresh (`Dedup.refreshStore` behind embedding/hamming/minhash
+    * appends; [[ivfRefresh]] and [[Quantize.pqRefresh]] since r12) —
     * a single body so the faces can never drift guard by guard:
     * presence of the token column, then one stats-pruned aggregate over
     * (row count, min, max, null-token count). The row count is what
@@ -327,14 +339,23 @@ object AnnIndex {
     // ONE query row, checked loudly like annTuning's: a multi-row frame
     // would blend every query's candidates into one global top-k —
     // plausible-looking garbage with no error.
-    val qRows = query.select(col(queryCol)).limit(2).collect()
+    val qSlice = query.select(col(queryCol))
+    val qRows = qSlice.limit(2).collect()
     require(qRows.length == 1,
       "annTopKWideIndexed expects exactly ONE query row — a multi-row " +
         "frame would blend every query's candidates into one global top-k")
     require(!qRows(0).isNullAt(0),
       "annTopKWideIndexed query embedding is NULL — it would hash to a " +
         "null bucket and every search would silently return empty")
-    val probes: Seq[Long] = query
+    // everything downstream derives from this ONE collected row: the
+    // probe buckets and the similarity scoring must see the SAME
+    // embedding, and a non-deterministic 1-row query plan (limit or
+    // sample over a larger frame) re-evaluated per use could yield a
+    // DIFFERENT row each time — probes computed for one embedding,
+    // similarity scored against another, a silently-empty or wrong top-k
+    val qLocal = query.sparkSession.createDataFrame(
+      java.util.Arrays.asList(qRows(0)), qSlice.schema)
+    val probes: Seq[Long] = qLocal
       .select(wideBucketExprOf(col(queryCol), dim, planes).as("__qb0"))
       .selectExpr(s"${probeSetExpr(planes, probeBits)} AS __probes")
       .head().getSeq[Long](0)
@@ -352,10 +373,15 @@ object AnnIndex {
     // match means this store answers to this geometry and its probed
     // buckets are genuinely empty. (A mixed-token store could pass the
     // sample while its foreign half hides the query's true buckets —
-    // but a mixed store is already a rebuild-worthy corruption the
-    // maintenance gate [[graft.operators.Dedup.embeddingIndexRefresh]]
-    // refuses to create, and the rows this query DID read were all
-    // verified.)
+    // and because the limit(1) sample is arbitrary, the verdict on such
+    // a store is nondeterministic run-to-run. Accepted: a mixed store
+    // is already a rebuild-worthy corruption the maintenance gate
+    // [[graft.operators.Dedup.embeddingIndexRefresh]] refuses to
+    // create, the rows this query DID read were all verified, and the
+    // deterministic alternative — the full-store aggregate — is exactly
+    // the per-query scan the r11 stress measurement evicted from this
+    // path; the empty slice is the COMMON case on a sparse geometry,
+    // not a rare escalation.)
     if (requireWideStoreSig(pruned, dim, planes, allowEmpty = true,
         what = "annTopKWideIndexed") == 0L) {
       val sample = store.select(col("emb_sig")).limit(1).collect()
@@ -367,7 +393,7 @@ object AnnIndex {
           "it")
     }
     pruned
-      .crossJoin(broadcast(query.select(col(queryCol))))
+      .crossJoin(broadcast(qLocal))
       .withColumn("similarity", vectors.cosineSim(col(embCol), col(queryCol)))
       .orderBy(desc("similarity") +: tieBreak.map(col): _*)
       .limit(k)
@@ -700,29 +726,25 @@ object AnnIndex {
     * rescanned or rewritten, which is the whole incremental story at
     * 100 TB — and because assignment is a pure per-row function of
     * (embedding, centroids), append-then-refresh equals a from-scratch
-    * rebuild exactly (asserted in ModulesSpec). Fails loudly when the
-    * store's `ivf_sig` does not match the model (a store re-fit under
-    * different centroids must be rebuilt, not appended to) or carries no
-    * token at all. The token scan is maintenance-time, one column,
-    * stats-pruned — never on the search path. */
+    * rebuild exactly (asserted in ModulesSpec). The gate is the shared
+    * [[requireStoreSig]] body every other store family verifies with
+    * (r12 — this and [[Quantize.pqRefresh]] were the two maintenance
+    * gates still on bare min/max, which SKIP nulls: a careless
+    * stamped ∪ raw union store would pass and get appended to, the
+    * exact mixed-store hole the shared gate's null-token count closes).
+    * Refuses loudly — BEFORE writing a row — a store with no `ivf_sig`
+    * token, an EMPTY store, NULL-token rows, or a token from a
+    * different routing fit (rebuild, don't append). The token scan is
+    * maintenance-time, one column, stats-pruned — never on the search
+    * path. */
   def ivfRefresh(spark: org.apache.spark.sql.SparkSession,
                  model: org.apache.spark.ml.clustering.KMeansModel,
                  storeDir: String, newBatch: DataFrame, embCol: String): Unit = {
-    val sig = ivfModelSig(model)
-    val stored = spark.read.parquet(storeDir)
-    require(stored.columns.contains("ivf_sig"),
-      s"IVF store at $storeDir carries no ivf_sig token — rebuild it with " +
-        "ivfStore before appending increments")
-    val range = stored.agg(min(col("ivf_sig")), max(col("ivf_sig"))).head()
-    // min/max over ZERO rows are NULL — an empty store must raise the same
-    // loud rebuild message, not an NPE out of getLong
-    require(!range.isNullAt(0) && !range.isNullAt(1),
-      s"IVF store at $storeDir is empty — rebuild it with ivfStore before " +
-        "appending increments")
-    require(range.getLong(0) == sig && range.getLong(1) == sig,
-      s"stale IVF store at $storeDir: ivf_sig does not match this model's " +
-        "centroids — the routing fit changed; rebuild the store instead of " +
-        "appending to it")
+    requireStoreSig(spark.read.parquet(storeDir), "ivf_sig",
+      ivfModelSig(model), allowEmpty = false,
+      what = s"ivfRefresh($storeDir)",
+      staleDesc = "IVF store — ivf_sig does not match this model's " +
+        "centroids (the routing fit changed)")
     ivfStore(model, newBatch, embCol)
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("list_id").parquet(storeDir)

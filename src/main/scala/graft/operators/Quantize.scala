@@ -387,28 +387,23 @@ object Quantize {
     * which carries the `pq_cb_sig` freshness token per row). Because
     * encoding is a pure per-row function of (embedding, codebooks),
     * append-then-refresh equals a from-scratch re-encode exactly
-    * (asserted in ModulesSpec). Fails loudly when the store was built
-    * under different codebooks (different m/nC/fit — rebuild, don't
-    * append) or carries no token at all; the token scan is
+    * (asserted in ModulesSpec). The gate is the shared
+    * [[AnnIndex.requireStoreSig]] body every other store family
+    * verifies with (r12 — bare min/max SKIP nulls, so a careless
+    * stamped ∪ raw union store would pass and get appended to; the
+    * shared gate's null-token count refuses it). Fails loudly — BEFORE
+    * writing a row — on a missing token column, an EMPTY store,
+    * NULL-token rows, or codebooks from a different fit (different
+    * m/nC/seed — rebuild, don't append); the token scan is
     * maintenance-time, one column, never on the search path. */
   def pqRefresh(spark: org.apache.spark.sql.SparkSession,
                 codebooks: Array[Array[Array[Double]]],
                 storeDir: String, newBatch: DataFrame, embCol: String): Unit = {
-    val sig = cbFingerprint(codebooks)
-    val stored = spark.read.parquet(storeDir)
-    require(stored.columns.contains("pq_cb_sig"),
-      s"PQ store at $storeDir carries no pq_cb_sig token — rebuild it with " +
-        "pqEncode before appending increments")
-    val range = stored.agg(min(col("pq_cb_sig")), max(col("pq_cb_sig"))).head()
-    // min/max over ZERO rows are NULL — an empty store must raise the same
-    // loud rebuild message, not an NPE out of getLong
-    require(!range.isNullAt(0) && !range.isNullAt(1),
-      s"PQ store at $storeDir is empty — rebuild it with pqEncode before " +
-        "appending increments")
-    require(range.getLong(0) == sig && range.getLong(1) == sig,
-      s"stale PQ store at $storeDir: pq_cb_sig does not match these " +
-        "codebooks — the fit changed; rebuild the store instead of " +
-        "appending to it")
+    AnnIndex.requireStoreSig(spark.read.parquet(storeDir), "pq_cb_sig",
+      cbFingerprint(codebooks), allowEmpty = false,
+      what = s"pqRefresh($storeDir)",
+      staleDesc = "PQ store — pq_cb_sig does not match these codebooks " +
+        "(the fit changed)")
     pqEncode(newBatch, embCol, codebooks)
       .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(storeDir)
   }

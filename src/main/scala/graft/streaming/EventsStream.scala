@@ -552,7 +552,27 @@ object EventsStream {
     * for work finer blocking avoids. `wide = false` selects the legacy
     * family and exists for the driver-gated parity legs whose batch
     * comparators pin that geometry; a NEW caller passing it should be
-    * able to say why. */
+    * able to say why.
+    *
+    * CHECKPOINT CONTRACT (r12): the state key is
+    * `(familyGeometrySig, bucket)`, not the bare bucket — the two
+    * families emit overlapping small bucket ids (the legacy census tops
+    * out at 128), so when r11 flipped the default to `wide = true` a
+    * stream restarted from a pre-flip checkpoint would have hashed new
+    * arrivals with the wide family while prior state sat under legacy
+    * bucket keys: cross-restart matches silently missed, the
+    * silent-recall-loss class this repo refuses loudly elsewhere.
+    * With the sig in the key, restarting an OLD (bare-Long-keyed)
+    * checkpoint under this version fails LOUDLY at Spark's state-store
+    * key-schema check (start a fresh checkpoint directory); restarting
+    * under a different family or (dim, planes) routes new arrivals to a
+    * disjoint keyspace — old-geometry state drains via the watermark
+    * timeout and can never silently match or blind a new-geometry
+    * arrival. A geometry change still forfeits matches against
+    * pre-change in-flight state (those embeddings were blocked under a
+    * hash that no longer exists — re-blocking state is impossible
+    * in-flight by construction); what the key buys is that the loss is
+    * a documented fresh-start, never a silent half-merged keyspace. */
   def embedNearDupStream(rows: DataFrame, idCol: String, embCol: String,
                          dim: Int, planes: Int, threshold: Double,
                          maxBucket: Int = Int.MaxValue,
@@ -566,6 +586,12 @@ object EventsStream {
     val bucketOf =
       if (wide) graft.operators.AnnIndex.wideBucketExpr(embCol, dim, planes)
       else graft.operators.AnnIndex.bucketExpr(embCol, dim, planes)
+    // the state-key geometry token (see CHECKPOINT CONTRACT above): a
+    // driver-side constant, so it costs nothing per row beyond the
+    // wider key tuple
+    val famSig =
+      if (wide) graft.operators.AnnIndex.wideStoreSig(dim, planes)
+      else graft.operators.AnnIndex.legacyStreamSig(dim, planes)
     // NULL embeddings drop at ingest, matching the batch face's null
     // discipline (null block keys pair harmlessly, the threshold drops
     // null cosines): here a null would reach the NON-NULLABLE Long/Double
@@ -582,10 +608,10 @@ object EventsStream {
     def round4(c: Double): Double =
       BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     keyed
-      .groupByKey(_._4)
+      .groupByKey(t => (famSig, t._4))
       .flatMapGroupsWithState[SatBucketState[VecEntry], CosineMatch](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (_: Long, batch: Iterator[(Timestamp, Long, Array[Double], Long, Double)],
+        (_: (Long, Long), batch: Iterator[(Timestamp, Long, Array[Double], Long, Double)],
          state: GroupState[SatBucketState[VecEntry]]) =>
           stepSatBucket[(Timestamp, Long, Array[Double], Long, Double),
               (Long, Array[Double], Double), VecEntry, CosineMatch](

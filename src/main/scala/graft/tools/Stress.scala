@@ -484,24 +484,29 @@ object Stress {
       val q = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0L)
         .select(col("embedding").cast("array<double>").as("qe"))
       if (include("ann_serve_indexed")) {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_stress_ann").toString + "/store"
-        graft.operators.Dedup.embeddingBucketIndex(corpus, "vec_id", "emb",
-            dim = 64, planes = 12)
-          .write.partitionBy("bucket").parquet(dir)
-        val store = spark.read.parquet(dir)
-        val (_, s) = time {
-          graft.operators.AnnIndex.annTopKWideIndexed(store, "emb",
-            dim = 64, planes = 12, q, "qe", k = 5, tieBreak = Seq("id"),
-            probeBits = 2).count()
-        }
-        results += "ann_serve_indexed" -> (corpusRows, s)
+        val parent = java.nio.file.Files
+          .createTempDirectory("graft_stress_ann").toString
         // a full M-duplicated corpus copy across up to 4096 bucket dirs —
-        // delete it now (the embDir discipline above) instead of leaking
-        // a graft_stress_ann* tree per stress run
-        org.apache.hadoop.fs.FileSystem
-          .get(spark.sparkContext.hadoopConfiguration)
-          .delete(new org.apache.hadoop.fs.Path(dir), true)
+        // the finally deletes the PARENT temp dir (not just the /store
+        // child, which left an empty graft_stress_ann* shell behind)
+        // even when the timed serve throws, instead of leaking the copy
+        try {
+          val dir = s"$parent/store"
+          graft.operators.Dedup.embeddingBucketIndex(corpus, "vec_id", "emb",
+              dim = 64, planes = 12)
+            .write.partitionBy("bucket").parquet(dir)
+          val store = spark.read.parquet(dir)
+          val (_, s) = time {
+            graft.operators.AnnIndex.annTopKWideIndexed(store, "emb",
+              dim = 64, planes = 12, q, "qe", k = 5, tieBreak = Seq("id"),
+              probeBits = 2).count()
+          }
+          results += "ann_serve_indexed" -> (corpusRows, s)
+        } finally {
+          org.apache.hadoop.fs.FileSystem
+            .get(spark.sparkContext.hadoopConfiguration)
+            .delete(new org.apache.hadoop.fs.Path(parent), true)
+        }
       }
       measure("ann_serve_brute", corpusRows) {
         corpus.crossJoin(broadcast(q))

@@ -1420,6 +1420,50 @@ class ModulesSpec extends AnyFunSuite {
     assert(ei.getMessage.contains("is empty"), ei.getMessage)
   }
 
+  test("mixed-token IVF and PQ stores are refused at append time") {
+    // the r12 gate unification: ivfRefresh/pqRefresh used to verify
+    // their tokens with bare min/max, which SKIP nulls — so a careless
+    // stamped ∪ raw union store (some rows written without ever passing
+    // through ivfStore/pqEncode) PASSED maintenance and got appended
+    // to, exactly the mixed-store hole requireStoreSig's null-token
+    // count closes for the other three store families. Both refreshes
+    // now route through that shared gate; this pins the refusal.
+    import graft.operators.{AnnIndex, Quantize}
+    val corpus = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val base = corpus.filter(col("vec_id") < 100)
+    val raw = corpus.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+    val batch = corpus.filter(col("vec_id") >= 120 && col("vec_id") < 140)
+    val model = AnnIndex.ivfFit(base, "emb", nLists = 4)
+    val ivfDir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_mixed").toString + "/store"
+    // the union a careless pipeline writes: stamped rows plus rows
+    // assigned but never stamped (NULL ivf_sig) — min/max alone see
+    // only the stamped half and would accept it
+    AnnIndex.ivfStore(model, base, "emb")
+      .unionByName(AnnIndex.ivfAssign(model, raw, "emb")
+        .withColumn("ivf_sig", lit(null).cast("long")))
+      .write.partitionBy("list_id").parquet(ivfDir)
+    val ei = intercept[IllegalArgumentException] {
+      AnnIndex.ivfRefresh(spark, model, ivfDir, batch, "emb")
+    }
+    assert(ei.getMessage.contains("NULL ivf_sig"), ei.getMessage)
+    assert(ei.getMessage.contains("rebuild"), ei.getMessage)
+    val cb = Quantize.pqFit(base, "emb", dim = 64, m = 8,
+      nCentroids = 16, maxIter = 2)
+    val pqDir = java.nio.file.Files
+      .createTempDirectory("graft_pq_mixed").toString + "/store"
+    Quantize.pqEncode(base, "emb", cb)
+      .unionByName(Quantize.pqEncode(raw, "emb", cb)
+        .withColumn("pq_cb_sig", lit(null).cast("long")))
+      .write.parquet(pqDir)
+    val ep = intercept[IllegalArgumentException] {
+      Quantize.pqRefresh(spark, cb, pqDir, batch, "emb")
+    }
+    assert(ep.getMessage.contains("NULL pq_cb_sig"), ep.getMessage)
+    assert(ep.getMessage.contains("rebuild"), ep.getMessage)
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     // the 100 TB co-location story: pre-bucketing both sides of a repeated
     // join key removes the per-query Exchange entirely — the planner must
