@@ -822,6 +822,76 @@ object AnnIndex {
       .drop("ivf_sig")
   }
 
+  /** [[annJoinIndexed]]'s IVF sibling — the batch serving face over a
+    * PERSISTED [[ivfStore]] build (written partitioned by `list_id`):
+    * for EVERY query row, the k most-cosine-similar store rows within
+    * that query's own `nProbe` nearest inverted lists. This closes the
+    * serving matrix the r11 verdict left open: [[ivfTopK]] /
+    * [[ivfTopKAssigned]] enforce a loud 1-row query contract, so a
+    * query TABLE against the centroid-routed layout previously meant
+    * per-query invocation — N driver round-trips for N queries — where
+    * the wide-family store already had [[annJoinIndexed]].
+    *
+    * Shape: the store is NEVER re-assigned and never shuffles — only
+    * the query side routes (one broadcast cross join against the
+    * nLists × dim centroid table, then one window keyed by query id
+    * picking each query's `nProbe` best lists by squared euclidean —
+    * the SAME (dist2, list_id) total order [[probeLists]] serves one
+    * query with, so batch and single-query probe sets can never
+    * drift), and the exploded (query, list) probe pairs BROADCAST into
+    * the list join, keeping a `list_id`-partitioned store prunable.
+    * Per-query ranking is one window keyed by query id, exactly
+    * [[annJoinIndexed]]'s shape. `nProbe = nLists` probes everything,
+    * so it equals the exact per-query brute force (ModulesSpec pins
+    * it). Null query embeddings are dropped up front (a null routes
+    * nowhere and scores nothing — the [[annJoin]] discipline).
+    *
+    * The store must carry the `ivf_sig` token ([[ivfStore]] output —
+    * this is the store-consuming face; an inline [[ivfAssign]] frame
+    * should go through [[ivfTopKAssigned]] per query instead), verified
+    * by the FULL-store [[requireStoreSig]] aggregate at call time: a
+    * batch's probed lists are data-dependent and the join scans every
+    * matched list anyway, so one single-column stats-pruned pass
+    * amortized over the whole batch is noise — the [[annJoinIndexed]]
+    * stance. */
+  def ivfJoinIndexed(queries: DataFrame, qIdCol: String, qEmbCol: String,
+                     model: org.apache.spark.ml.clustering.KMeansModel,
+                     store: DataFrame, idCol: String, embCol: String,
+                     k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    requireStoreSig(store, "ivf_sig", ivfModelSig(model), allowEmpty = true,
+      what = "ivfJoinIndexed",
+      staleDesc = "IVF store — ivf_sig does not match this model's " +
+        "centroids (the routing fit changed)")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("list_id", "centroid")
+    val q = queries.filter(col(qEmbCol).isNotNull)
+      .select(col(qIdCol).as("query_id"),
+        col(qEmbCol).cast("array<double>").as("__qe"))
+    val routeW = Window.partitionBy("query_id")
+      .orderBy(col("dist2"), col("list_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("dist2",
+        vectors.dot(col("__qe"), col("__qe"))
+          - lit(2.0) * vectors.dot(col("__qe"), col("centroid"))
+          + vectors.dot(col("centroid"), col("centroid")))
+      .withColumn("__r", row_number().over(routeW))
+      .filter(col("__r") <= nProbe)
+      .select(col("query_id"), col("__qe"), col("list_id"))
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(desc("similarity"), col(idCol))
+    store
+      .join(broadcast(probes), Seq("list_id"))
+      .withColumn("similarity", vectors.cosineSim(col(embCol), col("__qe")))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("similarity"), col("rank"))
+  }
+
   /** IVF dial sweep — [[Dedup]]'s LSH-tuning pattern applied to ANN
     * serving: for each `nProbe`, the candidate volume a probe scans
     * (rows in the probed lists — the partition-pruned read at 100 TB)

@@ -1420,6 +1420,60 @@ class ModulesSpec extends AnyFunSuite {
     assert(ei.getMessage.contains("is empty"), ei.getMessage)
   }
 
+  test("ivfJoinIndexed: probe-all equals per-query brute force; loud store refusals") {
+    // the batch serving face over the persisted IVF layout
+    // (annJoinIndexed's sibling): nProbe = nLists probes every list, so
+    // the routed result must equal the exact per-query cosine top-k —
+    // the same theorem ivfTopK's spec pins for one query, here for a
+    // query TABLE in one plan. Null query embeddings drop up front;
+    // a stale store (different routing fit) is refused loudly.
+    import graft.operators.AnnIndex
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val corpus = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val queries = corpus.filter(col("vec_id") < 10)
+      .unionByName(Seq((999999L, null.asInstanceOf[Array[Double]]))
+        .toDF("vec_id", "emb"))
+    val rest = corpus.filter(col("vec_id") >= 10)
+    val model = AnnIndex.ivfFit(rest, "emb", nLists = 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfjoin").toString + "/store"
+    AnnIndex.ivfStore(model, rest, "emb")
+      .write.partitionBy("list_id").parquet(dir)
+    val store = spark.read.parquet(dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got = rows(AnnIndex.ivfJoinIndexed(queries, "vec_id", "emb",
+      model, store, "vec_id", "emb", k = 3, nProbe = 8))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("sim"), col("neighbor_id"))
+    val brute = rows(rest
+      .select(col("vec_id").as("neighbor_id"), col("emb").as("ce"))
+      .crossJoin(broadcast(queries.filter(col("emb").isNotNull)
+        .select(col("vec_id").as("query_id"), col("emb").as("qe"))))
+      .withColumn("sim", graft.functions.vectors.cosineSim(col("ce"), col("qe")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3))
+    assert(got == brute,
+      s"probe-all ivfJoinIndexed diverged from brute force: " +
+        s"missing=${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
+    // the null-embedding query routed nowhere and scored nothing
+    assert(!got.exists(_._1 == 999999L),
+      "null query embedding produced neighbors")
+    // 10 real queries × k rows each — probe-all can never under-fill
+    assert(got.size == 30, s"expected 10×3 rows, got ${got.size}")
+    // a store from a different routing fit is refused loudly, BEFORE
+    // any join is planned
+    val refit = AnnIndex.ivfFit(rest, "emb", nLists = 8, seed = 99L)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.ivfJoinIndexed(queries, "vec_id", "emb",
+        refit, store, "vec_id", "emb", k = 3, nProbe = 8)
+    }
+    assert(e.getMessage.contains("stale IVF store"), e.getMessage)
+  }
+
   test("mixed-token IVF and PQ stores are refused at append time") {
     // the r12 gate unification: ivfRefresh/pqRefresh used to verify
     // their tokens with bare min/max, which SKIP nulls — so a careless

@@ -405,6 +405,28 @@ class PlanGuardSpec extends AnyFunSuite {
     }, "q_knn_join_indexed: probe join is not a broadcast")
   }
 
+  test("round-12 queries keep their scale-critical plan shapes") {
+    import org.apache.spark.sql.execution.joins._
+    // batch serving from the persisted IVF store: the exploded
+    // (query, list) probe pairs BROADCAST against the store — the store
+    // side must never move through a shuffle (queries replicate; the
+    // corpus stays in place on its list_id partitioning, which is what
+    // makes the centroid-routed layout consumable at 100 TB). The
+    // per-query rank window shuffles only the already-probed candidate
+    // page, keyed by query id — not the store.
+    val ivfj = plans("q_ivf_join_indexed")
+    val ivfjShuffled = ivfj.filter { p =>
+      p.isInstanceOf[SortMergeJoinExec] || p.isInstanceOf[ShuffledHashJoinExec]
+    }
+    assert(ivfjShuffled.isEmpty,
+      s"q_ivf_join_indexed: store moved through a shuffled join:\n" +
+        ivfjShuffled.mkString("\n"))
+    assert(ivfj.exists {
+      case _: BroadcastHashJoinExec => true
+      case _ => false
+    }, "q_ivf_join_indexed: probe join is not a broadcast")
+  }
+
   test("minhash salvage tier keeps its scale-critical plan shapes") {
     // q_dedup_lsh_recall also collects eagerly, so the tier is pinned at
     // the OPERATOR level: the two key gates (oversized buckets, rep-
