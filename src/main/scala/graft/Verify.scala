@@ -71,6 +71,18 @@ object Verify {
         failures("ingest_lifecycle_hamming") =
           Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
       }
+      // the third modality (r12): band-candidate increments through the
+      // token-gated minhashIndexRefresh, band_idx-layout compaction made
+      // load-bearing by a mine-parity probe, and the verified salvage
+      // tier folded by clustersIncremental — closing the lifecycle
+      // matrix (embedding buckets / hamming chunks / minhash bands)
+      try ingestLifecycleSmokeMinhash(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(
+          s"[verify] ingest_lifecycle_minhash failed: ${e.getMessage}")
+        failures("ingest_lifecycle_minhash") =
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -939,5 +951,176 @@ object Verify {
       s"sweep == one-shot capped+salvaged verdict over ${want.size} rows " +
       s"(flood of ${floodIds.size} fragmented ${preSalvage}-way under the " +
       "cap alone, single cluster after the sweep)")
+  }
+
+  /** [[ingestLifecycleSmoke]] on the MINHASH face — the third and last
+    * index modality through the two-cadence composition: persisted
+    * [[graft.operators.Dedup.minhashBandIndex]] store → 3 capped
+    * [[graft.operators.Dedup.minhashIncrementalPairs]] batches appended
+    * through the token-gated
+    * [[graft.operators.Dedup.minhashIndexRefresh]] → `band_idx`-layout
+    * compaction (never exercised over this layout before r12) →
+    * audit-cadence [[graft.operators.Dedup.minhashSalvageVerifiedPairs]]
+    * sweep → [[graft.operators.Dedup.clustersIncremental]], asserted
+    * EQUAL to the one-shot verdict. Two face-specific differences from
+    * the embedding/hamming gates, both semantic, not accidental:
+    *
+    *  - the tiers compose at the CANDIDATE level: the incremental mine
+    *    emits unverified band candidates (its contract — verification is
+    *    the caller's threshold), so the one-shot comparator is capped
+    *    [[graft.operators.Dedup.minhashLshPairs]] candidates ∪ the
+    *    verified salvage tier, the same union the fold consumes. The
+    *    salvage input (the full corpus's signature table) is shared by
+    *    both sides — the equality content is the candidate fold theorem;
+    *  - the band store carries keys, not payloads, so salvage cannot
+    *    read it — instead compaction is made load-bearing by a PARITY
+    *    PROBE: a fresh mini-batch mined against the original store and
+    *    against the compacted store must yield identical pairs (this is
+    *    what drives [[graft.sources.Maintenance.compactPartitionedTo]]
+    *    over a `band_idx` layout end-to-end, token and band keys
+    *    surviving the rewrite).
+    *
+    * Fixture: real document texts; the planted flood is 40 rows of one
+    * IDENTICAL synthetic text (all `bands` of its band buckets over the
+    * cap from day one), each batch plants 3 EXACT copies of a fresh real
+    * anchor's text (identical signature → shares every band with the
+    * anchor → provably mines ≥ 3 candidates), and batch 2 carries a
+    * null-text row that must ride through as a singleton (null shingles
+    * never band). Same equality precondition, self-checked over the
+    * store's own (band_idx, band_key) censuses. */
+  private def ingestLifecycleSmokeMinhash(spark: SparkSession,
+                                          sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.DataFrame
+    import graft.operators.Dedup
+    import spark.implicits._
+    val (k, bands, shingleN, thr, cap, maxReps) = (16, 4, 3, 0.8, 32, 16)
+    val base = graft.core.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id").as("id"), col("text"))
+    val floodText = "graft minhash lifecycle flood sentinel: the same " +
+      "viral boilerplate paragraph re-posted verbatim thousands of times " +
+      "is exactly the mega-bucket mass the cap exists to bound"
+    def floodRows(idBase: Long, n: Int): DataFrame =
+      (0 until n).map(i => (idBase + i, floodText)).toDF("id", "text")
+    val anchorTexts = base.filter(col("id").isin(3L, 4L, 5L))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    require(anchorTexts.size == 3 &&
+        anchorTexts.values.forall(t => t != null && t.length > 20),
+      "documents fixture lost the anchor texts (doc_id 3-5)")
+    val initial = base.unionByName(floodRows(500000L, 40))
+    val batches = (1 to 3).map { b =>
+      val comm = (0 until 3).map(i =>
+        (600000L + b * 1000L + i, anchorTexts(Seq(3L, 4L, 5L)(b - 1))))
+        .toDF("id", "text")
+      val rows = comm.unionByName(floodRows(510000L + b * 1000L, 3))
+      if (b == 2)
+        rows.unionByName(Seq((700000L, null.asInstanceOf[String]))
+          .toDF("id", "text"))
+      else rows
+    }
+    val baseDir = Files.createTempDirectory("graft_ingest_mh").toString
+    val dir = s"$baseDir/store"
+    Dedup.minhashBandIndex(initial, "id", "text", k, bands, shingleN)
+      .write.partitionBy("band_idx").parquet(dir)
+    def overCapSet(store: DataFrame): Set[String] = store
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > cap)
+      .collect()
+      .map(r => s"${String.valueOf(r.get(0))}:${String.valueOf(r.get(1))}")
+      .toSet
+    val overInitial = overCapSet(spark.read.parquet(dir))
+    require(overInitial.size >= bands,
+      s"planted flood band buckets not over the cap: $overInitial")
+    var labels = Dedup.clusters(initial.select(col("id")), "id",
+      Dedup.minhashLshPairs(initial, "id", "text", k, bands, shingleN,
+        maxBucket = cap)).localCheckpoint()
+    var ids = initial.select(col("id"))
+    val mined = scala.collection.mutable.ListBuffer.empty[Long]
+    for (batch <- batches) {
+      // materialize the increment BEFORE the append: the mine is lazy,
+      // and re-evaluating it against the already-appended store would
+      // silently mine the batch against itself
+      val inc = Dedup.minhashIncrementalPairs(batch,
+        spark.read.parquet(dir), "id", "text", k, bands, shingleN,
+        maxBucket = cap).localCheckpoint()
+      mined += inc.count()
+      Dedup.minhashIndexRefresh(spark, dir, batch, "id", "text",
+        k, bands, shingleN)
+      ids = ids.unionByName(batch.select(col("id")))
+      labels = Dedup.clustersIncremental(ids, "id", labels, inc)
+        .localCheckpoint()
+    }
+    require(mined.forall(_ >= 3L),
+      s"a minhash ingest batch mined ${mined.mkString(",")} candidate " +
+        "pairs — the planted community went vacuous")
+    val floodIds = ((0 until 40).map(500000L + _) ++
+      (1 to 3).flatMap(b => (0 until 3).map(510000L + b * 1000L + _))).toSet
+    val preSalvage = labels.filter(col("id").isin(floodIds.toSeq: _*))
+      .select(col("cluster")).distinct().count()
+    require(preSalvage > 1,
+      "minhash flood already connected before salvage — the cap stopped " +
+        "engaging")
+    val dir2 = s"$baseDir/store_compacted"
+    graft.sources.Maintenance.compactPartitionedTo(spark, dir, dir2,
+      Seq("band_idx"))
+    require(parquetFiles(dir2) < parquetFiles(dir),
+      s"band compaction did not shrink the file count: " +
+        s"${parquetFiles(dir)} -> ${parquetFiles(dir2)}")
+    val full = spark.read.parquet(dir2)
+    val overFinal = overCapSet(full)
+    require(overInitial == overFinal,
+      s"a band bucket crossed the cap mid-run ($overInitial vs " +
+        s"$overFinal) — the equality precondition broke; re-pin the fixture")
+    // compaction parity probe: the same fresh mini-batch mined against
+    // the original and the compacted store must find identical pairs —
+    // band keys, the band_sig token, and partition pruning all survived
+    // the rewrite, proven by USE rather than by schema inspection
+    val probe = Seq((800000L, anchorTexts(3L)), (800001L, anchorTexts(3L)),
+      (800002L, floodText)).toDF("id", "text")
+    def mineProbe(store: DataFrame): Set[(Long, Long, Long)] =
+      Dedup.minhashIncrementalPairs(probe, store, "id", "text",
+          k, bands, shingleN, maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaOriginal = mineProbe(spark.read.parquet(dir))
+    val viaCompacted = mineProbe(full)
+    require(viaOriginal.nonEmpty,
+      "compaction parity probe mined nothing — the probe fixture went " +
+        "vacuous")
+    require(viaOriginal == viaCompacted,
+      s"mining against the compacted band store diverged from the " +
+        s"original: missing=${(viaOriginal -- viaCompacted).take(3)} " +
+        s"extra=${(viaCompacted -- viaOriginal).take(3)}")
+    val all = batches.foldLeft(initial)(_ unionByName _)
+    val sigs = Dedup.minhashSignatures(all, "id", "text", k, shingleN)
+      .localCheckpoint()
+    val salvage = Dedup.minhashSalvageVerifiedPairs(sigs, k, bands,
+      thr, cap, maxReps)
+    val got = Dedup.clustersIncremental(ids, "id", labels, salvage)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Dedup.clusters(all.select(col("id")), "id",
+        Dedup.minhashLshPairs(all, "id", "text", k, bands, shingleN,
+            maxBucket = cap)
+          .select(col("a_id"), col("b_id"))
+          .unionByName(salvage.select(col("a_id"), col("b_id"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    require(got == want,
+      s"minhash ingest lifecycle diverged from the one-shot run: " +
+        s"${got.size} vs ${want.size} rows; " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    val floodRowsGot = got.filter(t => floodIds(t._1))
+    require(floodRowsGot.size == floodIds.size &&
+        floodRowsGot.map(_._2).size == 1,
+      "minhash salvage did not reconnect the cap-dropped flood")
+    require(got.exists(t => t._1 == 700000L && t._3 == 1L),
+      "null-text row did not survive as a singleton")
+    println(s"[verify] ingest_lifecycle_minhash OK: ${batches.size} capped " +
+      s"increments (${mined.mkString("/")} candidates) + band_idx " +
+      s"compaction (${parquetFiles(dir)} -> ${parquetFiles(dir2)} files, " +
+      s"probe parity ${viaOriginal.size} pairs) + salvage sweep == " +
+      s"one-shot capped+salvaged verdict over ${want.size} rows (flood " +
+      s"of ${floodIds.size} fragmented ${preSalvage}-way under the cap " +
+      "alone, single cluster after the sweep)")
   }
 }
