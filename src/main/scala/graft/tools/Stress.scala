@@ -67,7 +67,7 @@ object Stress {
       "hamming_capped_megabucket", "hamming_salvaged_megabucket",
       "hamming_index_build", "hamming_incremental_batch",
       "embed_index_build", "embed_incremental_batch",
-      "ann_serve_indexed", "ann_serve_brute")
+      "ann_serve_indexed", "ann_serve_compacted", "ann_serve_brute")
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
@@ -483,7 +483,7 @@ object Stress {
       val corpusRows = corpus.count()
       val q = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0L)
         .select(col("embedding").cast("array<double>").as("qe"))
-      if (include("ann_serve_indexed")) {
+      if (include("ann_serve_indexed") || include("ann_serve_compacted")) {
         val parent = java.nio.file.Files
           .createTempDirectory("graft_stress_ann").toString
         // a full M-duplicated corpus copy across up to 4096 bucket dirs —
@@ -495,13 +495,36 @@ object Stress {
           graft.operators.Dedup.embeddingBucketIndex(corpus, "vec_id", "emb",
               dim = 64, planes = 12)
             .write.partitionBy("bucket").parquet(dir)
-          val store = spark.read.parquet(dir)
-          val (_, s) = time {
-            graft.operators.AnnIndex.annTopKWideIndexed(store, "emb",
-              dim = 64, planes = 12, q, "qe", k = 5, tieBreak = Seq("id"),
-              probeBits = 2).count()
+          def files(d: String): Long = {
+            val it = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+            try it.filter(p => p.toString.endsWith(".parquet")).count()
+            finally it.close()
           }
-          results += "ann_serve_indexed" -> (corpusRows, s)
+          def serve(d: String): Double = {
+            val store = spark.read.parquet(d)
+            val (_, s) = time {
+              graft.operators.AnnIndex.annTopKWideIndexed(store, "emb",
+                dim = 64, planes = 12, q, "qe", k = 5, tieBreak = Seq("id"),
+                probeBits = 2).count()
+            }
+            s
+          }
+          if (include("ann_serve_indexed"))
+            results += "ann_serve_indexed" -> (corpusRows, serve(dir))
+          // the SAME serve against the compacted layout (one file per
+          // occupied bucket at these sizes): the raw row above reads a
+          // fresh multi-file-per-bucket write, so its flat floor mixes
+          // the 4096-dir listing with genuinely more files to open —
+          // this pair isolates what audit-cadence compaction buys the
+          // partition-pruned read fraction, which is the 100 TB claim
+          if (include("ann_serve_compacted")) {
+            val dir2 = s"$parent/store_compacted"
+            graft.sources.Maintenance.compactPartitionedTo(spark, dir, dir2,
+              Seq("bucket"))
+            System.err.println(s"[stress] ann store files: raw=${files(dir)} " +
+              s"compacted=${files(dir2)}")
+            results += "ann_serve_compacted" -> (corpusRows, serve(dir2))
+          }
         } finally {
           org.apache.hadoop.fs.FileSystem
             .get(spark.sparkContext.hadoopConfiguration)
