@@ -369,7 +369,7 @@ object Dedup {
 
   /** The band-geometry token stamped by [[minhashBandIndex]] and
     * verified by [[minhashIncrementalPairs]] / [[minhashIndexRefresh]]. */
-  private def bandSig(k: Int, bands: Int, shingleN: Int): Long =
+  private[graft] def bandSig(k: Int, bands: Int, shingleN: Int): Long =
     k.toLong * 1000000L + bands.toLong * 1000L + shingleN
 
   /** Incremental near-dup mining: candidate pairs INVOLVING a new batch —
@@ -715,7 +715,7 @@ object Dedup {
 
   /** The chunk-geometry token stamped by [[hammingChunkIndex]] and
     * verified by [[hammingIncrementalPairs]]. */
-  private def chunkSig(bits: Int, chunks: Int): Long =
+  private[graft] def chunkSig(bits: Int, chunks: Int): Long =
     bits.toLong * 100000L + chunks
 
   /** Low-`w`-bits mask, safe at w=64 where `(1L << 64) - 1` silently

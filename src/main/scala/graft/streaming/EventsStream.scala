@@ -345,7 +345,19 @@ object EventsStream {
     * member emits its verified match against the reps — O(1) per
     * arrival, bounded state, connectivity kept through the flood even
     * when a non-matching outlier shares the bucket (it occupies its own
-    * rep slot instead of blinding the flood's). */
+    * rep slot instead of blinding the flood's).
+    *
+    * CHECKPOINT CONTRACT (r12, the [[embedNearDupStream]] discipline
+    * applied to every near-dup face): the state key leads with the
+    * chunk-geometry token (`Dedup.chunkSig(bits, chunks)`), because two
+    * geometries emit overlapping (chunk_idx, chunk_val) keys — a config
+    * change across a checkpoint restart would otherwise half-merge the
+    * keyspaces silently. Restarting a pre-r12 checkpoint fails loudly
+    * at Spark's state key-schema check (start a fresh checkpoint
+    * directory); restarting under a changed (bits, chunks) routes new
+    * arrivals to a disjoint keyspace while old-geometry state drains
+    * via the watermark timeout — a documented fresh-start, never a
+    * silent half-merge. */
   def nearDupStream(rows: DataFrame, idCol: String, fpCol: String,
                     bits: Int, chunks: Int, maxHamming: Int,
                     maxBucket: Int = Int.MaxValue,
@@ -377,11 +389,14 @@ object EventsStream {
       .select(col("ts"), col("id"), col("fp"),
         col("c.chunk_idx").as("chunk_idx"), col("c.chunk_val").as("chunk_val"))
       .as[(Timestamp, Long, Long, Int, Long)]
+    // driver-side constant geometry token in the key — see the
+    // CHECKPOINT CONTRACT above
+    val geoSig = graft.operators.Dedup.chunkSig(bits, chunks)
     chunked
-      .groupByKey(r => (r._4, r._5))
+      .groupByKey(r => (geoSig, r._4, r._5))
       .flatMapGroupsWithState[SatBucketState[BucketEntry], HammingMatch](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (_: (Int, Long), batch: Iterator[(Timestamp, Long, Long, Int, Long)],
+        (_: (Long, Int, Long), batch: Iterator[(Timestamp, Long, Long, Int, Long)],
          state: GroupState[SatBucketState[BucketEntry]]) =>
           stepSatBucket[(Timestamp, Long, Long, Int, Long), (Long, Long),
               BucketEntry, HammingMatch](
@@ -449,7 +464,16 @@ object EventsStream {
     * emitting, unlike the hamming face where a planted outlier can
     * co-occupy every shared chunk bucket (the ModulesSpec poisoning
     * fixture) and the embedding face's single sign-LSH bucket (the
-    * Verify smoke's planted outlier). */
+    * Verify smoke's planted outlier).
+    *
+    * CHECKPOINT CONTRACT (r12): the state key leads with the band-
+    * geometry token (`Dedup.bandSig(k, bands, shingleN)`) — band-key
+    * strings from different (k, bands) geometries can collide, so a
+    * config change across a checkpoint restart would otherwise
+    * half-merge the keyspaces silently. Same consequences as
+    * [[nearDupStream]]: pre-r12 checkpoints fail loudly at the
+    * key-schema check; a geometry change is a documented fresh-start
+    * (old state drains via watermark), never a silent half-merge. */
   def lshNearDupStream(rows: DataFrame, idCol: String, textCol: String,
                        k: Int, bands: Int, shingleN: Int, threshold: Double,
                        maxBucket: Int = Int.MaxValue,
@@ -475,11 +499,14 @@ object EventsStream {
       .select(col("ts"), col("id"), col("hs"),
         col("b.band_idx").as("band_idx"), col("b.band_key").as("band_key"))
       .as[(Timestamp, Long, Array[Long], Int, String)]
+    // driver-side constant geometry token in the key — see the
+    // CHECKPOINT CONTRACT above
+    val geoSig = graft.operators.Dedup.bandSig(k, bands, shingleN)
     banded
-      .groupByKey(x => (x._4, x._5))
+      .groupByKey(x => (geoSig, x._4, x._5))
       .flatMapGroupsWithState[SatBucketState[SigEntry], JaccardMatch](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (_: (Int, String), batch: Iterator[(Timestamp, Long, Array[Long], Int, String)],
+        (_: (Long, Int, String), batch: Iterator[(Timestamp, Long, Array[Long], Int, String)],
          state: GroupState[SatBucketState[SigEntry]]) =>
           stepSatBucket[(Timestamp, Long, Array[Long], Int, String),
               (Long, Set[Long]), SigEntry, JaccardMatch](
