@@ -122,11 +122,17 @@ object Verify {
   /** Bounded streaming run + parity assert (see call site). Throws on any
     * divergence; the caller records it as a gate failure. */
   private def streamingSmoke(spark: SparkSession, sfDir: String): Unit = {
+    val tmp = Files.createTempDirectory("graft_stream_smoke")
+    try streamingSmokeIn(spark, sfDir, tmp)
+    finally deleteTree(spark, tmp.toString)
+  }
+
+  private def streamingSmokeIn(spark: SparkSession, sfDir: String,
+                               tmp: java.nio.file.Path): Unit = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.Trigger
     import graft.functions.{text, SparkDialect => S}
     val events = graft.core.Tables.events(spark, sfDir)
-    val tmp = Files.createTempDirectory("graft_stream_smoke")
     val inDir = tmp.resolve("in").toString
     events.write.mode("overwrite").parquet(inDir)
     val stream = spark.readStream.schema(events.schema).parquet(inDir)
@@ -701,6 +707,13 @@ object Verify {
     * own censuses and fails loudly on fixture drift instead of going
     * flaky. Throws on any divergence; the caller records a gate failure. */
   private def ingestLifecycleSmoke(spark: SparkSession, sfDir: String): Unit = {
+    val base = Files.createTempDirectory("graft_ingest").toString
+    try ingestLifecycleSmokeIn(spark, sfDir, base)
+    finally deleteTree(spark, base)
+  }
+
+  private def ingestLifecycleSmokeIn(spark: SparkSession, sfDir: String,
+                                     base: String): Unit = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.DataFrame
     import graft.operators.{AnnIndex, Dedup}
@@ -740,7 +753,6 @@ object Verify {
         rows.unionByName(Seq((700000L, null: Array[Double])).toDF("id", "emb"))
       else rows
     }
-    val base = Files.createTempDirectory("graft_ingest").toString
     val dir = s"$base/store"
     Dedup.embeddingBucketIndex(initial, "id", "emb", dim, planes)
       .write.partitionBy("bucket").parquet(dir)
@@ -824,11 +836,19 @@ object Verify {
       "cap alone, single cluster after the sweep)")
   }
 
-  private def parquetFiles(d: String): Long = {
-    val it = Files.walk(Paths.get(d))
-    try it.filter(p => p.toString.endsWith(".parquet")).count()
-    finally it.close()
-  }
+  /** Recursive delete of a gate's temp workspace — the Stress
+    * ann_serve discipline applied to the Verify smokes: each run writes
+    * a full index store (plus its compacted copy), and a long-lived
+    * container running the gate recipe repeatedly would otherwise
+    * accumulate one duplicated tree per run in /tmp. Runs in a finally,
+    * so a failed gate cleans up too. */
+  private def deleteTree(spark: SparkSession, dir: String): Unit =
+    org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
+
+  private def parquetFiles(d: String): Long =
+    graft.sources.Maintenance.parquetFileCount(d)
 
   /** [[ingestLifecycleSmoke]] on the HAMMING face: persisted
     * [[graft.operators.Dedup.hammingChunkIndex]] store → 3 capped
@@ -848,6 +868,14 @@ object Verify {
     * censuses. */
   private def ingestLifecycleSmokeHamming(spark: SparkSession,
                                           sfDir: String): Unit = {
+    val baseDir = Files.createTempDirectory("graft_ingest_ham").toString
+    try ingestLifecycleSmokeHammingIn(spark, sfDir, baseDir)
+    finally deleteTree(spark, baseDir)
+  }
+
+  private def ingestLifecycleSmokeHammingIn(spark: SparkSession,
+                                            sfDir: String,
+                                            baseDir: String): Unit = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.DataFrame
     import graft.operators.Dedup
@@ -878,7 +906,6 @@ object Verify {
           .toDF("id", "fp"))
       else rows
     }
-    val baseDir = Files.createTempDirectory("graft_ingest_ham").toString
     val dir = s"$baseDir/store"
     Dedup.hammingChunkIndex(initial, "id", "fp", bits, chunks)
       .write.partitionBy("chunk_idx").parquet(dir)
@@ -990,6 +1017,14 @@ object Verify {
     * store's own (band_idx, band_key) censuses. */
   private def ingestLifecycleSmokeMinhash(spark: SparkSession,
                                           sfDir: String): Unit = {
+    val baseDir = Files.createTempDirectory("graft_ingest_mh").toString
+    try ingestLifecycleSmokeMinhashIn(spark, sfDir, baseDir)
+    finally deleteTree(spark, baseDir)
+  }
+
+  private def ingestLifecycleSmokeMinhashIn(spark: SparkSession,
+                                            sfDir: String,
+                                            baseDir: String): Unit = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.DataFrame
     import graft.operators.Dedup
@@ -1020,7 +1055,6 @@ object Verify {
           .toDF("id", "text"))
       else rows
     }
-    val baseDir = Files.createTempDirectory("graft_ingest_mh").toString
     val dir = s"$baseDir/store"
     Dedup.minhashBandIndex(initial, "id", "text", k, bands, shingleN)
       .write.partitionBy("band_idx").parquet(dir)

@@ -280,6 +280,32 @@ object AnnIndex {
     r.getLong(0)
   }
 
+  /** The batch serving faces' loud query-table contract
+    * ([[annJoinIndexed]], [[ivfJoinIndexed]]): query ids must be
+    * NON-NULL and UNIQUE, because per-query ranking is one window keyed
+    * by query id — two rows sharing an id (an upstream join fan-out, a
+    * re-used key) or a null id group would have their candidate pages
+    * silently MERGED into one blended top-k capped at k: plausible
+    * neighbors belonging to neither query, no error — the same
+    * silent-blend class the 1-row faces ([[annTopKWideIndexed]],
+    * [[annTuning]], [[ivfTopK]]) refuse loudly. One tiny eager
+    * aggregate over the query side, which these faces broadcast anyway
+    * (the accepted construction-time-job pattern). Call AFTER the
+    * null-embedding filter: a dropped row's id never reaches a window. */
+  private def requireUniqueQueryIds(q: DataFrame, idCol: String,
+                                    what: String): Unit = {
+    val r = q.agg(count(lit(1)), count(col(idCol)),
+      countDistinct(col(idCol))).head()
+    require(r.getLong(1) == r.getLong(0),
+      s"$what: the query table carries NULL $idCol ids — the per-query " +
+        "window would merge every null-id query's candidates into one " +
+        "blended top-k; key the query table first")
+    require(r.getLong(2) == r.getLong(0),
+      s"$what: duplicate $idCol ids in the query table — the per-query " +
+        "window would merge their candidate pages into one blended " +
+        "top-k capped at k; deduplicate or re-key the query table")
+  }
+
   /** [[requireStoreSig]] bound to the wide-family `emb_sig` token. */
   private[operators] def requireWideStoreSig(store: DataFrame,
                                              dim: Int, planes: Int,
@@ -566,6 +592,7 @@ object AnnIndex {
     val q0 = queries.filter(col(qEmbCol).isNotNull)
       .select(col(qIdCol).as("query_id"), col(qEmbCol).as("__qe"),
         wideBucketExprOf(col(qEmbCol), dim, planes).as("__qb0"))
+    requireUniqueQueryIds(q0, "query_id", "annJoinIndexed")
     val q =
       if (probeBits == 0) q0.withColumn("__qb", col("__qb0")).drop("__qb0")
       else q0.withColumn("__qb",
@@ -777,19 +804,37 @@ object AnnIndex {
     * TakeOrderedAndProject. Deterministic total order (dist2, list_id),
     * so probe sets are NESTED prefixes across nProbe values — the
     * property [[ivfTuning]]'s monotonicity checks rest on. */
+  /** The nLists × dim centroid table as a broadcastable frame — shared
+    * by [[probeLists]] and [[ivfJoinIndexed]] so the routing geometry
+    * lives exactly once (the [[probeSetExpr]]/[[probeSetSqlDuck]]
+    * adjacent-bodies discipline: a routing change edits one builder,
+    * not N inlined copies that silently drift apart). */
+  private def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+                            model: org.apache.spark.ml.clustering.KMeansModel)
+      : DataFrame = {
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("list_id", "centroid")
+  }
+
+  /** Squared euclidean query→centroid distance via the staged-dot
+    * identity — the ONE routing score both the single-query
+    * [[probeLists]] and the batch [[ivfJoinIndexed]] rank by (always
+    * tie-broken by `list_id`, so probe sets are nested deterministic
+    * prefixes on both faces and batch serving can never drift from the
+    * single-query routing or the [[ivfTuning]] measurement). */
+  private def routeDist2(qe: Column, centroid: Column): Column =
+    vectors.dot(qe, qe) - lit(2.0) * vectors.dot(qe, centroid) +
+      vectors.dot(centroid, centroid)
+
   private def probeLists(model: org.apache.spark.ml.clustering.KMeansModel,
                          query: DataFrame, queryCol: String,
                          nProbe: Int): DataFrame = {
     val spark = query.sparkSession
-    import spark.implicits._
-    val cents = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq.toDF("list_id", "centroid")
     query.select(col(queryCol).cast("array<double>").as("__q"))
-      .crossJoin(broadcast(cents))
-      .withColumn("dist2",
-        vectors.dot(col("__q"), col("__q"))
-          - lit(2.0) * vectors.dot(col("__q"), col("centroid"))
-          + vectors.dot(col("centroid"), col("centroid")))
+      .crossJoin(broadcast(centroidFrame(spark, model)))
+      .withColumn("dist2", routeDist2(col("__q"), col("centroid")))
       .orderBy(col("dist2"), col("list_id"))
       .limit(nProbe)
       .select(col("list_id"))
@@ -863,21 +908,14 @@ object AnnIndex {
       what = "ivfJoinIndexed",
       staleDesc = "IVF store — ivf_sig does not match this model's " +
         "centroids (the routing fit changed)")
-    val spark = queries.sparkSession
-    import spark.implicits._
-    val cents = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
-      .toDF("list_id", "centroid")
     val q = queries.filter(col(qEmbCol).isNotNull)
       .select(col(qIdCol).as("query_id"),
         col(qEmbCol).cast("array<double>").as("__qe"))
+    requireUniqueQueryIds(q, "query_id", "ivfJoinIndexed")
     val routeW = Window.partitionBy("query_id")
       .orderBy(col("dist2"), col("list_id"))
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("dist2",
-        vectors.dot(col("__qe"), col("__qe"))
-          - lit(2.0) * vectors.dot(col("__qe"), col("centroid"))
-          + vectors.dot(col("centroid"), col("centroid")))
+    val probes = q.crossJoin(broadcast(centroidFrame(queries.sparkSession, model)))
+      .withColumn("dist2", routeDist2(col("__qe"), col("centroid")))
       .withColumn("__r", row_number().over(routeW))
       .filter(col("__r") <= nProbe)
       .select(col("query_id"), col("__qe"), col("list_id"))

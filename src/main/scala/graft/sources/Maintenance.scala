@@ -11,6 +11,19 @@ import org.apache.spark.sql.functions._
   */
 object Maintenance {
 
+  /** Parquet data-file count under a directory tree — the shared
+    * measurement next to the compaction jobs whose effect it observes
+    * (the Verify lifecycle gates assert it shrank; the Stress serve
+    * pair reports it). ONE body: a change to the counting rule (e.g.
+    * excluding in-flight `_temporary` output, or a non-local FS walk)
+    * lands everywhere at once instead of letting the gate and the bench
+    * silently count differently. */
+  def parquetFileCount(dir: String): Long = {
+    val it = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try it.filter(p => p.toString.endsWith(".parquet")).count()
+    finally it.close()
+  }
+
   /** Small-file compaction: rewrite `srcDir` into `dstDir` with file count
     * sized from the actual input bytes (ceil(bytes / targetFileBytes)).
     * Streaming sinks and fine-grained ingest leave thousands of KB-sized

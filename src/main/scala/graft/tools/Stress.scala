@@ -495,11 +495,8 @@ object Stress {
           graft.operators.Dedup.embeddingBucketIndex(corpus, "vec_id", "emb",
               dim = 64, planes = 12)
             .write.partitionBy("bucket").parquet(dir)
-          def files(d: String): Long = {
-            val it = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
-            try it.filter(p => p.toString.endsWith(".parquet")).count()
-            finally it.close()
-          }
+          def files(d: String): Long =
+            graft.sources.Maintenance.parquetFileCount(d)
           def serve(d: String): Double = {
             val store = spark.read.parquet(d)
             val (_, s) = time {

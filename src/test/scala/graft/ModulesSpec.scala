@@ -37,11 +37,8 @@ class ModulesSpec extends AnyFunSuite {
     here ++ kids.flatMap(fileScans)
   }
 
-  private def parquetFiles(d: String): Long = {
-    val it = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
-    try it.filter(p => p.toString.endsWith(".parquet")).count()
-    finally it.close()
-  }
+  private def parquetFiles(d: String): Long =
+    graft.sources.Maintenance.parquetFileCount(d)
 
   val refCsv =
     "/root/reference/backend/datasets/Behavioral_Health_Services_San_Diego_County_1657686067853346365.csv"
@@ -1472,6 +1469,24 @@ class ModulesSpec extends AnyFunSuite {
         refit, store, "vec_id", "emb", k = 3, nProbe = 8)
     }
     assert(e.getMessage.contains("stale IVF store"), e.getMessage)
+    // duplicate query ids are the silent-blend class the 1-row faces
+    // refuse: two rows sharing an id would have their candidate pages
+    // merged by the per-query window into one top-k belonging to
+    // neither — refused loudly on both batch faces
+    val dup = queries.filter(col("emb").isNotNull)
+      .unionByName(queries.filter(col("vec_id") === 1L))
+    val ed = intercept[IllegalArgumentException] {
+      AnnIndex.ivfJoinIndexed(dup, "vec_id", "emb",
+        model, store, "vec_id", "emb", k = 3, nProbe = 8)
+    }
+    assert(ed.getMessage.contains("duplicate query_id"), ed.getMessage)
+    val ew = intercept[IllegalArgumentException] {
+      AnnIndex.annJoinIndexed(dup, "vec_id", "emb",
+        graft.operators.Dedup.embeddingBucketIndex(rest, "vec_id", "emb",
+          dim = 64, planes = 12),
+        dim = 64, planes = 12, k = 3, probeBits = 1)
+    }
+    assert(ew.getMessage.contains("duplicate query_id"), ew.getMessage)
   }
 
   test("mixed-token IVF and PQ stores are refused at append time") {
