@@ -67,7 +67,8 @@ object Stress {
       "hamming_capped_megabucket", "hamming_salvaged_megabucket",
       "hamming_index_build", "hamming_incremental_batch",
       "embed_index_build", "embed_incremental_batch",
-      "ann_serve_indexed", "ann_serve_compacted", "ann_serve_brute")
+      "ann_serve_indexed", "ann_serve_compacted", "ann_serve_brute",
+      "ivf_serve_join", "ivf_serve_loop")
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
@@ -474,7 +475,8 @@ object Stress {
     // Brute tracks the corpus ~linearly in M; the indexed serve should
     // track only the probed fraction — the measured gap is the
     // selectivity the persisted store buys a single query at 100 TB.
-    if (include("ann_serve_indexed") || include("ann_serve_brute")) {
+    if (include("ann_serve_indexed") || include("ann_serve_compacted") ||
+        include("ann_serve_brute")) {
       val corpus = scaled(Tables.embeddings(spark, sfDir)
           .select(col("vec_id"),
             col("embedding").cast("array<double>").as("emb")),
@@ -535,6 +537,54 @@ object Stress {
           .orderBy(desc("__s"), col("vec_id"))
           .limit(5)
           .count()
+      }
+    }
+
+    // BATCH IVF serving from the persisted list_id store (r12):
+    // ivf_serve_join serves 20 queries in ONE plan (ivfJoinIndexed);
+    // ivf_serve_loop serves the SAME 20 queries as 20 per-query
+    // invocations (ivfTopKAssigned — the only option before r12). The
+    // gap is driver-round-trip amortization: the loop pays planning +
+    // ~3 driver jobs PER QUERY while the join pays one fixed set for
+    // the whole batch — the measured argument for the batch face. The
+    // routing fit runs on the UNSCALED base table (constant across M —
+    // at 100 TB the fit is once-offline on a sample, never per serve);
+    // the store build over the scaled corpus is untimed, like
+    // embed_index_build.
+    if (include("ivf_serve_join") || include("ivf_serve_loop")) {
+      import graft.operators.AnnIndex
+      val baseEmb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("emb"))
+      val queries = baseEmb.filter(col("vec_id") < 20)
+      val corpus = scaled(baseEmb, m, stride, Seq("vec_id"))
+        .filter(col("vec_id") >= 20)
+      val corpusRows = corpus.count()
+      val model = AnnIndex.ivfFit(baseEmb.filter(col("vec_id") >= 20),
+        "emb", nLists = 16)
+      val parent = java.nio.file.Files
+        .createTempDirectory("graft_stress_ivf").toString
+      try {
+        val dir = s"$parent/store"
+        AnnIndex.ivfStore(model, corpus, "emb")
+          .write.partitionBy("list_id").parquet(dir)
+        val store = spark.read.parquet(dir)
+        measure("ivf_serve_join", corpusRows) {
+          AnnIndex.ivfJoinIndexed(queries, "vec_id", "emb", model, store,
+            "vec_id", "emb", k = 5, nProbe = 4).count()
+        }
+        measure("ivf_serve_loop", corpusRows) {
+          (0L until 20L).foreach { qid =>
+            AnnIndex.ivfTopKAssigned(model, store, "emb",
+              queries.filter(col("vec_id") === qid)
+                .select(col("emb").as("qe")),
+              "qe", k = 5, nProbe = 4, tieBreak = Seq("vec_id")).count()
+          }
+        }
+      } finally {
+        org.apache.hadoop.fs.FileSystem
+          .get(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(parent), true)
       }
     }
 

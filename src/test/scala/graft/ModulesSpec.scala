@@ -1489,6 +1489,53 @@ class ModulesSpec extends AnyFunSuite {
     assert(ew.getMessage.contains("duplicate query_id"), ew.getMessage)
   }
 
+  test("IVF store: list_id-layout compaction preserves rows, token, and batch serving") {
+    // compactPartitionedTo over the THIRD Hive layout in the house
+    // (bucket / chunk_idx / band_idx are gate-covered; the IVF store's
+    // list_id layout was not): ingest appends leave one file per batch
+    // per task, the audit-cadence rewrite must shrink files while the
+    // store keeps rows, its ivf_sig token, and — proven by USE, the
+    // minhash gate's parity-probe discipline — identical batch serving
+    // through ivfJoinIndexed.
+    import graft.operators.AnnIndex
+    import graft.sources.Maintenance
+    val corpus = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val queries = corpus.filter(col("vec_id") < 10)
+    val rest = corpus.filter(col("vec_id") >= 10)
+    val model = AnnIndex.ivfFit(rest.filter(col("vec_id") >= 100), "emb",
+      nLists = 8)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ivfc").toString
+    val dir = s"$base/store"
+    AnnIndex.ivfStore(model, rest.filter(col("vec_id") >= 100), "emb")
+      .write.partitionBy("list_id").parquet(dir)
+    // two token-gated ingest appends accumulate the small files the
+    // compaction exists for
+    AnnIndex.ivfRefresh(spark, model, dir,
+      rest.filter(col("vec_id") >= 50 && col("vec_id") < 100), "emb")
+    AnnIndex.ivfRefresh(spark, model, dir,
+      rest.filter(col("vec_id") >= 10 && col("vec_id") < 50), "emb")
+    val dir2 = s"$base/compacted"
+    Maintenance.compactPartitionedTo(spark, dir, dir2, Seq("list_id"))
+    assert(parquetFiles(dir2) < parquetFiles(dir),
+      s"compaction did not shrink files: ${parquetFiles(dir)} -> " +
+        s"${parquetFiles(dir2)}")
+    def storeRows(d: String) = spark.read.parquet(d)
+      .select(col("vec_id"), col("list_id").cast("long"), col("ivf_sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(storeRows(dir2) == storeRows(dir),
+      "compaction changed IVF store rows or dropped the token")
+    def serve(d: String) = AnnIndex.ivfJoinIndexed(queries, "vec_id", "emb",
+        model, spark.read.parquet(d), "vec_id", "emb", k = 3, nProbe = 4)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaOriginal = serve(dir)
+    assert(viaOriginal.nonEmpty, "serve parity probe returned nothing")
+    assert(serve(dir2) == viaOriginal,
+      "compacted IVF store serves different neighbors")
+  }
+
   test("mixed-token IVF and PQ stores are refused at append time") {
     // the r12 gate unification: ivfRefresh/pqRefresh used to verify
     // their tokens with bare min/max, which SKIP nulls — so a careless
