@@ -784,8 +784,9 @@ object AnnIndex {
     * `query` must be a 1-row frame, like [[annTopK]]'s: the routing
     * orderBy+limit and the final top-k are global, so a multi-row query
     * batch would silently merge every query's probes and results into one
-    * ranking — batch search is per-query invocation (or a groupBy(query)
-    * variant, deliberately not built until needed). */
+    * ranking — a query TABLE goes through [[ivfJoinIndexed]] (r12), which
+    * serves every query in one plan with per-query windows and refuses
+    * duplicate ids loudly. */
   def ivfTopK(model: org.apache.spark.ml.clustering.KMeansModel,
               corpus: DataFrame, embCol: String,
               query: DataFrame, queryCol: String,
