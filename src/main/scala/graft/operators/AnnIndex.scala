@@ -521,6 +521,16 @@ object AnnIndex {
     * is family-agnostic (bit flips of whatever bucket id the family
     * produced).
     *
+    * QUERY-ID CONTRACT: `qIdCol` must be non-null and unique per query —
+    * per-query ranking is one window keyed by it, so two rows sharing an
+    * id would have their candidate pages silently merged into one
+    * blended top-k. The store-consuming batch faces ([[annJoinIndexed]],
+    * [[ivfJoinIndexed]]) enforce this with a loud require (their query
+    * side is broadcast-bound, so the check is one tiny job); here the
+    * query side may be arbitrarily large — an eager uniqueness pass
+    * would turn a lazy transform into a full scan — so the contract is
+    * documented, not checked.
+    *
     * NULL embeddings are dropped on both sides up front, and the bucket
     * keys compare NULL-SAFELY (`<=>`): plain `=` makes Catalyst infer
     * `isnotnull(bucket)` and push it below the projection, re-running
