@@ -83,6 +83,20 @@ object Verify {
         failures("ingest_lifecycle_minhash") =
           Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
       }
+      // the STREAMING writer for the persisted store (r12): a real
+      // multi-micro-batch Structured Streaming run feeding the embedding
+      // store through the replay ledger — then the exactly-once claim is
+      // ASSERTED by re-applying the last micro-batch (store and pairs
+      // must not move), the per-batch mines must equal the batch-cadence
+      // twin, and the graduated (ledger-folded) store must equal the
+      // refresh-path store and serve identically
+      try ingestStreamSmoke(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(
+          s"[verify] ingest_stream failed: ${e.getMessage}")
+        failures("ingest_stream") =
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -834,6 +848,167 @@ object Verify {
       s"sweep == one-shot capped+salvaged verdict over ${want.size} rows " +
       s"(flood of ${floodIds.size} fragmented ${preSalvage}-way under the " +
       "cap alone, single cluster after the sweep)")
+  }
+
+  /** Driver gate for the STREAMING persisted-store writer (r12):
+    * [[graft.streaming.EventsStream.embedStoreIngest]] run as a REAL
+    * multi-micro-batch Structured Streaming query (file source,
+    * maxFilesPerTrigger=1, AvailableNow — three files, three ledgered
+    * micro-batches), then four claims asserted rather than argued:
+    * (1) EXACTLY-ONCE — the last micro-batch is re-applied directly at
+    * its recorded batch id, what the engine does after a crash between
+    * the two writes and its commit, and neither the store nor the mined
+    * pairs may move by one row; (2) MINE PARITY — each ledger
+    * partition's pairs equal the batch-cadence twin
+    * ([[graft.operators.Dedup.embeddingIncrementalPairs]] +
+    * [[graft.operators.Dedup.embeddingIndexRefresh]]) replayed in
+    * ledger order over the same recovered batches; (3) GRADUATION — the
+    * audit-cadence ledger fold
+    * ([[graft.sources.Maintenance.compactPartitionedTo]] with
+    * `dropCols`) yields exactly the refresh-path store, in fewer files;
+    * (4) SERVING — [[graft.operators.AnnIndex.annTopKWideIndexed]]
+    * returns identical top-k from the streaming store (ledger dropped),
+    * the graduated store, and the twin. Non-vacuity: every micro-batch
+    * provably mines (each plants a 3-copy community), and a
+    * null-embedding row rides one batch through the ledger's null
+    * partition without pairing or erroring. */
+  private def ingestStreamSmoke(spark: SparkSession, sfDir: String): Unit = {
+    val base = Files.createTempDirectory("graft_stream_gate").toString
+    try ingestStreamSmokeIn(spark, sfDir, base)
+    finally deleteTree(spark, base)
+  }
+
+  private def ingestStreamSmokeIn(spark: SparkSession, sfDir: String,
+                                  base: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.{AnnIndex, Dedup}
+    import spark.implicits._
+    val (dim, planes, thr) = (64, 12, 0.9)
+    val e = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .filter(col("id") < 200)
+    val anchorIds = Seq(3L, 4L, 5L)
+    val anchors = e.filter(col("id").isin(anchorIds: _*)).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Double](1).toArray)).toMap
+    require(anchors.size == 3 && anchors.values.forall(_ != null),
+      "embeddings fixture lost the anchor rows (vec_id 3-5)")
+    def copies(anchor: Long, idBase: Long, n: Int): DataFrame =
+      (0 until n).map(i => (idBase + i, anchors(anchor).map(_ * (i + 2.0))))
+        .toDF("id", "emb")
+    // three planned micro-batches: each plants a 3-copy community on a
+    // fresh anchor (>= 3 mined pairs however the file source orders
+    // them); one batch also carries a null embedding, which must ride
+    // the ledger's null-bucket partition without pairing or erroring
+    val batches = (1 to 3).map { b =>
+      val rows = copies(anchorIds(b - 1), 600000L + b * 1000L, 3)
+      if (b == 2)
+        rows.unionByName(Seq((700000L, null: Array[Double])).toDF("id", "emb"))
+      else rows
+    }
+    val storeDir = s"$base/store"
+    val pairsDir = s"$base/pairs"
+    Dedup.seedEmbedIngestStore(e, storeDir, "id", "emb", dim, planes)
+    val inDir = s"$base/in"
+    batches.foreach(_.coalesce(1).write.mode("append").parquet(inDir))
+    val stream = spark.readStream.schema(batches.head.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = graft.streaming.EventsStream.embedStoreIngest(stream,
+        storeDir, pairsDir, "id", "emb", dim, planes, thr)
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val store = spark.read.parquet(storeDir)
+    val ledger = store.select(col("ingest_batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    require(ledger == Seq(-1L, 0L, 1L, 2L),
+      s"expected 3 ledgered micro-batches after the seed, got $ledger — " +
+        "maxFilesPerTrigger stopped splitting the input into micro-batches")
+    // recover each micro-batch's rows from its own ledger partition (the
+    // file source assigns files to batches by arrival, so the gate never
+    // assumes an order)
+    def batchRows(b: Long): DataFrame = spark.read.parquet(storeDir)
+      .filter(col("ingest_batch") === b).select(col("id"), col("emb"))
+    def storeSnap(): Seq[(Long, Long)] = spark.read.parquet(storeDir)
+      .select(col("ingest_batch").cast("long"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    def pairSnap(): Map[Long, Set[(Long, Long)]] = spark.read.parquet(pairsDir)
+      .select(col("ingest_batch").cast("long"), col("a_id"), col("b_id"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, rs) =>
+        k -> rs.map(r => (r.getLong(1), r.getLong(2))).toSet }
+    val (s0, p0) = (storeSnap(), pairSnap())
+    require(p0.keySet == Set(0L, 1L, 2L) && p0.values.forall(_.size >= 3),
+      s"a micro-batch mined ${p0.view.mapValues(_.size).toMap} pairs — " +
+        "the planted communities went vacuous")
+    require(s0.exists(_._2 == 700000L),
+      "the null-embedding row did not land in the store")
+    // (1) exactly-once: re-apply the LAST micro-batch at its recorded id
+    val replayed = batchRows(2L).localCheckpoint()
+    Dedup.embedStoreIngestBatch(spark, storeDir, pairsDir, 2L, replayed,
+      "id", "emb", dim, planes, thr)
+    require(storeSnap() == s0,
+      "replaying the last micro-batch changed the store — the ledger " +
+        "overwrite is not idempotent")
+    require(pairSnap() == p0,
+      "replaying the last micro-batch changed the mined pairs")
+    // (2) mine parity vs the batch-cadence twin, in ledger order
+    val twinDir = s"$base/twin"
+    Dedup.embeddingBucketIndex(e, "id", "emb", dim, planes)
+      .write.partitionBy("bucket").parquet(twinDir)
+    val twinPairs = (0L to 2L).map { b =>
+      val rows = batchRows(b).localCheckpoint()
+      val inc = Dedup.embeddingIncrementalPairs(rows,
+          spark.read.parquet(twinDir), "id", "emb", dim, planes, thr)
+        .localCheckpoint()
+      val got = inc.select(col("a_id"), col("b_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      Dedup.embeddingIndexRefresh(spark, twinDir, rows, "id", "emb",
+        dim, planes)
+      b -> got
+    }.toMap
+    require(p0 == twinPairs,
+      s"streamed mines diverged from the batch cadence: " +
+        s"${p0.view.mapValues(_.size).toMap} vs " +
+        s"${twinPairs.view.mapValues(_.size).toMap}")
+    // (3) graduation: fold the ledger away, get the refresh-path store
+    val gradDir = s"$base/store_canonical"
+    graft.sources.Maintenance.compactPartitionedTo(spark, storeDir, gradDir,
+      Seq("bucket"), dropCols = Seq("ingest_batch"))
+    require(parquetFiles(gradDir) < parquetFiles(storeDir),
+      s"graduation did not shrink the file count: " +
+        s"${parquetFiles(storeDir)} -> ${parquetFiles(gradDir)}")
+    def idxRows(df: DataFrame): Seq[(Long, Long, Long)] = df
+      .filter(col("bucket").isNotNull)
+      .select(col("id"), col("bucket").cast("long"), col("emb_sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    require(idxRows(spark.read.parquet(gradDir)) ==
+        idxRows(spark.read.parquet(twinDir)),
+      "graduated store diverged from the refresh-path store")
+    // (4) serving parity from all three shapes of the same store
+    val query = Seq(Tuple1(anchors(3L).map(_ * 1.5))).toDF("qe")
+    def topk(storeDf: DataFrame): Seq[(Long, Double)] =
+      AnnIndex.annTopKWideIndexed(storeDf, "emb", dim, planes,
+          query, "qe", k = 5, tieBreak = Seq("id"), probeBits = 1)
+        .select(col("id"), round(col("similarity"), 9).as("s"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fromStream = topk(spark.read.parquet(storeDir).drop("ingest_batch"))
+    val fromGrad = topk(spark.read.parquet(gradDir))
+    val fromTwin = topk(spark.read.parquet(twinDir))
+    require(fromStream == fromGrad && fromGrad == fromTwin,
+      s"serving diverged across store shapes: stream=$fromStream " +
+        s"grad=$fromGrad twin=$fromTwin")
+    require(fromStream.nonEmpty && fromStream.head._2 > 0.99,
+      s"serving missed the planted community: $fromStream")
+    println(s"[verify] ingest_stream OK: 3 ledgered micro-batches " +
+      s"(${p0.toSeq.sortBy(_._1).map(_._2.size).mkString("/")} pairs), " +
+      "replay idempotent, mines == batch cadence, graduation " +
+      s"(${parquetFiles(storeDir)} -> ${parquetFiles(gradDir)} files) == " +
+      "refresh-path store, serving identical across all three shapes")
   }
 
   /** Recursive delete of a gate's temp workspace — the Stress

@@ -787,6 +787,43 @@ object AnnIndex {
       .partitionBy("list_id").parquet(storeDir)
   }
 
+  /** Seed a STREAMING IVF store: the [[ivfStore]] list layout under an
+    * `ingest_batch=-1` replay-ledger partition, ready for
+    * [[ivfStoreIngestBatch]] micro-batches
+    * ([[graft.operators.Dedup.seedEmbedIngestStore]]'s contract on the
+    * serving-store family). */
+  def seedIvfIngestStore(model: org.apache.spark.ml.clustering.KMeansModel,
+                         corpus: DataFrame, embCol: String,
+                         storeDir: String): Unit =
+    ivfStore(model, corpus, embCol)
+      .withColumn("ingest_batch", lit(-1L))
+      .write.partitionBy("ingest_batch", "list_id").parquet(storeDir)
+
+  /** One replay-idempotent micro-batch into a streaming IVF store — the
+    * APPEND-ONLY shape of
+    * [[graft.operators.Dedup.embedStoreIngestBatch]]'s ledger contract:
+    * [[ivfRefresh]]'s blind append is correct under a run-each-batch-once
+    * driver, but a streaming engine replays the last uncommitted
+    * micro-batch after a crash and would double its rows; here the
+    * batch's assignments land as a dynamic partition overwrite of its own
+    * (ingest_batch, list_id) partitions — pure function of the batch, so
+    * replay rewrites byte-identical partitions. Same token gate, run over
+    * the store minus the batch's own ledger slice, refused before a row
+    * is written. There is no mine: the IVF store is the serving product
+    * itself ([[ivfTopK]] / [[ivfJoinIndexed]] — both read it with the
+    * ledger column dropped, or after the
+    * [[graft.sources.Maintenance.compactPartitionedTo]]
+    * `dropCols = Seq("ingest_batch")` graduation). */
+  def ivfStoreIngestBatch(spark: org.apache.spark.sql.SparkSession,
+                          model: org.apache.spark.ml.clustering.KMeansModel,
+                          storeDir: String, batchId: Long,
+                          batch: DataFrame, embCol: String): Unit =
+    Dedup.storeIngestBatch(spark, storeDir, batchId,
+      "ivf_sig", ivfModelSig(model), "ivfStoreIngestBatch",
+      staleDesc = "IVF store — ivf_sig does not match this model's " +
+        "centroids (the routing fit changed)",
+      ivfStore(model, batch, embCol), pairsMine = None, Seq("list_id"))
+
   /** IVF top-k: route the query to its `nProbe` nearest centroids, scan only
     * those lists, exact cosine re-rank. `nProbe = nLists` degenerates to
     * exact brute force (asserted in ModulesSpec).

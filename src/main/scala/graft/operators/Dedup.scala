@@ -1249,6 +1249,179 @@ object Dedup {
       minhashBandIndex(newDocs, keyCol, textCol, k, bands, shingleN),
       "band_idx")
 
+  /** Seed a STREAMING embedding store: the [[embeddingBucketIndex]]
+    * layout plus one extra leading partition level — `ingest_batch`, the
+    * replay ledger [[embedStoreIngestBatch]] keys its idempotent
+    * micro-batch overwrites by. The seed generation lands under
+    * `ingest_batch=-1` (Structured Streaming's batch ids start at 0, so
+    * -1 can never collide with a live micro-batch). A canonical
+    * bucket-only store CANNOT be streamed into — it has no ledger, so a
+    * replayed micro-batch would silently double its rows — which is why
+    * the streaming writer refuses it and this seeder exists. */
+  def seedEmbedIngestStore(corpus: DataFrame, storeDir: String,
+                           keyCol: String, embCol: String,
+                           dim: Int, planes: Int): Unit =
+    embeddingBucketIndex(corpus, keyCol, embCol, dim, planes)
+      .withColumn("ingest_batch", lit(-1L))
+      .write.partitionBy("ingest_batch", "bucket").parquet(storeDir)
+
+  /** [[seedEmbedIngestStore]] for the hamming face: the
+    * [[hammingChunkIndex]] layout under an `ingest_batch=-1` ledger
+    * partition, ready for [[hammingStoreIngestBatch]] micro-batches. */
+  def seedHammingIngestStore(corpus: DataFrame, storeDir: String,
+                             idCol: String, hashCol: String,
+                             bits: Int, chunks: Int): Unit =
+    hammingChunkIndex(corpus, idCol, hashCol, bits, chunks)
+      .withColumn("ingest_batch", lit(-1L))
+      .write.partitionBy("ingest_batch", "chunk_idx").parquet(storeDir)
+
+  /** One REPLAY-IDEMPOTENT micro-batch against a streaming embedding
+    * store: token gate → incremental mine → two deterministic partition
+    * overwrites. The batch-cadence [[embeddingIndexRefresh]] APPENDS,
+    * which is correct under a driver that runs each batch exactly once —
+    * but a streaming engine REPLAYS the last uncommitted micro-batch
+    * after a crash, and a replayed append would silently double every
+    * row it had already written and double-mine its pairs: the
+    * silent-duplicate class exactly-once exists to refuse. So the
+    * streaming store carries one extra leading partition level —
+    * `ingest_batch`, Structured Streaming's monotonic batch id, the
+    * ledger — and each micro-batch lands as a DYNAMIC partition
+    * overwrite of its own (ingest_batch, bucket) partitions: the index
+    * rows are a pure function of the batch, so a replay rewrites
+    * byte-identical partitions instead of appending duplicates.
+    *
+    * Replay-exactness of the MINE: the corpus is the store MINUS this
+    * batch's own ledger partition (one partition filter, pruned at
+    * planning), so a replay whose first attempt died between the two
+    * writes mines against exactly the pre-batch corpus the first attempt
+    * saw — the half-written partition is invisible. Order matters twice:
+    * the pairs write runs FIRST, because writing is what materializes
+    * the lazy mine against the pre-append store (appending first would
+    * re-evaluate the mine with the batch already inside the corpus and
+    * silently mine the batch against itself — the
+    * [[ingestLifecycleSmoke]] localCheckpoint trap); and the token gate
+    * runs over the pre-batch corpus BEFORE either write (the
+    * [[refreshStore]] stance: refuse a stale/raw/empty store before a
+    * row lands).
+    *
+    * Serving and graduation: the ledger column rides every read of the
+    * streaming store, so point-query faces drop it
+    * (`store.drop("ingest_batch")`); the audit-cadence graduation into
+    * the canonical bucket-only layout is
+    * [[graft.sources.Maintenance.compactPartitionedTo]] with
+    * `dropCols = Seq("ingest_batch")` — run it against a STOPPED (or
+    * fully committed) stream: folding an uncommitted batch's partition
+    * into a canonical store and then replaying that batch elsewhere is
+    * the duplicate the ledger exists to prevent. */
+  def embedStoreIngestBatch(spark: org.apache.spark.sql.SparkSession,
+                            storeDir: String, pairsDir: String,
+                            batchId: Long, batch: DataFrame,
+                            keyCol: String, embCol: String,
+                            dim: Int, planes: Int, threshold: Double,
+                            maxBucket: Int = Int.MaxValue): Unit =
+    storeIngestBatch(spark, storeDir, batchId,
+      "emb_sig", embSig(dim, planes), "embedStoreIngestBatch",
+      staleDesc = "wide-family store — emb_sig does not match " +
+        s"dim=$dim/planes=$planes",
+      embeddingBucketIndex(batch, keyCol, embCol, dim, planes),
+      Some((pairsDir, corpus => embeddingIncrementalPairs(batch, corpus,
+        keyCol, embCol, dim, planes, threshold, maxBucket))),
+      Seq("bucket"))
+
+  /** [[embedStoreIngestBatch]] on the HAMMING face: one replay-idempotent
+    * micro-batch of fingerprints against a [[seedHammingIngestStore]]
+    * store — same ledger, same write order, same token gate, with
+    * [[hammingIncrementalPairs]] as the mine. */
+  def hammingStoreIngestBatch(spark: org.apache.spark.sql.SparkSession,
+                              storeDir: String, pairsDir: String,
+                              batchId: Long, batch: DataFrame,
+                              idCol: String, hashCol: String,
+                              bits: Int, chunks: Int, maxHamming: Int,
+                              maxBucket: Int = Int.MaxValue): Unit =
+    storeIngestBatch(spark, storeDir, batchId,
+      "chunk_sig", chunkSig(bits, chunks), "hammingStoreIngestBatch",
+      staleDesc = "hamming chunk index — chunk_sig does not match " +
+        s"bits=$bits/chunks=$chunks",
+      hammingChunkIndex(batch, idCol, hashCol, bits, chunks),
+      Some((pairsDir, corpus => hammingIncrementalPairs(batch, corpus,
+        idCol, hashCol, bits, chunks, maxHamming, maxBucket))),
+      Seq("chunk_idx"))
+
+  /** [[seedEmbedIngestStore]] for the minhash face: the
+    * [[minhashBandIndex]] layout under an `ingest_batch=-1` ledger
+    * partition, ready for [[minhashStoreIngestBatch]] micro-batches. */
+  def seedMinhashIngestStore(corpus: DataFrame, storeDir: String,
+                             keyCol: String, textCol: String,
+                             k: Int, bands: Int, shingleN: Int): Unit =
+    minhashBandIndex(corpus, keyCol, textCol, k, bands, shingleN)
+      .withColumn("ingest_batch", lit(-1L))
+      .write.partitionBy("ingest_batch", "band_idx").parquet(storeDir)
+
+  /** [[embedStoreIngestBatch]] on the MINHASH face: one replay-idempotent
+    * micro-batch of documents against a [[seedMinhashIngestStore]] store —
+    * same ledger, same write order, same token gate, with
+    * [[minhashIncrementalPairs]] as the mine (CANDIDATE pairs, like the
+    * batch cadence: verification/salvage stay on their own cadences). */
+  def minhashStoreIngestBatch(spark: org.apache.spark.sql.SparkSession,
+                              storeDir: String, pairsDir: String,
+                              batchId: Long, batch: DataFrame,
+                              keyCol: String, textCol: String,
+                              k: Int, bands: Int, shingleN: Int,
+                              maxBucket: Int = Int.MaxValue): Unit =
+    storeIngestBatch(spark, storeDir, batchId,
+      "band_sig", bandSig(k, bands, shingleN), "minhashStoreIngestBatch",
+      staleDesc = "minhash band index — band_sig does not match " +
+        s"k=$k/bands=$bands/shingleN=$shingleN",
+      minhashBandIndex(batch, keyCol, textCol, k, bands, shingleN),
+      Some((pairsDir, corpus => minhashIncrementalPairs(batch, corpus,
+        keyCol, textCol, k, bands, shingleN, maxBucket))),
+      Seq("band_idx"))
+
+  /** The shared replay-idempotent micro-batch body behind the streaming
+    * store writers ([[embedStoreIngestBatch]],
+    * [[hammingStoreIngestBatch]], [[minhashStoreIngestBatch]]) — one
+    * body, like [[refreshStore]] for
+    * the batch cadence, so the ledger discipline can never drift face by
+    * face — and shared with the APPEND-ONLY serving-store faces
+    * ([[AnnIndex.ivfStoreIngestBatch]], [[Quantize.pqStoreIngestBatch]]),
+    * which pass `pairsMine = None` (nothing to mine — the store IS the
+    * product). `indexRows` are the batch's pre-stamped index rows (no
+    * ledger column — it is stamped here, once); `pairsMine`'s function
+    * receives the pre-batch corpus at the canonical store schema and
+    * returns the pairs frame. Every write goes through
+    * `partitionOverwriteMode=dynamic`: mode Overwrite then replaces ONLY
+    * the partitions this batch writes — its own ledger slice — never the
+    * seed or sibling batches (pinned in ModulesSpec: a second batch
+    * leaves the first and the seed intact). */
+  private[operators] def storeIngestBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, batchId: Long, sigCol: String, sig: Long,
+      what: String, staleDesc: String, indexRows: DataFrame,
+      pairsMine: Option[(String, DataFrame => DataFrame)],
+      partitionCols: Seq[String]): Unit = {
+    val store = spark.read.parquet(storeDir)
+    require(store.columns.contains("ingest_batch"),
+      s"$what($storeDir): store carries no ingest_batch ledger column — " +
+        "this is a canonical batch store, and a blind append would " +
+        "silently double its rows on micro-batch replay; seed a " +
+        "streaming store (seed*IngestStore) or use the batch-cadence " +
+        "refresh instead")
+    val corpus = store
+      .filter(col("ingest_batch") =!= lit(batchId))
+      .select(indexRows.columns.toIndexedSeq.map(col): _*)
+    AnnIndex.requireStoreSig(corpus, sigCol, sig, allowEmpty = false,
+      what = s"$what($storeDir)", staleDesc = staleDesc)
+    def ledgered(rows: DataFrame, dir: String, pcols: Seq[String]): Unit =
+      rows.withColumn("ingest_batch", lit(batchId))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(("ingest_batch" +: pcols): _*).parquet(dir)
+    pairsMine.foreach { case (pairsDir, mine) =>
+      ledgered(mine(corpus), pairsDir, Nil)
+    }
+    ledgered(indexRows, storeDir, partitionCols)
+  }
+
   /** Incremental connected components: fold a NEW batch of pairs (e.g.
     * from [[minhashIncrementalPairs]]) into an EXISTING labeling without
     * re-propagating over the old pair graph. Each old cluster collapses to

@@ -408,6 +408,40 @@ object Quantize {
       .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(storeDir)
   }
 
+  /** Seed a STREAMING PQ store: [[pqEncode]] output under an
+    * `ingest_batch=-1` replay-ledger partition, ready for
+    * [[pqStoreIngestBatch]] micro-batches. The PQ store has no data
+    * partition layout (codes are scanned whole), so the ledger is its
+    * ONLY partition level. */
+  def seedPqIngestStore(corpus: DataFrame, embCol: String,
+                        codebooks: Array[Array[Array[Double]]],
+                        storeDir: String): Unit =
+    pqEncode(corpus, embCol, codebooks)
+      .withColumn("ingest_batch", lit(-1L))
+      .write.partitionBy("ingest_batch").parquet(storeDir)
+
+  /** One replay-idempotent micro-batch into a streaming PQ store —
+    * [[graft.operators.AnnIndex.ivfStoreIngestBatch]]'s flat-layout twin
+    * ([[pqRefresh]]'s blind append would double rows on a streaming
+    * replay; the ledgered dynamic overwrite rewrites the batch's own
+    * partition byte-identically instead). Same shared token gate; no
+    * mine — the code table is the serving product ([[pqTopK]] reads it
+    * with the ledger dropped, or graduated through
+    * `compactPartitionedTo` — which needs partition columns, so a
+    * graduated FLAT store goes through
+    * [[graft.sources.Maintenance.compactTo]] after a plain
+    * ledger-dropping rewrite, or simply stays ledgered: the extra
+    * column prunes to nothing in a scan that never filters on it). */
+  def pqStoreIngestBatch(spark: org.apache.spark.sql.SparkSession,
+                         codebooks: Array[Array[Array[Double]]],
+                         storeDir: String, batchId: Long,
+                         batch: DataFrame, embCol: String): Unit =
+    Dedup.storeIngestBatch(spark, storeDir, batchId,
+      "pq_cb_sig", cbFingerprint(codebooks), "pqStoreIngestBatch",
+      staleDesc = "PQ store — pq_cb_sig does not match these codebooks " +
+        "(the fit changed)",
+      pqEncode(batch, embCol, codebooks), pairsMine = None, Nil)
+
   /** IVF-residual view: [[AnnIndex.ivfAssign]]'s list assignment plus
     * `__res` = emb − centroid[list]. Residuals are what IVFPQ (Jégou et
     * al. 2011) quantizes: within one list every vector is near its

@@ -73,13 +73,26 @@ object Maintenance {
     * this job exists for always carry a unique id, so their floods
     * always split). Data columns — the geometry token included — pass
     * through untouched. Same new-directory + atomic-swap contract as
-    * [[compactTo]]. Returns the shuffle task count used. */
+    * [[compactTo]]. Returns the shuffle task count used.
+    *
+    * `dropCols` folds columns away during the rewrite — the graduation
+    * path for a STREAMING store
+    * ([[graft.operators.Dedup.embedStoreIngestBatch]]): dropping the
+    * `ingest_batch` replay ledger while partitioning by the canonical
+    * layout turns the batch-keyed streaming tree into the exact store a
+    * batch build would have written. Only run it against a STOPPED (or
+    * fully committed) stream: a ledger partition the checkpoint has not
+    * committed yet would be folded in AND replayed later. */
   def compactPartitionedTo(spark: SparkSession, srcDir: String,
                            dstDir: String, partitionCols: Seq[String],
-                           targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+                           targetFileBytes: Long = 128L * 1024 * 1024,
+                           dropCols: Seq[String] = Nil): Long = {
     require(srcDir != dstDir, "compaction rewrites to a NEW directory (atomic swap)")
     require(partitionCols.nonEmpty, "partitioned compaction needs partition columns")
-    val df = spark.read.parquet(srcDir)
+    require(dropCols.forall(!partitionCols.contains(_)),
+      "dropCols and partitionCols overlap — a dropped column cannot " +
+        "also be the layout")
+    val df = spark.read.parquet(srcDir).drop(dropCols: _*)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val pcols = partitionCols.map(col)
     val counts = df.groupBy(pcols: _*).agg(count(lit(1)).as("__n")).persist()

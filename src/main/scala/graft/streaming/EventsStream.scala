@@ -917,4 +917,107 @@ object EventsStream {
       .partitionBy("day")
       .outputMode(OutputMode.Append)
       .start()
+
+  /** Streaming writer for the PERSISTED embedding store: each micro-batch
+    * is token-gated, mined against the pre-batch store
+    * ([[graft.operators.Dedup.embeddingIncrementalPairs]] — new×corpus
+    * and new×new, flat per-batch cost), and landed as a replay-idempotent
+    * dynamic partition overwrite keyed by the micro-batch id
+    * ([[graft.operators.Dedup.embedStoreIngestBatch]] has the full
+    * ledger contract). This is the missing cadence between the in-flight
+    * near-dup faces (state-bounded, [[embedNearDupStream]]) and the
+    * batch-cadence refresh
+    * ([[graft.operators.Dedup.embeddingIndexRefresh]]): the store a real
+    * 100 TB ingest maintains is fed BY the stream, continuously, and
+    * crash-replay must not double rows — [[sinkPartitioned]]'s caveat
+    * that "a foreachBatch append would be at-least-once" is exactly the
+    * hole the ledger closes, turning foreachBatch back into
+    * exactly-once the same way the native file sink's commit log does.
+    *
+    * The returned writer still needs `.option("checkpointLocation", …)`
+    * (the checkpoint is where replayed batch ids come from — without it
+    * a restart renumbers batches from 0 and the exactly-once claim is
+    * void) and a trigger; the store must be seeded with
+    * [[graft.operators.Dedup.seedEmbedIngestStore]] first (a canonical
+    * bucket-only store is refused loudly — no ledger, no replay
+    * safety). Graduate increments into the canonical layout on the
+    * audit cadence with
+    * [[graft.sources.Maintenance.compactPartitionedTo]]
+    * (`dropCols = Seq("ingest_batch")`), against a stopped stream. */
+  def embedStoreIngest(rows: DataFrame, storeDir: String, pairsDir: String,
+                       idCol: String, embCol: String,
+                       dim: Int, planes: Int, threshold: Double,
+                       maxBucket: Int = Int.MaxValue)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Dedup.embedStoreIngestBatch(batch.sparkSession,
+          storeDir, pairsDir, batchId, batch.toDF(), idCol, embCol,
+          dim, planes, threshold, maxBucket)
+    }
+
+  /** [[embedStoreIngest]] on the HAMMING face: a fingerprint stream
+    * (image/audio/video perceptual hashes) feeding a persisted
+    * [[graft.operators.Dedup.hammingChunkIndex]] store through the same
+    * replay ledger — seed with
+    * [[graft.operators.Dedup.seedHammingIngestStore]]. */
+  def hammingStoreIngest(rows: DataFrame, storeDir: String, pairsDir: String,
+                         idCol: String, hashCol: String,
+                         bits: Int, chunks: Int, maxHamming: Int,
+                         maxBucket: Int = Int.MaxValue)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Dedup.hammingStoreIngestBatch(batch.sparkSession,
+          storeDir, pairsDir, batchId, batch.toDF(), idCol, hashCol,
+          bits, chunks, maxHamming, maxBucket)
+    }
+
+  /** [[embedStoreIngest]] on the MINHASH face: a document stream feeding
+    * a persisted [[graft.operators.Dedup.minhashBandIndex]] store through
+    * the same replay ledger (candidate pairs out, like the batch
+    * cadence) — seed with
+    * [[graft.operators.Dedup.seedMinhashIngestStore]]. */
+  def minhashStoreIngest(rows: DataFrame, storeDir: String, pairsDir: String,
+                         idCol: String, textCol: String,
+                         k: Int, bands: Int, shingleN: Int,
+                         maxBucket: Int = Int.MaxValue)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Dedup.minhashStoreIngestBatch(batch.sparkSession,
+          storeDir, pairsDir, batchId, batch.toDF(), idCol, textCol,
+          k, bands, shingleN, maxBucket)
+    }
+
+  /** [[embedStoreIngest]] for the APPEND-ONLY serving stores: a vector
+    * stream feeding a persisted IVF list layout exactly-once through the
+    * replay ledger ([[graft.operators.AnnIndex.ivfStoreIngestBatch]] —
+    * no mine; the store IS the serving product). The routing `model`
+    * closes over the foreachBatch function, which runs on the driver —
+    * nothing is serialized to executors beyond the assignment kernel it
+    * already ships. Seed with
+    * [[graft.operators.AnnIndex.seedIvfIngestStore]]. */
+  def ivfStoreIngest(rows: DataFrame,
+                     model: org.apache.spark.ml.clustering.KMeansModel,
+                     storeDir: String, embCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.AnnIndex.ivfStoreIngestBatch(batch.sparkSession,
+          model, storeDir, batchId, batch.toDF(), embCol)
+    }
+
+  /** [[ivfStoreIngest]]'s flat-layout twin for the PQ code table
+    * ([[graft.operators.Quantize.pqStoreIngestBatch]]); seed with
+    * [[graft.operators.Quantize.seedPqIngestStore]]. */
+  def pqStoreIngest(rows: DataFrame,
+                    codebooks: Array[Array[Array[Double]]],
+                    storeDir: String, embCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Quantize.pqStoreIngestBatch(batch.sparkSession,
+          codebooks, storeDir, batchId, batch.toDF(), embCol)
+    }
 }

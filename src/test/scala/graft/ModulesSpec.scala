@@ -4159,4 +4159,278 @@ class ModulesSpec extends AnyFunSuite {
       maxHamming = 3)) == fromStore,
       "compacted chunk store mines different pairs")
   }
+
+  test("streaming store ingest: a replayed micro-batch overwrites, never appends") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    import graft.sources.Maintenance
+    // the exactly-once contract asserted, not argued: applying the SAME
+    // batch id twice (what Structured Streaming does after a crash
+    // between commit-log writes) must leave the store and the mined
+    // pairs byte-identical — a blind refreshStore-style append would
+    // double both
+    val (dim, planes, thr) = (4, 3, 0.9)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_stream_store").toString
+    val mk = (id: Long, seed: Long, s: Double) =>
+      (id, Array.tabulate(4)(j => (((seed >> (j * 7)) & 127) - 63.0) * s))
+    val corpus = (1L to 8L).map(i => mk(i, i * 7919L, 1.0)).toDF("id", "emb")
+    val storeDir = s"$base/store"
+    val pairsDir = s"$base/pairs"
+    Dedup.seedEmbedIngestStore(corpus, storeDir, "id", "emb", dim, planes)
+    def storeSet() = spark.read.parquet(storeDir)
+      .select(col("ingest_batch").cast("long"), col("id"),
+        col("bucket").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    def pairSet() = spark.read.parquet(pairsDir)
+      .select(col("ingest_batch").cast("long"), col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    // batch 0: two scaled copies of corpus row 3 (cosine 1.0 near-dups)
+    // and one novel row; batch 1: a copy of corpus row 5
+    val b0 = Seq(mk(100L, 3L * 7919L, 2.0), mk(101L, 3L * 7919L, 3.0),
+      mk(102L, 999999L, 1.0)).toDF("id", "emb")
+    val b1 = Seq(mk(200L, 5L * 7919L, 2.0)).toDF("id", "emb")
+    Dedup.embedStoreIngestBatch(spark, storeDir, pairsDir, 0L, b0,
+      "id", "emb", dim, planes, thr)
+    val (s0, p0) = (storeSet(), pairSet())
+    assert(p0.nonEmpty, "batch 0 mined nothing — fixture went vacuous")
+    assert(p0.exists(t => t._2 == 3L && t._3 == 100L),
+      s"new x corpus pair not mined: $p0")
+    assert(p0.exists(t => t._2 == 100L && t._3 == 101L),
+      s"new x new pair not mined: $p0")
+    // REPLAY batch 0 — the store must not grow by a single row
+    Dedup.embedStoreIngestBatch(spark, storeDir, pairsDir, 0L, b0,
+      "id", "emb", dim, planes, thr)
+    assert(storeSet() == s0, "replayed batch doubled store rows")
+    assert(pairSet() == p0, "replayed batch doubled mined pairs")
+    // batch 1 under dynamic overwrite leaves the seed and batch 0 intact
+    Dedup.embedStoreIngestBatch(spark, storeDir, pairsDir, 1L, b1,
+      "id", "emb", dim, planes, thr)
+    val s1 = storeSet()
+    assert(s1.filter(_._1 != 1L) == s0,
+      "batch 1 clobbered the seed or batch 0 (static overwrite leak)")
+    assert(pairSet().exists(t => t._1 == 1L && t._2 == 5L && t._3 == 200L),
+      "batch 1 did not mine its planted pair")
+    // graduation: folding the ledger away yields EXACTLY the store a
+    // batch build over the same rows would have written
+    val gradDir = s"$base/store_canonical"
+    Maintenance.compactPartitionedTo(spark, storeDir, gradDir,
+      Seq("bucket"), dropCols = Seq("ingest_batch"))
+    val grad = spark.read.parquet(gradDir)
+    assert(!grad.columns.contains("ingest_batch"))
+    val gradSet = grad
+      .select(col("id"), col("bucket").cast("long"), col("emb_sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val want = Dedup.embeddingBucketIndex(
+        corpus.unionByName(b0).unionByName(b1), "id", "emb", dim, planes)
+      .select(col("id"), col("bucket"), col("emb_sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(gradSet == want, "graduated store diverged from the batch build")
+  }
+
+  test("streaming store ingest refuses canonical stores and foreign geometry") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_stream_refuse").toString
+    val mk = (id: Long, seed: Long) =>
+      (id, Array.tabulate(4)(j => (((seed >> (j * 7)) & 127) - 63.0)))
+    val corpus = (1L to 6L).map(i => mk(i, i * 7919L)).toDF("id", "emb")
+    val batch = Seq(mk(50L, 12345L)).toDF("id", "emb")
+    // a canonical bucket-only store has no replay ledger — streaming into
+    // it would double rows on replay, so it is refused BEFORE any write
+    val canon = s"$base/canonical"
+    Dedup.embeddingBucketIndex(corpus, "id", "emb", 4, 3)
+      .write.partitionBy("bucket").parquet(canon)
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.embedStoreIngestBatch(spark, canon, s"$base/p1", 0L, batch,
+        "id", "emb", 4, 3, 0.9)
+    }
+    assert(e1.getMessage.contains("ingest_batch"), e1.getMessage)
+    // foreign geometry: seeded at planes=3, streamed at planes=2 — the
+    // token gate fires before a row is written, and the store and pairs
+    // trees are untouched
+    val seeded = s"$base/seeded"
+    Dedup.seedEmbedIngestStore(corpus, seeded, "id", "emb", 4, 3)
+    val before = spark.read.parquet(seeded).count()
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.embedStoreIngestBatch(spark, seeded, s"$base/p2", 0L, batch,
+        "id", "emb", 4, 2, 0.9)
+    }
+    assert(e2.getMessage.contains("emb_sig does not match"), e2.getMessage)
+    assert(spark.read.parquet(seeded).count() == before,
+      "refused batch still wrote store rows")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/p2")),
+      "refused batch still wrote pairs")
+    // the hamming face rides the same shared body: replay-idempotent too
+    val fps = (1L to 30L).map(i => (i, 0x0123456789abcdefL ^ (1L << (i % 50))))
+      .toDF("id", "fp")
+    val hamStore = s"$base/ham"
+    val hamPairs = s"$base/ham_pairs"
+    Dedup.seedHammingIngestStore(fps, hamStore, "id", "fp",
+      bits = 64, chunks = 4)
+    val hb = Seq((100L, 0x0123456789abcdefL ^ (1L << 3)))
+      .toDF("id", "fp")
+    Dedup.hammingStoreIngestBatch(spark, hamStore, hamPairs, 0L, hb,
+      "id", "fp", bits = 64, chunks = 4, maxHamming = 3)
+    val hp = spark.read.parquet(hamPairs)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(hp.nonEmpty, "hamming batch mined nothing")
+    val hs = spark.read.parquet(hamStore).count()
+    Dedup.hammingStoreIngestBatch(spark, hamStore, hamPairs, 0L, hb,
+      "id", "fp", bits = 64, chunks = 4, maxHamming = 3)
+    assert(spark.read.parquet(hamStore).count() == hs,
+      "replayed hamming batch doubled store rows")
+    assert(spark.read.parquet(hamPairs)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted == hp,
+      "replayed hamming batch doubled pairs")
+    // and the minhash face: same ledger, candidate pairs out
+    val docs = (1L to 20L).map(i =>
+      (i, s"the quick brown fox ${i} jumps over the lazy dog " * 3))
+      .toDF("id", "text")
+    val mhStore = s"$base/mh"
+    val mhPairs = s"$base/mh_pairs"
+    Dedup.seedMinhashIngestStore(docs, mhStore, "id", "text",
+      k = 16, bands = 4, shingleN = 3)
+    val mb = Seq((100L, "the quick brown fox 7 jumps over the lazy dog " * 3))
+      .toDF("id", "text")
+    Dedup.minhashStoreIngestBatch(spark, mhStore, mhPairs, 0L, mb,
+      "id", "text", k = 16, bands = 4, shingleN = 3)
+    val mp = spark.read.parquet(mhPairs)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(mp.contains((7L, 100L)), s"planted twin not a candidate: $mp")
+    val ms = spark.read.parquet(mhStore).count()
+    Dedup.minhashStoreIngestBatch(spark, mhStore, mhPairs, 0L, mb,
+      "id", "text", k = 16, bands = 4, shingleN = 3)
+    assert(spark.read.parquet(mhStore).count() == ms,
+      "replayed minhash batch doubled store rows")
+    assert(spark.read.parquet(mhPairs)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted == mp,
+      "replayed minhash batch doubled pairs")
+  }
+
+  test("streaming serving-store ingest (IVF/PQ): replay idempotent, parity with refresh") {
+    import spark.implicits._
+    import graft.operators.{AnnIndex, Dedup, Quantize}
+    // the APPEND-ONLY shape of the ledger contract: the serving stores
+    // (IVF lists, PQ code table) have no mine — exactly-once is about the
+    // store contents alone, asserted against the batch-cadence refresh
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_stream_serve").toString
+    val mk = (id: Long, seed: Long) =>
+      (id, Array.tabulate(4)(j => (((seed >> (j * 5)) & 63) - 31.0)))
+    val corpus = (1L to 40L).map(i => mk(i, i * 2654435761L)).toDF("id", "emb")
+    val batch = (100L to 105L).map(i => mk(i, i * 40503L)).toDF("id", "emb")
+    val model = AnnIndex.ivfFit(corpus, "emb", nLists = 4)
+    val ivfDir = s"$base/ivf"
+    AnnIndex.seedIvfIngestStore(model, corpus, "emb", ivfDir)
+    AnnIndex.ivfStoreIngestBatch(spark, model, ivfDir, 0L, batch, "emb")
+    val n0 = spark.read.parquet(ivfDir).count()
+    AnnIndex.ivfStoreIngestBatch(spark, model, ivfDir, 0L, batch, "emb")
+    assert(spark.read.parquet(ivfDir).count() == n0,
+      "IVF replay doubled store rows")
+    val ivfTwin = s"$base/ivf_twin"
+    AnnIndex.ivfStore(model, corpus, "emb")
+      .write.partitionBy("list_id").parquet(ivfTwin)
+    AnnIndex.ivfRefresh(spark, model, ivfTwin, batch, "emb")
+    val q = Seq(Tuple1(mk(0L, 7L * 2654435761L)._2)).toDF("qe")
+    def ivfServe(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      AnnIndex.ivfTopKAssigned(model, df, "emb", q, "qe",
+          k = 5, nProbe = 2, tieBreak = Seq("id"))
+        .select(col("id")).collect().map(_.getLong(0)).toSeq
+    val served = ivfServe(spark.read.parquet(ivfDir).drop("ingest_batch"))
+    assert(served == ivfServe(spark.read.parquet(ivfTwin)),
+      "IVF serving diverged between the streamed and refresh-path stores")
+    assert(served.nonEmpty, "IVF serve went vacuous")
+    // a canonical (ledger-less) IVF store is refused, like every face
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.ivfStoreIngestBatch(spark, model, ivfTwin, 1L, batch, "emb")
+    }
+    assert(e.getMessage.contains("ingest_batch"), e.getMessage)
+    // PQ: the flat-layout twin — ledger is the only partition level
+    val cb = Quantize.pqFit(corpus, "emb", dim = 4, m = 2,
+      nCentroids = 4, maxIter = 2)
+    val pqDir = s"$base/pq"
+    Quantize.seedPqIngestStore(corpus, "emb", cb, pqDir)
+    Quantize.pqStoreIngestBatch(spark, cb, pqDir, 0L, batch, "emb")
+    val p0 = spark.read.parquet(pqDir).count()
+    Quantize.pqStoreIngestBatch(spark, cb, pqDir, 0L, batch, "emb")
+    assert(spark.read.parquet(pqDir).count() == p0,
+      "PQ replay doubled store rows")
+    val pqTwin = s"$base/pq_twin"
+    Quantize.pqEncode(corpus, "emb", cb).write.parquet(pqTwin)
+    Quantize.pqRefresh(spark, cb, pqTwin, batch, "emb")
+    val a = spark.read.parquet(pqDir).drop("ingest_batch")
+    val b = spark.read.parquet(pqTwin)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "PQ store contents diverged from the refresh path")
+    assert(b.count() == p0, "PQ twin row count diverged")
+  }
+
+  test("streaming store ingest end-to-end equals the batch-cadence refresh") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val (dim, planes, thr) = (4, 3, 0.9)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_stream_e2e").toString
+    val mk = (id: Long, seed: Long, s: Double) =>
+      Tuple2(id, Seq.tabulate(4)(j => (((seed >> (j * 7)) & 127) - 63.0) * s))
+    val corpus = (1L to 8L).map(i => mk(i, i * 7919L, 1.0)).toDF("id", "emb")
+    val storeDir = s"$base/store"
+    val pairsDir = s"$base/pairs"
+    Dedup.seedEmbedIngestStore(corpus, storeDir, "id", "emb", dim, planes)
+    val batches = Seq(
+      Seq(mk(100L, 3L * 7919L, 2.0), mk(101L, 777777L, 1.0)),
+      Seq(mk(200L, 3L * 7919L, 3.0), mk(201L, 5L * 7919L, 2.0)))
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = EventsStream.embedStoreIngest(mem.toDF().toDF("id", "emb"),
+        storeDir, pairsDir, "id", "emb", dim, planes, thr)
+      .option("checkpointLocation", s"$base/ck")
+      .start()
+    try {
+      // one addData + processAllAvailable per planned batch = one
+      // micro-batch each, so the ledger records two distinct batch ids
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val ledger = spark.read.parquet(storeDir)
+      .select(col("ingest_batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ledger == Seq(-1L, 0L, 1L), s"ledger: $ledger")
+    // twin: the batch-cadence path over the same batches in ledger order
+    val twinDir = s"$base/twin"
+    Dedup.embeddingBucketIndex(corpus, "id", "emb", dim, planes)
+      .write.partitionBy("bucket").parquet(twinDir)
+    val twinPairs = batches.zipWithIndex.map { case (b, i) =>
+      val bdf = b.toDF("id", "emb")
+      val inc = Dedup.embeddingIncrementalPairs(bdf,
+          spark.read.parquet(twinDir), "id", "emb", dim, planes, thr)
+        .localCheckpoint()
+      val got = inc.select(col("a_id"), col("b_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      Dedup.embeddingIndexRefresh(spark, twinDir, bdf, "id", "emb",
+        dim, planes)
+      i.toLong -> got
+    }.toMap
+    assert(twinPairs.values.forall(_.nonEmpty),
+      "twin mined nothing — fixture went vacuous")
+    val gotPairs = spark.read.parquet(pairsDir)
+      .select(col("ingest_batch").cast("long"), col("a_id"), col("b_id"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, rs) =>
+        k -> rs.map(r => (r.getLong(1), r.getLong(2))).toSet }
+    assert(gotPairs == twinPairs,
+      s"streamed mines diverged from the batch cadence: $gotPairs vs $twinPairs")
+    // the stores hold identical index rows (ledger aside)
+    def rows(dir: String, drop: Seq[String]) = spark.read.parquet(dir)
+      .drop(drop: _*)
+      .select(col("id"), col("bucket").cast("long"), col("emb_sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(rows(storeDir, Seq("ingest_batch")) == rows(twinDir, Nil),
+      "streamed store diverged from the refresh-path store")
+  }
 }
