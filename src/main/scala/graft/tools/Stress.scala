@@ -67,6 +67,7 @@ object Stress {
       "hamming_capped_megabucket", "hamming_salvaged_megabucket",
       "hamming_index_build", "hamming_incremental_batch",
       "embed_index_build", "embed_incremental_batch",
+      "stream_ingest_batch", "refresh_ingest_batch",
       "ann_serve_indexed", "ann_serve_compacted", "ann_serve_brute",
       "ivf_serve_join", "ivf_serve_loop")
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
@@ -461,6 +462,65 @@ object Stress {
             maxBucket = 64).count()
         }
         results += "embed_incremental_batch" -> (batchRows, incrS)
+      }
+    }
+
+    // STREAMING ledgered ingest vs the batch-cadence refresh (r12): the
+    // exactly-once tax under measure. Both persisted stores are written
+    // to disk UNTIMED over the M-scaled corpus at the incremental
+    // geometry; then ONE constant-size batch (the embed_incremental_batch
+    // fixture: x2-rescaled embeddings, ids offset past every copy) lands
+    // through (a) the replay-ledgered streaming apply — token gate over
+    // store-minus-own-ledger-slice, mine materialized by the pairs
+    // partition write, dynamic ledger overwrite of the store — and
+    // (b) the batch-cadence path: the same mine written to parquet plus
+    // the token-gated blind append. The measured delta IS the ledger
+    // discipline's price (one partition filter + dynamic-overwrite
+    // bookkeeping); both rows should stay flat in M past the
+    // linear index-scan floor, like embed_incremental_batch.
+    if (include("stream_ingest_batch") || include("refresh_ingest_batch")) {
+      val embs = scaled(Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("emb")),
+        m, stride, Seq("vec_id"))
+      val batch = Tables.embeddings(spark, sfDir)
+        .select((col("vec_id") + m.toLong * stride).as("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            x => x * 2.0).as("emb"))
+      val batchRows = batch.count()
+      val parent = java.nio.file.Files
+        .createTempDirectory("graft_stress_ingest").toString
+      try {
+        if (include("stream_ingest_batch")) {
+          val sDir = s"$parent/stream_store"
+          graft.operators.Dedup.seedEmbedIngestStore(embs, sDir,
+            "vec_id", "emb", dim = 64, planes = 20)
+          val (_, s) = time {
+            graft.operators.Dedup.embedStoreIngestBatch(spark, sDir,
+              s"$parent/stream_pairs", 0L, batch, "vec_id", "emb",
+              dim = 64, planes = 20, threshold = 0.99, maxBucket = 64)
+          }
+          results += "stream_ingest_batch" -> (batchRows, s)
+        }
+        if (include("refresh_ingest_batch")) {
+          val rDir = s"$parent/refresh_store"
+          graft.operators.Dedup.embeddingBucketIndex(embs, "vec_id", "emb",
+              dim = 64, planes = 20)
+            .write.partitionBy("bucket").parquet(rDir)
+          val (_, s) = time {
+            graft.operators.Dedup.embeddingIncrementalPairs(batch,
+                spark.read.parquet(rDir), "vec_id", "emb", dim = 64,
+                planes = 20, threshold = 0.99, maxBucket = 64)
+              .write.mode("overwrite").parquet(s"$parent/refresh_pairs")
+            graft.operators.Dedup.embeddingIndexRefresh(spark, rDir, batch,
+              "vec_id", "emb", dim = 64, planes = 20)
+          }
+          results += "refresh_ingest_batch" -> (batchRows, s)
+        }
+      } finally {
+        org.apache.hadoop.fs.FileSystem
+          .get(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(parent), true)
       }
     }
 
