@@ -936,11 +936,14 @@ object Verify {
     def storeSnap(): Seq[(Long, Long)] = spark.read.parquet(storeDir)
       .select(col("ingest_batch").cast("long"), col("id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
-    def pairSnap(): Map[Long, Set[(Long, Long)]] = spark.read.parquet(pairsDir)
+    // a MULTISET per batch (sorted Seq, not Set): the replay assert must
+    // see a duplicated pairs row — a Set would collapse byte-identical
+    // duplicates and pass an at-least-once regression silently
+    def pairSnap(): Map[Long, Seq[(Long, Long)]] = spark.read.parquet(pairsDir)
       .select(col("ingest_batch").cast("long"), col("a_id"), col("b_id"))
       .collect().groupBy(_.getLong(0))
       .map { case (k, rs) =>
-        k -> rs.map(r => (r.getLong(1), r.getLong(2))).toSet }
+        k -> rs.map(r => (r.getLong(1), r.getLong(2))).toSeq.sorted }
     val (s0, p0) = (storeSnap(), pairSnap())
     require(p0.keySet == Set(0L, 1L, 2L) && p0.values.forall(_.size >= 3),
       s"a micro-batch mined ${p0.view.mapValues(_.size).toMap} pairs — " +
@@ -965,8 +968,11 @@ object Verify {
       val inc = Dedup.embeddingIncrementalPairs(rows,
           spark.read.parquet(twinDir), "id", "emb", dim, planes, thr)
         .localCheckpoint()
+      // a sorted Seq like pairSnap's multisets: the mine output is
+      // distinct, so set-vs-multiset only differs if the STREAMED side
+      // wrote duplicate rows — which must then FAIL this compare
       val got = inc.select(col("a_id"), col("b_id")).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
       Dedup.embeddingIndexRefresh(spark, twinDir, rows, "id", "emb",
         dim, planes)
       b -> got
@@ -1018,9 +1024,7 @@ object Verify {
     * accumulate one duplicated tree per run in /tmp. Runs in a finally,
     * so a failed gate cleans up too. */
   private def deleteTree(spark: SparkSession, dir: String): Unit =
-    org.apache.hadoop.fs.FileSystem
-      .get(spark.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(dir), true)
+    graft.sources.Maintenance.deleteLocalTree(spark, dir)
 
   private def parquetFiles(d: String): Long =
     graft.sources.Maintenance.parquetFileCount(d)

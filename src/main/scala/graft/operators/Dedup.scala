@@ -1318,15 +1318,21 @@ object Dedup {
                             batchId: Long, batch: DataFrame,
                             keyCol: String, embCol: String,
                             dim: Int, planes: Int, threshold: Double,
-                            maxBucket: Int = Int.MaxValue): Unit =
+                            maxBucket: Int = Int.MaxValue): Unit = {
+    // stage the micro-batch ONCE: the mine and the store write are two
+    // separate jobs, and each would otherwise re-pull the batch from the
+    // streaming source (expensive on wide/remote micro-batches, and a
+    // replay hazard if the source re-read were ever non-deterministic)
+    val staged = batch.localCheckpoint()
     storeIngestBatch(spark, storeDir, batchId,
       "emb_sig", embSig(dim, planes), "embedStoreIngestBatch",
       staleDesc = "wide-family store — emb_sig does not match " +
         s"dim=$dim/planes=$planes",
-      embeddingBucketIndex(batch, keyCol, embCol, dim, planes),
-      Some((pairsDir, corpus => embeddingIncrementalPairs(batch, corpus,
+      embeddingBucketIndex(staged, keyCol, embCol, dim, planes),
+      Some((pairsDir, corpus => embeddingIncrementalPairs(staged, corpus,
         keyCol, embCol, dim, planes, threshold, maxBucket))),
       Seq("bucket"))
+  }
 
   /** [[embedStoreIngestBatch]] on the HAMMING face: one replay-idempotent
     * micro-batch of fingerprints against a [[seedHammingIngestStore]]
@@ -1337,15 +1343,17 @@ object Dedup {
                               batchId: Long, batch: DataFrame,
                               idCol: String, hashCol: String,
                               bits: Int, chunks: Int, maxHamming: Int,
-                              maxBucket: Int = Int.MaxValue): Unit =
+                              maxBucket: Int = Int.MaxValue): Unit = {
+    val staged = batch.localCheckpoint() // one source read per micro-batch
     storeIngestBatch(spark, storeDir, batchId,
       "chunk_sig", chunkSig(bits, chunks), "hammingStoreIngestBatch",
       staleDesc = "hamming chunk index — chunk_sig does not match " +
         s"bits=$bits/chunks=$chunks",
-      hammingChunkIndex(batch, idCol, hashCol, bits, chunks),
-      Some((pairsDir, corpus => hammingIncrementalPairs(batch, corpus,
+      hammingChunkIndex(staged, idCol, hashCol, bits, chunks),
+      Some((pairsDir, corpus => hammingIncrementalPairs(staged, corpus,
         idCol, hashCol, bits, chunks, maxHamming, maxBucket))),
       Seq("chunk_idx"))
+  }
 
   /** [[seedEmbedIngestStore]] for the minhash face: the
     * [[minhashBandIndex]] layout under an `ingest_batch=-1` ledger
@@ -1367,15 +1375,17 @@ object Dedup {
                               batchId: Long, batch: DataFrame,
                               keyCol: String, textCol: String,
                               k: Int, bands: Int, shingleN: Int,
-                              maxBucket: Int = Int.MaxValue): Unit =
+                              maxBucket: Int = Int.MaxValue): Unit = {
+    val staged = batch.localCheckpoint() // one source read per micro-batch
     storeIngestBatch(spark, storeDir, batchId,
       "band_sig", bandSig(k, bands, shingleN), "minhashStoreIngestBatch",
       staleDesc = "minhash band index — band_sig does not match " +
         s"k=$k/bands=$bands/shingleN=$shingleN",
-      minhashBandIndex(batch, keyCol, textCol, k, bands, shingleN),
-      Some((pairsDir, corpus => minhashIncrementalPairs(batch, corpus,
+      minhashBandIndex(staged, keyCol, textCol, k, bands, shingleN),
+      Some((pairsDir, corpus => minhashIncrementalPairs(staged, corpus,
         keyCol, textCol, k, bands, shingleN, maxBucket))),
       Seq("band_idx"))
+  }
 
   /** The shared replay-idempotent micro-batch body behind the streaming
     * store writers ([[embedStoreIngestBatch]],

@@ -210,6 +210,20 @@ object Maintenance {
     * leaves mergeSchema off by default because footer-merging every file
     * costs listing time at scale; turning it on is a per-read decision,
     * which is exactly what this helper records. */
+  /** Recursive delete of a LOCAL temp workspace tree — the one body
+    * behind every Stress / Verify cleanup (the parquetFileCount
+    * discipline: a change to the deletion rule lands everywhere at
+    * once). Resolves against the LOCAL filesystem explicitly: these are
+    * always `java.nio` temp dirs, and `FileSystem.get(conf)` would
+    * resolve a bare `/tmp/...` path against `fs.defaultFS` — on an
+    * HDFS-defaulted cluster the delete silently no-ops (the leak the
+    * helper exists to prevent) or, worse, hits an identically-named
+    * remote path. */
+  def deleteLocalTree(spark: SparkSession, dir: String): Unit =
+    org.apache.hadoop.fs.FileSystem
+      .getLocal(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
+
   def readMerged(spark: SparkSession, dir: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(dir)
 }

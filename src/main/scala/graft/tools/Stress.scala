@@ -266,11 +266,7 @@ object Stress {
     // the layout is a full M-duplicated corpus copy — delete it now
     // (both consumers above have run) instead of leaking a
     // multi-hundred-MB graft_embB* directory per stress run
-    embDir.foreach { d =>
-      org.apache.hadoop.fs.FileSystem
-        .get(spark.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(d), true)
-    }
+    embDir.foreach(graft.sources.Maintenance.deleteLocalTree(spark, _))
 
     // stage-zero scrub kernels (round-6 family): NFC normalize + HTML
     // extract + URL canonicalize chained over the scaled corpus — three
@@ -517,11 +513,7 @@ object Stress {
           }
           results += "refresh_ingest_batch" -> (batchRows, s)
         }
-      } finally {
-        org.apache.hadoop.fs.FileSystem
-          .get(spark.sparkContext.hadoopConfiguration)
-          .delete(new org.apache.hadoop.fs.Path(parent), true)
-      }
+      } finally graft.sources.Maintenance.deleteLocalTree(spark, parent)
     }
 
     // ANN SERVING from the PERSISTED wide store vs brute force (r11):
@@ -584,11 +576,7 @@ object Stress {
               s"compacted=${files(dir2)}")
             results += "ann_serve_compacted" -> (corpusRows, serve(dir2))
           }
-        } finally {
-          org.apache.hadoop.fs.FileSystem
-            .get(spark.sparkContext.hadoopConfiguration)
-            .delete(new org.apache.hadoop.fs.Path(parent), true)
-        }
+        } finally graft.sources.Maintenance.deleteLocalTree(spark, parent)
       }
       measure("ann_serve_brute", corpusRows) {
         corpus.crossJoin(broadcast(q))
@@ -641,11 +629,7 @@ object Stress {
               "qe", k = 5, nProbe = 4, tieBreak = Seq("vec_id")).count()
           }
         }
-      } finally {
-        org.apache.hadoop.fs.FileSystem
-          .get(spark.sparkContext.hadoopConfiguration)
-          .delete(new org.apache.hadoop.fs.Path(parent), true)
-      }
+      } finally graft.sources.Maintenance.deleteLocalTree(spark, parent)
     }
 
     val qs = results.map { case (k, (rows, s)) =>
