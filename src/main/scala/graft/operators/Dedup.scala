@@ -1416,6 +1416,27 @@ object Dedup {
         "silently double its rows on micro-batch replay; seed a " +
         "streaming store (seed*IngestStore) or use the batch-cadence " +
         "refresh instead")
+    // the ledger must be MONOTONIC: Structured Streaming's batch ids only
+    // ever replay the LAST uncommitted batch (batchId == max) or advance
+    // past it (batchId > max) — a batchId BELOW the store's high-water
+    // mark means the query was restarted with a FRESH checkpoint, whose
+    // renumbered batch 0 would dynamic-overwrite the old batch-0 ledger
+    // slice with DIFFERENT rows: silent data loss, refused loudly instead
+    // (recover by graduating the store and re-seeding, or by restoring
+    // the original checkpoint). The aggregate touches only the partition
+    // column — directory values, no data-file column reads.
+    // coalesce: an EMPTY store aggregates max to NULL — let it pass here
+    // so requireStoreSig below refuses it with the rebuild message
+    val maxLedger = store
+      .agg(coalesce(max(col("ingest_batch").cast("long")),
+        lit(Long.MinValue)))
+      .head().getLong(0)
+    require(batchId >= maxLedger,
+      s"$what($storeDir): ledger regression — micro-batch $batchId is " +
+        s"below the store's high-water mark $maxLedger; the stream was " +
+        "restarted with a fresh checkpoint and its renumbered batches " +
+        "would silently overwrite committed ledger slices. Graduate the " +
+        "store and re-seed (or restore the original checkpoint)")
     val corpus = store
       .filter(col("ingest_batch") =!= lit(batchId))
       .select(indexRows.columns.toIndexedSeq.map(col): _*)

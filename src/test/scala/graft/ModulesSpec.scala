@@ -4226,6 +4226,29 @@ class ModulesSpec extends AnyFunSuite {
       .select(col("id"), col("bucket"), col("emb_sig"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
     assert(gradSet == want, "graduated store diverged from the batch build")
+    // the replay-exactness claim rests on the mine's corpus read PRUNING
+    // the batch's own ledger slice at planning — pin that the != filter
+    // on the ledger column is a partition filter and the scan's own
+    // metrics report exactly the non-batch-1 partitions read
+    val all = spark.read.parquet(storeDir)
+    val totalParts = all
+      .select(col("ingest_batch").cast("long"), col("bucket").cast("long"))
+      .distinct().count()
+    val b1Parts = all.filter(col("ingest_batch") === lit(1L))
+      .select(col("bucket").cast("long")).distinct().count()
+    val prunedRead = all.filter(col("ingest_batch") =!= lit(1L))
+    // collect(), not count(): count() plans its OWN QueryExecution, so
+    // prunedRead's inspected scan would never execute and its metrics
+    // would read zero
+    prunedRead.collect()
+    val scan = prunedRead.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .getOrElse(fail("no FileSourceScanExec in the ledger-filtered plan"))
+    assert(scan.partitionFilters.exists(_.toString.contains("ingest_batch")),
+      s"ledger predicate not a partition filter: ${scan.partitionFilters}")
+    assert(scan.metrics("numPartitions").value == totalParts - b1Parts,
+      s"ledger filter did not prune: read ${scan.metrics("numPartitions").value} " +
+        s"of $totalParts partitions (expected ${totalParts - b1Parts})")
   }
 
   test("streaming store ingest refuses canonical stores and foreign geometry") {
@@ -4262,6 +4285,18 @@ class ModulesSpec extends AnyFunSuite {
       "refused batch still wrote store rows")
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/p2")),
       "refused batch still wrote pairs")
+    // ledger regression: a fresh checkpoint renumbers batches from 0, and
+    // its dynamic overwrite would silently REPLACE committed ledger
+    // slices with different rows — refused against the high-water mark
+    // (replay of the LAST batch, id == max, stays legal and is pinned in
+    // the replay test)
+    Dedup.embedStoreIngestBatch(spark, seeded, s"$base/p3", 5L, batch,
+      "id", "emb", 4, 3, 0.9)
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.embedStoreIngestBatch(spark, seeded, s"$base/p3", 1L, batch,
+        "id", "emb", 4, 3, 0.9)
+    }
+    assert(e3.getMessage.contains("ledger regression"), e3.getMessage)
     // the hamming face rides the same shared body: replay-idempotent too
     val fps = (1L to 30L).map(i => (i, 0x0123456789abcdefL ^ (1L << (i % 50))))
       .toDF("id", "fp")
@@ -4311,6 +4346,71 @@ class ModulesSpec extends AnyFunSuite {
       .select(col("a_id"), col("b_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted == mp,
       "replayed minhash batch doubled pairs")
+  }
+
+  test("streaming store ingest: checkpoint restart continues the ledger; a fresh checkpoint is refused") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    import org.apache.spark.sql.streaming.Trigger
+    // the production restart path, driven through the REAL engine: a
+    // stopped query restarted from its OWN checkpoint resumes batch ids
+    // past the store's high-water mark (monotonic, no overwrite), while
+    // a restart with a FRESH checkpoint renumbers from 0 and must be
+    // refused by the ledger-regression guard — as a query failure, not
+    // a silent overwrite of committed slices
+    val (dim, planes, thr) = (4, 3, 0.9)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_stream_restart").toString
+    val mk = (id: Long, seed: Long, s: Double) =>
+      (id, Array.tabulate(4)(j => (((seed >> (j * 7)) & 127) - 63.0) * s))
+    val corpus = (1L to 8L).map(i => mk(i, i * 7919L, 1.0)).toDF("id", "emb")
+    val storeDir = s"$base/store"
+    val pairsDir = s"$base/pairs"
+    Dedup.seedEmbedIngestStore(corpus, storeDir, "id", "emb", dim, planes)
+    val inDir = s"$base/in"
+    def runOnce(ck: String): Unit = {
+      val stream = spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val q = EventsStream.embedStoreIngest(stream, storeDir, pairsDir,
+          "id", "emb", dim, planes, thr)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def ledger(): Seq[Long] = spark.read.parquet(storeDir)
+      .select(col("ingest_batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // first life: two files -> batches 0, 1
+    Seq(mk(100L, 3L * 7919L, 2.0)).toDF("id", "emb")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    Seq(mk(200L, 5L * 7919L, 2.0)).toDF("id", "emb")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    runOnce(s"$base/ck")
+    assert(ledger() == Seq(-1L, 0L, 1L), s"first life ledger: ${ledger()}")
+    // second life, SAME checkpoint: one new file -> batch 2, not 0
+    Seq(mk(300L, 7L * 7919L, 2.0)).toDF("id", "emb")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    runOnce(s"$base/ck")
+    assert(ledger() == Seq(-1L, 0L, 1L, 2L),
+      s"restart did not continue the ledger: ${ledger()}")
+    // third life, FRESH checkpoint: renumbered batch 0 < high-water mark
+    // 2 -> the guard fails the query instead of overwriting slice 0
+    val before = spark.read.parquet(storeDir)
+      .select(col("ingest_batch").cast("long"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce(s"$base/ck_fresh")
+    }
+    val chain = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(6)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("ledger regression"),
+      s"fresh-checkpoint restart failed for the wrong reason: $chain")
+    assert(spark.read.parquet(storeDir)
+        .select(col("ingest_batch").cast("long"), col("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted == before,
+      "the refused fresh-checkpoint run still mutated the store")
   }
 
   test("streaming serving-store ingest (IVF/PQ): replay idempotent, parity with refresh") {
