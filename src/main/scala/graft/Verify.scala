@@ -97,6 +97,16 @@ object Verify {
         failures("ingest_stream") =
           Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
       }
+      // the streaming writer on a SECOND index geometry (hamming chunk
+      // layout) through the same real-engine path — leaner leg, same
+      // replay/parity/graduation claims
+      try ingestStreamSmokeHamming(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(
+          s"[verify] ingest_stream_hamming failed: ${e.getMessage}")
+        failures("ingest_stream_hamming") =
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -458,7 +468,8 @@ object Verify {
       // BEFORE the flood rows so it is in the bucket from the start
       .unionByName(spark.range(1)
         .select(lit(boilerBase - 1).as("id"),
-          array(outlierArr.map(lit): _*).cast("array<double>").as("emb")))
+          array(outlierArr.toIndexedSeq.map(lit): _*)
+            .cast("array<double>").as("emb")))
       .unionByName(spark.range(0, 150)
         .select((col("id") + boilerBase).as("id"),
           expr("transform(sequence(1, 64), j -> " +
@@ -1015,6 +1026,120 @@ object Verify {
       "replay idempotent, mines == batch cadence, graduation " +
       s"(${parquetFiles(storeDir)} -> ${parquetFiles(gradDir)} files) == " +
       "refresh-path store, serving identical across all three shapes")
+  }
+
+  /** [[ingestStreamSmoke]] on the HAMMING face — the second modality
+    * through the REAL engine (the embedding gate proves the full
+    * four-claim composition; this leaner leg proves the shared ledger
+    * body wires a DIFFERENT index geometry — chunk pigeonhole,
+    * `chunk_idx` layout — through the same engine path): two ledgered
+    * micro-batches of fingerprints, replay of the last batch asserted
+    * idempotent on store AND pairs multisets, per-batch mines equal the
+    * batch-cadence twin, and the graduated store mines exactly what the
+    * refresh-path store mines. */
+  private def ingestStreamSmokeHamming(spark: SparkSession,
+                                       sfDir: String): Unit = {
+    val base = Files.createTempDirectory("graft_stream_gate_ham").toString
+    try ingestStreamSmokeHammingIn(spark, sfDir, base)
+    finally deleteTree(spark, base)
+  }
+
+  private def ingestStreamSmokeHammingIn(spark: SparkSession, sfDir: String,
+                                         base: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Dedup
+    import spark.implicits._
+    val (bits, chunks, maxHam) = (64, 4, 3)
+    // deterministic synthetic fingerprints off the documents ids (the
+    // lifecycle gate's recipe); each batch plants a hamming-1 twin of a
+    // corpus row so every micro-batch provably mines
+    val corpus = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("id"), xxhash64(col("doc_id")).as("fp"))
+      .filter(col("id") < 300)
+    val batches = (1 to 2).map { b =>
+      corpus.filter(col("id").isin(Seq(10L * b, 10L * b + 1, 10L * b + 2): _*))
+        .select((col("id") + 900000L).as("id"),
+          col("fp").bitwiseXOR(lit(1L << (b + 7))).as("fp"))
+    }
+    val storeDir = s"$base/store"
+    val pairsDir = s"$base/pairs"
+    Dedup.seedHammingIngestStore(corpus, storeDir, "id", "fp", bits, chunks)
+    val inDir = s"$base/in"
+    batches.foreach(_.coalesce(1).write.mode("append").parquet(inDir))
+    val stream = spark.readStream.schema(batches.head.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = graft.streaming.EventsStream.hammingStoreIngest(stream,
+        storeDir, pairsDir, "id", "fp", bits, chunks, maxHam)
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val ledger = spark.read.parquet(storeDir)
+      .select(col("ingest_batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    require(ledger == Seq(-1L, 0L, 1L),
+      s"expected 2 ledgered micro-batches after the seed, got $ledger")
+    def batchRows(b: Long): DataFrame = spark.read.parquet(storeDir)
+      .filter(col("ingest_batch") === b)
+      .select(col("id"), col("fp")).distinct()
+    def storeSnap(): Seq[(Long, Long, Long)] = spark.read.parquet(storeDir)
+      .select(col("ingest_batch").cast("long"), col("id"),
+        col("chunk_idx").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    def pairSnap(): Map[Long, Seq[(Long, Long)]] = spark.read.parquet(pairsDir)
+      .select(col("ingest_batch").cast("long"), col("a_id"), col("b_id"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, rs) =>
+        k -> rs.map(r => (r.getLong(1), r.getLong(2))).toSeq.sorted }
+    val (s0, p0) = (storeSnap(), pairSnap())
+    require(p0.keySet == Set(0L, 1L) && p0.values.forall(_.nonEmpty),
+      s"a hamming micro-batch mined nothing: " +
+        s"${p0.view.mapValues(_.size).toMap}")
+    val replayed = batchRows(1L).localCheckpoint()
+    Dedup.hammingStoreIngestBatch(spark, storeDir, pairsDir, 1L, replayed,
+      "id", "fp", bits, chunks, maxHam)
+    require(storeSnap() == s0,
+      "replaying the last hamming micro-batch changed the store")
+    require(pairSnap() == p0,
+      "replaying the last hamming micro-batch changed the mined pairs")
+    // batch-cadence twin, in ledger order
+    val twinDir = s"$base/twin"
+    Dedup.hammingChunkIndex(corpus, "id", "fp", bits, chunks)
+      .write.partitionBy("chunk_idx").parquet(twinDir)
+    val twinPairs = (0L to 1L).map { b =>
+      val rows = batchRows(b).localCheckpoint()
+      val inc = Dedup.hammingIncrementalPairs(rows,
+          spark.read.parquet(twinDir), "id", "fp", bits, chunks, maxHam)
+        .localCheckpoint()
+      val got = inc.select(col("a_id"), col("b_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      Dedup.hammingIndexRefresh(spark, twinDir, rows, "id", "fp",
+        bits, chunks)
+      b -> got
+    }.toMap
+    require(p0 == twinPairs,
+      s"streamed hamming mines diverged from the batch cadence: " +
+        s"${p0.view.mapValues(_.size).toMap} vs " +
+        s"${twinPairs.view.mapValues(_.size).toMap}")
+    // graduation == refresh-path store, proven by USE (the chunk store's
+    // product is its mined pairs)
+    val gradDir = s"$base/store_canonical"
+    graft.sources.Maintenance.compactPartitionedTo(spark, storeDir, gradDir,
+      Seq("chunk_idx"), dropCols = Seq("ingest_batch"))
+    def minedFrom(dir: String): Set[(Long, Long)] =
+      Dedup.hammingPairsFromIndex(spark.read.parquet(dir), maxHamming = maxHam)
+        .select(col("a_id"), col("b_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fromGrad = minedFrom(gradDir)
+    require(fromGrad == minedFrom(twinDir) && fromGrad.nonEmpty,
+      "graduated hamming store mines differently than the refresh path")
+    println(s"[verify] ingest_stream_hamming OK: 2 ledgered micro-batches " +
+      s"(${p0.toSeq.sortBy(_._1).map(_._2.size).mkString("/")} pairs), " +
+      "replay idempotent, mines == batch cadence, graduated store mines " +
+      s"== refresh path (${fromGrad.size} pairs)")
   }
 
   /** Recursive delete of a gate's temp workspace — the Stress

@@ -872,7 +872,7 @@ object EventsStream {
           out.map(o => ChatOut(o.event_id, o.user_id, o.ts,
             textById(o.event_id), o.eff_lat, o.eff_lon)).iterator
       }
-    located.toDF.withColumn("embedding",
+    located.toDF().withColumn("embedding",
       graft.functions.TextSig.embedUdf(col("text"), lit(embedDim)))
   }
 
