@@ -893,7 +893,27 @@ object AnnIndex {
                       query: DataFrame, queryCol: String,
                       k: Int, nProbe: Int,
                       tieBreak: Seq[String] = Nil): DataFrame = {
-    val probes = probeLists(model, query, queryCol, nProbe)
+    // ONE query row, checked loudly — the [[annTopKWideIndexed]] contract
+    // this face's docs promise: [[probeLists]]' orderBy+limit is GLOBAL,
+    // so a multi-row frame would mix every query's centroid distances
+    // into one probe set and every candidate into one blended top-k —
+    // plausible neighbors belonging to no query, no error (a query TABLE
+    // goes through [[ivfJoinIndexed]]). Everything downstream derives
+    // from the one collected row, so a non-deterministic 1-row plan
+    // (limit/sample over a larger frame) cannot route with one embedding
+    // and score against another.
+    val qSlice = query.select(col(queryCol))
+    val qRows = qSlice.limit(2).collect()
+    require(qRows.length == 1,
+      "ivfTopKAssigned expects exactly ONE query row — a multi-row frame " +
+        "would blend every query's probes and candidates into one global " +
+        "top-k; a query TABLE goes through ivfJoinIndexed")
+    require(!qRows(0).isNullAt(0),
+      "ivfTopKAssigned query embedding is NULL — it would route to no " +
+        "list and every search would silently return empty")
+    val qLocal = query.sparkSession.createDataFrame(
+      java.util.Arrays.asList(qRows(0)), qSlice.schema)
+    val probes = probeLists(model, qLocal, queryCol, nProbe)
     // a store stamped by [[ivfStore]] is token-checked on the probe page
     // (assert_true folded into the load-bearing similarity, the Quantize
     // recipe — an unused check column would be optimizer-pruned); stores
@@ -908,7 +928,7 @@ object AnnIndex {
         .cast("double"), lit(0.0))
     assigned
       .join(broadcast(probes), "list_id")
-      .crossJoin(broadcast(query.select(col(queryCol))))
+      .crossJoin(broadcast(qLocal))
       .withColumn("similarity", checked)
       .orderBy(desc("similarity") +: tieBreak.map(col): _*)
       .limit(k)

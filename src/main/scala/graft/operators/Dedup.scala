@@ -1295,14 +1295,13 @@ object Dedup {
     * planning), so a replay whose first attempt died between the two
     * writes mines against exactly the pre-batch corpus the first attempt
     * saw — the half-written partition is invisible. Order matters twice:
-    * the pairs write runs FIRST, because writing is what materializes
-    * the lazy mine against the pre-append store (appending first would
-    * re-evaluate the mine with the batch already inside the corpus and
-    * silently mine the batch against itself — the
-    * [[ingestLifecycleSmoke]] localCheckpoint trap); and the token gate
-    * runs over the pre-batch corpus BEFORE either write (the
-    * [[refreshStore]] stance: refuse a stale/raw/empty store before a
-    * row lands).
+    * the mine is MATERIALIZED (localCheckpoint) and its slice written
+    * before the store append (a lazy mine evaluated after the append
+    * would see the batch already inside the corpus and silently mine the
+    * batch against itself — the [[ingestLifecycleSmoke]] localCheckpoint
+    * trap); and the token gate runs over the pre-batch corpus BEFORE
+    * either write (the [[refreshStore]] stance: refuse a
+    * stale/raw/empty store before a row lands).
     *
     * Serving and graduation: the ledger column rides every read of the
     * streaming store, so point-query faces drop it
@@ -1398,11 +1397,27 @@ object Dedup {
     * product). `indexRows` are the batch's pre-stamped index rows (no
     * ledger column — it is stamped here, once); `pairsMine`'s function
     * receives the pre-batch corpus at the canonical store schema and
-    * returns the pairs frame. Every write goes through
+    * returns the pairs frame. The store write goes through
     * `partitionOverwriteMode=dynamic`: mode Overwrite then replaces ONLY
     * the partitions this batch writes — its own ledger slice — never the
     * seed or sibling batches (pinned in ModulesSpec: a second batch
-    * leaves the first and the seed intact). */
+    * leaves the first and the seed intact). The pairs slice is a plain
+    * whole-slice overwrite at its explicit `ingest_batch=<id>` path
+    * (same idempotency — rows are a pure function of the batch), with an
+    * EMPTY mine still landing one schema-bearing zero-row file so
+    * `pairsDir` is readable from the first micro-batch on (an all-zero
+    * dynamic overwrite commits no files, and a consumer's
+    * `read.parquet(pairsDir)` would fail schema inference on the
+    * common cold-start case of early batches with no near-dups).
+    *
+    * Cost stance: the gate runs TWO maintenance-time aggregates per
+    * micro-batch — the max-ledger pass (partition-column only: directory
+    * values, no data columns) and the shared [[AnnIndex.requireStoreSig]]
+    * stats pass (one long column). Folding them into one hand-rolled
+    * aggregate would fork the ONE shared gate body the token discipline
+    * rests on; the stress pair (SCALE.md stream_ingest_batch vs
+    * refresh_ingest_batch, which pays only the sig pass) measures the
+    * difference as inside host noise. */
   private[operators] def storeIngestBatch(
       spark: org.apache.spark.sql.SparkSession,
       storeDir: String, batchId: Long, sigCol: String, sig: Long,
@@ -1442,15 +1457,76 @@ object Dedup {
       .select(indexRows.columns.toIndexedSeq.map(col): _*)
     AnnIndex.requireStoreSig(corpus, sigCol, sig, allowEmpty = false,
       what = s"$what($storeDir)", staleDesc = staleDesc)
+    // batchId == max passes the monotonic guard above because a
+    // legitimate engine replay re-runs the LAST batch — but a FRESH
+    // checkpoint whose renumbered batch 0 lands exactly on a
+    // one-batch-old store's high-water mark would slip through as a fake
+    // "replay" and overwrite the committed slice with foreign rows. The
+    // commit MARKER (written after a slice lands, below) distinguishes
+    // them: if this id is already marker-committed, a true replay
+    // carries byte-identical rows (the index rows are a pure function of
+    // the checkpoint-defined batch), so an order-free content
+    // fingerprint of incoming-vs-stored must match — a mismatch is the
+    // renumbered-restart data-loss case, refused before a row moves. A
+    // MISSING marker means the first attempt died between the writes and
+    // its marker — the stored slice may be partial, the replay overwrites
+    // it whole, and no check is possible or needed. The fingerprint
+    // costs one scan of the batch + one partition-pruned scan of the one
+    // slice, paid ONLY on the rare replay/collision path, never on
+    // normal progress (batchId == max + 1).
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$storeDir/_ledger_commit_$batchId")
+    val fs = marker.getFileSystem(hadoopConf)
+    if (batchId == maxLedger && fs.exists(marker)) {
+      val fields = indexRows.schema.fields.toIndexedSeq
+      val fpCols = fields.map(f => col(f.name))
+      def contentFp(df: DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)),
+          coalesce(expr("bit_xor(" +
+            s"xxhash64(${fields.map(f => s"`${f.name}`").mkString(", ")}))"),
+            lit(0L))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      // cast only genuinely different types (the partition column reads
+      // back as int where the builder stamps long) — a nullability-only
+      // difference (array<double> round-tripped through parquet) is the
+      // same catalog type, and Spark refuses the nullable->non-null cast
+      val storeTypes = store.schema.fields
+        .map(f => f.name -> f.dataType).toMap
+      val slice = store.filter(col("ingest_batch") === lit(batchId))
+        .select(fields.map { f =>
+          if (storeTypes(f.name).catalogString == f.dataType.catalogString)
+            col(f.name)
+          else col(f.name).cast(f.dataType)
+        }: _*)
+      val (incoming, stored) =
+        (contentFp(indexRows.select(fpCols: _*)), contentFp(slice))
+      require(incoming == stored,
+        s"$what($storeDir): ledger collision — micro-batch $batchId is " +
+          "already committed with DIFFERENT contents; the stream was " +
+          "restarted with a fresh checkpoint and its renumbered batch " +
+          "would silently overwrite the committed slice. Graduate the " +
+          "store and re-seed (or restore the original checkpoint)")
+    }
     def ledgered(rows: DataFrame, dir: String, pcols: Seq[String]): Unit =
       rows.withColumn("ingest_batch", lit(batchId))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(("ingest_batch" +: pcols): _*).parquet(dir)
     pairsMine.foreach { case (pairsDir, mine) =>
-      ledgered(mine(corpus), pairsDir, Nil)
+      // materialized BEFORE the store append (the write below would
+      // otherwise re-evaluate the lazy mine against a corpus that
+      // already contains the batch); isEmpty is then free, and an empty
+      // mine is forced through one task so the slice carries a
+      // schema-bearing file
+      val pairs = mine(corpus).localCheckpoint()
+      (if (pairs.isEmpty) pairs.repartition(1) else pairs)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$pairsDir/ingest_batch=$batchId")
     }
     ledgered(indexRows, storeDir, partitionCols)
+    fs.create(marker, true).close()
   }
 
   /** Incremental connected components: fold a NEW batch of pairs (e.g.

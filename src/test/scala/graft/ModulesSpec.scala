@@ -4297,6 +4297,45 @@ class ModulesSpec extends AnyFunSuite {
         "id", "emb", 4, 3, 0.9)
     }
     assert(e3.getMessage.contains("ledger regression"), e3.getMessage)
+    // ledger COLLISION: the >= guard alone cannot catch a fresh
+    // checkpoint whose renumbered batch lands EXACTLY on the high-water
+    // mark (a store one batch old) — the commit marker + content
+    // fingerprint must refuse different rows at the same id, while a
+    // true replay (identical rows) stays legal
+    val snapBefore = spark.read.parquet(seeded)
+      .select(col("ingest_batch").cast("long"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val foreign = Seq(mk(60L, 98765L)).toDF("id", "emb")
+    val e4 = intercept[IllegalArgumentException] {
+      Dedup.embedStoreIngestBatch(spark, seeded, s"$base/p3", 5L, foreign,
+        "id", "emb", 4, 3, 0.9)
+    }
+    assert(e4.getMessage.contains("ledger collision"), e4.getMessage)
+    assert(spark.read.parquet(seeded)
+        .select(col("ingest_batch").cast("long"), col("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      == snapBefore, "refused collision still mutated the store")
+    Dedup.embedStoreIngestBatch(spark, seeded, s"$base/p3", 5L, batch,
+      "id", "emb", 4, 3, 0.9) // identical rows: a true replay stays legal
+    // with the marker REMOVED the same id accepts different rows — the
+    // heal-a-partial-slice path after a crash between write and marker
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$seeded/_ledger_commit_5"))
+    Dedup.embedStoreIngestBatch(spark, seeded, s"$base/p3", 5L, foreign,
+      "id", "emb", 4, 3, 0.9)
+    assert(spark.read.parquet(seeded)
+        .filter(col("ingest_batch") === 5L).select(col("id"))
+        .collect().map(_.getLong(0)).contains(60L),
+      "markerless re-apply did not land the batch")
+    // an EMPTY mine must still leave pairsDir readable (a zero-partition
+    // dynamic overwrite would commit no schema-bearing file, failing the
+    // cold-start consumer's read.parquet)
+    val lonely = s"$base/lonely"
+    Dedup.seedEmbedIngestStore(corpus, lonely, "id", "emb", 4, 3)
+    Dedup.embedStoreIngestBatch(spark, lonely, s"$base/p4", 0L,
+      Seq(mk(80L, 424242L)).toDF("id", "emb"), "id", "emb", 4, 3, 0.9999)
+    assert(spark.read.parquet(s"$base/p4").count() == 0,
+      "pairsDir unreadable or non-empty after a zero-pair micro-batch")
     // the hamming face rides the same shared body: replay-idempotent too
     val fps = (1L to 30L).map(i => (i, 0x0123456789abcdefL ^ (1L << (i % 50))))
       .toDF("id", "fp")
@@ -4451,6 +4490,15 @@ class ModulesSpec extends AnyFunSuite {
       AnnIndex.ivfStoreIngestBatch(spark, model, ivfTwin, 1L, batch, "emb")
     }
     assert(e.getMessage.contains("ingest_batch"), e.getMessage)
+    // the point face's documented 1-row contract is LOUD, not silent: a
+    // multi-row query frame must refuse instead of blending every
+    // query's probes and candidates into one global top-k
+    val eq = intercept[IllegalArgumentException] {
+      AnnIndex.ivfTopKAssigned(model, spark.read.parquet(ivfTwin), "emb",
+        corpus.limit(2).select(col("emb").as("qe")), "qe",
+        k = 5, nProbe = 2)
+    }
+    assert(eq.getMessage.contains("ONE query row"), eq.getMessage)
     // PQ: the flat-layout twin — ledger is the only partition level
     val cb = Quantize.pqFit(corpus, "emb", dim = 4, m = 2,
       nCentroids = 4, maxIter = 2)
