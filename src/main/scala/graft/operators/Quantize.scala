@@ -96,6 +96,28 @@ object Quantize {
       .drop("__q")
   }
 
+  /** The quantized point faces' loud 1-row query contract
+    * ([[AnnIndex.annTopKWideIndexed]]'s): both ranking stages are global
+    * orderBy+limit, so a multi-row query frame would silently blend
+    * every query's candidates into one top-k. Returns a LOCAL 1-row
+    * frame so every downstream use sees the same collected embedding
+    * (a non-deterministic 1-row plan re-evaluated per stage could
+    * otherwise rank with one vector and re-rank with another). */
+  private def oneQueryRow(corpus: DataFrame, query: DataFrame,
+                          what: String): DataFrame = {
+    val qSlice = query.select(col("qe"))
+    val qRows = qSlice.limit(2).collect()
+    require(qRows.length == 1,
+      s"$what expects exactly ONE query row (column qe) — a multi-row " +
+        "frame would blend every query's candidates into one global " +
+        "top-k")
+    require(!qRows(0).isNullAt(0),
+      s"$what query embedding is NULL — it would score nothing and " +
+        "every search would silently return empty")
+    corpus.sparkSession.createDataFrame(
+      java.util.Arrays.asList(qRows(0)), qSlice.schema)
+  }
+
   /** Two-stage top-k: approximate dot on int8 codes selects
     * `overFetch × k` candidates (narrow scan of codes+scale only), exact
     * float cosine re-ranks the survivors. Query comes as a 1-row frame
@@ -109,9 +131,17 @@ object Quantize {
       .filter(corpus.columns.contains)
     require(reserved.isEmpty,
       s"topK reserves column name(s): ${reserved.mkString(", ")}")
+    // ONE query row, checked loudly — the shared point-face contract
+    // ([[AnnIndex.annTopKWideIndexed]] / [[AnnIndex.ivfTopKAssigned]]):
+    // both ranking stages below are GLOBAL orderBy+limit, so a multi-row
+    // frame would blend every query's candidates into one top-k with no
+    // error; deriving everything from the one collected row also keeps a
+    // non-deterministic 1-row plan from ranking with one embedding and
+    // re-ranking with another.
+    val qLocal = oneQueryRow(corpus, query, "topK")
     // query vectors are transient — drop their freshness stamp so it can't
     // collide with the corpus store's q_sig across the join
-    val q = withCodes(query.select(col("qe").cast("array<double>").as("qe")), "qe")
+    val q = withCodes(qLocal.select(col("qe").cast("array<double>").as("qe")), "qe")
       .withColumnRenamed("q_codes", "qq_codes")
       .withColumnRenamed("q_scale", "qq_scale")
       .drop("q_sig")
@@ -361,10 +391,11 @@ object Quantize {
       .filter(corpus.columns.contains)
     require(reserved.isEmpty,
       s"pqTopK reserves column name(s): ${reserved.mkString(", ")}")
+    val qLocal = oneQueryRow(corpus, query, "pqTopK")
     val coded = pqEncode(corpus, embCol, codebooks)
     val lutUdf = lutUdfFor(codebooks)
     val adcUdf = adcUdfFor(codebooks)
-    val q = query.select(col("qe").cast("array<double>").as("qe"))
+    val q = qLocal.select(col("qe").cast("array<double>").as("qe"))
       .withColumn("__lut", lutUdf(col("qe")))
       .withColumn("__qn", vectors.l2Norm(col("qe")))
     coded.crossJoin(broadcast(q))
@@ -502,7 +533,8 @@ object Quantize {
       .toDF("list_id", "centroid")
     // the probe page: nProbe nearest lists, each carrying q·centroid and
     // the (list-independent — LUTs are linear in q) residual ADC table
-    val probes = query.select(col("qe").cast("array<double>").as("qe"))
+    val qLocal = oneQueryRow(corpus, query, "ivfPqTopK")
+    val probes = qLocal.select(col("qe").cast("array<double>").as("qe"))
       .crossJoin(broadcast(cents))
       .withColumn("dist2",
         vectors.dot(col("qe"), col("qe"))

@@ -4452,6 +4452,30 @@ class ModulesSpec extends AnyFunSuite {
       "the refused fresh-checkpoint run still mutated the store")
   }
 
+  test("quantized point faces refuse multi-row query frames loudly") {
+    import spark.implicits._
+    import graft.operators.{AnnIndex, Quantize}
+    // the shared 1-row contract, completed across the class: every
+    // global-orderBy point face must refuse a multi-row query instead of
+    // silently blending all queries' candidates into one top-k
+    val mk = (id: Long, seed: Long) =>
+      (id, Array.tabulate(4)(j => (((seed >> (j * 5)) & 63) - 31.0)))
+    val corpus = (1L to 30L).map(i => mk(i, i * 2654435761L)).toDF("id", "emb")
+    val q2 = corpus.limit(2).select(col("emb").as("qe"))
+    val cb = Quantize.pqFit(corpus, "emb", dim = 4, m = 2,
+      nCentroids = 4, maxIter = 2)
+    val model = AnnIndex.ivfFit(corpus, "emb", nLists = 4)
+    val faces: Seq[(String, () => Any)] = Seq(
+      "topK" -> (() => Quantize.topK(corpus, "emb", q2, k = 3)),
+      "pqTopK" -> (() => Quantize.pqTopK(corpus, "emb", cb, q2, k = 3)),
+      "ivfPqTopK" -> (() => Quantize.ivfPqTopK(model, corpus, "emb", cb,
+        q2, k = 3, nProbe = 2)))
+    faces.foreach { case (name, f) =>
+      val e = intercept[IllegalArgumentException](f())
+      assert(e.getMessage.contains("ONE query row"), s"$name: ${e.getMessage}")
+    }
+  }
+
   test("streaming serving-store ingest (IVF/PQ): replay idempotent, parity with refresh") {
     import spark.implicits._
     import graft.operators.{AnnIndex, Dedup, Quantize}
