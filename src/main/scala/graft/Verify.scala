@@ -107,6 +107,27 @@ object Verify {
         failures("ingest_stream_hamming") =
           Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
       }
+      // the THIRD mining modality through the real engine (r12): band
+      // candidates exactly-once, with graduation proven by the
+      // mine-parity probe (the band store carries keys, not payloads)
+      try ingestStreamSmokeMinhash(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(
+          s"[verify] ingest_stream_minhash failed: ${e.getMessage}")
+        failures("ingest_stream_minhash") =
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+      }
+      // and the two APPEND-ONLY serving stores (IVF lists, PQ codes)
+      // through real engines — with this, every persisted store family's
+      // streaming writer has run under a Structured Streaming checkpoint,
+      // not just its batch body under a spec
+      try ingestStreamSmokeServing(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(
+          s"[verify] ingest_stream_serving failed: ${e.getMessage}")
+        failures("ingest_stream_serving") =
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -1140,6 +1161,312 @@ object Verify {
       s"(${p0.toSeq.sortBy(_._1).map(_._2.size).mkString("/")} pairs), " +
       "replay idempotent, mines == batch cadence, graduated store mines " +
       s"== refresh path (${fromGrad.size} pairs)")
+  }
+
+  /** [[ingestStreamSmoke]] on the MINHASH face — the THIRD mining
+    * modality through the REAL engine, closing the streaming-writer
+    * matrix the way [[ingestLifecycleSmokeMinhash]] closed the batch
+    * cadence's: two ledgered micro-batches of documents feeding a
+    * [[graft.operators.Dedup.seedMinhashIngestStore]] band store,
+    * replay of the last batch asserted idempotent on store AND pairs
+    * multisets, per-batch candidate mines equal the batch-cadence twin
+    * in ledger order, and `band_idx` graduation proven load-bearing by
+    * the lifecycle gate's MINE-PARITY PROBE (the band store carries
+    * keys, not payloads, so graduation is proven by USE: a fresh
+    * mini-batch mined against the graduated store and against the
+    * refresh-path twin must find identical pairs). The engine's
+    * file-listing order is not assumed: ledger slices are matched back
+    * to their source batches by id set. */
+  private def ingestStreamSmokeMinhash(spark: SparkSession,
+                                       sfDir: String): Unit = {
+    val base = Files.createTempDirectory("graft_stream_gate_mh").toString
+    try ingestStreamSmokeMinhashIn(spark, sfDir, base)
+    finally deleteTree(spark, base)
+  }
+
+  private def ingestStreamSmokeMinhashIn(spark: SparkSession, sfDir: String,
+                                         base: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Dedup
+    import spark.implicits._
+    val (k, bands, shingleN) = (16, 4, 3)
+    val corpus = graft.core.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id").as("id"), col("text"))
+    // each batch plants 3 EXACT copies of a fresh corpus anchor's text:
+    // identical signature -> shares every band with the anchor -> every
+    // micro-batch provably mines candidates (new x corpus AND new x new)
+    val anchorTexts = corpus.filter(col("id").isin(3L, 4L))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    require(anchorTexts.size == 2 &&
+        anchorTexts.values.forall(t => t != null && t.length > 20),
+      "documents fixture lost the anchor texts (doc_id 3-4)")
+    val batchDefs = (1 to 2).map { b =>
+      (0 until 3).map(i => (900000L + b * 1000L + i,
+        anchorTexts(Seq(3L, 4L)(b - 1)))).toDF("id", "text")
+    }
+    val storeDir = s"$base/store"
+    val pairsDir = s"$base/pairs"
+    Dedup.seedMinhashIngestStore(corpus, storeDir, "id", "text",
+      k, bands, shingleN)
+    val inDir = s"$base/in"
+    batchDefs.foreach(_.coalesce(1).write.mode("append").parquet(inDir))
+    val stream = spark.readStream.schema(batchDefs.head.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = graft.streaming.EventsStream.minhashStoreIngest(stream,
+        storeDir, pairsDir, "id", "text", k, bands, shingleN)
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val ledger = spark.read.parquet(storeDir)
+      .select(col("ingest_batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    require(ledger == Seq(-1L, 0L, 1L),
+      s"expected 2 ledgered micro-batches after the seed, got $ledger")
+    // match each ledger slice back to its source batch by id set — the
+    // band store carries ids, not texts, and the engine's file-listing
+    // order is an implementation detail this gate must not encode
+    def sliceIds(b: Long): Set[Long] = spark.read.parquet(storeDir)
+      .filter(col("ingest_batch") === b)
+      .select(col("id")).distinct().collect().map(_.getLong(0)).toSet
+    def batchFor(b: Long): DataFrame = {
+      val ids = sliceIds(b)
+      val hits = batchDefs.filter(d =>
+        d.select(col("id")).collect().map(_.getLong(0)).toSet == ids)
+      require(hits.size == 1,
+        s"ledger slice $b matches ${hits.size} source batches (ids $ids)")
+      hits.head
+    }
+    def storeSnap(): Seq[(Long, Long, Long, String)] =
+      spark.read.parquet(storeDir)
+        .select(col("ingest_batch").cast("long"), col("id"),
+          col("band_idx").cast("long"), col("band_key"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSeq.sorted
+    def pairSnap(): Map[Long, Seq[(Long, Long)]] = spark.read.parquet(pairsDir)
+      .select(col("ingest_batch").cast("long"), col("a_id"), col("b_id"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (kk, rs) =>
+        kk -> rs.map(r => (r.getLong(1), r.getLong(2))).toSeq.sorted }
+    val (s0, p0) = (storeSnap(), pairSnap())
+    require(p0.keySet == Set(0L, 1L) && p0.values.forall(_.nonEmpty),
+      s"a minhash micro-batch mined nothing: " +
+        s"${p0.view.mapValues(_.size).toMap}")
+    // exactly-once, asserted: re-applying the LAST micro-batch at its
+    // recorded id (the engine's crash-replay case) must not move the
+    // store or the mined pairs
+    Dedup.minhashStoreIngestBatch(spark, storeDir, pairsDir, 1L,
+      batchFor(1L), "id", "text", k, bands, shingleN)
+    require(storeSnap() == s0,
+      "replaying the last minhash micro-batch changed the store")
+    require(pairSnap() == p0,
+      "replaying the last minhash micro-batch changed the mined pairs")
+    // batch-cadence twin, in ledger order
+    val twinDir = s"$base/twin"
+    Dedup.minhashBandIndex(corpus, "id", "text", k, bands, shingleN)
+      .write.partitionBy("band_idx").parquet(twinDir)
+    val twinPairs = (0L to 1L).map { b =>
+      val rows = batchFor(b)
+      val inc = Dedup.minhashIncrementalPairs(rows,
+          spark.read.parquet(twinDir), "id", "text", k, bands, shingleN)
+        .localCheckpoint()
+      val got = inc.select(col("a_id"), col("b_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      Dedup.minhashIndexRefresh(spark, twinDir, rows, "id", "text",
+        k, bands, shingleN)
+      b -> got
+    }.toMap
+    require(p0 == twinPairs,
+      s"streamed minhash mines diverged from the batch cadence: " +
+        s"${p0.view.mapValues(_.size).toMap} vs " +
+        s"${twinPairs.view.mapValues(_.size).toMap}")
+    // graduation == refresh-path store, proven by USE (the lifecycle
+    // gate's mine-parity probe: identical candidates from a fresh
+    // mini-batch, so band keys, the band_sig token, and the layout all
+    // survived the ledger-dropping rewrite)
+    val gradDir = s"$base/store_canonical"
+    graft.sources.Maintenance.compactPartitionedTo(spark, storeDir, gradDir,
+      Seq("band_idx"), dropCols = Seq("ingest_batch"))
+    val probe = Seq((950000L, anchorTexts(3L)), (950001L, anchorTexts(3L)))
+      .toDF("id", "text")
+    def mineProbe(dir: String): Set[(Long, Long, Long)] =
+      Dedup.minhashIncrementalPairs(probe, spark.read.parquet(dir),
+          "id", "text", k, bands, shingleN)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fromGrad = mineProbe(gradDir)
+    require(fromGrad.nonEmpty,
+      "minhash graduation parity probe mined nothing — the probe fixture " +
+        "went vacuous")
+    require(fromGrad == mineProbe(twinDir),
+      "graduated minhash store mines differently than the refresh path")
+    println(s"[verify] ingest_stream_minhash OK: 2 ledgered micro-batches " +
+      s"(${p0.toSeq.sortBy(_._1).map(_._2.size).mkString("/")} candidate " +
+      "pairs), replay idempotent, mines == batch cadence, graduated " +
+      s"store probe parity == refresh path (${fromGrad.size} pairs)")
+  }
+
+  /** The APPEND-ONLY serving stores (IVF lists, PQ code table) through
+    * the REAL engine — the last two streaming-writer faces
+    * ([[graft.streaming.EventsStream.ivfStoreIngest]] /
+    * [[graft.streaming.EventsStream.pqStoreIngest]]), whose ledger
+    * bodies are spec-pinned at the batch level (ModulesSpec) but, before
+    * this gate, never ran under a Structured Streaming checkpoint. No
+    * mine — the store IS the product — so the claims are: ledger
+    * complete, replay idempotent on store contents, graduated store
+    * contents EQUAL the batch-cadence refresh path's, and the point
+    * faces ([[graft.operators.AnnIndex.ivfTopKAssigned]] /
+    * [[graft.operators.Quantize.pqTopK]]) serve identical top-k from the
+    * streamed, graduated, and refresh-path stores. Vectors are
+    * deterministic synthetics (the ModulesSpec recipe) — the gate pins
+    * the ledger composition, not embedding quality. */
+  private def ingestStreamSmokeServing(spark: SparkSession,
+                                       sfDir: String): Unit = {
+    val base = Files.createTempDirectory("graft_stream_gate_srv").toString
+    try ingestStreamSmokeServingIn(spark, sfDir, base)
+    finally deleteTree(spark, base)
+  }
+
+  private def ingestStreamSmokeServingIn(spark: SparkSession, sfDir: String,
+                                         base: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.{AnnIndex, Quantize}
+    import spark.implicits._
+    val mk = (id: Long, seed: Long) =>
+      (id, Array.tabulate(4)(j => (((seed >> (j * 5)) & 63) - 31.0)))
+    val corpus = (1L to 40L).map(i => mk(i, i * 2654435761L)).toDF("id", "emb")
+      .localCheckpoint() // one deterministic materialization for fits + seeds
+    val batchDefs = (1 to 2).map { b =>
+      (100L * b to 100L * b + 5L).map(i => mk(i, i * 40503L)).toDF("id", "emb")
+    }
+    val model = AnnIndex.ivfFit(corpus, "emb", nLists = 4)
+    val cb = Quantize.pqFit(corpus, "emb", dim = 4, m = 2,
+      nCentroids = 4, maxIter = 2)
+    val inDir = s"$base/in"
+    batchDefs.foreach(_.coalesce(1).write.mode("append").parquet(inDir))
+    def runStream(mkWriter: DataFrame =>
+        org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row], ck: String): Unit = {
+      val stream = spark.readStream.schema(batchDefs.head.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val q = mkWriter(stream)
+        .option("checkpointLocation", s"$base/$ck")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def requireLedger(dir: String, what: String): Unit = {
+      val ledger = spark.read.parquet(dir)
+        .select(col("ingest_batch").cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq
+      require(ledger == Seq(-1L, 0L, 1L),
+        s"$what: expected 2 ledgered micro-batches after the seed, " +
+          s"got $ledger")
+    }
+    // slice -> source batch by id set (file-listing order not assumed)
+    def batchFor(dir: String, b: Long): DataFrame = {
+      val ids = spark.read.parquet(dir)
+        .filter(col("ingest_batch") === b)
+        .select(col("id")).distinct().collect().map(_.getLong(0)).toSet
+      val hits = batchDefs.filter(d =>
+        d.select(col("id")).collect().map(_.getLong(0)).toSet == ids)
+      require(hits.size == 1,
+        s"ledger slice $b matches ${hits.size} source batches (ids $ids)")
+      hits.head
+    }
+    def contentsEqual(a: DataFrame, b: DataFrame, what: String): Unit = {
+      // multiset equality over the full row (all data columns)
+      require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"$what store contents diverged from the refresh path")
+    }
+    val query = Seq(Tuple1(mk(0L, 7L * 2654435761L)._2.toSeq)).toDF("qe")
+    // ---- IVF: list-partitioned serving store ----
+    val ivfDir = s"$base/ivf"
+    AnnIndex.seedIvfIngestStore(model, corpus, "emb", ivfDir)
+    runStream(s => graft.streaming.EventsStream.ivfStoreIngest(
+      s, model, ivfDir, "emb"), "ck_ivf")
+    requireLedger(ivfDir, "ivfStoreIngest")
+    val ivfSnap = spark.read.parquet(ivfDir)
+      .select(col("ingest_batch").cast("long"), col("id"),
+        col("list_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    AnnIndex.ivfStoreIngestBatch(spark, model, ivfDir, 1L,
+      batchFor(ivfDir, 1L), "emb")
+    require(spark.read.parquet(ivfDir)
+        .select(col("ingest_batch").cast("long"), col("id"),
+          col("list_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted == ivfSnap,
+      "replaying the last IVF micro-batch changed the store")
+    val ivfTwin = s"$base/ivf_twin"
+    AnnIndex.ivfStore(model, corpus, "emb")
+      .write.partitionBy("list_id").parquet(ivfTwin)
+    (0L to 1L).foreach(b => AnnIndex.ivfRefresh(spark, model, ivfTwin,
+      batchFor(ivfDir, b), "emb"))
+    val ivfGrad = s"$base/ivf_canonical"
+    graft.sources.Maintenance.compactPartitionedTo(spark, ivfDir, ivfGrad,
+      Seq("list_id"), dropCols = Seq("ingest_batch"))
+    contentsEqual(spark.read.parquet(ivfGrad), spark.read.parquet(ivfTwin),
+      "IVF")
+    def ivfServe(dir: String, drop: Boolean): Seq[Long] =
+      AnnIndex.ivfTopKAssigned(model,
+          (if (drop) spark.read.parquet(dir).drop("ingest_batch")
+           else spark.read.parquet(dir)), "emb", query, "qe",
+          k = 5, nProbe = 2, tieBreak = Seq("id"))
+        .select(col("id")).collect().map(_.getLong(0)).toSeq
+    val servedIvf = ivfServe(ivfDir, drop = true)
+    require(servedIvf.nonEmpty, "IVF streamed-store serve went vacuous")
+    require(servedIvf == ivfServe(ivfGrad, drop = false) &&
+        servedIvf == ivfServe(ivfTwin, drop = false),
+      "IVF top-k diverged across the streamed / graduated / refresh stores")
+    // ---- PQ: flat code table (ledger is the only partition level) ----
+    val pqDir = s"$base/pq"
+    Quantize.seedPqIngestStore(corpus, "emb", cb, pqDir)
+    runStream(s => graft.streaming.EventsStream.pqStoreIngest(
+      s, cb, pqDir, "emb"), "ck_pq")
+    requireLedger(pqDir, "pqStoreIngest")
+    val pqCount = spark.read.parquet(pqDir).count()
+    Quantize.pqStoreIngestBatch(spark, cb, pqDir, 1L,
+      batchFor(pqDir, 1L), "emb")
+    require(spark.read.parquet(pqDir).count() == pqCount,
+      "replaying the last PQ micro-batch changed the store row count")
+    val pqTwin = s"$base/pq_twin"
+    Quantize.pqEncode(corpus, "emb", cb).write.parquet(pqTwin)
+    (0L to 1L).foreach(b => Quantize.pqRefresh(spark, cb, pqTwin,
+      batchFor(pqDir, b), "emb"))
+    // a FLAT store graduates by a plain ledger-dropping rewrite (the
+    // pqStoreIngestBatch docstring's contract — compactPartitionedTo
+    // needs partition columns)
+    val pqGrad = s"$base/pq_canonical"
+    spark.read.parquet(pqDir).drop("ingest_batch")
+      .write.parquet(pqGrad)
+    contentsEqual(spark.read.parquet(pqGrad), spark.read.parquet(pqTwin),
+      "PQ")
+    def pqServe(dir: String, drop: Boolean): Seq[Long] = {
+      val store = if (drop) spark.read.parquet(dir).drop("ingest_batch")
+                  else spark.read.parquet(dir)
+      // pqTopK re-encodes a RAW corpus; the persisted store is already
+      // coded, so serve from the decoded columns it retains (id + emb)
+      Quantize.pqTopK(store.select(col("id"), col("emb")), "emb", cb,
+          query, k = 5, tieBreak = Seq("id"))
+        .select(col("id")).collect().map(_.getLong(0)).toSeq
+    }
+    val servedPq = pqServe(pqDir, drop = true)
+    require(servedPq.nonEmpty, "PQ streamed-store serve went vacuous")
+    require(servedPq == pqServe(pqGrad, drop = false) &&
+        servedPq == pqServe(pqTwin, drop = false),
+      "PQ top-k diverged across the streamed / graduated / refresh stores")
+    println(s"[verify] ingest_stream_serving OK: IVF + PQ streamed " +
+      s"exactly-once (ledgers complete, replays idempotent), graduated " +
+      s"contents == refresh path, top-k parity across streamed/" +
+      s"graduated/refresh (IVF ${servedIvf.size}, PQ ${servedPq.size} hits)")
   }
 
   /** Recursive delete of a gate's temp workspace — the Stress

@@ -1020,4 +1020,132 @@ object EventsStream {
         graft.operators.Quantize.pqStoreIngestBatch(batch.sparkSession,
           codebooks, storeDir, batchId, batch.toDF(), embCol)
     }
+
+  /** Exactly-once ENRICHMENT sink — the store writers' replay-ledger
+    * discipline ([[graft.operators.Dedup.storeIngestBatch]]) applied to
+    * the OUTPUT side of a streaming SERVE face. A foreachBatch that
+    * appends per-batch serve results (each arriving document's nearest
+    * corpus neighbors, its near-dup verdict, …) is at-least-once: the
+    * engine replays the last uncommitted micro-batch after a crash, and
+    * a replayed append silently doubles that batch's result rows. Here
+    * each batch's results land as a whole-slice overwrite at the
+    * explicit `outDir/ingest_batch=<id>` path — results are a pure
+    * function of (batch, static store), so a replay rewrites the slice
+    * byte-identically — with the same three guards as the stores:
+    * MONOTONIC ledger (a batch id below the sink's high-water mark means
+    * a fresh-checkpoint restart whose renumbered batches would overwrite
+    * committed result slices with different rows — refused loudly; the
+    * high-water mark reads only directory names, no data), a per-batch
+    * COMMIT MARKER whose content-fingerprint check (order-free
+    * count + bit_xor(xxhash64), paid only on the rare replay path)
+    * distinguishes a true replay from a renumbered foreign batch landing
+    * exactly ON the high-water mark, and an EMPTY result still landing
+    * one schema-bearing zero-row file so `outDir` is readable from the
+    * first micro-batch (a markerless slice — crash between write and
+    * marker — heals by whole-slice overwrite, no check possible or
+    * needed). `spark.read.parquet(outDir)` sees the slices as one
+    * `ingest_batch`-partitioned frame; marker files are
+    * underscore-prefixed and invisible to the reader. */
+  private[graft] def serveSinkBatch(spark: org.apache.spark.sql.SparkSession,
+                                    outDir: String, batchId: Long,
+                                    results: DataFrame, what: String): Unit = {
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    val fs = out.getFileSystem(hadoopConf)
+    val maxLedger =
+      if (!fs.exists(out)) Long.MinValue
+      else fs.listStatus(out).map(_.getPath.getName)
+        .filter(_.startsWith("ingest_batch="))
+        .map(_.stripPrefix("ingest_batch=").toLong)
+        .foldLeft(Long.MinValue)(math.max)
+    require(batchId >= maxLedger,
+      s"$what($outDir): ledger regression — micro-batch $batchId is " +
+        s"below the sink's high-water mark $maxLedger; the stream was " +
+        "restarted with a fresh checkpoint and its renumbered batches " +
+        "would silently overwrite committed result slices. Point the " +
+        "restarted stream at a fresh outDir (or restore the original " +
+        "checkpoint)")
+    // one materialization: the slice write and the (rare) fingerprint
+    // pass would otherwise each re-run the serve plan against the source
+    val staged = results.localCheckpoint()
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$outDir/_ledger_commit_$batchId")
+    if (batchId == maxLedger && fs.exists(marker)) {
+      val fields = staged.schema.fields.toIndexedSeq
+      def contentFp(df: DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)),
+          coalesce(expr("bit_xor(" +
+            s"xxhash64(${fields.map(f => s"`${f.name}`").mkString(", ")}))"),
+            lit(0L))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val slice = spark.read.parquet(s"$outDir/ingest_batch=$batchId")
+      val sliceTypes = slice.schema.fields
+        .map(f => f.name -> f.dataType).toMap
+      val cast = slice.select(fields.map { f =>
+        if (sliceTypes(f.name).catalogString == f.dataType.catalogString)
+          col(f.name)
+        else col(f.name).cast(f.dataType)
+      }: _*)
+      require(contentFp(staged.select(fields.map(f => col(f.name)): _*)) ==
+          contentFp(cast),
+        s"$what($outDir): ledger collision — micro-batch $batchId is " +
+          "already committed with DIFFERENT results; the stream was " +
+          "restarted with a fresh checkpoint and its renumbered batch " +
+          "would silently overwrite the committed slice. Point the " +
+          "restarted stream at a fresh outDir (or restore the original " +
+          "checkpoint)")
+    }
+    (if (staged.isEmpty) staged.repartition(1) else staged)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$outDir/ingest_batch=$batchId")
+    fs.create(marker, true).close()
+  }
+
+  /** Streaming SERVE face over the persisted wide-family ANN store: each
+    * micro-batch of documents is answered by
+    * [[graft.operators.AnnIndex.annJoinIndexed]] (the corpus never
+    * re-buckets; the batch's queries broadcast; `probeBits` buys the
+    * tuning sweep's measured recall) and the per-query top-k lands
+    * exactly-once through [[serveSinkBatch]]. This closes the streaming
+    * matrix's serve side: the near-dup faces carry state IN the stream,
+    * the store writers feed the persisted index FROM the stream, and
+    * this face answers the stream FROM the persisted index — the
+    * "enrich every arriving document with its corpus neighbors" pattern
+    * a 100 TB ingest pipeline runs continuously. The `store` frame is
+    * static by contract (graduate/compact it against a stopped stream —
+    * the store writers' own cadence rule); the batch is staged once so
+    * the serve's guard aggregate and the slice write share one source
+    * read. Needs `.option("checkpointLocation", …)` and a trigger, like
+    * the store writers. */
+  def annServeStream(rows: DataFrame, qIdCol: String, qEmbCol: String,
+                     store: DataFrame, dim: Int, planes: Int, k: Int,
+                     outDir: String, probeBits: Int = 0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        serveSinkBatch(batch.sparkSession, outDir, batchId,
+          graft.operators.AnnIndex.annJoinIndexed(
+            batch.toDF().localCheckpoint(), qIdCol, qEmbCol,
+            store, dim, planes, k, probeBits),
+          "annServeStream")
+    }
+
+  /** [[annServeStream]] over the persisted IVF list store
+    * ([[graft.operators.AnnIndex.ivfJoinIndexed]] — routed probes, the
+    * store never re-assigned or broadcast): the quantized serving
+    * family's streaming face, same exactly-once result ledger. */
+  def ivfServeStream(rows: DataFrame, qIdCol: String, qEmbCol: String,
+                     model: org.apache.spark.ml.clustering.KMeansModel,
+                     store: DataFrame, idCol: String, embCol: String,
+                     k: Int, nProbe: Int, outDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        serveSinkBatch(batch.sparkSession, outDir, batchId,
+          graft.operators.AnnIndex.ivfJoinIndexed(
+            batch.toDF().localCheckpoint(), qIdCol, qEmbCol,
+            model, store, idCol, embCol, k, nProbe),
+          "ivfServeStream")
+    }
 }

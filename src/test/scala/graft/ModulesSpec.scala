@@ -4605,4 +4605,106 @@ class ModulesSpec extends AnyFunSuite {
     assert(rows(storeDir, Seq("ingest_batch")) == rows(twinDir, Nil),
       "streamed store diverged from the refresh-path store")
   }
+
+  test("streaming serve faces (ANN/IVF): exactly-once result slices, parity with batch join") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.{AnnIndex, Dedup}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_serve_stream").toString
+    val (dim, planes) = (4, 3)
+    val mk = (id: Long, seed: Long) =>
+      (id, Array.tabulate(4)(j => (((seed >> (j * 5)) & 63) - 31.0)))
+    val corpus = (1L to 40L).map(i => mk(i, i * 2654435761L)).toDF("id", "emb")
+    val storeDir = s"$base/store"
+    Dedup.embeddingBucketIndex(corpus, "id", "emb", dim, planes)
+      .write.partitionBy("bucket").parquet(storeDir)
+    val store = spark.read.parquet(storeDir)
+    val batchDefs = (1 to 2).map { b =>
+      (100L * b to 100L * b + 4L).map(i => mk(i, i * 40503L)).toDF("qid", "qe")
+    }
+    val allQueries = batchDefs.reduce(_ unionByName _)
+    val inDir = s"$base/in"
+    batchDefs.foreach(_.coalesce(1).write.mode("append").parquet(inDir))
+    val outDir = s"$base/out"
+    val q = EventsStream.annServeStream(
+        spark.readStream.schema(batchDefs.head.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir),
+        "qid", "qe", store, dim, planes, k = 3, outDir)
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def resRows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.select(col("query_id"), col("neighbor_id"), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val outAll = spark.read.parquet(outDir)
+    assert(outAll.select(col("ingest_batch").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet == Set(0L, 1L),
+      "serve sink ledger incomplete")
+    val before = resRows(outAll)
+    assert(before.nonEmpty, "streamed serve went vacuous")
+    // per-query top-k is independent per query, so the union of the
+    // exactly-once slices must equal the one-shot batch join
+    assert(before == resRows(AnnIndex.annJoinIndexed(
+        allQueries, "qid", "qe", store, dim, planes, 3)),
+      "streamed serve slices diverged from the one-shot batch join")
+    // slice -> source batch by query_id set (listing order not assumed)
+    def batchFor(b: Long): org.apache.spark.sql.DataFrame = {
+      val ids = spark.read.parquet(s"$outDir/ingest_batch=$b")
+        .select(col("query_id")).distinct().collect()
+        .map(_.getLong(0)).toSet
+      val hits = batchDefs.filter(d =>
+        d.select(col("qid")).collect().map(_.getLong(0)).toSet == ids)
+      assert(hits.size == 1, s"slice $b matches ${hits.size} batches")
+      hits.head
+    }
+    // crash-replay of the LAST batch: byte-identical results, no change
+    val res1 = AnnIndex.annJoinIndexed(batchFor(1L), "qid", "qe",
+      store, dim, planes, 3)
+    EventsStream.serveSinkBatch(spark, outDir, 1L, res1, "test")
+    assert(resRows(spark.read.parquet(outDir)) == before,
+      "replaying the last serve batch changed the sink")
+    // a renumbered foreign batch landing ON the high-water mark is a
+    // ledger collision, refused before a row moves
+    val e1 = intercept[IllegalArgumentException] {
+      EventsStream.serveSinkBatch(spark, outDir, 1L,
+        res1.withColumn("neighbor_id", col("neighbor_id") + 1000L), "test")
+    }
+    assert(e1.getMessage.contains("ledger collision"), e1.getMessage)
+    // a batch id below the high-water mark is a ledger regression
+    val e2 = intercept[IllegalArgumentException] {
+      EventsStream.serveSinkBatch(spark, outDir, 0L, res1, "test")
+    }
+    assert(e2.getMessage.contains("ledger regression"), e2.getMessage)
+    // an empty batch still lands a schema-bearing zero-row slice
+    EventsStream.serveSinkBatch(spark, outDir, 2L, res1.limit(0), "test")
+    assert(spark.read.parquet(s"$outDir/ingest_batch=2").count() == 0,
+      "empty serve slice not readable")
+    assert(resRows(spark.read.parquet(outDir)) == before,
+      "empty slice changed the result rows")
+    // IVF face: routed probes from the persisted list store, same ledger
+    val model = AnnIndex.ivfFit(corpus, "emb", nLists = 4)
+    val ivfDir = s"$base/ivf"
+    AnnIndex.ivfStore(model, corpus, "emb")
+      .write.partitionBy("list_id").parquet(ivfDir)
+    val ivfStore = spark.read.parquet(ivfDir)
+    val outIvf = s"$base/out_ivf"
+    val q2 = EventsStream.ivfServeStream(
+        spark.readStream.schema(batchDefs.head.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir),
+        "qid", "qe", model, ivfStore, "id", "emb",
+        k = 3, nProbe = 4, outDir = outIvf)
+      .option("checkpointLocation", s"$base/ck_ivf")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val ivfGot = resRows(spark.read.parquet(outIvf))
+    assert(ivfGot.nonEmpty, "IVF streamed serve went vacuous")
+    assert(ivfGot == resRows(AnnIndex.ivfJoinIndexed(
+        allQueries, "qid", "qe", model, ivfStore, "id", "emb",
+        k = 3, nProbe = 4)),
+      "IVF streamed serve diverged from the one-shot batch join")
+    graft.sources.Maintenance.deleteLocalTree(spark, base)
+  }
 }
