@@ -226,4 +226,63 @@ object Maintenance {
 
   def readMerged(spark: SparkSession, dir: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(dir)
+
+  /** Operational audit of a replay-ledgered streaming layout (the
+    * `ingest_batch`-partitioned stores the seed*IngestStore /
+    * *StoreIngestBatch writers maintain, and the serve sinks
+    * [[graft.streaming.EventsStream.serveSinkBatch]] lands) — one row
+    * per ledger slice plus the two loud findings a 100 TB operator
+    * pages on, surfaced as a `status` column:
+    *
+    *  - `gap`: an id missing from the otherwise-consecutive 0..max
+    *    range. Structured Streaming batch ids are consecutive, so a gap
+    *    means a committed slice was deleted out from under the store
+    *    (or a foreign directory was grafted in) — the reads silently
+    *    missing that batch's rows is exactly the silent-loss class the
+    *    ledger exists to refuse. The seed slice (`ingest_batch=-1`) is
+    *    optional (serve sinks have none) and never gap-checked against.
+    *  - `unmarked`: a slice directory with no `_ledger_commit_` marker.
+    *    Transiently normal (a crash between slice write and marker is
+    *    healed by the engine's replay), but PERSISTENT with no live
+    *    stream it means the checkpoint died with the crash and the
+    *    slice content can no longer be replay-verified — re-land or
+    *    drop it deliberately.
+    *
+    * Everything driver-side is directory listing; the per-slice row
+    * census is ONE partition-grouped aggregate over the store. Runs on
+    * the audit cadence next to compaction — graduation
+    * ([[compactPartitionedTo]] with `dropCols = Seq("ingest_batch")`)
+    * should only consume a store whose audit is all-`ok`. */
+  def ledgerAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem
+      .getLocal(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val entries = fs.listStatus(root).map(_.getPath.getName)
+    val slices = entries.filter(_.startsWith("ingest_batch="))
+      .map(_.stripPrefix("ingest_batch=").toLong).toSet
+    val markers = entries.filter(_.startsWith("_ledger_commit_"))
+      .map(_.stripPrefix("_ledger_commit_").toLong).toSet
+    require(slices.nonEmpty,
+      s"ledgerAudit($dir): no ingest_batch=<id> slices — this is not a " +
+        "ledgered streaming layout (a graduated store has no ledger to " +
+        "audit)")
+    val live = slices.filter(_ >= 0L)
+    val gaps =
+      if (live.isEmpty) Set.empty[Long]
+      else (0L to live.max).toSet -- live
+    val counts = spark.read.parquet(dir)
+      .groupBy(col("ingest_batch").cast("long").as("ingest_batch"))
+      .agg(count(lit(1)).as("n_rows"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows =
+      slices.toSeq.sorted.map { b =>
+        val status =
+          if (b >= 0L && !markers.contains(b)) "unmarked" else "ok"
+        (b, counts.getOrElse(b, 0L),
+          parquetFileCount(s"$dir/ingest_batch=$b"), status)
+      } ++ gaps.toSeq.sorted.map(b => (b, 0L, 0L, "gap"))
+    rows.sortBy(_._1)
+      .toDF("ingest_batch", "n_rows", "n_files", "status")
+  }
 }

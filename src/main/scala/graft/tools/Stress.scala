@@ -69,7 +69,8 @@ object Stress {
       "embed_index_build", "embed_incremental_batch",
       "stream_ingest_batch", "refresh_ingest_batch",
       "ann_serve_indexed", "ann_serve_compacted", "ann_serve_brute",
-      "ivf_serve_join", "ivf_serve_loop")
+      "ivf_serve_join", "ivf_serve_loop",
+      "serve_sink_batch", "serve_sink_blind", "serve_sink_replay")
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
@@ -628,6 +629,63 @@ object Stress {
                 .select(col("emb").as("qe")),
               "qe", k = 5, nProbe = 4, tieBreak = Seq("vec_id")).count()
           }
+        }
+      } finally graft.sources.Maintenance.deleteLocalTree(spark, parent)
+    }
+
+    // STREAMING SERVE SINK vs blind append (r12): the ingest pair's
+    // discipline-tax measurement applied to the OUTPUT ledger. One
+    // constant-size query batch (unscaled, like the routing fit) is
+    // answered by annJoinIndexed from a persisted wide store over the
+    // M-scaled corpus, then landed (a) through the exactly-once
+    // serveSinkBatch — high-water-mark listing, localCheckpoint,
+    // whole-slice write, commit marker — vs (b) a blind parquet append
+    // of the same results. serve_sink_replay re-lands the SAME batch at
+    // its committed id: the rare crash-replay path, which additionally
+    // pays the order-free content-fingerprint compare against the
+    // stored slice. All three rows are serve-dominated and should stay
+    // flat in M past the probed-fraction floor; the (a)-(b) delta is
+    // the result-ledger's price.
+    if (include("serve_sink_batch") || include("serve_sink_blind") ||
+        include("serve_sink_replay")) {
+      val baseEmb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("emb"))
+      val queries = baseEmb.filter(col("vec_id") < 2000)
+      val corpus = scaled(baseEmb, m, stride, Seq("vec_id"))
+        .filter(col("vec_id") >= 2000)
+      val corpusRows = corpus.count()
+      val parent = java.nio.file.Files
+        .createTempDirectory("graft_stress_sink").toString
+      try {
+        val dir = s"$parent/store"
+        graft.operators.Dedup.embeddingBucketIndex(corpus, "vec_id", "emb",
+            dim = 64, planes = 12)
+          .write.partitionBy("bucket").parquet(dir)
+        val store = spark.read.parquet(dir)
+        def served = graft.operators.AnnIndex.annJoinIndexed(queries,
+          "vec_id", "emb", store, dim = 64, planes = 12, k = 5,
+          probeBits = 2)
+        if (include("serve_sink_batch") || include("serve_sink_replay")) {
+          val (_, s) = time {
+            graft.streaming.EventsStream.serveSinkBatch(spark,
+              s"$parent/out_ledgered", 0L, served, "stress")
+          }
+          if (include("serve_sink_batch"))
+            results += "serve_sink_batch" -> (corpusRows, s)
+          if (include("serve_sink_replay")) {
+            val (_, r) = time {
+              graft.streaming.EventsStream.serveSinkBatch(spark,
+                s"$parent/out_ledgered", 0L, served, "stress")
+            }
+            results += "serve_sink_replay" -> (corpusRows, r)
+          }
+        }
+        if (include("serve_sink_blind")) {
+          val (_, s) = time {
+            served.write.mode("append").parquet(s"$parent/out_blind")
+          }
+          results += "serve_sink_blind" -> (corpusRows, s)
         }
       } finally graft.sources.Maintenance.deleteLocalTree(spark, parent)
     }

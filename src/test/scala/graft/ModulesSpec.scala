@@ -4707,4 +4707,53 @@ class ModulesSpec extends AnyFunSuite {
       "IVF streamed serve diverged from the one-shot batch join")
     graft.sources.Maintenance.deleteLocalTree(spark, base)
   }
+
+  test("ledgerAudit: per-slice census with gap and missing-marker findings") {
+    import spark.implicits._
+    import graft.sources.Maintenance
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ledger_audit").toString
+    val out = s"$base/sink"
+    def res(n: Int) = (1 to n)
+      .map(i => (i.toLong, i.toLong + 10, 0.5, i)).toDF(
+        "query_id", "neighbor_id", "similarity", "rank")
+    EventsStream.serveSinkBatch(spark, out, 0L, res(3), "t")
+    EventsStream.serveSinkBatch(spark, out, 1L, res(2), "t")
+    EventsStream.serveSinkBatch(spark, out, 2L, res(1).limit(0), "t")
+    def audit(): Seq[(Long, Long, Long, String)] =
+      Maintenance.ledgerAudit(spark, out)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSeq
+    val healthy = audit()
+    assert(healthy.map(t => (t._1, t._2, t._4)) ==
+        Seq((0L, 3L, "ok"), (1L, 2L, "ok"), (2L, 0L, "ok")),
+      s"healthy sink misreported: $healthy")
+    assert(healthy.forall(_._3 >= 1L),
+      "every slice (incl. the empty one) should carry >= 1 file")
+    // a deleted committed slice is a GAP — the silent-loss finding
+    val fs = org.apache.hadoop.fs.FileSystem
+      .getLocal(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/ingest_batch=1"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/_ledger_commit_1"), false)
+    // a missing marker on a surviving slice is UNMARKED
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/_ledger_commit_2"), false)
+    val found = audit()
+    assert(found.map(t => (t._1, t._2, t._4)) ==
+        Seq((0L, 3L, "ok"), (1L, 0L, "gap"), (2L, 0L, "unmarked")),
+      s"audit missed the planted findings: $found")
+    // a store seeded at -1 audits ok without a seed marker, and a
+    // non-ledgered (graduated/plain) directory is refused loudly
+    val storeDir = s"$base/store"
+    res(2).withColumn("ingest_batch", lit(-1L))
+      .write.partitionBy("ingest_batch").parquet(storeDir)
+    val seeded = Maintenance.ledgerAudit(spark, storeDir)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSeq
+    assert(seeded == Seq((-1L, "ok")), s"seed-only store misread: $seeded")
+    val plainDir = s"$base/plain"
+    res(2).write.parquet(plainDir)
+    val e = intercept[IllegalArgumentException](
+      Maintenance.ledgerAudit(spark, plainDir))
+    assert(e.getMessage.contains("not a ledgered"), e.getMessage)
+    Maintenance.deleteLocalTree(spark, base)
+  }
 }
