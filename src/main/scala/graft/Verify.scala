@@ -121,7 +121,7 @@ object Verify {
       // through real engines — with this, every persisted store family's
       // streaming writer has run under a Structured Streaming checkpoint,
       // not just its batch body under a spec
-      try ingestStreamSmokeServing(spark, sfDir)
+      try ingestStreamSmokeServing(spark)
       catch { case e: Throwable =>
         System.err.println(
           s"[verify] ingest_stream_serving failed: ${e.getMessage}")
@@ -1323,15 +1323,15 @@ object Verify {
     * [[graft.operators.Quantize.pqTopK]]) serve identical top-k from the
     * streamed, graduated, and refresh-path stores. Vectors are
     * deterministic synthetics (the ModulesSpec recipe) — the gate pins
-    * the ledger composition, not embedding quality. */
-  private def ingestStreamSmokeServing(spark: SparkSession,
-                                       sfDir: String): Unit = {
+    * the ledger composition, not embedding quality — so unlike the
+    * sibling smokes this one takes no sfDir. */
+  private def ingestStreamSmokeServing(spark: SparkSession): Unit = {
     val base = Files.createTempDirectory("graft_stream_gate_srv").toString
-    try ingestStreamSmokeServingIn(spark, sfDir, base)
+    try ingestStreamSmokeServingIn(spark, base)
     finally deleteTree(spark, base)
   }
 
-  private def ingestStreamSmokeServingIn(spark: SparkSession, sfDir: String,
+  private def ingestStreamSmokeServingIn(spark: SparkSession,
                                          base: String): Unit = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.DataFrame
@@ -1432,11 +1432,20 @@ object Verify {
     runStream(s => graft.streaming.EventsStream.pqStoreIngest(
       s, cb, pqDir, "emb"), "ck_pq")
     requireLedger(pqDir, "pqStoreIngest")
-    val pqCount = spark.read.parquet(pqDir).count()
+    // content-deep replay snapshot, like the IVF arm (a count-only check
+    // would pass a regression that rewrote the slice with
+    // same-cardinality foreign rows); xxhash64 folds the code column so
+    // the tuple stays collectable regardless of its physical type
+    def pqSnap(): Seq[(Long, Long, Long)] = spark.read.parquet(pqDir)
+      .select(col("ingest_batch").cast("long"), col("id"),
+        xxhash64(col("pq_codes")).as("__c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    val pqBefore = pqSnap()
     Quantize.pqStoreIngestBatch(spark, cb, pqDir, 1L,
       batchFor(pqDir, 1L), "emb")
-    require(spark.read.parquet(pqDir).count() == pqCount,
-      "replaying the last PQ micro-batch changed the store row count")
+    require(pqSnap() == pqBefore,
+      "replaying the last PQ micro-batch changed the store")
     val pqTwin = s"$base/pq_twin"
     Quantize.pqEncode(corpus, "emb", cb).write.parquet(pqTwin)
     (0L to 1L).foreach(b => Quantize.pqRefresh(spark, cb, pqTwin,

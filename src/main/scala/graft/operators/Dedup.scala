@@ -1418,6 +1418,39 @@ object Dedup {
     * rests on; the stress pair (SCALE.md stream_ingest_batch vs
     * refresh_ingest_batch, which pays only the sig pass) measures the
     * difference as inside host noise. */
+  /** Order-free content fingerprint of a ledger slice — count plus
+    * bit_xor(xxhash64(all columns)) — used by the replay/collision
+    * check of [[storeIngestBatch]] AND the serve sink
+    * ([[graft.streaming.EventsStream.serveSinkBatch]]). ONE body, the
+    * [[AnnIndex.requireStoreSig]] stance: a change to the fingerprint
+    * rule (null handling, column quoting) must land in both ledgers at
+    * once, or the store and sink disciplines silently drift apart. */
+  private[graft] def ledgerContentFp(df: DataFrame): (Long, Long) = {
+    val fields = df.schema.fields
+    val r = df.agg(count(lit(1)),
+      coalesce(expr("bit_xor(" +
+        s"xxhash64(${fields.map(f => s"`${f.name}`").mkString(", ")}))"),
+        lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Align a stored slice's columns to the incoming frame's schema for
+    * the fingerprint compare: cast only genuinely different catalog
+    * types (the partition column reads back as int where the builder
+    * stamps long) — a nullability-only difference (array<double>
+    * round-tripped through parquet) is the same catalog type, and Spark
+    * refuses the nullable->non-null cast. Shared with the serve sink,
+    * like [[ledgerContentFp]]. */
+  private[graft] def ledgerAlignTo(df: DataFrame,
+      fields: Seq[org.apache.spark.sql.types.StructField]): DataFrame = {
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    df.select(fields.map { f =>
+      if (types(f.name).catalogString == f.dataType.catalogString)
+        col(f.name)
+      else col(f.name).cast(f.dataType)
+    }: _*)
+  }
+
   private[operators] def storeIngestBatch(
       spark: org.apache.spark.sql.SparkSession,
       storeDir: String, batchId: Long, sigCol: String, sig: Long,
@@ -1480,29 +1513,11 @@ object Dedup {
     val fs = marker.getFileSystem(hadoopConf)
     if (batchId == maxLedger && fs.exists(marker)) {
       val fields = indexRows.schema.fields.toIndexedSeq
-      val fpCols = fields.map(f => col(f.name))
-      def contentFp(df: DataFrame): (Long, Long) = {
-        val r = df.agg(count(lit(1)),
-          coalesce(expr("bit_xor(" +
-            s"xxhash64(${fields.map(f => s"`${f.name}`").mkString(", ")}))"),
-            lit(0L))).head()
-        (r.getLong(0), r.getLong(1))
-      }
-      // cast only genuinely different types (the partition column reads
-      // back as int where the builder stamps long) — a nullability-only
-      // difference (array<double> round-tripped through parquet) is the
-      // same catalog type, and Spark refuses the nullable->non-null cast
-      val storeTypes = store.schema.fields
-        .map(f => f.name -> f.dataType).toMap
-      val slice = store.filter(col("ingest_batch") === lit(batchId))
-        .select(fields.map { f =>
-          if (storeTypes(f.name).catalogString == f.dataType.catalogString)
-            col(f.name)
-          else col(f.name).cast(f.dataType)
-        }: _*)
-      val (incoming, stored) =
-        (contentFp(indexRows.select(fpCols: _*)), contentFp(slice))
-      require(incoming == stored,
+      val slice = ledgerAlignTo(
+        store.filter(col("ingest_batch") === lit(batchId)), fields)
+      val incoming = ledgerContentFp(
+        indexRows.select(fields.map(f => col(f.name)): _*))
+      require(incoming == ledgerContentFp(slice),
         s"$what($storeDir): ledger collision — micro-batch $batchId is " +
           "already committed with DIFFERENT contents; the stream was " +
           "restarted with a fresh checkpoint and its renumbered batch " +

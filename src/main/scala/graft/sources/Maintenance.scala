@@ -229,35 +229,45 @@ object Maintenance {
 
   /** Operational audit of a replay-ledgered streaming layout (the
     * `ingest_batch`-partitioned stores the seed*IngestStore /
-    * *StoreIngestBatch writers maintain, and the serve sinks
-    * [[graft.streaming.EventsStream.serveSinkBatch]] lands) — one row
-    * per ledger slice plus the two loud findings a 100 TB operator
-    * pages on, surfaced as a `status` column:
+    * *StoreIngestBatch writers maintain, the serve sinks
+    * [[graft.streaming.EventsStream.serveSinkBatch]] lands, and — with
+    * `expectMarkers = false` — the markerless pairs directories the
+    * mining writers fill) — one row per ledger slice plus the two loud
+    * findings a 100 TB operator pages on, surfaced as a `status` column:
     *
-    *  - `gap`: an id missing from the otherwise-consecutive 0..max
+    *  - `gap`: an id missing from the otherwise-consecutive 0..high-water
     *    range. Structured Streaming batch ids are consecutive, so a gap
     *    means a committed slice was deleted out from under the store
     *    (or a foreign directory was grafted in) — the reads silently
     *    missing that batch's rows is exactly the silent-loss class the
-    *    ledger exists to refuse. The seed slice (`ingest_batch=-1`) is
-    *    optional (serve sinks have none) and never gap-checked against.
+    *    ledger exists to refuse. The high-water mark is the MAX of slice
+    *    ids AND commit-marker ids: a surviving marker proves its batch
+    *    was committed, so deleting the HIGHEST slice (which a
+    *    slices-only max would silently renormalize away) still reports
+    *    as a gap. The seed slice (`ingest_batch=-1`) is optional (serve
+    *    sinks and pairs dirs have none) and never gap-checked against.
     *  - `unmarked`: a slice directory with no `_ledger_commit_` marker.
     *    Transiently normal (a crash between slice write and marker is
     *    healed by the engine's replay), but PERSISTENT with no live
     *    stream it means the checkpoint died with the crash and the
     *    slice content can no longer be replay-verified — re-land or
-    *    drop it deliberately.
+    *    drop it deliberately. Pairs directories are committed WITHOUT
+    *    markers (only the store side carries them) — audit those with
+    *    `expectMarkers = false`, which skips this finding (gap detection
+    *    still applies; the high-water mark is then slice ids only).
     *
-    * Everything driver-side is directory listing; the per-slice row
-    * census is ONE partition-grouped aggregate over the store. Runs on
-    * the audit cadence next to compaction — graduation
-    * ([[compactPartitionedTo]] with `dropCols = Seq("ingest_batch")`)
-    * should only consume a store whose audit is all-`ok`. */
-  def ledgerAudit(spark: SparkSession, dir: String): DataFrame = {
+    * Everything driver-side is directory listing (on the layout's OWN
+    * filesystem — the writers resolve their FS from the path, so the
+    * audit must too); the per-slice row census is ONE partition-grouped
+    * aggregate over the store. Runs on the audit cadence next to
+    * compaction — graduation ([[compactPartitionedTo]] with
+    * `dropCols = Seq("ingest_batch")`) should only consume a store whose
+    * audit is all-`ok`. */
+  def ledgerAudit(spark: SparkSession, dir: String,
+                  expectMarkers: Boolean = true): DataFrame = {
     import spark.implicits._
-    val fs = org.apache.hadoop.fs.FileSystem
-      .getLocal(spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val entries = fs.listStatus(root).map(_.getPath.getName)
     val slices = entries.filter(_.startsWith("ingest_batch="))
       .map(_.stripPrefix("ingest_batch=").toLong).toSet
@@ -268,9 +278,20 @@ object Maintenance {
         "ledgered streaming layout (a graduated store has no ledger to " +
         "audit)")
     val live = slices.filter(_ >= 0L)
+    val committed = if (expectMarkers) live ++ markers else live
     val gaps =
-      if (live.isEmpty) Set.empty[Long]
-      else (0L to live.max).toSet -- live
+      if (committed.isEmpty) Set.empty[Long]
+      else (0L to committed.max).toSet -- live
+    // file count on the layout's own FS (parquetFileCount walks java.nio
+    // paths, i.e. local disk only)
+    def sliceFiles(b: Long): Long = {
+      val it = fs.listFiles(
+        new org.apache.hadoop.fs.Path(s"$dir/ingest_batch=$b"), true)
+      var n = 0L
+      while (it.hasNext)
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
     val counts = spark.read.parquet(dir)
       .groupBy(col("ingest_batch").cast("long").as("ingest_batch"))
       .agg(count(lit(1)).as("n_rows"))
@@ -278,9 +299,9 @@ object Maintenance {
     val rows =
       slices.toSeq.sorted.map { b =>
         val status =
-          if (b >= 0L && !markers.contains(b)) "unmarked" else "ok"
-        (b, counts.getOrElse(b, 0L),
-          parquetFileCount(s"$dir/ingest_batch=$b"), status)
+          if (expectMarkers && b >= 0L && !markers.contains(b)) "unmarked"
+          else "ok"
+        (b, counts.getOrElse(b, 0L), sliceFiles(b), status)
       } ++ gaps.toSeq.sorted.map(b => (b, 0L, 0L, "gap"))
     rows.sortBy(_._1)
       .toDF("ingest_batch", "n_rows", "n_files", "status")

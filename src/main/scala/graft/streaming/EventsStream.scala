@@ -1071,24 +1071,16 @@ object EventsStream {
     val marker = new org.apache.hadoop.fs.Path(
       s"$outDir/_ledger_commit_$batchId")
     if (batchId == maxLedger && fs.exists(marker)) {
+      // fingerprint + type-alignment are the store ledger's own bodies
+      // (Dedup.ledgerContentFp / ledgerAlignTo) — one discipline, so a
+      // fingerprint-rule fix can never land on one ledger and not the
+      // other
       val fields = staged.schema.fields.toIndexedSeq
-      def contentFp(df: DataFrame): (Long, Long) = {
-        val r = df.agg(count(lit(1)),
-          coalesce(expr("bit_xor(" +
-            s"xxhash64(${fields.map(f => s"`${f.name}`").mkString(", ")}))"),
-            lit(0L))).head()
-        (r.getLong(0), r.getLong(1))
-      }
-      val slice = spark.read.parquet(s"$outDir/ingest_batch=$batchId")
-      val sliceTypes = slice.schema.fields
-        .map(f => f.name -> f.dataType).toMap
-      val cast = slice.select(fields.map { f =>
-        if (sliceTypes(f.name).catalogString == f.dataType.catalogString)
-          col(f.name)
-        else col(f.name).cast(f.dataType)
-      }: _*)
-      require(contentFp(staged.select(fields.map(f => col(f.name)): _*)) ==
-          contentFp(cast),
+      val slice = graft.operators.Dedup.ledgerAlignTo(
+        spark.read.parquet(s"$outDir/ingest_batch=$batchId"), fields)
+      val incoming = graft.operators.Dedup.ledgerContentFp(
+        staged.select(fields.map(f => col(f.name)): _*))
+      require(incoming == graft.operators.Dedup.ledgerContentFp(slice),
         s"$what($outDir): ledger collision — micro-batch $batchId is " +
           "already committed with DIFFERENT results; the stream was " +
           "restarted with a fresh checkpoint and its renumbered batch " +
@@ -1114,10 +1106,16 @@ object EventsStream {
     * "enrich every arriving document with its corpus neighbors" pattern
     * a 100 TB ingest pipeline runs continuously. The `store` frame is
     * static by contract (graduate/compact it against a stopped stream —
-    * the store writers' own cadence rule); the batch is staged once so
-    * the serve's guard aggregate and the slice write share one source
-    * read. Needs `.option("checkpointLocation", …)` and a trigger, like
-    * the store writers. */
+    * the store writers' own cadence rule). The RESULTS are staged once
+    * inside [[serveSinkBatch]] (the slice write and the rare
+    * fingerprint pass share one evaluation); the batch itself is NOT
+    * checkpointed — its only extra consumer is the O(1)
+    * unique-query-id guard aggregate over the small query side, and a
+    * per-micro-batch localCheckpoint on a continuously running stream
+    * would pin one more cached RDD per batch until a driver GC lets
+    * the ContextCleaner reclaim it. Needs
+    * `.option("checkpointLocation", …)` and a trigger, like the store
+    * writers. */
   def annServeStream(rows: DataFrame, qIdCol: String, qEmbCol: String,
                      store: DataFrame, dim: Int, planes: Int, k: Int,
                      outDir: String, probeBits: Int = 0)
@@ -1126,7 +1124,7 @@ object EventsStream {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         serveSinkBatch(batch.sparkSession, outDir, batchId,
           graft.operators.AnnIndex.annJoinIndexed(
-            batch.toDF().localCheckpoint(), qIdCol, qEmbCol,
+            batch.toDF(), qIdCol, qEmbCol,
             store, dim, planes, k, probeBits),
           "annServeStream")
     }
@@ -1144,7 +1142,7 @@ object EventsStream {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         serveSinkBatch(batch.sparkSession, outDir, batchId,
           graft.operators.AnnIndex.ivfJoinIndexed(
-            batch.toDF().localCheckpoint(), qIdCol, qEmbCol,
+            batch.toDF(), qIdCol, qEmbCol,
             model, store, idCol, embCol, k, nProbe),
           "ivfServeStream")
     }

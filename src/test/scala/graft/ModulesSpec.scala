@@ -4730,17 +4730,37 @@ class ModulesSpec extends AnyFunSuite {
       s"healthy sink misreported: $healthy")
     assert(healthy.forall(_._3 >= 1L),
       "every slice (incl. the empty one) should carry >= 1 file")
-    // a deleted committed slice is a GAP — the silent-loss finding
+    // deleting the HIGHEST committed slice must still page: its marker
+    // survives, so the high-water mark (max of slices AND markers) keeps
+    // id 2 in range instead of silently renormalizing the ledger down
     val fs = org.apache.hadoop.fs.FileSystem
       .getLocal(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/ingest_batch=2"), true)
+    val topGone = audit()
+    assert(topGone.map(t => (t._1, t._4)) ==
+        Seq((0L, "ok"), (1L, "ok"), (2L, "gap")),
+      s"highest-slice deletion not reported as a gap: $topGone")
+    // re-land slice 2 (a true replay: same empty content at its id)
+    EventsStream.serveSinkBatch(spark, out, 2L, res(1).limit(0), "t")
+    // a deleted committed slice mid-ledger is a GAP — the silent-loss
+    // finding — and a missing marker on a surviving slice is UNMARKED
     fs.delete(new org.apache.hadoop.fs.Path(s"$out/ingest_batch=1"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$out/_ledger_commit_1"), false)
-    // a missing marker on a surviving slice is UNMARKED
     fs.delete(new org.apache.hadoop.fs.Path(s"$out/_ledger_commit_2"), false)
     val found = audit()
     assert(found.map(t => (t._1, t._2, t._4)) ==
         Seq((0L, 3L, "ok"), (1L, 0L, "gap"), (2L, 0L, "unmarked")),
       s"audit missed the planted findings: $found")
+    // a markerless layout (the mining writers' pairs directories) audits
+    // clean under expectMarkers = false — gap detection still applies
+    val pairsDir = s"$base/pairs"
+    res(2).write.parquet(s"$pairsDir/ingest_batch=0")
+    res(1).write.parquet(s"$pairsDir/ingest_batch=1")
+    val pairsAudit = Maintenance.ledgerAudit(spark, pairsDir,
+        expectMarkers = false)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSeq
+    assert(pairsAudit == Seq((0L, "ok"), (1L, "ok")),
+      s"markerless pairs layout misreported: $pairsAudit")
     // a store seeded at -1 audits ok without a seed marker, and a
     // non-ledgered (graduated/plain) directory is refused loudly
     val storeDir = s"$base/store"
