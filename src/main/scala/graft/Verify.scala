@@ -1014,6 +1014,13 @@ object Verify {
         s"${p0.view.mapValues(_.size).toMap} vs " +
         s"${twinPairs.view.mapValues(_.size).toMap}")
     // (3) graduation: fold the ledger away, get the refresh-path store
+    // — only after the ledger audit reads all-ok (the load-bearing
+    // pre-graduation contract)
+    requireAuditOk(spark, storeDir, "ingest_stream")
+    // the pairs sink is the markerless twin layout — audited with
+    // expectMarkers = false (gap detection still applies)
+    requireAuditOk(spark, pairsDir, "ingest_stream/pairs",
+      expectMarkers = false)
     val gradDir = s"$base/store_canonical"
     graft.sources.Maintenance.compactPartitionedTo(spark, storeDir, gradDir,
       Seq("bucket"), dropCols = Seq("ingest_batch"))
@@ -1146,7 +1153,8 @@ object Verify {
         s"${p0.view.mapValues(_.size).toMap} vs " +
         s"${twinPairs.view.mapValues(_.size).toMap}")
     // graduation == refresh-path store, proven by USE (the chunk store's
-    // product is its mined pairs)
+    // product is its mined pairs); audit-gated like every graduation
+    requireAuditOk(spark, storeDir, "ingest_stream_hamming")
     val gradDir = s"$base/store_canonical"
     graft.sources.Maintenance.compactPartitionedTo(spark, storeDir, gradDir,
       Seq("chunk_idx"), dropCols = Seq("ingest_batch"))
@@ -1288,7 +1296,9 @@ object Verify {
     // graduation == refresh-path store, proven by USE (the lifecycle
     // gate's mine-parity probe: identical candidates from a fresh
     // mini-batch, so band keys, the band_sig token, and the layout all
-    // survived the ledger-dropping rewrite)
+    // survived the ledger-dropping rewrite); audit-gated like every
+    // graduation
+    requireAuditOk(spark, storeDir, "ingest_stream_minhash")
     val gradDir = s"$base/store_canonical"
     graft.sources.Maintenance.compactPartitionedTo(spark, storeDir, gradDir,
       Seq("band_idx"), dropCols = Seq("ingest_batch"))
@@ -1410,6 +1420,7 @@ object Verify {
       .write.partitionBy("list_id").parquet(ivfTwin)
     (0L to 1L).foreach(b => AnnIndex.ivfRefresh(spark, model, ivfTwin,
       batchFor(ivfDir, b), "emb"))
+    requireAuditOk(spark, ivfDir, "ingest_stream_serving/ivf")
     val ivfGrad = s"$base/ivf_canonical"
     graft.sources.Maintenance.compactPartitionedTo(spark, ivfDir, ivfGrad,
       Seq("list_id"), dropCols = Seq("ingest_batch"))
@@ -1453,6 +1464,7 @@ object Verify {
     // a FLAT store graduates by a plain ledger-dropping rewrite (the
     // pqStoreIngestBatch docstring's contract — compactPartitionedTo
     // needs partition columns)
+    requireAuditOk(spark, pqDir, "ingest_stream_serving/pq")
     val pqGrad = s"$base/pq_canonical"
     spark.read.parquet(pqDir).drop("ingest_batch")
       .write.parquet(pqGrad)
@@ -1476,6 +1488,25 @@ object Verify {
       s"exactly-once (ledgers complete, replays idempotent), graduated " +
       s"contents == refresh path, top-k parity across streamed/" +
       s"graduated/refresh (IVF ${servedIvf.size}, PQ ${servedPq.size} hits)")
+  }
+
+  /** The pre-graduation audit contract
+    * ([[graft.sources.Maintenance.ledgerAudit]]'s docstring: graduation
+    * should only consume a store whose audit is all-ok) — enforced in
+    * every streaming gate right before its `compactPartitionedTo` /
+    * ledger-dropping rewrite, so the contract is load-bearing rather
+    * than advisory: a gap or unmarked slice in the gate's own store
+    * fails the driver loudly instead of graduating silent loss. */
+  private def requireAuditOk(spark: SparkSession, dir: String,
+                             what: String,
+                             expectMarkers: Boolean = true): Unit = {
+    import org.apache.spark.sql.functions.col
+    val bad = graft.sources.Maintenance.ledgerAudit(spark, dir, expectMarkers)
+      .filter(col("status") =!= "ok")
+      .select(col("ingest_batch"), col("status"))
+      .collect().map(r => s"${r.getLong(0)}=${r.getString(1)}")
+    require(bad.isEmpty,
+      s"$what: ledger audit refuses graduation: ${bad.mkString(", ")}")
   }
 
   /** Recursive delete of a gate's temp workspace — the Stress
