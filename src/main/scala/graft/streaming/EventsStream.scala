@@ -85,6 +85,21 @@ object EventsStream {
         case Some(s) if e.ts.getTime - s.last.getTime > gapMs =>
           closed += Session(userId, s.start, s.last, s.nEvents)
           cur = Some(SessionState(e.ts, e.ts, 1))
+        case Some(s) if e.ts.getTime < s.start.getTime - gapMs =>
+          // a cross-batch late event MORE than the gap before the open
+          // session's start can never belong to it — under the batch
+          // ordering its session closed long ago. Emit it as its own
+          // closed singleton instead of folding it in, which would
+          // count an event outside [session_start, session_end]. (Two
+          // such stragglers arriving in DIFFERENT batches each close
+          // alone where the batch twin would merge them — the
+          // documented price of bounded state with no watermark.)
+          closed += Session(userId, e.ts, e.ts, 1)
+        case Some(s) if e.ts.before(s.start) =>
+          // within the gap BEFORE the start: the batch ordering would
+          // have merged it — extend start BACKWARDS so the emitted
+          // bounds still cover every counted event
+          cur = Some(SessionState(e.ts, s.last, s.nEvents + 1))
         case Some(s) =>
           // max, not e.ts: a cross-batch late event (no watermark bounds
           // this op) must not move `last` BACKWARDS — that would let a
@@ -148,6 +163,13 @@ object EventsStream {
     events
       .withColumn("__fp", expr(
         graft.functions.text.fingerprint(graft.functions.SparkDialect, textCol)))
+      // null text fingerprints to null, and the state store treats null
+      // as ONE key — all null-text rows collapse to one survivor. That
+      // is the same verdict the batch twin's GROUP BY fp reaches
+      // (q_stream_dedup's oracle: SQL grouping puts every null in one
+      // group), and stream == batch twin is this face's pinned
+      // contract — unlike mediaDedupStream, where a null means a FAILED
+      // decode and the row drops instead
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
@@ -247,6 +269,7 @@ object EventsStream {
   private def stepSatBucket[T, P, E, M](
       batch: Iterator[T], state: GroupState[SatBucketState[E]],
       tsOf: T => Long, prepOf: T => P, entryOf: T => E, entryTs: E => Long,
+      idOf: E => Long,
       matches: (P, E) => Option[M], maxBucket: Int,
       star: Option[StarDial[P, E]] = None): Iterator[M] =
     if (batch.isEmpty && state.hasTimedOut) {
@@ -267,7 +290,15 @@ object EventsStream {
           // not once per bucket-mate comparison
           val p = prepOf(t)
           entries.foreach { e => matches(p, e).foreach(out += _) }
-          entries = entryOf(t) :: entries
+          // same-id redelivery guard, the star branch's discipline
+          // applied to the pre-saturation path too: an at-least-once
+          // source retrying one hot row must not fill the bucket with
+          // its own copies and saturate it on duplicates alone (every
+          // face's `matches` maps a self-compare to None, so the copies
+          // would otherwise count silently toward maxBucket)
+          val en = entryOf(t)
+          if (!entries.exists(e => idOf(e) == idOf(en)))
+            entries = en :: entries
           if (entries.size > maxBucket) {
             saturated = true
             entries = star.fold(List.empty[E]) { d =>
@@ -405,6 +436,7 @@ object EventsStream {
             prepOf = t => (t._2, t._3),
             entryOf = t => BucketEntry(t._2, t._3, t._1.getTime),
             entryTs = _.tsMs,
+            idOf = _.id,
             matches = { case ((id, fp), e) =>
               val hd = java.lang.Long.bitCount(e.fp ^ fp)
               if (e.id != id && hd <= maxHamming) Some(HammingMatch(id, e.id, hd))
@@ -515,12 +547,18 @@ object EventsStream {
             prepOf = t => (t._2, t._3.toSet),
             entryOf = t => SigEntry(t._2, t._3, t._1.getTime),
             entryTs = _.tsMs,
+            idOf = _.id,
             matches = { case ((id, mySet), e) =>
               if (e.id == id) None
               else {
-                val eSet = e.hs.toSet
-                val inter = (mySet & eSet).size
-                val union = mySet.size + eSet.size - inter
+                // no per-compare Set build for the bucket-mate: hs is
+                // already distinct (shingleHashes applies arrayDistinct),
+                // so counting membership against the arrival's staged set
+                // yields the same intersection at zero allocation — a
+                // live bucket re-runs this for every (arrival, mate) pair
+                // for its whole watermark lifetime
+                val inter = e.hs.count(mySet)
+                val union = mySet.size + e.hs.length - inter
                 val j = if (union == 0) 0.0 else inter.toDouble / union
                 if (j >= threshold) Some(JaccardMatch(id, e.id, j)) else None
               }
@@ -624,8 +662,13 @@ object EventsStream {
     // null cosines): here a null would reach the NON-NULLABLE Long/Double
     // tuple encoder below (bucketExpr and l2Norm both yield null) and NPE
     // the whole streaming query — one dirty row must not kill the stream.
+    // The element-level check matters too: [1.0, null, 2.0] passes
+    // isNotNull but its null slot reaches the primitive double[]
+    // deserializer — the same query-killing class, one exists() per row
+    // at ingest, not in the bucket hot path.
     val keyed = rows
-      .filter(col(embCol).isNotNull)
+      .filter(col(embCol).isNotNull &&
+        !exists(col(embCol), x => x.isNull))
       .withWatermark(tsCol, watermark)
       .select(col(tsCol).as("ts"), col(idCol).as("id"),
         col(embCol).cast("array<double>").as("emb"),
@@ -647,6 +690,7 @@ object EventsStream {
             prepOf = t => (t._2, t._3, t._5),
             entryOf = t => VecEntry(t._2, t._3, t._5, t._1.getTime),
             entryTs = _.tsMs,
+            idOf = _.id,
             matches = { case ((id, emb, nrm), e) =>
               if (e.id == id) None
               else {

@@ -2429,6 +2429,89 @@ class ModulesSpec extends AnyFunSuite {
     val (closed2, open2) = EventsStream.updateGroup(1L,
       Seq(ev(5, "2024-01-01 12:20:00")), prior = open, gapMs = gapMs)
     assert(closed2.isEmpty && open2.get.nEvents == 3)
+    // a cross-batch late event MORE than the gap before the open
+    // session's start closes alone — folding it in would emit a session
+    // counting an event outside [start, end]
+    val (closed3, open3) = EventsStream.updateGroup(1L,
+      Seq(ev(6, "2024-01-01 07:00:00")), prior = open2, gapMs = gapMs)
+    assert(closed3 == Seq(EventsStream.Session(1L,
+        Timestamp.valueOf("2024-01-01 07:00:00"),
+        Timestamp.valueOf("2024-01-01 07:00:00"), 1)),
+      s"straggler not closed alone: $closed3")
+    assert(open3 == open2, s"straggler disturbed the open session: $open3")
+    // a late event WITHIN the gap before the start extends the bounds
+    // backwards (the batch ordering would have merged it)
+    val (closed4, open4) = EventsStream.updateGroup(1L,
+      Seq(ev(7, "2024-01-01 11:45:00")), prior = open3, gapMs = gapMs)
+    assert(closed4.isEmpty && open4.get.nEvents == 4 &&
+        open4.get.start == Timestamp.valueOf("2024-01-01 11:45:00") &&
+        open4.get.last == open3.get.last,
+      s"in-gap straggler did not extend start: $open4")
+  }
+
+  test("streaming near-dup: pre-saturation redeliveries cannot saturate a bucket") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the star-tier redelivery guard's twin for the PRE-saturation path:
+    // an at-least-once source retrying one hot row must not fill the
+    // bucket with its own copies (self-compares map to None, so the
+    // copies would count toward maxBucket silently) and drop the real
+    // pair behind them
+    val mem = MemoryStream[(Timestamp, Long, Long)]
+    val df = mem.toDF().toDF("ts", "id", "fp")
+    val q = EventsStream.nearDupStream(df, "id", "fp",
+        bits = 64, chunks = 4, maxHamming = 3, maxBucket = 3,
+        salvageRep = false)
+      .writeStream.format("memory").queryName("presat_dup").start()
+    // one row redelivered four times (> maxBucket) in its own
+    // micro-batch: with the copies counted, the bucket saturates
+    // IMMEDIATELY (salvageRep=false drops everything) and the genuine
+    // pair arriving in the next batch would be silently lost; the
+    // two-batch split also makes the order deterministic — within one
+    // batch a group iterator could interleave the copies after the
+    // pair and mask the bug
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 0L),
+      (Timestamp.valueOf("2024-01-01 10:00:01"), 1L, 0L),
+      (Timestamp.valueOf("2024-01-01 10:00:02"), 1L, 0L),
+      (Timestamp.valueOf("2024-01-01 10:00:03"), 1L, 0L))
+    q.processAllAvailable()
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:04"), 2L, 1L),
+      (Timestamp.valueOf("2024-01-01 10:00:05"), 3L, 3L))
+    q.processAllAvailable()
+    val got = spark.table("presat_dup").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).distinct.toSet
+    q.stop()
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"redelivered copies saturated the bucket: $got")
+  }
+
+  test("streaming embed near-dup: a null ELEMENT inside an embedding cannot kill the query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Array[java.lang.Double])]
+    val df = mem.toDF().toDF("ts", "id", "emb")
+    val q = EventsStream.embedNearDupStream(df, "id", "emb",
+        dim = 4, planes = 3, threshold = 0.9)
+      .writeStream.format("memory").queryName("embed_nullel").start()
+    def arr(xs: Double*): Array[java.lang.Double] =
+      xs.map(java.lang.Double.valueOf).toArray
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, arr(1.0, 2.0, 3.0, 4.0)),
+      // a dirty row: whole-null passes nothing, but [1.0, null, ...]
+      // passes isNotNull and would reach the primitive double[] encoder
+      (Timestamp.valueOf("2024-01-01 10:00:01"), 2L,
+        Array[java.lang.Double](1.0, null, 3.0, 4.0)),
+      (Timestamp.valueOf("2024-01-01 10:00:02"), 3L, arr(1.0, 2.0, 3.0, 4.0)))
+    q.processAllAvailable()
+    val got = spark.table("embed_nullel").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).distinct.toSet
+    q.stop()
+    assert(got == Set((1L, 3L)),
+      s"dirty row killed the stream or paired: $got")
   }
 
   test("streaming sessionization emits gap-closed sessions (single batch)") {
