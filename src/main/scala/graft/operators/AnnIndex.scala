@@ -39,7 +39,17 @@ object AnnIndex {
     * dimensions where an Int product would wrap. */
   private def bucketUdfFor(coef: (Int, Int) => Int) =
     udf { (emb: Array[Double], dim: Int, planes: Int) =>
-      if (emb == null) null // NULL embeddings never join a bucket
+      // NULL and SHORT embeddings never join a bucket: a truncated array
+      // (a dirty row) must not abort the whole job with an index error —
+      // the one-dirty-row discipline of the streaming ingest filters.
+      // Documented oracle divergence, like the NULL case: DuckDB's
+      // out-of-range list index is NULL, which nulls the dot and files
+      // the row under bucket 0 — oracle comparisons over a corpus with
+      // dirty embedding rows must filter them on BOTH sides first (the
+      // catalog queries do). NaN components diverge the same way (Java
+      // NaN > 0 is false -> bit 0; DuckDB orders NaN above all values ->
+      // bit 1); the fixtures carry neither.
+      if (emb == null || emb.length < dim) null
       else {
         var bucket = 0L
         var i = 0
@@ -179,6 +189,31 @@ object AnnIndex {
       s"THEN CAST(pow(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)), " +
       s"(acc, b) -> acc + b)"
 
+  /** The point faces' loud 1-row query contract, shared
+    * ([[annTopKWideIndexed]]'s collect-once discipline, also behind
+    * `Quantize`'s quantized faces): refuse a multi-row frame (the global
+    * orderBy+limit would blend every query's candidates into one top-k
+    * with no error) and a NULL embedding (it hashes to no bucket — every
+    * search would silently return empty), and return a LOCAL 1-row
+    * frame so a non-deterministic 1-row plan cannot hash with one
+    * embedding and score with another across the sub-plans that read
+    * it. */
+  private[graft] def oneQueryRow(query: DataFrame, queryCol: String,
+                                 what: String): DataFrame = {
+    val qSlice = query.select(col(queryCol))
+    val qRows = qSlice.limit(2).collect()
+    require(qRows.length == 1,
+      s"$what expects exactly ONE query row (column $queryCol) — a " +
+        "multi-row frame would blend every query's candidates into one " +
+        "global top-k; a query TABLE goes through the batch join face " +
+        "(annJoinIndexed / ivfJoinIndexed)")
+    require(!qRows(0).isNullAt(0),
+      s"$what query embedding is NULL — it would hash to no bucket and " +
+        "every search would silently return empty")
+    query.sparkSession.createDataFrame(
+      java.util.Arrays.asList(qRows(0)), qSlice.schema)
+  }
+
   /** ANN top-k: restrict to the query's bucket, then exact cosine re-rank.
     * `query` is a 1-row frame with the query embedding in `queryCol`.
     * Buckets the raw corpus inline — convenient for one-off searches, but
@@ -211,13 +246,33 @@ object AnnIndex {
       "this store carries an emb_sig token — it was bucketed by the WIDE " +
         "plane family and a legacy-family query hash would silently match " +
         "nothing; serve it through annTopKWideIndexed")
-    val q = withBucket(query.select(col(queryCol)), queryCol, dim, planes)
-      .withColumnRenamed("bucket", "q_bucket")
+    val reserved = Seq("__qe").filter(indexed.columns.contains)
+    require(reserved.isEmpty,
+      s"annTopKIndexed reserves column name(s): ${reserved.mkString(", ")}")
+    // ONE query row, loudly, from a local frame — and the query column
+    // renamed to a reserved name so a store whose embedding column is
+    // also `queryCol` (the natural call against a persisted store) does
+    // not throw AMBIGUOUS_REFERENCE out of the cross join
+    val qLocal = oneQueryRow(query, queryCol, "annTopKIndexed")
+      .select(col(queryCol).as("__qe"))
+    // the query's bucket, computed DRIVER-side from the local row with
+    // the same kernel, lands as a STATIC literal partition filter — the
+    // [[annTopKWideIndexed]] serving design: pruned at PLANNING time
+    // against a bucket-partitioned store, no DPP machinery to trust (a
+    // local-relation broadcast join stopped qualifying for DPP, which
+    // would silently degrade this face to a full-store scan)
+    val qb = withBucket(qLocal, "__qe", dim, planes)
+      .select(col("bucket")).head()
+    require(!qb.isNullAt(0),
+      "annTopKIndexed query embedding is dirty (shorter than dim) — it " +
+        "hashes to no bucket and every search would silently return empty")
     indexed
-      .join(broadcast(q), col(bucketCol) === col("q_bucket"))
-      .withColumn("similarity", vectors.cosineSim(col(embCol), col(queryCol)))
+      .filter(col(bucketCol) === lit(qb.getLong(0)))
+      .crossJoin(broadcast(qLocal))
+      .withColumn("similarity", vectors.cosineSim(col(embCol), col("__qe")))
       .orderBy(desc("similarity") +: tieBreak.map(col): _*)
       .limit(k)
+      .drop("__qe")
   }
 
   /** The bucket-geometry token stamped on WIDE-family stores
@@ -225,8 +280,16 @@ object AnnIndex {
     * every consumer: 2003 (the family's prime modulus) tags the hash
     * family itself, so a legacy-family store can never masquerade as
     * wide or vice versa. */
-  private[graft] def wideStoreSig(dim: Int, planes: Int): Long =
+  private[graft] def wideStoreSig(dim: Int, planes: Int): Long = {
+    // the 1e8 family field holds dim*1000 + planes only while dim < 1e5:
+    // past that, legacyStreamSig(dim + 100000, p) would collide exactly
+    // with wideStoreSig(dim, p), silently defeating the disjoint-keyspace
+    // guarantee the streaming state keys rest on (planes is range-checked
+    // at ≤ 62 by every bucket builder; dim was not)
+    require(dim > 0 && dim < 100000,
+      s"dim=$dim out of the sig packing range (1 .. 99999)")
     2003L * 100000000L + dim.toLong * 1000L + planes
+  }
 
   /** Geometry token for the LEGACY coefficient plane family. No
     * persisted store stamps it (only wide-family stores are built);
@@ -236,8 +299,11 @@ object AnnIndex {
     * overlapping small bucket ids (legacy censuses at ≤128 buckets), so
     * a bare-bucket key would silently mix their state across a config
     * flip. Distinct leading constant from [[wideStoreSig]]'s 2003. */
-  private[graft] def legacyStreamSig(dim: Int, planes: Int): Long =
+  private[graft] def legacyStreamSig(dim: Int, planes: Int): Long = {
+    require(dim > 0 && dim < 100000,
+      s"dim=$dim out of the sig packing range (1 .. 99999)")
     2002L * 100000000L + dim.toLong * 1000L + planes
+  }
 
   /** The ONE persisted-store token gate behind EVERY consumer — the
     * serving faces ([[annTopKWideIndexed]], [[annJoinIndexed]] via
@@ -257,6 +323,24 @@ object AnnIndex {
     * so the operator chases the right rebuild. Returns the row count it
     * measured, so a caller checking a PRUNED slice can tell "verified
     * nonempty" from "empty — ambiguous, escalate to the full store". */
+  /** Refusal shared by every BATCH-cadence refresh ([[ivfRefresh]],
+    * `Quantize.pqRefresh`, `Dedup.refreshStore`): a store carrying the
+    * `ingest_batch` replay ledger is a STREAMING store — the inverse of
+    * `storeIngestBatch`'s canonical-store refusal. A batch append
+    * partitioned WITHOUT the ledger level would write `bucket=N/`
+    * directories next to `ingest_batch=M/bucket=N/` and corrupt
+    * partition discovery for every later read ("Conflicting directory
+    * structures"), after a token gate that passed — so refuse BEFORE the
+    * token check, while the store is still intact. */
+  private[operators] def requireBatchStore(store: DataFrame,
+                                           what: String): Unit =
+    require(!store.columns.contains("ingest_batch"),
+      s"$what: store carries an ingest_batch replay ledger — it is a " +
+        "STREAMING store; append through its streaming writer " +
+        "(EventsStream *StoreIngest) or graduate it first " +
+        "(compactPartitionedTo with dropCols = Seq(\"ingest_batch\")); " +
+        "a ledger-less batch append would corrupt the partition layout")
+
   private[operators] def requireStoreSig(store: DataFrame, sigCol: String,
                                          sig: Long, allowEmpty: Boolean,
                                          what: String,
@@ -643,17 +727,18 @@ object AnnIndex {
                 query: DataFrame, queryCol: String, dim: Int, k: Int,
                 cells: Seq[(Int, Int)]): DataFrame = {
     import graft.functions.{text, vectors}
-    // ONE query row, the annTopK/ivfTopK contract — but checked loudly
-    // here instead of documented-only: the exact baseline, candidate
-    // counts and candidate top-k are all per-ONE-query globals, so a
-    // multi-row frame would merge every query's probes into one ranking
-    // and return garbage that LOOKS like a measurement, feeding a wrong
-    // production dial. Tuning is run-once; one tiny job is free.
-    require(query.limit(2).count() == 1,
-      "annTuning expects exactly ONE query row — a multi-row frame would " +
-        "merge every query's probes and top-k into one meaningless ranking")
+    // ONE query row, the annTopK/ivfTopK contract — checked loudly AND
+    // collected once: the exact baseline, candidate counts and candidate
+    // top-k are all per-ONE-query globals computed in SEPARATE sub-plans,
+    // so beyond the multi-row blend, a non-deterministic 1-row query
+    // plan (sample/limit over a bigger frame) re-executed per sub-plan
+    // could measure the baseline for one embedding and the cells for
+    // another — recall garbage that LOOKS like a measurement, feeding a
+    // wrong production dial. Every sub-plan below reads the same LOCAL
+    // collected row.
+    val qLocal = oneQueryRow(query, queryCol, "annTuning")
     val exactIds = corpus
-      .crossJoin(broadcast(query.select(col(queryCol))))
+      .crossJoin(broadcast(qLocal.select(col(queryCol))))
       .withColumn("__sim", vectors.cosineSim(col(embCol), col(queryCol)))
       .orderBy(desc("__sim"), col(idCol))
       .limit(k)
@@ -669,7 +754,7 @@ object AnnIndex {
       // `=`'s semantics exactly: a null embedding never joined a probe.
       val assigned = corpus.filter(col(embCol).isNotNull)
         .withColumn("__cb", wideBucketExpr(embCol, dim, planes))
-      val q0 = query.select(col(queryCol).as("__qe"),
+      val q0 = qLocal.select(col(queryCol).as("__qe"),
         wideBucketExprOf(col(queryCol), dim, planes).as("__qb0"))
       // probed buckets are distinct per query ([[probeSetExpr]] — the
       // SAME builder annJoin serves with, so the measurement cannot
@@ -777,7 +862,9 @@ object AnnIndex {
   def ivfRefresh(spark: org.apache.spark.sql.SparkSession,
                  model: org.apache.spark.ml.clustering.KMeansModel,
                  storeDir: String, newBatch: DataFrame, embCol: String): Unit = {
-    requireStoreSig(spark.read.parquet(storeDir), "ivf_sig",
+    val store = spark.read.parquet(storeDir)
+    requireBatchStore(store, s"ivfRefresh($storeDir)")
+    requireStoreSig(store, "ivf_sig",
       ivfModelSig(model), allowEmpty = false,
       what = s"ivfRefresh($storeDir)",
       staleDesc = "IVF store — ivf_sig does not match this model's " +
@@ -902,23 +989,18 @@ object AnnIndex {
     // from the one collected row, so a non-deterministic 1-row plan
     // (limit/sample over a larger frame) cannot route with one embedding
     // and score against another.
-    val qSlice = query.select(col(queryCol))
-    val qRows = qSlice.limit(2).collect()
-    require(qRows.length == 1,
-      "ivfTopKAssigned expects exactly ONE query row — a multi-row frame " +
-        "would blend every query's probes and candidates into one global " +
-        "top-k; a query TABLE goes through ivfJoinIndexed")
-    require(!qRows(0).isNullAt(0),
-      "ivfTopKAssigned query embedding is NULL — it would route to no " +
-        "list and every search would silently return empty")
-    val qLocal = query.sparkSession.createDataFrame(
-      java.util.Arrays.asList(qRows(0)), qSlice.schema)
+    val qLocal = oneQueryRow(query, queryCol, "ivfTopKAssigned")
+    require(!assigned.columns.contains("__qe"),
+      "ivfTopKAssigned reserves column name: __qe")
     val probes = probeLists(model, qLocal, queryCol, nProbe)
     // a store stamped by [[ivfStore]] is token-checked on the probe page
     // (assert_true folded into the load-bearing similarity, the Quantize
     // recipe — an unused check column would be optimizer-pruned); stores
-    // from bare [[ivfAssign]] keep the unchecked contract
-    val sim = vectors.cosineSim(col(embCol), col(queryCol))
+    // from bare [[ivfAssign]] keep the unchecked contract. The query
+    // column rides the join under the reserved name __qe so a store
+    // whose embedding column is also `queryCol` (the natural call
+    // against a persisted store) cannot throw AMBIGUOUS_REFERENCE.
+    val sim = vectors.cosineSim(col(embCol), col("__qe"))
     val checked =
       if (!assigned.columns.contains("ivf_sig")) sim
       else sim + coalesce(assert_true(
@@ -928,11 +1010,11 @@ object AnnIndex {
         .cast("double"), lit(0.0))
     assigned
       .join(broadcast(probes), "list_id")
-      .crossJoin(broadcast(qLocal))
+      .crossJoin(broadcast(qLocal.select(col(queryCol).as("__qe"))))
       .withColumn("similarity", checked)
       .orderBy(desc("similarity") +: tieBreak.map(col): _*)
       .limit(k)
-      .drop("ivf_sig")
+      .drop("ivf_sig", "__qe")
   }
 
   /** [[annJoinIndexed]]'s IVF sibling — the batch serving face over a
@@ -1019,8 +1101,15 @@ object AnnIndex {
                 assigned: DataFrame, embCol: String, idCol: String,
                 query: DataFrame, queryCol: String,
                 k: Int, nProbes: Seq[Int]): DataFrame = {
+    // [[annTuning]]'s collect-once discipline: the baseline, each dial's
+    // candidate count, and each dial's served top-k are separate
+    // sub-plans — a non-deterministic 1-row query plan re-executed per
+    // sub-plan could price one embedding's routing against another's
+    // baseline; and a multi-row frame is refused loudly instead of
+    // blending every query's probes into one meaningless ranking
+    val qLocal = oneQueryRow(query, queryCol, "ivfTuning")
     val exactIds = assigned
-      .crossJoin(broadcast(query.select(col(queryCol))))
+      .crossJoin(broadcast(qLocal.select(col(queryCol))))
       .withColumn("__sim", vectors.cosineSim(col(embCol), col(queryCol)))
       .orderBy(desc("__sim"), col(idCol))
       .limit(k)
@@ -1028,9 +1117,9 @@ object AnnIndex {
     val nCorpus = assigned.agg(count(lit(1)).as("n_corpus"))
     val stats = nProbes.map { np =>
       val nCand = assigned
-        .join(broadcast(probeLists(model, query, queryCol, np)), "list_id")
+        .join(broadcast(probeLists(model, qLocal, queryCol, np)), "list_id")
         .agg(count(lit(1)).as("n_candidates"))
-      val nHits = ivfTopKAssigned(model, assigned, embCol, query, queryCol,
+      val nHits = ivfTopKAssigned(model, assigned, embCol, qLocal, queryCol,
           k, np, tieBreak = Seq(idCol))
         .select(col(idCol))
         .join(broadcast(exactIds), Seq(idCol), "left_semi")

@@ -30,7 +30,18 @@ import graft.functions.{text, TextSig, SparkDialect => S}
 object Dedup {
 
   /** Exact dedup by text content: one survivor (min key) per distinct text,
-    * with the duplicate count. Single hash-aggregate, no join. */
+    * with the duplicate count. Single hash-aggregate, no join.
+    *
+    * NULL texts follow SQL GROUP BY semantics — they form ONE group with
+    * one survivor, exactly the verdict the DuckDB oracle and the
+    * streaming twin ([[graft.streaming.EventsStream.dedupStream]], where
+    * the state store keys nulls the same way) reach, so the three
+    * cadences can never disagree. That is deliberate and DIFFERENT from
+    * the near-dup faces' "null doc matches nothing": exact dedup asks
+    * "is the content byte-equal", and a caller for whom null means
+    * MISSING (failed extraction) rather than "empty content" must filter
+    * nulls upstream — keeping only `keep_id`s of this output would
+    * otherwise discard every null-text document but one. */
   def exact(df: DataFrame, keyCol: String, textCol: String): DataFrame =
     df.groupBy(col(textCol))
       .agg(min(col(keyCol)).as("keep_id"), count(lit(1)).as("n_copies"))
@@ -137,12 +148,21 @@ object Dedup {
     * arrays are several times cheaper per pair and mod-1e9+7 collisions are
     * negligible next to the threshold. */
   def ngramJaccardPairs(df: DataFrame, keyCol: String, textCol: String,
-                        blockCol: String, n: Int, threshold: Double): DataFrame = {
-    val sigs = df.select(
+                        blockCol: String, n: Int, threshold: Double,
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
+    // NULL caller blocks never pair — SQL equality-blocking semantics.
+    // pairJoin's null-safe keys are justified only when the key derives
+    // from the same text as the signature (null key ⟺ null similarity,
+    // the threshold backstop); a caller-supplied block column (domain,
+    // language) can be NULL on rows with genuine text, and <=> would
+    // compare all unknown-block rows against each other — and collapse
+    // them into one uncapped mega-bucket. The filter runs on the raw
+    // input column, before any UDF projection, so nothing re-evaluates.
+    val sigs = df.filter(col(blockCol).isNotNull).select(
       col(keyCol).as("id"),
       col(blockCol).as("block"),
       TextSig.shingleHashesUdf(col(textCol), lit(n)).as("sh"))
-    pairJoin(sigs, Seq("block"))
+    pairJoin(sigs, Seq("block"), maxBucket)
       .withColumn("jaccard",
         size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
           size(array_union(col("a_sh"), col("b_sh"))))
@@ -164,9 +184,17 @@ object Dedup {
     * (the q_lsh_tuning shape — 3 sweeps, one signature pass). */
   def minhashSignatures(df: DataFrame, keyCol: String, textCol: String,
                         k: Int, shingleN: Int): DataFrame =
+    // `sig_geom` is the persistence token (the [[minhashBandIndex]]
+    // `band_sig` discipline for the signature artifact): a sweep that
+    // re-loads a stored table under the wrong k is refused structurally
+    // by [[bandedFromSignatures]]'s size check, but a shingleN mismatch
+    // silently changes what "jaccard >= threshold" MEANS — a loader
+    // should compare this column against its expected geometry before
+    // sweeping (the banding faces drop it; it costs one literal).
     df.select(col(keyCol).as("id"),
       TextSig.shingleHashesUdf(col(textCol), lit(shingleN)).as("hs"),
-      TextSig.minhashSigUdf(col(textCol), lit(shingleN), lit(k)).as("sig"))
+      TextSig.minhashSigUdf(col(textCol), lit(shingleN), lit(k)).as("sig"),
+      lit(k.toLong * 100000L + shingleN).as("sig_geom"))
 
   /** Band rows from a PRECOMPUTED signature table ([[minhashSignatures]]
     * output): the banding stage alone — cheap array slicing, no corpus
@@ -187,9 +215,37 @@ object Dedup {
     val r = k / bands
     val keep = col("id") +: ((if (carryHashes) Seq(col("hs")) else Nil) ++
       (if (carrySig) Seq(col("sig")) else Nil))
-    sigs.select((keep :+ explode(expr(bandStructsExpr(bands, r)))
-        .as("band")): _*)
-      .select((keep :+ col("band.band_idx") :+ col("band.band_key")): _*)
+    sigs.select((keep :+ col("sig").as("__band_sig") :+
+        explode(expr(bandStructsExpr(bands, r))).as("band")): _*)
+      // a NULL signature (null text) bands to NULL band_key in EVERY
+      // band; pairJoin's deliberate null-safe keys would then bucket all
+      // null-text docs together and emit them as maximal-confidence
+      // candidates (n_bands = bands) with no similarity backstop on the
+      // candidate faces — the oracle's plain `=` band join never matches
+      // NULL, and N failed extractions would otherwise build an N²/2
+      // all-null mega-bucket. Filtering the banded rows (NOT the sigs
+      // projection — a filter there would push below the signature
+      // projection and re-run the UDF chain per row, the measured
+      // pairJoin trap; the explode Generate blocks that pushdown here)
+      // restores SQL equality semantics: null docs band nowhere, match
+      // nothing.
+      .filter(col("band.band_key").isNotNull)
+      // the signature table is a persisted artifact swept with different
+      // dials; a k mismatch between the stored sigs and this call makes
+      // slice() return EMPTY arrays past the stored length — every doc
+      // then lands band_key "" in the phantom bands, one corpus-wide
+      // bucket per band, silently. The structural check rides the
+      // load-bearing band_key (the join key), so it cannot be pruned
+      // and costs one size() per banded row. (shingleN is baked into
+      // the signatures and NOT verifiable here — persist `sig_geom`
+      // alongside and check it at load; see [[minhashSignatures]].)
+      .select((keep :+ col("band.band_idx") :+
+        concat(col("band.band_key"),
+          coalesce(assert_true(size(col("__band_sig")) === lit(k),
+            lit(s"minhash signature length does not match k=$k — the " +
+              "signature table was built under a different k; rebuild " +
+              "it with minhashSignatures")).cast("string"),
+            lit(""))).as("band_key")): _*)
   }
 
   private def minhashBanded(df: DataFrame, keyCol: String, textCol: String,
@@ -515,7 +571,17 @@ object Dedup {
     * would only re-prove a fact the caller just proved for free. */
   private def hammingPairsOverTrusted(rows: DataFrame, maxHamming: Int,
                                       maxBucket: Int): DataFrame =
-    pairJoin(rows, Seq("chunk_idx", "chunk_val"), maxBucket)
+    // chunk_sig rides the JOIN KEY: chunk values from DIFFERENT
+    // geometries occupy different bit widths, so a coincidental numeric
+    // equality across a mixed-geometry index (a manual union of two
+    // stores — every refresh path refuses to create one) would pair
+    // fingerprints whose chunks are not comparable. With the token in
+    // the key each geometry mines completely within itself and
+    // cross-geometry rows never compare — cross-geometry pairs are not
+    // representable in a chunk join at all; re-index under one geometry
+    // to find them. Uniform indexes (every supported path) see
+    // byte-identical results at one constant extra key column.
+    pairJoin(rows, Seq("chunk_idx", "chunk_val", "chunk_sig"), maxBucket)
       .select(col("a_id"), col("b_id"), col("a_fp"), col("b_fp")).distinct()
       .withColumn("hamming",
         bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long"))
@@ -594,7 +660,10 @@ object Dedup {
   private def hammingSalvageEdgesOverTrusted(
       rows: DataFrame, maxHamming: Int,
       maxBucket: Int, maxReps: Int): DataFrame = {
-    val keys = Seq("chunk_idx", "chunk_val")
+    // chunk_sig in the bucket key, like [[hammingPairsOverTrusted]]:
+    // a mixed-geometry union must not fold different-width chunk values
+    // into one salvage bucket
+    val keys = Seq("chunk_idx", "chunk_val", "chunk_sig")
     val over = oversizedKeys(rows, keys, maxBucket)
       .select(keys.map(c => col(c).as(s"__over_$c")): _*)
     val overCond = keys.map(c => col(c) <=> col(s"__over_$c")).reduce(_ && _)
@@ -611,13 +680,16 @@ object Dedup {
     // identical-fingerprint groups within each mega bucket: the shuffle
     // is keyed by (chunk, fp), so one group = one task, linear in the
     // group — never bucket² rows
-    val groups = mega.groupBy(col("chunk_idx"), col("chunk_val"), col("fp"))
+    val groups = mega.groupBy(
+        col("chunk_idx"), col("chunk_val"), col("chunk_sig"), col("fp"))
       .agg(min(col("id")).as("rep"))
     val g = groups.select(col("chunk_idx").as("__g_idx"),
-      col("chunk_val").as("__g_val"), col("fp").as("__g_fp"), col("rep"))
+      col("chunk_val").as("__g_val"), col("chunk_sig").as("__g_sig"),
+      col("fp").as("__g_fp"), col("rep"))
     val stars = mega.join(g,
         col("chunk_idx") <=> col("__g_idx") &&
-          col("chunk_val") <=> col("__g_val") && col("fp") <=> col("__g_fp"))
+          col("chunk_val") <=> col("__g_val") &&
+          col("chunk_sig") <=> col("__g_sig") && col("fp") <=> col("__g_fp"))
       .filter(col("id") =!= col("rep"))
       // star hamming is 0 by construction (identical fps); the pigeonhole
       // guard already rides every index row's chunk_val (requireSigned),
@@ -637,7 +709,7 @@ object Dedup {
     val repPairs = pairJoin(
         groups.join(broadcast(pairable), okCond, "left_semi")
           .select(col("rep").as("id"), col("fp"), col("chunk_idx"),
-            col("chunk_val")),
+            col("chunk_val"), col("chunk_sig")),
         keys)
       .select(col("a_id"), col("b_id"), col("a_fp"), col("b_fp")).distinct()
       .withColumn("hamming",
@@ -846,12 +918,27 @@ object Dedup {
     // and singletons rejoin once at the end
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
-    var prevSum = Long.MaxValue
+    // an empty pair table means every id is a singleton, and the labels
+    // frame (an uncheckpointed distinct over the possibly-expensive pairs
+    // plan) would be re-executed by the singleton anti-join below —
+    // short-circuit to the pure singleton frame instead: no join, no
+    // recompute of an all-empty mine
+    if (labels.isEmpty) {
+      edges.unpersist()
+      p.unpersist()
+      return ids.select(col(idCol).as("id"))
+        .select(col("id"), col("id").as("cluster"), lit(1L).as("n_members"))
+    }
+    // convergence sum in decimal(38,0), not Long: labels are arbitrary
+    // 63-bit ids, and a Long sum wraps mod 2^64 — a round whose total
+    // label decrease lands on a multiple of 2^64 would read as a
+    // fixpoint and silently return intermediate labels as components
+    // (decimal 38 holds 10^18 rows of 2^63 with room to spare, and an
+    // actual overflow nulls the aggregate, failing the null-safe compare
+    // below into another round rather than a false fixpoint)
+    var prevSum: java.math.BigDecimal = null
     var iter = 0
-    // an empty pair table means every id is a singleton: sum() over zero
-    // rows is NULL (reading it as Long would NPE), and there is nothing to
-    // propagate — skip the loop, the singleton union below covers everyone
-    var converged = labels.isEmpty
+    var converged = false
     while (!converged && iter < maxIter) {
       val nbMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("cluster")).as("nb_cluster"))
@@ -872,9 +959,9 @@ object Dedup {
           least(col("cluster"), coalesce(col("nb_cluster"), col("cluster"))).as("cluster"))
         .localCheckpoint(false)
       // min-labels only ever decrease: an unchanged sum IS the fixpoint
-      // (count-of-changed generalizes better when id sums could overflow)
-      val s = next.agg(sum(col("cluster"))).head().getLong(0)
-      converged = s == prevSum
+      val s = next.agg(sum(col("cluster").cast("decimal(38,0)")))
+        .head().getDecimal(0)
+      converged = s != null && prevSum != null && s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
       iter += 1
@@ -920,9 +1007,14 @@ object Dedup {
                      blockCol: String, threshold: Double,
                      maxBucket: Int = Int.MaxValue): DataFrame = {
     import graft.functions.vectors
-    val sigs = df.select(col(keyCol).as("id"), col(blockCol).as("block"),
-      col(embCol).as("emb"),
-      vectors.l2Norm(col(embCol)).as("nrm"))
+    // NULL caller blocks never pair — [[ngramJaccardPairs]]'s SQL
+    // equality-blocking semantics (a null LSH bucket from a null
+    // embedding also nulls the cosine, but a caller-supplied block can
+    // be null on rows with real vectors)
+    val sigs = df.filter(col(blockCol).isNotNull)
+      .select(col(keyCol).as("id"), col(blockCol).as("block"),
+        col(embCol).as("emb"),
+        vectors.l2Norm(col(embCol)).as("nrm"))
     pairJoin(sigs, Seq("block"), maxBucket)
       .withColumn("cosine", stagedCosine(col("a_emb"), col("b_emb"),
         col("a_nrm"), col("b_nrm")))
@@ -1208,7 +1300,11 @@ object Dedup {
                            storeDir: String, sigCol: String, sig: Long,
                            what: String, staleDesc: String,
                            newRows: DataFrame, partitionCol: String): Unit = {
-    AnnIndex.requireStoreSig(spark.read.parquet(storeDir), sigCol, sig,
+    val store = spark.read.parquet(storeDir)
+    // a LEDGERED (streaming) store is refused before the token check —
+    // a batch append without the ledger level corrupts its layout
+    AnnIndex.requireBatchStore(store, s"$what($storeDir)")
+    AnnIndex.requireStoreSig(store, sigCol, sig,
       allowEmpty = false, what = s"$what($storeDir)", staleDesc = staleDesc)
     newRows.write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy(partitionCol).parquet(storeDir)
@@ -1425,13 +1521,21 @@ object Dedup {
     * [[AnnIndex.requireStoreSig]] stance: a change to the fingerprint
     * rule (null handling, column quoting) must land in both ledgers at
     * once, or the store and sink disciplines silently drift apart. */
-  private[graft] def ledgerContentFp(df: DataFrame): (Long, Long) = {
+  private[graft] def ledgerContentFp(df: DataFrame): (Long, Long, String) = {
     val fields = df.schema.fields
+    val hashes = s"xxhash64(${fields.map(f => s"`${f.name}`").mkString(", ")})"
+    // count + bit_xor + SUM of the row hashes: xor alone cancels rows
+    // with even multiplicity (a batch carrying one doc twice xors its
+    // row hash to 0, so two DIFFERENT duplicated batches could collide
+    // and let a renumbered restart overwrite a committed slice). The sum
+    // is multiplicity-linear; decimal(38,0), not long, because ANSI
+    // long-sum overflows loudly on full-range hashes, and compared as a
+    // plain string since decimal scale survives the round trip as 0.
     val r = df.agg(count(lit(1)),
-      coalesce(expr("bit_xor(" +
-        s"xxhash64(${fields.map(f => s"`${f.name}`").mkString(", ")}))"),
-        lit(0L))).head()
-    (r.getLong(0), r.getLong(1))
+      coalesce(expr(s"bit_xor($hashes)"), lit(0L)),
+      coalesce(sum(expr(hashes).cast("decimal(38,0)")),
+        lit(0L).cast("decimal(38,0)"))).head()
+    (r.getLong(0), r.getLong(1), r.getDecimal(2).stripTrailingZeros.toPlainString)
   }
 
   /** Align a stored slice's columns to the incoming frame's schema for

@@ -430,7 +430,9 @@ object Quantize {
   def pqRefresh(spark: org.apache.spark.sql.SparkSession,
                 codebooks: Array[Array[Array[Double]]],
                 storeDir: String, newBatch: DataFrame, embCol: String): Unit = {
-    AnnIndex.requireStoreSig(spark.read.parquet(storeDir), "pq_cb_sig",
+    val store = spark.read.parquet(storeDir)
+    AnnIndex.requireBatchStore(store, s"pqRefresh($storeDir)")
+    AnnIndex.requireStoreSig(store, "pq_cb_sig",
       cbFingerprint(codebooks), allowEmpty = false,
       what = s"pqRefresh($storeDir)",
       staleDesc = "PQ store — pq_cb_sig does not match these codebooks " +

@@ -1114,19 +1114,91 @@ class ModulesSpec extends AnyFunSuite {
 
   test("dedup operators tolerate NULL text rows (skip, don't abort)") {
     import spark.implicits._
+    // TWO null docs, not one: a single null can never pair, so the
+    // original one-null fixture could not catch the null-band-key
+    // bucketing hole (null sigs band to NULL keys in every band; the
+    // null-safe pair join would emit (3,4,n_bands=bands) — the
+    // strongest possible candidate — for two docs with NO content,
+    // where the oracle's plain `=` band join emits nothing)
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "the quick brown fox jumps over the lazy dog"),
-      (3L, null.asInstanceOf[String]))
+      (3L, null.asInstanceOf[String]),
+      (4L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
     val pairs = graft.operators.Dedup
       .minhashLshPairs(corpus, "doc_id", "text", k = 16, bands = 4, shingleN = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(pairs.toSeq == Seq((1L, 2L))) // null doc matches nothing, job survives
+    assert(pairs.toSeq == Seq((1L, 2L))) // null docs match nothing, job survives
     val sim = graft.operators.Dedup
       .simhashPairs(corpus, "doc_id", "text", 60, 4, 3, 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(sim.toSeq == Seq((1L, 2L)))
+  }
+
+  test("caller-block pair faces: NULL blocks never pair; k-mismatch on a signature table is loud") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // SQL equality-blocking semantics for CALLER-supplied block columns:
+    // two rows with identical text but NULL domain must not pair (and
+    // must not collapse into one uncapped mega-bucket)
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq((1L, t, "a.com"), (2L, t, "a.com"),
+        (3L, t, null.asInstanceOf[String]), (4L, t, null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "domain")
+    val ng = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "domain",
+        n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ng == Seq((1L, 2L)), s"null-block rows paired: $ng")
+    val vecs = Seq((1L, Seq(1.0, 0.0), "x"), (2L, Seq(1.0, 0.0), "x"),
+        (3L, Seq(1.0, 0.0), null.asInstanceOf[String]),
+        (4L, Seq(1.0, 0.0), null.asInstanceOf[String]))
+      .toDF("id", "emb", "blk")
+    val ep = Dedup.embeddingPairs(vecs, "id", "emb", "blk", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ep == Seq((1L, 2L)), s"null-block vectors paired: $ep")
+    // a persisted signature table re-loaded under the WRONG k slices
+    // empty arrays into phantom bands (band_key "" for every doc — one
+    // corpus-wide bucket per band, silently); the structural check on
+    // the band key must refuse instead
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text",
+      k = 16, shingleN = 3).localCheckpoint()
+    val e = intercept[Exception] {
+      Dedup.minhashLshVerifiedPairsFromSignatures(sigs, k = 32, bands = 8,
+        threshold = 0.5).collect()
+    }
+    assert(e.getMessage.contains("does not match k=32"), e.getMessage)
+    // and sig_geom rides the table for the loader-side shingleN check
+    assert(sigs.columns.contains("sig_geom") &&
+      sigs.select(col("sig_geom")).head().getLong(0) == 16L * 100000L + 3L)
+  }
+
+  test("ledger fingerprint distinguishes even-multiplicity slices; mixed-geometry hamming never cross-pairs") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // bit_xor alone cancels rows with even multiplicity: two DIFFERENT
+    // batches, each carrying its rows twice, xor to the same 0 — the sum
+    // component must split them
+    val a = Seq((1L, "x"), (1L, "x")).toDF("id", "v")
+    val b = Seq((2L, "y"), (2L, "y")).toDF("id", "v")
+    assert(Dedup.ledgerContentFp(a) != Dedup.ledgerContentFp(b),
+      "even-multiplicity slices collided")
+    assert(Dedup.ledgerContentFp(a) == Dedup.ledgerContentFp(a.orderBy(desc("id"))),
+      "fingerprint is not order-free")
+    // a mixed-geometry index (manual union of two stores — every refresh
+    // path refuses to create one) must not pair fingerprints through
+    // coincidentally-equal chunk values of DIFFERENT widths: fp=1 at
+    // 4x16-bit chunks and fp=1 at 8x8-bit chunks share chunk_val 1 at
+    // chunk_idx 0, but their chunks are not comparable
+    val i1 = Dedup.hammingChunkIndex(Seq((10L, 1L)).toDF("id", "fp"),
+      "id", "fp", bits = 64, chunks = 4)
+    val i2 = Dedup.hammingChunkIndex(Seq((20L, 1L)).toDF("id", "fp"),
+      "id", "fp", bits = 64, chunks = 8)
+    val crossed = Dedup.hammingPairsFromIndex(i1.unionByName(i2),
+        maxHamming = 3)
+      .collect()
+    assert(crossed.isEmpty,
+      s"mixed-geometry index cross-paired: ${crossed.mkString(",")}")
   }
 
   test("dedup clusters: empty pair table -> all singletons (no NPE)") {
@@ -4788,6 +4860,75 @@ class ModulesSpec extends AnyFunSuite {
         allQueries, "qid", "qe", model, ivfStore, "id", "emb",
         k = 3, nProbe = 4)),
       "IVF streamed serve diverged from the one-shot batch join")
+    graft.sources.Maintenance.deleteLocalTree(spark, base)
+  }
+
+  test("batch refresh refuses ledgered stores; legacy point faces carry the loud query contract") {
+    import spark.implicits._
+    import graft.operators.{AnnIndex, Dedup}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_refresh_guard").toString
+    val mk = (id: Long, seed: Long) =>
+      (id, Array.tabulate(4)(j => (((seed >> (j * 5)) & 63) - 31.0)))
+    val corpus = (1L to 20L).map(i => mk(i, i * 2654435761L)).toDF("id", "emb")
+    val batch = (100L to 102L).map(i => mk(i, i * 40503L)).toDF("id", "emb")
+    // a STREAMING (ledgered) store fed through a batch refresh would get
+    // bucket=N/ dirs written next to ingest_batch=M/bucket=N/ and corrupt
+    // partition discovery — refused loudly BEFORE a row lands, for both
+    // the mining and the serving families
+    val embDir = s"$base/emb"
+    Dedup.seedEmbedIngestStore(corpus, embDir, "id", "emb", 4, 3)
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.embeddingIndexRefresh(spark, embDir, batch, "id", "emb", 4, 3)
+    }
+    assert(e1.getMessage.contains("ingest_batch replay ledger"), e1.getMessage)
+    val model = AnnIndex.ivfFit(corpus, "emb", nLists = 2)
+    val ivfDir = s"$base/ivf"
+    AnnIndex.seedIvfIngestStore(model, corpus, "emb", ivfDir)
+    val e2 = intercept[IllegalArgumentException] {
+      AnnIndex.ivfRefresh(spark, model, ivfDir, batch, "emb")
+    }
+    assert(e2.getMessage.contains("ingest_batch replay ledger"), e2.getMessage)
+    // the LEGACY point faces now share the loud 1-row contract: a
+    // multi-row frame refused (a global orderBy+limit would blend every
+    // query's candidates), a NULL embedding refused (it hashes to no
+    // bucket — silent empty), instead of the documented-only contract
+    val e3 = intercept[IllegalArgumentException] {
+      AnnIndex.annTopK(corpus, "emb", 4, 3,
+        corpus.limit(2).select(col("emb").as("qe")), "qe", k = 3)
+    }
+    assert(e3.getMessage.contains("ONE query row"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      AnnIndex.annTopK(corpus, "emb", 4, 3,
+        Seq(Tuple1(null.asInstanceOf[Array[Double]])).toDF("qe"), "qe", k = 3)
+    }
+    assert(e4.getMessage.contains("NULL"), e4.getMessage)
+    // the natural call against a persisted store — query column named
+    // like the store's own embedding column — must serve, not throw
+    // AMBIGUOUS_REFERENCE
+    val q = corpus.filter(col("id") === 1L).select(col("emb"))
+    val legacyHits = AnnIndex.annTopK(corpus, "emb", 4, 3, q, "emb",
+        k = 2, tieBreak = Seq("id"))
+      .select(col("id")).collect().map(_.getLong(0))
+    assert(legacyHits.nonEmpty, "same-name query col served nothing")
+    val ivfHits = AnnIndex.ivfTopK(model, corpus, "emb", q, "emb",
+        k = 2, nProbe = 2, tieBreak = Seq("id"))
+      .select(col("id")).collect().map(_.getLong(0))
+    assert(ivfHits.nonEmpty, "same-name IVF query col served nothing")
+    // a SHORT (truncated) embedding is a dirty row: null bucket, job
+    // survives — not an ArrayIndexOutOfBounds abort
+    val dirty = corpus.unionByName(
+      Seq((999L, Array(1.0, 2.0))).toDF("id", "emb"))
+    val buckets = AnnIndex.withBucket(dirty, "emb", 4, 3)
+      .filter(col("id") === 999L).select(col("bucket")).collect()
+    assert(buckets.length == 1 && buckets(0).isNullAt(0),
+      "short embedding did not map to a null bucket")
+    // sig packing range is guarded: dim past the field width would let
+    // the legacy and wide keyspaces collide
+    val e5 = intercept[IllegalArgumentException] {
+      AnnIndex.wideStoreSig(100000, 3)
+    }
+    assert(e5.getMessage.contains("packing range"), e5.getMessage)
     graft.sources.Maintenance.deleteLocalTree(spark, base)
   }
 

@@ -153,13 +153,20 @@ class PlanGuardSpec extends AnyFunSuite {
           if f.relation.location.rootPaths.exists(_.toString.contains("graft_ann")) => f
     }
     assert(scans.nonEmpty, "no scan over the persisted index found")
-    // specifically DYNAMIC partition pruning from the broadcast bucket
-    // join — any equi-join on a partition column gets an inferred
-    // isnotnull(bucket) into partitionFilters, so merely "non-empty"
-    // would stay green even with DPP disabled and all buckets scanned
-    val dpp = scans.exists(_.partitionFilters.exists(_.exists(
-      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression])))
-    assert(dpp, "no DynamicPruningExpression on the index scan: " +
+    // specifically a STATIC literal partition filter (r12: the face
+    // computes the query's bucket driver-side and pushes `bucket = <lit>`
+    // — planning-time pruning, the annTopKWideIndexed design; the
+    // earlier broadcast-join DPP stopped firing once the query became a
+    // collected local row). An inferred isnotnull(bucket) alone would
+    // not prove pruning, so the assert demands the literal equality.
+    val static = scans.exists(_.partitionFilters.exists(_.exists {
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(_,
+          _: org.apache.spark.sql.catalyst.expressions.Literal) => true
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(
+          _: org.apache.spark.sql.catalyst.expressions.Literal, _) => true
+      case _ => false
+    }))
+    assert(static, "no literal bucket partition filter on the index scan: " +
       scans.map(_.partitionFilters).mkString("; "))
   }
 
