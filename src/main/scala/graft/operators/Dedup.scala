@@ -208,6 +208,26 @@ object Dedup {
     s"transform(sequence(0, ${bands - 1}), j -> " +
       s"struct(j AS band_idx, array_join(slice(sig, j*$r + 1, $r), '_') AS band_key))"
 
+  /** [[bandStructsExpr]] with the signature-length check folded INTO the
+    * band key (the load-bearing column — an unused check column would be
+    * optimizer-pruned): a persisted signature table re-loaded under the
+    * wrong k slices EMPTY arrays into the phantom bands — band_key ""
+    * for every doc, one corpus-wide bucket per band, silently. The fold
+    * lives inside the transform so the check costs one size() per band
+    * row and nothing is carried through the explode (an earlier shape
+    * staged the sig array alongside the explode and paid the full
+    * k-array copy per band row — measured 2× on the verified-pairs
+    * fixture). Null sigs pass the assert (null band_key, dropped by the
+    * caller's filter). */
+  private def bandStructsExprChecked(bands: Int, r: Int, k: Int): String =
+    s"transform(sequence(0, ${bands - 1}), j -> " +
+      s"struct(j AS band_idx, concat(" +
+      s"array_join(slice(sig, j*$r + 1, $r), '_'), " +
+      s"coalesce(CAST(assert_true(sig IS NULL OR size(sig) = $k, " +
+      s"'minhash signature length does not match k=$k — the signature " +
+      s"table was built under a different k; rebuild it with " +
+      s"minhashSignatures') AS STRING), '')) AS band_key))"
+
   private def bandedFromSignatures(sigs: DataFrame, k: Int, bands: Int,
                                    carryHashes: Boolean,
                                    carrySig: Boolean = false): DataFrame = {
@@ -215,8 +235,8 @@ object Dedup {
     val r = k / bands
     val keep = col("id") +: ((if (carryHashes) Seq(col("hs")) else Nil) ++
       (if (carrySig) Seq(col("sig")) else Nil))
-    sigs.select((keep :+ col("sig").as("__band_sig") :+
-        explode(expr(bandStructsExpr(bands, r))).as("band")): _*)
+    sigs.select((keep :+
+        explode(expr(bandStructsExprChecked(bands, r, k))).as("band")): _*)
       // a NULL signature (null text) bands to NULL band_key in EVERY
       // band; pairJoin's deliberate null-safe keys would then bucket all
       // null-text docs together and emit them as maximal-confidence
@@ -228,24 +248,10 @@ object Dedup {
       // projection and re-run the UDF chain per row, the measured
       // pairJoin trap; the explode Generate blocks that pushdown here)
       // restores SQL equality semantics: null docs band nowhere, match
-      // nothing.
+      // nothing. The k-length structural check is folded into band_key
+      // by [[bandStructsExprChecked]].
       .filter(col("band.band_key").isNotNull)
-      // the signature table is a persisted artifact swept with different
-      // dials; a k mismatch between the stored sigs and this call makes
-      // slice() return EMPTY arrays past the stored length — every doc
-      // then lands band_key "" in the phantom bands, one corpus-wide
-      // bucket per band, silently. The structural check rides the
-      // load-bearing band_key (the join key), so it cannot be pruned
-      // and costs one size() per banded row. (shingleN is baked into
-      // the signatures and NOT verifiable here — persist `sig_geom`
-      // alongside and check it at load; see [[minhashSignatures]].)
-      .select((keep :+ col("band.band_idx") :+
-        concat(col("band.band_key"),
-          coalesce(assert_true(size(col("__band_sig")) === lit(k),
-            lit(s"minhash signature length does not match k=$k — the " +
-              "signature table was built under a different k; rebuild " +
-              "it with minhashSignatures")).cast("string"),
-            lit(""))).as("band_key")): _*)
+      .select((keep :+ col("band.band_idx") :+ col("band.band_key")): _*)
   }
 
   private def minhashBanded(df: DataFrame, keyCol: String, textCol: String,
