@@ -743,6 +743,9 @@ object AnnIndex {
       .orderBy(desc("__sim"), col(idCol))
       .limit(k)
       .select(col(idCol))
+      // computed ONCE for the whole sweep (localCheckpoint): lazy, the
+      // full-corpus exact scan would re-run inside every cell's semi-join
+      .localCheckpoint()
     val nCorpus = corpus.agg(count(lit(1)).as("n_corpus"))
     val stats = cells.map { case (planes, probeBits) =>
       // null embeddings are dropped BEFORE the bucket projection and the
@@ -816,8 +819,17 @@ object AnnIndex {
     * `list_id` as the index build. */
   def ivfAssign(model: org.apache.spark.ml.clustering.KMeansModel,
                 df: DataFrame, embCol: String): DataFrame =
-    model.transform(df.withColumn("__features",
-        org.apache.spark.ml.functions.array_to_vector(col(embCol).cast("array<double>"))))
+    // NULL (or null-element) embeddings cannot be routed: they reach
+    // KMeansModel's prediction udf as a null/partial Vector and kill the
+    // job with a bare executor NPE — the dirty-row class every bucket
+    // face maps to "never joins" instead. Dropping them here gives the
+    // whole IVF family (store build, refresh, residual encode, serving)
+    // one consistent verdict: an unroutable row is not in the index.
+    model.transform(df
+        .filter(col(embCol).isNotNull &&
+          !exists(col(embCol), x => x.isNull))
+        .withColumn("__features",
+          org.apache.spark.ml.functions.array_to_vector(col(embCol).cast("array<double>"))))
       .withColumnRenamed(model.getPredictionCol, "list_id")
       .drop("__features")
 
@@ -1114,6 +1126,7 @@ object AnnIndex {
       .orderBy(desc("__sim"), col(idCol))
       .limit(k)
       .select(col(idCol))
+      .localCheckpoint() // once per sweep, not once per dial
     val nCorpus = assigned.agg(count(lit(1)).as("n_corpus"))
     val stats = nProbes.map { np =>
       val nCand = assigned

@@ -96,27 +96,12 @@ object Quantize {
       .drop("__q")
   }
 
-  /** The quantized point faces' loud 1-row query contract
-    * ([[AnnIndex.annTopKWideIndexed]]'s): both ranking stages are global
-    * orderBy+limit, so a multi-row query frame would silently blend
-    * every query's candidates into one top-k. Returns a LOCAL 1-row
-    * frame so every downstream use sees the same collected embedding
-    * (a non-deterministic 1-row plan re-evaluated per stage could
-    * otherwise rank with one vector and re-rank with another). */
-  private def oneQueryRow(corpus: DataFrame, query: DataFrame,
-                          what: String): DataFrame = {
-    val qSlice = query.select(col("qe"))
-    val qRows = qSlice.limit(2).collect()
-    require(qRows.length == 1,
-      s"$what expects exactly ONE query row (column qe) — a multi-row " +
-        "frame would blend every query's candidates into one global " +
-        "top-k")
-    require(!qRows(0).isNullAt(0),
-      s"$what query embedding is NULL — it would score nothing and " +
-        "every search would silently return empty")
-    corpus.sparkSession.createDataFrame(
-      java.util.Arrays.asList(qRows(0)), qSlice.schema)
-  }
+  /** The quantized point faces' loud 1-row query contract — ONE body
+    * for the whole serving surface ([[AnnIndex.oneQueryRow]]), bound to
+    * this file's fixed `qe` query column; two copies of the
+    * load-bearing contract would drift independently. */
+  private def oneQueryRow(query: DataFrame, what: String): DataFrame =
+    AnnIndex.oneQueryRow(query, "qe", what)
 
   /** Two-stage top-k: approximate dot on int8 codes selects
     * `overFetch × k` candidates (narrow scan of codes+scale only), exact
@@ -138,7 +123,7 @@ object Quantize {
     // error; deriving everything from the one collected row also keeps a
     // non-deterministic 1-row plan from ranking with one embedding and
     // re-ranking with another.
-    val qLocal = oneQueryRow(corpus, query, "topK")
+    val qLocal = oneQueryRow(query, "topK")
     // query vectors are transient — drop their freshness stamp so it can't
     // collide with the corpus store's q_sig across the join
     val q = withCodes(qLocal.select(col("qe").cast("array<double>").as("qe")), "qe")
@@ -313,9 +298,20 @@ object Quantize {
     require(clash.isEmpty,
       s"pqEncode would overwrite existing column(s): ${clash.mkString(", ")}")
     val w = codebooks(0)(0).length
+    val fullDim = codebooks.length * w
     val enc = udf { (emb: Array[Double]) =>
       if (emb == null) null
-      else codebooks.indices.map(s => nearest(codebooks(s), emb, s * w)).toArray
+      else {
+        // loud dimension contract (the int8 approxDot discipline): a
+        // mismatched corpus/codebook pairing would otherwise silently
+        // encode only a PREFIX of each vector (recall collapses with no
+        // error) or die with a bare AIOOBE on a short row
+        require(emb.length == fullDim,
+          s"pqEncode: embedding dim ${emb.length} does not match the " +
+            s"codebooks' m*w = $fullDim — these codebooks were fit for a " +
+            "different column or dim")
+        codebooks.indices.map(s => nearest(codebooks(s), emb, s * w)).toArray
+      }
     }
     df.withColumn("pq_codes", enc(col(embCol).cast("array<double>")))
       .withColumn("pq_norm", vectors.l2Norm(col(embCol).cast("array<double>")))
@@ -329,6 +325,11 @@ object Quantize {
     val m = codebooks.length
     val k = codebooks(0).length
     val w = codebooks(0)(0).length
+    // pqEncode's loud dimension contract on the query side: a prefix LUT
+    // would silently rank on a truncated dot product
+    require(q.length == m * w,
+      s"adcTable: query dim ${q.length} does not match the codebooks' " +
+        s"m*w = ${m * w}")
     val lut = new Array[Double](m * k)
     var s = 0
     while (s < m) {
@@ -391,7 +392,7 @@ object Quantize {
       .filter(corpus.columns.contains)
     require(reserved.isEmpty,
       s"pqTopK reserves column name(s): ${reserved.mkString(", ")}")
-    val qLocal = oneQueryRow(corpus, query, "pqTopK")
+    val qLocal = oneQueryRow(query, "pqTopK")
     val coded = pqEncode(corpus, embCol, codebooks)
     val lutUdf = lutUdfFor(codebooks)
     val adcUdf = adcUdfFor(codebooks)
@@ -517,6 +518,38 @@ object Quantize {
     * residual shows up as recall collapse, which is why the catalog query
     * carries a recall bound. `nProbe = nLists` + a corpus-sized overFetch
     * degenerates to exact brute force (asserted in ModulesSpec). */
+  /** The nLists × dim centroid table as a broadcastable frame — one
+    * builder for [[ivfPqTopK]] and [[ivfPqTuning]]. */
+  private def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+      model: org.apache.spark.ml.clustering.KMeansModel): DataFrame = {
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("list_id", "centroid")
+  }
+
+  /** The IVFPQ probe page — the `n` nearest lists by centroid distance,
+    * each carrying q·centroid, the residual ADC LUT (list-independent:
+    * LUTs are linear in q), the query norm, and the query itself for
+    * the exact re-rank. ONE builder shared by [[ivfPqTopK]] (n = nProbe)
+    * and [[ivfPqTuning]] (n = nLists), so the sweep provably measures
+    * the serving layout — two hand-maintained copies of the dist2
+    * ranking could silently diverge. */
+  private def probePage(q: DataFrame, cents: DataFrame,
+                        codebooks: Array[Array[Array[Double]]],
+                        n: Int): DataFrame =
+    q.crossJoin(broadcast(cents))
+      .withColumn("dist2",
+        vectors.dot(col("qe"), col("qe"))
+          - lit(2.0) * vectors.dot(col("qe"), col("centroid"))
+          + vectors.dot(col("centroid"), col("centroid")))
+      .orderBy(col("dist2"), col("list_id"))
+      .limit(n)
+      .select(col("list_id"),
+        vectors.dot(col("qe"), col("centroid")).as("__qdotc"),
+        lutUdfFor(codebooks)(col("qe")).as("__lut"),
+        vectors.l2Norm(col("qe")).as("__qn"), col("qe"))
+
   def ivfPqTopK(model: org.apache.spark.ml.clustering.KMeansModel,
                 corpus: DataFrame, embCol: String,
                 codebooks: Array[Array[Array[Double]]],
@@ -526,28 +559,28 @@ object Quantize {
       "list_id", "approx_sim", "similarity").filter(corpus.columns.contains)
     require(reserved.isEmpty,
       s"ivfPqTopK reserves column name(s): ${reserved.mkString(", ")}")
-    val spark = corpus.sparkSession
-    import spark.implicits._
+    // RAW embeddings only: this face encodes RESIDUALS in-plan, and a
+    // flat PQ store's raw codes would pass pqEncode's reuse path (the
+    // pq_cb_sig matches — same codebooks) and silently double-count the
+    // centroid component in approx_sim (q·c + ADC(raw e)). The token
+    // cannot distinguish raw-coded from residual-coded, so the loud
+    // refusal has to be structural: no pre-coded columns at all.
+    val precoded = Seq("pq_codes", "pq_norm", "pq_cb_sig")
+      .filter(corpus.columns.contains)
+    require(precoded.isEmpty,
+      s"ivfPqTopK expects RAW embeddings, got a PQ-coded frame " +
+        s"(${precoded.mkString(", ")}) — a flat store's raw codes are " +
+        "not residual codes; serve a flat store through pqTopK, or pass " +
+        "the raw embedding column here")
     val coded = pqEncode(ivfResiduals(model, corpus, embCol), "__res", codebooks)
       .withColumn("__en", vectors.l2Norm(col(embCol).cast("array<double>")))
-    val cents = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
-      .toDF("list_id", "centroid")
-    // the probe page: nProbe nearest lists, each carrying q·centroid and
-    // the (list-independent — LUTs are linear in q) residual ADC table
-    val qLocal = oneQueryRow(corpus, query, "ivfPqTopK")
-    val probes = qLocal.select(col("qe").cast("array<double>").as("qe"))
-      .crossJoin(broadcast(cents))
-      .withColumn("dist2",
-        vectors.dot(col("qe"), col("qe"))
-          - lit(2.0) * vectors.dot(col("qe"), col("centroid"))
-          + vectors.dot(col("centroid"), col("centroid")))
-      .orderBy(col("dist2"), col("list_id"))
-      .limit(nProbe)
-      .select(col("list_id"),
-        vectors.dot(col("qe"), col("centroid")).as("__qdotc"),
-        lutUdfFor(codebooks)(col("qe")).as("__lut"),
-        vectors.l2Norm(col("qe")).as("__qn"), col("qe"))
+    val cents = centroidFrame(corpus.sparkSession, model)
+    // the probe page: nProbe nearest lists (shared builder, so the
+    // tuning sweep measures EXACTLY the serving layout)
+    val qLocal = oneQueryRow(query, "ivfPqTopK")
+    val probes = probePage(
+      qLocal.select(col("qe").cast("array<double>").as("qe")),
+      cents, codebooks, nProbe)
     val adcUdf = adcUdfFor(codebooks)
     coded.join(broadcast(probes), "list_id")
       .withColumn("approx_sim",
@@ -590,41 +623,48 @@ object Quantize {
                   nCentroids: Int = 32, maxIter: Int = 2): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val q = query.select(col("qe").cast("array<double>").as("qe"))
+    // the serving faces' loud collect-once 1-row contract and reserved
+    // names — the sweep's cells are per-ONE-query globals across many
+    // sub-plans, the exact hazard class annTuning documents
+    val reserved = Seq("qe", "__lut", "__qn", "__qdotc", "__en", "__res",
+      "__sim", "list_id", "pq_codes", "pq_norm", "pq_cb_sig",
+      "approx_sim", "similarity").filter(corpus.columns.contains)
+    require(reserved.isEmpty,
+      s"ivfPqTuning reserves column name(s): ${reserved.mkString(", ")}")
+    val q = oneQueryRow(query, "ivfPqTuning")
+      .select(col("qe").cast("array<double>").as("qe"))
+    // the exact baseline really is computed ONCE: localCheckpoint — a
+    // lazy plan here would re-run the full-corpus exact scan inside
+    // every cell's left_semi probe (|ms|·|overFetches| scans)
     val exactIds = corpus.crossJoin(broadcast(q))
       .withColumn("__sim", vectors.cosineSim(col(embCol), col("qe")))
       .orderBy(desc("__sim"), col(idCol))
       .limit(k)
       .select(col(idCol))
+      .localCheckpoint()
     val nCorpus = corpus.count()
     val nLists = model.clusterCenters.length
-    val cents = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
-      .toDF("list_id", "centroid")
+    val cents = centroidFrame(spark, model)
     // the report is |ms|·|overFetches| scalar cells: each is collected
     // EAGERLY so every code budget's cached scored frame can be
     // unpersisted before the next fit (pqFit's try/finally discipline —
     // a sweep that leaks one corpus-sized cache per dial would pin
     // executor storage for the life of the session)
     val cells = ms.flatMap { m =>
+      // NAMED maxIter: the positional form bound maxIter into pqFit's
+      // seed parameter (Int -> Long weak conformance compiled silently),
+      // so the sweep fitted DIFFERENT codebooks (seed=maxIter, 10 Lloyd
+      // iterations) than the serving face it claims to measure
       val cb = pqFit(ivfResiduals(model, fitSample, embCol), "__res",
-        dim, m, nCentroids, maxIter)
+        dim, m, nCentroids, maxIter = maxIter)
       // ONE residual encode of the corpus per code budget, cached so all
       // overFetch dials re-rank the same scored frame instead of paying
       // the encode kernel again (at 100 TB: the persisted code store)
       val coded = pqEncode(ivfResiduals(model, corpus, embCol), "__res", cb)
         .withColumn("__en", vectors.l2Norm(col(embCol).cast("array<double>")))
-      val probes = q.crossJoin(broadcast(cents))
-        .withColumn("dist2",
-          vectors.dot(col("qe"), col("qe"))
-            - lit(2.0) * vectors.dot(col("qe"), col("centroid"))
-            + vectors.dot(col("centroid"), col("centroid")))
-        .orderBy(col("dist2"), col("list_id"))
-        .limit(nLists)
-        .select(col("list_id"),
-          vectors.dot(col("qe"), col("centroid")).as("__qdotc"),
-          lutUdfFor(cb)(col("qe")).as("__lut"),
-          vectors.l2Norm(col("qe")).as("__qn"), col("qe"))
+      // probe-all page from the SHARED builder (n = nLists isolates code
+      // resolution; nProbe is ivfTuning's dial)
+      val probes = probePage(q, cents, cb, nLists)
       val adcUdf = adcUdfFor(cb)
       val scored = coded.join(broadcast(probes), "list_id")
         .withColumn("approx_sim",

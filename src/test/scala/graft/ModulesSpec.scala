@@ -4932,6 +4932,58 @@ class ModulesSpec extends AnyFunSuite {
     graft.sources.Maintenance.deleteLocalTree(spark, base)
   }
 
+  test("quantized faces: dim contracts loud, residual face refuses coded frames, tuning guards its query") {
+    import spark.implicits._
+    import graft.operators.{AnnIndex, Quantize}
+    val mk = (id: Long, seed: Long) =>
+      (id, Array.tabulate(4)(j => (((seed >> (j * 5)) & 63) - 31.0)))
+    val corpus = (1L to 30L).map(i => mk(i, i * 2654435761L)).toDF("id", "emb")
+    val cb = Quantize.pqFit(corpus, "emb", dim = 4, m = 2,
+      nCentroids = 4, maxIter = 2)
+    // a mismatched corpus/codebook pairing must refuse loudly, not
+    // silently encode a prefix (recall collapse) or die with a bare
+    // AIOOBE on a short row
+    val wide = (1L to 5L)
+      .map(i => (i, Array.tabulate(8)(_.toDouble))).toDF("id", "emb")
+    val e1 = intercept[Exception] {
+      Quantize.pqEncode(wide, "emb", cb).collect()
+    }
+    assert(e1.getMessage.contains("does not match the codebooks"),
+      e1.getMessage)
+    val e2 = intercept[Exception] {
+      Quantize.pqTopK(corpus, "emb", cb,
+        wide.limit(1).select(col("emb").as("qe")), k = 3).collect()
+    }
+    assert(e2.getMessage.contains("does not match the codebooks"),
+      e2.getMessage)
+    // the RESIDUAL face must refuse a PQ-coded frame: raw codes would
+    // pass the sig check and double-count the centroid component
+    val model = AnnIndex.ivfFit(corpus, "emb", nLists = 2)
+    val coded = Quantize.pqEncode(corpus, "emb", cb)
+    val q1 = corpus.limit(1).select(col("emb").as("qe"))
+    val e3 = intercept[IllegalArgumentException] {
+      Quantize.ivfPqTopK(model, coded, "emb", cb, q1, k = 3, nProbe = 2)
+    }
+    assert(e3.getMessage.contains("RAW embeddings"), e3.getMessage)
+    // the IVFPQ sweep carries the shared loud 1-row contract
+    val e4 = intercept[IllegalArgumentException] {
+      Quantize.ivfPqTuning(model, corpus, "emb", "id", corpus,
+        corpus.limit(2).select(col("emb").as("qe")),
+        k = 3, dim = 4, ms = Seq(2), overFetches = Seq(1))
+    }
+    assert(e4.getMessage.contains("ONE query row"), e4.getMessage)
+    // unroutable rows (null / null-element embeddings) drop at IVF
+    // assignment instead of NPE-ing the job in the model udf
+    val dirty = corpus.unionByName(Seq(
+        (100L, null.asInstanceOf[Array[Double]])).toDF("id", "emb"))
+      .unionByName(Seq((101L, Array[java.lang.Double](1.0, null, 2.0, 3.0)))
+        .toDF("id", "emb").select(col("id"), col("emb").cast("array<double>")))
+    val assigned = AnnIndex.ivfAssign(model, dirty, "emb")
+    assert(assigned.count() == 30 &&
+        assigned.filter(col("id") >= 100L).isEmpty,
+      "dirty embeddings were not dropped at IVF assignment")
+  }
+
   test("ledgerAudit: per-slice census with gap and missing-marker findings") {
     import spark.implicits._
     import graft.sources.Maintenance
