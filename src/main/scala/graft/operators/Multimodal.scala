@@ -503,44 +503,14 @@ object Multimodal {
   private def grayRaster(b: Array[Byte]): (Int, Int, (Int, Int) => Int) = {
     require(b != null && b.length >= 2, "grayRaster: empty blob")
       if (b(0) == 'B' && b(1) == 'M') {
-        require(b.length >= 54, "bmp truncated header")
-        val dataOff = rdLE(b, 10, 4).toInt
-        val bpp = rdLE(b, 28, 2).toInt
-        require(bpp == 24 && rdLE(b, 30, 4) == 0 && dataOff == 54,
-          "grayRaster: only uncompressed 24bpp BMP with a 54-byte header")
-        val bw = rdLE(b, 18, 4).toInt; val bh = rdLE(b, 22, 4).toInt
-        // mirror encodeBmp's dim require: a crafted negative biHeight makes
-        // stride*bh negative, sails past the truncation check, and dies as
-        // ArrayIndexOutOfBounds instead of the documented loud reject;
-        // the size check runs in Long so a huge positive bw can't wrap
-        // 3*bw negative and sneak past the same check the other way
-        require(bw > 0 && bh > 0, s"grayRaster: bad BMP dims ${bw}x$bh")
-        val strideL = ((3L * bw + 3L) / 4L) * 4L
-        require(b.length >= 54L + strideL * bh, "bmp truncated pixel payload")
-        // a payload that fits in the array bounds fits in Int arithmetic
-        val stride = strideL.toInt
+        val (bw, bh, stride, _) =
+          bmp24Header(b, "grayRaster", fixedDataOff = true)
         (bw, bh, (x, y) => {
           val p = 54 + y * stride + 3 * x
           (b(p) & 0xff) + (b(p + 1) & 0xff) + (b(p + 2) & 0xff)
         })
       } else if (b(0) == 'P' && b(1) == '6') {
-        var p = 2
-        def nextInt(): Int = {
-          while (p < b.length && (b(p) == ' ' || b(p) == '\n' ||
-                 b(p) == '\r' || b(p) == '\t' || b(p) == '#')) {
-            if (b(p) == '#') { while (p < b.length && b(p) != '\n') p += 1 }
-            else p += 1
-          }
-          val start = p
-          while (p < b.length && b(p) >= '0' && b(p) <= '9') p += 1
-          require(p > start, s"ppm header: expected integer at byte $start")
-          new String(b, start, p - start, "US-ASCII").toInt
-        }
-        val pw = nextInt(); val ph = nextInt(); val maxv = nextInt()
-        require(pw > 0 && ph > 0 && maxv == 255, s"ppm ${pw}x$ph maxval=$maxv")
-        p += 1
-        require(b.length >= p + 3 * pw * ph, "ppm truncated pixel payload")
-        val off = p
+        val (pw, ph, off) = ppmHeader(b, "grayRaster")
         (pw, ph, (x, y) => {
           val q = off + 3 * (y * pw + x)
           (b(q) & 0xff) + (b(q + 1) & 0xff) + (b(q + 2) & 0xff)
@@ -842,14 +812,69 @@ object Multimodal {
     else sys.error(f"unrecognized media magic 0x${b(0)}%02x 0x${b(1)}%02x")
   }
 
-  private def decodeBmp(b: Array[Byte]): MediaMeta = {
+  /** ONE validated 24bpp-BMP header read for every BMP consumer (decode,
+    * raster access, resize, layout checksum) — the parsing previously
+    * lived in three divergent copies, and the Long-overflow hardening
+    * had landed in exactly one of them: a crafted width near 2^31/3
+    * wrapped `3*w` NEGATIVE in Int, sailed past the truncation require
+    * (RHS negative), skipped the pixel loops entirely, and returned
+    * silent zeros — the "silent zeros poison the table" class this
+    * section's contract forbids. All size arithmetic here is Long; every
+    * violation throws. Returns (w, h, stride, dataOff); `fixedDataOff`
+    * callers additionally pin the 54-byte-header layout their pixel
+    * loops assume. */
+  private def bmp24Header(b: Array[Byte], what: String,
+                          fixedDataOff: Boolean): (Int, Int, Int, Int) = {
+    require(b.length >= 54, s"$what: bmp truncated header")
     val dataOff = rdLE(b, 10, 4).toInt
+    val bpp = rdLE(b, 28, 2).toInt
+    val compression = rdLE(b, 30, 4)
+    require(bpp == 24 && compression == 0,
+      s"$what: bmp bpp=$bpp comp=$compression (only uncompressed 24bpp)")
+    if (fixedDataOff)
+      require(dataOff == 54,
+        s"$what: bmp pixel data at $dataOff, not 54 — larger DIB header/" +
+          "palette layouts are unsupported here")
+    else require(dataOff >= 54 && dataOff <= b.length,
+      s"$what: bmp data offset $dataOff out of range")
     val w = rdLE(b, 18, 4).toInt; val h = rdLE(b, 22, 4).toInt
-    val bpp = rdLE(b, 28, 2).toInt; val compression = rdLE(b, 30, 4)
-    require(w > 0 && h > 0, s"bmp dims ${w}x$h (top-down/empty unsupported)")
-    require(bpp == 24 && compression == 0, s"bmp bpp=$bpp comp=$compression (only uncompressed 24bpp)")
-    val rowBytes = ((3 * w + 3) / 4) * 4 // rows stride-padded to 4 bytes
-    require(b.length >= dataOff + rowBytes * h, "bmp truncated pixel array")
+    require(w > 0 && h > 0, s"$what: bad BMP dims ${w}x$h")
+    val strideL = ((3L * w + 3L) / 4L) * 4L
+    require(b.length.toLong >= dataOff.toLong + strideL * h,
+      s"$what: bmp truncated pixel payload")
+    // a payload that fits the array bounds fits Int arithmetic
+    (w, h, strideL.toInt, dataOff)
+  }
+
+  /** The PPM (P6) header parse shared by [[decodePpm]] and
+    * [[grayRaster]] — previously two verbatim copies, both with the
+    * Int-overflowing payload check [[bmp24Header]]'s doc describes.
+    * Returns (w, h, payloadOffset). */
+  private def ppmHeader(b: Array[Byte], what: String): (Int, Int, Int) = {
+    var p = 2
+    // header tokens separated by whitespace; '#' starts a comment to EOL
+    def nextInt(): Int = {
+      while (p < b.length && (b(p) == ' ' || b(p) == '\n' || b(p) == '\r' ||
+             b(p) == '\t' || b(p) == '#')) {
+        if (b(p) == '#') { while (p < b.length && b(p) != '\n') p += 1 }
+        else p += 1
+      }
+      val start = p
+      while (p < b.length && b(p) >= '0' && b(p) <= '9') p += 1
+      require(p > start, s"$what: ppm header expected integer at byte $start")
+      new String(b, start, p - start, "US-ASCII").toInt
+    }
+    val w = nextInt(); val h = nextInt(); val maxv = nextInt()
+    require(w > 0 && h > 0 && maxv == 255, s"$what: ppm ${w}x$h maxval=$maxv")
+    p += 1 // exactly one whitespace byte between maxval and binary payload
+    require(b.length.toLong >= p.toLong + 3L * w * h,
+      s"$what: ppm truncated pixel payload")
+    (w, h, p)
+  }
+
+  private def decodeBmp(b: Array[Byte]): MediaMeta = {
+    val (w, h, rowBytes, dataOff) =
+      bmp24Header(b, "decodeBmp", fixedDataOff = false)
     var sum = 0L; var y = 0
     while (y < h) { // checksum skips the padding tail of each row
       var x = 0
@@ -860,23 +885,7 @@ object Multimodal {
   }
 
   private def decodePpm(b: Array[Byte]): MediaMeta = {
-    var p = 2
-    // PPM header tokens separated by whitespace; '#' starts a comment to EOL
-    def nextInt(): Int = {
-      while (p < b.length && (b(p) == ' ' || b(p) == '\n' || b(p) == '\r' ||
-             b(p) == '\t' || b(p) == '#')) {
-        if (b(p) == '#') { while (p < b.length && b(p) != '\n') p += 1 }
-        else p += 1
-      }
-      val start = p
-      while (p < b.length && b(p) >= '0' && b(p) <= '9') p += 1
-      require(p > start, s"ppm header: expected integer at byte $start")
-      new String(b, start, p - start, "US-ASCII").toInt
-    }
-    val w = nextInt(); val h = nextInt(); val maxv = nextInt()
-    require(w > 0 && h > 0 && maxv == 255, s"ppm ${w}x$h maxval=$maxv")
-    p += 1 // exactly one whitespace byte between maxval and binary payload
-    require(b.length >= p + 3 * w * h, "ppm truncated pixel payload")
+    val (w, h, p) = ppmHeader(b, "decodePpm")
     var sum = 0L; var i = 0
     while (i < 3 * w * h) { sum += b(p + i) & 0xff; i += 1 }
     MediaMeta("ppm", w, h, -1L, sum, b.length)
@@ -902,6 +911,12 @@ object Multimodal {
         s"wav: corrupt chunk size $sz at byte $p (file is ${b.length} bytes)")
       val id = new String(b, p, 4, "US-ASCII")
       if (id == "fmt ") {
+        // the field reads below assume a full 16-byte PCM fmt block; a
+        // chunk declaring less would read the NEXT chunk's header bytes
+        // as format fields (garbage sample rate downstream) or die as a
+        // raw AIOOBE at EOF instead of the clean reject
+        require(sz >= 16 && p + 8 + sz <= b.length,
+          s"wav: corrupt fmt chunk (size $sz at byte $p)")
         require(rdLE(b, p + 8, 2) == 1, "wav: only PCM (format tag 1)")
         channels = rdLE(b, p + 10, 2); rate = rdLE(b, p + 12, 4)
         bits = rdLE(b, p + 22, 2)
@@ -974,8 +989,17 @@ object Multimodal {
     * shared by [[videoMeta]] and [[videoFrameStats]] */
   private final case class Y4mHead(w: Int, h: Int, fNum: Long, fDen: Long,
       payloadStart: Int) {
+    // Long first: a crafted W/H near Int.MaxValue wraps w*h to a small
+    // NEGATIVE frameBytes in Int, and the frame walks advance their
+    // cursor by frameBytes — a zero/negative advance is NON-TERMINATION,
+    // not an exception, so it escapes the streaming tier's null-on-error
+    // wrappers (the wavPcm chunk-size hazard on the video axis). A frame
+    // that cannot fit in an Int cannot fit in any real blob: refuse.
+    private val frameBytesL: Long = 1L * w * h + 2L * (w / 2) * (h / 2)
+    require(frameBytesL > 0 && frameBytesL <= Int.MaxValue,
+      s"y4m: frame size $frameBytesL bytes out of range for W$w H$h")
     val lumaBytes: Int = w * h
-    val frameBytes: Int = lumaBytes + 2 * (w / 2) * (h / 2)
+    val frameBytes: Int = frameBytesL.toInt
   }
 
   private def y4mHead(b: Array[Byte]): Y4mHead = {
@@ -1122,6 +1146,15 @@ object Multimodal {
       p = q + 1 + hd.frameBytes
     }
     require(sampled > 0, "y4m: no frames")
+    foldGrid(sums)
+  }
+
+  /** The 8x8 order-comparison bit fold over the temporal-mean 8x9 grid —
+    * ONE body for the Y4M and GIF fingerprint branches: the documented
+    * container invariance (one fingerprint across containers) holds only
+    * while the two folds are bit-identical, which two hand-maintained
+    * copies cannot guarantee. */
+  private def foldGrid(sums: Array[Array[Long]]): Long = {
     var hash = 0L; var r = 0
     while (r < 8) {
       var c = 0
@@ -1175,16 +1208,7 @@ object Multimodal {
         }
         f += 1
       }
-      var hash = 0L; var r = 0
-      while (r < 8) {
-        var c = 0
-        while (c < 8) {
-          if (sums(r)(c + 1) > sums(r)(c)) hash |= 1L << (r * 8 + c)
-          c += 1
-        }
-        r += 1
-      }
-      hash
+      foldGrid(sums)
     } finally { rd.dispose(); iis.close() }
   }
 
@@ -1299,24 +1323,18 @@ object Multimodal {
   /** Nearest-neighbor resize of a 24bpp bottom-up BMP to dstW x dstH.
     * Output stride re-pads to 4 bytes; header dims/sizes patched. */
   def resizeBmp(b: Array[Byte], dstW: Int, dstH: Int): Array[Byte] = {
-    require(b.length >= 54 && b(0) == 'B' && b(1) == 'M', "not a BMP")
+    require(b.length >= 2 && b(0) == 'B' && b(1) == 'M', "not a BMP")
     require(dstW > 0 && dstH > 0, s"bad resize dims ${dstW}x$dstH")
-    // same header discipline as decodeBmp — a palette BMP or a larger DIB
-    // header would otherwise be silently resized into garbage (the pixel
-    // loop below assumes 3-byte pixels starting at byte 54, and the output
-    // re-uses the source's first 54 bytes as its header verbatim)
-    val dataOff = rdLE(b, 10, 4).toInt
-    val bpp = rdLE(b, 28, 2).toInt
-    val compression = rdLE(b, 30, 4)
-    require(bpp == 24 && compression == 0,
-      s"bmp bpp=$bpp comp=$compression (only uncompressed 24bpp)")
-    require(dataOff == 54,
-      s"bmp pixel data at $dataOff, not 54 — larger DIB header/palette " +
-        "layouts are not resizable here")
-    val srcW = rdLE(b, 18, 4).toInt
-    val srcH = rdLE(b, 22, 4).toInt
-    val srcStride = ((3 * srcW + 3) / 4) * 4
-    val dstStride = ((3 * dstW + 3) / 4) * 4
+    // shared header discipline ([[bmp24Header]]) — the old inline checks
+    // never validated srcW/srcH, so a zero-width source was silently
+    // "resized" into a structurally valid image fabricated from header
+    // bytes (every sx mapped to pixel 0 = bytes 54..56)
+    val (srcW, srcH, srcStride, _) =
+      bmp24Header(b, "resizeBmp", fixedDataOff = true)
+    val dstStrideL = ((3L * dstW + 3L) / 4L) * 4L
+    require(54L + dstStrideL * dstH <= Int.MaxValue,
+      s"resizeBmp: output ${dstW}x$dstH does not fit a byte array")
+    val dstStride = dstStrideL.toInt
     val out = new Array[Byte](54 + dstStride * dstH) // zero pad bytes
     System.arraycopy(b, 0, out, 0, 54)
     wrLE(out, 2, out.length, 4)
@@ -1346,9 +1364,12 @@ object Multimodal {
     * stride-corrupted resize changes it. */
   def weightedPixelSum(b: Array[Byte]): Long = {
     val P = 1000000007L
-    val w = rdLE(b, 18, 4).toInt
-    val h = rdLE(b, 22, 4).toInt
-    val stride = ((3 * w + 3) / 4) * 4
+    // shared validated header ([[bmp24Header]]): the old raw reads had
+    // zero checks, so a corrupt blob yielded a silent 0 (Int-overflowed
+    // 3*w skipped the loop) or a bare AIOOBE — defeating the loud
+    // layout-pinning purpose of this checksum
+    val (w, h, stride, _) =
+      bmp24Header(b, "weightedPixelSum", fixedDataOff = true)
     var acc = 0L
     var j = 0L
     var r = 0
@@ -1421,12 +1442,24 @@ object Multimodal {
          else try java.lang.Long.valueOf(f(b))
          catch { case scala.util.control.NonFatal(_) => null }
   val dHash64SafeUdf = udf(nullOnError(dHash64))
+  // parameter errors are CONFIG, not data: checked OUTSIDE the
+  // null-on-error wrapper, so a misconfigured constant (stride/frameLen
+  // <= 0) fails the query loudly instead of mapping 100% of rows to
+  // null — which the fp-null ingest filters would then drop as "corrupt
+  // blobs", making a pipeline typo indistinguishable from total data
+  // corruption
   val audioFingerprintSafeUdf =
-    udf((b: Array[Byte], frameLen: Int) =>
-      nullOnError(audioFingerprint(_, frameLen))(b))
+    udf((b: Array[Byte], frameLen: Int) => {
+      require(frameLen > 0, s"audioFingerprint: frameLen=$frameLen <= 0 " +
+        "is a configuration error, not a data error")
+      nullOnError(audioFingerprint(_, frameLen))(b)
+    })
   val videoFingerprintSafeUdf =
-    udf((b: Array[Byte], stride: Int) =>
-      nullOnError(videoFingerprint(_, stride))(b))
+    udf((b: Array[Byte], stride: Int) => {
+      require(stride > 0, s"videoFingerprint: stride=$stride <= 0 is a " +
+        "configuration error, not a data error")
+      nullOnError(videoFingerprint(_, stride))(b)
+    })
 
   val metaUdf = udf((b: Array[Byte]) => decodeMeta(b))
   val resizeBmpUdf = udf((b: Array[Byte], w: Int, h: Int) => resizeBmp(b, w, h))

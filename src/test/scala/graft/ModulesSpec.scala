@@ -4984,6 +4984,77 @@ class ModulesSpec extends AnyFunSuite {
       "dirty embeddings were not dropped at IVF assignment")
   }
 
+  test("multimodal decoders refuse overflow-crafted headers loudly") {
+    import graft.operators.Multimodal
+    // BMP with a declared width near 2^31/3: 3*w wrapped NEGATIVE in Int,
+    // the truncation require passed (RHS negative), the pixel loop never
+    // ran, and decode returned a silent content_sum=0 MediaMeta
+    def le(v: Long, n: Int): Array[Byte] =
+      Array.tabulate(n)(i => ((v >> (8 * i)) & 0xff).toByte)
+    val bmp = new Array[Byte](64)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    System.arraycopy(le(54, 4), 0, bmp, 10, 4)        // dataOff
+    System.arraycopy(le(715827883L, 4), 0, bmp, 18, 4) // width
+    System.arraycopy(le(1, 4), 0, bmp, 22, 4)          // height
+    System.arraycopy(le(24, 2), 0, bmp, 28, 2)         // bpp
+    val e1 = intercept[IllegalArgumentException](Multimodal.decodeMeta(bmp))
+    assert(e1.getMessage.contains("truncated pixel payload"), e1.getMessage)
+    val e1b = intercept[IllegalArgumentException](
+      Multimodal.weightedPixelSum(bmp))
+    assert(e1b.getMessage.contains("truncated pixel payload"), e1b.getMessage)
+    val e1c = intercept[IllegalArgumentException](
+      Multimodal.resizeBmp(bmp, 4, 4))
+    assert(e1c.getMessage.contains("truncated pixel payload"), e1c.getMessage)
+    // zero-width BMP must refuse at resize, not fabricate an image from
+    // header bytes
+    val z = Multimodal.encodeBmp(4, 4, 1L)
+    System.arraycopy(le(0, 4), 0, z, 18, 4)
+    val e2 = intercept[IllegalArgumentException](Multimodal.resizeBmp(z, 2, 2))
+    assert(e2.getMessage.contains("bad BMP dims"), e2.getMessage)
+    // PPM with 3*w*h past Int: the payload check wrapped and the decode
+    // returned silent zeros
+    val ppm = ("P6\n32768 32768\n255\n").getBytes("US-ASCII") ++
+      new Array[Byte](64)
+    val e3 = intercept[IllegalArgumentException](Multimodal.decodeMeta(ppm))
+    assert(e3.getMessage.contains("truncated pixel payload"), e3.getMessage)
+    // Y4M with H near 2^31/4: frameBytes wrapped to exactly -64 and the
+    // frame walk advanced ZERO bytes per iteration — an executor task
+    // hanging forever, which no null-on-error wrapper catches
+    val y4m = ("YUV4MPEG2 W4 H715827872 F25:1 C420\n" +
+      "FRAME" + ("x" * 58) + "\n").getBytes("US-ASCII") ++ new Array[Byte](32)
+    val e4 = intercept[IllegalArgumentException](Multimodal.videoMeta(y4m))
+    assert(e4.getMessage.contains("out of range"), e4.getMessage)
+    // WAV whose fmt chunk declares size 4: the format fields would be
+    // read from the NEXT chunk's bytes (garbage sample rate) instead of
+    // the clean reject
+    val wav = Multimodal.encodeWav(1, 8000, 1L)
+    System.arraycopy(le(4, 4), 0, wav, 16, 4) // fmt chunk size -> 4
+    val e5 = intercept[IllegalArgumentException](Multimodal.decodeMeta(wav))
+    assert(e5.getMessage.contains("fmt chunk"), e5.getMessage)
+  }
+
+  test("fingerprint SAFE udfs: config errors fail loudly, only data errors map to null") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val rows = Seq((1L, Multimodal.encodeY4m(8, 8, 2, 1L)))
+      .toDF("id", "content")
+    // a corrupt blob nulls (data error)...
+    val dirty = Seq((2L, Array[Byte](1, 2, 3))).toDF("id", "content")
+    val viaSafe = dirty.select(
+      Multimodal.videoFingerprintSafeUdf(col("content"), lit(2)).as("fp"))
+    assert(viaSafe.head().isNullAt(0), "corrupt blob did not map to null")
+    // ...but a misconfigured stride must fail the QUERY, not silently
+    // null 100% of rows (indistinguishable from total corruption)
+    val e = intercept[Exception] {
+      rows.select(Multimodal.videoFingerprintSafeUdf(col("content"), lit(0)))
+        .collect()
+    }
+    assert(e.getMessage != null &&
+        (e.getMessage.contains("configuration error") ||
+         Option(e.getCause).exists(_.getMessage.contains("configuration error"))),
+      s"stride=0 did not fail loudly: ${e.getMessage}")
+  }
+
   test("ledgerAudit: per-slice census with gap and missing-marker findings") {
     import spark.implicits._
     import graft.sources.Maintenance
