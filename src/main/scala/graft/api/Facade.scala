@@ -55,9 +55,14 @@ object Facade {
       if (results.columns.contains("distance_km"))
         results.withColumnRenamed("distance_km", "service_distance_km")
       else results
+    // keepUnmatched: the reference attaches a possibly-EMPTY transit
+    // list to EVERY search result (main.py:466-475) — a service with no
+    // stop within maxKm must stay in the response with null stop
+    // columns, not vanish from the API output
     GeoSearch.nearestK(
       left, stops.withColumnRenamed("lat", "stop_lat").withColumnRenamed("lon", "stop_lon"),
-      idCol, "lat", "lon", stopIdCol, "stop_lat", "stop_lon", k, maxKm)
+      idCol, "lat", "lon", stopIdCol, "stop_lat", "stop_lon", k, maxKm,
+      keepUnmatched = true)
   }
 
   /** D2/F10/U1/X2/O4 — `search_web`'s local path

@@ -14,7 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object geo {
 
-  private val EarthRadiusKm    = 6371.0
+  // ONE spherical model for the whole geo surface: the codegen
+  // expression (plans.HaversineKm) owns the constant, and the Column
+  // form, the grid-blocking cell sizing (GeoSearch.gridPairs), and the
+  // DuckDB renderings all read it from there — two independently-defined
+  // radii drifting apart would size grid cells on a different sphere
+  // than the pair-qualifying distance, silently losing near-maxKm pairs
+  // across cell boundaries.
+  private val EarthRadiusKm    = graft.plans.HaversineKm.EarthRadiusKm
   private val EarthRadiusMiles = 3959.0
 
   /** Great-circle distance in km (asin form, R=6371). */

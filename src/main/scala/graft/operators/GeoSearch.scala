@@ -72,8 +72,18 @@ object GeoSearch {
     require(cellDeg < 30.0,
       "maxKm/maxAbsLat give cells >= 30 deg — the antimeridian wrap's " +
         "replica-disjointness argument needs small cells; band the data instead")
+    // |lat| <= maxAbsLat is a DATA contract, not just a parameter: a row
+    // beyond it needs a wider lon cell than the one sized above, and its
+    // near-maxKm east-west pairs would land outside the 3x3 neighborhood
+    // and silently vanish — the loud assert rides the load-bearing cell
+    // id so the optimizer cannot prune it
+    val latGuard = coalesce(assert_true(abs(col(latCol)) <= lit(maxAbsLat),
+      lit(s"gridPairs: |lat| exceeds maxAbsLat=$maxAbsLat — the cell " +
+        "sizing under-blocks beyond it and near-maxKm pairs would be " +
+        "lost silently; raise maxAbsLat or band the data")).cast("long"),
+      lit(0L))
     val pts = df.select(col(keyCol).as("id"), col(latCol).as("lat"), col(lonCol).as("lon"),
-      floor(col(latCol) / cellDeg).cast("long").as("cla"),
+      (floor(col(latCol) / cellDeg).cast("long") + latGuard).as("cla"),
       floor(col(lonCol) / cellDeg).cast("long").as("clo"))
     // antimeridian: lon +179.9 and -179.9 are km apart but cells apart —
     // the replicated side adds a ±360°-shifted copy for points within
@@ -82,12 +92,14 @@ object GeoSearch {
     // shifts, and a shifted replica's cell range is ~360/cellDeg cells
     // away from the unshifted one's (disjoint for cellDeg < 30), so only
     // one replica can land on any given home cell.
-    val near = abs(col(lonCol)) > 180.0 - 2.0 * cellDeg
-    val shifted = df.filter(near)
-      .select(col(keyCol).as("id"), col(latCol).as("lat"), col(lonCol).as("lon"),
-        floor(col(latCol) / cellDeg).cast("long").as("cla"),
-        floor((col(lonCol) + when(col(lonCol) > 0, -360.0).otherwise(360.0)) / cellDeg)
-          .cast("long").as("clo"))
+    // replicas derive from pts (not a re-projection of the raw df): the
+    // home cell ids and the guard live in ONE projection, so an edit
+    // cannot desynchronize home and replica cells and break the
+    // meets-exactly-once argument
+    val shifted = pts.filter(abs(col("lon")) > 180.0 - 2.0 * cellDeg)
+      .withColumn("clo",
+        floor((col("lon") + when(col("lon") > 0, -360.0).otherwise(360.0)) / cellDeg)
+          .cast("long"))
     val a = pts.unionByName(shifted)
       .toDF("a_id", "a_lat", "a_lon", "a_cla", "a_clo")
       .withColumn("d", explode(expr(
@@ -114,16 +126,38 @@ object GeoSearch {
   def nearestK(left: DataFrame, right: DataFrame,
                leftKey: String, leftLat: String, leftLon: String,
                rightKey: String, rightLat: String, rightLon: String,
-               k: Int, maxKm: Double): DataFrame = {
+               k: Int, maxKm: Double,
+               keepUnmatched: Boolean = false): DataFrame = {
     // per-row bbox prune with the pole/antimeridian policy shared with the
     // scalar form and the optimizer rule (geo.bboxJoinCondition — one
-    // source of truth for the constants and the 89° cutoff)
-    val joined = left.join(right,
-      geo.bboxJoinCondition(left(leftLat), left(leftLon),
-        right(rightLat), right(rightLon), maxKm))
-      .withColumn("distance_km",
-        geo.haversineKm(left(leftLat), left(leftLon), right(rightLat), right(rightLon)))
-      .filter(col("distance_km") <= maxKm)
+    // source of truth for the constants and the 89° cutoff).
+    //
+    // keepUnmatched = false is the SQL-inner shape the oracle pins (a
+    // left row with no right row within maxKm disappears); the REFERENCE
+    // semantics (backend/main.py:466-475 — a possibly-EMPTY transit list
+    // attached to EVERY search result) are keepUnmatched = true: the
+    // distance qualifier moves INTO the left join's condition, so a
+    // match-less left row survives with null neighbor columns and
+    // rank_nearest 1 instead of being silently dropped from the API
+    // response. [[graft.api.Facade.withNearestTransit]] uses true.
+    val qualCond = geo.bboxJoinCondition(left(leftLat), left(leftLon),
+      right(rightLat), right(rightLon), maxKm) &&
+      geo.haversineKm(left(leftLat), left(leftLon),
+        right(rightLat), right(rightLon)) <= maxKm
+    val joined =
+      if (keepUnmatched)
+        left.join(right, qualCond, "left")
+          .withColumn("distance_km",
+            geo.haversineKm(left(leftLat), left(leftLon),
+              right(rightLat), right(rightLon)))
+      else
+        left.join(right,
+          geo.bboxJoinCondition(left(leftLat), left(leftLon),
+            right(rightLat), right(rightLon), maxKm))
+          .withColumn("distance_km",
+            geo.haversineKm(left(leftLat), left(leftLon),
+              right(rightLat), right(rightLon)))
+          .filter(col("distance_km") <= maxKm)
     // rightKey breaks distance ties — equidistant rows would otherwise make
     // row_number() nondeterministic across runs/engines
     val w = Window.partitionBy(left(leftKey))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+// Column is used by the shared query-vector helper below
 
 import graft.functions.vectors
 
@@ -21,14 +22,9 @@ object VectorSearch {
     * backend/main.py:362-363).
     */
   def knn(corpus: DataFrame, embCol: String, queryVec: Seq[Float],
-          k: Int, threshold: Double): DataFrame = {
-    val q = typedLit(queryVec)
-    corpus.filter(col(embCol).isNotNull)
-      .withColumn("similarity", vectors.cosineSim(col(embCol), q))
-      .filter(col("similarity") >= threshold)
-      .orderBy(desc("similarity"))
-      .limit(k)
-  }
+          k: Int, threshold: Double,
+          tieBreak: Seq[String] = Nil): DataFrame =
+    scored(corpus, embCol, typedLit(queryVec), k, threshold, tieBreak)
 
   /** KNN where the query vector comes from a 1-row DataFrame (column
     * `queryCol`), broadcast to the corpus — the common "query by example"
@@ -36,12 +32,24 @@ object VectorSearch {
     */
   def knnByExample(corpus: DataFrame, embCol: String,
                    query: DataFrame, queryCol: String,
-                   k: Int, threshold: Double): DataFrame =
+                   k: Int, threshold: Double,
+                   tieBreak: Seq[String] = Nil): DataFrame =
+    scored(corpus.crossJoin(broadcast(query)), embCol, col(queryCol),
+      k, threshold, tieBreak)
+
+  /** ONE score/threshold/top-k body behind [[knn]] and [[knnByExample]]
+    * (they had drifted into two hand-mirrored copies differing only in
+    * where the query vector comes from). `tieBreak` makes the k-boundary
+    * row deterministic when similarities tie exactly (duplicate texts
+    * under the deterministic embedding stub tie routinely) — the same
+    * dial every other top-k face here exposes. */
+  private def scored(corpus: DataFrame, embCol: String, q: Column,
+                     k: Int, threshold: Double,
+                     tieBreak: Seq[String]): DataFrame =
     corpus.filter(col(embCol).isNotNull)
-      .crossJoin(broadcast(query))
-      .withColumn("similarity", vectors.cosineSim(col(embCol), col(queryCol)))
+      .withColumn("similarity", vectors.cosineSim(col(embCol), q))
       .filter(col("similarity") >= threshold)
-      .orderBy(desc("similarity"))
+      .orderBy(desc("similarity") +: tieBreak.map(col): _*)
       .limit(k)
 
   /** Semantic re-rank over geo candidates (reference
@@ -62,9 +70,18 @@ object VectorSearch {
                    weight: Double, limit: Int,
                    tieBreak: Seq[String] = Nil): DataFrame =
     candidates
+      // coalesce, not just the embCol null-guard: a NULL QUERY vector
+      // (embedding generation failed — the reference's fallback case,
+      // hybrid_search.py:133-136) nulls the cosine for every candidate
+      // that HAS an embedding, so desc ordering would sort exactly the
+      // embedding-less rows (sim forced 0.0) to the top — an inverted
+      // ranking. With every similarity collapsing to 0.0 the combined
+      // score degrades to the distance score alone: the reference's own
+      // distance-only fallback, reached without a mode switch.
       .withColumn("similarity",
         when(col(embCol).isNull, lit(0.0))
-          .otherwise(vectors.cosineSim(col(embCol), col(queryCol))))
+          .otherwise(coalesce(
+            vectors.cosineSim(col(embCol), col(queryCol)), lit(0.0))))
       .withColumn("distance_score",
         if (maxDistance > 0) lit(1.0) - col(distanceCol) / maxDistance
         else lit(1.0))

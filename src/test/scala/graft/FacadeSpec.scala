@@ -58,8 +58,25 @@ class FacadeSpec extends AnyFunSuite {
     assert(withStops.nonEmpty)
     val perService = withStops.groupBy(_.getAs[Long]("id")).view.mapValues(_.length)
     assert(perService.values.forall(_ <= 3))
-    assert(withStops.forall(_.getAs[Double]("distance_km") <= 1.0))
+    // matched rows qualify by distance; a service with NO stop in range
+    // may ride along with null stop columns (the reference attaches a
+    // possibly-empty list to every result)
+    assert(withStops.filter(!_.isNullAt(withStops.head.fieldIndex("distance_km")))
+      .forall(_.getAs[Double]("distance_km") <= 1.0))
     assert(withStops.forall(_.getAs[Int]("rank_nearest") <= 3))
+    // EVERY search result survives the enrichment — main.py:466-475
+    // attaches nearby_transit (possibly []) per result; the old inner
+    // join silently DROPPED services with no stop within 1 km from the
+    // API response
+    assert(withStops.map(_.getAs[Long]("id")).distinct.length ==
+        top.count(),
+      "a service without nearby transit vanished from the response")
+    import spark.implicits._
+    val lonely = Seq((999L, 0.0, 0.0)).toDF("id", "lat", "lon")
+    val enriched = Facade.withNearestTransit(lonely, stops).collect()
+    assert(enriched.length == 1 && enriched.head.getAs[Long]("id") == 999L &&
+        enriched.head.isNullAt(enriched.head.fieldIndex("stop_id")),
+      "match-less service did not survive with null stop columns")
   }
 
   test("message KNN: conversation-scoped, thresholded, top-k, sim-ordered") {
