@@ -1539,9 +1539,17 @@ object Dedup {
     // plain string since decimal scale survives the round trip as 0.
     val r = df.agg(count(lit(1)),
       coalesce(expr(s"bit_xor($hashes)"), lit(0L)),
-      coalesce(sum(expr(hashes).cast("decimal(38,0)")),
-        lit(0L).cast("decimal(38,0)"))).head()
-    (r.getLong(0), r.getLong(1), r.getDecimal(2).stripTrailingZeros.toPlainString)
+      sum(expr(hashes).cast("decimal(38,0)"))).head()
+    // a null sum is EMPTY (count 0) or OVERFLOW (~1e19 rows of
+    // full-range hashes — theoretical, but an overflowed sum coalesced
+    // to 0 would compare equal to a genuine zero sum and to every OTHER
+    // overflowed slice, silently collapsing the sum component of the
+    // fingerprint); the overflow marker keeps it unequal to any finite
+    // sum, and count + bit_xor still discriminate among overflowed pairs
+    val sumStr =
+      if (r.isNullAt(2)) { if (r.getLong(0) == 0L) "0" else "overflow" }
+      else r.getDecimal(2).stripTrailingZeros.toPlainString
+    (r.getLong(0), r.getLong(1), sumStr)
   }
 
   /** Align a stored slice's columns to the incoming frame's schema for

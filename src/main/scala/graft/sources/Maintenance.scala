@@ -279,9 +279,33 @@ object Maintenance {
         "audit)")
     val live = slices.filter(_ >= 0L)
     val committed = if (expectMarkers) live ++ markers else live
-    val gaps =
-      if (committed.isEmpty) Set.empty[Long]
-      else (0L to committed.max).toSet -- live
+    // gaps via sorted-interval walk, never materializing the 0..max
+    // range: a grafted foreign directory with a huge id (e.g.
+    // ingest_batch=9999999999) — exactly the anomaly this audit exists
+    // to surface — would otherwise OOM the driver building billions of
+    // boxed Longs. The arithmetic count is checked FIRST, and an absurd
+    // gap census is refused loudly rather than enumerated: millions of
+    // missing ids below the mark means a foreign id was grafted in (or
+    // nearly every slice was deleted), and the directory listing itself
+    // is the useful evidence at that point, not a million-row frame.
+    val gaps: Seq[Long] =
+      if (committed.isEmpty) Seq.empty[Long]
+      else {
+        val hwm = committed.max
+        val sortedLive = live.toSeq.sorted
+        val nGaps = (hwm + 1L) - sortedLive.size
+        require(nGaps <= 1000000L,
+          s"ledgerAudit($dir): $nGaps missing batch ids below the " +
+            s"high-water mark $hwm (${sortedLive.size} live slices) — " +
+            "an out-of-band foreign id was grafted into the layout, or " +
+            "nearly all committed slices were deleted; refusing to " +
+            "enumerate the gaps as rows. Inspect the directory listing " +
+            "directly and remove the foreign entry (or the dead layout)")
+        ((-1L +: sortedLive) :+ (hwm + 1L)).sliding(2).flatMap {
+          case Seq(a, b) => (a + 1L) until b
+          case _ => Seq.empty[Long]
+        }.toSeq
+      }
     // file count on the layout's own FS (parquetFileCount walks java.nio
     // paths, i.e. local disk only)
     def sliceFiles(b: Long): Long = {

@@ -269,7 +269,7 @@ object EventsStream {
   private def stepSatBucket[T, P, E, M](
       batch: Iterator[T], state: GroupState[SatBucketState[E]],
       tsOf: T => Long, prepOf: T => P, entryOf: T => E, entryTs: E => Long,
-      idOf: E => Long,
+      idOf: E => Long, sameEntry: (E, E) => Boolean,
       matches: (P, E) => Option[M], maxBucket: Int,
       star: Option[StarDial[P, E]] = None): Iterator[M] =
     if (batch.isEmpty && state.hasTimedOut) {
@@ -295,10 +295,24 @@ object EventsStream {
           // source retrying one hot row must not fill the bucket with
           // its own copies and saturate it on duplicates alone (every
           // face's `matches` maps a self-compare to None, so the copies
-          // would otherwise count silently toward maxBucket)
+          // would otherwise count silently toward maxBucket). The guard
+          // keys on (id, content, ts), not id alone: a same-id arrival
+          // carrying UPDATED content or a fresher timestamp — which
+          // at-least-once sources also deliver — REPLACES the stored
+          // entry in place, so future arrivals match the updated content
+          // and the fresher tsMs drives eviction (a stale stored ts
+          // would prune the row early). One stored version per id keeps
+          // emissions dup-free (the batch twin indexes both rows, but a
+          // second stored copy here would emit every future match twice).
           val en = entryOf(t)
-          if (!entries.exists(e => idOf(e) == idOf(en)))
-            entries = en :: entries
+          val iSame = entries.indexWhere(e => idOf(e) == idOf(en))
+          if (iSame < 0) entries = en :: entries
+          else {
+            val old = entries(iSame)
+            if (entryTs(en) > entryTs(old) ||
+                (entryTs(en) == entryTs(old) && !sameEntry(old, en)))
+              entries = entries.updated(iSame, en)
+          }
           if (entries.size > maxBucket) {
             saturated = true
             entries = star.fold(List.empty[E]) { d =>
@@ -329,14 +343,23 @@ object EventsStream {
           }
           // a flood member matching no rep re-seeds its flood's rep slot
           // (promotion emits nothing — there was nothing to verify
-          // against); a matching arrival is NOT stored, and neither is a
-          // redelivery of a row that already holds a slot (same id) — an
-          // at-least-once source retrying one outlier must not exhaust
-          // maxReps and blind the flood
-          if (!matched && entries.size < d.maxReps) {
+          // against); a matching arrival is NOT stored, and a PURE
+          // redelivery of a row that already holds a slot (same id,
+          // same content, no fresher ts) is a no-op — an at-least-once
+          // source retrying one outlier must not exhaust maxReps and
+          // blind the flood. A same-id arrival carrying updated content
+          // or a fresher ts refreshes its slot IN PLACE (regardless of
+          // capacity): the rep represents that row, and a stale stored
+          // ts would expire the slot early.
+          if (!matched) {
             val en = entryOf(t)
-            if (!entries.exists(r => d.idOf(r) == d.idOf(en)))
-              entries = entries :+ en
+            val iSame = entries.indexWhere(r => d.idOf(r) == d.idOf(en))
+            if (iSame >= 0) {
+              val old = entries(iSame)
+              if (entryTs(en) > entryTs(old) ||
+                  (entryTs(en) == entryTs(old) && !sameEntry(old, en)))
+                entries = entries.updated(iSame, en)
+            } else if (entries.size < d.maxReps) entries = entries :+ en
           }
         }
       }
@@ -437,6 +460,7 @@ object EventsStream {
             entryOf = t => BucketEntry(t._2, t._3, t._1.getTime),
             entryTs = _.tsMs,
             idOf = _.id,
+            sameEntry = (a, b) => a.fp == b.fp,
             matches = { case ((id, fp), e) =>
               val hd = java.lang.Long.bitCount(e.fp ^ fp)
               if (e.id != id && hd <= maxHamming) Some(HammingMatch(id, e.id, hd))
@@ -548,6 +572,7 @@ object EventsStream {
             entryOf = t => SigEntry(t._2, t._3, t._1.getTime),
             entryTs = _.tsMs,
             idOf = _.id,
+            sameEntry = (a, b) => a.hs.sameElements(b.hs),
             matches = { case ((id, mySet), e) =>
               if (e.id == id) None
               else {
@@ -691,6 +716,7 @@ object EventsStream {
             entryOf = t => VecEntry(t._2, t._3, t._5, t._1.getTime),
             entryTs = _.tsMs,
             idOf = _.id,
+            sameEntry = (a, b) => a.emb.sameElements(b.emb),
             matches = { case ((id, emb, nrm), e) =>
               if (e.id == id) None
               else {
@@ -1096,11 +1122,21 @@ object EventsStream {
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val out = new org.apache.hadoop.fs.Path(outDir)
     val fs = out.getFileSystem(hadoopConf)
+    // the high-water mark folds in surviving commit MARKERS, not just
+    // slice directory names (ledgerAudit maxes both for the same
+    // reason): if a committed slice directory is deleted while its
+    // marker survives, the marker alone must still hold the mark — a
+    // fresh-checkpoint restart renumbered from 0 would otherwise pass
+    // `batchId >= maxLedger` and silently overwrite committed ids
     val maxLedger =
       if (!fs.exists(out)) Long.MinValue
       else fs.listStatus(out).map(_.getPath.getName)
-        .filter(_.startsWith("ingest_batch="))
-        .map(_.stripPrefix("ingest_batch=").toLong)
+        .collect {
+          case n if n.startsWith("ingest_batch=") =>
+            n.stripPrefix("ingest_batch=").toLong
+          case n if n.startsWith("_ledger_commit_") =>
+            n.stripPrefix("_ledger_commit_").toLong
+        }
         .foldLeft(Long.MinValue)(math.max)
     require(batchId >= maxLedger,
       s"$what($outDir): ledger regression — micro-batch $batchId is " +
@@ -1114,7 +1150,19 @@ object EventsStream {
     val staged = results.localCheckpoint()
     val marker = new org.apache.hadoop.fs.Path(
       s"$outDir/_ledger_commit_$batchId")
-    if (batchId == maxLedger && fs.exists(marker)) {
+    val sliceDir = new org.apache.hadoop.fs.Path(
+      s"$outDir/ingest_batch=$batchId")
+    // the fingerprint compare fires whenever THIS batch's marker exists
+    // (with markers folded into maxLedger, a marker for batchId implies
+    // batchId == maxLedger — but keying on the marker, not the equality,
+    // keeps the check robust to how the mark is computed). Marker present
+    // with the slice MISSING is the overwrite crash window (Overwrite
+    // deletes the old slice before the rewrite lands): nothing to compare
+    // against, so the whole-slice overwrite below heals it — a foreign
+    // batch exploiting that window is indistinguishable from the legit
+    // replay, which is why the monotonic mark above refuses every id
+    // BELOW a surviving marker.
+    if (fs.exists(marker) && fs.exists(sliceDir)) {
       // fingerprint + type-alignment are the store ledger's own bodies
       // (Dedup.ledgerContentFp / ledgerAlignTo) — one discipline, so a
       // fingerprint-rule fix can never land on one ledger and not the
