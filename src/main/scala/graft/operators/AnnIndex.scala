@@ -376,8 +376,8 @@ object AnnIndex {
     * aggregate over the query side, which these faces broadcast anyway
     * (the accepted construction-time-job pattern). Call AFTER the
     * null-embedding filter: a dropped row's id never reaches a window. */
-  private def requireUniqueQueryIds(q: DataFrame, idCol: String,
-                                    what: String): Unit = {
+  private[operators] def requireUniqueQueryIds(q: DataFrame, idCol: String,
+                                               what: String): Unit = {
     val r = q.agg(count(lit(1)), count(col(idCol)),
       countDistinct(col(idCol))).head()
     require(r.getLong(1) == r.getLong(0),

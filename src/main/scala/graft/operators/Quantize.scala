@@ -413,6 +413,141 @@ object Quantize {
         "approx_sim")
   }
 
+  /** Bounded top-`cap` candidate heap keyed by (approx_sim DESC,
+    * neighbor_id ASC) — the typed Aggregator behind [[pqJoinIndexed]]'s
+    * map-side candidate reduction. The buffer is kept SORTED (best
+    * first), so `reduce` is an O(cap) ordered insert that rejects a row
+    * worse than the current floor in O(1) once the buffer is full, and
+    * `merge` is a sorted merge-take. Deterministic total order (ties
+    * break on the smaller id), so the final candidate page equals the
+    * global top-cap by (approx_sim DESC, id ASC) exactly — replayable
+    * closed-form by an oracle's row_number. Input rows are
+    * (query_id, neighbor_id, approx_sim, emb); the candidate keeps the
+    * embedding so the exact re-rank never re-scans the store. */
+  private final class TopCandAgg(cap: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Long, Double, Seq[Double]),
+        List[(Long, Double, Seq[Double])],
+        Seq[(Long, Double, Seq[Double])]] {
+    private def beats(aSim: Double, aId: Long,
+                      bSim: Double, bId: Long): Boolean =
+      aSim > bSim || (aSim == bSim && aId < bId)
+    def zero: List[(Long, Double, Seq[Double])] = Nil
+    def reduce(b: List[(Long, Double, Seq[Double])],
+               a: (Long, Long, Double, Seq[Double]))
+        : List[(Long, Double, Seq[Double])] = {
+      val cand = (a._2, a._3, a._4)
+      if (b.length >= cap && !beats(cand._2, cand._1, b.last._2, b.last._1)) b
+      else {
+        val (better, worse) =
+          b.span(e => beats(e._2, e._1, cand._2, cand._1))
+        (better ::: cand :: worse).take(cap)
+      }
+    }
+    def merge(b1: List[(Long, Double, Seq[Double])],
+              b2: List[(Long, Double, Seq[Double])])
+        : List[(Long, Double, Seq[Double])] = {
+      val out = List.newBuilder[(Long, Double, Seq[Double])]
+      var (x, y) = (b1, b2); var n = 0
+      while (n < cap && (x.nonEmpty || y.nonEmpty)) {
+        if (y.isEmpty ||
+            (x.nonEmpty && beats(x.head._2, x.head._1,
+              y.head._2, y.head._1))) { out += x.head; x = x.tail }
+        else { out += y.head; y = y.tail }
+        n += 1
+      }
+      out.result()
+    }
+    def finish(r: List[(Long, Double, Seq[Double])])
+        : Seq[(Long, Double, Seq[Double])] = r
+    def bufferEncoder
+        : org.apache.spark.sql.Encoder[List[(Long, Double, Seq[Double])]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder
+        : org.apache.spark.sql.Encoder[Seq[(Long, Double, Seq[Double])]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** [[pqTopK]]'s batch face over the persisted code table — the
+    * [[AnnIndex.ivfJoinIndexed]] serving shape for the PQ family: a
+    * query TABLE answered in ONE plan, where per-query [[pqTopK]] loops
+    * a full code-table scan (plus a global TakeOrdered) per query. The
+    * PQ table is FLAT by design (ADC is a whole-table code scan — no
+    * routing layout to prune, which is exactly what [[ivfPqTopK]] adds),
+    * so the scale shape is: queries broadcast WITH their ADC lookup
+    * tables (each m×nC doubles — the only per-query state), the store
+    * scans ONCE for the whole batch with the ADC kernel evaluated
+    * against every (row, query) cell, and the over-fetch page is
+    * reduced MAP-SIDE by a bounded candidate heap ([[TopCandAgg]],
+    * partial-aggregated before the exchange) — the store's rows never
+    * cross a shuffle, only ≤ queries × partitions × (k·overFetch)
+    * aggregated candidate buffers do (the batch generalization of
+    * [[pqTopK]]'s TakeOrderedAndProject map-side top-k; a per-query
+    * window here would shuffle the whole |store|×|queries| scored
+    * product). Exact cosine then re-ranks each query's candidate page
+    * (the candidates carry their embeddings — no second store scan) in
+    * one window keyed by query id. Candidate page = the global top
+    * (k·overFetch) by (approx_sim DESC, id ASC) per query, exactly
+    * [[pqTopK]]'s page at the same tieBreak, so the two faces serve
+    * identical rows for identical dials (ModulesSpec pins it).
+    *
+    * `store` is [[pqEncode]] output (`pq_codes`/`pq_norm`/`pq_cb_sig` +
+    * id and embedding columns), verified against these codebooks by the
+    * shared [[AnnIndex.requireStoreSig]] gate amortized over the batch.
+    * Ids must be integral (the typed candidate heap encodes them as
+    * long). Store rows with a null embedding or null codes never serve
+    * (a null similarity never ranks); null-embedding queries are
+    * dropped up front and duplicate/null query ids are refused loudly,
+    * the [[AnnIndex.annJoinIndexed]] contract. Output
+    * (query_id, neighbor_id, similarity, rank), rank ≤ k per query. */
+  def pqJoinIndexed(queries: DataFrame, qIdCol: String, qEmbCol: String,
+                    codebooks: Array[Array[Array[Double]]],
+                    store: DataFrame, idCol: String, embCol: String,
+                    k: Int, overFetch: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    import spark.implicits._
+    AnnIndex.requireStoreSig(store, "pq_cb_sig", cbFingerprint(codebooks),
+      allowEmpty = true, what = "pqJoinIndexed",
+      staleDesc = "PQ store — pq_cb_sig does not match these codebooks " +
+        "(the fit changed)")
+    val q0 = queries.filter(col(qEmbCol).isNotNull)
+      .select(col(qIdCol).cast("long").as("query_id"),
+        col(qEmbCol).cast("array<double>").as("__qe"))
+    AnnIndex.requireUniqueQueryIds(q0, "query_id", "pqJoinIndexed")
+    val q = q0.withColumn("__lut", lutUdfFor(codebooks)(col("__qe")))
+      .withColumn("__qn", vectors.l2Norm(col("__qe")))
+    val cap = k * overFetch
+    val adcUdf = adcUdfFor(codebooks)
+    val scored = store
+      .filter(col(embCol).isNotNull && col("pq_codes").isNotNull)
+      .crossJoin(broadcast(q.select(col("query_id"), col("__lut"),
+        col("__qn"))))
+      .withColumn("approx_sim",
+        when(col("pq_norm") === 0.0 || col("__qn") === 0.0, lit(0.0))
+          .otherwise(adcUdf(col("pq_codes"), col("__lut")) /
+            (col("pq_norm") * col("__qn"))))
+      .select(col("query_id"), col(idCol).cast("long"),
+        col("approx_sim").cast("double"),
+        col(embCol).cast("array<double>"))
+      .as[(Long, Long, Double, Seq[Double])]
+    val cands = scored.groupByKey(_._1)
+      .agg(new TopCandAgg(cap).toColumn.name("cands"))
+      .toDF("query_id", "cands")
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("similarity"), col("neighbor_id"))
+    cands.select(col("query_id"), explode(col("cands")).as("c"))
+      .select(col("query_id"), col("c._1").as("neighbor_id"),
+        col("c._3").as("__ce"))
+      .join(broadcast(q.select(col("query_id"), col("__qe"))),
+        Seq("query_id"))
+      .withColumn("similarity", vectors.cosineSim(col("__ce"), col("__qe")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("similarity"),
+        col("rank"))
+  }
+
   /** Incremental PQ-store maintenance — [[AnnIndex.ivfRefresh]]'s twin
     * for the code store: encode ONLY the new batch under the unchanged
     * codebooks and append it to the persisted store ([[pqEncode]] output,

@@ -584,6 +584,86 @@ object AnalyticsQueries {
         .orderBy("query_id", "rnk")
     },
 
+    Q("q_pq_join_indexed",
+      "Batch KNN join served FROM the persisted PQ code table " +
+        "(Quantize.pqJoinIndexed, m=8 x 32 centroids, overFetch=64): " +
+        "q_ivf_join_indexed's one-plan query-TABLE shape for the PQ " +
+        "family — q_pq_topk previously meant one driver invocation (and " +
+        "one full code scan) per query. The PQ table is FLAT by design " +
+        "(ADC is a whole-table code scan — no routing layout to prune; " +
+        "that is IVFPQ's addition), so the scale shape is: the 20 " +
+        "queries broadcast WITH their ADC lookup tables, the code table " +
+        "scans ONCE for the whole batch, and the per-query over-fetch " +
+        "page reduces MAP-SIDE through a bounded candidate heap " +
+        "(partial-aggregated before the exchange) — the store's rows " +
+        "never cross a shuffle, only ≤ queries x partitions x page " +
+        "candidate buffers do; exact cosine re-ranks each page in one " +
+        "window keyed by query id (PlanGuardSpec pins the no-shuffled-" +
+        "join shape, ModulesSpec pins face parity with looped pqTopK). " +
+        "KMeans codebooks are engine-specific, so the sketch pattern " +
+        "applies (q_ivf_join_indexed's): output is the EXACT per-query " +
+        "cosine top-3 — which DuckDB computes identically — plus " +
+        "recall_ok = the ADC page recovered >= 2 of that query's true " +
+        "top-3. TRIAGE: recall_ok=false on new data means ADC " +
+        "resolution vs page width (raise overFetch or m/nC), not an " +
+        "engine bug",
+      Some(s"""WITH all_v AS (
+              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings),
+              |q AS (SELECT vec_id AS query_id, emb AS qe
+              |  FROM all_v WHERE vec_id < 20),
+              |c AS (SELECT vec_id AS neighbor_id, emb AS ce
+              |  FROM all_v WHERE vec_id >= 20),
+              |r AS (SELECT query_id, neighbor_id,
+              |    ${vectors.cosineSimSql("ce", "qe")} AS sim,
+              |    row_number() OVER (PARTITION BY query_id
+              |      ORDER BY ${vectors.cosineSimSql("ce", "qe")} DESC,
+              |        neighbor_id) AS rnk
+              |  FROM q CROSS JOIN c)
+              |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+              |  ${text.fixedPoint("sim", 4)} AS sim_x10k, TRUE AS recall_ok
+              |FROM r WHERE rnk <= 3
+              |ORDER BY query_id, rnk""".stripMargin)) { (s, dir) =>
+      import graft.operators.Quantize
+      val all = embeddings(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      val queries = all.filter(col("vec_id") < 20)
+      val corpus = all.filter(col("vec_id") >= 20)
+      // the q_pq_topk fit recipe: codebooks from a deterministic quarter
+      // sample (once-offline at scale); overFetch 64 (vs q_pq_topk's 32)
+      // because this gate binds the WORST query of 20, not one — at
+      // sf0.001 one query's top-3 gap sits below the ADC resolution at
+      // page 96, measured, and page 192 covers it at every SF
+      val cb = Quantize.pqFit(corpus.filter(col("vec_id") % 4 === 1),
+        "emb", dim = 64, m = 8, nCentroids = 32, maxIter = 2)
+      // localCheckpoint = the in-session stand-in for the persisted code
+      // table this entry point serves (the q_knn_join_indexed discipline)
+      val store = Quantize.pqEncode(corpus, "emb", cb).localCheckpoint()
+      val routed = Quantize.pqJoinIndexed(queries, "vec_id", "emb", cb,
+          store, "vec_id", "emb", k = 3, overFetch = 64)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      // exact per-query baseline (the gate's replayable half), the
+      // q_ivf_join_indexed shape
+      val w = Window.partitionBy("query_id")
+        .orderBy(desc("sim"), col("neighbor_id"))
+      val exact = corpus
+        .select(col("vec_id").as("neighbor_id"), col("emb").as("ce"))
+        .crossJoin(broadcast(queries
+          .select(col("vec_id").as("query_id"), col("emb").as("qe"))))
+        .withColumn("sim", vectors.cosineSim(col("ce"), col("qe")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+      exact.join(broadcast(routed), Seq("query_id", "neighbor_id"), "left")
+        .withColumn("nhit",
+          sum(coalesce(col("hit"), lit(0L)))
+            .over(Window.partitionBy("query_id")))
+        .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+          col("neighbor_id"),
+          expr(text.fixedPoint("sim", 4)).as("sim_x10k"),
+          (col("nhit") >= 2).as("recall_ok"))
+        .orderBy("query_id", "rnk")
+    },
+
     Q("q_pq_topk",
       "PQ ADC two-stage top-5 (Quantize.pqTopK, m=8 subspaces x 32 " +
         "centroids over the 64-dim corpus): codes are 8 bytes/vector (64x " +
