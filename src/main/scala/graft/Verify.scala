@@ -128,6 +128,18 @@ object Verify {
         failures("ingest_stream_serving") =
           Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
       }
+      // the streaming SERVE faces (annServeStream / ivfServeStream) —
+      // previously the only streaming faces proven by spec alone: a
+      // micro-batched query stream answered from persisted stores, with
+      // the result ledger complete, replay idempotent, and every slice
+      // equal to the batch face's answer for its source batch
+      try ingestStreamSmokeServeFaces(spark)
+      catch { case e: Throwable =>
+        System.err.println(
+          s"[verify] ingest_stream_serve_faces failed: ${e.getMessage}")
+        failures("ingest_stream_serve_faces") =
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -1488,6 +1500,163 @@ object Verify {
       s"exactly-once (ledgers complete, replays idempotent), graduated " +
       s"contents == refresh path, top-k parity across streamed/" +
       s"graduated/refresh (IVF ${servedIvf.size}, PQ ${servedPq.size} hits)")
+  }
+
+  /** The streaming SERVE faces
+    * ([[graft.streaming.EventsStream.annServeStream]] /
+    * [[graft.streaming.EventsStream.ivfServeStream]]) under the REAL
+    * engine — before this gate they were the only streaming faces proven
+    * by spec alone (every near-dup face and store writer already runs
+    * under a Structured Streaming checkpoint in a sibling smoke). A
+    * micro-batched query stream is answered from PERSISTED serving
+    * stores (wide sign-LSH buckets, IVF lists) through the exactly-once
+    * result ledger ([[graft.streaming.EventsStream.serveSinkBatch]]);
+    * the claims: result ledger COMPLETE (slices 0..n, all marked —
+    * [[requireAuditOk]] with the serve sink's no-seed layout), replay
+    * IDEMPOTENT on slice contents (re-applying the last micro-batch's
+    * body moves nothing), and every slice EQUALS the batch face's
+    * answer ([[graft.operators.AnnIndex.annJoinIndexed]] /
+    * [[graft.operators.AnnIndex.ivfJoinIndexed]]) for its source batch
+    * over the same store — the stream/batch parity every other
+    * streaming face's gate asserts. Deterministic synthetic vectors
+    * (the [[ingestStreamSmokeServing]] recipe), so no sfDir. */
+  private def ingestStreamSmokeServeFaces(spark: SparkSession): Unit = {
+    val base = Files.createTempDirectory("graft_stream_gate_faces").toString
+    try ingestStreamSmokeServeFacesIn(spark, base)
+    finally deleteTree(spark, base)
+  }
+
+  private def ingestStreamSmokeServeFacesIn(spark: SparkSession,
+                                            base: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.{AnnIndex, Dedup}
+    import spark.implicits._
+    val dim = 4; val planes = 3; val k = 3
+    val mk = (id: Long, seed: Long) =>
+      (id, Array.tabulate(dim)(j => (((seed >> (j * 5)) & 63) - 31.0)))
+    val corpus = (1L to 40L).map(i => mk(i, i * 2654435761L)).toDF("id", "emb")
+      .localCheckpoint() // one deterministic materialization for both stores
+    // persisted serving stores in the GRADUATED (ledger-free) shape both
+    // batch faces document: wide buckets partitioned by bucket, IVF lists
+    // partitioned by list_id
+    val annStoreDir = s"$base/ann_store"
+    Dedup.embeddingBucketIndex(corpus, "id", "emb", dim, planes)
+      .write.partitionBy("bucket").parquet(annStoreDir)
+    val annStore = spark.read.parquet(annStoreDir)
+    val model = AnnIndex.ivfFit(corpus, "emb", nLists = 4)
+    val ivfStoreDir = s"$base/ivf_store"
+    AnnIndex.ivfStore(model, corpus, "emb")
+      .write.partitionBy("list_id").parquet(ivfStoreDir)
+    val ivfStore = spark.read.parquet(ivfStoreDir)
+    // two query micro-batches, ids unique WITHIN each batch (the faces'
+    // requireUniqueQueryIds contract is per serve call, and ACROSS
+    // batches reuse is legal — each slice is its own answer set)
+    val batchDefs = (1 to 2).map { b =>
+      (100L * b to 100L * b + 3L).map(i => mk(i, i * 40503L))
+        .toDF("qid", "qe")
+    }
+    val inDir = s"$base/in"
+    batchDefs.foreach(_.coalesce(1).write.mode("append").parquet(inDir))
+    def runStream(mkWriter: DataFrame =>
+        org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row], ck: String): Unit = {
+      val stream = spark.readStream.schema(batchDefs.head.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val q = mkWriter(stream)
+        .option("checkpointLocation", s"$base/$ck")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // slice -> source batch by served query-id set (file-listing order
+    // not assumed), the serving gate's batchFor discipline
+    def batchFor(outDir: String, b: Long): DataFrame = {
+      val ids = spark.read.parquet(outDir)
+        .filter(col("ingest_batch") === b)
+        .select(col("query_id")).distinct().collect()
+        .map(_.getLong(0)).toSet
+      val hits = batchDefs.filter(d =>
+        d.select(col("qid")).collect().map(_.getLong(0)).toSet == ids)
+      require(hits.size == 1,
+        s"result slice $b matches ${hits.size} source batches (ids $ids)")
+      hits.head
+    }
+    // full-row snapshot of a result dir — similarity folded through its
+    // exact double bits (same kernel, same store, same query: bitwise
+    // deterministic; a lossy round could mask a real divergence)
+    def snap(outDir: String): Seq[(Long, Long, Long, Double, Long)] =
+      spark.read.parquet(outDir)
+        .select(col("ingest_batch").cast("long"), col("query_id"),
+          col("neighbor_id"), col("similarity"), col("rank").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4))).toSeq.sorted
+    def sliceRows(outDir: String, b: Long): Seq[(Long, Long, Double, Long)] =
+      snap(outDir).filter(_._1 == b).map(t => (t._2, t._3, t._4, t._5))
+    def faceRows(df: DataFrame): Seq[(Long, Long, Double, Long)] =
+      df.select(col("query_id"), col("neighbor_id"), col("similarity"),
+          col("rank").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSeq.sorted
+    def gateFace(what: String, outDir: String,
+                 batchBody: (DataFrame, Long) => Unit,
+                 face: DataFrame => DataFrame): Int = {
+      // ledger complete and fully marked (no seed slice on a serve sink)
+      requireAuditOk(spark, outDir, s"ingest_stream_serve_faces/$what")
+      val slices = spark.read.parquet(outDir)
+        .select(col("ingest_batch").cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq
+      require(slices == Seq(0L, 1L),
+        s"$what: expected 2 ledgered result slices, got $slices")
+      // every slice == the batch face's answer for its source batch
+      var served = 0
+      (0L to 1L).foreach { b =>
+        val got = sliceRows(outDir, b)
+        require(got.nonEmpty, s"$what: result slice $b is empty — the " +
+          "serve went vacuous")
+        val want = faceRows(face(batchFor(outDir, b)))
+        require(got == want,
+          s"$what: slice $b diverged from the batch face " +
+            s"(${got.size} vs ${want.size} rows)")
+        served += got.size
+      }
+      // replay idempotence: re-applying the LAST micro-batch's body
+      // (what the engine does after a crash before checkpoint commit)
+      // must move nothing — the fingerprint check passes and the
+      // whole-slice overwrite rewrites byte-identical rows
+      val before = snap(outDir)
+      batchBody(batchFor(outDir, 1L), 1L)
+      require(snap(outDir) == before,
+        s"$what: replaying the last micro-batch changed the result store")
+      served
+    }
+    // ---- wide sign-LSH face ----
+    val annOut = s"$base/ann_results"
+    // probeBits=1: at 8 buckets over 40 vectors a lone-bucket query could
+    // serve zero rows; the one-flip probe set keeps every slice non-vacuous
+    runStream(s => graft.streaming.EventsStream.annServeStream(
+      s, "qid", "qe", annStore, dim, planes, k, annOut, probeBits = 1),
+      "ck_ann")
+    val annServed = gateFace("ann", annOut,
+      (b, id) => graft.streaming.EventsStream.serveSinkBatch(spark, annOut,
+        id, AnnIndex.annJoinIndexed(b, "qid", "qe", annStore, dim, planes, k,
+          probeBits = 1), "annServeStream"),
+      b => AnnIndex.annJoinIndexed(b, "qid", "qe", annStore, dim, planes, k,
+        probeBits = 1))
+    // ---- IVF face ----
+    val ivfOut = s"$base/ivf_results"
+    runStream(s => graft.streaming.EventsStream.ivfServeStream(
+      s, "qid", "qe", model, ivfStore, "id", "emb", k, 2, ivfOut), "ck_ivf")
+    val ivfServed = gateFace("ivf", ivfOut,
+      (b, id) => graft.streaming.EventsStream.serveSinkBatch(spark, ivfOut,
+        id, AnnIndex.ivfJoinIndexed(b, "qid", "qe", model, ivfStore,
+          "id", "emb", k, 2), "ivfServeStream"),
+      b => AnnIndex.ivfJoinIndexed(b, "qid", "qe", model, ivfStore,
+        "id", "emb", k, 2))
+    println(s"[verify] ingest_stream_serve_faces OK: ann + ivf served " +
+      s"2 micro-batches each through the result ledger ($annServed/" +
+      s"$ivfServed rows), slices == batch faces, replays idempotent")
   }
 
   /** The pre-graduation audit contract
