@@ -1561,61 +1561,58 @@ object PipelineQueries {
       // the engine never sees the closed forms: monos and edits are real
       // bytes through the real PPM writer, hashed by the real decode
       // kernel — only the ORACLE replays fp=0 and fp=1<<(r*8+7)
-      val fps = docs.filter(col("doc_id") < 100)
-        .select((col("doc_id") + 100000).as("id"),
-          Multimodal.dHash64Udf(
-            Multimodal.monoImageForDocUdf(col("doc_id"))).as("fp"))
-        .unionByName(docs.filter(col("doc_id") < 40)
-          .select((col("doc_id") + 200000).as("id"),
+      // ONE eager localCheckpoint'd fixture section feeds every leg (r13,
+      // the q_dedup_apply_salvaged recipe generalized): the ground-truth,
+      // capped, and salvage legs all reference the chunk index from
+      // several subtrees, and under cache() every leg's action still
+      // re-PLANS (optimizes + codegens) the full decode+explode lineage
+      // per subtree reference — the KB-sized checkpoint truncates the
+      // lineage once, so every later leg optimizes over a leaf table.
+      // Measured (sf0.1, REPS=3 medians, interleaved same-session A/B vs
+      // the cached r12 shape): 3.8-5.9 s vs 25-39 s — the per-leg
+      // planning tax, not execution, WAS the trilogy's fixture floor.
+      val index = Dedup.hammingChunkIndex(
+        docs.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 100000).as("id"),
             Multimodal.dHash64Udf(
-              Multimodal.monoEditImageForDocUdf(col("doc_id"))).as("fp")))
-        .cache()
-      // the ivfPqTuning discipline: this audit derives SIX scalar cells
-      // from four pair frames that share the decode + chunk-index + self-
-      // join subplans — a lazily-composed plan re-executed every subplan
-      // per cell (measured 13.5 s); caching the KB-sized intermediates
-      // and collecting the cells eagerly runs each subplan once, with
-      // every cache unpersisted in finally
-      val index = Dedup.hammingChunkIndex(fps, "id", "fp",
-        bits = 64, chunks = 4).cache()
+              Multimodal.monoImageForDocUdf(col("doc_id"))).as("fp"))
+          .unionByName(docs.filter(col("doc_id") < 40)
+            .select((col("doc_id") + 200000).as("id"),
+              Multimodal.dHash64Udf(
+                Multimodal.monoEditImageForDocUdf(col("doc_id"))).as("fp"))),
+        "id", "fp", bits = 64, chunks = 4).localCheckpoint(true)
       // ground truth: the UNCAPPED pigeonhole join (exhaustive for
       // hamming <= 3 at 4 chunks) — affordable here because the fixture
       // is small; at 100 TB this is exactly the join you cannot run,
-      // which is why the recall number matters
+      // which is why the recall number matters. Each pair frame is
+      // checkpointed EAGERLY in dependency order (one short-plan job
+      // each over the index leaf; a fused single-job variant raced the
+      // unmaterialized intermediates and re-ran the salvage chain —
+      // measured ~1.6x slower in the r8 cached shape)
       val truePairs = Dedup.hammingPairsFromIndex(index, maxHamming = 3)
-        .select(col("a_id"), col("b_id")).cache()
+        .select(col("a_id"), col("b_id")).localCheckpoint(true)
       val capped = Dedup.hammingPairsFromIndex(index, maxHamming = 3,
           maxBucket = 64)
-        .select(col("a_id"), col("b_id")).cache()
+        .select(col("a_id"), col("b_id")).localCheckpoint(true)
       val salvaged = capped.unionByName(
           Dedup.hammingSalvageEdges(index, maxHamming = 3, maxBucket = 64,
             maxReps = 16).select(col("a_id"), col("b_id")))
-        .distinct().cache()
-      try {
-        // the EXACT fixed-depth closure (see docstring: <= 3 hops covers
-        // every recoverable true pair by construction, so no iterative
-        // propagation belongs in this plan); threeHopClosure broadcasts
-        // every hop — the closure side is KB-sized (<= |V|² = 19 600)
-        val r3 = threeHopClosure(salvaged)
-        // cells collected EAGERLY in dependency order, one action per
-        // cached frame: each cache materializes exactly once before its
-        // consumers read it (a fused single-job variant let concurrent
-        // branches race the unmaterialized caches and recompute the
-        // salvage chain several times — measured ~1.6x slower)
-        val nTrue = truePairs.count()
-        val nCapped = capped.count()
-        val nSalv = salvaged.count()
-        val nConn = truePairs.join(broadcast(r3),
-            col("a_id") === col("s") && col("b_id") === col("d"),
-            "left_semi").count()
-        Seq((nTrue, nCapped, nSalv, nConn))
-          .toDF("n_true_pairs", "n_capped_pairs", "n_salvage_pairs",
-            "n_true_connected_salvaged")
-          .withColumn("salvage_full_recall", lit(nConn == nTrue))
-      } finally {
-        salvaged.unpersist(); capped.unpersist(); truePairs.unpersist()
-        index.unpersist(); fps.unpersist()
-      }
+        .distinct().localCheckpoint(true)
+      // the EXACT fixed-depth closure (see docstring: <= 3 hops covers
+      // every recoverable true pair by construction, so no iterative
+      // propagation belongs in this plan); threeHopClosure broadcasts
+      // every hop — the closure side is KB-sized (<= |V|² = 19 600)
+      val r3 = threeHopClosure(salvaged)
+      val nTrue = truePairs.count()
+      val nCapped = capped.count()
+      val nSalv = salvaged.count()
+      val nConn = truePairs.join(broadcast(r3),
+          col("a_id") === col("s") && col("b_id") === col("d"),
+          "left_semi").count()
+      Seq((nTrue, nCapped, nSalv, nConn))
+        .toDF("n_true_pairs", "n_capped_pairs", "n_salvage_pairs",
+          "n_true_connected_salvaged")
+        .withColumn("salvage_full_recall", lit(nConn == nTrue))
     },
 
     Q("q_dedup_lsh_recall",
@@ -1727,48 +1724,44 @@ object PipelineQueries {
           .select((col("doc_id") + 200000).as("id"),
             concat(lit(boiler + " zz"), col("doc_id").cast("string"))
               .as("text")))
-        .cache()
-      // ONE signature pass feeds the capped face, the salvage face and
-      // the banding — the persisted-signature-store shape
+      // ONE eager localCheckpoint'd signature pass feeds the capped face,
+      // the salvage face, the banding AND the truth leg — the persisted-
+      // signature-store shape, checkpointed instead of cached (r13): the
+      // KB-sized leaf truncates the shingle+minhash lineage once, so no
+      // leg re-plans it (the q_dedup_cap_recall fixture-section recipe)
       val sigs = Dedup.minhashSignatures(corpus, "id", "text",
-        k = 16, shingleN = 3).cache()
+        k = 16, shingleN = 3).localCheckpoint(true)
       // ground truth: exact Jaccard over ALL pairs (one constant block —
       // affordable on the planted fixture, the join you cannot run at
-      // 100 TB, which is why the recall number matters). Built from the
-      // cached sigs' shingle sets — the one signature pass really does
-      // feed every face, including the truth leg
+      // 100 TB, which is why the recall number matters); each pair frame
+      // checkpointed eagerly in dependency order, one short-plan job each
       val truePairs = Dedup.pairJoin(
           sigs.select(col("id"), col("hs"), lit(1).as("blk")), Seq("blk"))
         .filter(size(array_intersect(col("a_hs"), col("b_hs")))
           .cast("double") /
           size(array_union(col("a_hs"), col("b_hs"))) >= 0.6)
-        .select(col("a_id"), col("b_id")).cache()
+        .select(col("a_id"), col("b_id")).localCheckpoint(true)
       val capped = Dedup.minhashLshVerifiedPairsFromSignatures(sigs,
           k = 16, bands = 4, threshold = 0.6, maxBucket = 64)
-        .select(col("a_id"), col("b_id")).cache()
+        .select(col("a_id"), col("b_id")).localCheckpoint(true)
       val salvaged = capped.unionByName(
           Dedup.minhashSalvageVerifiedPairs(sigs, k = 16, bands = 4,
             threshold = 0.6, maxBucket = 64, maxReps = 64)
             .select(col("a_id"), col("b_id")))
-        .distinct().cache()
-      try {
-        // the same broadcast 3-hop closure as q_dedup_cap_recall — here a
-        // MEASURE of the construction's radius, not a theorem
-        val r3 = threeHopClosure(salvaged)
-        val nTrue = truePairs.count()
-        val nCapped = capped.count()
-        val nSalv = salvaged.count()
-        val nConn = truePairs.join(broadcast(r3),
-            col("a_id") === col("s") && col("b_id") === col("d"),
-            "left_semi").count()
-        Seq((nTrue, nCapped, nSalv, nConn))
-          .toDF("n_true_pairs", "n_capped_pairs", "n_salvage_pairs",
-            "n_true_connected_salvaged")
-          .withColumn("salvage_full_recall", lit(nConn == nTrue))
-      } finally {
-        salvaged.unpersist(); capped.unpersist(); truePairs.unpersist()
-        sigs.unpersist(); corpus.unpersist()
-      }
+        .distinct().localCheckpoint(true)
+      // the same broadcast 3-hop closure as q_dedup_cap_recall — here a
+      // MEASURE of the construction's radius, not a theorem
+      val r3 = threeHopClosure(salvaged)
+      val nTrue = truePairs.count()
+      val nCapped = capped.count()
+      val nSalv = salvaged.count()
+      val nConn = truePairs.join(broadcast(r3),
+          col("a_id") === col("s") && col("b_id") === col("d"),
+          "left_semi").count()
+      Seq((nTrue, nCapped, nSalv, nConn))
+        .toDF("n_true_pairs", "n_capped_pairs", "n_salvage_pairs",
+          "n_true_connected_salvaged")
+        .withColumn("salvage_full_recall", lit(nConn == nTrue))
     },
 
     Q("q_dedup_apply_salvaged",

@@ -518,6 +518,11 @@ object TextQueries {
       val floodBucket = s.range(1)
         .select(AnnIndex.bucketExprOf(expr(arrSpark(capRecallBase)), 64, 8)
           .as("b")).head().getLong(0)
+      // the q_dedup_cap_recall r13 shape: ONE eager localCheckpoint'd
+      // fixture section (the bucketed corpus) feeds the truth, capped
+      // and salvage legs — the KB-sized leaf truncates the flood-build +
+      // bucket-kernel lineage once instead of re-planning it per leg —
+      // then each pair frame checkpoints eagerly in dependency order
       val filtered = e120
         .unionByName(e120.filter(col("vec_id") < 10)
           .select((col("vec_id") + 100000).as("vec_id"),
@@ -527,35 +532,29 @@ object TextQueries {
         .unionByName(flood(220000, capRecallE))
         .withColumn("bucket", AnnIndex.bucketExpr("emb", 64, 8))
         .filter(col("vec_id") >= 200000 || col("bucket") =!= floodBucket)
-        .cache()
-      // the q_dedup_cap_recall shape: cached pair frames, eager cells in
-      // dependency order, every cache unpersisted in finally
+        .localCheckpoint(true)
       val truePairs = Dedup.embeddingPairs(filtered, "vec_id", "emb",
-        "bucket", threshold = 0.99).select(col("a_id"), col("b_id")).cache()
+          "bucket", threshold = 0.99)
+        .select(col("a_id"), col("b_id")).localCheckpoint(true)
       val capped = Dedup.embeddingPairs(filtered, "vec_id", "emb",
           "bucket", threshold = 0.99, maxBucket = 64)
-        .select(col("a_id"), col("b_id")).cache()
+        .select(col("a_id"), col("b_id")).localCheckpoint(true)
       val salvaged = capped.unionByName(
           Dedup.embeddingSalvageEdges(filtered, "vec_id", "emb", "bucket",
             threshold = 0.99, maxBucket = 64, maxReps = 8)
             .select(col("a_id"), col("b_id")))
-        .distinct().cache()
-      try {
-        val r3 = PipelineQueries.threeHopClosure(salvaged)
-        val nTrue = truePairs.count()
-        val nCapped = capped.count()
-        val nSalv = salvaged.count()
-        val nConn = truePairs.join(broadcast(r3),
-            col("a_id") === col("s") && col("b_id") === col("d"),
-            "left_semi").count()
-        Seq((nTrue, nCapped, nSalv, nConn))
-          .toDF("n_true_pairs", "n_capped_pairs", "n_salvage_pairs",
-            "n_true_connected_salvaged")
-          .withColumn("salvage_full_recall", lit(nConn == nTrue))
-      } finally {
-        salvaged.unpersist(); capped.unpersist(); truePairs.unpersist()
-        filtered.unpersist()
-      }
+        .distinct().localCheckpoint(true)
+      val r3 = PipelineQueries.threeHopClosure(salvaged)
+      val nTrue = truePairs.count()
+      val nCapped = capped.count()
+      val nSalv = salvaged.count()
+      val nConn = truePairs.join(broadcast(r3),
+          col("a_id") === col("s") && col("b_id") === col("d"),
+          "left_semi").count()
+      Seq((nTrue, nCapped, nSalv, nConn))
+        .toDF("n_true_pairs", "n_capped_pairs", "n_salvage_pairs",
+          "n_true_connected_salvaged")
+        .withColumn("salvage_full_recall", lit(nConn == nTrue))
     },
 
     Q("q_lang_id",
