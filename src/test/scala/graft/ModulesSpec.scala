@@ -1561,6 +1561,92 @@ class ModulesSpec extends AnyFunSuite {
     assert(ew.getMessage.contains("duplicate query_id"), ew.getMessage)
   }
 
+  test("pqJoinIndexed: face parity with looped pqTopK, page-covering " +
+      "equals brute force, loud refusals") {
+    // the batch serving face over the persisted PQ code table
+    // (ivfJoinIndexed's sibling for the flat ADC layout). Claims:
+    // (1) FACE PARITY — for every query, the one-plan batch face serves
+    // exactly what a per-query pqTopK loop serves at the same dials
+    // (same (approx_sim DESC, id ASC) candidate page, same exact
+    // re-rank), so a user can swap the loop for the join with no
+    // result change; (2) a page covering the whole store equals the
+    // exact brute-force cosine top-k (over-fetch saturation — the
+    // pqTopK theorem lifted to the table face); (3) null query
+    // embeddings drop, duplicate query ids and a stale store (codes
+    // from a different fit) are refused loudly.
+    import graft.operators.Quantize
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val corpus = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val queries = corpus.filter(col("vec_id") < 10)
+      .unionByName(Seq((999999L, null.asInstanceOf[Array[Double]]))
+        .toDF("vec_id", "emb"))
+    val rest = corpus.filter(col("vec_id") >= 10)
+    val cb = Quantize.pqFit(rest.filter(col("vec_id") % 4 === 1), "emb",
+      dim = 64, m = 8, nCentroids = 16, maxIter = 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pqjoin").toString + "/store"
+    Quantize.pqEncode(rest, "emb", cb).write.parquet(dir)
+    val store = spark.read.parquet(dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // (1) face parity at a NARROW page (overFetch 4 — where the ADC
+    // approximation actually bites, so page agreement is load-bearing)
+    val joined = rows(Quantize.pqJoinIndexed(queries, "vec_id", "emb", cb,
+      store, "vec_id", "emb", k = 3, overFetch = 4))
+    val looped = queries.filter(col("emb").isNotNull)
+      .select(col("vec_id"), col("emb")).collect().flatMap { qr =>
+        val q = Seq(Tuple1(qr.getSeq[Double](1))).toDF("qe")
+        Quantize.pqTopK(store, "emb", cb, q, k = 3, overFetch = 4,
+            tieBreak = Seq("vec_id"))
+          .select(col("vec_id")).collect().map(_.getLong(0))
+          .zipWithIndex.map { case (nid, i) => (qr.getLong(0), nid, i + 1) }
+      }.toSet
+    assert(joined == looped,
+      s"batch face diverged from the per-query pqTopK loop: " +
+        s"missing=${(looped -- joined).take(3)} extra=${(joined -- looped).take(3)}")
+    // (2) page covering the store == exact brute force
+    val n = rest.count().toInt
+    val gotAll = rows(Quantize.pqJoinIndexed(queries, "vec_id", "emb", cb,
+      store, "vec_id", "emb", k = 3, overFetch = n / 3 + 1))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("sim"), col("neighbor_id"))
+    val brute = rows(rest
+      .select(col("vec_id").as("neighbor_id"), col("emb").as("ce"))
+      .crossJoin(broadcast(queries.filter(col("emb").isNotNull)
+        .select(col("vec_id").as("query_id"), col("emb").as("qe"))))
+      .withColumn("sim", graft.functions.vectors.cosineSim(col("ce"), col("qe")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3))
+    assert(gotAll == brute,
+      s"page-covering pqJoinIndexed diverged from brute force: " +
+        s"missing=${(brute -- gotAll).take(3)} extra=${(gotAll -- brute).take(3)}")
+    // (3a) the null-embedding query scored nothing; 10 real queries × 3
+    assert(!gotAll.exists(_._1 == 999999L),
+      "null query embedding produced neighbors")
+    assert(gotAll.size == 30, s"expected 10×3 rows, got ${gotAll.size}")
+    // (3b) a store coded under a different fit is refused loudly,
+    // BEFORE any join is planned
+    val refit = Quantize.pqFit(rest.filter(col("vec_id") % 4 === 2), "emb",
+      dim = 64, m = 8, nCentroids = 16, maxIter = 2)
+    val e = intercept[IllegalArgumentException] {
+      Quantize.pqJoinIndexed(queries, "vec_id", "emb", refit,
+        store, "vec_id", "emb", k = 3)
+    }
+    assert(e.getMessage.contains("PQ store"), e.getMessage)
+    // (3c) duplicate query ids — the silent-blend class every batch
+    // face refuses
+    val dup = queries.filter(col("emb").isNotNull)
+      .unionByName(queries.filter(col("vec_id") === 1L))
+    val ed = intercept[IllegalArgumentException] {
+      Quantize.pqJoinIndexed(dup, "vec_id", "emb", cb,
+        store, "vec_id", "emb", k = 3)
+    }
+    assert(ed.getMessage.contains("duplicate query_id"), ed.getMessage)
+  }
+
   test("IVF store: list_id-layout compaction preserves rows, token, and batch serving") {
     // compactPartitionedTo over the THIRD Hive layout in the house
     // (bucket / chunk_idx / band_idx are gate-covered; the IVF store's
@@ -2558,6 +2644,39 @@ class ModulesSpec extends AnyFunSuite {
     q.stop()
     assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)),
       s"redelivered copies saturated the bucket: $got")
+  }
+
+  test("streaming near-dup: a same-id arrival with UPDATED content refreshes bucket state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the redelivery guard keys on (id, content, ts), not id alone
+    // (ADVICE r12): an at-least-once source redelivering a CORRECTED row
+    // — same id, different fingerprint, fresher ts — must replace the
+    // stale entry, or future arrivals matching the updated content are
+    // silently lost wherever they meet the stale entry's bucket. The
+    // fixture forces exactly that: fp=0 and its update 0xFFFF share
+    // chunks 1-3 (value 0); the probe 0xFFFE (hamming 1 from the update,
+    // 15 from the stale original) lands ONLY in those shared buckets, so
+    // under an id-only guard the pair is unreachable — its own chunk 0
+    // bucket holds nobody.
+    val mem = MemoryStream[(Timestamp, Long, Long)]
+    val df = mem.toDF().toDF("ts", "id", "fp")
+    val q = EventsStream.nearDupStream(df, "id", "fp",
+        bits = 64, chunks = 4, maxHamming = 3, maxBucket = 8,
+        salvageRep = false)
+      .writeStream.format("memory").queryName("upd_content").start()
+    mem.addData((Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 0L))
+    q.processAllAvailable()
+    mem.addData((Timestamp.valueOf("2024-01-01 10:00:01"), 1L, 0xFFFFL))
+    q.processAllAvailable()
+    mem.addData((Timestamp.valueOf("2024-01-01 10:00:02"), 2L, 0xFFFEL))
+    q.processAllAvailable()
+    val got = spark.table("upd_content").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)), r.getInt(2))).distinct.toSet
+    q.stop()
+    assert(got == Set((1L, 2L, 1)),
+      s"updated same-id content did not refresh bucket state: $got")
   }
 
   test("streaming embed near-dup: a null ELEMENT inside an embedding cannot kill the query") {

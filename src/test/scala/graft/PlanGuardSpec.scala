@@ -434,6 +434,46 @@ class PlanGuardSpec extends AnyFunSuite {
     }, "q_ivf_join_indexed: probe join is not a broadcast")
   }
 
+  test("round-13 queries keep their scale-critical plan shapes") {
+    import org.apache.spark.sql.execution.joins._
+    import org.apache.spark.sql.execution.aggregate.{
+      HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    // batch serving from the persisted PQ code table: the queries (with
+    // their ADC lookup tables) BROADCAST into the one store scan — the
+    // store side must never move through a shuffled join — and the
+    // per-query over-fetch page must reduce through a PARTIAL aggregate
+    // before the exchange (the map-side candidate heap; a window here
+    // would shuffle the whole |store|×|queries| scored product instead
+    // of ≤ queries × partitions × page buffers).
+    val pqj = plans("q_pq_join_indexed")
+    val pqjShuffled = pqj.filter { p =>
+      p.isInstanceOf[SortMergeJoinExec] || p.isInstanceOf[ShuffledHashJoinExec]
+    }
+    assert(pqjShuffled.isEmpty,
+      s"q_pq_join_indexed: store moved through a shuffled join:\n" +
+        pqjShuffled.mkString("\n"))
+    assert(pqj.exists {
+      case _: BroadcastNestedLoopJoinExec => true
+      case _: BroadcastHashJoinExec => true
+      case _ => false
+    }, "q_pq_join_indexed: query join is not a broadcast")
+    val partialHeap = pqj.exists {
+      case a: ObjectHashAggregateExec =>
+        a.aggregateExpressions.exists(_.mode ==
+          org.apache.spark.sql.catalyst.expressions.aggregate.Partial)
+      case a: SortAggregateExec =>
+        a.aggregateExpressions.exists(_.mode ==
+          org.apache.spark.sql.catalyst.expressions.aggregate.Partial)
+      case a: HashAggregateExec =>
+        a.aggregateExpressions.exists(_.mode ==
+          org.apache.spark.sql.catalyst.expressions.aggregate.Partial)
+      case _ => false
+    }
+    assert(partialHeap,
+      "q_pq_join_indexed: candidate heap is not partial-aggregated " +
+        "map-side — the scored product would cross the exchange whole")
+  }
+
   test("minhash salvage tier keeps its scale-critical plan shapes") {
     // q_dedup_lsh_recall also collects eagerly, so the tier is pinned at
     // the OPERATOR level: the two key gates (oversized buckets, rep-
