@@ -909,13 +909,20 @@ object Dedup {
     */
   def clusters(ids: DataFrame, idCol: String, pairs: DataFrame,
                maxIter: Int = 25): DataFrame = {
-    // cache the pair table, not just the edge union: both union branches
-    // read it, and uncached it would run its (possibly expensive, e.g.
-    // MinHash LSH) plan twice per materialization
-    val p = pairs.select(col("a_id"), col("b_id")).cache()
+    // eagerly localCheckpoint the pair table (r13; was cache): both union
+    // branches read it, and a CACHED frame keeps its full logical plan —
+    // every round's neighbor join then re-optimizes the (possibly
+    // expensive, e.g. MinHash LSH) pairs subtree on the driver, the same
+    // per-reference planning tax the recall trilogy measured at 5x its
+    // execution cost. The checkpoint truncates the lineage to a leaf once
+    // (one job, the pairs plan exactly once), the edge union stays a lazy
+    // projection over the leaf (narrow, recomputed per round for less
+    // than a second cache's bookkeeping), and every round plans against a
+    // leaf table. Same executor-memory persistence and fault story the
+    // loop's own per-round checkpoints already accept.
+    val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
     val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(p.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .cache()
     // propagate only over the pair graph's vertex set: every id NOT in a
     // pair is its own singleton component by definition and never changes,
     // so iterating over the full corpus would shuffle (at 100 TB) billions
@@ -930,8 +937,6 @@ object Dedup {
     // short-circuit to the pure singleton frame instead: no join, no
     // recompute of an all-empty mine
     if (labels.isEmpty) {
-      edges.unpersist()
-      p.unpersist()
       return ids.select(col(idCol).as("id"))
         .select(col("id"), col("id").as("cluster"), lit(1L).as("n_members"))
     }
@@ -979,8 +984,6 @@ object Dedup {
       throw new IllegalStateException(
         s"Dedup.clusters did not reach the label fixpoint in $maxIter " +
           "iterations (component diameter exceeds maxIter) — raise maxIter")
-    edges.unpersist()
-    p.unpersist()
     val sizes = labels.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
     val connected = labels.join(sizes, "cluster")
       .select(col("id"), col("cluster"), col("n_members"))
