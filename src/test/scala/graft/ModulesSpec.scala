@@ -4979,6 +4979,50 @@ class ModulesSpec extends AnyFunSuite {
         allQueries, "qid", "qe", model, ivfStore, "id", "emb",
         k = 3, nProbe = 4)),
       "IVF streamed serve diverged from the one-shot batch join")
+    // the marker-aware high-water mark (ADVICE r12): delete slices 1 and
+    // 2 — their commit markers survive — and the mark must still hold at
+    // 2. A slices-only mark would renormalize down to 0 and let a
+    // renumbered foreign batch land on COMMITTED id 1 with no content
+    // check at all (the fingerprint compare used to fire only at
+    // batchId == maxLedger); folding markers into the mark refuses every
+    // id below the surviving top marker.
+    val fs = org.apache.hadoop.fs.FileSystem
+      .getLocal(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/ingest_batch=1"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/ingest_batch=2"), true)
+    val eMark = intercept[IllegalArgumentException] {
+      EventsStream.serveSinkBatch(spark, outDir, 1L,
+        res1.withColumn("neighbor_id", col("neighbor_id") + 5000L), "test")
+    }
+    assert(eMark.getMessage.contains("ledger regression"), eMark.getMessage)
+    // while a TRUE replay of the top deleted slice's own id heals it by
+    // whole-slice overwrite (the Overwrite crash window: marker present,
+    // slice missing — nothing to fingerprint against)
+    EventsStream.serveSinkBatch(spark, outDir, 2L, res1.limit(0), "test")
+    assert(spark.read.parquet(s"$outDir/ingest_batch=2").count() == 0,
+      "healed slice not readable")
+    graft.sources.Maintenance.deleteLocalTree(spark, base)
+  }
+
+  test("ledgerAudit refuses to enumerate an absurd gap census") {
+    // the OOM hole (ADVICE r12): a grafted foreign directory with a huge
+    // id — exactly the anomaly the audit exists to surface — used to
+    // materialize (0..max) driver-side. The interval walk computes the
+    // count arithmetically first and refuses loudly instead of building
+    // a billion-row frame (the directory listing is the useful evidence
+    // at that point).
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_audit_refuse").toString
+    val out = s"$base/sink"
+    val res = Seq((1L, 11L, 0.5, 1)).toDF(
+      "query_id", "neighbor_id", "similarity", "rank")
+    EventsStream.serveSinkBatch(spark, out, 0L, res, "t")
+    res.write.parquet(s"$out/ingest_batch=9999999999")
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Maintenance.ledgerAudit(spark, out).collect()
+    }
+    assert(e.getMessage.contains("refusing to enumerate"), e.getMessage)
     graft.sources.Maintenance.deleteLocalTree(spark, base)
   }
 
