@@ -189,36 +189,36 @@ object Quantize {
     val w = dim / m
     // null embeddings crash KMeans.fit; pqEncode null-guards the same rows,
     // so fitting must skip them too (codebooks fit on the non-null corpus)
-    // — cached for the duration: the m per-subspace fits would otherwise
-    // re-scan the source m × iterations times
+    // — eagerly localCheckpoint'd for the duration (r13; was cache+count):
+    // the m per-subspace fits would otherwise re-scan the source
+    // m × iterations times, and each concurrent fit re-optimized the
+    // cached plan's full lineage where the leaf is free to re-plan
     val clean = corpus.filter(col(embCol).isNotNull)
-      .select(col(embCol).cast("array<double>").as("__emb")).cache()
-    try {
-      clean.count() // materialize once, BEFORE the concurrent fits race
-      // the m per-subspace fits are independent seeded jobs — submit them
-      // concurrently (Spark schedules jobs from multiple threads fine) so
-      // the inline-fit wall-clock is the longest single fit, not the sum;
-      // each fit's result depends only on (its subvectors, its seed), so
-      // concurrency cannot change the codebooks
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      val fits = (0 until m).map { s => Future {
-        val sub = clean.select(org.apache.spark.ml.functions.array_to_vector(
-          slice(col("__emb"), s * w + 1, w)).as("__features"))
-        new org.apache.spark.ml.clustering.KMeans()
-          .setK(nCentroids).setSeed(seed + s).setMaxIter(maxIter)
-          // seeded random init, not k-means||: the parallel init alone is
-          // ~5 extra distributed rounds PER SUBSPACE, which on an inline
-          // small-sample fit is pure job-launch overhead; quality-critical
-          // offline builds can still pre-cluster their own way and pass
-          // custom codebooks to pqEncode
-          .setInitMode("random")
-          .setFeaturesCol("__features")
-          .fit(sub).clusterCenters.map(_.toArray)
-      } }
-      Await.result(Future.sequence(fits), Duration.Inf).toArray
-    } finally clean.unpersist()
+      .select(col(embCol).cast("array<double>").as("__emb"))
+      .localCheckpoint(true)
+    // the m per-subspace fits are independent seeded jobs — submit them
+    // concurrently (Spark schedules jobs from multiple threads fine) so
+    // the inline-fit wall-clock is the longest single fit, not the sum;
+    // each fit's result depends only on (its subvectors, its seed), so
+    // concurrency cannot change the codebooks
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fits = (0 until m).map { s => Future {
+      val sub = clean.select(org.apache.spark.ml.functions.array_to_vector(
+        slice(col("__emb"), s * w + 1, w)).as("__features"))
+      new org.apache.spark.ml.clustering.KMeans()
+        .setK(nCentroids).setSeed(seed + s).setMaxIter(maxIter)
+        // seeded random init, not k-means||: the parallel init alone is
+        // ~5 extra distributed rounds PER SUBSPACE, which on an inline
+        // small-sample fit is pure job-launch overhead; quality-critical
+        // offline builds can still pre-cluster their own way and pass
+        // custom codebooks to pqEncode
+        .setInitMode("random")
+        .setFeaturesCol("__features")
+        .fit(sub).clusterCenters.map(_.toArray)
+    } }
+    Await.result(Future.sequence(fits), Duration.Inf).toArray
   }
 
   /** nearest-centroid id for one subvector (ties → lowest id; exact

@@ -356,31 +356,29 @@ object TextQueries {
               .as("emb")))
         .withColumn("bucket",
           graft.operators.AnnIndex.bucketExpr("emb", 64, 8))
-        .cache()
-      try {
-        val census = corpus.groupBy(col("bucket"))
-          .agg(count(lit(1)).as("n")).cache()
-        try {
-          val over = census.filter(col("n") > 64)
-          // cells collected eagerly, the tuning-family shape: the census
-          // cache materializes once and every scalar reads it
-          val nBuckets = census.count()
-          val Array(nOver, nDocs, nAvoided) = over
-            .agg(count(lit(1)), coalesce(sum(col("n")), lit(0L)),
-              coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)))
-            .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-          val nCapped = graft.operators.Dedup.embeddingPairs(
-            corpus, "vec_id", "emb", "bucket", threshold = 0.99,
-            maxBucket = 64).count()
-          val floodDropped = over
-            .join(corpus.filter(col("vec_id") >= 200000)
-              .select(col("bucket")), "bucket", "left_semi")
-            .limit(1).count() > 0
-          Seq((nBuckets, nOver, nDocs, nAvoided, nCapped, floodDropped))
-            .toDF("n_buckets", "n_oversized", "n_docs_dropped",
-              "n_pairs_avoided", "n_capped_pairs", "flood_dropped")
-        } finally census.unpersist()
-      } finally corpus.unpersist()
+        // the r13 fixture-section recipe (q_embed_cap_recall): eager
+        // KB-sized checkpoints instead of caches, so the five scalar
+        // cells plan against leaf tables instead of re-optimizing the
+        // flood-build + bucket-kernel lineage per action
+        .localCheckpoint(true)
+      val census = corpus.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n")).localCheckpoint(true)
+      val over = census.filter(col("n") > 64)
+      val nBuckets = census.count()
+      val Array(nOver, nDocs, nAvoided) = over
+        .agg(count(lit(1)), coalesce(sum(col("n")), lit(0L)),
+          coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      val nCapped = graft.operators.Dedup.embeddingPairs(
+        corpus, "vec_id", "emb", "bucket", threshold = 0.99,
+        maxBucket = 64).count()
+      val floodDropped = over
+        .join(corpus.filter(col("vec_id") >= 200000)
+          .select(col("bucket")), "bucket", "left_semi")
+        .limit(1).count() > 0
+      Seq((nBuckets, nOver, nDocs, nAvoided, nCapped, floodDropped))
+        .toDF("n_buckets", "n_oversized", "n_docs_dropped",
+          "n_pairs_avoided", "n_capped_pairs", "flood_dropped")
     },
 
     Q("q_embed_cap_recall",
