@@ -170,6 +170,104 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Near-duplicate pairs by token-set Jaccard ≥ num/den via PREFIX
+    * FILTERING (Chaudhuri et al. 2006 / PPJoin's base filter) — the
+    * blocking-free exact alternative to [[ngramJaccardPairs]] when no
+    * caller block column exists and LSH's probabilistic recall is not
+    * acceptable. Tokens are globally ordered rarest-first (document
+    * frequency, then hash); each doc contributes only its first
+    * p = |T| − ⌈τ·|T|⌉ + 1 tokens as candidate keys. The prefix lemma
+    * makes the filter LOSSLESS: any pair with J ≥ τ must share a prefix
+    * token, so verification against the full token sets returns exactly
+    * the true pairs (the oracle is the exact join). Candidate volume is
+    * governed by the RAREST tokens — the opposite skew profile of a
+    * plain inverted-index join, where the most common token dominates.
+    *
+    * The threshold is an exact rational num/den, NOT a double: the prefix
+    * length and the J ≥ τ test are pure integer arithmetic
+    * (⌈num·sz/den⌉ = (num·sz + den − 1) div den; den·|∩| ≥ num·|∪|), so
+    * both engines agree at exact boundaries — a double ⌈0.8·5⌉ is 5 in
+    * IEEE binary (0.8·5 rounds above 4) but 4 in DuckDB's DECIMAL
+    * arithmetic, an engine-semantics trap the rational form removes.
+    *
+    * Scale (100 TB): the document-frequency table is vocab-sized and
+    * broadcast; the rarest-first rank is one window partitioned by doc
+    * (rows per partition = |token set|, bounded by doc length); the
+    * candidate join shuffles only prefix rows keyed by token. Residual
+    * skew — a "rare" token that is still hot, or near-empty docs whose
+    * whole 1-token set is its own prefix — is bounded by `maxBucket`
+    * (same cap-and-audit contract as every pair face here; census the
+    * drops with [[blockBucketStats]] on the prefix token). The length
+    * filter den·min(|A|,|B|) ≥ num·max(|A|,|B|) prunes candidates before
+    * verification; PPJoin's positional filter is deliberately omitted —
+    * it cuts constants, not complexity, and would put per-candidate
+    * position arithmetic in the oracle mirror for no asymptotic gain.
+    * NULL texts have a NULL token set and never pair (the near-dup
+    * null-semantics policy); EMPTY texts hash to the {0} singleton set
+    * and pair only with each other at J = 1. */
+  def prefixFilterJaccardPairs(df: DataFrame, keyCol: String, textCol: String,
+                               num: Int, den: Int,
+                               maxBucket: Int = Int.MaxValue): DataFrame =
+    prefixFilterJaccardPairsFromSets(tokenSets(df, keyCol, textCol),
+      num, den, maxBucket)
+
+  /** The persistable distinct-token-set table (id, ts) feeding
+    * [[prefixFilterJaccardPairsFromSets]] — the [[minhashSignatures]]
+    * pattern: the tokenization pass is referenced three times in the pair
+    * plan (prefix explode + both verification joins), so a 100 TB run
+    * stores this table once and sweeps thresholds over it instead of
+    * re-tokenizing the corpus per reference. Kernel shingles at n=1 are
+    * exactly the distinct token hashes (LinkedHashSet in
+    * [[TextSig.shingleHashes]]), but the explicit array_distinct keeps the
+    * SQL mirror honest if the kernel ever changes shape. */
+  def tokenSets(df: DataFrame, keyCol: String, textCol: String): DataFrame =
+    df.select(col(keyCol).as("id"),
+      array_distinct(TextSig.shingleHashesUdf(col(textCol), lit(1))).as("ts"))
+
+  /** [[prefixFilterJaccardPairs]] over a precomputed [[tokenSets]] table
+    * (columns `id`, `ts`). */
+  def prefixFilterJaccardPairsFromSets(tk: DataFrame, num: Int, den: Int,
+                                       maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(num > 0 && num <= den, s"threshold $num/$den not in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val ex = tk.filter(col("ts").isNotNull)
+      .select(col("id"), size(col("ts")).cast("long").as("sz"),
+        explode(col("ts")).as("tok"))
+    // document frequency per token — vocab-sized, broadcast to the rank
+    val dfreq = ex.groupBy("tok").agg(count(lit(1)).as("dfreq"))
+    val w = Window.partitionBy("id").orderBy(col("dfreq"), col("tok"))
+    val pref = ex.join(broadcast(dfreq), Seq("tok"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      // p = sz − ⌈num·sz/den⌉ + 1, all integer
+      .filter(col("pos") <=
+        col("sz") - expr(s"(($num * sz) + ${den - 1}) div $den") + lit(1L))
+      .select("id", "sz", "tok")
+    val bounded =
+      if (maxBucket == Int.MaxValue) pref
+      else {
+        val over = oversizedKeys(pref.select("tok"), Seq("tok"), maxBucket)
+          .select(col("tok").as("__over_tok"))
+        pref.join(broadcast(over), col("tok") === col("__over_tok"), "left_anti")
+      }
+    val a = bounded.as("a")
+    val b = bounded.as("b")
+    val cand = a.join(b,
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+          least(col("a.sz"), col("b.sz")) * den >=
+            greatest(col("a.sz"), col("b.sz")) * num)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+    // exact verification over the full token sets — candidate-sized joins
+    cand
+      .join(tk.select(col("id").as("a_id"), col("ts").as("a_ts")), Seq("a_id"))
+      .join(tk.select(col("id").as("b_id"), col("ts").as("b_ts")), Seq("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_ts"), col("b_ts"))).cast("long"))
+      .withColumn("uni", size(array_union(col("a_ts"), col("b_ts"))).cast("long"))
+      .filter(col("inter") * den >= col("uni") * num)
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") / col("uni")).as("jaccard"))
+  }
+
   /** One row per (id, band): the LSH banding stage shared by
     * [[minhashLshPairs]] and [[minhashLshVerifiedPairs]] — the band-key
     * expression lives exactly once. `carryHashes` additionally threads the

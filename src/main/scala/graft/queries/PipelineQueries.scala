@@ -265,6 +265,45 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    Q("q_stratified_sample",
+      "Deterministic stratified sample: a 200-doc budget allocated across " +
+        "(source, lang) strata proportionally to stratum size (integer " +
+        "div, floored at 1 so no stratum vanishes), selecting each " +
+        "stratum's lowest key-mix rows. The mix makes selection a pure " +
+        "function of the key (replayable on any engine/cluster/retry); " +
+        "unlike q_source_cap's fixed per-group cap, the quota here is " +
+        "DATA-DEPENDENT — the shape every mixture-balancing pipeline " +
+        "needs. Costs one tiny grouped count (broadcast back) plus one " +
+        "window partitioned by stratum; a stratum hot enough to skew the " +
+        "window is exactly the stratum whose quota should be re-examined",
+      Some(s"""WITH g AS (SELECT source, lang, count(*) AS n_g
+              |           FROM documents GROUP BY source, lang),
+              |t AS (SELECT sum(n_g) AS total FROM g),
+              |q AS (SELECT source, lang,
+              |        greatest(1, (200 * n_g) // total) AS quota
+              |      FROM g, t),
+              |r AS (SELECT doc_id, source, lang,
+              |        row_number() OVER (PARTITION BY source, lang
+              |          ORDER BY ($mixDoc), doc_id) AS rn
+              |      FROM documents)
+              |SELECT r.doc_id, r.source, r.lang
+              |FROM r JOIN q USING (source, lang)
+              |WHERE rn <= quota
+              |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val d = documents(s, dir)
+      val g = d.groupBy("source", "lang").agg(count(lit(1)).as("n_g"))
+      val quota = g.crossJoin(broadcast(g.agg(sum("n_g").as("total"))))
+        .select(col("source"), col("lang"),
+          greatest(lit(1L), expr("(200 * n_g) div total")).as("quota"))
+      val w = Window.partitionBy("source", "lang")
+        .orderBy(expr(mixDoc), col("doc_id"))
+      d.withColumn("rn", row_number().over(w).cast("long"))
+        .join(broadcast(quota), Seq("source", "lang"))
+        .filter(col("rn") <= col("quota"))
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    },
+
     Q("q_train_test_split",
       "Deterministic 80/10/10 train/val/test split by key mix — the split " +
         "is a pure function of the key, so it never leaks across reruns, " +

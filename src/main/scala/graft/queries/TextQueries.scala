@@ -99,6 +99,54 @@ object TextQueries {
         .orderBy("a_id", "b_id")
     },
 
+    Q("q_dedup_prefix_filter",
+      "Near-dup pairs by token-set Jaccard >= 4/5 via PPJoin-style prefix " +
+        "filtering: tokens ranked rarest-first by document frequency, each " +
+        "doc emits only its first |T|-ceil(0.8|T|)+1 tokens as candidate " +
+        "keys — a LOSSLESS filter (prefix lemma), so unlike LSH the result " +
+        "is exactly the true pairs. The threshold is the exact rational 4/5 " +
+        "(integer prefix/verify arithmetic; double 0.8*|T| flips ceil at " +
+        "multiples of 5 between IEEE and DECIMAL engines). df table is " +
+        "vocab-sized and broadcast; candidate volume rides the RAREST " +
+        "tokens, with maxBucket=64 bounding residual hot keys (mirrored in " +
+        "the oracle's bucket exclusion)",
+      Some(s"""WITH $nearDupCorpusSql,
+              |tk AS (SELECT doc_id,
+              |         ${D.arrayDistinct(text.shingleHashes(D, "text", 1))} AS ts
+              |       FROM corpus),
+              |ex AS (SELECT doc_id, CAST(${D.size("ts")} AS BIGINT) AS sz,
+              |         unnest(ts) AS tok
+              |       FROM tk WHERE ts IS NOT NULL),
+              |dfreq AS (SELECT tok, count(*) AS dfreq FROM ex GROUP BY tok),
+              |pos AS (SELECT doc_id, sz, tok,
+              |          row_number() OVER (PARTITION BY doc_id
+              |            ORDER BY dfreq, tok) AS pos
+              |        FROM ex JOIN dfreq USING (tok)),
+              |pref AS (SELECT doc_id, sz, tok FROM pos
+              |         WHERE pos <= sz - ((4 * sz + 4) // 5) + 1),
+              |big AS (SELECT tok FROM pref GROUP BY tok HAVING count(*) > 64),
+              |pref2 AS (SELECT * FROM pref WHERE tok NOT IN (SELECT tok FROM big)),
+              |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              |         FROM pref2 a JOIN pref2 b ON a.tok = b.tok
+              |           AND a.doc_id < b.doc_id
+              |           AND least(a.sz, b.sz) * 5 >= greatest(a.sz, b.sz) * 4),
+              |v AS (SELECT a_id, b_id,
+              |        CAST(${D.size(D.arrayIntersect("ta.ts", "tb.ts"))} AS BIGINT) AS inter,
+              |        CAST(${D.size(D.arrayUnion("ta.ts", "tb.ts"))} AS BIGINT) AS uni
+              |      FROM cand
+              |      JOIN tk ta ON ta.doc_id = a_id
+              |      JOIN tk tb ON tb.doc_id = b_id)
+              |SELECT a_id, b_id,
+              |  ${text.fixedPoint("CAST(inter AS DOUBLE) / uni", 4)} AS jaccard_x10k
+              |FROM v WHERE inter * 5 >= uni * 4
+              |ORDER BY a_id, b_id""".stripMargin)) { (s, dir) =>
+      Dedup.prefixFilterJaccardPairs(nearDupCorpus(documents(s, dir)),
+          "doc_id", "text", num = 4, den = 5, maxBucket = 64)
+        .select(col("a_id"), col("b_id"),
+          expr(text.fixedPoint("jaccard", 4)).as("jaccard_x10k"))
+        .orderBy("a_id", "b_id")
+    },
+
     Q("q_dedup_minhash",
       "MinHash LSH candidate pairs: 16-value signatures over 3-gram shingle " +
         "hashes, 4 bands x 4 rows; pairs sharing >= 1 band. THE near-dup shuffle " +

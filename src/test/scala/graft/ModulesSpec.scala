@@ -1173,6 +1173,52 @@ class ModulesSpec extends AnyFunSuite {
       sigs.select(col("sig_geom")).head().getLong(0) == 16L * 100000L + 3L)
   }
 
+  test("prefix-filter Jaccard join: lossless vs brute force, exact rational boundary, cap, null/empty semantics") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // losslessness (the prefix lemma): on a corpus with NO cap engaged,
+    // the prefix-filtered join must return EXACTLY the brute-force pairs —
+    // not a superset (verification broken), not a subset (prefix too short)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val docs = (1 to 30).map { i =>
+      // deterministic overlapping windows over the vocab, varying lengths
+      val toks = (0 until (3 + i % 5)).map(j => vocab((i + j * j) % vocab.size))
+      (i.toLong, toks.mkString(" "))
+    }
+    val got = Dedup.prefixFilterJaccardPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", num = 4, den = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = docs.map { case (id, t) => id -> TextSig.shingleHashes(t, 1).toSet }
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      if (sa & sb).size * 5 >= (sa | sb).size * 4
+    } yield (ia, ib)).toSet
+    assert(want.nonEmpty && got == want,
+      s"prefix filter not lossless: missing ${want -- got}, extra ${got -- want}")
+    // exact rational boundary: J = 4/5 exactly is KEPT (den*inter >= num*uni
+    // integer arithmetic — a double 0.8 comparison is engine-dependent here)
+    val edge = Seq((1L, "a b c d"), (2L, "a b c d e"),
+        (3L, null.asInstanceOf[String]), (4L, ""), (5L, " ")).toDF("doc_id", "text")
+    val ep = Dedup.prefixFilterJaccardPairs(edge, "doc_id", "text", 4, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // null text (3) never pairs; empty/whitespace texts (4, 5) both hash to
+    // the {0} singleton set and pair at J = 1 — documented, engine-mirrored
+    assert(ep == Set((1L, 2L, 0.8), (4L, 5L, 1.0)), s"edge pairs: $ep")
+    // maxBucket: 70 one-token docs share one prefix bucket > cap — dropped
+    // (their 2415 J=1 pairs are the boilerplate-mega-bucket shape); the
+    // 2-doc bucket stays exact
+    val hot = ((1 to 70).map(i => (i.toLong, "hot")) ++
+      Seq((71L, "cold stream"), (72L, "cold stream"))).toDF("doc_id", "text")
+    val capped = Dedup.prefixFilterJaccardPairs(hot, "doc_id", "text", 4, 5,
+        maxBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((71L, 72L)), s"capped pairs: $capped")
+    val uncapped = Dedup.prefixFilterJaccardPairs(hot, "doc_id", "text", 4, 5)
+      .count()
+    assert(uncapped == 70L * 69 / 2 + 1, s"uncapped pair count: $uncapped")
+  }
+
   test("ledger fingerprint distinguishes even-multiplicity slices; mixed-geometry hamming never cross-pairs") {
     import spark.implicits._
     import graft.operators.Dedup
