@@ -47,6 +47,24 @@ object Dedup {
       .agg(min(col(keyCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .drop(textCol)
 
+  /** Deterministically release a localCheckpoint'd frame's persisted
+    * blocks (r13): `Dataset.unpersist` goes through the CacheManager and
+    * no-ops on checkpoints, so without this the blocks live until the
+    * driver GCs the frame and the ContextCleaner gets around to it — an
+    * operator that checkpoints per call (clusters, pqFit) would pin one
+    * copy of its largest intermediate per invocation in executor storage
+    * between GCs. Callers may only release frames the RETURNED plan no
+    * longer references (a released checkpoint cannot recompute — its
+    * lineage is truncated by construction). No-op on non-checkpoint
+    * frames, so round-1 loop bodies can release their uncheckpointed
+    * seed unconditionally. */
+  private[graft] def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Block keys whose bucket holds more than `maxBucket` rows — the
     * mega-buckets a cap excludes. Map-side-combinable aggregate whose
     * output is only the OVERSIZED keys, which are by definition few (each
@@ -1017,8 +1035,18 @@ object Dedup {
     // projection over the leaf (narrow, recomputed per round for less
     // than a second cache's bookkeeping), and every round plans against a
     // leaf table. Same executor-memory persistence and fault story the
-    // loop's own per-round checkpoints already accept.
+    // loop's own per-round checkpoints already accept; the blocks are
+    // released deterministically on every exit path (the try/finally
+    // below) — the returned plan reads only the final labels checkpoint,
+    // never p.
     val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
+    try clustersOverCheckpointedPairs(ids, idCol, p, maxIter)
+    finally releaseLocalCheckpoint(p)
+  }
+
+  private def clustersOverCheckpointedPairs(ids: DataFrame, idCol: String,
+                                            p: DataFrame,
+                                            maxIter: Int): DataFrame = {
     val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(p.select(col("b_id").as("src"), col("a_id").as("dst")))
     // propagate only over the pair graph's vertex set: every id NOT in a
@@ -1072,6 +1100,11 @@ object Dedup {
         .head().getDecimal(0)
       converged = s != null && prevSum != null && s.compareTo(prevSum) == 0
       prevSum = s
+      // next's blocks are fully materialized by the sum action above, so
+      // the previous round's checkpoint is no longer read by any future
+      // job — release it now instead of waiting for driver GC (no-op on
+      // round 1, whose seed labels are uncheckpointed)
+      releaseLocalCheckpoint(labels)
       labels = next
       iter += 1
     }

@@ -218,7 +218,12 @@ object Quantize {
         .setFeaturesCol("__features")
         .fit(sub).clusterCenters.map(_.toArray)
     } }
-    Await.result(Future.sequence(fits), Duration.Inf).toArray
+    // the codebooks are driver arrays, so nothing references the fit
+    // corpus after this returns — release its checkpoint blocks
+    // deterministically (incl. on a failed fit) rather than leaving one
+    // corpus copy pinned per pqFit call until driver GC
+    try Await.result(Future.sequence(fits), Duration.Inf).toArray
+    finally Dedup.releaseLocalCheckpoint(clean)
   }
 
   /** nearest-centroid id for one subvector (ties → lowest id; exact

@@ -343,24 +343,30 @@ object EventsStream {
           }
           // a flood member matching no rep re-seeds its flood's rep slot
           // (promotion emits nothing — there was nothing to verify
-          // against); a matching arrival is NOT stored, and a PURE
-          // redelivery of a row that already holds a slot (same id,
+          // against); a matching NEW-id arrival is NOT stored, and a
+          // PURE redelivery of a row that already holds a slot (same id,
           // same content, no fresher ts) is a no-op — an at-least-once
           // source retrying one outlier must not exhaust maxReps and
           // blind the flood. A same-id arrival carrying updated content
           // or a fresher ts refreshes its slot IN PLACE (regardless of
-          // capacity): the rep represents that row, and a stale stored
-          // ts would expire the slot early.
-          if (!matched) {
-            val en = entryOf(t)
-            val iSame = entries.indexWhere(r => d.idOf(r) == d.idOf(en))
-            if (iSame >= 0) {
-              val old = entries(iSame)
-              if (entryTs(en) > entryTs(old) ||
-                  (entryTs(en) == entryTs(old) && !sameEntry(old, en)))
-                entries = entries.updated(iSame, en)
-            } else if (entries.size < d.maxReps) entries = entries :+ en
-          }
+          // capacity OR of whether it verified against another rep):
+          // the rep represents that row, and a stale stored content/ts
+          // would blind future matches and expire the slot early.
+          val en = entryOf(t)
+          val iSame = entries.indexWhere(r => d.idOf(r) == d.idOf(en))
+          if (iSame >= 0) {
+            // the same-id refresh must NOT be gated on `matched`: an
+            // updated row that happens to verify against some OTHER rep
+            // still represents its own slot, and skipping the refresh
+            // would keep the stale content (future arrivals can't match
+            // the update) and the stale ts (early eviction) — the exact
+            // divergence the (id, content, ts) guard exists to prevent
+            val old = entries(iSame)
+            if (entryTs(en) > entryTs(old) ||
+                (entryTs(en) == entryTs(old) && !sameEntry(old, en)))
+              entries = entries.updated(iSame, en)
+          } else if (!matched && entries.size < d.maxReps)
+            entries = entries :+ en
         }
       }
       if (entries.isEmpty && !saturated) state.remove()

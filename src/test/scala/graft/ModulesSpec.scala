@@ -1631,8 +1631,8 @@ class ModulesSpec extends AnyFunSuite {
     val rest = corpus.filter(col("vec_id") >= 10)
     val cb = Quantize.pqFit(rest.filter(col("vec_id") % 4 === 1), "emb",
       dim = 64, m = 8, nCentroids = 16, maxIter = 2)
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_pqjoin").toString + "/store"
+    val base = java.nio.file.Files.createTempDirectory("graft_pqjoin").toString
+    val dir = base + "/store"
     Quantize.pqEncode(rest, "emb", cb).write.parquet(dir)
     val store = spark.read.parquet(dir)
     def rows(df: org.apache.spark.sql.DataFrame) =
@@ -1691,6 +1691,7 @@ class ModulesSpec extends AnyFunSuite {
         store, "vec_id", "emb", k = 3)
     }
     assert(ed.getMessage.contains("duplicate query_id"), ed.getMessage)
+    graft.sources.Maintenance.deleteLocalTree(spark, base)
   }
 
   test("IVF store: list_id-layout compaction preserves rows, token, and batch serving") {
