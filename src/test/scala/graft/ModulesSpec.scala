@@ -2158,6 +2158,80 @@ class ModulesSpec extends AnyFunSuite {
       s"outlier forged an edge: $got")
   }
 
+  test("streaming star tier: a same-id update refreshes its rep slot even when it matches another rep") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The r13 review fix: the same-id refresh was gated on the arrival
+    // matching NO rep, so an updated row that happened to verify against
+    // some OTHER rep kept its stale content in its own slot — future
+    // arrivals near the UPDATE could not match it and were silently
+    // promoted instead of pairing. Geometry 64/4; all fps live in chunk 3
+    // (bits 48-63), so every row shares the three zero chunk buckets.
+    val fpA = 0L                    // rep 1's original content
+    val fpB = 0xFFL << 48           // rep 2 (hamming 8 vs fpA — diverse)
+    val fpC = fpB ^ (1L << 56)      // id 1's UPDATE: 1 bit from fpB, 9 from fpA
+    val fpD = fpC ^ (1L << 57) ^ (1L << 58) ^ (1L << 59)
+    // fpD: hamming 3 vs fpC (matches the refreshed slot), 4 vs fpB and
+    // 12 vs fpA (matches nothing under the stale content)
+    val mem = MemoryStream[(Timestamp, Long, Long)]
+    val df = mem.toDF().toDF("ts", "id", "fp")
+    val q = EventsStream.nearDupStream(df, "id", "fp",
+        bits = 64, chunks = 4, maxHamming = 3, maxBucket = 2,
+        salvageRep = true)
+      .writeStream.format("memory").queryName("star_refresh").start()
+    // saturate: [1 (fpA), 2 (fpB), 3 (near fpA)] -> pre-sat pair (1,3),
+    // greedy reps = [1 (fpA), 2 (fpB)]
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, fpA),
+      (Timestamp.valueOf("2024-01-01 10:00:01"), 2L, fpB),
+      (Timestamp.valueOf("2024-01-01 10:00:02"), 3L, 1L << 48))
+    q.processAllAvailable()
+    // id 1 redelivered with UPDATED content at a fresher ts: it verifies
+    // against rep 2 (pair (1,2), hamming 1) AND must still refresh its
+    // own slot to fpC — the pre-fix code skipped the refresh here
+    mem.addData((Timestamp.valueOf("2024-01-01 10:00:05"), 1L, fpC))
+    q.processAllAvailable()
+    // the witness: near the UPDATE, far from both original reps — pairs
+    // with the refreshed slot (pre-fix: matched nothing, silent promote)
+    mem.addData((Timestamp.valueOf("2024-01-01 10:00:06"), 4L, fpD))
+    q.processAllAvailable()
+    val got = spark.table("star_refresh").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)), r.getInt(2))).distinct.toSet
+    q.stop()
+    assert(got == Set((1L, 3L, 1), (1L, 2L, 1), (1L, 4L, 3)), s"got $got")
+  }
+
+  test("clusters and pqFit release their checkpoint blocks deterministically") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Quantize}
+    // The r13 cache->localCheckpoint migrations must not trade the
+    // planning-tax win for unbounded executor storage: checkpoint blocks
+    // bypass Dataset.unpersist, so the operators release them explicitly.
+    // getPersistentRDDs tracks exactly these blocks.
+    def live(): Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val before = live()
+    // pqFit returns driver arrays — NOTHING may stay persisted after it
+    val corpus = (1 to 64).map(i =>
+      (i.toLong, Seq.tabulate(16)(j => ((i * 31 + j * 7) % 13).toDouble)))
+      .toDF("vec_id", "emb")
+    Quantize.pqFit(corpus, "emb", dim = 16, m = 2, nCentroids = 4, maxIter = 2)
+    assert((live() -- before).isEmpty,
+      s"pqFit leaked persisted RDDs: ${live() -- before}")
+    // clusters returns a lazy frame over its FINAL label checkpoint; the
+    // pair table and every superseded round must be released — at most
+    // one persisted RDD (the final labels) may remain after consumption
+    val ids = (1L to 12L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (6L, 7L), (7L, 8L))
+      .toDF("a_id", "b_id")
+    val out = Dedup.clusters(ids, "id", pairs)
+    assert(out.count() == 12)
+    val leaked = live() -- before
+    assert(leaked.size <= 1,
+      s"clusters left ${leaked.size} persisted RDDs (pair table or " +
+        s"superseded rounds not released): $leaked")
+  }
+
   test("streaming star tier: duplicate redeliveries cannot exhaust the rep slots") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
