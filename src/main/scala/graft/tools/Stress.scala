@@ -59,6 +59,7 @@ object Stress {
     // name would record an incomplete measurement as if it were the suite
     val workloadNames = Set("star_join_agg", "join_window_latest",
       "dedup_exact", "dedup_minhash_pairs", "dedup_minhash_capped",
+      "prefix_filter_pairs", "prefix_filter_capped",
       "dedup_minhash_salvaged", "segment_dedup", "classifier_score",
       "kmeans_assign", "dedup_embed_capped", "dedup_embed_salvaged",
       "scrub_kernels", "collocation_window_pairs",
@@ -152,6 +153,27 @@ object Stress {
       graft.operators.Dedup
         .minhashLshPairs(docs, "doc_id", "text", k = 16, bands = 4,
           shingleN = 3, maxBucket = math.max(2, m / 2))
+        .count()
+    }
+
+    // prefix-filtered exact Jaccard join (r13) over the same M-way
+    // corpus: each doc's M identical copies share every prefix token, so
+    // the true pair set grows M² per doc like the uncapped LSH row —
+    // this measures the lossless join's slope where candidate volume is
+    // genuinely quadratic (the df rank and window stay linear in corpus)
+    measure("prefix_filter_pairs", docRows) {
+      graft.operators.Dedup
+        .prefixFilterJaccardPairs(docs, "doc_id", "text", num = 4, den = 5)
+        .count()
+    }
+
+    // and with the mega-bucket cap below M: every copy group's prefix
+    // buckets exceed the cap and drop, so wall-clock should fall back to
+    // the linear rank/window floor — the boilerplate defense on this face
+    measure("prefix_filter_capped", docRows) {
+      graft.operators.Dedup
+        .prefixFilterJaccardPairs(docs, "doc_id", "text", num = 4, den = 5,
+          maxBucket = math.max(2, m / 2))
         .count()
     }
 
