@@ -167,13 +167,16 @@ object Stress {
         .count()
     }
 
-    // and with the mega-bucket cap below M: every copy group's prefix
-    // buckets exceed the cap and drop, so wall-clock should fall back to
-    // the linear rank/window floor — the boilerplate defense on this face
+    // and with the mega-bucket cap STRICTLY below M (min(m-1, …): at
+    // M=2 a max(2, m/2) cap would equal the copy-group bucket size and
+    // silently measure the uncapped join as if it were capped — the
+    // oversize filter is strict >): every copy group's prefix buckets
+    // exceed the cap and drop, so wall-clock should fall back to the
+    // linear rank/window floor — the boilerplate defense on this face
     measure("prefix_filter_capped", docRows) {
       graft.operators.Dedup
         .prefixFilterJaccardPairs(docs, "doc_id", "text", num = 4, den = 5,
-          maxBucket = math.max(2, m / 2))
+          maxBucket = math.min(m - 1, math.max(2, m / 2)))
         .count()
     }
 
