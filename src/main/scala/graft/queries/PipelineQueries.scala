@@ -235,6 +235,21 @@ object PipelineQueries {
   private val EsKey =
     s"(- ln((($mixDoc) + 1.0) / 1000000008.0) / greatest(n_chars, 1))"
 
+  /** The unigram-LM Viterbi's suffix-best DP, unrolled: round k's best
+    * covers every position within k pieces of the word end (pieces
+    * advance >= 1 char, words cap at 12, so 12 rounds converge). Pure
+    * ANSI over the staged `cand`/`dbase` tables — ONE string renders in
+    * both engines, so the DP recurrence cannot drift between them. Each
+    * round is a full recomputation against the previous (monotone
+    * nondecreasing, vocab-word-sized), never an in-place update. */
+  private def unigramDpRounds(n: Int): String = (1 to n).map { k =>
+    s"""d$k AS (SELECT w, pos, best FROM dbase
+       |  UNION ALL
+       |  SELECT c.w, c.pos, max(c.lp + b.best) AS best
+       |  FROM cand c JOIN d${k - 1} b ON b.w = c.w AND b.pos = c.pos + c.L
+       |  GROUP BY c.w, c.pos)""".stripMargin
+  }.mkString(",\n")
+
   /** BM25 score over staged columns (tf1..tf3, dl, n, avgdl, df1..df3),
     * k1=1.2 b=0.75, quantized x10k. Pure ANSI arithmetic — the identical
     * string renders in both engines, summed in fixed term order so float
@@ -3921,6 +3936,135 @@ object PipelineQueries {
         .agg(sum("c").cast("long").as("n_occurrences"),
           count(lit(1)).as("n_sites"))
         .select(col("piece").as("tok"), col("n_occurrences"), col("n_sites"))
+        .orderBy(desc("n_occurrences"), col("tok"))
+        .limit(25)
+    },
+
+    Q("q_unigram_tokenizer",
+      "Unigram-LM tokenizer (the SentencePiece-family third member of " +
+        "the trio, next to q_bpe_train's merge ranks and q_wordpiece's " +
+        "greedy longest-match): SAME vocab constructor as q_wordpiece " +
+        "(every corpus char + top-40 2..4-char substrings), but " +
+        "segmentation is the GLOBAL max-likelihood path — Viterbi over " +
+        "per-piece log-probabilities ln(score/total) quantized x1e6 " +
+        "(the q_weighted_sample libm-ln caveat class; sums of the " +
+        "quantized integers are then exact, and every argmax carries " +
+        "the (sum desc, len desc, piece) tie-break so the chosen path " +
+        "is unique in both engines). The DP is RELATIONAL: suffix-best " +
+        "is 12 unrolled Bellman rounds (words cap at 12 chars, each " +
+        "piece advances >= 1), one engine-shared ANSI string per round, " +
+        "then reconstruction reuses q_wordpiece's functional-graph " +
+        "frontier hops over the per-position argmax. Scale shape: the " +
+        "corpus pays ONE map-side-combined word count; every DP table " +
+        "is vocab-word-sized; candidates checkpoint once and the 12 " +
+        "rounds join against that leaf",
+      Some(s"""WITH RECURSIVE
+              |wf AS (SELECT w, count(*) AS c FROM (
+              |  SELECT unnest(${text.tokens(D, "text")}) AS w FROM documents)
+              |  WHERE length(w) <= 12 GROUP BY w),
+              |pc AS (SELECT substr(w, i, L) AS p, CAST(sum(c) AS BIGINT) AS score
+              |       FROM wf, unnest(generate_series(1, 4)) AS ls(L),
+              |            unnest(generate_series(1, length(w) - L + 1)) AS ps(i)
+              |       GROUP BY p),
+              |tp AS (SELECT p, score FROM pc WHERE length(p) >= 2
+              |       ORDER BY score DESC, p LIMIT 40),
+              |chv AS (SELECT p, score FROM pc WHERE length(p) = 1),
+              |vocab AS (SELECT p, score FROM tp UNION ALL SELECT p, score FROM chv),
+              |tot AS (SELECT CAST(sum(score) AS BIGINT) AS total FROM vocab),
+              |vl AS (SELECT p,
+              |         ${text.fixedPoint("ln(CAST(score AS DOUBLE) / total)", 6)} AS lp
+              |       FROM vocab, tot),
+              |cand AS (SELECT wf.w, wf.c, ps.i - 1 AS pos, ls.L, vl.lp, vl.p
+              |         FROM wf, unnest(generate_series(1, 4)) AS ls(L),
+              |              unnest(generate_series(1, length(w))) AS ps(i), vl
+              |         WHERE ps.i - 1 + ls.L <= length(w)
+              |           AND vl.p = substr(w, ps.i, ls.L)),
+              |dbase AS (SELECT w, length(w) AS pos, CAST(0 AS BIGINT) AS best
+              |          FROM wf),
+              |d0 AS (SELECT * FROM dbase),
+              |${unigramDpRounds(12)},
+              |chosen AS (SELECT w, c, pos, L, p FROM (
+              |             SELECT c.w, c.c, c.pos, c.L, c.p,
+              |               row_number() OVER (PARTITION BY c.w, c.pos
+              |                 ORDER BY c.lp + b.best DESC, c.L DESC, c.p) AS rn
+              |             FROM cand c JOIN d12 b
+              |               ON b.w = c.w AND b.pos = c.pos + c.L)
+              |           WHERE rn = 1),
+              |reach AS (SELECT w, 0 AS pos FROM wf
+              |          UNION ALL
+              |          SELECT r.w, r.pos + s.L FROM reach r
+              |          JOIN chosen s ON s.w = r.w AND s.pos = r.pos
+              |          WHERE r.pos + s.L < length(r.w))
+              |SELECT s.p AS tok, CAST(sum(s.c) AS BIGINT) AS n_occurrences,
+              |  count(*) AS n_sites
+              |FROM reach r JOIN chosen s ON s.w = r.w AND s.pos = r.pos
+              |GROUP BY tok ORDER BY n_occurrences DESC, tok
+              |LIMIT 25""".stripMargin)) { (s, dir) =>
+      // one corpus word count, checkpointed: pc, cand, dbase and the
+      // reach seed all read it — without the leaf the corpus agg subtree
+      // replicates 13+ times through the DP unroll
+      val wf = documents(s, dir)
+        .select(explode(expr(text.tokens(S, "text"))).as("w"))
+        .filter(length(col("w")) <= 12)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val pc = wf
+        .select(col("w"), col("c"), explode(expr("sequence(1, 4)")).as("L"))
+        .filter(length(col("w")) >= col("L"))
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - L + 1), i -> substr(w, i, L))"))
+          .as("p"), col("c"))
+        .groupBy("p").agg(sum("c").cast("long").as("score"))
+      val tp = pc.filter(length(col("p")) >= 2)
+        .orderBy(desc("score"), col("p")).limit(40)
+      val vocab = tp.unionByName(pc.filter(length(col("p")) === 1))
+      val vl = vocab
+        .crossJoin(broadcast(vocab.agg(sum("score").cast("long").as("total"))))
+        .select(col("p"),
+          expr(text.fixedPoint("ln(CAST(score AS DOUBLE) / total)", 6)).as("lp"))
+      // checkpointed: the 12 DP rounds and the argmax all re-join the
+      // candidate table (the q_wordpiece best-table lesson)
+      val cand = wf
+        .select(col("w"), col("c"),
+          explode(expr("sequence(0, length(w) - 1)")).as("pos"))
+        .select(col("w"), col("c"), col("pos"),
+          explode(expr("sequence(1, 4)")).as("L"))
+        .filter(col("pos") + col("L") <= length(col("w")))
+        .withColumn("p", expr("substr(w, pos + 1, L)"))
+        .join(broadcast(vl), "p")
+        .localCheckpoint(true)
+      val dbase = wf.select(col("w"), length(col("w")).as("pos"),
+        lit(0L).as("best"))
+      var best = dbase
+      for (_ <- 1 to 12) {
+        best = dbase.unionByName(cand
+          .join(best.select(col("w").as("bw"), col("pos").as("bpos"),
+            col("best")),
+            col("w") === col("bw") && col("bpos") === col("pos") + col("L"))
+          .groupBy("w", "pos").agg(max(col("lp") + col("best")).as("best")))
+      }
+      val chosen = cand
+        .join(best.select(col("w").as("bw"), col("pos").as("bpos"),
+          col("best")),
+          col("w") === col("bw") && col("bpos") === col("pos") + col("L"))
+        .withColumn("rn", row_number().over(Window.partitionBy("w", "pos")
+          .orderBy((col("lp") + col("best")).desc, col("L").desc, col("p"))))
+        .filter(col("rn") === 1)
+        .select("w", "c", "pos", "L", "p")
+        .localCheckpoint(true)
+      var frontier = wf.select(col("w"), lit(0).as("pos"))
+      var reach = frontier
+      for (_ <- 1 to 11) {
+        frontier = frontier.join(chosen, Seq("w", "pos"))
+          .select(col("w"), (col("pos") + col("L")).as("pos"))
+          .filter(col("pos") < length(col("w")))
+        reach = reach.union(frontier)
+      }
+      reach.join(chosen, Seq("w", "pos"))
+        .groupBy("p")
+        .agg(sum("c").cast("long").as("n_occurrences"),
+          count(lit(1)).as("n_sites"))
+        .select(col("p").as("tok"), col("n_occurrences"), col("n_sites"))
         .orderBy(desc("n_occurrences"), col("tok"))
         .limit(25)
     },
