@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -234,6 +235,40 @@ object PipelineQueries {
     * strings interpolate it EAGERLY — a later val is still null there.) */
   private val EsKey =
     s"(- ln((($mixDoc) + 1.0) / 1000000008.0) / greatest(n_chars, 1))"
+
+  /** The tokenizer family's word-length cap — ONE constant feeding the
+    * q_wordpiece / q_unigram_tokenizer word filters (both engines' twins
+    * interpolate it), the unigram DP round count, and both frontier-hop
+    * loops. Raising the cap in one place raises every bound together; a
+    * split value would truncate one engine's segmentation and surface
+    * only as an oracle hash mismatch. */
+  private val MaxWordLen = 12
+
+  /** Corpus word-frequency table (w, c), words capped at [[MaxWordLen]] —
+    * the one corpus-sized pass both trained tokenizers start from. */
+  private def wordFreq(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(explode(expr(text.tokens(S, "text"))).as("w"))
+      .filter(length(col("w")) <= MaxWordLen)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+
+  /** Shared segmentation reconstruction (q_wordpiece's functional-graph
+    * frontier walk): from pos 0, repeatedly advance by `advCol` of the
+    * per-(w, pos) `step` table. MaxWordLen−1 hops past position 0 cover
+    * every reachable position (each step advances ≥ 1 char); later hops
+    * would be empty joins. Returns the (w, pos) reach set. */
+  private def frontierReach(wf: DataFrame, step: DataFrame,
+                            advCol: String): DataFrame = {
+    var frontier = wf.select(col("w"), lit(0).as("pos"))
+    var reach = frontier
+    for (_ <- 1 until MaxWordLen) {
+      frontier = frontier.join(step, Seq("w", "pos"))
+        .select(col("w"), (col("pos") + col(advCol)).as("pos"))
+        .filter(col("pos") < length(col("w")))
+      reach = reach.union(frontier)
+    }
+    reach
+  }
 
   /** The unigram-LM Viterbi's suffix-best DP, unrolled: round k's best
     * covers every position within k pieces of the word end (pieces
@@ -3865,7 +3900,7 @@ object PipelineQueries {
       Some(s"""WITH RECURSIVE
               |wf AS (SELECT w, count(*) AS c FROM (
               |  SELECT unnest(${text.tokens(D, "text")}) AS w FROM documents)
-              |  WHERE length(w) <= 12 GROUP BY w),
+              |  WHERE length(w) <= $MaxWordLen GROUP BY w),
               |pc AS (SELECT substr(w, i, L) AS p, sum(c) AS score
               |       FROM wf, unnest(generate_series(2, 4)) AS ls(L),
               |            unnest(generate_series(1, length(w) - L + 1)) AS ps(i)
@@ -3891,10 +3926,7 @@ object PipelineQueries {
               |FROM reach r JOIN best b ON b.w = r.w AND b.pos = r.pos
               |GROUP BY tok ORDER BY n_occurrences DESC, tok
               |LIMIT 25""".stripMargin)) { (s, dir) =>
-      val wf = documents(s, dir)
-        .select(explode(expr(text.tokens(S, "text"))).as("w"))
-        .filter(length(col("w")) <= 12)
-        .groupBy("w").agg(count(lit(1)).as("c"))
+      val wf = wordFreq(s, dir)
       val top = wf
         .select(col("w"), col("c"), explode(expr("sequence(2, 4)")).as("L"))
         .filter(length(col("w")) >= col("L"))
@@ -3921,17 +3953,7 @@ object PipelineQueries {
         .groupBy("w", "c", "pos").agg(max("L").as("best_len"))
         .withColumn("piece", expr("substr(w, pos + 1, best_len)"))
         .localCheckpoint(true)
-      var frontier = wf.select(col("w"), lit(0).as("pos"))
-      var reach = frontier
-      // <= 12-char words and >= 1 char per hop: 11 hops past pos 0 cover
-      // every reachable position; later hops would be empty joins
-      for (_ <- 1 to 11) {
-        frontier = frontier.join(best, Seq("w", "pos"))
-          .select(col("w"), (col("pos") + col("best_len")).as("pos"))
-          .filter(col("pos") < length(col("w")))
-        reach = reach.union(frontier)
-      }
-      reach.join(best, Seq("w", "pos"))
+      frontierReach(wf, best, "best_len").join(best, Seq("w", "pos"))
         .groupBy("piece")
         .agg(sum("c").cast("long").as("n_occurrences"),
           count(lit(1)).as("n_sites"))
@@ -3961,7 +3983,7 @@ object PipelineQueries {
       Some(s"""WITH RECURSIVE
               |wf AS (SELECT w, count(*) AS c FROM (
               |  SELECT unnest(${text.tokens(D, "text")}) AS w FROM documents)
-              |  WHERE length(w) <= 12 GROUP BY w),
+              |  WHERE length(w) <= $MaxWordLen GROUP BY w),
               |pc AS (SELECT substr(w, i, L) AS p, CAST(sum(c) AS BIGINT) AS score
               |       FROM wf, unnest(generate_series(1, 4)) AS ls(L),
               |            unnest(generate_series(1, length(w) - L + 1)) AS ps(i)
@@ -3982,12 +4004,12 @@ object PipelineQueries {
               |dbase AS (SELECT w, length(w) AS pos, CAST(0 AS BIGINT) AS best
               |          FROM wf),
               |d0 AS (SELECT * FROM dbase),
-              |${unigramDpRounds(12)},
+              |${unigramDpRounds(MaxWordLen)},
               |chosen AS (SELECT w, c, pos, L, p FROM (
               |             SELECT c.w, c.c, c.pos, c.L, c.p,
               |               row_number() OVER (PARTITION BY c.w, c.pos
               |                 ORDER BY c.lp + b.best DESC, c.L DESC, c.p) AS rn
-              |             FROM cand c JOIN d12 b
+              |             FROM cand c JOIN d$MaxWordLen b
               |               ON b.w = c.w AND b.pos = c.pos + c.L)
               |           WHERE rn = 1),
               |reach AS (SELECT w, 0 AS pos FROM wf
@@ -4003,11 +4025,7 @@ object PipelineQueries {
       // one corpus word count, checkpointed: pc, cand, dbase and the
       // reach seed all read it — without the leaf the corpus agg subtree
       // replicates 13+ times through the DP unroll
-      val wf = documents(s, dir)
-        .select(explode(expr(text.tokens(S, "text"))).as("w"))
-        .filter(length(col("w")) <= 12)
-        .groupBy("w").agg(count(lit(1)).as("c"))
-        .localCheckpoint(true)
+      val wf = wordFreq(s, dir).localCheckpoint(true)
       val pc = wf
         .select(col("w"), col("c"), explode(expr("sequence(1, 4)")).as("L"))
         .filter(length(col("w")) >= col("L"))
@@ -4036,7 +4054,7 @@ object PipelineQueries {
       val dbase = wf.select(col("w"), length(col("w")).as("pos"),
         lit(0L).as("best"))
       var best = dbase
-      for (_ <- 1 to 12) {
+      for (_ <- 1 to MaxWordLen) {
         best = dbase.unionByName(cand
           .join(best.select(col("w").as("bw"), col("pos").as("bpos"),
             col("best")),
@@ -4052,15 +4070,7 @@ object PipelineQueries {
         .filter(col("rn") === 1)
         .select("w", "c", "pos", "L", "p")
         .localCheckpoint(true)
-      var frontier = wf.select(col("w"), lit(0).as("pos"))
-      var reach = frontier
-      for (_ <- 1 to 11) {
-        frontier = frontier.join(chosen, Seq("w", "pos"))
-          .select(col("w"), (col("pos") + col("L")).as("pos"))
-          .filter(col("pos") < length(col("w")))
-        reach = reach.union(frontier)
-      }
-      reach.join(chosen, Seq("w", "pos"))
+      frontierReach(wf, chosen, "L").join(chosen, Seq("w", "pos"))
         .groupBy("p")
         .agg(sum("c").cast("long").as("n_occurrences"),
           count(lit(1)).as("n_sites"))
