@@ -208,8 +208,10 @@ object Dedup {
     * IEEE binary (0.8·5 rounds above 4) but 4 in DuckDB's DECIMAL
     * arithmetic, an engine-semantics trap the rational form removes.
     *
-    * Scale (100 TB): the document-frequency table is vocab-sized and
-    * broadcast; the rarest-first rank is one window partitioned by doc
+    * Scale (100 TB): the document-frequency table is vocab-sized, with
+    * the broadcast-vs-shuffle choice left to AQE (a word-level vocab at
+    * web scale can outgrow the broadcast ceiling); the rarest-first rank
+    * is one window partitioned by doc
     * (rows per partition = |token set|, bounded by doc length); the
     * candidate join shuffles only prefix rows keyed by token. Residual
     * skew — a "rare" token that is still hot, or near-empty docs whose
@@ -251,10 +253,13 @@ object Dedup {
     val ex = tk.filter(col("ts").isNotNull)
       .select(col("id"), size(col("ts")).cast("long").as("sz"),
         explode(col("ts")).as("tok"))
-    // document frequency per token — vocab-sized, broadcast to the rank
+    // document frequency per token — no strategy hint: a word-level vocab
+    // at web scale can exceed the broadcast ceiling, so AQE picks broadcast
+    // vs shuffle-hash from the observed aggregate size (the bigram-table
+    // precedent); at test scale AQE still broadcasts it
     val dfreq = ex.groupBy("tok").agg(count(lit(1)).as("dfreq"))
     val w = Window.partitionBy("id").orderBy(col("dfreq"), col("tok"))
-    val pref = ex.join(broadcast(dfreq), Seq("tok"))
+    val pref = ex.join(dfreq, Seq("tok"))
       .withColumn("pos", row_number().over(w).cast("long"))
       // p = sz − ⌈num·sz/den⌉ + 1, all integer
       .filter(col("pos") <=
@@ -267,8 +272,14 @@ object Dedup {
           .select(col("tok").as("__over_tok"))
         pref.join(broadcast(over), col("tok") === col("__over_tok"), "left_anti")
       }
-    val a = bounded.as("a")
-    val b = bounded.as("b")
+    // shuffle_hash on every corpus-sized side, same rationale as
+    // [[pairJoin]]: both self-join sides are prefix rows of the whole
+    // corpus and the tk verification sides carry the UDF-backed token-set
+    // arrays — letting stats broadcast one evaluates the UDF chain
+    // single-threaded on the driver (measured 4x at small scale), and at
+    // 100 TB the corpus can't be broadcast at all
+    val a = bounded.as("a").hint("shuffle_hash")
+    val b = bounded.as("b").hint("shuffle_hash")
     val cand = a.join(b,
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
           least(col("a.sz"), col("b.sz")) * den >=
@@ -277,8 +288,10 @@ object Dedup {
       .distinct()
     // exact verification over the full token sets — candidate-sized joins
     cand
-      .join(tk.select(col("id").as("a_id"), col("ts").as("a_ts")), Seq("a_id"))
-      .join(tk.select(col("id").as("b_id"), col("ts").as("b_ts")), Seq("b_id"))
+      .join(tk.select(col("id").as("a_id"), col("ts").as("a_ts"))
+        .hint("shuffle_hash"), Seq("a_id"))
+      .join(tk.select(col("id").as("b_id"), col("ts").as("b_ts"))
+        .hint("shuffle_hash"), Seq("b_id"))
       .withColumn("inter", size(array_intersect(col("a_ts"), col("b_ts"))).cast("long"))
       .withColumn("uni", size(array_union(col("a_ts"), col("b_ts"))).cast("long"))
       .filter(col("inter") * den >= col("uni") * num)

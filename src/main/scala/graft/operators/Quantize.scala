@@ -221,9 +221,17 @@ object Quantize {
     // the codebooks are driver arrays, so nothing references the fit
     // corpus after this returns — release its checkpoint blocks
     // deterministically (incl. on a failed fit) rather than leaving one
-    // corpus copy pinned per pqFit call until driver GC
-    try Await.result(Future.sequence(fits), Duration.Inf).toArray
-    finally Dedup.releaseLocalCheckpoint(clean)
+    // corpus copy pinned per pqFit call until driver GC. Settle EVERY
+    // future before releasing (Future.sequence fails fast on the first
+    // error, but sibling fits may still be mid-job against the checkpoint
+    // blocks — releasing under them turns one clean KMeans failure into a
+    // cascade of confusing block-fetch errors), then rethrow the first
+    // failure in subspace order.
+    import scala.util.Try
+    val settled = Await.result(
+      Future.sequence(fits.map(f => f.transform(Try(_)))), Duration.Inf)
+    Dedup.releaseLocalCheckpoint(clean)
+    settled.map(_.get).toArray
   }
 
   /** nearest-centroid id for one subvector (ties → lowest id; exact

@@ -276,14 +276,126 @@ object PipelineQueries {
     * ANSI over the staged `cand`/`dbase` tables — ONE string renders in
     * both engines, so the DP recurrence cannot drift between them. Each
     * round is a full recomputation against the previous (monotone
-    * nondecreasing, vocab-word-sized), never an in-place update. */
-  private def unigramDpRounds(n: Int): String = (1 to n).map { k =>
-    s"""d$k AS (SELECT w, pos, best FROM dbase
+    * nondecreasing, vocab-word-sized), never an in-place update. Table
+    * names are parameters so q_unigram_train can run the SAME recurrence
+    * twice in one statement (pre- and post-EM vocab) without collisions;
+    * the defaults render q_unigram_tokenizer's original text verbatim. */
+  private def unigramDpRounds(n: Int, cand: String = "cand",
+                              dbase: String = "dbase",
+                              pfx: String = "d"): String = (1 to n).map { k =>
+    s"""$pfx$k AS (SELECT w, pos, best FROM $dbase
        |  UNION ALL
        |  SELECT c.w, c.pos, max(c.lp + b.best) AS best
-       |  FROM cand c JOIN d${k - 1} b ON b.w = c.w AND b.pos = c.pos + c.L
+       |  FROM $cand c JOIN $pfx${k - 1} b ON b.w = c.w AND b.pos = c.pos + c.L
        |  GROUP BY c.w, c.pos)""".stripMargin
   }.mkString(",\n")
+
+  /** One full Viterbi segmentation as a CTE chain (candidates, suffix-best
+    * DP, per-position argmax, frontier reach) against the vocab-log-prob
+    * table `vl` (columns p, lp), every table name suffixed `sfx` —
+    * q_unigram_tokenizer's segmentation stage, factored so
+    * q_unigram_train's oracle states the identical recurrence for both
+    * the pre-EM and post-EM vocab. Consumers read `chosen$sfx` (the
+    * per-(w, pos) step table) joined with `reach$sfx`.
+    *
+    * The multiply-referenced members are AS MATERIALIZED (DuckDB-only
+    * syntax — this string never reaches Spark): DuckDB inlines plain
+    * CTEs per reference, so without it `cand`/`chosen` re-evaluate once
+    * per DP round / per recursion step, and in the TWO-pass train query
+    * the round-B candidate table would re-run the entire round-A
+    * pipeline inside every Bellman round — measured minutes-vs-seconds
+    * at sf0.01. Spark needs no marker: the DataFrame twin localCheckpoints
+    * the same two tables. */
+  private def unigramSegSql(vl: String, sfx: String): String =
+    s"""cand$sfx AS MATERIALIZED (
+       |         SELECT wf.w, wf.c, ps.i - 1 AS pos, ls.L, v.lp, v.p
+       |         FROM wf, unnest(generate_series(1, 4)) AS ls(L),
+       |              unnest(generate_series(1, length(w))) AS ps(i), $vl v
+       |         WHERE ps.i - 1 + ls.L <= length(w)
+       |           AND v.p = substr(w, ps.i, ls.L)),
+       |dbase$sfx AS MATERIALIZED (
+       |          SELECT w, length(w) AS pos, CAST(0 AS BIGINT) AS best
+       |          FROM wf),
+       |${sfx}d0 AS (SELECT * FROM dbase$sfx),
+       |${unigramDpRounds(MaxWordLen, s"cand$sfx", s"dbase$sfx", s"${sfx}d")},
+       |chosen$sfx AS MATERIALIZED (SELECT w, c, pos, L, p FROM (
+       |             SELECT c.w, c.c, c.pos, c.L, c.p,
+       |               row_number() OVER (PARTITION BY c.w, c.pos
+       |                 ORDER BY c.lp + b.best DESC, c.L DESC, c.p) AS rn
+       |             FROM cand$sfx c JOIN ${sfx}d$MaxWordLen b
+       |               ON b.w = c.w AND b.pos = c.pos + c.L)
+       |           WHERE rn = 1),
+       |reach$sfx AS (SELECT w, 0 AS pos FROM wf
+       |          UNION ALL
+       |          SELECT r.w, r.pos + s.L FROM reach$sfx r
+       |          JOIN chosen$sfx s ON s.w = r.w AND s.pos = r.pos
+       |          WHERE r.pos + s.L < length(r.w))""".stripMargin
+
+  /** The Spark twin of [[unigramSegSql]]: stage per-(word, pos, L)
+    * candidates against the broadcast vocab log-probs (checkpointed once
+    * — the [[MaxWordLen]] DP rounds and the argmax all re-join that
+    * leaf), run the unrolled suffix-best Bellman rounds, and return the
+    * per-position argmax step table (w, c, pos, L, p), checkpointed for
+    * its two consumers (frontier walk + usage join). Extracted verbatim
+    * from q_unigram_tokenizer so both that query and q_unigram_train's
+    * two segmentation passes execute the identical plan shape. */
+  private def viterbiSegment(wf: DataFrame, vl: DataFrame): DataFrame = {
+    val cand = wf
+      .select(col("w"), col("c"),
+        explode(expr("sequence(0, length(w) - 1)")).as("pos"))
+      .select(col("w"), col("c"), col("pos"),
+        explode(expr("sequence(1, 4)")).as("L"))
+      .filter(col("pos") + col("L") <= length(col("w")))
+      .withColumn("p", expr("substr(w, pos + 1, L)"))
+      .join(broadcast(vl), "p")
+      .localCheckpoint(true)
+    val dbase = wf.select(col("w"), length(col("w")).as("pos"),
+      lit(0L).as("best"))
+    var best = dbase
+    for (_ <- 1 to MaxWordLen) {
+      best = dbase.unionByName(cand
+        .join(best.select(col("w").as("bw"), col("pos").as("bpos"),
+          col("best")),
+          col("w") === col("bw") && col("bpos") === col("pos") + col("L"))
+        .groupBy("w", "pos").agg(max(col("lp") + col("best")).as("best")))
+    }
+    cand
+      .join(best.select(col("w").as("bw"), col("pos").as("bpos"),
+        col("best")),
+        col("w") === col("bw") && col("bpos") === col("pos") + col("L"))
+      .withColumn("rn", row_number().over(Window.partitionBy("w", "pos")
+        .orderBy((col("lp") + col("best")).desc, col("L").desc, col("p"))))
+      .filter(col("rn") === 1)
+      .select("w", "c", "pos", "L", "p")
+      .localCheckpoint(true)
+  }
+
+  /** Initial unigram vocab (p, score): every corpus char + the top-40
+    * 2..4-char substrings by corpus-weighted count — the q_wordpiece
+    * constructor both trained-tokenizer queries start from. */
+  private def unigramVocab(wf: DataFrame): DataFrame = {
+    val pc = wf
+      .select(col("w"), col("c"), explode(expr("sequence(1, 4)")).as("L"))
+      .filter(length(col("w")) >= col("L"))
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - L + 1), i -> substr(w, i, L))"))
+        .as("p"), col("c"))
+      .groupBy("p").agg(sum("c").cast("long").as("score"))
+    pc.filter(length(col("p")) >= 2)
+      .orderBy(desc("score"), col("p")).limit(40)
+      .unionByName(pc.filter(length(col("p")) === 1))
+  }
+
+  /** Corpus-weighted usage of each chosen piece under a segmentation:
+    * walk the frontier reach of `chosen` and aggregate per piece —
+    * n_occurrences weights by word frequency (the EM expected count
+    * under the Viterbi-approximated posterior), n_sites counts distinct
+    * (word, position) sites. */
+  private def segUsage(wf: DataFrame, chosen: DataFrame): DataFrame =
+    frontierReach(wf, chosen, "L").join(chosen, Seq("w", "pos"))
+      .groupBy("p")
+      .agg(sum("c").cast("long").as("n_occurrences"),
+        count(lit(1)).as("n_sites"))
 
   /** BM25 score over staged columns (tf1..tf3, dl, n, avgdl, df1..df3),
     * k1=1.2 b=0.75, quantized x10k. Pure ANSI arithmetic — the identical
@@ -4022,58 +4134,110 @@ object PipelineQueries {
               |FROM reach r JOIN chosen s ON s.w = r.w AND s.pos = r.pos
               |GROUP BY tok ORDER BY n_occurrences DESC, tok
               |LIMIT 25""".stripMargin)) { (s, dir) =>
-      // one corpus word count, checkpointed: pc, cand, dbase and the
-      // reach seed all read it — without the leaf the corpus agg subtree
-      // replicates 13+ times through the DP unroll
+      // one corpus word count, checkpointed: the vocab count, cand, dbase
+      // and the reach seed all read it — without the leaf the corpus agg
+      // subtree replicates 13+ times through the DP unroll
       val wf = wordFreq(s, dir).localCheckpoint(true)
-      val pc = wf
-        .select(col("w"), col("c"), explode(expr("sequence(1, 4)")).as("L"))
-        .filter(length(col("w")) >= col("L"))
-        .select(explode(expr(
-          "transform(sequence(1, length(w) - L + 1), i -> substr(w, i, L))"))
-          .as("p"), col("c"))
-        .groupBy("p").agg(sum("c").cast("long").as("score"))
-      val tp = pc.filter(length(col("p")) >= 2)
-        .orderBy(desc("score"), col("p")).limit(40)
-      val vocab = tp.unionByName(pc.filter(length(col("p")) === 1))
+      val vocab = unigramVocab(wf)
       val vl = vocab
         .crossJoin(broadcast(vocab.agg(sum("score").cast("long").as("total"))))
         .select(col("p"),
           expr(text.fixedPoint("ln(CAST(score AS DOUBLE) / total)", 6)).as("lp"))
-      // checkpointed: the 12 DP rounds and the argmax all re-join the
-      // candidate table (the q_wordpiece best-table lesson)
-      val cand = wf
-        .select(col("w"), col("c"),
-          explode(expr("sequence(0, length(w) - 1)")).as("pos"))
-        .select(col("w"), col("c"), col("pos"),
-          explode(expr("sequence(1, 4)")).as("L"))
-        .filter(col("pos") + col("L") <= length(col("w")))
-        .withColumn("p", expr("substr(w, pos + 1, L)"))
-        .join(broadcast(vl), "p")
-        .localCheckpoint(true)
-      val dbase = wf.select(col("w"), length(col("w")).as("pos"),
-        lit(0L).as("best"))
-      var best = dbase
-      for (_ <- 1 to MaxWordLen) {
-        best = dbase.unionByName(cand
-          .join(best.select(col("w").as("bw"), col("pos").as("bpos"),
-            col("best")),
-            col("w") === col("bw") && col("bpos") === col("pos") + col("L"))
-          .groupBy("w", "pos").agg(max(col("lp") + col("best")).as("best")))
-      }
-      val chosen = cand
-        .join(best.select(col("w").as("bw"), col("pos").as("bpos"),
-          col("best")),
-          col("w") === col("bw") && col("bpos") === col("pos") + col("L"))
-        .withColumn("rn", row_number().over(Window.partitionBy("w", "pos")
-          .orderBy((col("lp") + col("best")).desc, col("L").desc, col("p"))))
-        .filter(col("rn") === 1)
-        .select("w", "c", "pos", "L", "p")
-        .localCheckpoint(true)
-      frontierReach(wf, chosen, "L").join(chosen, Seq("w", "pos"))
-        .groupBy("p")
-        .agg(sum("c").cast("long").as("n_occurrences"),
-          count(lit(1)).as("n_sites"))
+      segUsage(wf, viterbiSegment(wf, vl))
+        .select(col("p").as("tok"), col("n_occurrences"), col("n_sites"))
+        .orderBy(desc("n_occurrences"), col("tok"))
+        .limit(25)
+    },
+
+    Q("q_unigram_train",
+      "Unigram-LM tokenizer TRAINING — one relational EM round on top of " +
+        "q_unigram_tokenizer's segmentation (the SentencePiece " +
+        "distinguishing step the fixed-vocab query omits): E-step = the " +
+        "Viterbi segmentation under the initial substring-count scores " +
+        "(Viterbi-approximated posterior, the hard-EM standard), M-step = " +
+        "re-estimate each piece's score as its corpus-weighted usage in " +
+        "the chosen paths, PRUNE the bottom half of the multi-char vocab " +
+        "(top-20 of 40 by re-estimated usage; single chars always survive " +
+        "for coverage, exactly SentencePiece's protected base alphabet), " +
+        "then RE-SEGMENT under Laplace-smoothed log-probs " +
+        "ln((used+1)/(total+|V|)) — smoothing keeps never-chosen base " +
+        "chars finite. Both Viterbi passes are the SAME factored CTE " +
+        "chain/plan shape as q_unigram_tokenizer (engine-shared strings, " +
+        "x1e6-quantized log-probs, exact-integer DP sums, unique " +
+        "argmax tie-break). Scale shape: still ONE corpus word count; " +
+        "everything downstream is vocab-word-sized; each pass " +
+        "checkpoints its candidate table once and the usage/prune/" +
+        "re-score step between passes touches only the ~(40+chars)-row " +
+        "vocab",
+      Some(s"""WITH RECURSIVE
+              |wf AS MATERIALIZED (SELECT w, count(*) AS c FROM (
+              |  SELECT unnest(${text.tokens(D, "text")}) AS w FROM documents)
+              |  WHERE length(w) <= $MaxWordLen GROUP BY w),
+              |pc AS MATERIALIZED (
+              |       SELECT substr(w, i, L) AS p, CAST(sum(c) AS BIGINT) AS score
+              |       FROM wf, unnest(generate_series(1, 4)) AS ls(L),
+              |            unnest(generate_series(1, length(w) - L + 1)) AS ps(i)
+              |       GROUP BY p),
+              |tp AS (SELECT p, score FROM pc WHERE length(p) >= 2
+              |       ORDER BY score DESC, p LIMIT 40),
+              |chv AS (SELECT p, score FROM pc WHERE length(p) = 1),
+              |vocab AS MATERIALIZED (
+              |  SELECT p, score FROM tp UNION ALL SELECT p, score FROM chv),
+              |tot AS (SELECT CAST(sum(score) AS BIGINT) AS total FROM vocab),
+              |vl AS (SELECT p,
+              |         ${text.fixedPoint("ln(CAST(score AS DOUBLE) / total)", 6)} AS lp
+              |       FROM vocab, tot),
+              |${unigramSegSql("vl", "a")},
+              |usea AS (SELECT s.p, CAST(sum(s.c) AS BIGINT) AS used
+              |         FROM reacha r JOIN chosena s
+              |           ON s.w = r.w AND s.pos = r.pos
+              |         GROUP BY s.p),
+              |vj AS MATERIALIZED (
+              |       SELECT v.p, COALESCE(u.used, CAST(0 AS BIGINT)) AS used
+              |       FROM vocab v LEFT JOIN usea u ON u.p = v.p),
+              |mult2 AS (SELECT p, used FROM vj WHERE length(p) >= 2
+              |          ORDER BY used DESC, p LIMIT 20),
+              |vocab2 AS MATERIALIZED (
+              |           SELECT p, used FROM mult2
+              |           UNION ALL
+              |           SELECT p, used FROM vj WHERE length(p) = 1),
+              |tot2 AS (SELECT CAST(sum(used) AS BIGINT) AS total,
+              |                CAST(count(*) AS BIGINT) AS nv FROM vocab2),
+              |vl2 AS (SELECT p,
+              |          ${text.fixedPoint(
+                 "ln((CAST(used AS DOUBLE) + 1.0) / " +
+                   "(CAST(total AS DOUBLE) + CAST(nv AS DOUBLE)))", 6)} AS lp
+              |        FROM vocab2, tot2),
+              |${unigramSegSql("vl2", "b")}
+              |SELECT s.p AS tok, CAST(sum(s.c) AS BIGINT) AS n_occurrences,
+              |  count(*) AS n_sites
+              |FROM reachb r JOIN chosenb s ON s.w = r.w AND s.pos = r.pos
+              |GROUP BY tok ORDER BY n_occurrences DESC, tok
+              |LIMIT 25""".stripMargin)) { (s, dir) =>
+      val wf = wordFreq(s, dir).localCheckpoint(true)
+      val vocab = unigramVocab(wf)
+      val vl = vocab
+        .crossJoin(broadcast(vocab.agg(sum("score").cast("long").as("total"))))
+        .select(col("p"),
+          expr(text.fixedPoint("ln(CAST(score AS DOUBLE) / total)", 6)).as("lp"))
+      // E-step: corpus-weighted piece usage under the Viterbi paths
+      val use1 = segUsage(wf, viterbiSegment(wf, vl))
+        .select(col("p"), col("n_occurrences").as("used"))
+      // M-step: re-score by usage, prune the bottom multi-char slice;
+      // single chars are the protected base alphabet
+      val vj = vocab.join(use1, Seq("p"), "left")
+        .select(col("p"), coalesce(col("used"), lit(0L)).as("used"))
+      val vocab2 = vj.filter(length(col("p")) >= 2)
+        .orderBy(desc("used"), col("p")).limit(20)
+        .unionByName(vj.filter(length(col("p")) === 1))
+      val vl2 = vocab2
+        .crossJoin(broadcast(vocab2.agg(sum("used").cast("long").as("total"),
+          count(lit(1)).as("nv"))))
+        .select(col("p"), expr(text.fixedPoint(
+          "ln((CAST(used AS DOUBLE) + 1.0) / " +
+            "(CAST(total AS DOUBLE) + CAST(nv AS DOUBLE)))", 6)).as("lp"))
+      // re-segment under the trained vocab
+      segUsage(wf, viterbiSegment(wf, vl2))
         .select(col("p").as("tok"), col("n_occurrences"), col("n_sites"))
         .orderBy(desc("n_occurrences"), col("tok"))
         .limit(25)
