@@ -208,10 +208,16 @@ object Dedup {
     * IEEE binary (0.8·5 rounds above 4) but 4 in DuckDB's DECIMAL
     * arithmetic, an engine-semantics trap the rational form removes.
     *
-    * Scale (100 TB): the document-frequency table is vocab-sized, with
-    * the broadcast-vs-shuffle choice left to AQE (a word-level vocab at
-    * web scale can outgrow the broadcast ceiling); the rarest-first rank
-    * is one window partitioned by doc
+    * Scale (100 TB): the document-frequency table is vocab-sized and
+    * broadcast by default, with `broadcastDfreq = false` as the explicit
+    * escape hatch for a word-level vocab that outgrows the broadcast
+    * ceiling (Heaps-law token counts on a raw web crawl) — leaving the
+    * choice to AQE was measured BIMODAL at stress scale (tight 11-13 s
+    * with the hint vs 12-44 s without, same code, M=24 ladder rung:
+    * AQE only sometimes converts the post-agg join back to broadcast,
+    * and the losing runs re-shuffle the UDF-tokenized explode), so the
+    * strategy is a caller-declared fact, not a per-run coin flip; the
+    * rarest-first rank is one window partitioned by doc
     * (rows per partition = |token set|, bounded by doc length); the
     * candidate join shuffles only prefix rows keyed by token. Residual
     * skew — a "rare" token that is still hot, or near-empty docs whose
@@ -227,9 +233,10 @@ object Dedup {
     * and pair only with each other at J = 1. */
   def prefixFilterJaccardPairs(df: DataFrame, keyCol: String, textCol: String,
                                num: Int, den: Int,
-                               maxBucket: Int = Int.MaxValue): DataFrame =
+                               maxBucket: Int = Int.MaxValue,
+                               broadcastDfreq: Boolean = true): DataFrame =
     prefixFilterJaccardPairsFromSets(tokenSets(df, keyCol, textCol),
-      num, den, maxBucket)
+      num, den, maxBucket, broadcastDfreq)
 
   /** The persistable distinct-token-set table (id, ts) feeding
     * [[prefixFilterJaccardPairsFromSets]] — the [[minhashSignatures]]
@@ -247,17 +254,24 @@ object Dedup {
   /** [[prefixFilterJaccardPairs]] over a precomputed [[tokenSets]] table
     * (columns `id`, `ts`). */
   def prefixFilterJaccardPairsFromSets(tk: DataFrame, num: Int, den: Int,
-                                       maxBucket: Int = Int.MaxValue): DataFrame = {
+                                       maxBucket: Int = Int.MaxValue,
+                                       broadcastDfreq: Boolean = true): DataFrame = {
     require(num > 0 && num <= den, s"threshold $num/$den not in (0, 1]")
     import org.apache.spark.sql.expressions.Window
     val ex = tk.filter(col("ts").isNotNull)
       .select(col("id"), size(col("ts")).cast("long").as("sz"),
         explode(col("ts")).as("tok"))
-    // document frequency per token — no strategy hint: a word-level vocab
-    // at web scale can exceed the broadcast ceiling, so AQE picks broadcast
-    // vs shuffle-hash from the observed aggregate size (the bigram-table
-    // precedent); at test scale AQE still broadcasts it
-    val dfreq = ex.groupBy("tok").agg(count(lit(1)).as("dfreq"))
+    // document frequency per token. Broadcast is caller-gated, default on:
+    // the table is vocab-sized (duplication adds no tokens), but a
+    // word-level web-crawl vocab can exceed the broadcast ceiling —
+    // broadcastDfreq = false hands the join to AQE then. The gate is NOT
+    // left to AQE unconditionally: measured at the M=24 stress rung, AQE
+    // only sometimes converted this post-aggregate join back to broadcast
+    // (bimodal 12-44 s vs a tight 11-13 s hinted), because the conversion
+    // races stage completion — and the losing plan re-shuffles the
+    // UDF-tokenized explode feeding the rank window.
+    val dfreq0 = ex.groupBy("tok").agg(count(lit(1)).as("dfreq"))
+    val dfreq = if (broadcastDfreq) broadcast(dfreq0) else dfreq0
     val w = Window.partitionBy("id").orderBy(col("dfreq"), col("tok"))
     val pref = ex.join(dfreq, Seq("tok"))
       .withColumn("pos", row_number().over(w).cast("long"))
