@@ -82,4 +82,26 @@ class CatalogSpec extends AnyFunSuite {
       .collect().map(_.getDouble(1))
     assert(rows.nonEmpty && rows.forall(_ <= 20.0))
   }
+
+  test("unigram EM round: piece-length bounds, prune cardinality, full coverage") {
+    // NOTE on non-inertness: whether one EM round changes the top-25 is
+    // data-dependent — when every USED multi-char piece survives the
+    // 40->20 prune, hard-EM re-segments identically (sf0.001 and sf0.1
+    // land there; sf0.01 does not: "ue" is pruned and its paths re-route
+    // through "er"/"u"/"y", visible as differing oracle-checked outputs).
+    // So the spec pins the invariants that hold at EVERY SF; the oracle
+    // gate pins the exact values per SF.
+    val trained = graft.queries.Catalog.byName("q_unigram_train").fn(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // output shape: top-25 by (n_occurrences desc, tok), pieces are
+    // 1..4-char vocab members
+    assert(trained.nonEmpty && trained.length <= 25)
+    assert(trained.forall { case (t, _) => t.length >= 1 && t.length <= 4 })
+    val occs = trained.map(_._2)
+    assert(occs.sameElements(occs.sorted.reverse), "not sorted by usage")
+    assert(occs.forall(_ > 0), "a chosen piece with zero weighted usage")
+    // the M-step prunes the multi-char vocab 40 -> 20: the re-segmented
+    // output can never surface more than 20 distinct multi-char pieces
+    assert(trained.map(_._1).distinct.count(_.length >= 2) <= 20)
+  }
 }

@@ -1196,6 +1196,15 @@ class ModulesSpec extends AnyFunSuite {
     } yield (ia, ib)).toSet
     assert(want.nonEmpty && got == want,
       s"prefix filter not lossless: missing ${want -- got}, extra ${got -- want}")
+    // strategy independence (r14): the broadcastDfreq gate picks a join
+    // STRATEGY for the document-frequency table, never a result — the
+    // web-scale escape hatch (false → AQE-chosen join) must return the
+    // identical pair set
+    val gotShuffled = Dedup.prefixFilterJaccardPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", num = 4, den = 5, broadcastDfreq = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotShuffled == want,
+      s"broadcastDfreq=false changed the result: missing ${want -- gotShuffled}, extra ${gotShuffled -- want}")
     // exact rational boundary: J = 4/5 exactly is KEPT (den*inter >= num*uni
     // integer arithmetic — a double 0.8 comparison is engine-dependent here)
     val edge = Seq((1L, "a b c d"), (2L, "a b c d e"),
