@@ -4220,9 +4220,14 @@ object PipelineQueries {
         .crossJoin(broadcast(vocab.agg(sum("score").cast("long").as("total"))))
         .select(col("p"),
           expr(text.fixedPoint("ln(CAST(score AS DOUBLE) / total)", 6)).as("lp"))
-      // E-step: corpus-weighted piece usage under the Viterbi paths
+      // E-step: corpus-weighted piece usage under the Viterbi paths —
+      // eagerly checkpointed: this vocab-sized table is the ONLY artifact
+      // round B consumes from round A, and without the leaf every round-B
+      // planning step re-optimizes round A's 12-hop frontier lineage
+      // (the recall-trilogy planning-tax lesson)
       val use1 = segUsage(wf, viterbiSegment(wf, vl))
         .select(col("p"), col("n_occurrences").as("used"))
+        .localCheckpoint(true)
       // M-step: re-score by usage, prune the bottom multi-char slice;
       // single chars are the protected base alphabet
       val vj = vocab.join(use1, Seq("p"), "left")
