@@ -146,6 +146,87 @@ object TextSig {
     out.toArray
   }
 
+  /** WordPiece greedy longest-match segmentation of one word against a
+    * SORTED vocab array (sort_array order, i.e. UTF8 string order — the
+    * binary search's contract): from position 0, repeatedly take the
+    * longest 1..`maxPiece`-char vocab piece that matches; stop (emitting
+    * nothing further) at a position with no match. Mirrors q_wordpiece's
+    * relational best-piece + frontier-walk formulation value-for-value —
+    * the DuckDB oracle keeps the recursive-CTE form, so kernel drift
+    * breaks the oracle hash. One pass per row replaces a candidate
+    * explode + vocab join + (w,pos) aggregate + MaxWordLen−1 chained
+    * frontier joins (~14 sequential exchanges; the bpeEncodeWord /
+    * cdcChunkFps lesson applied to the tokenizer family). */
+  def wordpiecePieces(w: String, vocab: Array[String],
+                      maxPiece: Int): Array[String] = {
+    val vs = vocab.asInstanceOf[Array[AnyRef]]
+    val n = w.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pos = 0
+    var stuck = false
+    while (pos < n && !stuck) {
+      var L = math.min(maxPiece, n - pos)
+      var found = 0
+      while (L >= 1 && found == 0) {
+        if (java.util.Arrays.binarySearch(vs, w.substring(pos, pos + L)) >= 0)
+          found = L
+        L -= 1
+      }
+      if (found == 0) stuck = true
+      else { out += w.substring(pos, pos + found); pos += found }
+    }
+    out.toArray
+  }
+
+  /** Unigram-LM Viterbi segmentation of one word: pieces are 1..`maxPiece`
+    * chars, scored by the x1e6-quantized log-probs `lps` aligned with the
+    * SORTED vocab `ps` (sort_array order); suffix-best DP in exact Long
+    * arithmetic, per-position argmax tie-break (score DESC, then piece
+    * length DESC — two same-length candidates at one position are the
+    * same substring, so the relational form's final `p` tie-break is
+    * vacuous), then the frontier walk from position 0 emits the chosen
+    * path's pieces in order. Value-for-value the q_unigram_tokenizer
+    * relational Bellman unroll + argmax window + frontier reach (the
+    * DuckDB oracle keeps that form — drift breaks the hash); one pass
+    * per row replaces ~24 sequential exchanges per segmentation pass.
+    * A position whose every candidate leads into an unreachable suffix
+    * has no chosen step, exactly like the relational inner join against
+    * the DP table; the walk stops there. */
+  def unigramPathPieces(w: String, ps: Array[String],
+                        lps: Array[Long], maxPiece: Int): Array[String] = {
+    val vs = ps.asInstanceOf[Array[AnyRef]]
+    val n = w.length
+    val best = new Array[Long](n + 1)
+    val ok = new Array[Boolean](n + 1)
+    val step = new Array[Int](n + 1) // argmax piece length; 0 = no step
+    ok(n) = true
+    var pos = n - 1
+    while (pos >= 0) {
+      var bScore = 0L
+      var bL = 0
+      var L = math.min(maxPiece, n - pos) // L DESC: first max-score wins ties
+      while (L >= 1) {
+        if (ok(pos + L)) {
+          val idx = java.util.Arrays.binarySearch(vs, w.substring(pos, pos + L))
+          if (idx >= 0) {
+            val s = lps(idx) + best(pos + L)
+            if (bL == 0 || s > bScore) { bScore = s; bL = L }
+          }
+        }
+        L -= 1
+      }
+      if (bL > 0) { best(pos) = bScore; ok(pos) = true; step(pos) = bL }
+      pos -= 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var p0 = 0
+    while (p0 < n && step(p0) > 0) {
+      out += w.substring(p0, p0 + step(p0))
+      p0 += step(p0)
+    }
+    out.toArray
+  }
+
   /** Content-defined chunk (fingerprint, token-length) pairs of a doc,
     * mirroring q_chunk_cdc's relational formulation value-for-value: a
     * chunk ends at 1-based token position i when i >= n and the n-token
@@ -272,4 +353,16 @@ object TextSig {
   val cdcChunkFpsUdf: UserDefinedFunction =
     udf((s: String, n: Int, mod: Int) =>
       if (s == null) null else cdcChunkFps(s, n, mod))
+  /** vocab arrives as a DATA column (a sorted 1-row collect_list broadcast
+    * back over the word table — the trainer's vocab is corpus-derived, so
+    * unlike [[bpeEncodeUdf]] it cannot be a closure constant); `maxPiece`
+    * is fixed at build time like the merge table. */
+  def wordpiecePathUdf(maxPiece: Int): UserDefinedFunction =
+    udf((w: String, vocab: Seq[String]) =>
+      if (w == null || vocab == null) null
+      else wordpiecePieces(w, vocab.toArray, maxPiece))
+  def unigramPathUdf(maxPiece: Int): UserDefinedFunction =
+    udf((w: String, ps: Seq[String], lps: Seq[Long]) =>
+      if (w == null || ps == null || lps == null) null
+      else unigramPathPieces(w, ps.toArray, lps.toArray, maxPiece))
 }

@@ -790,26 +790,40 @@ object Quantize {
       .limit(k)
       .select(col(idCol))
       .localCheckpoint()
-    val nCorpus = corpus.count()
+    val nCorpus = corpus.agg(count(lit(1)).as("n_corpus"))
     val nLists = model.clusterCenters.length
     val cents = centroidFrame(spark, model)
-    // the report is |ms|·|overFetches| scalar cells: each is collected
-    // EAGERLY so every code budget's cached scored frame can be
-    // unpersisted before the next fit (pqFit's try/finally discipline —
-    // a sweep that leaks one corpus-sized cache per dial would pin
-    // executor storage for the life of the session)
-    val cells = ms.flatMap { m =>
-      // NAMED maxIter: the positional form bound maxIter into pqFit's
-      // seed parameter (Int -> Long weak conformance compiled silently),
-      // so the sweep fitted DIFFERENT codebooks (seed=maxIter, 10 Lloyd
-      // iterations) than the serving face it claims to measure
-      val cb = pqFit(ivfResiduals(model, fitSample, embCol), "__res",
-        dim, m, nCentroids, maxIter = maxIter)
-      // ONE residual encode of the corpus per code budget, cached so all
-      // overFetch dials re-rank the same scored frame instead of paying
-      // the encode kernel again (at 100 TB: the persisted code store)
-      val coded = pqEncode(ivfResiduals(model, corpus, embCol), "__res", cb)
-        .withColumn("__en", vectors.l2Norm(col(embCol).cast("array<double>")))
+    // r14 shape (the ivfTuning/annTuning union-of-cells shape, plus the
+    // guide's overlap-independent-jobs rule): the corpus residual encode
+    // is computed ONCE and shared by every code budget (residuals are
+    // model-only, m never enters them — the r13 loop re-encoded per m),
+    // both code budgets' pqFits run CONCURRENTLY (each already fans its
+    // per-subspace KMeans fits out; the two budgets' fits now overlap
+    // too, so sweep fit wall-clock is the longest single fit), and the
+    // |ms|·|overFetches| cells are LAZY 1-row frames unioned into the
+    // returned plan — the r13 form ran 8 sequential count() actions,
+    // serializing 8 tiny jobs the one sink action now schedules
+    // together. Each budget's scored frame is an eager localCheckpoint
+    // where r13 cached+unpersisted: the returned plan references it, so
+    // per the checkpoint-release policy the final leaves are the
+    // caller's to hold (same class as the r13 cache while it lived —
+    // corpus-sized, the probe-all sweep's documented cost).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val resid = ivfResiduals(model, corpus, embCol)
+      .withColumn("__en", vectors.l2Norm(col(embCol).cast("array<double>")))
+      .localCheckpoint(true)
+    val residFit = ivfResiduals(model, fitSample, embCol)
+    // NAMED maxIter: the positional form bound maxIter into pqFit's
+    // seed parameter (Int -> Long weak conformance compiled silently),
+    // so the sweep fitted DIFFERENT codebooks (seed=maxIter, 10 Lloyd
+    // iterations) than the serving face it claims to measure
+    val fits = ms.map(m => m -> Future {
+      pqFit(residFit, "__res", dim, m, nCentroids, maxIter = maxIter) })
+    val cells = fits.flatMap { case (m, fit) =>
+      val cb = Await.result(fit, Duration.Inf)
+      val coded = pqEncode(resid, "__res", cb)
       // probe-all page from the SHARED builder (n = nLists isolates code
       // resolution; nProbe is ivfTuning's dial)
       val probes = probePage(q, cents, cb, nLists)
@@ -819,23 +833,25 @@ object Quantize {
           when(col("__en") === 0.0 || col("__qn") === 0.0, lit(0.0))
             .otherwise((col("__qdotc") + adcUdf(col("pq_codes"), col("__lut"))) /
               (col("__en") * col("__qn"))))
-        .cache()
-      try {
-        overFetches.map { of =>
-          val nHits = scored
-            .orderBy(desc("approx_sim"), col(idCol))
-            .limit(k * of)
-            .withColumn("similarity", vectors.cosineSim(col(embCol), col("qe")))
-            .orderBy(desc("similarity"), col(idCol))
-            .limit(k)
-            .select(col(idCol))
-            .join(broadcast(exactIds), Seq(idCol), "left_semi")
-            .count()
-          (m.toLong, of.toLong, nHits, nCorpus)
-        }
-      } finally scored.unpersist()
+        .localCheckpoint(true)
+      overFetches.map { of =>
+        scored
+          .orderBy(desc("approx_sim"), col(idCol))
+          .limit(k * of)
+          .withColumn("similarity", vectors.cosineSim(col(embCol), col("qe")))
+          .orderBy(desc("similarity"), col(idCol))
+          .limit(k)
+          .select(col(idCol))
+          .join(broadcast(exactIds), Seq(idCol), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(m.toLong).as("m"), lit(of.toLong).as("overfetch"),
+            col("n_hits").cast("long").as("n_hits"))
+      }
     }
-    cells.toDF("m", "overfetch", "n_hits", "n_corpus")
+    cells.reduce(_.unionByName(_))
+      .crossJoin(broadcast(nCorpus))
+      .select(col("m"), col("overfetch"), col("n_hits"),
+        col("n_corpus").cast("long").as("n_corpus"))
       .orderBy("m", "overfetch")
   }
 }

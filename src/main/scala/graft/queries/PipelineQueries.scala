@@ -252,23 +252,22 @@ object PipelineQueries {
       .filter(length(col("w")) <= MaxWordLen)
       .groupBy("w").agg(count(lit(1)).as("c"))
 
-  /** Shared segmentation reconstruction (q_wordpiece's functional-graph
-    * frontier walk): from pos 0, repeatedly advance by `advCol` of the
-    * per-(w, pos) `step` table. MaxWordLen−1 hops past position 0 cover
-    * every reachable position (each step advances ≥ 1 char); later hops
-    * would be empty joins. Returns the (w, pos) reach set. */
-  private def frontierReach(wf: DataFrame, step: DataFrame,
-                            advCol: String): DataFrame = {
-    var frontier = wf.select(col("w"), lit(0).as("pos"))
-    var reach = frontier
-    for (_ <- 1 until MaxWordLen) {
-      frontier = frontier.join(step, Seq("w", "pos"))
-        .select(col("w"), (col("pos") + col(advCol)).as("pos"))
-        .filter(col("pos") < length(col("w")))
-      reach = reach.union(frontier)
-    }
-    reach
-  }
+  /** The tokenizer family's piece-length cap (pieces are 1..4 chars) —
+    * the kernels take it as an argument; the oracle strings interpolate
+    * the same literal via their generate_series(1, 4) bounds. */
+  private val MaxPiece = 4
+
+  /** One sorted-vocab row (`ps` array column, plus `lps` when `vl` carries
+    * a log-prob) for broadcasting a corpus-derived vocab into the per-word
+    * segmentation kernels. sort_array of the DISTINCT-p vocab gives the
+    * deterministic order the kernels' binary search requires, and sorting
+    * the (p, lp) structs keeps the two arrays aligned. */
+  private def vocabRow(vl: DataFrame): DataFrame =
+    if (vl.columns.contains("lp"))
+      vl.agg(sort_array(collect_list(struct(col("p"), col("lp")))).as("vs"))
+        .select(expr("transform(vs, x -> x.p)").as("ps"),
+          expr("transform(vs, x -> x.lp)").as("lps"))
+    else vl.agg(sort_array(collect_list(col("p"))).as("ps"))
 
   /** The unigram-LM Viterbi's suffix-best DP, unrolled: round k's best
     * covers every position within k pieces of the word end (pieces
@@ -304,8 +303,9 @@ object PipelineQueries {
     * per DP round / per recursion step, and in the TWO-pass train query
     * the round-B candidate table would re-run the entire round-A
     * pipeline inside every Bellman round — measured minutes-vs-seconds
-    * at sf0.01. Spark needs no marker: the DataFrame twin localCheckpoints
-    * the same two tables. */
+    * at sf0.01. Spark needs no marker: since r14 the engine side runs
+    * the whole segmentation in the compiled unigramPathPieces kernel
+    * ([[segUsage]]), so this CTE chain is ORACLE-only. */
   private def unigramSegSql(vl: String, sfx: String): String =
     s"""cand$sfx AS MATERIALIZED (
        |         SELECT wf.w, wf.c, ps.i - 1 AS pos, ls.L, v.lp, v.p
@@ -331,45 +331,6 @@ object PipelineQueries {
        |          JOIN chosen$sfx s ON s.w = r.w AND s.pos = r.pos
        |          WHERE r.pos + s.L < length(r.w))""".stripMargin
 
-  /** The Spark twin of [[unigramSegSql]]: stage per-(word, pos, L)
-    * candidates against the broadcast vocab log-probs (checkpointed once
-    * — the [[MaxWordLen]] DP rounds and the argmax all re-join that
-    * leaf), run the unrolled suffix-best Bellman rounds, and return the
-    * per-position argmax step table (w, c, pos, L, p), checkpointed for
-    * its two consumers (frontier walk + usage join). Extracted verbatim
-    * from q_unigram_tokenizer so both that query and q_unigram_train's
-    * two segmentation passes execute the identical plan shape. */
-  private def viterbiSegment(wf: DataFrame, vl: DataFrame): DataFrame = {
-    val cand = wf
-      .select(col("w"), col("c"),
-        explode(expr("sequence(0, length(w) - 1)")).as("pos"))
-      .select(col("w"), col("c"), col("pos"),
-        explode(expr("sequence(1, 4)")).as("L"))
-      .filter(col("pos") + col("L") <= length(col("w")))
-      .withColumn("p", expr("substr(w, pos + 1, L)"))
-      .join(broadcast(vl), "p")
-      .localCheckpoint(true)
-    val dbase = wf.select(col("w"), length(col("w")).as("pos"),
-      lit(0L).as("best"))
-    var best = dbase
-    for (_ <- 1 to MaxWordLen) {
-      best = dbase.unionByName(cand
-        .join(best.select(col("w").as("bw"), col("pos").as("bpos"),
-          col("best")),
-          col("w") === col("bw") && col("bpos") === col("pos") + col("L"))
-        .groupBy("w", "pos").agg(max(col("lp") + col("best")).as("best")))
-    }
-    cand
-      .join(best.select(col("w").as("bw"), col("pos").as("bpos"),
-        col("best")),
-        col("w") === col("bw") && col("bpos") === col("pos") + col("L"))
-      .withColumn("rn", row_number().over(Window.partitionBy("w", "pos")
-        .orderBy((col("lp") + col("best")).desc, col("L").desc, col("p"))))
-      .filter(col("rn") === 1)
-      .select("w", "c", "pos", "L", "p")
-      .localCheckpoint(true)
-  }
-
   /** Initial unigram vocab (p, score): every corpus char + the top-40
     * 2..4-char substrings by corpus-weighted count — the q_wordpiece
     * constructor both trained-tokenizer queries start from. */
@@ -386,13 +347,28 @@ object PipelineQueries {
       .unionByName(pc.filter(length(col("p")) === 1))
   }
 
-  /** Corpus-weighted usage of each chosen piece under a segmentation:
-    * walk the frontier reach of `chosen` and aggregate per piece —
+  /** Corpus-weighted usage of each piece under the Viterbi segmentation
+    * of every word against the log-prob vocab `vl` (columns p, lp):
     * n_occurrences weights by word frequency (the EM expected count
     * under the Viterbi-approximated posterior), n_sites counts distinct
-    * (word, position) sites. */
-  private def segUsage(wf: DataFrame, chosen: DataFrame): DataFrame =
-    frontierReach(wf, chosen, "L").join(chosen, Seq("w", "pos"))
+    * (word, position) sites. The segmentation runs in the compiled
+    * [[graft.functions.TextSig.unigramPathPieces]] kernel — suffix-best
+    * DP, argmax tie-break and frontier walk in one pass per word against
+    * the broadcast sorted-vocab row — replacing the r13 relational
+    * Bellman unroll ([[unigramSegSql]] stays the ORACLE's form, so any
+    * kernel drift breaks the hash; direct parity is pinned in
+    * ModulesSpec). Measured at sf0.1 (interleaved A/B, 3-rep medians,
+    * same host, r14): q_unigram_tokenizer 5.48 → 1.31 s,
+    * q_unigram_train 9.88 → 2.70 s — the unrolled form's ~24 sequential
+    * exchanges per segmentation pass were the floor, not the
+    * arithmetic. Scale shape
+    * is unchanged-or-better: one map-side-combined word count, a
+    * vocab-sized broadcast, and ONE piece-keyed aggregate; the DP that
+    * took 12 shuffle rounds is now per-row scan work. */
+  private def segUsage(wf: DataFrame, vl: DataFrame): DataFrame =
+    wf.crossJoin(broadcast(vocabRow(vl)))
+      .select(col("c"), explode(graft.functions.TextSig
+        .unigramPathUdf(MaxPiece)(col("w"), col("ps"), col("lps"))).as("p"))
       .groupBy("p")
       .agg(sum("c").cast("long").as("n_occurrences"),
         count(lit(1)).as("n_sites"))
@@ -3998,17 +3974,15 @@ object PipelineQueries {
         "vocab = every corpus character plus the top-40 2..4-char " +
         "substrings by count-weighted frequency; segmentation = at each " +
         "position take the longest vocab piece that matches (single " +
-        "chars guarantee progress). The key insight making this " +
-        "RELATIONAL rather than a per-word kernel: greedy longest-match " +
-        "is position-independent — best_len(word,pos) never depends on " +
-        "how the scanner reached pos — so segmentation is just " +
-        "reachability over a functional graph: one best-piece table " +
-        "(vocab-sized join + max), then <= 12 chained frontier hops " +
-        "(words capped at 12 chars in both engines; each hop advances " +
-        ">= 1 char). The oracle replays it as a recursive CTE. Scale " +
-        "shape: the corpus pays ONE map-side-combined word count; " +
-        "every later step — scores, vocab, best table, hops — is " +
-        "vocab-sized, and the vocab broadcast-joins the candidates",
+        "chars guarantee progress). Segmentation runs in the compiled " +
+        "wordpiecePieces kernel — one pass per word against the " +
+        "broadcast sorted vocab (r14: the relational best-piece table + " +
+        "11 chained frontier hops it replaces were ~14 sequential " +
+        "exchanges of pure overhead; the bpeEncode kernel lesson). The " +
+        "oracle still replays the functional-graph reachability as a " +
+        "recursive CTE, so kernel drift breaks the hash. Scale shape: " +
+        "the corpus pays ONE map-side-combined word count; everything " +
+        "later is vocab-sized or per-row scan work",
       Some(s"""WITH RECURSIVE
               |wf AS (SELECT w, count(*) AS c FROM (
               |  SELECT unnest(${text.tokens(D, "text")}) AS w FROM documents)
@@ -4038,7 +4012,9 @@ object PipelineQueries {
               |FROM reach r JOIN best b ON b.w = r.w AND b.pos = r.pos
               |GROUP BY tok ORDER BY n_occurrences DESC, tok
               |LIMIT 25""".stripMargin)) { (s, dir) =>
-      val wf = wordFreq(s, dir)
+      // wf checkpointed: the vocab pipeline and the segmentation side both
+      // read it (the unigram-family shape)
+      val wf = wordFreq(s, dir).localCheckpoint(true)
       val top = wf
         .select(col("w"), col("c"), explode(expr("sequence(2, 4)")).as("L"))
         .filter(length(col("w")) >= col("L"))
@@ -4051,25 +4027,19 @@ object PipelineQueries {
         "transform(sequence(1, length(w)), i -> substr(w, i, 1))")).as("p"))
         .distinct()
       val vocab = top.union(ch).distinct()
-      val cand = wf
-        .select(col("w"), col("c"),
-          explode(expr("sequence(0, length(w) - 1)")).as("pos"))
-        .select(col("w"), col("c"), col("pos"),
-          explode(expr("sequence(1, 4)")).as("L"))
-        .filter(col("pos") + col("L") <= length(col("w")))
-        .withColumn("p", expr("substr(w, pos + 1, L)"))
-      // checkpointed: best is re-joined by every hop and by the final
-      // token roll-up — without this the 12 hops re-derive the whole
-      // vocab pipeline per hop (the bpeTrain lineage lesson)
-      val best = cand.join(broadcast(vocab), "p")
-        .groupBy("w", "c", "pos").agg(max("L").as("best_len"))
-        .withColumn("piece", expr("substr(w, pos + 1, best_len)"))
-        .localCheckpoint(true)
-      frontierReach(wf, best, "best_len").join(best, Seq("w", "pos"))
-        .groupBy("piece")
+      // greedy longest-match runs in the compiled wordpiecePieces kernel
+      // (one pass per word against the broadcast sorted-vocab row) — the
+      // r13 relational best-piece table + 11 chained frontier joins were
+      // ~14 sequential exchanges; the oracle keeps the recursive-CTE
+      // form, so kernel drift breaks the hash (parity in ModulesSpec).
+      // Measured at sf0.1 (interleaved A/B, 3-rep medians, same host,
+      // r14): 1.70 -> 0.60 s
+      wf.crossJoin(broadcast(vocabRow(vocab)))
+        .select(col("c"), explode(graft.functions.TextSig
+          .wordpiecePathUdf(MaxPiece)(col("w"), col("ps"))).as("tok"))
+        .groupBy("tok")
         .agg(sum("c").cast("long").as("n_occurrences"),
           count(lit(1)).as("n_sites"))
-        .select(col("piece").as("tok"), col("n_occurrences"), col("n_sites"))
         .orderBy(desc("n_occurrences"), col("tok"))
         .limit(25)
     },
@@ -4084,14 +4054,16 @@ object PipelineQueries {
         "(the q_weighted_sample libm-ln caveat class; sums of the " +
         "quantized integers are then exact, and every argmax carries " +
         "the (sum desc, len desc, piece) tie-break so the chosen path " +
-        "is unique in both engines). The DP is RELATIONAL: suffix-best " +
-        "is 12 unrolled Bellman rounds (words cap at 12 chars, each " +
-        "piece advances >= 1), one engine-shared ANSI string per round, " +
-        "then reconstruction reuses q_wordpiece's functional-graph " +
-        "frontier hops over the per-position argmax. Scale shape: the " +
-        "corpus pays ONE map-side-combined word count; every DP table " +
-        "is vocab-word-sized; candidates checkpoint once and the 12 " +
-        "rounds join against that leaf",
+        "is unique in both engines). The engine runs the DP in the " +
+        "compiled unigramPathPieces kernel — suffix-best, argmax and " +
+        "frontier walk in one exact-integer pass per word against the " +
+        "broadcast sorted vocab (r14: the relational 12-round Bellman " +
+        "unroll it replaces was ~24 sequential exchanges of pure " +
+        "overhead; the bpeEncode kernel lesson); the ORACLE keeps the " +
+        "unrolled recurrence as engine-shared ANSI rounds, so kernel " +
+        "drift breaks the hash. Scale shape: the corpus pays ONE " +
+        "map-side-combined word count; everything later is vocab-sized " +
+        "or per-row scan work",
       Some(s"""WITH RECURSIVE
               |wf AS (SELECT w, count(*) AS c FROM (
               |  SELECT unnest(${text.tokens(D, "text")}) AS w FROM documents)
@@ -4134,16 +4106,16 @@ object PipelineQueries {
               |FROM reach r JOIN chosen s ON s.w = r.w AND s.pos = r.pos
               |GROUP BY tok ORDER BY n_occurrences DESC, tok
               |LIMIT 25""".stripMargin)) { (s, dir) =>
-      // one corpus word count, checkpointed: the vocab count, cand, dbase
-      // and the reach seed all read it — without the leaf the corpus agg
-      // subtree replicates 13+ times through the DP unroll
+      // one corpus word count, checkpointed: the vocab pipeline and the
+      // segmentation side both read it — without the leaf the corpus agg
+      // subtree replicates once per consumer
       val wf = wordFreq(s, dir).localCheckpoint(true)
       val vocab = unigramVocab(wf)
       val vl = vocab
         .crossJoin(broadcast(vocab.agg(sum("score").cast("long").as("total"))))
         .select(col("p"),
           expr(text.fixedPoint("ln(CAST(score AS DOUBLE) / total)", 6)).as("lp"))
-      segUsage(wf, viterbiSegment(wf, vl))
+      segUsage(wf, vl)
         .select(col("p").as("tok"), col("n_occurrences"), col("n_sites"))
         .orderBy(desc("n_occurrences"), col("tok"))
         .limit(25)
@@ -4161,14 +4133,14 @@ object PipelineQueries {
         "for coverage, exactly SentencePiece's protected base alphabet), " +
         "then RE-SEGMENT under Laplace-smoothed log-probs " +
         "ln((used+1)/(total+|V|)) — smoothing keeps never-chosen base " +
-        "chars finite. Both Viterbi passes are the SAME factored CTE " +
-        "chain/plan shape as q_unigram_tokenizer (engine-shared strings, " +
-        "x1e6-quantized log-probs, exact-integer DP sums, unique " +
-        "argmax tie-break). Scale shape: still ONE corpus word count; " +
-        "everything downstream is vocab-word-sized; each pass " +
-        "checkpoints its candidate table once and the usage/prune/" +
-        "re-score step between passes touches only the ~(40+chars)-row " +
-        "vocab",
+        "chars finite. Both Viterbi passes run in the SAME compiled " +
+        "unigramPathPieces kernel as q_unigram_tokenizer (x1e6-" +
+        "quantized log-probs, exact-integer DP sums, unique argmax " +
+        "tie-break); the ORACLE states both passes as the factored CTE " +
+        "chain, so kernel drift breaks the hash. Scale shape: still " +
+        "ONE corpus word count; everything downstream is vocab-word-" +
+        "sized or per-row scan work, and the usage/prune/re-score step " +
+        "between passes touches only the ~(40+chars)-row vocab",
       Some(s"""WITH RECURSIVE
               |wf AS MATERIALIZED (SELECT w, count(*) AS c FROM (
               |  SELECT unnest(${text.tokens(D, "text")}) AS w FROM documents)
@@ -4220,14 +4192,12 @@ object PipelineQueries {
         .crossJoin(broadcast(vocab.agg(sum("score").cast("long").as("total"))))
         .select(col("p"),
           expr(text.fixedPoint("ln(CAST(score AS DOUBLE) / total)", 6)).as("lp"))
-      // E-step: corpus-weighted piece usage under the Viterbi paths —
-      // eagerly checkpointed: this vocab-sized table is the ONLY artifact
-      // round B consumes from round A, and without the leaf every round-B
-      // planning step re-optimizes round A's 12-hop frontier lineage
-      // (the recall-trilogy planning-tax lesson)
-      val use1 = segUsage(wf, viterbiSegment(wf, vl))
+      // E-step: corpus-weighted piece usage under the Viterbi paths. The
+      // r13 eager checkpoint here guarded round B's planner against round
+      // A's 12-hop frontier lineage; the kernel segmentation is 3 plan
+      // nodes deep, so the leaf (and its extra eager job) is gone.
+      val use1 = segUsage(wf, vl)
         .select(col("p"), col("n_occurrences").as("used"))
-        .localCheckpoint(true)
       // M-step: re-score by usage, prune the bottom multi-char slice;
       // single chars are the protected base alphabet
       val vj = vocab.join(use1, Seq("p"), "left")
@@ -4242,7 +4212,7 @@ object PipelineQueries {
           "ln((CAST(used AS DOUBLE) + 1.0) / " +
             "(CAST(total AS DOUBLE) + CAST(nv AS DOUBLE)))", 6)).as("lp"))
       // re-segment under the trained vocab
-      segUsage(wf, viterbiSegment(wf, vl2))
+      segUsage(wf, vl2)
         .select(col("p").as("tok"), col("n_occurrences"), col("n_sites"))
         .orderBy(desc("n_occurrences"), col("tok"))
         .limit(25)

@@ -5416,4 +5416,49 @@ class ModulesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not a ledgered"), e.getMessage)
     Maintenance.deleteLocalTree(spark, base)
   }
+
+  test("tokenizer path kernels: viterbi beats greedy, ties prefer length, dead ends route around, stuck walks stop") {
+    // r14: q_wordpiece / q_unigram_tokenizer / q_unigram_train segment in
+    // these compiled kernels; the DuckDB oracles keep the relational
+    // forms (recursive-CTE walk / unrolled Bellman), so the oracle gate
+    // is the end-to-end parity. These cases pin the kernel-internal
+    // semantics the relational forms encode, each hand-computed.
+    def uni(w: String, v: (String, Long)*): Seq[String] = {
+      val sorted = v.sortBy(_._1)
+      TextSig.unigramPathPieces(w, sorted.map(_._1).toArray,
+        sorted.map(_._2).toArray, 4).toSeq
+    }
+    // global max-likelihood differs from greedy longest-match:
+    // ab+c = -9, a+bc = -7 -> viterbi takes a+bc, wordpiece takes ab+c
+    assert(uni("abc", "a" -> -5L, "ab" -> -1L, "c" -> -8L, "bc" -> -2L) ==
+      Seq("a", "bc"))
+    assert(TextSig.wordpiecePieces("abc",
+      Array("a", "ab", "bc", "c"), 4).toSeq == Seq("ab", "c"))
+    // score tie (aa = -4, a+a = -4): argmax tie-break is length DESC
+    assert(uni("aa", "a" -> -2L, "aa" -> -4L) == Seq("aa"))
+    // a cheap piece leading into an unreachable suffix loses to an
+    // expensive piece that completes: no 'x' in vocab, so a|xb is dead
+    // and ax|b is the only path, regardless of lp(a) > lp(ax)
+    assert(uni("axb", "a" -> -1L, "ax" -> -50L, "b" -> -1L) ==
+      Seq("ax", "b"))
+    // no path at all: position 0 has no chosen step, walk emits nothing
+    // (the relational reach seed inner-joins chosen and drops the word)
+    assert(uni("ay", "a" -> -1L) == Seq.empty)
+    // wordpiece stuck mid-walk: emits the prefix steps, then stops
+    assert(TextSig.wordpiecePieces("ayb", Array("a", "b"), 4).toSeq ==
+      Seq("a"))
+    // maxPiece bounds the match: "abcd" in vocab but maxPiece = 2
+    assert(TextSig.wordpiecePieces("abcd",
+      Array("ab", "abcd", "cd"), 2).toSeq == Seq("ab", "cd"))
+    // corpus-shaped invariant: with every char in vocab the pieces
+    // concatenate back to the word, for both kernels
+    val words = Seq("window", "group", "hash", "the", "fast", "a")
+    val chars = words.flatMap(_.toCharArray.map(_.toString)).distinct.sorted
+    val lps = chars.map(c => -10L - c.hashCode % 7)
+    for (w <- words) {
+      assert(TextSig.wordpiecePieces(w, chars.toArray, 4).mkString == w)
+      assert(TextSig.unigramPathPieces(w, chars.toArray, lps.toArray, 4)
+        .mkString == w)
+    }
+  }
 }
