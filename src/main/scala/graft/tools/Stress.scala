@@ -60,7 +60,8 @@ object Stress {
     val workloadNames = Set("star_join_agg", "join_window_latest",
       "dedup_exact", "dedup_minhash_pairs", "dedup_minhash_capped",
       "prefix_filter_pairs", "prefix_filter_capped",
-      "dedup_minhash_salvaged", "segment_dedup", "classifier_score",
+      "dedup_minhash_salvaged", "segment_dedup", "unigram_segment_usage",
+      "classifier_score",
       "kmeans_assign", "dedup_embed_capped", "dedup_embed_salvaged",
       "scrub_kernels", "collocation_window_pairs",
       "containment_capped", "image_fingerprint_dedup",
@@ -213,6 +214,48 @@ object Stress {
         .agg(count(lit(1)).as("n_segments"),
           sum(when(col("b_seg").isNotNull, 1).otherwise(0)).as("n_dropped"))
         .count()
+    }
+
+    // unigram-LM segmentation usage over the duplicated corpus (r14, the
+    // kernelized tokenizer family): M identical copies add word COUNT,
+    // not word rows, so after the one map-side-combined word count the
+    // vocab pipeline, the sorted-vocab broadcast and the per-word Viterbi
+    // kernel all run on a CONSTANT-size table — the slope must track the
+    // tokenize+count scan alone, and a superlinear bend would mean the
+    // "nothing after the word count shuffles" claim broke
+    measure("unigram_segment_usage", docRows) {
+      import graft.functions.{text, TextSig, SparkDialect => S}
+      val wf = docs.select(explode(expr(text.tokens(S, "text"))).as("w"))
+        .filter(length(col("w")) <= 12)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val pc = wf
+        .select(col("w"), col("c"), explode(expr("sequence(1, 4)")).as("L"))
+        .filter(length(col("w")) >= col("L"))
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - L + 1), i -> substr(w, i, L))"))
+          .as("p"), col("c"))
+        .groupBy("p").agg(sum("c").cast("long").as("score"))
+      val vocab = pc.filter(length(col("p")) >= 2)
+        .orderBy(desc("score"), col("p")).limit(40)
+        .unionByName(pc.filter(length(col("p")) === 1))
+      val vl = vocab
+        .crossJoin(broadcast(vocab.agg(sum("score").cast("long").as("total"))))
+        .select(col("p"),
+          expr(text.fixedPoint("ln(CAST(score AS DOUBLE) / total)", 6)).as("lp"))
+      val vrow = vl
+        .agg(sort_array(collect_list(struct(col("p"), col("lp")))).as("vs"))
+        .select(expr("transform(vs, x -> x.p)").as("ps"),
+          expr("transform(vs, x -> x.lp)").as("lps"))
+      val n = wf.crossJoin(broadcast(vrow))
+        .select(col("c"), explode(TextSig.unigramPathUdf(4)(
+          col("w"), col("ps"), col("lps"))).as("p"))
+        .groupBy("p")
+        .agg(sum("c").cast("long").as("n_occurrences"),
+          count(lit(1)).as("n_sites"))
+        .count()
+      graft.operators.Dedup.releaseLocalCheckpoint(wf)
+      n
     }
 
     // classifier inference (q_kmeans_iter's sibling in PipelineQueries):
