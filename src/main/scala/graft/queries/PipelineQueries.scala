@@ -1762,30 +1762,46 @@ object PipelineQueries {
       // hamming <= 3 at 4 chunks) — affordable here because the fixture
       // is small; at 100 TB this is exactly the join you cannot run,
       // which is why the recall number matters. Each pair frame is
-      // checkpointed EAGERLY in dependency order (one short-plan job
-      // each over the index leaf; a fused single-job variant raced the
-      // unmaterialized intermediates and re-ran the salvage chain —
-      // measured ~1.6x slower in the r8 cached shape)
-      val truePairs = Dedup.hammingPairsFromIndex(index, maxHamming = 3)
-        .select(col("a_id"), col("b_id")).localCheckpoint(true)
-      val capped = Dedup.hammingPairsFromIndex(index, maxHamming = 3,
-          maxBucket = 64)
-        .select(col("a_id"), col("b_id")).localCheckpoint(true)
+      // checkpointed EAGERLY (one short-plan job each over the index
+      // leaf; a fused single-job variant raced the unmaterialized
+      // intermediates and re-ran the salvage chain — measured ~1.6x
+      // slower in the r8 cached shape), and since r14 the three
+      // index-only legs checkpoint CONCURRENTLY (q_dedup_lsh_recall's
+      // overlap-independent-jobs recipe: each leg reads only the index
+      // leaf, so concurrency cannot change a count — measured 3.59 →
+      // 2.8-3.1 s on the LSH sibling, interleaved REPS=5)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val truePairsF = Future {
+        Dedup.hammingPairsFromIndex(index, maxHamming = 3)
+          .select(col("a_id"), col("b_id")).localCheckpoint(true) }
+      val cappedF = Future {
+        Dedup.hammingPairsFromIndex(index, maxHamming = 3, maxBucket = 64)
+          .select(col("a_id"), col("b_id")).localCheckpoint(true) }
+      val salvageEdgesF = Future {
+        Dedup.hammingSalvageEdges(index, maxHamming = 3, maxBucket = 64,
+          maxReps = 16).select(col("a_id"), col("b_id"))
+          .localCheckpoint(true) }
+      val truePairs = Await.result(truePairsF, Duration.Inf)
+      val capped = Await.result(cappedF, Duration.Inf)
       val salvaged = capped.unionByName(
-          Dedup.hammingSalvageEdges(index, maxHamming = 3, maxBucket = 64,
-            maxReps = 16).select(col("a_id"), col("b_id")))
+          Await.result(salvageEdgesF, Duration.Inf))
         .distinct().localCheckpoint(true)
       // the EXACT fixed-depth closure (see docstring: <= 3 hops covers
       // every recoverable true pair by construction, so no iterative
       // propagation belongs in this plan); threeHopClosure broadcasts
-      // every hop — the closure side is KB-sized (<= |V|² = 19 600)
-      val r3 = threeHopClosure(salvaged)
-      val nTrue = truePairs.count()
-      val nCapped = capped.count()
-      val nSalv = salvaged.count()
-      val nConn = truePairs.join(broadcast(r3),
+      // every hop — the closure side is KB-sized (<= |V|² = 19 600);
+      // the four scalar counts read checkpointed leaves, concurrent too
+      val countsF = Seq(
+        Future { truePairs.count() },
+        Future { capped.count() },
+        Future { salvaged.count() },
+        Future { truePairs.join(broadcast(threeHopClosure(salvaged)),
           col("a_id") === col("s") && col("b_id") === col("d"),
-          "left_semi").count()
+          "left_semi").count() })
+      val Seq(nTrue, nCapped, nSalv, nConn) =
+        Await.result(Future.sequence(countsF), Duration.Inf)
       Seq((nTrue, nCapped, nSalv, nConn))
         .toDF("n_true_pairs", "n_capped_pairs", "n_salvage_pairs",
           "n_true_connected_salvaged")
@@ -1910,31 +1926,47 @@ object PipelineQueries {
         k = 16, shingleN = 3).localCheckpoint(true)
       // ground truth: exact Jaccard over ALL pairs (one constant block —
       // affordable on the planted fixture, the join you cannot run at
-      // 100 TB, which is why the recall number matters); each pair frame
-      // checkpointed eagerly in dependency order, one short-plan job each
-      val truePairs = Dedup.pairJoin(
+      // 100 TB, which is why the recall number matters). The three pair
+      // legs depend only on the signature leaf, so their eager
+      // checkpoints run CONCURRENTLY (r14, the guide's overlap-
+      // independent-jobs rule and pqFit's precedent: Spark schedules
+      // jobs from several threads fine, and each leg's frame depends
+      // only on sigs, so concurrency cannot change a count) — the r13
+      // form ran 4 checkpoint jobs + 4 count jobs strictly in sequence
+      // and was job-launch-bound, not compute-bound.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val truePairsF = Future { Dedup.pairJoin(
           sigs.select(col("id"), col("hs"), lit(1).as("blk")), Seq("blk"))
         .filter(size(array_intersect(col("a_hs"), col("b_hs")))
           .cast("double") /
           size(array_union(col("a_hs"), col("b_hs"))) >= 0.6)
-        .select(col("a_id"), col("b_id")).localCheckpoint(true)
-      val capped = Dedup.minhashLshVerifiedPairsFromSignatures(sigs,
+        .select(col("a_id"), col("b_id")).localCheckpoint(true) }
+      val cappedF = Future { Dedup.minhashLshVerifiedPairsFromSignatures(sigs,
           k = 16, bands = 4, threshold = 0.6, maxBucket = 64)
-        .select(col("a_id"), col("b_id")).localCheckpoint(true)
+        .select(col("a_id"), col("b_id")).localCheckpoint(true) }
+      val salvageEdgesF = Future { Dedup.minhashSalvageVerifiedPairs(sigs,
+          k = 16, bands = 4, threshold = 0.6, maxBucket = 64, maxReps = 64)
+        .select(col("a_id"), col("b_id")).localCheckpoint(true) }
+      val truePairs = Await.result(truePairsF, Duration.Inf)
+      val capped = Await.result(cappedF, Duration.Inf)
       val salvaged = capped.unionByName(
-          Dedup.minhashSalvageVerifiedPairs(sigs, k = 16, bands = 4,
-            threshold = 0.6, maxBucket = 64, maxReps = 64)
-            .select(col("a_id"), col("b_id")))
+          Await.result(salvageEdgesF, Duration.Inf))
         .distinct().localCheckpoint(true)
       // the same broadcast 3-hop closure as q_dedup_cap_recall — here a
-      // MEASURE of the construction's radius, not a theorem
+      // MEASURE of the construction's radius, not a theorem; the four
+      // scalar counts read checkpointed leaves and run concurrently too
       val r3 = threeHopClosure(salvaged)
-      val nTrue = truePairs.count()
-      val nCapped = capped.count()
-      val nSalv = salvaged.count()
-      val nConn = truePairs.join(broadcast(r3),
+      val countsF = Seq(
+        Future { truePairs.count() },
+        Future { capped.count() },
+        Future { salvaged.count() },
+        Future { truePairs.join(broadcast(r3),
           col("a_id") === col("s") && col("b_id") === col("d"),
-          "left_semi").count()
+          "left_semi").count() })
+      val Seq(nTrue, nCapped, nSalv, nConn) =
+        Await.result(Future.sequence(countsF), Duration.Inf)
       Seq((nTrue, nCapped, nSalv, nConn))
         .toDF("n_true_pairs", "n_capped_pairs", "n_salvage_pairs",
           "n_true_connected_salvaged")
