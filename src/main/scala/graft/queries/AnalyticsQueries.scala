@@ -551,6 +551,26 @@ object AnalyticsQueries {
         .withColumn("sv", expr("transform(emb, x -> x / greatest(__n, 1e-12d))"))
       val queries = all.filter(col("vec_id") < 20)
       val corpus = all.filter(col("vec_id") >= 20)
+      // exact per-query baseline (the gate's replayable half): it depends
+      // only on (corpus, queries), never on the routing fit, so it
+      // materializes CONCURRENTLY with the driver-blocking KMeans fit
+      // below (the recall-trilogy Future recipe, guide §2.6 — independent
+      // jobs back-fill the executors the sequential fit leaves idle)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val w = Window.partitionBy("query_id")
+        .orderBy(desc("sim"), col("neighbor_id"))
+      val exactF = Future {
+        corpus
+          .select(col("vec_id").as("neighbor_id"), col("emb").as("ce"))
+          .crossJoin(broadcast(queries
+            .select(col("vec_id").as("query_id"), col("emb").as("qe"))))
+          .withColumn("sim", vectors.cosineSim(col("ce"), col("qe")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .localCheckpoint(true)
+      }
       // same quarter-sample routing fit as q_ivf_topk — once-offline at
       // scale, and what keeps the bench cost at the serving path
       val model = AnnIndex.ivfFit(
@@ -563,16 +583,7 @@ object AnalyticsQueries {
       val routed = AnnIndex.ivfJoinIndexed(queries, "vec_id", "sv",
           model, store, "vec_id", "sv", k = 3, nProbe = 10)
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-      // exact per-query baseline (the gate's replayable half)
-      val w = Window.partitionBy("query_id")
-        .orderBy(desc("sim"), col("neighbor_id"))
-      val exact = corpus
-        .select(col("vec_id").as("neighbor_id"), col("emb").as("ce"))
-        .crossJoin(broadcast(queries
-          .select(col("vec_id").as("query_id"), col("emb").as("qe"))))
-        .withColumn("sim", vectors.cosineSim(col("ce"), col("qe")))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
+      val exact = Await.result(exactF, Duration.Inf)
       exact.join(broadcast(routed), Seq("query_id", "neighbor_id"), "left")
         .withColumn("nhit",
           sum(coalesce(col("hit"), lit(0L)))
@@ -629,6 +640,26 @@ object AnalyticsQueries {
         col("embedding").cast("array<double>").as("emb"))
       val queries = all.filter(col("vec_id") < 20)
       val corpus = all.filter(col("vec_id") >= 20)
+      // exact per-query baseline (the gate's replayable half), the
+      // q_ivf_join_indexed shape — and like there, it depends only on
+      // (corpus, queries), never on the codebooks, so it materializes
+      // CONCURRENTLY with the driver-blocking subspace fits below (the
+      // recall-trilogy Future recipe, guide §2.6)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val w = Window.partitionBy("query_id")
+        .orderBy(desc("sim"), col("neighbor_id"))
+      val exactF = Future {
+        corpus
+          .select(col("vec_id").as("neighbor_id"), col("emb").as("ce"))
+          .crossJoin(broadcast(queries
+            .select(col("vec_id").as("query_id"), col("emb").as("qe"))))
+          .withColumn("sim", vectors.cosineSim(col("ce"), col("qe")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .localCheckpoint(true)
+      }
       // the q_pq_topk fit recipe: codebooks from a deterministic quarter
       // sample (once-offline at scale); overFetch 64 (vs q_pq_topk's 32)
       // because this gate binds the WORST query of 20, not one — at
@@ -642,17 +673,7 @@ object AnalyticsQueries {
       val routed = Quantize.pqJoinIndexed(queries, "vec_id", "emb", cb,
           store, "vec_id", "emb", k = 3, overFetch = 64)
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-      // exact per-query baseline (the gate's replayable half), the
-      // q_ivf_join_indexed shape
-      val w = Window.partitionBy("query_id")
-        .orderBy(desc("sim"), col("neighbor_id"))
-      val exact = corpus
-        .select(col("vec_id").as("neighbor_id"), col("emb").as("ce"))
-        .crossJoin(broadcast(queries
-          .select(col("vec_id").as("query_id"), col("emb").as("qe"))))
-        .withColumn("sim", vectors.cosineSim(col("ce"), col("qe")))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
+      val exact = Await.result(exactF, Duration.Inf)
       exact.join(broadcast(routed), Seq("query_id", "neighbor_id"), "left")
         .withColumn("nhit",
           sum(coalesce(col("hit"), lit(0L)))
@@ -702,6 +723,22 @@ object AnalyticsQueries {
       // 100 TB the fit is a once-offline pass over a sample, never per
       // query) — which is also what keeps this query's bench cost at the
       // encode+search path instead of 8 subspace KMeans fits on everything
+      // exact top-5 baseline: independent of the codebooks, so it
+      // materializes CONCURRENTLY with the driver-blocking subspace fits
+      // (the q_ivfpq_topk Future recipe, guide §2.6); the checkpoint also
+      // stops the two `marked` consumers re-running the corpus scan
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val exactF = Future {
+        corpus.crossJoin(broadcast(q))
+          .withColumn("similarity", vectors.cosineSim(col("emb"), col("qe")))
+          .orderBy(desc("similarity"), col("vec_id"))
+          .limit(5)
+          .select(col("vec_id"), col("label"),
+            expr(text.fixedPoint("similarity", 4)).as("sim_x10k"))
+          .localCheckpoint(true)
+      }
       val cb = Quantize.pqFit(corpus.filter(col("vec_id") % 4 === 1),
         "emb", dim = 64, m = 8, nCentroids = 32, maxIter = 2)
       // overFetch 32: the near-uniform synthetic corpus bunches cosine gaps
@@ -711,12 +748,7 @@ object AnalyticsQueries {
       val approx = Quantize.pqTopK(corpus, "emb", cb, q, k = 5,
           overFetch = 32, tieBreak = Seq("vec_id"))
         .select(col("vec_id"), lit(1L).as("pq_hit"))
-      val exact = corpus.crossJoin(broadcast(q))
-        .withColumn("similarity", vectors.cosineSim(col("emb"), col("qe")))
-        .orderBy(desc("similarity"), col("vec_id"))
-        .limit(5)
-        .select(col("vec_id"), col("label"),
-          expr(text.fixedPoint("similarity", 4)).as("sim_x10k"))
+      val exact = Await.result(exactF, Duration.Inf)
       val marked = exact.join(broadcast(approx), Seq("vec_id"), "left")
       marked.crossJoin(broadcast(
           marked.agg(coalesce(sum("pq_hit"), lit(0L)).as("nhit"))))
@@ -755,6 +787,22 @@ object AnalyticsQueries {
           col("embedding").cast("array<double>").as("emb"))
       val q = embeddings(s, dir).filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>").as("qe"))
+      // exact top-5 baseline: independent of the routing fit, so it
+      // materializes CONCURRENTLY with the driver-blocking KMeans fit
+      // (the q_ivfpq_topk Future recipe, guide §2.6); the checkpoint also
+      // stops the two `marked` consumers re-running the corpus scan
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val exactF = Future {
+        corpus.crossJoin(broadcast(q))
+          .withColumn("similarity", vectors.cosineSim(col("emb"), col("qe")))
+          .orderBy(desc("similarity"), col("vec_id"))
+          .limit(5)
+          .select(col("vec_id"), col("label"),
+            expr(text.fixedPoint("similarity", 4)).as("sim_x10k"))
+          .localCheckpoint(true)
+      }
       // routing centroids fit on a deterministic quarter sample — at scale
       // the fit is a once-offline pass (ivfFit doc), never per query
       val model = AnnIndex.ivfFit(
@@ -762,12 +810,7 @@ object AnalyticsQueries {
       val approx = AnnIndex.ivfTopK(model, corpus, "emb", q, "qe",
           k = 5, nProbe = 4, tieBreak = Seq("vec_id"))
         .select(col("vec_id"), lit(1L).as("ivf_hit"))
-      val exact = corpus.crossJoin(broadcast(q))
-        .withColumn("similarity", vectors.cosineSim(col("emb"), col("qe")))
-        .orderBy(desc("similarity"), col("vec_id"))
-        .limit(5)
-        .select(col("vec_id"), col("label"),
-          expr(text.fixedPoint("similarity", 4)).as("sim_x10k"))
+      val exact = Await.result(exactF, Duration.Inf)
       val marked = exact.join(broadcast(approx), Seq("vec_id"), "left")
       marked.crossJoin(broadcast(
           marked.agg(coalesce(sum("ivf_hit"), lit(0L)).as("nhit"))))
@@ -869,6 +912,23 @@ object AnalyticsQueries {
           col("embedding").cast("array<double>").as("emb"))
       val q = embeddings(s, dir).filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>").as("qe"))
+      // exact top-5 baseline: depends only on (corpus, q), never on the
+      // fits, so it materializes CONCURRENTLY with the two sequential
+      // driver-blocking KMeans fits below (the q_ivf_join_indexed Future
+      // recipe, guide §2.6); checkpointing the 5-row page also stops the
+      // two `marked` consumers below re-running the corpus scan
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val exactF = Future {
+        corpus.crossJoin(broadcast(q))
+          .withColumn("similarity", vectors.cosineSim(col("emb"), col("qe")))
+          .orderBy(desc("similarity"), col("vec_id"))
+          .limit(5)
+          .select(col("vec_id"), col("label"),
+            expr(text.fixedPoint("similarity", 4)).as("sim_x10k"))
+          .localCheckpoint(true)
+      }
       // routing + residual codebooks fit on the same deterministic quarter
       // sample — both are once-offline passes at scale (ivfFit/pqFit docs)
       val sample = corpus.filter(col("vec_id") % 4 === 1)
@@ -878,12 +938,7 @@ object AnalyticsQueries {
       val approx = Quantize.ivfPqTopK(model, corpus, "emb", cb, q, k = 5,
           nProbe = 4, overFetch = 32, tieBreak = Seq("vec_id"))
         .select(col("vec_id"), lit(1L).as("pq_hit"))
-      val exact = corpus.crossJoin(broadcast(q))
-        .withColumn("similarity", vectors.cosineSim(col("emb"), col("qe")))
-        .orderBy(desc("similarity"), col("vec_id"))
-        .limit(5)
-        .select(col("vec_id"), col("label"),
-          expr(text.fixedPoint("similarity", 4)).as("sim_x10k"))
+      val exact = Await.result(exactF, Duration.Inf)
       val marked = exact.join(broadcast(approx), Seq("vec_id"), "left")
       marked.crossJoin(broadcast(
           marked.agg(coalesce(sum("pq_hit"), lit(0L)).as("nhit"))))

@@ -727,10 +727,15 @@ object PipelineQueries {
            |FROM seg s LEFT JOIN boiler b ON s.seg = b.seg
            |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
       }) { (s, dir) =>
+      // the exploded segment table materializes ONCE (the q_lang_id_ngram
+      // localCheckpoint recipe): both the boilerplate-df aggregate and the
+      // join probe side read it, and uncheckpointed the segment tokenize
+      // kernel re-ran per subtree (2 corpus scans in the plan)
       val seg = documents(s, dir)
         .select(col("doc_id"),
           posexplode(expr(text.segments(S, "text", 8))).as(Seq("pos", "seg")))
         .select(col("doc_id"), (col("pos") + 1).as("seg_idx"), col("seg"))
+        .localCheckpoint(true)
       val boiler = seg.groupBy("seg")
         .agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df") >= 2)
@@ -2064,6 +2069,10 @@ object PipelineQueries {
           .select((col("doc_id") + 200000).as("id"),
             Multimodal.dHash64Udf(
               Multimodal.monoEditImageForDocUdf(col("doc_id"))).as("fp")))
+        // fingerprints decode ONCE: the index build below AND the clusters
+        // vertex/singleton side both read fps, and uncheckpointed the real
+        // mono/edit image decodes re-ran per subtree
+        .localCheckpoint(true)
       // capped + salvage over ONE index, MATERIALIZED once (the
       // q_lang_id_ngram localCheckpoint recipe): both tiers reference the
       // index from several subtrees and the propagation re-resolves the
@@ -2211,11 +2220,16 @@ object PipelineQueries {
           "transform(sequence(0, 15), j -> " +
             "coalesce(CAST(size(filter(th, t -> t % 16 = j)) AS DOUBLE)," +
             " CAST(0 AS DOUBLE)))"))
+      // image vectors decode ONCE (the q_lang_id_ngram localCheckpoint
+      // recipe): the fit, the store assignment AND the exact baseline all
+      // read imgs, and uncheckpointed the real decode+histogram UDF chain
+      // re-ran per subtree
       val imgs = documents(s, dir).filter(col("doc_id") < 60)
         .select(col("doc_id").as("img_id"),
           Multimodal.imageGrayBucketsUdf(
             Multimodal.nearImageForDocUdf(col("doc_id")), lit(16)).as("iv"))
         .withColumn("ivd", col("iv").cast("array<double>"))
+        .localCheckpoint(true)
       // the IVF store over the image-vector side: fit + assign once; at
       // scale this persists partitioned by list_id and a probe is a
       // partition-pruned read (AnnIndex.ivfStore), never a broadcast of
@@ -2358,6 +2372,9 @@ object PipelineQueries {
         .withColumn("ivn",
           expr("transform(ivd, x -> x / greatest(inorm, 1e-12d))"))
         .select(col("img_id"), col("ivd"), col("inorm"), col("ivn"))
+        // image vectors decode ONCE (the q_crossmodal_ann recipe): fit,
+        // assignment and the exact baseline all read imgs
+        .localCheckpoint(true)
       val model = AnnIndex.ivfFit(imgs, "ivn", nLists = 8)
       val assigned = AnnIndex.ivfAssign(model, imgs, "ivn")
         .select(col("img_id"), col("ivd"), col("inorm"), col("list_id"))
@@ -4284,12 +4301,18 @@ object PipelineQueries {
            |GROUP BY a.cluster, cent_sum, cent_abs
            |ORDER BY cluster""".stripMargin
       }) { (s, dir) =>
+      // quantized vectors materialize ONCE (the q_cluster_topics recipe):
+      // c0 + both kmAssign probes + the centroid broadcast chains read qv
+      // from separate subtrees — uncheckpointed, the plan held 12 scans
       val qv = embeddings(s, dir).select(col("vec_id"),
         expr(S.transform(S.castDoubleArray("embedding"), "x",
           "CAST(floor(x * 10000.0 + 0.5) AS BIGINT)")).as("qv"))
+        .localCheckpoint(true)
       val c0 = qv.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("qv").as("cq"))
-      val a2 = kmAssign(qv, kmUpdate(kmAssign(qv, c0)))
+      // a2 feeds two consumers (sizes + the c2 update): checkpoint so the
+      // 2-iteration Lloyd chain resolves once
+      val a2 = kmAssign(qv, kmUpdate(kmAssign(qv, c0))).localCheckpoint(true)
       val c2 = kmUpdate(a2)
       a2.groupBy("cluster").agg(count(lit(1)).as("n_members"))
         .join(c2.select(col("cid").as("cluster"),
@@ -4381,17 +4404,26 @@ object PipelineQueries {
            |WHERE rk <= 3
            |ORDER BY s.cluster, rank""".stripMargin
       }) { (s, dir) =>
+      // the quantized embedding table materializes ONCE (the
+      // q_lang_id_ngram localCheckpoint recipe): the embedStub tokenize+
+      // hash kernel is the scan's dominant cost and FOUR subtrees read qv
+      // (c0, both kmAssign probes, plus each assignment's centroid
+      // broadcast chain) — uncheckpointed, the plan held 18 parquet scans
       val qv = documents(s, dir)
         .select(col("doc_id").as("vec_id"),
           vectors.embedStub("text", 16).as("e"))
         .select(col("vec_id"), expr(S.transform("e", "x",
           "CAST(floor(x * 10000.0 + 0.5) AS BIGINT)")).as("qv"))
+        .localCheckpoint(true)
       val c0 = qv.filter(col("vec_id") < 4)
         .select(col("vec_id").as("cid"), col("qv").as("cq"))
       val a2 = kmAssign(qv, kmUpdate(kmAssign(qv, c0)))
         .select(col("vec_id").as("doc_id"), col("cluster"))
+      // the exploded token table materializes ONCE: dfq and tf both read
+      // it, and uncheckpointed the corpus tokenize kernel ran per subtree
       val toks = documents(s, dir)
         .select(col("doc_id"), explode(expr(text.tokens(S, "text"))).as("tok"))
+        .localCheckpoint(true)
       val dfq = toks.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
       val nd = documents(s, dir).agg(count(lit(1)).as("n"))
       val tf = toks.join(a2, "doc_id")

@@ -140,8 +140,15 @@ object TextQueries {
               |  ${text.fixedPoint("CAST(inter AS DOUBLE) / uni", 4)} AS jaccard_x10k
               |FROM v WHERE inter * 5 >= uni * 4
               |ORDER BY a_id, b_id""".stripMargin)) { (s, dir) =>
-      Dedup.prefixFilterJaccardPairs(nearDupCorpus(documents(s, dir)),
-          "doc_id", "text", num = 4, den = 5, maxBucket = 64)
+      // the token-set table materializes ONCE — the operator's own
+      // documented production shape (tokenSets scaladoc): the pair plan
+      // references it from three subtrees (prefix explode + both
+      // verification joins), and uncheckpointed the tokenize UDF re-ran
+      // per reference
+      val tk = Dedup.tokenSets(nearDupCorpus(documents(s, dir)),
+        "doc_id", "text").localCheckpoint(true)
+      Dedup.prefixFilterJaccardPairsFromSets(tk,
+          num = 4, den = 5, maxBucket = 64)
         .select(col("a_id"), col("b_id"),
           expr(text.fixedPoint("jaccard", 4)).as("jaccard_x10k"))
         .orderBy("a_id", "b_id")
@@ -1218,8 +1225,13 @@ object TextQueries {
           concat(col("text"), lit(" xq")).as("text"), col("lang")))
       val pairs = Dedup.minhashLshVerifiedPairs(corpus, "doc_id", "text",
         k = 16, bands = 4, shingleN = 3, threshold = 0.6)
-      val dupIds = pairs.select(col("a_id").as("doc_id"))
-        .union(pairs.select(col("b_id").as("doc_id")))
+      // both pair endpoints in ONE pass over the pair table: the previous
+      // two-select union referenced `pairs` twice, and the whole LSH
+      // sign+band+verify pipeline (the query's dominant cost) re-ran per
+      // reference — explode(array(a,b)) keeps a single subtree (guide
+      // §1.2: don't compute things twice), same distinct id set
+      val dupIds = pairs
+        .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
         .distinct()
         .withColumn("is_dup", lit(1L))
       corpus.join(dupIds, Seq("doc_id"), "left")

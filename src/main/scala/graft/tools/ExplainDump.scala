@@ -3,7 +3,7 @@ package graft.tools
 import java.nio.file.{Files, Paths}
 
 /** Dev tool: writes `.explain("formatted")` for the named catalog queries
-  * to `plans/r14/<query>_<tag>.txt` — the before/after plan evidence an
+  * to `plans/r15/<query>_<tag>.txt` — the before/after plan evidence an
   * optimization round commits alongside its bench numbers.
   *
   *   sbt "runMain graft.tools.ExplainDump <tag> q_a q_b ..."
@@ -23,14 +23,14 @@ object ExplainDump {
     val spark = graft.core.Graft.session(s"local[$cpus]",
       shufflePartitions = cpus.toInt, appName = "graft-explain",
       extraConf = Map("spark.ui.enabled" -> "false"))
-    val outDir = Paths.get("plans", "r14")
+    val outDir = Paths.get("plans", "r15")
     Files.createDirectories(outDir)
     for (n <- names) {
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       Files.write(outDir.resolve(s"${n}_$tag.txt"), txt.getBytes("UTF-8"))
-      println(s"wrote plans/r14/${n}_$tag.txt (${txt.length} chars)")
+      println(s"wrote plans/r15/${n}_$tag.txt (${txt.length} chars)")
     }
     spark.stop()
   }
