@@ -747,6 +747,12 @@ object AnnIndex {
       // full-corpus exact scan would re-run inside every cell's semi-join
       .localCheckpoint()
     val nCorpus = corpus.agg(count(lit(1)).as("n_corpus"))
+    // the k exact ids as ONE broadcastable row: each cell's hit count is
+    // an array intersection against it, so the per-cell semi-join (and
+    // its second full candidate pass) disappears below
+    val exactArr = exactIds
+      .agg(sort_array(collect_list(col(idCol))).as("__exact"))
+    val tk = graft.operators.TopK.topK(k)
     val stats = cells.map { case (planes, probeBits) =>
       // null embeddings are dropped BEFORE the bucket projection and the
       // probe keys compare null-safely — plain `=` would make Catalyst
@@ -766,19 +772,26 @@ object AnnIndex {
       val probes = q0.select(col("__qe"),
         explode(expr(probeSetExpr(planes, probeBits))).as("__qb"))
       val cand = assigned.join(broadcast(probes), col("__cb") <=> col("__qb"))
-      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
-      val nHits = cand
+      // ONE candidate pass per cell (r15): count and the candidate top-k
+      // fold in the same partial-aggregated pass via the bounded TopK
+      // Aggregator — its (score DESC, id ASC) buffer order is exactly the
+      // ORDER BY __sim DESC, id LIMIT k it replaces — where the r14 form
+      // re-ran the bucket kernel over the corpus once for the count and
+      // again for the sort-limit page (2 passes x |cells|); n_hits is the
+      // page's intersection with the broadcast exact ids, bit-identical
+      // to the old semi-join count
+      cand
         .withColumn("__sim", vectors.cosineSim(col(embCol), col("__qe")))
-        .orderBy(desc("__sim"), col(idCol))
-        .limit(k)
-        .select(col(idCol))
-        .join(broadcast(exactIds), Seq(idCol), "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-      nCand.crossJoin(nHits).select(
-        lit(planes).cast("long").as("planes"),
-        lit(probeBits).cast("long").as("probe_bits"),
-        col("n_candidates").cast("long").as("n_candidates"),
-        col("n_hits").cast("long").as("n_hits"))
+        .agg(count(lit(1)).as("n_candidates"),
+          tk(col(idCol), col("__sim")).as("__tk"))
+        .crossJoin(broadcast(exactArr))
+        .select(
+          lit(planes).cast("long").as("planes"),
+          lit(probeBits).cast("long").as("probe_bits"),
+          col("n_candidates").cast("long").as("n_candidates"),
+          coalesce(size(array_intersect(
+              expr("transform(__tk, x -> x.id)"), col("__exact"))), lit(0))
+            .cast("long").as("n_hits"))
     }
     stats.reduce(_.unionByName(_))
       .crossJoin(broadcast(nCorpus))

@@ -692,9 +692,17 @@ object Dedup {
     // (q_dedup_cap_recall 14.1 -> 12.7 s, q_image_clusters 4.5 -> 3.2 s,
     // REPS=5 medians); the fold is reserved for the index-ACCEPTING
     // entry points where a stale/foreign index is actually possible
-    hammingPairsOverTrusted(
-      hammingChunkIndex(df, idCol, hashCol, bits, chunks),
-      maxHamming, maxBucket)
+    val index = hammingChunkIndex(df, idCol, hashCol, bits, chunks)
+    // with the cap ENGAGED the index is referenced from three subtrees
+    // (oversized-key census, anti-join probe, the self-join) and the
+    // fingerprint UDF chain (image/audio/video decode for the perceptual
+    // families) re-ran per subtree — materialize it once, the persisted-
+    // index shape hammingPairsFromIndex documents. Capless calls keep the
+    // lazy form: the self-join's identical subtrees already share one
+    // exchange (ReuseExchange), so a checkpoint there is pure extra work
+    val trusted =
+      if (maxBucket == Int.MaxValue) index else index.localCheckpoint(true)
+    hammingPairsOverTrusted(trusted, maxHamming, maxBucket)
   }
 
   /** [[hammingPairs]] over a PRECOMPUTED (possibly persisted) chunk

@@ -781,18 +781,6 @@ object Quantize {
       s"ivfPqTuning reserves column name(s): ${reserved.mkString(", ")}")
     val q = oneQueryRow(query, "ivfPqTuning")
       .select(col("qe").cast("array<double>").as("qe"))
-    // the exact baseline really is computed ONCE: localCheckpoint — a
-    // lazy plan here would re-run the full-corpus exact scan inside
-    // every cell's left_semi probe (|ms|·|overFetches| scans)
-    val exactIds = corpus.crossJoin(broadcast(q))
-      .withColumn("__sim", vectors.cosineSim(col(embCol), col("qe")))
-      .orderBy(desc("__sim"), col(idCol))
-      .limit(k)
-      .select(col(idCol))
-      .localCheckpoint()
-    val nCorpus = corpus.agg(count(lit(1)).as("n_corpus"))
-    val nLists = model.clusterCenters.length
-    val cents = centroidFrame(spark, model)
     // r14 shape (the ivfTuning/annTuning union-of-cells shape, plus the
     // guide's overlap-independent-jobs rule): the corpus residual encode
     // is computed ONCE and shared by every code budget (residuals are
@@ -808,12 +796,34 @@ object Quantize {
     // per the checkpoint-release policy the final leaves are the
     // caller's to hold (same class as the r13 cache while it lived —
     // corpus-sized, the probe-all sweep's documented cost).
+    //
+    // r15: the three materializations that do not depend on each other —
+    // the exact baseline, the shared residual encode, and the subspace
+    // fits — now ALL start concurrently (r14 only overlapped the fits
+    // with each other), and each budget's scored-page checkpoint runs in
+    // its own Future instead of serializing after the slower fit.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    val resid = ivfResiduals(model, corpus, embCol)
-      .withColumn("__en", vectors.l2Norm(col(embCol).cast("array<double>")))
-      .localCheckpoint(true)
+    // the exact baseline really is computed ONCE: localCheckpoint — a
+    // lazy plan here would re-run the full-corpus exact scan inside
+    // every cell's left_semi probe (|ms|·|overFetches| scans)
+    val exactIdsF = Future {
+      corpus.crossJoin(broadcast(q))
+        .withColumn("__sim", vectors.cosineSim(col(embCol), col("qe")))
+        .orderBy(desc("__sim"), col(idCol))
+        .limit(k)
+        .select(col(idCol))
+        .localCheckpoint()
+    }
+    val nCorpus = corpus.agg(count(lit(1)).as("n_corpus"))
+    val nLists = model.clusterCenters.length
+    val cents = centroidFrame(spark, model)
+    val residF = Future {
+      ivfResiduals(model, corpus, embCol)
+        .withColumn("__en", vectors.l2Norm(col(embCol).cast("array<double>")))
+        .localCheckpoint(true)
+    }
     val residFit = ivfResiduals(model, fitSample, embCol)
     // NAMED maxIter: the positional form bound maxIter into pqFit's
     // seed parameter (Int -> Long weak conformance compiled silently),
@@ -821,19 +831,26 @@ object Quantize {
     // iterations) than the serving face it claims to measure
     val fits = ms.map(m => m -> Future {
       pqFit(residFit, "__res", dim, m, nCentroids, maxIter = maxIter) })
-    val cells = fits.flatMap { case (m, fit) =>
-      val cb = Await.result(fit, Duration.Inf)
-      val coded = pqEncode(resid, "__res", cb)
-      // probe-all page from the SHARED builder (n = nLists isolates code
-      // resolution; nProbe is ivfTuning's dial)
-      val probes = probePage(q, cents, cb, nLists)
-      val adcUdf = adcUdfFor(cb)
-      val scored = coded.join(broadcast(probes), "list_id")
-        .withColumn("approx_sim",
-          when(col("__en") === 0.0 || col("__qn") === 0.0, lit(0.0))
-            .otherwise((col("__qdotc") + adcUdf(col("pq_codes"), col("__lut"))) /
-              (col("__en") * col("__qn"))))
-        .localCheckpoint(true)
+    val exactIds = Await.result(exactIdsF, Duration.Inf)
+    val resid = Await.result(residF, Duration.Inf)
+    val scoredFs = fits.map { case (m, fit) =>
+      m -> Future {
+        val cb = Await.result(fit, Duration.Inf)
+        val coded = pqEncode(resid, "__res", cb)
+        // probe-all page from the SHARED builder (n = nLists isolates code
+        // resolution; nProbe is ivfTuning's dial)
+        val probes = probePage(q, cents, cb, nLists)
+        val adcUdf = adcUdfFor(cb)
+        (cb, coded.join(broadcast(probes), "list_id")
+          .withColumn("approx_sim",
+            when(col("__en") === 0.0 || col("__qn") === 0.0, lit(0.0))
+              .otherwise((col("__qdotc") + adcUdf(col("pq_codes"), col("__lut"))) /
+                (col("__en") * col("__qn"))))
+          .localCheckpoint(true))
+      }
+    }
+    val cells = scoredFs.flatMap { case (m, sf) =>
+      val (_, scored) = Await.result(sf, Duration.Inf)
       overFetches.map { of =>
         scored
           .orderBy(desc("approx_sim"), col(idCol))

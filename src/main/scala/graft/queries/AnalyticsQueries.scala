@@ -850,8 +850,14 @@ object AnalyticsQueries {
       // the dials of the EXACT index the serving query uses
       val model = AnnIndex.ivfFit(
         corpus.filter(col("vec_id") % 4 === 1), "emb", nLists = 16)
-      val rep = AnnIndex.ivfTuning(model,
-        AnnIndex.ivfAssign(model, corpus, "emb"), "emb", "vec_id",
+      // the assigned corpus materializes ONCE (the in-session stand-in
+      // for the persisted list_id-partitioned store the sweep prices):
+      // the sweep references it from 12 subtrees (exact baseline, corpus
+      // count, and two per dial), and uncheckpointed the KMeans
+      // assignment UDF re-ran per subtree
+      val assigned = AnnIndex.ivfAssign(model, corpus, "emb")
+        .localCheckpoint(true)
+      val rep = AnnIndex.ivfTuning(model, assigned, "emb", "vec_id",
         q, "qe", k = 5, nProbes = Seq(1, 2, 4, 8, 16))
       // 5-row report -> one array, monotonicity as a HOF over adjacent
       // elements: no window (PlanGuard) and no driver-side collect

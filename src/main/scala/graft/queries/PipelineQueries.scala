@@ -3141,7 +3141,12 @@ object PipelineQueries {
         .select(col("doc_id"), expr(text.tokens(S, "text")).as("toks"))
         .filter(expr(s"${S.size("toks")} >= 2"))
         .select(col("doc_id"), explode(expr(pairsS)).as("pair"))
+      // the bigram table materializes ONCE (vocab-bigram-sized — the
+      // trained-model checkpoint recipe): its two consumers (cfreq and the
+      // scoring join) otherwise each re-ran the full corpus tokenize +
+      // pair explode + count feeding it
       val bfreq = bg.groupBy("pair").agg(count(lit(1)).as("c2"))
+        .localCheckpoint(true)
       val cfreq = bfreq.groupBy(expr("split_part(pair, ' ', 1)").as("w1"))
         .agg(sum(col("c2")).as("c1"))
       bg.filter(col("doc_id") < 100)
@@ -3198,11 +3203,18 @@ object PipelineQueries {
       val tok = documents(s, dir)
         .select(col("doc_id"), col("source"),
           explode(expr(text.tokens(S, "text"))).as("tok"))
+      // both trained LM tables materialize ONCE (vocab-sized — the
+      // q_lang_id_ngram checkpoint recipe): rawf feeds three consumers
+      // (vocab, rtot, the scoring broadcast) and tgtf two (ttot, the
+      // scoring broadcast), and uncheckpointed each consumer re-ran the
+      // full corpus tokenize + explode + count feeding it
       val rawf = tok.groupBy("tok").agg(count(lit(1)).as("cr"))
+        .localCheckpoint(true)
       val vocab = rawf.agg(count(lit(1)).as("v"))
       val rtot = rawf.agg(sum(col("cr")).as("tr"))
       val tgtf = tok.filter(col("source").isin("src1", "src2", "src3"))
         .groupBy("tok").agg(count(lit(1)).as("ct"))
+        .localCheckpoint(true)
       val ttot = tgtf.agg(sum(col("ct")).as("tt"))
       tok.filter(col("doc_id") < 100)
         .join(broadcast(rawf), Seq("tok"))
@@ -3562,7 +3574,13 @@ object PipelineQueries {
       val tok = documents(s, dir)
         .select(col("doc_id"), col("lang"),
           explode(expr(text.tokens(S, "text"))).as("tok"))
+      // the unigram LM table and the per-doc score table each materialize
+      // ONCE (the q_lang_id_ngram checkpoint recipe): freq feeds two
+      // consumers (the total + the scoring broadcast) and docScore two
+      // (the histogram and the final bucket join) — uncheckpointed, each
+      // consumer re-ran the corpus tokenize + count feeding it
       val freq = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
       val tot = freq.agg(sum(col("c")).as("t"))
       val docScore = tok.join(broadcast(freq), Seq("tok"))
         .crossJoin(broadcast(tot))
@@ -3570,6 +3588,7 @@ object PipelineQueries {
         .groupBy("doc_id", "lang")
         .agg(expr(S.intDiv("CAST(sum(lp) AS BIGINT)", "CAST(count(*) AS BIGINT)"))
           .as("ppl"))
+        .localCheckpoint(true)
       val hist = docScore.groupBy("lang", "ppl").agg(count(lit(1)).as("cnt"))
       val wCum = Window.partitionBy("lang").orderBy("ppl")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -3997,12 +4016,17 @@ object PipelineQueries {
       // a correctness gate); the engine never joins — the window pairs are
       // generated INSIDE the row by one HOF projection, so the only
       // shuffles are the two vocab-sized aggregates
+      // the tokenized corpus materializes ONCE: the pair kernel and the
+      // unigram side both read dw, and uncheckpointed the tokenize ran
+      // per subtree; nw likewise feeds two broadcast consumers
       val dw = documents(s, dir)
         .select(col("doc_id"), expr(text.tokens(S, "text")).as("toks"))
+        .localCheckpoint(true)
       val pairs = dw.select(explode(expr(windowPairsExpr("toks", 4))).as("p"))
         .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
       val tok = dw.select(explode(col("toks")).as("w"))
       val nw = tok.groupBy("w").agg(count(lit(1)).as("nw"))
+        .localCheckpoint(true)
       val nt = tok.agg(count(lit(1)).as("n"))
       val ab = pairs.groupBy("wa", "wb").agg(count(lit(1)).as("nab"))
         .filter(col("nab") >= 50)

@@ -1101,8 +1101,14 @@ object TextQueries {
       // The shingle kernel rides pairJoin's `enrich` hook, so it runs only
       // for docs surviving the cap — on a boilerplate-prefix corpus the
       // dropped bulk never pays for its shingles.
+      // the blocked corpus materializes ONCE (the q_dedup_prefix_filter
+      // recipe): pairJoin's cap machinery references it from the
+      // oversized-key census, the anti-join probe AND both self-join
+      // sides, and uncheckpointed the prefix-hash tokenize re-ran per
+      // subtree (24 scans in the plan)
       val keyed = corpus.select(col("doc_id").as("id"), col("text"),
         TextSig.prefixHashUdf(col("text"), lit(3)).as("blk"))
+        .localCheckpoint(true)
       // Dedup.pairJoin: same shuffle_hash'd blocked self-join as the LSH
       // band path, INCLUDING the mega-bucket cap — the r6 verdict's last
       // uncapped skewed-key join. greatest(...,1) guards the 0/0 of an
